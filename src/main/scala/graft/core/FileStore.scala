@@ -1,0 +1,239 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.collection.concurrent.TrieMap
+
+/** Physical layout + metadata IO + optimistic commit protocol for one table.
+  *
+  * Layout (reference: paimon directory scheme — snapshot/, manifest/, schema/):
+  * {{{
+  *   <root>/schema/schema-<id>.json
+  *   <root>/snapshot/snapshot-<id>.json
+  *   <root>/manifest/manifest-<uuid>.json
+  *   <root>/data/<pt=v dirs>/<__bucket=b>/part-*.parquet
+  *   <root>/tag/tag-<name>.json
+  * }}}
+  *
+  * Commits are optimistic (reference: paimon-core
+  * org/apache/paimon/operation/FileStoreCommitImpl.java:219): write the new
+  * snapshot to a temp file, atomically rename to `snapshot-<latest+1>`, retry
+  * on collision. Works on any filesystem with atomic rename (HDFS, local);
+  * object stores need a conditional-put shim (documented limitation, same as
+  * the reference).
+  */
+class FileStore(val root: String, val hadoopConf: Configuration) {
+  val rootPath = new Path(root)
+  def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
+
+  val schemaDir = new Path(rootPath, "schema")
+  val snapshotDir = new Path(rootPath, "snapshot")
+  val manifestDir = new Path(rootPath, "manifest")
+  val dataDir = new Path(rootPath, "data")
+  val tagDir = new Path(rootPath, "tag")
+  val consumerDir = new Path(rootPath, "consumer")
+
+  // ---------------- raw IO ----------------
+
+  def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Write content to a temp file then rename; returns false if target exists. */
+  def writeAtomic(target: Path, s: String): Boolean = {
+    if (fs.exists(target)) return false
+    val tmp = new Path(target.getParent, s".${target.getName}.${UUID.randomUUID()}.tmp")
+    writeString(tmp, s)
+    val ok = try fs.rename(tmp, target) catch { case _: java.io.IOException => false }
+    if (!ok) fs.delete(tmp, false)
+    ok
+  }
+
+  // ---------------- schemas ----------------
+
+  def schemaPath(id: Long) = new Path(schemaDir, s"schema-$id.json")
+
+  def schemaExists: Boolean = fs.exists(schemaPath(0))
+
+  def commitSchema(s: TableSchema): Unit = {
+    require(writeAtomic(schemaPath(s.id), s.toJson), s"schema ${s.id} already exists")
+  }
+
+  def readSchema(id: Long): TableSchema = TableSchema.fromJson(readString(schemaPath(id)))
+
+  def latestSchemaId: Long = listNumbered(schemaDir, "schema-").maxOption.getOrElse(
+    throw new IllegalStateException(s"no schema in $root"))
+
+  def latestSchema: TableSchema = readSchema(latestSchemaId)
+
+  // ---------------- snapshots ----------------
+
+  def snapshotPath(id: Long) = new Path(snapshotDir, s"snapshot-$id.json")
+
+  private def listNumbered(dir: Path, prefix: String): Seq[Long] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
+      .map(n => n.stripPrefix(prefix).stripSuffix(".json"))
+      .flatMap(_.toLongOption)
+  }
+
+  def snapshotIds: Seq[Long] = listNumbered(snapshotDir, "snapshot-").sorted
+
+  def latestSnapshotId: Option[Long] = snapshotIds.maxOption
+
+  def readSnapshot(id: Long): Snapshot = Snapshot.fromJson(readString(snapshotPath(id)))
+
+  def latestSnapshot: Option[Snapshot] = latestSnapshotId.map(readSnapshot)
+
+  // ---------------- manifests ----------------
+
+  // Manifest files are immutable → safe to cache across reads (reference:
+  // paimon-core org/apache/paimon/utils/ObjectsCache.java:39).
+  private val manifestCache = TrieMap.empty[String, Seq[ManifestEntry]]
+
+  def writeManifest(entries: Seq[ManifestEntry]): String = {
+    val name = s"manifest-${UUID.randomUUID()}.json"
+    writeString(new Path(manifestDir, name), ManifestCodec.entriesToJson(entries))
+    manifestCache.put(name, entries.toVector)
+    name
+  }
+
+  def readManifest(name: String): Seq[ManifestEntry] =
+    manifestCache.getOrElseUpdate(name,
+      ManifestCodec.entriesFromJson(readString(new Path(manifestDir, name))).toVector)
+
+  /** Live data files of a snapshot: fold ADD/DELETE entries in manifest order. */
+  def liveFiles(s: Snapshot): Seq[DataFileMeta] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+    s.manifests.foreach { m =>
+      readManifest(m).foreach { e =>
+        if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
+        else live.remove(e.file.path)
+      }
+    }
+    live.values.toVector
+  }
+
+  // ---------------- commit ----------------
+
+  /** Max manifests per snapshot before a full rewrite (reference:
+    * ManifestFileMeta.merge, CoreOptions "manifest.full-compaction-threshold").
+    */
+  val manifestMergeThreshold = 16
+
+  case class CommitResult(snapshot: Snapshot, committed: Boolean)
+
+  /** Optimistic-concurrency commit of a set of delta entries.
+    *
+    * @param commitIdentifier streaming exactly-once key; commits whose
+    *   identifier already exists in the snapshot chain are skipped
+    *   (reference: FileStoreCommitImpl.filterCommitted:202-207).
+    */
+  def commit(
+      delta: Seq[ManifestEntry],
+      commitKind: String,
+      commitIdentifier: Long = -1L,
+      watermark: Option[Long] = None,
+      maxRetries: Int = 20): CommitResult = {
+    var attempt = 0
+    while (true) {
+      val latest = latestSnapshot
+      if (commitIdentifier >= 0 && alreadyCommitted(commitIdentifier)) {
+        return CommitResult(latest.get, committed = false)
+      }
+      val nextId = latest.map(_.id + 1).getOrElse(1L)
+      // Conflict check: every file this commit deletes must still be live
+      // (reference: FileStoreCommitImpl.noConflictsOrFail:273-306).
+      val deletes = delta.filter(_.kind == ManifestEntry.DELETE).map(_.file.path)
+      if (deletes.nonEmpty) {
+        val live = latest.map(s => liveFiles(s).map(_.path).toSet).getOrElse(Set.empty)
+        val gone = deletes.filterNot(live.contains)
+        require(gone.isEmpty,
+          s"commit conflict: files deleted concurrently: ${gone.take(3).mkString(",")}")
+      }
+      val baseManifests = latest.map(_.manifests).getOrElse(Nil)
+      val deltaName = writeManifest(delta)
+      val addRows = delta.collect { case ManifestEntry(ManifestEntry.ADD, f) => f.rowCount }.sum
+      val delRows = delta.collect { case ManifestEntry(ManifestEntry.DELETE, f) => f.rowCount }.sum
+      val prevTotal = latest.map(_.totalRecordCount).getOrElse(0L)
+
+      var manifests = baseManifests :+ deltaName
+      // Manifest compaction: rewrite the chain into one full manifest when it
+      // grows past the threshold, so planning stays O(live files). The delta
+      // manifest file itself survives for incremental reads.
+      if (manifests.size > manifestMergeThreshold) {
+        val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+        manifests.foreach(m => readManifest(m).foreach { e =>
+          if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
+          else live.remove(e.file.path)
+        })
+        val folded = live.values.map(f => ManifestEntry(ManifestEntry.ADD, f)).toVector
+        manifests = Seq(writeManifest(folded))
+      }
+
+      val snap = Snapshot(
+        id = nextId,
+        schemaId = latestSchemaId,
+        manifests = manifests,
+        deltaManifests = Seq(deltaName),
+        commitKind = commitKind,
+        commitIdentifier = commitIdentifier,
+        totalRecordCount = prevTotal + addRows - delRows,
+        watermark = watermark,
+        timestampMs = System.currentTimeMillis())
+      if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
+        return CommitResult(snap, committed = true)
+      }
+      attempt += 1
+      require(attempt < maxRetries, s"commit failed after $maxRetries retries")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def alreadyCommitted(identifier: Long): Boolean =
+    snapshotIds.exists(id => readSnapshot(id).commitIdentifier == identifier)
+
+  // ---------------- tags ----------------
+
+  def tagPath(name: String) = new Path(tagDir, s"tag-$name.json")
+
+  def createTag(name: String, snapshotId: Long): Unit = {
+    require(fs.exists(snapshotPath(snapshotId)), s"no snapshot $snapshotId")
+    require(writeAtomic(tagPath(name), readString(snapshotPath(snapshotId))),
+      s"tag $name already exists")
+  }
+
+  def deleteTag(name: String): Unit = fs.delete(tagPath(name), false)
+
+  def readTag(name: String): Snapshot = Snapshot.fromJson(readString(tagPath(name)))
+
+  def listTags: Seq[(String, Snapshot)] = {
+    if (!fs.exists(tagDir)) return Nil
+    fs.listStatus(tagDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("tag-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("tag-").stripSuffix(".json"))
+      .sorted.map(n => n -> readTag(n))
+  }
+
+  // ---------------- consumers (durable read progress, T4) ----------------
+
+  def writeConsumer(id: String, nextSnapshot: Long): Unit =
+    writeString(new Path(consumerDir, s"consumer-$id.json"),
+      s"""{"nextSnapshot":$nextSnapshot}""")
+
+  def readConsumer(id: String): Option[Long] = {
+    val p = new Path(consumerDir, s"consumer-$id.json")
+    if (!fs.exists(p)) None
+    else Json.optLong(Json.parse(readString(p)), "nextSnapshot")
+  }
+}

@@ -1,0 +1,142 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.JsonNode
+
+/** Per-column min/max/nullCount, the substrate for file skipping
+  * (reference: paimon-core org/apache/paimon/stats/SimpleStats.java:44-52).
+  * min/max are encoded as strings: numerics via toString, timestamps as epoch
+  * micros, dates as epoch days, booleans as true/false. Complex types carry
+  * no stats (None).
+  */
+case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
+
+/** Immutable metadata of one data file (reference: paimon-core
+  * org/apache/paimon/io/DataFileMeta.java:54). `path` is relative to the
+  * table root so the table stays relocatable.
+  */
+case class DataFileMeta(
+    path: String,
+    size: Long,
+    rowCount: Long,
+    partition: Seq[String], // values aligned with schema.partitionKeys
+    bucket: Int,
+    level: Int,
+    minSeq: Long,
+    maxSeq: Long,
+    schemaId: Long,
+    stats: Map[String, ColStats])
+
+object ManifestEntry {
+  val ADD = 0
+  val DELETE = 1
+}
+
+/** One ADD/DELETE of a data file (reference: paimon-core
+  * org/apache/paimon/manifest/ManifestEntry.java:41).
+  */
+case class ManifestEntry(kind: Int, file: DataFileMeta)
+
+object CommitKind {
+  val APPEND = "APPEND"
+  val COMPACT = "COMPACT"
+  val OVERWRITE = "OVERWRITE"
+}
+
+/** A committed table version (reference: paimon-core
+  * org/apache/paimon/Snapshot.java:68). `manifests` is the full ordered list
+  * reconstructing table state; `deltaManifests` the subset added by this
+  * commit (the incremental-read axis).
+  */
+case class Snapshot(
+    id: Long,
+    schemaId: Long,
+    manifests: Seq[String],
+    deltaManifests: Seq[String],
+    commitKind: String,
+    commitIdentifier: Long,
+    totalRecordCount: Long,
+    watermark: Option[Long],
+    timestampMs: Long) {
+
+  def toJson: String = {
+    val n = Json.obj()
+    n.put("id", id); n.put("schemaId", schemaId)
+    val ms = n.putArray("manifests"); manifests.foreach(ms.add)
+    val dm = n.putArray("deltaManifests"); deltaManifests.foreach(dm.add)
+    n.put("commitKind", commitKind)
+    n.put("commitIdentifier", commitIdentifier)
+    n.put("totalRecordCount", totalRecordCount)
+    watermark.foreach(w => n.put("watermark", w))
+    n.put("timestampMs", timestampMs)
+    Json.write(n)
+  }
+}
+
+object Snapshot {
+  def fromJson(s: String): Snapshot = {
+    val n = Json.parse(s)
+    Snapshot(
+      n.get("id").asLong(),
+      n.get("schemaId").asLong(),
+      Json.elems(n.get("manifests")).map(_.asText()),
+      Json.elems(n.get("deltaManifests")).map(_.asText()),
+      n.get("commitKind").asText(),
+      n.get("commitIdentifier").asLong(),
+      n.get("totalRecordCount").asLong(),
+      Json.optLong(n, "watermark"),
+      n.get("timestampMs").asLong())
+  }
+}
+
+object ManifestCodec {
+  private def statsToJson(parent: com.fasterxml.jackson.databind.node.ObjectNode,
+      stats: Map[String, ColStats]): Unit = {
+    val sn = parent.putObject("stats")
+    stats.toSeq.sortBy(_._1).foreach { case (col, cs) =>
+      val c = sn.putObject(col)
+      cs.min.foreach(v => c.put("min", v))
+      cs.max.foreach(v => c.put("max", v))
+      c.put("nullCount", cs.nullCount)
+    }
+  }
+
+  def entriesToJson(entries: Seq[ManifestEntry]): String = {
+    val root = Json.obj()
+    val arr = root.putArray("entries")
+    entries.foreach { e =>
+      val en = arr.addObject()
+      en.put("kind", e.kind)
+      val f = e.file
+      en.put("path", f.path); en.put("size", f.size); en.put("rowCount", f.rowCount)
+      val pt = en.putArray("partition"); f.partition.foreach(pt.add)
+      en.put("bucket", f.bucket); en.put("level", f.level)
+      en.put("minSeq", f.minSeq); en.put("maxSeq", f.maxSeq)
+      en.put("schemaId", f.schemaId)
+      statsToJson(en, f.stats)
+    }
+    Json.write(root)
+  }
+
+  private def statsFromJson(n: JsonNode): Map[String, ColStats] =
+    Option(n.get("stats")).map { sn =>
+      Json.fields(sn).map { case (col, c) =>
+        col -> ColStats(Json.optStr(c, "min"), Json.optStr(c, "max"),
+          Json.optLong(c, "nullCount").getOrElse(0L))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  def entriesFromJson(s: String): Seq[ManifestEntry] = {
+    Json.elems(Json.parse(s).get("entries")).map { en =>
+      ManifestEntry(
+        en.get("kind").asInt(),
+        DataFileMeta(
+          en.get("path").asText(), en.get("size").asLong(),
+          en.get("rowCount").asLong(),
+          Json.elems(en.get("partition")).map(_.asText()),
+          en.get("bucket").asInt(), en.get("level").asInt(),
+          en.get("minSeq").asLong(), en.get("maxSeq").asLong(),
+          en.get("schemaId").asLong(),
+          statsFromJson(en)))
+    }
+  }
+}

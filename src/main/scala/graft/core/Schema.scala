@@ -1,0 +1,108 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.types._
+
+/** A field with a persistent numeric id — ids, not names/positions, are the
+  * identity under schema evolution (reference: paimon-common
+  * org/apache/paimon/types/DataField.java).
+  */
+case class Field(id: Int, name: String, dataType: String, nullable: Boolean = true) {
+  def sparkType: DataType = DataType.fromDDL(dataType)
+  def toStructField: StructField =
+    StructField(name, sparkType, nullable,
+      new MetadataBuilder().putLong(Field.FieldIdKey, id.toLong).build())
+}
+
+object Field {
+  val FieldIdKey = "graft.field.id"
+}
+
+/** Versioned table schema (reference: paimon-core
+  * org/apache/paimon/schema/TableSchema.java:47-72): numbered fields,
+  * partition keys, primary keys, free-form options. Stored as JSON under
+  * `schema/schema-<id>.json`.
+  */
+case class TableSchema(
+    id: Long,
+    fields: Seq[Field],
+    highestFieldId: Int,
+    partitionKeys: Seq[String],
+    primaryKeys: Seq[String],
+    options: Map[String, String]) {
+
+  def structType: StructType = StructType(fields.map(_.toStructField))
+
+  /** Non-partition fields, in declared order (the columns physically stored
+    * in data files — partition values live in the directory structure).
+    */
+  def dataFields: Seq[Field] = fields.filterNot(f => partitionKeys.contains(f.name))
+
+  def fieldByName(name: String): Field = fields.find(_.name == name)
+    .getOrElse(throw new IllegalArgumentException(s"no such field: $name"))
+
+  def option(key: String, default: String): String = options.getOrElse(key, default)
+
+  def numBuckets: Int = option(TableSchema.BucketOpt, "8").toInt
+  def mergeEngine: String = option(TableSchema.MergeEngineOpt, "deduplicate")
+  def sequenceField: Option[String] = options.get(TableSchema.SequenceFieldOpt)
+  def isPrimaryKeyed: Boolean = primaryKeys.nonEmpty
+
+  def toJson: String = {
+    val root = Json.obj()
+    root.put("id", id)
+    root.put("highestFieldId", highestFieldId)
+    val fs = root.putArray("fields")
+    fields.foreach { f =>
+      val fn = fs.addObject()
+      fn.put("id", f.id); fn.put("name", f.name)
+      fn.put("type", f.dataType); fn.put("nullable", f.nullable)
+    }
+    val pk = root.putArray("primaryKeys"); primaryKeys.foreach(pk.add)
+    val pt = root.putArray("partitionKeys"); partitionKeys.foreach(pt.add)
+    val opt = root.putObject("options")
+    options.toSeq.sortBy(_._1).foreach { case (k, v) => opt.put(k, v) }
+    Json.write(root)
+  }
+}
+
+object TableSchema {
+  val BucketOpt = "bucket"
+  val MergeEngineOpt = "merge-engine"
+  val SequenceFieldOpt = "sequence.field"
+  val ChangelogProducerOpt = "changelog-producer"
+  val TargetFileSizeOpt = "write.target-file-size"
+  /** fields.<name>.aggregate-function = sum|max|min|last_value|... */
+  def aggFuncOpt(field: String) = s"fields.$field.aggregate-function"
+  /** fields.<seqCol>.sequence-group = a,b,c  (partial-update sequence groups) */
+  def seqGroupOpt(field: String) = s"fields.$field.sequence-group"
+
+  def fromJson(s: String): TableSchema = {
+    val n = Json.parse(s)
+    val fields = Json.elems(n.get("fields")).map { fn =>
+      Field(fn.get("id").asInt(), fn.get("name").asText(),
+        fn.get("type").asText(), fn.get("nullable").asBoolean(true))
+    }
+    TableSchema(
+      n.get("id").asLong(),
+      fields,
+      n.get("highestFieldId").asInt(),
+      Json.elems(n.get("partitionKeys")).map(_.asText()),
+      Json.elems(n.get("primaryKeys")).map(_.asText()),
+      Json.fields(n.get("options")).map { case (k, v) => k -> v.asText() }.toMap)
+  }
+
+  /** Build a schema-0 from a Spark StructType, assigning field ids 0..n-1. */
+  def create(
+      st: StructType,
+      partitionKeys: Seq[String] = Nil,
+      primaryKeys: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): TableSchema = {
+    val fields = st.fields.zipWithIndex.map { case (f, i) =>
+      Field(i, f.name, f.dataType.sql, f.nullable)
+    }.toSeq
+    val unknown = (partitionKeys ++ primaryKeys).filterNot(st.fieldNames.contains)
+    require(unknown.isEmpty, s"keys not in schema: ${unknown.mkString(",")}")
+    TableSchema(0L, fields, fields.size - 1, partitionKeys, primaryKeys, options)
+  }
+}

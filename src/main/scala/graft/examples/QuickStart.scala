@@ -1,0 +1,57 @@
+package graft.examples
+
+import graft.GraftMeta
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end library walkthrough on the sf0.001 test data: create an
+  * append table and a primary-key table, upsert overlapping batches, delete,
+  * time-travel, and read the changelog. Run with:
+  * {{{ sbt "runMain graft.examples.QuickStart" }}}
+  */
+object QuickStart {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-quickstart")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-quickstart").toString
+
+    // ---- append table over lineitem, partitioned by returnflag ----
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val apT = GraftTable.create(spark, s"$base/lineitem", li.schema,
+      partitionKeys = Seq("l_returnflag"))
+    apT.append(li)
+    println(s"[append] rows=${apT.toDF.count()} (source=${li.count()})")
+    val pruned = apT.toDF.filter(col("l_returnflag") === "R")
+    println(s"[append] pruned partition R rows=${pruned.count()}")
+    pruned.explain("formatted")
+
+    // ---- primary-key table over orders: upsert, delete, time travel ----
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val pkT = GraftTable.create(spark, s"$base/orders", orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "4"))
+    pkT.upsert(orders)
+    val s1 = pkT.store.latestSnapshotId.get
+    pkT.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    pkT.upsert(orders.filter(col("o_orderkey") % 7 === 0),
+      kinds = Some(lit(GraftMeta.KindDelete)))
+
+    println(s"[pk] rows now=${pkT.toDF.count()}  @snapshot-$s1=${pkT.toDF(s1).count()}")
+    println(s"[pk] doubled prices sample:")
+    pkT.toDF.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") % 7 =!= 0)
+      .select("o_orderkey", "o_totalprice").show(3)
+    println(s"[pk] lookup(o_orderkey=8): ${pkT.lookup(Map("o_orderkey" -> 8L))}")
+    println(s"[pk] changelog of commit 2:")
+    pkT.incremental(s1, s1 + 1).select("_row_kind", "_sequence_number", "o_orderkey").show(3)
+    println(s"[pk] snapshots: ${pkT.store.snapshotIds.mkString(",")}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,149 @@
+package graft.merge
+
+import graft.core.TableSchema
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read engines for primary-key tables.
+  *
+  * Reference semantics: paimon-core org/apache/paimon/mergetree/compact/
+  * MergeFunction.java:24-46 and its implementations (DeduplicateMergeFunction,
+  * FirstRowMergeFunction, PartialUpdateMergeFunction, AggregateMergeFunction).
+  *
+  * Spark-first design: instead of a row-at-a-time merge function inside a
+  * k-way file merge, each engine is expressed as a hash aggregation over
+  * (partition, bucket, primary key). This gives map-side partial aggregation
+  * (rows collapse to ~unique keys before the shuffle) and whole-stage codegen
+  * — the shuffle cost is bounded by the number of live keys, not input rows,
+  * which is the property that matters at 100 TB. Bucket-local merging without
+  * any shuffle is the phase-2 optimization (files are already bucketed and
+  * pk-sorted on disk).
+  *
+  * Ordering: rows are versioned by (user sequence field if configured, commit
+  * sequence) — out-of-order input is handled by version comparison, not
+  * event-time windows (reference: CoreOptions "sequence.field":535).
+  */
+object MergeEngines {
+  import graft.GraftMeta._
+
+  /** The ordering struct used to pick row versions. */
+  def ordering(schema: TableSchema): Column = {
+    val cols = schema.sequenceField.toSeq.map(col) :+ col(SeqCol)
+    struct(cols: _*)
+  }
+
+  /** Apply the configured merge engine. Input: raw file rows with meta
+    * columns (SeqCol, KindCol) plus partition/bucket columns. Output: merged
+    * rows, one per live key, meta columns dropped, deletes removed.
+    */
+  def merge(schema: TableSchema, raw: DataFrame, bucketCol: String): DataFrame = {
+    val groupCols = (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys
+    val ord = ordering(schema)
+    val merged = schema.mergeEngine match {
+      case "deduplicate" => dedup(schema, raw, groupCols, ord, first = false)
+      case "first-row" => dedup(schema, raw, groupCols, ord, first = true)
+      case "partial-update" => partialUpdate(schema, raw, groupCols, ord)
+      case "aggregation" => aggregation(schema, raw, groupCols, ord)
+      case e => throw new IllegalArgumentException(s"unknown merge-engine: $e")
+    }
+    merged.filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
+      .select(schema.fields.map(f => col(f.name)): _*)
+  }
+
+  /** Values (non-group) fields we must carry through the merge. */
+  private def valueFields(schema: TableSchema): Seq[String] = {
+    val group = (schema.partitionKeys ++ schema.primaryKeys).toSet
+    schema.fields.map(_.name).filterNot(group.contains)
+  }
+
+  /** deduplicate / first-row: keep the row with max (resp. min) version
+    * (reference: DeduplicateMergeFunction.java:31, FirstRowMergeFunction.java:33).
+    * Implemented as max_by/min_by over a struct of all carried fields — a
+    * single hash aggregate, no window sort.
+    */
+  private def dedup(schema: TableSchema, raw: DataFrame, groupCols: Seq[String],
+      ord: Column, first: Boolean): DataFrame = {
+    val carried = valueFields(schema) :+ KindCol
+    val packed = struct(carried.map(col): _*)
+    val picked = if (first) min_by(packed, ord) else max_by(packed, ord)
+    raw.groupBy(groupCols.map(col): _*)
+      .agg(picked.as("__r"), max(col(SeqCol)).as(SeqCol))
+      .select((groupCols.map(col) :+ col(SeqCol)) ++
+        carried.map(f => col(s"__r.$f").as(f)): _*)
+  }
+
+  /** partial-update: per-field last-non-null overlay in version order
+    * (reference: PartialUpdateMergeFunction.java:57). Sequence groups — a
+    * subset of fields versioned by their own sequence column — use that
+    * column as the primary version for their fields
+    * (reference: SEQUENCE_GROUP handling, ibid.:59).
+    */
+  private def partialUpdate(schema: TableSchema, raw: DataFrame,
+      groupCols: Seq[String], ord: Column): DataFrame = {
+    // field -> its sequence-group ordering (if any)
+    val groupOf: Map[String, Column] = schema.options.collect {
+      case (k, fieldsCsv) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+        val seqCol = k.stripPrefix("fields.").stripSuffix(".sequence-group")
+        fieldsCsv.split(",").map(_.trim).map(f =>
+          f -> struct(col(seqCol), col(SeqCol))).toSeq
+    }.flatten.toMap
+    val aggs = valueFields(schema).map { f =>
+      val o = groupOf.getOrElse(f, ord)
+      max_by(col(f), when(col(f).isNotNull, o)).as(f)
+    } ++ Seq(
+      // a key is deleted only if the latest version is a DELETE
+      max_by(col(KindCol), ord).as(KindCol),
+      max(col(SeqCol)).as(SeqCol))
+    raw.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** aggregation engine: per-field aggregate chosen by
+    * 'fields.<f>.aggregate-function' (reference: AggregateMergeFunction.java +
+    * aggregate/FieldAggregator.java:43-120). Default: last_non_null_value.
+    */
+  private def aggregation(schema: TableSchema, raw: DataFrame,
+      groupCols: Seq[String], ord: Column): DataFrame = {
+    val aggs = valueFields(schema).map { f =>
+      val func = schema.options.getOrElse(TableSchema.aggFuncOpt(f), "last_non_null_value")
+      fieldAggregate(func, col(f), ord, schema.fieldByName(f).dataType).as(f)
+    } ++ Seq(
+      max_by(col(KindCol), ord).as(KindCol),
+      max(col(SeqCol)).as(SeqCol))
+    raw.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One per-field aggregator (reference: mergetree/compact/aggregate/Field*Agg).
+    * @param ddl the field's data type (DDL string) — needed for typed zeros.
+    */
+  def fieldAggregate(func: String, c: Column, ord: Column, ddl: String = "string"): Column = func match {
+    case "sum" => sum(c)
+    case "count" => count(c)
+    case "max" => max(c)
+    case "min" => min(c)
+    case "last_value" => max_by(c, ord)
+    case "last_non_null_value" => max_by(c, when(c.isNotNull, ord))
+    case "first_value" => min_by(c, ord)
+    case "first_non_null_value" => min_by(c, when(c.isNotNull, ord))
+    case "bool_and" => bool_and(c)
+    case "bool_or" => bool_or(c)
+    case "listagg" =>
+      // version-ordered, null-skipping listagg: sort (ord, value) pairs then join
+      array_join(
+        transform(
+          array_sort(collect_list(when(c.isNotNull, struct(ord.as("o"), c.as("v"))))),
+          x => x("v")),
+        ",")
+    case "collect" =>
+      // order-insensitive set collect; deterministic via sort
+      array_sort(array_distinct(collect_list(c)))
+    case "merge_map" =>
+      // fold maps in version order; later keys win (needs LAST_WIN dedup policy)
+      aggregate(
+        transform(array_sort(collect_list(struct(ord.as("o"), c.as("v")))), x => x("v")),
+        map().cast(ddl),
+        (acc, m) => map_concat(acc, m))
+    case "product" =>
+      aggregate(collect_list(c.cast("double")), lit(1.0d), (acc, x) => acc * x)
+    case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
+  }
+}

@@ -1,0 +1,142 @@
+package graft.spark
+
+import graft.GraftMeta
+import graft.core._
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, Murmur3Hash}
+import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, FileIndex, PartitionDirectory}
+import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scan planner: maps a snapshot's manifest entries to Spark's file-source
+  * scan, pruning at three levels before any executor touches a file
+  * (reference: paimon-core AbstractFileStoreScan.doPlan:287):
+  *
+  *  1. partition pruning — exact evaluation of partition filters against the
+  *     partition values recorded per file (reference:
+  *     SnapshotReaderImpl.withFilter:158-178);
+  *  2. bucket pruning — primary-key equality hashes to a single bucket
+  *     (reference: ScanBucketFilter / SnapshotReaderImpl.withBucketFilter:213);
+  *  3. stats skipping — per-file min/max/nullCount evaluation
+  *     (reference: KeyValueFileStoreScan.filterByStats:103).
+  *
+  * Catalyst calls `listFiles` with the pushed partition + data filters, so
+  * every read through this index — library API or `format("graft")` — gets
+  * pruning and Spark's vectorized parquet reader (row-group pruning included)
+  * with no custom reader code. This is the integration style proven at
+  * 100 TB+ scale by open lakehouse formats on Spark.
+  */
+class GraftFileIndex(
+    spark: SparkSession,
+    store: FileStore,
+    schema: TableSchema,
+    files: Seq[DataFileMeta],
+    val partitionSchema: StructType) extends FileIndex {
+
+  private val dataDirStr = store.dataDir.toString
+  private val typeOf: String => Option[DataType] =
+    name => schema.fields.find(_.name == name).map(_.sparkType)
+
+  override def rootPaths: Seq[Path] = Seq(store.dataDir)
+
+  override def refresh(): Unit = ()
+
+  override def inputFiles: Array[String] =
+    files.map(f => new Path(store.rootPath, f.path).toString).toArray
+
+  override def sizeInBytes: Long = math.max(files.map(_.size).sum, 1L)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val partPreds = translate(partitionFilters)
+    val dataPreds = translate(dataFilters)
+    val bucketOf = bucketFromFilters(dataPreds)
+
+    val selected = files.filter { f =>
+      partPreds.forall(p =>
+        Pruning.partitionMatches(p, partitionValueNames, typeOf, partitionOf(f))) &&
+      bucketOf.forall(b => !isPkTable || f.bucket == b) &&
+      dataPreds.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount))
+    }
+
+    selected.groupBy(f => (f.partition, f.bucket)).toSeq.map { case ((pv, bucket), fs) =>
+      PartitionDirectory(partitionInternalRow(pv, bucket), fs.map(toFileStatus).toArray)
+    }
+  }
+
+  private def isPkTable = schema.isPrimaryKeyed
+
+  /** Names of the partition-path columns in order (incl. synthetic bucket). */
+  private def partitionValueNames: Seq[String] =
+    if (isPkTable) schema.partitionKeys :+ GraftMeta.BucketCol else schema.partitionKeys
+
+  private def partitionOf(f: DataFileMeta): Seq[String] =
+    if (isPkTable) f.partition :+ f.bucket.toString else f.partition
+
+  private def translate(exprs: Seq[Expression]): Seq[Filter] =
+    exprs.flatMap(e => org.apache.spark.sql.graft.SparkShims.translateFilter(e))
+
+  /** Primary-key point lookups prune to one bucket: if the filters pin every
+    * primary-key column with an equality, hash the literals exactly like the
+    * write path does (Murmur3, seed 42 — Spark's functions.hash).
+    */
+  private def bucketFromFilters(filters: Seq[Filter]): Option[Int] = {
+    if (!isPkTable) return None
+    def eqs(f: Filter): Seq[(String, Any)] = f match {
+      case SEqualTo(c, v) => Seq(c -> v)
+      case SAnd(l, r) => eqs(l) ++ eqs(r)
+      case _ => Nil
+    }
+    val pinned = filters.flatMap(eqs).toMap
+    if (!schema.primaryKeys.forall(pinned.contains)) return None
+    val lits = schema.primaryKeys.map { k =>
+      val dt = typeOf(k).get
+      val v = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(pinned(k))
+      Literal.create(v, dt)
+    }
+    val h = Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int]
+    val n = schema.numBuckets
+    Some(((h % n) + n) % n)
+  }
+
+  private def toFileStatus(f: DataFileMeta): FileStatus =
+    new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(store.rootPath, f.path))
+
+  private def partitionInternalRow(values: Seq[String], bucket: Int): InternalRow = {
+    val all: Seq[Any] = partitionSchema.fields.toSeq.zipWithIndex.map { case (sf, i) =>
+      if (sf.name == GraftMeta.BucketCol) bucket
+      else GraftFileIndex.partitionValueToInternal(sf.dataType, values(i))
+    }
+    new GenericInternalRow(all.toArray)
+  }
+}
+
+object GraftFileIndex {
+
+  /** Spark partition-path string → Catalyst internal value. */
+  def partitionValueToInternal(dt: DataType, s: String): Any = {
+    if (s == PartitionPathUtils.NullPartitionValue) return null
+    dt match {
+      case StringType => UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType | TimestampNTZType =>
+        val t = java.sql.Timestamp.valueOf(s)
+        t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+      case other => throw new IllegalArgumentException(s"unsupported partition type $other")
+    }
+  }
+}

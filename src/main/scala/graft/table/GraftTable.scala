@@ -1,0 +1,381 @@
+package graft.table
+
+import graft.GraftMeta._
+import graft.core._
+import graft.merge.MergeEngines
+import graft.spark.GraftFileIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.util.UUID
+
+/** A Graft table: directory + versioned schema + snapshot chain, in two
+  * physical kinds chosen by the presence of primary keys (reference:
+  * paimon-core PrimaryKeyFileStoreTable.java:52 / AppendOnlyFileStoreTable
+  * .java:50):
+  *
+  *  - append table — plain parquet row files, bucket-unaware;
+  *  - primary-key table — bucketed LSM: each commit writes pk-sorted level-0
+  *    runs per (partition, bucket); reads merge runs with the configured
+  *    merge engine (merge-on-read).
+  *
+  * Spark-first execution: writes stage through Spark's native parquet writer
+  * (vectorized, codegen'd, distributed — the "memtable" is Spark's
+  * sort-within-partition), then a metadata-only commit registers the files.
+  * Reads go through [[GraftFileIndex]] + Spark's vectorized reader.
+  */
+class GraftTable(val spark: SparkSession, val store: FileStore) {
+
+  def schema: TableSchema = store.latestSchema
+  def isPrimaryKeyed: Boolean = schema.isPrimaryKeyed
+  def location: String = store.root
+
+  // ================= schemas =================
+
+  /** Columns physically stored in data files. */
+  def physicalDataSchema(s: TableSchema = schema): StructType = {
+    val data = StructType(s.dataFields.map(_.toStructField))
+    if (s.isPrimaryKeyed) StructType(data.fields :+ seqField :+ kindField) else data
+  }
+
+  /** Directory-encoded columns (partition keys, plus bucket for PK tables). */
+  def partitionSchema(s: TableSchema = schema): StructType = {
+    val pt = StructType(s.partitionKeys.map(k => s.fieldByName(k).toStructField))
+    if (s.isPrimaryKeyed) StructType(pt.fields :+ bucketField) else pt
+  }
+
+  private def dirCols(s: TableSchema = schema): Seq[String] =
+    if (s.isPrimaryKeyed) s.partitionKeys :+ BucketCol else s.partitionKeys
+
+  // ================= reads =================
+
+  /** Raw file rows (no merge): data cols + partition cols (+ seq/kind/bucket
+    * for PK tables). Pruning happens lazily in the FileIndex when Catalyst
+    * pushes filters.
+    */
+  def rawDF(files: Seq[DataFileMeta], s: TableSchema = schema): DataFrame = {
+    val index = new GraftFileIndex(spark, store, s, files, partitionSchema(s))
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = partitionSchema(s),
+      dataSchema = physicalDataSchema(s),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  private def emptyDF: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema.structType)
+
+  /** Current table contents (merge-on-read for PK tables). */
+  def toDF: DataFrame = toDF(store.latestSnapshot)
+
+  /** Time travel to a snapshot id. */
+  def toDF(snapshotId: Long): DataFrame = toDF(Some(store.readSnapshot(snapshotId)))
+
+  /** Time travel to a tag. */
+  def toDFAtTag(tag: String): DataFrame = toDF(Some(store.readTag(tag)))
+
+  def toDF(snapshot: Option[Snapshot]): DataFrame = snapshot match {
+    case None => emptyDF
+    case Some(s) =>
+      val files = store.liveFiles(s)
+      val sch = store.readSchema(s.schemaId)
+      val raw = rawDF(files, sch)
+      val out =
+        if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
+        else raw.select(sch.fields.map(f => col(f.name)): _*)
+      alignToCurrent(out, sch)
+  }
+
+  /** Read-optimized view: only fully-compacted (max level) files, no merge
+    * (reference: table/system/ReadOptimizedTable.java:53).
+    */
+  def readOptimized: DataFrame = store.latestSnapshot match {
+    case None => emptyDF
+    case Some(s) =>
+      val files = store.liveFiles(s).filter(_.level >= GraftTable.MaxLevel)
+      rawDF(files).select(schema.fields.map(f => col(f.name)): _*)
+  }
+
+  /** Schema evolution on read: project an old-schema DataFrame to the current
+    * schema by field id — added columns null-filled, renamed columns mapped,
+    * type changes cast (reference: SchemaEvolutionUtil.createIndexCastMapping
+    * :138).
+    */
+  private def alignToCurrent(df: DataFrame, from: TableSchema): DataFrame = {
+    val cur = schema
+    if (from.id == cur.id) return df
+    val byId = from.fields.map(f => f.id -> f).toMap
+    df.select(cur.fields.map { f =>
+      byId.get(f.id) match {
+        case Some(old) => col(old.name).cast(f.sparkType).as(f.name)
+        case None => lit(null).cast(f.sparkType).as(f.name)
+      }
+    }: _*)
+  }
+
+  /** Point lookup: pk → row. Prunes to one bucket via the FileIndex, then
+    * first match (reference: table/query/LocalTableQuery.java:55,159 — their
+    * LSM lookup; ours rides the pruned scan).
+    */
+  def lookup(pkValues: Map[String, Any]): Option[Row] = {
+    require(isPrimaryKeyed, "lookup requires a primary-key table")
+    val cond = schema.primaryKeys.map(k => col(k) === lit(pkValues(k))).reduce(_ && _)
+    toDF.filter(cond).limit(1).collect().headOption
+  }
+
+  // ================= incremental / changelog reads =================
+
+  /** Rows added in snapshot range (fromExclusive, toInclusive], with
+    * `_row_kind` and `_sequence_number` exposed — the changelog of
+    * `changelog-producer = input` (reference: DeltaFollowUpScanner.java:29,
+    * INCREMENTAL_BETWEEN CoreOptions.java:916).
+    */
+  def incremental(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val ids = store.snapshotIds.filter(id => id > fromExclusive && id <= toInclusive)
+    val files = ids.flatMap { id =>
+      val s = store.readSnapshot(id)
+      s.deltaManifests.flatMap(store.readManifest).collect {
+        case ManifestEntry(ManifestEntry.ADD, f) if f.level == 0 => f
+      }
+    }
+    withChangelogCols(rawDF(files))
+  }
+
+  /** Full audit log: every row version currently live, with rowkind column
+    * (reference: table/system/AuditLogTable.java:77-111).
+    */
+  def auditLog: DataFrame = store.latestSnapshot match {
+    case None => withChangelogCols(rawDF(Nil))
+    case Some(s) => withChangelogCols(rawDF(store.liveFiles(s)))
+  }
+
+  private def withChangelogCols(raw: DataFrame): DataFrame = {
+    val kindName = kindNames.toSeq.sortBy(_._1)
+      .foldLeft(lit("+I")) { case (acc, (code, name)) =>
+        when(col(KindCol) === lit(code), lit(name)).otherwise(acc)
+      }
+    val base = if (isPrimaryKeyed)
+      raw.withColumn("_row_kind", kindName)
+        .withColumn("_sequence_number", col(SeqCol))
+        .drop(SeqCol, KindCol, BucketCol)
+    else raw.withColumn("_row_kind", lit("+I"))
+      .withColumn("_sequence_number", lit(0L))
+    base.select((Seq(col("_row_kind"), col("_sequence_number")) ++
+      schema.fields.map(f => col(f.name))): _*)
+  }
+
+  // ================= writes =================
+
+  private def nextSeq: Long = store.latestSnapshotId.getOrElse(0L) + 1
+
+  /** Reorder/cast an input frame to the table schema. */
+  private def align(df: DataFrame): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)): _*)
+
+  /** Append or upsert depending on table kind. */
+  def write(df: DataFrame): Snapshot =
+    if (isPrimaryKeyed) upsert(df) else append(df)
+
+  /** Append-table write (reference: append/AppendOnlyWriter.java:62 — here
+    * Spark's parquet writer is the rolling writer; the commit registers files).
+    */
+  def append(df: DataFrame, commitIdentifier: Long = -1L): Snapshot = {
+    require(!isPrimaryKeyed, "use upsert() for primary-key tables")
+    val files = stageWrite(align(df), level = 0, seq = nextSeq)
+    commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)), CommitKind.APPEND,
+      commitIdentifier)
+  }
+
+  /** Primary-key upsert: route rows to (partition, bucket), sort within
+    * buckets by key, flush as level-0 sorted runs (reference write path:
+    * TableWriteImpl.java:129 + MergeTreeWriter.java:57; the
+    * repartition+sortWithinPartitions IS the memtable+flush, executed
+    * distributed).
+    *
+    * @param kinds optional row-kind column (byte codes, see [[graft.GraftMeta]]);
+    *              defaults to +I.
+    */
+  def upsert(df: DataFrame, kinds: Option[Column] = None,
+      commitIdentifier: Long = -1L): Snapshot = {
+    require(isPrimaryKeyed, "upsert requires primary keys")
+    val seq = nextSeq
+    val pkCols = schema.primaryKeys.map(col)
+    val prepared = align(df)
+      .withColumn(SeqCol, lit(seq))
+      .withColumn(KindCol, kinds.getOrElse(lit(KindInsert)).cast(ByteType))
+      .withColumn(BucketCol, pmod(hash(pkCols: _*), lit(schema.numBuckets)))
+    val sortCols = (dirCols() ++ schema.primaryKeys).map(col) ++
+      schema.sequenceField.map(col).toSeq
+    val shuffled = prepared
+      .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+    val files = stageWrite(shuffled, level = 0, seq = seq)
+    commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)), CommitKind.APPEND,
+      commitIdentifier)
+  }
+
+  /** INSERT OVERWRITE: whole table, a static partition spec, or dynamic
+    * partitions (reference: FileStoreCommitImpl.overwrite:363,
+    * PaimonDynamicPartitionOverwriteCommand.scala).
+    */
+  def overwrite(df: DataFrame, staticPartition: Map[String, String] = Map.empty,
+      dynamic: Boolean = false): Snapshot = {
+    val seq = nextSeq
+    val files = stageWrite(align(df), level = 0, seq = seq)
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val ptIdx = schema.partitionKeys.zipWithIndex.toMap
+    val deleted =
+      if (staticPartition.nonEmpty)
+        live.filter(f => staticPartition.forall { case (k, v) => f.partition(ptIdx(k)) == v })
+      else if (dynamic) {
+        val newParts = files.map(_.partition).toSet
+        live.filter(f => newParts.contains(f.partition))
+      } else live
+    commitFiles(
+      deleted.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.OVERWRITE)
+  }
+
+  /** TRUNCATE: new snapshot removing all files (reference:
+    * PaimonTruncateTableCommand.scala). */
+  def truncate(): Snapshot = {
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    commitFiles(live.map(ManifestEntry(ManifestEntry.DELETE, _)), CommitKind.OVERWRITE)
+  }
+
+  def commitFiles(entries: Seq[ManifestEntry], kind: String,
+      commitIdentifier: Long = -1L): Snapshot =
+    store.commit(entries, kind, commitIdentifier).snapshot
+
+  // ================= staging write =================
+
+  /** Write a prepared frame through Spark's parquet writer into a staging
+    * dir, then collect per-file stats with one aggregate pass and move files
+    * into the table layout. Executors do all data work; the driver only
+    * handles metadata (the property that scales to 1000 executors).
+    */
+  def stageWrite(prepared: DataFrame, level: Int, seq: Long): Seq[DataFileMeta] = {
+    // not dot-prefixed: Spark's file listing filters hidden paths, and the
+    // staging dir must be readable by the stats pass
+    val stagingName = s"tmp-staging-${UUID.randomUUID()}"
+    val staging = new Path(store.rootPath, stagingName)
+    val dirs = dirCols()
+    val writer = prepared.write.mode("overwrite")
+    (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).parquet(staging.toString)
+
+    try collectStatsAndMove(staging, level, seq)
+    finally store.fs.delete(staging, true)
+  }
+
+  /** Columns we collect min/max/nullCount stats for. */
+  private def statCols(s: TableSchema = schema): Seq[Field] =
+    s.dataFields.filter { f =>
+      f.sparkType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             TimestampNTZType | BooleanType => true
+        case _ => false
+      }
+    }
+
+  private def collectStatsAndMove(staging: Path, level: Int, seq: Long): Seq[DataFileMeta] = {
+    val fs = store.fs
+    if (!fs.exists(staging)) return Nil
+    val staged = spark.read
+      .schema(StructType(physicalDataSchema().fields)) // data cols only; dirs ignored
+      .option("basePath", staging.toString)
+      .parquet(staging.toString)
+
+    val cols = statCols()
+    val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(f.name)
+      val statC = f.sparkType match {
+        // long strings bloat manifests; stats only for short values
+        case StringType => when(length(c) <= 64, c)
+        case _ => c
+      }
+      Seq(min(statC).as(s"__mn$i"), max(statC).as(s"__mx$i"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nc$i"))
+    }
+    val rows = staged
+      .groupBy(col("_metadata.file_path").as("__path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    val stagingName = staging.getName
+    rows.toSeq.map { r =>
+      val uri = r.getAs[String]("__path")
+      val at = uri.indexOf(stagingName)
+      require(at >= 0, s"unexpected staged file path: $uri")
+      val rel = uri.substring(at + stagingName.length + 1)
+      // partition values from the directory segments, in dirCols order
+      val segs = rel.split('/').dropRight(1)
+      val kv = segs.map { s =>
+        val i = s.indexOf('=')
+        s.take(i) -> PartitionPathUtils.unescape(s.drop(i + 1))
+      }.toMap
+      val ptValues = schema.partitionKeys.map(k => kv.getOrElse(k, PartitionPathUtils.NullPartitionValue))
+      val bucket = kv.get(BucketCol).map(_.toInt).getOrElse(0)
+
+      val stats = cols.zipWithIndex.map { case (f, i) =>
+        f.name -> ColStats(
+          StatsCodec.encode(f.sparkType, r.get(r.fieldIndex(s"__mn$i"))),
+          StatsCodec.encode(f.sparkType, r.get(r.fieldIndex(s"__mx$i"))),
+          r.getAs[Long](s"__nc$i"))
+      }.toMap
+
+      val fileName = rel.split('/').last
+      val targetRel = (Seq("data") ++ segs :+ fileName).mkString("/")
+      val target = new Path(store.rootPath, targetRel)
+      fs.mkdirs(target.getParent)
+      val src = new Path(staging, rel)
+      require(fs.rename(src, target), s"failed to move $src -> $target")
+      DataFileMeta(
+        path = targetRel,
+        size = fs.getFileStatus(target).getLen,
+        rowCount = r.getAs[Long]("__cnt"),
+        partition = ptValues,
+        bucket = bucket,
+        level = level,
+        minSeq = seq, maxSeq = seq,
+        schemaId = schema.id,
+        stats = stats)
+    }
+  }
+}
+
+object GraftTable {
+  /** Highest LSM level — fully-compacted files live here. */
+  val MaxLevel = 5
+
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      partitionKeys: Seq[String] = Nil,
+      primaryKeys: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): GraftTable = {
+    require(primaryKeys.isEmpty || partitionKeys.forall(primaryKeys.contains),
+      "primary key must include all partition keys (cross-partition upsert " +
+        "is not supported; reference has the same constraint for non-global-index modes)")
+    val store = new FileStore(path, spark.sessionState.newHadoopConf())
+    require(!store.schemaExists, s"table already exists at $path")
+    store.commitSchema(TableSchema.create(schema, partitionKeys, primaryKeys, options))
+    new GraftTable(spark, store)
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    val store = new FileStore(path, spark.sessionState.newHadoopConf())
+    require(store.schemaExists, s"no graft table at $path")
+    new GraftTable(spark, store)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    new FileStore(path, spark.sessionState.newHadoopConf()).schemaExists
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+
+class TableSpec extends SparkSpec {
+
+  test("metadata json roundtrip") {
+    import graft.core._
+    val s = TableSchema.create(sf("lineitem").schema, Seq("l_returnflag"),
+      Nil, Map("bucket" -> "4"))
+    assert(TableSchema.fromJson(s.toJson) == s)
+    val f = DataFileMeta("data/x.parquet", 10, 5, Seq("F"), 0, 0, 1, 1, 0,
+      Map("a" -> ColStats(Some("1"), Some("9"), 2)))
+    val entries = Seq(ManifestEntry(0, f), ManifestEntry(1, f))
+    assert(ManifestCodec.entriesFromJson(ManifestCodec.entriesToJson(entries)) == entries)
+    val sn = Snapshot(3, 0, Seq("m1", "m2"), Seq("m2"), "APPEND", 7, 100, Some(5L), 123L)
+    assert(Snapshot.fromJson(sn.toJson) == sn)
+  }
+
+  test("append table: write, read back, partition pruning") {
+    val li = sf("lineitem")
+    val t = GraftTable.create(spark, tmpTable(), li.schema, partitionKeys = Seq("l_returnflag"))
+    t.append(li)
+    assert(t.toDF.count() == li.count())
+    // pruned read matches plain filter
+    val exp = li.filter(col("l_returnflag") === "R").count()
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == exp)
+    // second append accumulates
+    t.append(li.limit(100))
+    assert(t.toDF.count() == li.count() + 100)
+  }
+
+  test("append table: stats file skipping prunes files") {
+    val li = sf("lineitem")
+    val t = GraftTable.create(spark, tmpTable(), li.schema)
+    // two commits with disjoint l_orderkey ranges -> two files with disjoint stats
+    t.append(li.filter(col("l_orderkey") < 1000))
+    t.append(li.filter(col("l_orderkey") >= 1000))
+    val snap = t.store.latestSnapshot.get
+    val files = t.store.liveFiles(snap)
+    assert(files.size >= 2)
+    val idx = new graft.spark.GraftFileIndex(spark, t.store, t.schema, files, t.partitionSchema())
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val expr = org.apache.spark.sql.catalyst.expressions.LessThan(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "l_orderkey", org.apache.spark.sql.types.LongType)(), Literal(500L))
+    val listed = idx.listFiles(Nil, Seq(expr)).flatMap(_.files)
+    assert(listed.size < files.size, "stats pruning should drop the >=1000 file(s)")
+    // and correctness preserved
+    assert(t.toDF.filter(col("l_orderkey") < 500).count() ==
+      sf("lineitem").filter(col("l_orderkey") < 500).count())
+  }
+
+  test("pk table: upsert + dedup merge-on-read (last writer wins)") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "4"))
+    t.upsert(orders)
+    // batch 2: bump totalprice on every 10th order
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.upsert(updates)
+
+    val expected = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 10 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")))
+    assert(t.toDF.count() == orders.count())
+    val diff = t.toDF.select("o_orderkey", "o_totalprice")
+      .except(expected.select("o_orderkey", "o_totalprice"))
+    assert(diff.count() == 0)
+  }
+
+  test("pk table: delete rows via -D kind, point lookup, bucket pruning") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "4"))
+    t.upsert(orders)
+    val dels = orders.filter(col("o_orderkey") % 7 === 0)
+    t.upsert(dels, kinds = Some(lit(GraftMeta.KindDelete)))
+    val exp = orders.filter(col("o_orderkey") % 7 =!= 0).count()
+    assert(t.toDF.count() == exp)
+    // lookup of a surviving key
+    val k = orders.filter(col("o_orderkey") % 7 =!= 0).select("o_orderkey")
+      .head().getLong(0)
+    assert(t.lookup(Map("o_orderkey" -> k)).isDefined)
+    assert(t.lookup(Map("o_orderkey" -> -1L)).isEmpty)
+  }
+
+  test("time travel + incremental read") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"))
+    t.upsert(orders.limit(500))
+    val s1 = t.store.latestSnapshotId.get
+    t.upsert(orders.limit(1000))
+    assert(t.toDF(s1).count() == 500)
+    assert(t.toDF.count() == 1000)
+    val inc = t.incremental(s1, s1 + 1)
+    assert(inc.count() == 1000) // raw delta rows of commit 2
+    assert(inc.columns.contains("_row_kind"))
+    t.store.createTag("v1", s1)
+    assert(t.toDFAtTag("v1").count() == 500)
+  }
+}
