@@ -52,6 +52,26 @@ object QuickStart {
     println(s"[pk] changelog of commit 2:")
     pkT.incremental(s1, s1 + 1).select("_row_kind", "_sequence_number", "o_orderkey").show(3)
     println(s"[pk] snapshots: ${pkT.store.snapshotIds.mkString(",")}")
+
+    // ---- row-level ops + maintenance ----
+    pkT.update(col("o_orderstatus") === "O", Map("o_orderpriority" -> lit("1-URGENT")))
+    val src = orders.limit(50).withColumn("o_totalprice", lit(1.0))
+    pkT.mergeInto(src, col("s.o_orderkey") === col("t.o_orderkey"))
+      .whenMatchedUpdate(Map("o_totalprice" -> col("s.o_totalprice")))
+      .whenNotMatchedInsertAll()
+      .execute()
+    println(s"[pk] after update+merge rows=${pkT.toDF.count()}")
+    pkT.compact()
+    println(s"[pk] after compaction rows=${pkT.toDF.count()} files=" +
+      pkT.store.liveFiles(pkT.store.latestSnapshot.get).size)
+    println(s"[pk] system('snapshots'):")
+    pkT.system("snapshots").show(20, false)
+
+    apT.delete(col("l_returnflag") === "A")
+    println(s"[append] after partition delete rows=${apT.toDF.count()}")
+    apT.sortCompact(Seq("l_orderkey", "l_partkey"), "zorder")
+    println(s"[append] after zorder rows=${apT.toDF.count()}")
+    println("[done]")
     spark.stop()
   }
 }

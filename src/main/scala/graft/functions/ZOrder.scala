@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Z-order (Morton) interleave of up to 4 columns into one Long, used by
+  * sort compaction to cluster multi-dimensional filter columns
+  * (reference: paimon-core sort/zorder/ZIndexer.java:63, interleaveBits:123;
+  * Spark-side SparkZOrderUDF.java:53).
+  *
+  * Each child is normalized to an order-preserving unsigned 16-bit lane
+  * (sign-flip for integrals, IEEE754 total-order trick for floats, first two
+  * bytes for strings), then bits are interleaved. Runs only in maintenance
+  * jobs (off the query hot path), so an interpreted eval is fine.
+  */
+case class ZValue(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.nonEmpty && children.size <= 4, "zvalue takes 1-4 columns")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val k = children.size
+    var z = 0L
+    var j = 0
+    while (j < k) {
+      val lane = normalize(children(j), children(j).eval(input))
+      var i = 0
+      while (i < 16) {
+        z |= ((lane >> i) & 1L) << (i.toLong * k + j)
+        i += 1
+      }
+      j += 1
+    }
+    z
+  }
+
+  /** Order-preserving 16-bit unsigned projection of a value. */
+  private def normalize(e: Expression, v: Any): Long = {
+    if (v == null) return 0L
+    val bits64: Long = e.dataType match {
+      case IntegerType | DateType => (v.asInstanceOf[Int].toLong ^ Long.MinValue)
+      case LongType | TimestampType | TimestampNTZType =>
+        v.asInstanceOf[Long] ^ Long.MinValue
+      case ShortType => (v.asInstanceOf[Short].toLong ^ Long.MinValue)
+      case ByteType => (v.asInstanceOf[Byte].toLong ^ Long.MinValue)
+      case FloatType => ieee(v.asInstanceOf[Float].toDouble)
+      case DoubleType => ieee(v.asInstanceOf[Double])
+      case StringType =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        val b0 = if (b.length > 0) b(0) & 0xffL else 0L
+        val b1 = if (b.length > 1) b(1) & 0xffL else 0L
+        ((b0 << 8) | b1) << 48
+      case BooleanType => if (v.asInstanceOf[Boolean]) Long.MinValue + 1 else 0L
+      case _: DecimalType => ieee(v.asInstanceOf[Decimal].toDouble)
+      case other => throw new IllegalArgumentException(s"zvalue: unsupported type $other")
+    }
+    bits64 >>> 48 // top 16 bits
+  }
+
+  /** IEEE754 total-order bit trick: monotone long for any double. */
+  private def ieee(d: Double): Long = {
+    val b = java.lang.Double.doubleToRawLongBits(d)
+    val flipped = if (b < 0) ~b else b | Long.MinValue
+    flipped
+  }
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object ZOrder {
+  /** Column API: z-order value of the given columns. */
+  def zvalue(cols: Column*): Column = {
+    val exprs = cols.map(c => org.apache.spark.sql.graft.SparkShims.expr(c))
+    org.apache.spark.sql.graft.SparkShims.column(ZValue(exprs))
+  }
+}

@@ -36,18 +36,24 @@ object MergeEngines {
     * columns (SeqCol, KindCol) plus partition/bucket columns. Output: merged
     * rows, one per live key, meta columns dropped, deletes removed.
     */
-  def merge(schema: TableSchema, raw: DataFrame, bucketCol: String): DataFrame = {
+  def merge(schema: TableSchema, raw: DataFrame, bucketCol: String): DataFrame =
+    mergeRaw(schema, raw, bucketCol)
+      .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
+      .select(schema.fields.map(f => col(f.name)): _*)
+
+  /** Like [[merge]] but keeps the merged `KindCol`/`SeqCol`/bucket columns and
+    * does not drop deletes — compaction uses this to rewrite state.
+    */
+  def mergeRaw(schema: TableSchema, raw: DataFrame, bucketCol: String): DataFrame = {
     val groupCols = (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys
     val ord = ordering(schema)
-    val merged = schema.mergeEngine match {
+    schema.mergeEngine match {
       case "deduplicate" => dedup(schema, raw, groupCols, ord, first = false)
       case "first-row" => dedup(schema, raw, groupCols, ord, first = true)
       case "partial-update" => partialUpdate(schema, raw, groupCols, ord)
       case "aggregation" => aggregation(schema, raw, groupCols, ord)
       case e => throw new IllegalArgumentException(s"unknown merge-engine: $e")
     }
-    merged.filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
-      .select(schema.fields.map(f => col(f.name)): _*)
   }
 
   /** Values (non-group) fields we must carry through the merge. */

@@ -27,7 +27,8 @@ import java.util.UUID
   * sort-within-partition), then a metadata-only commit registers the files.
   * Reads go through [[GraftFileIndex]] + Spark's vectorized reader.
   */
-class GraftTable(val spark: SparkSession, val store: FileStore) {
+class GraftTable(val spark: SparkSession, val store: FileStore)
+    extends RowLevelOps with MaintenanceOps with SystemTables with SchemaEvolution {
 
   def schema: TableSchema = store.latestSchema
   def isPrimaryKeyed: Boolean = schema.isPrimaryKeyed
@@ -83,13 +84,46 @@ class GraftTable(val spark: SparkSession, val store: FileStore) {
   def toDF(snapshot: Option[Snapshot]): DataFrame = snapshot match {
     case None => emptyDF
     case Some(s) =>
-      val files = store.liveFiles(s)
-      val sch = store.readSchema(s.schemaId)
-      val raw = rawDF(files, sch)
-      val out =
-        if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
-        else raw.select(sch.fields.map(f => col(f.name)): _*)
-      alignToCurrent(out, sch)
+      val sch = schema
+      val raw = rawUnion(store.liveFiles(s), sch)
+      if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
+      else raw.select(sch.fields.map(f => col(f.name)): _*)
+  }
+
+  /** Read files written under possibly different schema versions, remapped to
+    * `to` by persistent field id — added columns null-filled, renames mapped,
+    * type changes cast (reference: SchemaEvolutionUtil.createIndexCastMapping
+    * :138 + createDataProjection:266). Single-schema tables take the fast
+    * path with no union overhead.
+    */
+  def rawUnion(files: Seq[DataFileMeta], to: TableSchema): DataFrame = {
+    val groups = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
+    groups match {
+      case Nil => rawDF(Nil, to)
+      case Seq((sid, fs)) if sid == to.id => rawDF(fs, to)
+      case gs =>
+        gs.map { case (sid, fs) =>
+          val from = if (sid == to.id) to else store.readSchema(sid)
+          alignRaw(rawDF(fs, from), from, to)
+        }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** Field-id projection of a raw frame from one schema version to another,
+    * preserving metadata columns.
+    */
+  private def alignRaw(df: DataFrame, from: TableSchema, to: TableSchema): DataFrame = {
+    if (from.id == to.id) return df
+    val byId = from.fields.map(f => f.id -> f).toMap
+    val dataCols = to.fields.map { f =>
+      byId.get(f.id) match {
+        case Some(old) => col(old.name).cast(f.sparkType).as(f.name)
+        case None => lit(null).cast(f.sparkType).as(f.name)
+      }
+    }
+    val metaCols =
+      if (to.isPrimaryKeyed) Seq(col(SeqCol), col(KindCol), col(BucketCol)) else Nil
+    df.select(dataCols ++ metaCols: _*)
   }
 
   /** Read-optimized view: only fully-compacted (max level) files, no merge
@@ -99,24 +133,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore) {
     case None => emptyDF
     case Some(s) =>
       val files = store.liveFiles(s).filter(_.level >= GraftTable.MaxLevel)
-      rawDF(files).select(schema.fields.map(f => col(f.name)): _*)
-  }
-
-  /** Schema evolution on read: project an old-schema DataFrame to the current
-    * schema by field id — added columns null-filled, renamed columns mapped,
-    * type changes cast (reference: SchemaEvolutionUtil.createIndexCastMapping
-    * :138).
-    */
-  private def alignToCurrent(df: DataFrame, from: TableSchema): DataFrame = {
-    val cur = schema
-    if (from.id == cur.id) return df
-    val byId = from.fields.map(f => f.id -> f).toMap
-    df.select(cur.fields.map { f =>
-      byId.get(f.id) match {
-        case Some(old) => col(old.name).cast(f.sparkType).as(f.name)
-        case None => lit(null).cast(f.sparkType).as(f.name)
-      }
-    }: _*)
+      rawUnion(files, schema).select(schema.fields.map(f => col(f.name)): _*)
   }
 
   /** Point lookup: pk → row. Prunes to one bucket via the FileIndex, then
@@ -144,7 +161,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore) {
         case ManifestEntry(ManifestEntry.ADD, f) if f.level == 0 => f
       }
     }
-    withChangelogCols(rawDF(files))
+    withChangelogCols(rawUnion(files, schema))
   }
 
   /** Full audit log: every row version currently live, with rowkind column
@@ -152,7 +169,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore) {
     */
   def auditLog: DataFrame = store.latestSnapshot match {
     case None => withChangelogCols(rawDF(Nil))
-    case Some(s) => withChangelogCols(rawDF(store.liveFiles(s)))
+    case Some(s) => withChangelogCols(rawUnion(store.liveFiles(s), schema))
   }
 
   private def withChangelogCols(raw: DataFrame): DataFrame = {
@@ -206,9 +223,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore) {
     require(isPrimaryKeyed, "upsert requires primary keys")
     val seq = nextSeq
     val pkCols = schema.primaryKeys.map(col)
-    val prepared = align(df)
-      .withColumn(SeqCol, lit(seq))
+    // resolve the kind expression against the caller's frame (it may reference
+    // caller-only columns, e.g. MERGE INTO's action marker), then align
+    val prepared = df
       .withColumn(KindCol, kinds.getOrElse(lit(KindInsert)).cast(ByteType))
+      .select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)) :+ col(KindCol): _*)
+      .withColumn(SeqCol, lit(seq))
       .withColumn(BucketCol, pmod(hash(pkCols: _*), lit(schema.numBuckets)))
     val sortCols = (dirCols() ++ schema.primaryKeys).map(col) ++
       schema.sequenceField.map(col).toSeq

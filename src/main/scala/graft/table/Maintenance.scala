@@ -1,0 +1,196 @@
+package graft.table
+
+import graft.GraftMeta._
+import graft.core._
+import graft.functions.ZOrder
+import graft.merge.MergeEngines
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Background reorganization jobs, run as normal Spark jobs over the table
+  * (reference: paimon-core mergetree/compact and the Spark
+  * CompactProcedure.java:99-149).
+  */
+trait MaintenanceOps { self: GraftTable =>
+
+  /** Number of level-0 runs in one bucket that triggers compaction
+    * (reference: CoreOptions "num-sorted-run.compaction-trigger":444).
+    */
+  def compactionTrigger: Int =
+    schema.option("num-sorted-run.compaction-trigger", "5").toInt
+
+  /** Append-table small-file threshold (bytes). */
+  def smallFileThreshold: Long =
+    schema.option(TableSchema.TargetFileSizeOpt, (64L * 1024 * 1024).toString).toLong / 2
+
+  /** Compact if the universal-compaction-style trigger fires (reference:
+    * UniversalCompaction.pick:42 — we implement the run-count trigger; at
+    * bucket granularity that is the trigger that dominates in practice).
+    */
+  def maybeCompact(): Option[Snapshot] = {
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    if (isPrimaryKeyed) {
+      val runsPerBucket = live.filter(_.level == 0)
+        .groupBy(f => (f.partition, f.bucket)).values.map(_.size)
+      if (runsPerBucket.exists(_ >= compactionTrigger)) Some(compact()) else None
+    } else {
+      val smallPerPartition = live.filter(_.size < smallFileThreshold)
+        .groupBy(_.partition).values.map(_.size)
+      if (smallPerPartition.exists(_ >= compactionTrigger)) Some(compactSmallFiles()) else None
+    }
+  }
+
+  /** Full compaction of a primary-key table: merge every (partition, bucket)
+    * section and rewrite it as max-level pk-sorted files; deletes drop out
+    * (terminal merge). One distributed job — each (partition, bucket) group
+    * is a shuffle group, so 1000 buckets parallelize across 1000 tasks
+    * (reference: MergeTreeCompactManager / MergeTreeCompactTask).
+    */
+  def compact(): Snapshot = {
+    require(isPrimaryKeyed, "use compactSmallFiles() for append tables")
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    if (live.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
+    val raw = rawUnion(live, schema)
+    val merged = MergeEngines.mergeRaw(schema, raw, BucketCol)
+      .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
+      .withColumn(KindCol, lit(KindInsert))
+    val sortCols = (dirColsPublic ++ schema.primaryKeys).map(col)
+    val prepared = merged
+      .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+    val files = stageWrite(prepared, level = GraftTable.MaxLevel,
+      seq = store.latestSnapshotId.getOrElse(0L))
+    commitFiles(
+      live.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.COMPACT)
+  }
+
+  /** Append-table compaction: bin-pack small files into target-size files,
+    * partition dirs preserved by the staged write (reference:
+    * append/AppendOnlyCompactManager).
+    */
+  def compactSmallFiles(): Snapshot = {
+    require(!isPrimaryKeyed, "use compact() for primary-key tables")
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val small = live.filter(_.size < smallFileThreshold)
+    if (small.size < 2) return store.latestSnapshot.get
+    val totalBytes = small.map(_.size).sum
+    val target = math.max(1, (totalBytes / (smallFileThreshold * 2)).toInt)
+    val df = rawUnion(small, schema).select(schema.fields.map(f => col(f.name)): _*)
+    val prepared =
+      if (schema.partitionKeys.nonEmpty) df.repartition(schema.partitionKeys.map(col): _*)
+      else df.repartition(target)
+    val files = stageWrite(prepared, level = GraftTable.MaxLevel,
+      seq = store.latestSnapshotId.getOrElse(0L))
+    commitFiles(
+      small.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.COMPACT)
+  }
+
+  /** Sort compaction (clustering) of an append table: rewrite all data
+    * ordered by `order`/`zorder` over the given columns, so correlated
+    * filters skip most files via min/max stats (reference:
+    * CompactProcedure order_strategy + sort/zorder/ZIndexer.java:63).
+    */
+  def sortCompact(cols: Seq[String], strategy: String = "zorder"): Snapshot = {
+    require(!isPrimaryKeyed, "sort compaction targets append tables")
+    require(cols.nonEmpty)
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    if (live.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
+    val df = rawUnion(live, schema).select(schema.fields.map(f => col(f.name)): _*)
+    val sorted = strategy match {
+      case "order" =>
+        df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*)
+      case "zorder" =>
+        val z = ZOrder.zvalue(cols.map(col): _*)
+        df.withColumn("__z", z)
+          .repartitionByRange(col("__z")).sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case other => throw new IllegalArgumentException(s"unknown strategy $other")
+    }
+    val files = stageWrite(sorted, level = GraftTable.MaxLevel,
+      seq = store.latestSnapshotId.getOrElse(0L))
+    commitFiles(
+      live.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.COMPACT)
+  }
+
+  // ---------------- expiration / cleanup ----------------
+
+  /** Expire old snapshots, physically deleting files no retained snapshot or
+    * tag references (reference: ExpireSnapshotsImpl, SnapshotDeletion;
+    * CoreOptions "snapshot.num-retained.*":229).
+    */
+  def expireSnapshots(retainLast: Int): Seq[Long] = {
+    require(retainLast >= 1)
+    val ids = store.snapshotIds
+    if (ids.size <= retainLast) return Nil
+    val (expire, retain) = ids.splitAt(ids.size - retainLast)
+    val keepSnapshots = retain.map(store.readSnapshot) ++ store.listTags.map(_._2)
+    val keepManifests = keepSnapshots.flatMap(s => s.manifests ++ s.deltaManifests).toSet
+    val keepFiles = keepManifests.flatMap(m =>
+      store.readManifest(m).collect { case ManifestEntry(_, f) => f.path })
+
+    val expireSnaps = expire.map(store.readSnapshot)
+    val expireManifests = expireSnaps.flatMap(s => s.manifests ++ s.deltaManifests)
+      .distinct.filterNot(keepManifests.contains)
+    val expireFiles = expireManifests.flatMap(m =>
+      store.readManifest(m).map(_.file.path)).distinct.filterNot(keepFiles.contains)
+
+    val fs = store.fs
+    expireFiles.foreach(p => fs.delete(new Path(store.rootPath, p), false))
+    expireManifests.foreach(m => fs.delete(new Path(store.manifestDir, m), false))
+    expire.foreach(id => fs.delete(store.snapshotPath(id), false))
+    expire
+  }
+
+  /** Delete data files not referenced by any snapshot/tag and older than the
+    * grace period (reference: OrphanFilesClean.java).
+    */
+  def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val fs = store.fs
+    if (!fs.exists(store.dataDir)) return Nil
+    val referenced = (store.snapshotIds.map(store.readSnapshot) ++ store.listTags.map(_._2))
+      .flatMap(s => s.manifests ++ s.deltaManifests).distinct
+      .flatMap(m => store.readManifest(m).map(_.file.path))
+      .map(p => new Path(store.rootPath, p).toUri.getPath).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val it = fs.listFiles(store.dataDir, true)
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getModificationTime < cutoff &&
+          !referenced.contains(st.getPath.toUri.getPath)) {
+        fs.delete(st.getPath, false)
+        deleted += st.getPath.toString
+      }
+    }
+    deleted.toSeq
+  }
+
+  /** Rollback the table to an earlier snapshot by committing its file set
+    * difference (reference: RollbackProcedure — theirs truncates the
+    * snapshot chain; an inverse commit preserves immutable history).
+    */
+  def rollbackTo(snapshotId: Long): Snapshot = {
+    val target = store.readSnapshot(snapshotId)
+    val targetFiles = store.liveFiles(target)
+    val current = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val targetPaths = targetFiles.map(_.path).toSet
+    val currentPaths = current.map(_.path).toSet
+    commitFiles(
+      current.filterNot(f => targetPaths.contains(f.path))
+        .map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        targetFiles.filterNot(f => currentPaths.contains(f.path))
+          .map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.OVERWRITE)
+  }
+
+  /** Expose dir columns for maintenance jobs. */
+  private[table] def dirColsPublic: Seq[String] =
+    if (isPrimaryKeyed) schema.partitionKeys :+ BucketCol else schema.partitionKeys
+}

@@ -1,0 +1,127 @@
+package graft.table
+
+import graft.core.ManifestEntry
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** System tables exposing table metadata as queryable DataFrames
+  * (reference: paimon-core table/system — 21 tables; we expose the useful
+  * set; `audit_log` and `read_optimized` are real data reads defined on
+  * [[GraftTable]]).
+  */
+trait SystemTables { self: GraftTable =>
+
+  /** `table.system("snapshots")` etc. */
+  def system(name: String): DataFrame = name match {
+    case "snapshots" => snapshotsTable
+    case "schemas" => schemasTable
+    case "files" => filesTable
+    case "manifests" => manifestsTable
+    case "partitions" => partitionsTable
+    case "buckets" => bucketsTable
+    case "options" => optionsTable
+    case "tags" => tagsTable
+    case "consumers" => consumersTable
+    case "audit_log" => auditLog
+    case "read_optimized" => readOptimized
+    case other => throw new IllegalArgumentException(s"unknown system table: $other")
+  }
+
+  private def local(schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+  private def snapshotsTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("snapshot_id", LongType), StructField("schema_id", LongType),
+      StructField("commit_kind", StringType), StructField("commit_identifier", LongType),
+      StructField("total_record_count", LongType), StructField("watermark", LongType),
+      StructField("commit_time", TimestampType)))
+    local(st, store.snapshotIds.map(store.readSnapshot).map(s =>
+      Row(s.id, s.schemaId, s.commitKind, s.commitIdentifier, s.totalRecordCount,
+        s.watermark.map(Long.box).orNull, new java.sql.Timestamp(s.timestampMs))))
+  }
+
+  private def schemasTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("schema_id", LongType), StructField("fields", StringType),
+      StructField("partition_keys", StringType), StructField("primary_keys", StringType),
+      StructField("options", StringType)))
+    val ids = 0L to store.latestSchemaId
+    local(st, ids.map(store.readSchema).map(s =>
+      Row(s.id, s.fields.map(f => s"${f.id}:${f.name}:${f.dataType}").mkString(","),
+        s.partitionKeys.mkString(","), s.primaryKeys.mkString(","),
+        s.options.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))))
+  }
+
+  private def filesTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("file_path", StringType), StructField("partition", StringType),
+      StructField("bucket", IntegerType), StructField("level", IntegerType),
+      StructField("row_count", LongType), StructField("file_size_in_bytes", LongType),
+      StructField("min_sequence_number", LongType), StructField("max_sequence_number", LongType),
+      StructField("schema_id", LongType)))
+    val files = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    local(st, files.map(f => Row(f.path, f.partition.mkString("/"), f.bucket,
+      f.level, f.rowCount, f.size, f.minSeq, f.maxSeq, f.schemaId)))
+  }
+
+  private def manifestsTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("manifest", StringType), StructField("num_added_files", LongType),
+      StructField("num_deleted_files", LongType), StructField("added_rows", LongType),
+      StructField("deleted_rows", LongType)))
+    val ms = store.latestSnapshot.map(_.manifests).getOrElse(Nil)
+    local(st, ms.map { m =>
+      val es = store.readManifest(m)
+      val (adds, dels) = es.partition(_.kind == ManifestEntry.ADD)
+      Row(m, adds.size.toLong, dels.size.toLong,
+        adds.map(_.file.rowCount).sum, dels.map(_.file.rowCount).sum)
+    })
+  }
+
+  private def partitionsTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("partition", StringType), StructField("record_count", LongType),
+      StructField("file_count", LongType), StructField("file_size_in_bytes", LongType)))
+    val files = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    local(st, files.groupBy(_.partition).toSeq.sortBy(_._1.mkString("/")).map {
+      case (p, fs) => Row(p.mkString("/"), fs.map(_.rowCount).sum,
+        fs.size.toLong, fs.map(_.size).sum)
+    })
+  }
+
+  private def bucketsTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("partition", StringType), StructField("bucket", IntegerType),
+      StructField("record_count", LongType), StructField("file_count", LongType)))
+    val files = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    local(st, files.groupBy(f => (f.partition, f.bucket)).toSeq
+      .sortBy { case ((p, b), _) => (p.mkString("/"), b) }
+      .map { case ((p, b), fs) =>
+        Row(p.mkString("/"), b, fs.map(_.rowCount).sum, fs.size.toLong) })
+  }
+
+  private def optionsTable: DataFrame = {
+    val st = StructType(Seq(StructField("key", StringType), StructField("value", StringType)))
+    local(st, schema.options.toSeq.sorted.map { case (k, v) => Row(k, v) })
+  }
+
+  private def tagsTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("tag_name", StringType), StructField("snapshot_id", LongType),
+      StructField("record_count", LongType)))
+    local(st, store.listTags.map { case (n, s) => Row(n, s.id, s.totalRecordCount) })
+  }
+
+  private def consumersTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("consumer_id", StringType), StructField("next_snapshot", LongType)))
+    val fs = store.fs
+    val rows = if (!fs.exists(store.consumerDir)) Nil else
+      fs.listStatus(store.consumerDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("consumer-") && n.endsWith(".json"))
+        .map(_.stripPrefix("consumer-").stripSuffix(".json")).sorted
+        .map(id => Row(id, store.readConsumer(id).map(Long.box).orNull))
+    local(st, rows)
+  }
+}

@@ -10,4 +10,17 @@ import org.apache.spark.sql.sources.Filter
 object SparkShims {
   def translateFilter(e: Expression): Option[Filter] =
     DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** Column <-> Catalyst Expression bridges (Spark 4 moved these behind
+    * ColumnNode; ExpressionUtils is the supported internal bridge).
+    */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a (classic) DataFrame. */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+
+class MaintenanceSpec extends SparkSpec {
+
+  test("pk full compaction: result unchanged, files collapse to max level") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "2"))
+    t.upsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1))
+    t.upsert(orders.filter(col("o_orderkey") % 11 === 0),
+      kinds = Some(lit(GraftMeta.KindDelete)))
+    val before = t.toDF.orderBy("o_orderkey").collect()
+    t.compact()
+    val files = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(files.forall(_.level == GraftTable.MaxLevel))
+    val after = t.toDF.orderBy("o_orderkey").collect()
+    assert(before.sameElements(after))
+    // read-optimized now equals the full read
+    assert(t.readOptimized.count() == after.length)
+  }
+
+  test("append small-file compaction reduces file count, keeps data") {
+    val li = sf("lineitem")
+    val t = GraftTable.create(spark, tmpTable(), li.schema)
+    (1 to 6).foreach(i => t.append(li.filter(col("l_orderkey") % 6 === i - 1)))
+    val before = t.store.liveFiles(t.store.latestSnapshot.get).size
+    assert(t.maybeCompact().isDefined)
+    val after = t.store.liveFiles(t.store.latestSnapshot.get).size
+    assert(after < before)
+    assert(t.toDF.count() == li.count())
+  }
+
+  test("zorder sort compaction keeps data and improves locality stats") {
+    val li = sf("lineitem")
+    val t = GraftTable.create(spark, tmpTable(), li.schema)
+    t.append(li.repartition(8)) // scattered
+    t.sortCompact(Seq("l_orderkey", "l_partkey"), "zorder")
+    assert(t.toDF.count() == li.count())
+    val files = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(files.forall(_.level == GraftTable.MaxLevel))
+    // after clustering, orderkey ranges should be narrow per file: ensure a
+    // point-ish range prunes at least one file when there are several
+    if (files.size > 1) {
+      val spans = files.flatMap { f =>
+        for {
+          cs <- f.stats.get("l_orderkey"); mn <- cs.min; mx <- cs.max
+        } yield (mn.toLong, mx.toLong)
+      }
+      val total = spans.map(_._2).max - spans.map(_._1).min
+      assert(spans.exists { case (mn, mx) => (mx - mn) < total }, "files should not all span the full range")
+    }
+  }
+
+  test("expire snapshots deletes unreferenced files but keeps tagged ones") {
+    val orders = sf("orders").limit(300)
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "2"))
+    t.upsert(orders)
+    t.store.createTag("keep", 1)
+    t.upsert(orders.withColumn("o_totalprice", col("o_totalprice") * 2))
+    t.compact()
+    val expired = t.expireSnapshots(retainLast = 1)
+    assert(expired.nonEmpty)
+    assert(t.store.snapshotIds.size == 1)
+    // current read fine
+    assert(t.toDF.count() == orders.count())
+    // tagged snapshot still readable (its files protected by the tag)
+    assert(t.toDFAtTag("keep").count() == orders.count())
+  }
+
+  test("rollback restores an earlier state") {
+    val orders = sf("orders").limit(100)
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "2"))
+    t.upsert(orders)
+    val s1 = t.store.latestSnapshotId.get
+    t.upsert(orders.withColumn("o_totalprice", lit(0.0)))
+    t.rollbackTo(s1)
+    assert(t.toDF.filter(col("o_totalprice") === 0.0).count() == 0)
+  }
+
+  test("schema evolution: add, rename, widen; old files remap by field id") {
+    val orders = sf("orders").limit(100)
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "2"))
+    t.upsert(orders)
+    t.addColumn("note", org.apache.spark.sql.types.StringType)
+    t.renameColumn("o_orderpriority", "priority")
+    val df2 = t.toDF
+    assert(df2.columns.contains("note") && df2.columns.contains("priority"))
+    assert(df2.filter(col("note").isNotNull).count() == 0)
+    assert(df2.filter(col("priority").isNotNull).count() == 100)
+    // write under the new schema, both schema versions coexist
+    val newRows = orders.limit(10)
+      .withColumn("note", lit("hello"))
+      .withColumnRenamed("o_orderpriority", "priority")
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+    t.upsert(newRows)
+    assert(t.toDF.count() == 110)
+    assert(t.toDF.filter(col("note") === "hello").count() == 10)
+  }
+
+  test("system tables") {
+    val orders = sf("orders").limit(100)
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "2"))
+    t.upsert(orders)
+    t.upsert(orders)
+    assert(t.system("snapshots").count() == 2)
+    assert(t.system("files").count() > 0)
+    assert(t.system("partitions").count() == 1)
+    assert(t.system("buckets").count() <= 2)
+    assert(t.system("options").filter(col("key") === "bucket").count() == 1)
+    assert(t.system("audit_log").columns.contains("_row_kind"))
+    t.store.createTag("v1", 1)
+    assert(t.system("tags").count() == 1)
+    assert(t.system("schemas").count() == 1)
+  }
+}
