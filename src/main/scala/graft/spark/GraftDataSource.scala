@@ -1,0 +1,196 @@
+package graft.spark
+
+import graft.core.TableSchema
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` integration:
+  *
+  *  - batch read: `spark.read.format("graft").load(path)` — append tables
+  *    (and `read-optimized=true` PK reads) resolve to a HadoopFsRelation over
+  *    [[GraftFileIndex]], so partition pruning / stats skipping / vectorized
+  *    parquet all apply. Merged (merge-on-read) PK reads need a plan on top
+  *    of the scan, which DataSource V1 relations cannot express — use
+  *    `Graft.load(spark, path)` or `GraftTable.load(...).toDF` for those
+  *    (same integration style as the reference's Spark connector V1 write
+  *    fallback: paimon-spark SparkWrite.scala:30).
+  *  - batch write: `df.write.format("graft").option("primary-keys", ...)
+  *    .save(path)` — creates the table on first write.
+  *  - streaming read: snapshot-delta microbatches (offset = snapshot id),
+  *    changelog rows with `_row_kind` (reference: DataTableStreamScan
+  *    .java:51).
+  *  - streaming write: idempotent per-batch commits keyed by batchId
+  *    (reference: FileStoreCommitImpl.filterCommitted:202-207).
+  */
+class GraftDataSource extends RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft: 'path' must be specified"))
+
+  // ---------------- batch read ----------------
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = GraftTable.load(spark, pathOf(parameters))
+    val snapshot = parameters.get("scan.snapshot-id") match {
+      case Some(id) => Some(table.store.readSnapshot(id.toLong))
+      case None => parameters.get("scan.tag-name") match {
+        case Some(tag) => Some(table.store.readTag(tag))
+        case None => table.store.latestSnapshot
+      }
+    }
+    val readOptimized = parameters.get("read-optimized").exists(_.toBoolean)
+    if (table.isPrimaryKeyed && !readOptimized) {
+      throw new IllegalArgumentException(
+        "graft: merged (merge-on-read) reads of primary-key tables need a " +
+          "plan above the scan; use Graft.load(spark, path) / GraftTable.toDF, " +
+          "or pass option read-optimized=true for compacted-only data")
+    }
+    val files = snapshot.map(table.store.liveFiles).getOrElse(Nil)
+    val selected = if (readOptimized) files.filter(_.level >= GraftTable.MaxLevel) else files
+    table.fsRelation(selected)
+  }
+
+  // ---------------- batch write ----------------
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val exists = GraftTable.exists(spark, path)
+    val table =
+      if (exists) GraftTable.load(spark, path)
+      else {
+        val pks = parameters.get("primary-keys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val pts = parameters.get("partition-keys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val reserved = Set("path", "primary-keys", "partition-keys")
+        GraftTable.create(spark, path, data.schema, pts, pks,
+          parameters -- reserved)
+      }
+    mode match {
+      case SaveMode.Append => table.write(data)
+      case SaveMode.Overwrite => table.overwrite(data)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table already exists at $path")
+      case SaveMode.Ignore if exists => ()
+      case _ => table.write(data)
+    }
+    table.fsRelation(table.store.latestSnapshot.map(table.store.liveFiles).getOrElse(Nil))
+  }
+
+  // ---------------- streaming read ----------------
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val table = GraftTable.load(sqlContext.sparkSession, pathOf(parameters))
+    ("graft", GraftSource.schemaFor(table))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftSource(sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  // ---------------- streaming write ----------------
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink =
+    new GraftSink(sqlContext.sparkSession, pathOf(parameters), parameters)
+}
+
+/** Microbatch source over the snapshot chain: each batch is the raw delta of
+  * snapshots (start, end], with `_row_kind`/`_sequence_number` changelog
+  * columns — `changelog-producer = input` semantics (reference:
+  * DeltaFollowUpScanner.java:29, PaimonMicroBatchStream.scala:32).
+  *
+  * Offsets are snapshot ids, so replay after failure re-plans the same
+  * snapshot range — exactly-once with a downstream idempotent sink.
+  */
+class GraftSource(spark: SparkSession, path: String,
+    options: Map[String, String]) extends Source {
+
+  private val table = GraftTable.load(spark, path)
+  /** Start mode: "latest-full" (default) emits current content first;
+    * "from-snapshot" starts after `scan.snapshot-id`; "latest" only new data
+    * (reference: CoreOptions.StartupMode:1966-2025).
+    */
+  private val startExclusive: Long = options.get("scan.mode") match {
+    case Some("latest") => table.store.latestSnapshotId.getOrElse(0L)
+    case Some("from-snapshot") =>
+      options.get("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L)
+    case _ => 0L
+  }
+
+  override def schema: StructType = GraftSource.schemaFor(table)
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    table.store.latestSnapshotId.filter(_ > startExclusive).map(LongOffset(_))
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val from = start.map(o => o.json().toLong).getOrElse(startExclusive)
+    val to = end.json().toLong
+    table.incremental(from, to)
+  }
+
+  override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = {
+    // durable read progress, pins snapshots from expiry (reference:
+    // consumer files, Consumer.java:36)
+    options.get("consumer-id").foreach { id =>
+      table.store.writeConsumer(id, end.json().toLong + 1)
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftSource {
+  def schemaFor(table: GraftTable): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("_row_kind", StringType) +:
+      StructField("_sequence_number", LongType) +:
+      table.schema.structType.fields.toIndexedSeq)
+  }
+}
+
+/** Streaming sink: per-epoch commit carrying the batch id as the commit
+  * identifier; replayed batches are recognized and skipped, giving
+  * exactly-once (reference: PaimonSink.scala:31 + commitIdentifier dedup).
+  */
+class GraftSink(spark: SparkSession, path: String,
+    options: Map[String, String]) extends Sink {
+
+  override def name(): String = s"GraftSink[$path]"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val table =
+      if (GraftTable.exists(spark, path)) GraftTable.load(spark, path)
+      else {
+        val pks = options.get("primary-keys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val pts = options.get("partition-keys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        GraftTable.create(spark, path, data.schema, pts, pks,
+          options -- Set("path", "primary-keys", "partition-keys", "checkpointLocation"))
+      }
+    // the incoming frame is bound to the microbatch's incremental execution;
+    // rebind it as a plain batch frame before running our write jobs
+    val fresh = spark.createDataFrame(data.rdd, data.schema)
+    if (table.isPrimaryKeyed) table.upsert(fresh, commitIdentifier = batchId)
+    else table.append(fresh, commitIdentifier = batchId)
+  }
+}
