@@ -12,6 +12,12 @@ import org.apache.spark.sql.types._
   */
 object GraftMeta {
   val SeqCol = "__graft_seq"
+  /** Within-commit input position — breaks ties between two versions of the
+    * same key in one batch (reference: MergeTreeWriter.java:139 assigns
+    * per-row monotonically increasing sequence numbers; we keep the commit
+    * sequence in [[SeqCol]] and the per-row offset here).
+    */
+  val PosCol = "__graft_pos"
   val KindCol = "__graft_kind"
   val BucketCol = "__bucket"
 
@@ -26,6 +32,7 @@ object GraftMeta {
   val kindCodes: Map[String, Byte] = kindNames.map(_.swap)
 
   val seqField = StructField(SeqCol, LongType, nullable = false)
+  val posField = StructField(PosCol, LongType, nullable = false)
   val kindField = StructField(KindCol, ByteType, nullable = false)
   val bucketField = StructField(BucketCol, IntegerType, nullable = false)
 }

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
 object MergeEngines {
   import graft.GraftMeta._
 
-  /** The ordering struct used to pick row versions. */
+  /** The ordering struct used to pick row versions. The within-commit
+    * position breaks intra-batch ties deterministically (later input wins,
+    * reference: MergeTreeWriter.java:139 per-row sequence numbers).
+    */
   def ordering(schema: TableSchema): Column = {
-    val cols = schema.sequenceField.toSeq.map(col) :+ col(SeqCol)
+    val cols = schema.sequenceField.toSeq.map(col) ++ Seq(col(SeqCol), col(PosCol))
     struct(cols: _*)
   }
 
@@ -73,8 +76,8 @@ object MergeEngines {
     val packed = struct(carried.map(col): _*)
     val picked = if (first) min_by(packed, ord) else max_by(packed, ord)
     raw.groupBy(groupCols.map(col): _*)
-      .agg(picked.as("__r"), max(col(SeqCol)).as(SeqCol))
-      .select((groupCols.map(col) :+ col(SeqCol)) ++
+      .agg(picked.as("__r"), max(col(SeqCol)).as(SeqCol), max(col(PosCol)).as(PosCol))
+      .select((groupCols.map(col) :+ col(SeqCol) :+ col(PosCol)) ++
         carried.map(f => col(s"__r.$f").as(f)): _*)
   }
 
@@ -99,7 +102,8 @@ object MergeEngines {
     } ++ Seq(
       // a key is deleted only if the latest version is a DELETE
       max_by(col(KindCol), ord).as(KindCol),
-      max(col(SeqCol)).as(SeqCol))
+      max(col(SeqCol)).as(SeqCol),
+      max(col(PosCol)).as(PosCol))
     raw.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -114,7 +118,8 @@ object MergeEngines {
       fieldAggregate(func, col(f), ord, schema.fieldByName(f).dataType).as(f)
     } ++ Seq(
       max_by(col(KindCol), ord).as(KindCol),
-      max(col(SeqCol)).as(SeqCol))
+      max(col(SeqCol)).as(SeqCol),
+      max(col(PosCol)).as(PosCol))
     raw.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -29,6 +29,7 @@ import java.util.UUID
   */
 class GraftTable(val spark: SparkSession, val store: FileStore)
     extends RowLevelOps with MaintenanceOps with SystemTables with SchemaEvolution {
+  import GraftTable.{StatsStringCap, truncateUp}
 
   def schema: TableSchema = store.latestSchema
   def isPrimaryKeyed: Boolean = schema.isPrimaryKeyed
@@ -39,7 +40,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   /** Columns physically stored in data files. */
   def physicalDataSchema(s: TableSchema = schema): StructType = {
     val data = StructType(s.dataFields.map(_.toStructField))
-    if (s.isPrimaryKeyed) StructType(data.fields :+ seqField :+ kindField) else data
+    if (s.isPrimaryKeyed) StructType(data.fields :+ seqField :+ posField :+ kindField) else data
   }
 
   /** Directory-encoded columns (partition keys, plus bucket for PK tables). */
@@ -57,16 +58,20 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * for PK tables). Pruning happens lazily in the FileIndex when Catalyst
     * pushes filters.
     */
-  def rawDF(files: Seq[DataFileMeta], s: TableSchema = schema): DataFrame = {
+  def rawDF(files: Seq[DataFileMeta], s: TableSchema = schema): DataFrame =
+    spark.baseRelationToDataFrame(fsRelation(files, s))
+
+  /** The DSv1 `BaseRelation` beneath [[rawDF]] — pruning-aware parquet scan
+    * over the given live files. */
+  def fsRelation(files: Seq[DataFileMeta], s: TableSchema = schema): HadoopFsRelation = {
     val index = new GraftFileIndex(spark, store, s, files, partitionSchema(s))
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema(s),
       dataSchema = physicalDataSchema(s),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
   }
 
   private def emptyDF: DataFrame =
@@ -122,7 +127,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       }
     }
     val metaCols =
-      if (to.isPrimaryKeyed) Seq(col(SeqCol), col(KindCol), col(BucketCol)) else Nil
+      if (to.isPrimaryKeyed) Seq(col(SeqCol), col(PosCol), col(KindCol), col(BucketCol)) else Nil
     df.select(dataCols ++ metaCols: _*)
   }
 
@@ -180,7 +185,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val base = if (isPrimaryKeyed)
       raw.withColumn("_row_kind", kindName)
         .withColumn("_sequence_number", col(SeqCol))
-        .drop(SeqCol, KindCol, BucketCol)
+        .drop(SeqCol, PosCol, KindCol, BucketCol)
     else raw.withColumn("_row_kind", lit("+I"))
       .withColumn("_sequence_number", lit(0L))
     base.select((Seq(col("_row_kind"), col("_sequence_number")) ++
@@ -229,6 +234,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       .withColumn(KindCol, kinds.getOrElse(lit(KindInsert)).cast(ByteType))
       .select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)) :+ col(KindCol): _*)
       .withColumn(SeqCol, lit(seq))
+      // later input rows win ties within one commit (per input partition;
+      // the id is captured BEFORE the bucket shuffle, so it reflects source
+      // order, not shuffle arrival order)
+      .withColumn(PosCol, monotonically_increasing_id())
       .withColumn(BucketCol, pmod(hash(pkCols: _*), lit(schema.numBuckets)))
     val sortCols = (dirCols() ++ schema.primaryKeys).map(col) ++
       schema.sequenceField.map(col).toSeq
@@ -316,8 +325,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
       val statC = f.sparkType match {
-        // long strings bloat manifests; stats only for short values
-        case StringType => when(length(c) <= 64, c)
+        // long strings bloat manifests: collect one char past the cap so the
+        // driver can tell "truncated" apart from "short", then store a
+        // truncated-down min / truncated-UP max — valid outer bounds
+        // (reference: SimpleStats truncation; storing subset min/max would
+        // silently prune files containing long matching strings)
+        case StringType => substring(c, 1, StatsStringCap + 1)
         case _ => c
       }
       Seq(min(statC).as(s"__mn$i"), max(statC).as(s"__mx$i"),
@@ -344,10 +357,18 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       val bucket = kv.get(BucketCol).map(_.toInt).getOrElse(0)
 
       val stats = cols.zipWithIndex.map { case (f, i) =>
-        f.name -> ColStats(
-          StatsCodec.encode(f.sparkType, r.get(r.fieldIndex(s"__mn$i"))),
-          StatsCodec.encode(f.sparkType, r.get(r.fieldIndex(s"__mx$i"))),
-          r.getAs[Long](s"__nc$i"))
+        val mnRaw = r.get(r.fieldIndex(s"__mn$i"))
+        val mxRaw = r.get(r.fieldIndex(s"__mx$i"))
+        val (mn, mx) = f.sparkType match {
+          case StringType =>
+            (Option(mnRaw).map(_.toString).map(_.take(StatsStringCap)),
+             Option(mxRaw).map(_.toString).flatMap { s =>
+               if (s.length <= StatsStringCap) Some(s)
+               else truncateUp(s.take(StatsStringCap)) // None → unbounded
+             })
+          case dt => (StatsCodec.encode(dt, mnRaw), StatsCodec.encode(dt, mxRaw))
+        }
+        f.name -> ColStats(mn, mx, r.getAs[Long](s"__nc$i"))
       }.toMap
 
       val fileName = rel.split('/').last
@@ -373,6 +394,18 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 object GraftTable {
   /** Highest LSM level — fully-compacted files live here. */
   val MaxLevel = 5
+
+  /** Max stored length of string min/max stats. */
+  val StatsStringCap = 64
+
+  /** Smallest string > every string with the given prefix: increment the
+    * rightmost incrementable char, drop the tail. None if impossible.
+    */
+  def truncateUp(s: String): Option[String] = {
+    var i = s.length - 1
+    while (i >= 0 && s.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None else Some(s.substring(0, i) + (s.charAt(i) + 1).toChar)
+  }
 
   def create(
       spark: SparkSession,
