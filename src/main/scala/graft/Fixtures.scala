@@ -1,0 +1,251 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+
+/** Graft tables built from the driver's testdata parquet, used by
+  * [[SparkEntry.queries]] (the correctness surface) and [[Bench]].
+  *
+  * Each fixture is built once per JVM in a private temp dir and cached —
+  * several queries share one table, and Bench timings on read queries are
+  * not polluted by table builds.
+  */
+object Fixtures {
+
+  private lazy val base: String =
+    java.nio.file.Files.createTempDirectory("graft-fixtures").toString
+
+  private val cache = TrieMap.empty[String, GraftTable]
+
+  private def key(sfDir: String, name: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
+
+  def src(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects; read nanos as long and truncate to microseconds (exactly what
+    // engines with native ns support do when downcasting)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  private def build(spark: SparkSession, sfDir: String, name: String)(
+      f: String => GraftTable): GraftTable =
+    cache.getOrElseUpdate(key(sfDir, name), f(s"$base/${key(sfDir, name)}"))
+
+  // ---------------- append tables ----------------
+
+  /** lineitem as an append table partitioned by l_returnflag. */
+  def lineitemAppend(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_append") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema, partitionKeys = Seq("l_returnflag"))
+      t.append(df)
+      t
+    }
+
+  /** lineitem z-order-clustered on (l_orderkey, l_partkey). */
+  def lineitemZorder(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_zorder") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema)
+      t.append(df)
+      t.sortCompact(Seq("l_orderkey", "l_partkey"), "zorder")
+      t
+    }
+
+  /** lineitem with partition R dynamically overwritten (l_discount zeroed). */
+  def lineitemOverwrite(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_overwrite") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema, partitionKeys = Seq("l_returnflag"))
+      t.append(df)
+      t.overwrite(df.filter(col("l_returnflag") === "R").withColumn("l_discount", lit(0.0)),
+        dynamic = true)
+      t
+    }
+
+  // ---------------- primary-key tables over orders ----------------
+
+  /** The canonical second batch: doubled prices for keys divisible by 7. */
+  def ordersBatch2(spark: SparkSession, sfDir: String): DataFrame =
+    src(spark, sfDir, "orders").filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+
+  /** orders PK table: full batch then overlapping doubled batch (the SURVEY
+    * §7.3 minimum slice).
+    */
+  def ordersPk(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t
+    }
+
+  /** Both versions of the %7 keys inside ONE commit (original rows first,
+    * doubled rows second) — proves deterministic intra-batch last-wins.
+    */
+  def ordersPkIntraBatch(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_intrabatch") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df.unionByName(ordersBatch2(spark, sfDir)))
+      t
+    }
+
+  def ordersPkDeleted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_deleted") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.delete(col("o_orderstatus") === "F")
+      t
+    }
+
+  def ordersPkUpdated(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_updated") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.update(col("o_orderstatus") === "O",
+        Map("o_totalprice" -> (col("o_totalprice") + 10.0)))
+      t
+    }
+
+  /** MERGE INTO: zero prices for %5 keys (matched), insert shifted copies of
+    * those rows as new keys (not matched).
+    */
+  def ordersPkMerged(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_merged") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      val matchedSrc = df.filter(col("o_orderkey") % 5 === 0)
+      val insertSrc = matchedSrc.withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      t.mergeInto(matchedSrc.unionByName(insertSrc),
+          expr("s.o_orderkey = t.o_orderkey"))
+        .whenMatchedUpdate(Map("o_totalprice" -> lit(0.0)))
+        .whenNotMatchedInsertAll()
+        .execute()
+      t
+    }
+
+  /** first-row engine: modified %7 rows arrive FIRST, full batch second —
+    * the first version must survive.
+    */
+  def ordersFirstRow(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_first_row") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("merge-engine" -> "first-row"))
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.upsert(df)
+      t
+    }
+
+  /** partial-update engine: batch 1 carries prices, batch 2 carries
+    * priorities for %3 keys with NULL prices — non-null overlay.
+    */
+  def ordersPartialUpdate(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_partial") { path =>
+      val df = src(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType, nullable = false),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderpriority", StringType)))
+      val t = GraftTable.create(spark, path, schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("merge-engine" -> "partial-update"))
+      t.upsert(df.withColumn("o_orderpriority", lit(null).cast(StringType)))
+      t.upsert(df.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", lit(null).cast(DoubleType))
+        .withColumn("o_orderpriority", lit("RUSH")))
+      t
+    }
+
+  /** aggregation engine over events keyed by user: per-field sum / max /
+    * min / last_value / listagg, versioned by sequence field event_id.
+    */
+  def eventsAgg(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "events_agg") { path =>
+      val df = src(spark, sfDir, "events").select(
+        col("user_id"),
+        col("event_id"),
+        floor(col("value") * 100).cast(LongType).as("total_cents"),
+        col("value").as("max_value"),
+        col("ts").as("min_ts"),
+        col("event_type").as("last_type"),
+        col("event_type").as("types"),
+        lit(1L).as("n"))
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("user_id"),
+        options = Map(
+          "merge-engine" -> "aggregation",
+          "sequence.field" -> "event_id",
+          "fields.total_cents.aggregate-function" -> "sum",
+          "fields.max_value.aggregate-function" -> "max",
+          "fields.min_ts.aggregate-function" -> "min",
+          "fields.last_type.aggregate-function" -> "last_value",
+          "fields.types.aggregate-function" -> "listagg",
+          "fields.n.aggregate-function" -> "sum"))
+      t.upsert(df)
+      t
+    }
+
+  def ordersPkCompacted(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_compacted") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.compact()
+      t
+    }
+
+  def ordersPkRolledBack(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_rollback") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.rollbackTo(1)
+      t
+    }
+
+  def ordersPkExpired(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_expired") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.compact()
+      t.expireSnapshots(retainLast = 1)
+      t
+    }
+
+  /** Schema evolution: append nation, add a column, rename one, append again
+    * under the evolved schema — old files remap by field id at read.
+    */
+  def nationEvolved(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "nation_evolved") { path =>
+      val df = src(spark, sfDir, "nation")
+      val t = GraftTable.create(spark, path, df.schema)
+      t.append(df)
+      t.addColumn("n_comment", StringType)
+      t.renameColumn("n_name", "nation_name")
+      t.append(df.withColumnRenamed("n_name", "nation_name")
+        .withColumn("n_comment", lit("filled")))
+      t
+    }
+}

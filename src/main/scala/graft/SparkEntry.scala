@@ -1,13 +1,333 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.pipeline.{Dedup, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: every implemented operator from SURVEY.md §2 (plus the
+  * LLM-pipeline layer) registered as a named query with a DuckDB-equivalent
+  * oracle over the same testdata parquet.
+  *
+  * Conventions that keep the DuckDB compare exact:
+  *  - identical column names (aliased on BOTH sides);
+  *  - double sums routed through DECIMAL(18,2) (exact, order-independent)
+  *    then cast back to double;
+  *  - count-like values cast to BIGINT on both sides;
+  *  - similarity scores rounded to 6 dp on both sides, with id tiebreaks in
+  *    every ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001: PK upsert + merge-on-read + aggregation. */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Fixtures.ordersPk(spark, "/root/testdata/sf0.001")
+    t.toDF.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("sum_price"))
+  }
+
+  // SQL fragment: the merged orders state after the two canonical upserts
+  private val mergedOrders =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+      | o_orderdate, o_orderpriority FROM orders""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- append tables: scan, pushdown, pruning, clustering ----
+    "q01_append_scan" -> ((s, d) => Fixtures.lineitemAppend(s, d).toDF),
+    "q02_agg_pushdown" -> ((s, d) =>
+      Fixtures.lineitemAppend(s, d).toDF
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))),
+    "q03_filter_pushdown" -> ((s, d) =>
+      Fixtures.lineitemAppend(s, d).toDF
+        .filter(col("l_quantity") < 10 &&
+          col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")),
+    "q04_partition_prune" -> ((s, d) =>
+      Fixtures.lineitemAppend(s, d).toDF
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"))),
+    "q05_stats_range" -> ((s, d) =>
+      Fixtures.lineitemZorder(s, d).toDF
+        .filter(col("l_orderkey").between(100, 200))
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")),
+    "q06_zorder_scan" -> ((s, d) => Fixtures.lineitemZorder(s, d).toDF),
+    "q07_overwrite_dynamic" -> ((s, d) => Fixtures.lineitemOverwrite(s, d).toDF),
+
+    // ---- primary-key tables: LSM upsert + merge-on-read ----
+    "q10_pk_upsert" -> ((s, d) => Fixtures.ordersPk(s, d).toDF),
+    "q11_pk_agg" -> ((s, d) =>
+      Fixtures.ordersPk(s, d).toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))),
+    "q12_intra_batch_dup" -> ((s, d) => Fixtures.ordersPkIntraBatch(s, d).toDF),
+    "q13_time_travel" -> ((s, d) => Fixtures.ordersPk(s, d).toDF(1)),
+    "q14_incremental" -> ((s, d) => Fixtures.ordersPk(s, d).incremental(1, 2)),
+    "q15_delete" -> ((s, d) => Fixtures.ordersPkDeleted(s, d).toDF),
+    "q16_update" -> ((s, d) => Fixtures.ordersPkUpdated(s, d).toDF),
+    "q17_merge_into" -> ((s, d) => Fixtures.ordersPkMerged(s, d).toDF),
+    "q18_first_row" -> ((s, d) => Fixtures.ordersFirstRow(s, d).toDF),
+    "q19_partial_update" -> ((s, d) => Fixtures.ordersPartialUpdate(s, d).toDF),
+    "q20_agg_engine" -> ((s, d) => Fixtures.eventsAgg(s, d).toDF),
+    "q21_compact_invariance" -> ((s, d) => Fixtures.ordersPkCompacted(s, d).toDF),
+    "q22_rollback" -> ((s, d) => Fixtures.ordersPkRolledBack(s, d).toDF),
+    "q23_expire_snapshots" -> ((s, d) => Fixtures.ordersPkExpired(s, d).toDF),
+    "q24_read_optimized" -> ((s, d) => Fixtures.ordersPkCompacted(s, d).readOptimized),
+    "q25_audit_log" -> ((s, d) => Fixtures.ordersPk(s, d).auditLog),
+    "q26_schema_evolution" -> ((s, d) => Fixtures.nationEvolved(s, d).toDF),
+    "q27_point_lookup" -> ((s, d) =>
+      Fixtures.ordersPk(s, d).toDF.filter(col("o_orderkey") === 42)),
+    "q28_sys_snapshots" -> ((s, d) =>
+      Fixtures.ordersPkCompacted(s, d).system("snapshots")
+        .select("snapshot_id", "commit_kind")),
+    "q29_sys_partitions" -> ((s, d) =>
+      Fixtures.lineitemAppend(s, d).system("partitions")
+        .select(col("partition"), col("record_count"))),
+
+    // ---- LLM-pipeline: text analysis ----
+    "q40_text_stats" -> ((s, d) =>
+      Fixtures.src(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.wordCount(col("text")).cast("long").as("word_count"),
+        TextOps.tokenCount(col("text")).cast("long").as("token_count"),
+        round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextOps.meanWordLength(col("text")), 6).as("mean_word_len"))),
+    "q41_exact_dedup" -> ((s, d) =>
+      TextOps.exactDedup(Fixtures.src(s, d, "documents"), "doc_id", "text")),
+    "q42_fingerprint_dedup" -> ((s, d) =>
+      TextOps.fingerprintDedup(Fixtures.src(s, d, "documents"), "doc_id", "text")),
+    "q43_langid" -> ((s, d) =>
+      Fixtures.src(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+    "q44_quality_score" -> ((s, d) =>
+      Fixtures.src(s, d, "documents")
+        .select(col("doc_id"), round(TextOps.qualityScore(col("text")), 6).as("quality"))),
+
+    // ---- LLM-pipeline: near-dup dedup ----
+    "q45_minhash_neardup" -> ((s, d) =>
+      Dedup.nearDupPairs(Fixtures.src(s, d, "documents"), "doc_id", "text",
+        threshold = 0.7).select("id_a", "id_b")),
+    "q46_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Fixtures.src(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3).select("id_a", "id_b")),
+    "q47_dedup_keep" -> ((s, d) => {
+      val docs = Fixtures.src(s, d, "documents")
+      val drops = Dedup.dropIds(
+        Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7))
+      docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+        .select("doc_id")
+    }),
+
+    // ---- LLM-pipeline: vector similarity ----
+    "q48_ann_brute_topk" -> ((s, d) => {
+      val emb = Fixtures.src(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      VectorOps.cosineTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
+    }),
+    "q49_ann_lsh_topk" -> ((s, d) => {
+      val emb = Fixtures.src(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      VectorOps.cosineTopKLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
+        20, numPlanes = 4)
+    }),
+    "q50_embed_sim_pairs" -> ((s, d) =>
+      VectorOps.nearDupPairs(Fixtures.src(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 4))
+  )
+
+  // ---------------- oracle SQL (DuckDB dialect) ----------------
+
+  // mirrors TextOps.occurrences on the padded lowercase text
+  private def occSql(marker: String): String =
+    s"CAST((LENGTH(p) - LENGTH(REPLACE(p, ' $marker ', ''))) / ${marker.length + 2} AS BIGINT)"
+
+  private def markerSumSql(ws: Seq[String]): String =
+    ws.map(occSql).mkString(" + ")
+
+  private val wordCountSql =
+    """LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+'))"""
+
+  private val langidSql = {
+    val scores = TextOps.LangMarkers.map { case (lang, ws) => lang -> markerSumSql(ws) }
+    val withScores = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val best = "GREATEST(" + scores.map("s_" + _._1).mkString(", ") + ")"
+    val cases = scores.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       | $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, text, $withScores, $best AS best
+       |      FROM (SELECT doc_id, text, ' ' || LOWER(text) || ' ' AS p FROM documents))""".stripMargin
+  }
+
+  private val qualitySql = {
+    val mwl = s"(CASE WHEN $wordCountSql = 0 THEN 0.0 ELSE " +
+      s"CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / $wordCountSql END)"
+    val alpha = "(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE " +
+      "CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) END)"
+    val stopHits = markerSumSql(TextOps.EnglishStopwords)
+    val stopRatio = s"(CASE WHEN $wordCountSql = 0 THEN 0.0 ELSE " +
+      s"CAST($stopHits AS DOUBLE) / $wordCountSql END)"
+    s"""SELECT doc_id, ROUND((
+       |  (CASE WHEN LENGTH(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN $mwl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN $alpha >= 0.6 THEN 1.0 ELSE 0.0 END) +
+       |  (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
+       |FROM (SELECT doc_id, text, ' ' || LOWER(text) || ' ' AS p FROM documents)""".stripMargin
+  }
+
+  // all-pairs exact n-gram Jaccard (the oracle is exact; the engine finds the
+  // same pairs via MinHash LSH — the sf0.01 corpus has a wide gap between
+  // true near-dups (J >= 0.9) and noise (J < 0.07), so LSH recall is exact)
+  private val jaccardPairsSql =
+    """WITH toks AS (SELECT doc_id,
+      |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-2, 1)+1),
+      |  i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s FROM toks),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b FROM p WHERE j >= 0.7""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_append_scan" -> "SELECT * FROM lineitem",
+    "q02_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity < 10 AND l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
+    "q04_partition_prune" ->
+      """SELECT l_linestatus, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""".stripMargin,
+    "q05_stats_range" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200""".stripMargin,
+    "q06_zorder_scan" -> "SELECT * FROM lineitem",
+    "q07_overwrite_dynamic" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice,
+        | CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS l_discount,
+        | l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "q10_pk_upsert" -> mergedOrders,
+    "q11_pk_agg" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM ($mergedOrders) GROUP BY o_orderstatus""".stripMargin,
+    "q12_intra_batch_dup" -> mergedOrders,
+    "q13_time_travel" -> "SELECT * FROM orders",
+    "q14_incremental" ->
+      """SELECT '+I' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
+        | o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "q15_delete" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_orderstatus <> 'F'",
+    "q16_update" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         | CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+         | o_orderdate, o_orderpriority
+         |FROM ($mergedOrders)""".stripMargin,
+    "q17_merge_into" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 5 = 0 THEN 0.0
+        |      WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
+    "q18_first_row" -> mergedOrders,
+    "q19_partial_update" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 'RUSH' ELSE CAST(NULL AS VARCHAR) END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "q20_agg_engine" ->
+      """SELECT user_id, MAX(event_id) AS event_id,
+        | CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        | MAX(value) AS max_value,
+        | MIN(ts) AS min_ts,
+        | ARG_MAX(event_type, event_id) AS last_type,
+        | STRING_AGG(event_type, ',' ORDER BY event_id) AS types,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q21_compact_invariance" -> mergedOrders,
+    "q22_rollback" -> "SELECT * FROM orders",
+    "q23_expire_snapshots" -> mergedOrders,
+    "q24_read_optimized" -> mergedOrders,
+    "q25_audit_log" ->
+      """SELECT '+I' AS _row_kind, CAST(1 AS BIGINT) AS _sequence_number,
+        | o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT '+I', CAST(2 AS BIGINT), o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "q26_schema_evolution" ->
+      """SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+        | CAST(NULL AS VARCHAR) AS n_comment
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, 'filled' FROM nation""".stripMargin,
+    "q27_point_lookup" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_orderkey = 42",
+    "q28_sys_snapshots" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'APPEND' AS commit_kind
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'APPEND'
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'COMPACT'""".stripMargin,
+    "q29_sys_partitions" ->
+      """SELECT l_returnflag AS partition, COUNT(*) AS record_count
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q40_text_stats" ->
+      s"""SELECT doc_id,
+         | CAST($wordCountSql AS BIGINT) AS word_count,
+         | CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS token_count,
+         | ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0
+         |   ELSE CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) END, 6) AS alpha_ratio,
+         | ROUND(CASE WHEN $wordCountSql = 0 THEN 0.0
+         |   ELSE CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / $wordCountSql END, 6) AS mean_word_len
+         |FROM documents""".stripMargin,
+    "q41_exact_dedup" ->
+      """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY MD5(text)""".stripMargin,
+    "q42_fingerprint_dedup" ->
+      """SELECT MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', '', 'g')) AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q43_langid" -> langidSql,
+    "q44_quality_score" -> qualitySql,
+    "q45_minhash_neardup" -> jaccardPairsSql,
+    "q47_dedup_keep" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id_b FROM ($jaccardPairsSql))""".stripMargin,
+    "q48_ann_brute_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine_sim
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+    // q46_simhash_pairs, q49_ann_lsh_topk, q50_embed_sim_pairs: outputs
+    // depend on engine-internal hashes (xxhash64 sketches / LSH buckets)
+    // not expressible in DuckDB → rows-only check.
+  )
 }

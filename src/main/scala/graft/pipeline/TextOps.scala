@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting, exact dedup.
+  *
+  * Everything is composed from built-in codegen'd functions — no UDFs — so
+  * the operators stay inside whole-stage codegen and scale linearly with
+  * input splits (no shuffle except where groupBy is the semantics, e.g.
+  * dedup).
+  */
+object TextOps {
+
+  /** Number of whitespace-separated tokens. */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word pieces or single non-space symbols. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Occurrences of a literal marker (no regex), vectorized. */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length)
+      .cast("long")
+
+  /** Ratio of alphanumeric chars to all chars (0 for empty). */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double") / length(text))
+
+  /** Ratio of terminal-punctuation chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^.,!?;:]", "")).cast("double") / length(text))
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLength(text: Column): Column =
+    when(wordCount(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / wordCount(text))
+
+  /** Stopword-hit ratio against a fixed marker list (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val hits = stopwords.map(w => occurrences(padded, s" $w "))
+      .reduce(_ + _)
+    when(wordCount(text) === 0, 0.0)
+      .otherwise(hits.cast("double") / wordCount(text))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+  /** Composite quality score in [0,1]: length, word shape, stopword and
+    * symbol balance — the usual cheap pre-filter before expensive dedup
+    * (heuristics in the spirit of C4/Gopher rules, public recipes).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
+    val mwl = meanWordLength(text)
+    val wordOk = when(mwl.between(3.0, 12.0), 1.0).otherwise(0.0)
+    val alphaOk = when(alphaRatio(text) >= 0.6, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    (lenOk + wordOk + alphaOk + stopOk) / 4.0
+  }
+
+  /** Language-ID markers per language: distinctive high-frequency words. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "que", "los"),
+    "fr" -> Seq("le", "les", "des"))
+
+  /** Heuristic language ID: CJK chars → zh, else the language whose marker
+    * words hit most (ties resolve in [[LangMarkers]] order; "und" =
+    * undetermined when nothing hits).
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Canonical text fingerprint: md5 of lowercased alphanumeric content —
+    * catches whitespace/punctuation-only variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]+", ""))
+
+  /** Exact-duplicate groups by content hash: one row per distinct content,
+    * keeping the smallest id (deterministic canonical representative).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Near-dup groups under the normalized fingerprint. */
+  def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+}
