@@ -113,15 +113,62 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
       ManifestCodec.entriesFromJson(readString(new Path(manifestDir, name))).toVector)
 
   /** Live data files of a snapshot: fold ADD/DELETE entries in manifest order. */
-  def liveFiles(s: Snapshot): Seq[DataFileMeta] = {
+  def liveFiles(s: Snapshot): Seq[DataFileMeta] = liveFiles(s, _ => true)
+
+  /** Live files, reading only manifest shards the `keepShard` predicate
+    * accepts. Only add-only (folded) shards may be skipped — a skipped
+    * shard's files simply never enter the fold, and later DELETEs of them
+    * are no-ops — so the result is exactly `liveFiles` restricted to kept
+    * shards (manifest-level skipping, reference: ManifestList partition
+    * stats pre-filter).
+    */
+  def liveFiles(s: Snapshot, keepShard: ManifestMeta => Boolean): Seq[DataFileMeta] = {
+    val metaByName = s.manifestMeta.map(m => m.name -> m).toMap
     val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
     s.manifests.foreach { m =>
-      readManifest(m).foreach { e =>
+      val skip = metaByName.get(m).exists(meta => meta.addOnly && !keepShard(meta))
+      if (!skip) readManifest(m).foreach { e =>
         if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
         else live.remove(e.file.path)
       }
     }
     live.values.toVector
+  }
+
+  /** Summarize a manifest's entries for the snapshot-level shard index. */
+  def manifestMetaOf(name: String, entries: Seq[ManifestEntry]): ManifestMeta = {
+    val adds = entries.filter(_.kind == ManifestEntry.ADD)
+    val parts = adds.map(_.file.partition)
+    ManifestMeta(
+      name = name,
+      entries = entries.size.toLong,
+      dataSize = adds.map(_.file.size).sum,
+      addOnly = adds.size == entries.size,
+      schemaIds = entries.map(_.file.schemaId).distinct.sorted,
+      ptMin = if (parts.isEmpty || parts.head.isEmpty) None else Some(parts.min(PartTupleOrdering)),
+      ptMax = if (parts.isEmpty || parts.head.isEmpty) None else Some(parts.max(PartTupleOrdering)))
+  }
+
+  /** Lexicographic-by-component ordering of partition value tuples; the
+    * SAME ordering is used to pack shards and to test shard ranges, so the
+    * range check is sound regardless of the column's real type. Null
+    * partition values sort first.
+    */
+  object PartTupleOrdering extends Ordering[Seq[String]] {
+    def compare(a: Seq[String], b: Seq[String]): Int = {
+      val it = a.iterator.zip(b.iterator)
+      while (it.hasNext) {
+        val (x, y) = it.next()
+        val c = (x, y) match {
+          case (PartitionPathUtils.NullPartitionValue, PartitionPathUtils.NullPartitionValue) => 0
+          case (PartitionPathUtils.NullPartitionValue, _) => -1
+          case (_, PartitionPathUtils.NullPartitionValue) => 1
+          case _ => x.compareTo(y)
+        }
+        if (c != 0) return c
+      }
+      a.length.compareTo(b.length)
+    }
   }
 
   // ---------------- commit ----------------
@@ -130,6 +177,13 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
     * ManifestFileMeta.merge, CoreOptions "manifest.full-compaction-threshold").
     */
   val manifestMergeThreshold = 16
+
+  /** Max entries per folded manifest shard — bounds driver parse time per
+    * shard; at 10^7 live files the fold yields ~2.5k shards of which a
+    * pruned query reads only the matching ones (reference: bounded-size
+    * manifests in ManifestFileMeta.merge:148).
+    */
+  val maxManifestEntries = 4096
 
   case class CommitResult(snapshot: Snapshot, committed: Boolean)
 
@@ -148,7 +202,8 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
     var attempt = 0
     while (true) {
       val latest = latestSnapshot
-      if (commitIdentifier >= 0 && alreadyCommitted(commitIdentifier)) {
+      if (commitIdentifier >= 0 &&
+          latest.exists(_.maxCommitIdentifier >= commitIdentifier)) {
         return CommitResult(latest.get, committed = false)
       }
       val nextId = latest.map(_.id + 1).getOrElse(1L)
@@ -162,14 +217,21 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
           s"commit conflict: files deleted concurrently: ${gone.take(3).mkString(",")}")
       }
       val baseManifests = latest.map(_.manifests).getOrElse(Nil)
+      val baseMeta = latest.map(_.manifestMeta.map(m => m.name -> m).toMap)
+        .getOrElse(Map.empty)
       val deltaName = writeManifest(delta)
       val addRows = delta.collect { case ManifestEntry(ManifestEntry.ADD, f) => f.rowCount }.sum
       val delRows = delta.collect { case ManifestEntry(ManifestEntry.DELETE, f) => f.rowCount }.sum
       val prevTotal = latest.map(_.totalRecordCount).getOrElse(0L)
 
       var manifests = baseManifests :+ deltaName
-      // Manifest compaction: rewrite the chain into one full manifest when it
-      // grows past the threshold, so planning stays O(live files). The delta
+      // carry forward metadata of surviving manifests; summarize the new one
+      var meta = manifests.map(m =>
+        baseMeta.getOrElse(m, if (m == deltaName) manifestMetaOf(m, delta)
+          else manifestMetaOf(m, readManifest(m))))
+      // Manifest compaction: when the chain grows past the threshold, fold
+      // it into bounded-size ADD-only shards packed by partition, each with
+      // partition-range metadata for planning-time shard skipping. The delta
       // manifest file itself survives for incremental reads.
       if (manifests.size > manifestMergeThreshold) {
         val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
@@ -177,8 +239,14 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
           if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
           else live.remove(e.file.path)
         })
-        val folded = live.values.map(f => ManifestEntry(ManifestEntry.ADD, f)).toVector
-        manifests = Seq(writeManifest(folded))
+        val sorted = live.values.toVector.sortBy(_.partition)(PartTupleOrdering)
+        val shards = sorted.grouped(maxManifestEntries).toVector
+        val names = shards.map(fs =>
+          writeManifest(fs.map(f => ManifestEntry(ManifestEntry.ADD, f))))
+        manifests = names
+        meta = names.zip(shards).map { case (n, fs) =>
+          manifestMetaOf(n, fs.map(f => ManifestEntry(ManifestEntry.ADD, f)))
+        }
       }
 
       val snap = Snapshot(
@@ -190,7 +258,10 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
         commitIdentifier = commitIdentifier,
         totalRecordCount = prevTotal + addRows - delRows,
         watermark = watermark,
-        timestampMs = System.currentTimeMillis())
+        timestampMs = System.currentTimeMillis(),
+        manifestMeta = meta,
+        maxCommitIdentifier =
+          math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L), commitIdentifier))
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
         return CommitResult(snap, committed = true)
       }
@@ -199,9 +270,6 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
     }
     throw new IllegalStateException("unreachable")
   }
-
-  private def alreadyCommitted(identifier: Long): Boolean =
-    snapshotIds.exists(id => readSnapshot(id).commitIdentifier == identifier)
 
   // ---------------- tags ----------------
 

@@ -42,6 +42,22 @@ object CommitKind {
   val OVERWRITE = "OVERWRITE"
 }
 
+/** Driver-side summary of one manifest file, stored in the snapshot so
+  * planning can SKIP manifest shards without reading them (reference:
+  * ManifestList entries with partition stats — ManifestFileMeta.java:148,
+  * ManifestList.java:40). `ptMin`/`ptMax` bound the partition values of an
+  * add-only (folded) shard in the typed sort order used when packing;
+  * non-add-only manifests (live deltas) must always be read.
+  */
+case class ManifestMeta(
+    name: String,
+    entries: Long,
+    dataSize: Long,
+    addOnly: Boolean,
+    schemaIds: Seq[Long],
+    ptMin: Option[Seq[String]],
+    ptMax: Option[Seq[String]])
+
 /** A committed table version (reference: paimon-core
   * org/apache/paimon/Snapshot.java:68). `manifests` is the full ordered list
   * reconstructing table state; `deltaManifests` the subset added by this
@@ -56,7 +72,13 @@ case class Snapshot(
     commitIdentifier: Long,
     totalRecordCount: Long,
     watermark: Option[Long],
-    timestampMs: Long) {
+    timestampMs: Long,
+    manifestMeta: Seq[ManifestMeta] = Nil,
+    /** Highest streaming commit identifier in the chain so far — the O(1)
+      * exactly-once replay check (identifiers are monotone batch ids;
+      * reference: FileStoreCommitImpl.filterCommitted:202-207).
+      */
+    maxCommitIdentifier: Long = -1L) {
 
   def toJson: String = {
     val n = Json.obj()
@@ -68,6 +90,18 @@ case class Snapshot(
     n.put("totalRecordCount", totalRecordCount)
     watermark.foreach(w => n.put("watermark", w))
     n.put("timestampMs", timestampMs)
+    n.put("maxCommitIdentifier", maxCommitIdentifier)
+    if (manifestMeta.nonEmpty) {
+      val mm = n.putArray("manifestMeta")
+      manifestMeta.foreach { m =>
+        val e = mm.addObject()
+        e.put("name", m.name); e.put("entries", m.entries)
+        e.put("dataSize", m.dataSize); e.put("addOnly", m.addOnly)
+        val sids = e.putArray("schemaIds"); m.schemaIds.foreach(sids.add)
+        m.ptMin.foreach { vs => val a = e.putArray("ptMin"); vs.foreach(a.add) }
+        m.ptMax.foreach { vs => val a = e.putArray("ptMax"); vs.foreach(a.add) }
+      }
+    }
     Json.write(n)
   }
 }
@@ -75,6 +109,18 @@ case class Snapshot(
 object Snapshot {
   def fromJson(s: String): Snapshot = {
     val n = Json.parse(s)
+    val meta = Option(n.get("manifestMeta")).map { mm =>
+      Json.elems(mm).map { e =>
+        ManifestMeta(
+          e.get("name").asText(),
+          e.get("entries").asLong(),
+          e.get("dataSize").asLong(),
+          e.get("addOnly").asBoolean(),
+          Json.elems(e.get("schemaIds")).map(_.asLong()),
+          Option(e.get("ptMin")).map(a => Json.elems(a).map(_.asText())),
+          Option(e.get("ptMax")).map(a => Json.elems(a).map(_.asText())))
+      }
+    }.getOrElse(Nil)
     Snapshot(
       n.get("id").asLong(),
       n.get("schemaId").asLong(),
@@ -84,7 +130,9 @@ object Snapshot {
       n.get("commitIdentifier").asLong(),
       n.get("totalRecordCount").asLong(),
       Json.optLong(n, "watermark"),
-      n.get("timestampMs").asLong())
+      n.get("timestampMs").asLong(),
+      meta,
+      Json.optLong(n, "maxCommitIdentifier").getOrElse(-1L))
   }
 }
 

@@ -238,6 +238,54 @@ object Pruning {
     }
   }
 
+  /** Can a manifest shard whose partition tuples span [lo, hi] (in the
+    * component-wise string ordering used when packing shards —
+    * FileStore.PartTupleOrdering) contain a partition matching f?
+    * Conservative: only equality/IN on partition keys skip, and a
+    * component's bounds are used only when all earlier components are
+    * pinned (classic composite-range rule). Range predicates and non-string
+    * literal types fall through to file-level pruning.
+    */
+  def shardMightMatch(
+      f: Filter,
+      partKeys: Seq[String],
+      lo: Seq[String],
+      hi: Seq[String]): Boolean = {
+    val idx = partKeys.zipWithIndex.toMap
+    def litStr(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case b: java.lang.Boolean => Some(b.toString)
+      case n @ (_: java.lang.Integer | _: java.lang.Long |
+                _: java.lang.Short | _: java.lang.Byte) => Some(n.toString)
+      case _ => None
+    }
+    def inRange(colName: String, v: Any): Boolean = idx.get(colName) match {
+      case None => true
+      case Some(i) if i >= lo.length || i >= hi.length => true
+      case Some(i) =>
+        if ((0 until i).exists(j => lo(j) != hi(j))) true
+        else litStr(v) match {
+          case None => true
+          case Some(s) =>
+            val nullV = PartitionPathUtils.NullPartitionValue
+            val loOk = lo(i) == nullV || lo(i) <= s
+            val hiOk = hi(i) != nullV && s <= hi(i)
+            loOk && hiOk
+        }
+    }
+    f match {
+      case And(l, r) => shardMightMatch(l, partKeys, lo, hi) &&
+        shardMightMatch(r, partKeys, lo, hi)
+      case Or(l, r) => shardMightMatch(l, partKeys, lo, hi) ||
+        shardMightMatch(r, partKeys, lo, hi)
+      case EqualTo(c, v) => inRange(c, v)
+      case EqualNullSafe(c, v) if v != null => inRange(c, v)
+      case In(c, vs) => vs.exists(v => inRange(c, v))
+      case _ => true
+    }
+  }
+
   /** Do partition values definitely satisfy f? (used under Not) */
   private def definitelyMatches(
       f: Filter,

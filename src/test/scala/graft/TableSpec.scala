@@ -14,8 +14,36 @@ class TableSpec extends SparkSpec {
       Map("a" -> ColStats(Some("1"), Some("9"), 2)))
     val entries = Seq(ManifestEntry(0, f), ManifestEntry(1, f))
     assert(ManifestCodec.entriesFromJson(ManifestCodec.entriesToJson(entries)) == entries)
-    val sn = Snapshot(3, 0, Seq("m1", "m2"), Seq("m2"), "APPEND", 7, 100, Some(5L), 123L)
+    val mm = ManifestMeta("m1", 4, 99, addOnly = true, Seq(0L),
+      Some(Seq("A")), Some(Seq("R")))
+    val sn = Snapshot(3, 0, Seq("m1", "m2"), Seq("m2"), "APPEND", 7, 100, Some(5L), 123L,
+      Seq(mm), 7L)
     assert(Snapshot.fromJson(sn.toJson) == sn)
+  }
+
+  test("manifest fold shards by partition; shard skipping preserves answers") {
+    val li = sf("lineitem").limit(2000).cache()
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      partitionKeys = Seq("l_returnflag"))
+    // enough commits to trip the fold threshold (16)
+    (0 until 18).foreach(i => t.append(li.filter(col("l_orderkey") % 18 === i)))
+    val snap = t.store.latestSnapshot.get
+    assert(snap.manifestMeta.nonEmpty)
+    val folded = snap.manifestMeta.filter(_.addOnly)
+    assert(folded.nonEmpty, "fold should have produced add-only shards")
+    assert(folded.forall(m => m.ptMin.isDefined && m.ptMax.isDefined))
+    // shard-filtered fold = full fold restricted to matching partitions
+    val all = t.store.liveFiles(snap)
+    val onlyR = t.store.liveFiles(snap,
+      m => graft.core.Pruning.shardMightMatch(
+        org.apache.spark.sql.sources.EqualTo("l_returnflag", "R"),
+        Seq("l_returnflag"), m.ptMin.get, m.ptMax.get))
+    assert(onlyR.map(_.path).toSet.subsetOf(all.map(_.path).toSet))
+    assert(onlyR.filter(_.partition == Seq("R")).toSet ==
+      all.filter(_.partition == Seq("R")).toSet)
+    // end-to-end: pruned read still matches the plain filter
+    val exp = li.filter(col("l_returnflag") === "R").count()
+    assert(t.toDF.filter(col("l_returnflag") === "R").count() == exp)
   }
 
   test("append table: write, read back, partition pruning") {
