@@ -234,6 +234,36 @@ object Fixtures {
       t
     }
 
+  /** Pure-SQL path: the orders PK table built and maintained entirely
+    * through the DSv2 catalog — CREATE TABLE, two INSERTs, nothing but SQL.
+    * Returns the catalog-qualified table name.
+    */
+  def sqlOrders(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft.db.orders_$tag"
+    build(spark, sfDir, "sql_orders") { _ =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", s"$base/warehouse")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           | o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+           |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '8')""".stripMargin)
+      src(spark, sfDir, "orders").createOrReplaceTempView(s"src_orders_$tag")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM src_orders_$tag")
+      spark.sql(
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+           |  o_orderdate, o_orderpriority
+           |FROM src_orders_$tag WHERE o_orderkey % 7 = 0""".stripMargin)
+      // reuse the table-cache plumbing: load the underlying table
+      GraftTable.load(spark, s"$base/warehouse/db/orders_$tag")
+    }
+    tbl
+  }
+
   /** Schema evolution: append nation, add a column, rename one, append again
     * under the evolved schema — old files remap by field id at read.
     */

@@ -90,6 +90,27 @@ object SparkEntry {
       Fixtures.lineitemAppend(s, d).system("partitions")
         .select(col("partition"), col("record_count"))),
 
+    // ---- SQL through the DSv2 catalog (bucket-local merge-on-read) ----
+    "q30_sql_select" -> ((s, d) => {
+      val t = Fixtures.sqlOrders(s, d)
+      s.sql(s"SELECT * FROM $t")
+    }),
+    "q31_sql_agg" -> ((s, d) => {
+      val t = Fixtures.sqlOrders(s, d)
+      s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM $t GROUP BY o_orderstatus""".stripMargin)
+    }),
+    "q32_sql_point_lookup" -> ((s, d) => {
+      val t = Fixtures.sqlOrders(s, d)
+      s.sql(s"SELECT * FROM $t WHERE o_orderkey = 42")
+    }),
+    "q33_sql_time_travel" -> ((s, d) => {
+      val t = Fixtures.sqlOrders(s, d)
+      s.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    }),
+
     // ---- LLM-pipeline: text analysis ----
     "q40_text_stats" -> ((s, d) =>
       Fixtures.src(s, d, "documents").select(
@@ -297,6 +318,14 @@ object SparkEntry {
     "q29_sys_partitions" ->
       """SELECT l_returnflag AS partition, COUNT(*) AS record_count
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q30_sql_select" -> mergedOrders,
+    "q31_sql_agg" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM ($mergedOrders) GROUP BY o_orderstatus""".stripMargin,
+    "q32_sql_point_lookup" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_orderkey = 42",
+    "q33_sql_time_travel" -> "SELECT * FROM orders",
 
     "q40_text_stats" ->
       s"""SELECT doc_id,

@@ -107,28 +107,8 @@ class GraftFileIndex(
   private def translate(exprs: Seq[Expression]): Seq[Filter] =
     exprs.flatMap(e => org.apache.spark.sql.graft.SparkShims.translateFilter(e))
 
-  /** Primary-key point lookups prune to one bucket: if the filters pin every
-    * primary-key column with an equality, hash the literals exactly like the
-    * write path does (Murmur3, seed 42 — Spark's functions.hash).
-    */
-  private def bucketFromFilters(filters: Seq[Filter]): Option[Int] = {
-    if (!isPkTable) return None
-    def eqs(f: Filter): Seq[(String, Any)] = f match {
-      case SEqualTo(c, v) => Seq(c -> v)
-      case SAnd(l, r) => eqs(l) ++ eqs(r)
-      case _ => Nil
-    }
-    val pinned = filters.flatMap(eqs).toMap
-    if (!schema.primaryKeys.forall(pinned.contains)) return None
-    val lits = schema.primaryKeys.map { k =>
-      val dt = typeOf(k).get
-      val v = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(pinned(k))
-      Literal.create(v, dt)
-    }
-    val h = Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int]
-    val n = schema.numBuckets
-    Some(((h % n) + n) % n)
-  }
+  private def bucketFromFilters(filters: Seq[Filter]): Option[Int] =
+    GraftFileIndex.bucketFromFilters(schema, filters)
 
   private def toFileStatus(f: DataFileMeta): FileStatus =
     new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
@@ -144,6 +124,29 @@ class GraftFileIndex(
 }
 
 object GraftFileIndex {
+
+  /** Primary-key point lookups prune to one bucket: if the filters pin every
+    * primary-key column with an equality, hash the literals exactly like the
+    * write path does (Murmur3, seed 42 — Spark's functions.hash).
+    */
+  def bucketFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Int] = {
+    if (!schema.isPrimaryKeyed) return None
+    def eqs(f: Filter): Seq[(String, Any)] = f match {
+      case SEqualTo(c, v) => Seq(c -> v)
+      case SAnd(l, r) => eqs(l) ++ eqs(r)
+      case _ => Nil
+    }
+    val pinned = filters.flatMap(eqs).toMap
+    if (!schema.primaryKeys.forall(pinned.contains)) return None
+    val lits = schema.primaryKeys.map { k =>
+      val dt = schema.fieldByName(k).sparkType
+      val v = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(pinned(k))
+      Literal.create(v, dt)
+    }
+    val h = Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int]
+    val n = schema.numBuckets
+    Some(((h % n) + n) % n)
+  }
 
   /** Spark partition-path string → Catalyst internal value. */
   def partitionValueToInternal(dt: DataType, s: String): Any = {

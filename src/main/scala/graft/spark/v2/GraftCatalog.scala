@@ -1,0 +1,184 @@
+package graft.spark.v2
+
+import graft.table.GraftTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+import scala.collection.JavaConverters._
+
+/** Filesystem-backed DSv2 catalog (reference: SparkCatalog.java:61 over
+  * FileSystemCatalog): `<warehouse>/<namespace>/<table>` directories, each
+  * a graft table. Register with
+  * `spark.sql.catalog.graft = graft.spark.v2.GraftCatalog` and
+  * `spark.sql.catalog.graft.warehouse = <dir>`, then plain SQL works:
+  * CREATE/ALTER/DROP TABLE, SELECT, INSERT [OVERWRITE], DELETE, TRUNCATE.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private def spark: SparkSession = SparkSession.active
+  private def fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = new Path(Option(options.get("warehouse"))
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse"))
+    fs.mkdirs(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, s) => new Path(p, s))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+
+  // ---------------- namespaces ----------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val ls = fs.listStatus(warehouse).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+    if (ls.exists(_.sameElements(Array("default")))) ls
+    else ls :+ Array("default")
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default")) ||
+      fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    Map("location" -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && !namespace.sameElements(Array("default")))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
+    fs.delete(nsPath(namespace), true)
+  }
+
+  // ---------------- tables ----------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) {
+      if (namespace.sameElements(Array("default"))) return Array.empty
+      throw new NoSuchNamespaceException(namespace.toSeq)
+    }
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => GraftTable.exists(spark, new Path(p, n).toString))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(spark, tablePath(ident).toString)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident)
+  }
+
+  /** Time travel: SELECT ... VERSION AS OF <snapshotId|tagName>. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val snap = version.toLongOption match {
+      case Some(id) => t.store.readSnapshot(id)
+      case None => t.store.readTag(version)
+    }
+    new GraftSparkTable(spark, t, ident, Some(snap))
+  }
+
+  /** Time travel: SELECT ... TIMESTAMP AS OF — latest snapshot at or before. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    val tsMs = timestamp / 1000 // Spark passes micros
+    val id = t.store.snapshotIds.map(t.store.readSnapshot)
+      .filter(_.timestampMs <= tsMs).map(_.id).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before ${new java.sql.Timestamp(tsMs)}"))
+    new GraftSparkTable(spark, t, ident, Some(t.store.readSnapshot(id)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    val partitionKeys = partitions.toSeq.map { t =>
+      if (t.name() == "identity" && t.references().length == 1)
+        t.references()(0).fieldNames().mkString(".")
+      else throw new UnsupportedOperationException(s"partition transform $t " +
+        "(only identity partitioning; bucketing comes from the 'bucket' property)")
+    }
+    val primaryKeys = props.get("primary-key").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val reserved = Set("primary-key", "provider", "owner", "location",
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
+    val t = GraftTable.create(spark, tablePath(ident).toString, schema,
+      partitionKeys, primaryKeys, props -- reserved -- reserved.map(_.toLowerCase))
+    new GraftSparkTable(spark, t, ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = GraftTable.load(spark, tablePath(ident).toString)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1, "nested add not supported")
+        t.addColumn(a.fieldNames()(0), a.dataType(), a.isNullable)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1, "nested rename not supported")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1, "nested drop not supported")
+        t.dropColumn(d.fieldNames()(0))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1, "nested retype not supported")
+        t.updateColumnType(u.fieldNames()(0), u.newDataType())
+      case p: TableChange.SetProperty => t.setOption(p.property(), p.value())
+      case p: TableChange.RemoveProperty => t.removeOption(p.property())
+      case other => throw new UnsupportedOperationException(s"ALTER: $other")
+    }
+    new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    fs.delete(tablePath(ident), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(tablePath(newIdent).getParent)
+    require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
+      s"rename failed: $oldIdent -> $newIdent")
+  }
+}

@@ -1,0 +1,334 @@
+package graft.spark.v2
+
+import graft.GraftMeta
+import graft.core._
+import graft.merge.{RowMerger, SortMergeRows}
+import graft.spark.GraftFileIndex
+import graft.table.GraftTable
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, Expression, GenericInternalRow, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.util.SerializableConfiguration
+import scala.collection.JavaConverters._
+import scala.collection.mutable
+
+/** DSv2 scan pipeline (reference shape: PaimonBaseScanBuilder.scala:34,
+  * PaimonScan/PaimonBatch, MergeFileSplitRead.java:73).
+  *
+  * Planning (driver): manifest-level shard skip → partition prune → bucket
+  * prune → stats skip, then split generation: raw splits for append tables
+  * and fully-compacted buckets (vectorized parquet), MERGE splits per
+  * (partition, bucket) otherwise — each merge split is read with a k-way
+  * sorted merge + merge-engine fold ON THE EXECUTOR, so a merged read
+  * never shuffles the table (the DataFrame path's shuffle was the verdict's
+  * #1 scale-killer).
+  */
+class GraftScanBuilder(spark: SparkSession, table: GraftTable, snapshot: Option[Snapshot])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var pushedFiltersArr: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = table.schema.structType
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushedFiltersArr = filters
+    filters // all filters stay as residuals — pruning is best-effort
+  }
+
+  override def pushedFilters(): Array[Filter] = pushedFiltersArr
+
+  override def pruneColumns(required: StructType): Unit = {
+    requiredSchema = required
+  }
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false // partial: we stop planning files early, Spark still applies limit
+  }
+
+  override def build(): Scan =
+    new GraftScan(spark, table, snapshot, requiredSchema, pushedFiltersArr.toSeq, limit)
+}
+
+class GraftScan(
+    spark: SparkSession,
+    table: GraftTable,
+    snapshot: Option[Snapshot],
+    requested: StructType,
+    filters: Seq[Filter],
+    limit: Option[Int]) extends Scan with Batch with SupportsReportStatistics {
+
+  private val schema = table.schema
+  private def isPk = schema.isPrimaryKeyed
+
+  override def readSchema(): StructType = requested
+
+  override def toBatch: Batch = this
+
+  /** Planning-time stats for Catalyst CBO (join reorder / broadcast
+    * decisions — reference: PaimonStatistics.scala:35-50): size from pruned
+    * file metadata, row count from the snapshot when nothing was pruned.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = prunedFiles.map(_.size).sum
+    private val rows = prunedFiles.map(_.rowCount).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
+  override def description(): String =
+    s"GraftScan ${table.location} [${requested.fieldNames.mkString(",")}]" +
+      (if (filters.nonEmpty) s" filters=${filters.mkString(",")}" else "")
+
+  // ---------------- planning ----------------
+
+  private lazy val prunedFiles: Seq[DataFileMeta] = {
+    val snap = snapshot.orElse(table.store.latestSnapshot)
+    snap match {
+      case None => Nil
+      case Some(s) =>
+        val typeOf: String => Option[DataType] =
+          n => schema.fields.find(_.name == n).map(_.sparkType)
+        val partKeys = schema.partitionKeys
+        val partFilters = filters.filter(f =>
+          f.references.nonEmpty && f.references.forall(partKeys.contains))
+        val bucketOf = GraftFileIndex.bucketFromFilters(schema, filters)
+        val candidates = table.store.liveFiles(s, meta => (meta.ptMin, meta.ptMax) match {
+          case (Some(lo), Some(hi)) =>
+            partFilters.forall(p => Pruning.shardMightMatch(p, partKeys, lo, hi))
+          case _ => true
+        })
+        val selected = candidates.filter { f =>
+          partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
+          bucketOf.forall(b => !isPk || f.bucket == b) &&
+          filters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount))
+        }
+        limit match {
+          // limit pushdown (reference: DataTableBatchScan.applyPushDownLimit
+          // :64-85): once enough RAW rows are planned, stop adding files;
+          // only safe when nothing is filtered or merged away
+          case Some(n) if filters.isEmpty && !isPk =>
+            val acc = mutable.ArrayBuffer.empty[DataFileMeta]
+            var rows = 0L
+            selected.iterator.takeWhile(_ => rows < n).foreach { f =>
+              acc += f; rows += f.rowCount
+            }
+            acc.toSeq
+          case _ => selected
+        }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def info(f: DataFileMeta) = GraftFileInfo(
+      f.path, f.size, f.partition, f.bucket, f.level, f.schemaId, f.rowCount)
+
+    if (!isPk) {
+      // append table: bin-pack raw files into ~target-size splits per partition
+      val target = 128L * 1024 * 1024
+      prunedFiles.groupBy(_.partition).values.flatMap { fs =>
+        val packs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[GraftFileInfo]]
+        var cur = mutable.ArrayBuffer.empty[GraftFileInfo]
+        var curBytes = 0L
+        fs.sortBy(-_.size).foreach { f =>
+          if (curBytes > 0 && curBytes + f.size > target) {
+            packs += cur; cur = mutable.ArrayBuffer.empty; curBytes = 0
+          }
+          cur += info(f); curBytes += f.size
+        }
+        if (cur.nonEmpty) packs += cur
+        packs.map(p => GraftInputPartition(p.toSeq, merge = false))
+      }.toArray
+    } else {
+      prunedFiles.groupBy(f => (f.partition, f.bucket)).map { case (_, fs) =>
+        // a single fully-compacted file needs no merge → vectorized raw read
+        val raw = fs.size == 1 && fs.head.level >= GraftTable.MaxLevel
+        GraftInputPartition(fs.map(info), merge = !raw)
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val partitionSchema = table.partitionSchema(schema)
+    // columns the reader must materialize: requested data cols, plus merge
+    // machinery columns for PK tables
+    val neededNames: Seq[String] = {
+      val base = requested.fieldNames.toSeq
+      if (isPk) {
+        val meta = Seq(GraftMeta.SeqCol, GraftMeta.PosCol, GraftMeta.KindCol)
+        (base ++ schema.primaryKeys ++ schema.sequenceField.toSeq ++
+          seqGroupCols ++ meta).distinct
+      } else base
+    }
+    val dirNames = partitionSchema.fieldNames.toSet
+    val physical = table.physicalDataSchema(schema)
+    val readNames = neededNames.filterNot(dirNames.contains)
+      .filter(n => physical.fieldNames.contains(n))
+
+    // uniform executor row layout: read cols ++ partition cols
+    val rowSchema = StructType(
+      readNames.map(n => physical(physical.fieldIndex(n))) ++ partitionSchema.fields)
+
+    // per-schema-version read plans (field-id remap, reference:
+    // SchemaEvolutionUtil.createDataProjection:266)
+    val schemaIds = prunedFiles.map(_.schemaId).distinct.sorted
+    val fmt = new ParquetFileFormat
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val plans: Map[Long, SchemaReadPlan] = schemaIds.map { sid =>
+      val fileSchema = if (sid == schema.id) schema else table.store.readSchema(sid)
+      val byId = fileSchema.fields.map(f => f.id -> f).toMap
+      // what to read from files of this schema version, in rowSchema order
+      val wanted = readNames.map { n =>
+        if (n == GraftMeta.SeqCol || n == GraftMeta.PosCol || n == GraftMeta.KindCol)
+          Some(Field(-1, n, physical(physical.fieldIndex(n)).dataType.sql,
+            nullable = false))
+        else byId.get(schema.fieldByName(n).id) match {
+          case Some(old) if !dirNames.contains(old.name) => Some(old)
+          case _ => None
+        }
+      }
+      val readSchemaForFile = StructType(wanted.flatten.map(f =>
+        StructField(f.name, f.sparkType, f.nullable)))
+      val safeFilters =
+        if (sid != schema.id) Nil
+        else if (isPk) filters.filter(f => f.references.forall(r =>
+          schema.primaryKeys.contains(r) || dirNames.contains(r)))
+        else filters
+      val supportsBatch = fmt.supportBatch(spark,
+        StructType(readSchemaForFile.fields ++ partitionSchema.fields))
+      val readFunc = fmt.buildReaderWithPartitionValues(
+        sparkSession = spark,
+        dataSchema = StructType(fileSchema.fields
+          .filterNot(f => fileSchema.partitionKeys.contains(f.name))
+          .map(_.toStructField) ++
+          (if (fileSchema.isPrimaryKeyed)
+            Seq(GraftMeta.seqField, GraftMeta.posField, GraftMeta.kindField)
+          else Nil)),
+        partitionSchema = partitionSchema,
+        requiredSchema = readSchemaForFile,
+        filters = safeFilters,
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> supportsBatch.toString),
+        // fresh conf per plan: buildReader mutates it with the read schema,
+        // and local-mode broadcasts share the object by reference
+        hadoopConf = new org.apache.hadoop.conf.Configuration(hadoopConf))
+      // align (readSchemaForFile ++ partitionSchema) → rowSchema
+      val inSchema = StructType(readSchemaForFile.fields ++ partitionSchema.fields)
+      val align: Seq[Expression] = rowSchema.fields.toSeq.map { out =>
+        if (dirNames.contains(out.name)) {
+          val i = inSchema.fieldIndex(out.name)
+          BoundReference(i, inSchema(i).dataType, nullable = true)
+        } else {
+          val posInWanted = readNames.indexOf(out.name)
+          wanted(posInWanted) match {
+            case Some(old) =>
+              val i = readSchemaForFile.fieldIndex(old.name)
+              val ref = BoundReference(i, readSchemaForFile(i).dataType, nullable = true)
+              if (readSchemaForFile(i).dataType == out.dataType) ref
+              else Cast(ref, out.dataType, Some(java.util.TimeZone.getDefault.getID))
+            case None => Literal.create(null, out.dataType)
+          }
+        }
+      }
+      if (sys.env.contains("GRAFT_DEBUG_SCAN")) {
+        println(s"[scan-debug] sid=$sid fileSchema=${fileSchema.fields.map(f => s"${f.id}:${f.name}")}" +
+          s" readSchemaForFile=${readSchemaForFile.fieldNames.mkString(",")}" +
+          s" align=${align.mkString(";")} rowSchema=${rowSchema.fieldNames.mkString(",")}")
+      }
+      sid -> SchemaReadPlan(readFunc, align, supportsBatch)
+    }.toMap
+
+    val merger =
+      if (isPk) Some(new RowMerger(schema, rowSchema, requested.fieldNames.toSeq))
+      else None
+    // raw output projection: rowSchema position of each requested column
+    val outIdx = requested.fieldNames.map(n => rowSchema.fieldIndex(n))
+    new GraftReaderFactory(table.location, partitionSchema, rowSchema,
+      plans, merger, outIdx, requested, sortedByKey = isPk)
+  }
+
+  private def seqGroupCols: Seq[String] = schema.options.keys.collect {
+    case k if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+      k.stripPrefix("fields.").stripSuffix(".sequence-group")
+  }.toSeq
+}
+
+/** Serializable per-schema-version read plan. */
+case class SchemaReadPlan(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    align: Seq[Expression],
+    batched: Boolean) extends Serializable
+
+case class GraftFileInfo(
+    path: String, length: Long, partition: Seq[String], bucket: Int,
+    level: Int, schemaId: Long, rowCount: Long) extends Serializable
+
+case class GraftInputPartition(files: Seq[GraftFileInfo], merge: Boolean)
+    extends InputPartition
+
+class GraftReaderFactory(
+    tableRoot: String,
+    partitionSchema: StructType,
+    rowSchema: StructType,
+    plans: Map[Long, SchemaReadPlan],
+    merger: Option[RowMerger],
+    outIdx: Seq[Int],
+    outSchema: StructType,
+    sortedByKey: Boolean) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+
+    def rowsOf(f: GraftFileInfo): Iterator[InternalRow] = {
+      val plan = plans(f.schemaId)
+      val ptRow = partitionRow(f)
+      val pf = org.apache.spark.sql.graft.SparkShims.partitionedFile(
+        ptRow, s"$tableRoot/${f.path}", 0, f.length)
+      val raw = plan.readFunc(pf).asInstanceOf[Iterator[AnyRef]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r: InternalRow => Iterator.single(r)
+      }
+      val proj = UnsafeProjection.create(plan.align.toArray)
+      raw.map(proj)
+    }
+
+    val iter: Iterator[InternalRow] = (merger, p.merge) match {
+      case (Some(m), true) =>
+        // merge rows are buffered per key → copy out of the reused buffers
+        new SortMergeRows(m, p.files.map(f => rowsOf(f).map(_.copy())))
+      case _ =>
+        val project = UnsafeProjection.create(
+          outIdx.zipWithIndex.map { case (src, i) =>
+            BoundReference(src, rowSchema(src).dataType, nullable = true)
+          }.toArray[Expression])
+        p.files.iterator.flatMap(f => rowsOf(f)).map(project)
+    }
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (iter.hasNext) { current = iter.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+
+  private def partitionRow(f: GraftFileInfo): InternalRow = {
+    val vals: Seq[Any] = partitionSchema.fields.toSeq.zipWithIndex.map { case (sf, i) =>
+      if (sf.name == GraftMeta.BucketCol) f.bucket
+      else GraftFileIndex.partitionValueToInternal(sf.dataType, f.partition(i))
+    }
+    new GenericInternalRow(vals.toArray)
+  }
+}

@@ -23,4 +23,17 @@ object SparkShims {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Construct a PartitionedFile for the file-source read function
+    * (insulates callers from the constructor churn across Spark versions).
+    */
+  def partitionedFile(
+      partitionValues: org.apache.spark.sql.catalyst.InternalRow,
+      path: String,
+      start: Long,
+      length: Long): org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      partitionValues,
+      org.apache.spark.paths.SparkPath.fromPathString(path),
+      start, length, Array.empty, 0L, length)
 }

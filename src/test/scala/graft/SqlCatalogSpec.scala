@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end SQL through the DSv2 catalog: DDL, DML, merged reads,
+  * time travel — a Spark user never touching the Scala API.
+  */
+class SqlCatalogSpec extends SparkSpec {
+
+  private lazy val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+  }
+
+  test("append table: create, insert, select with pruning, insert overwrite") {
+    spark.sql(
+      """CREATE TABLE graft.db.li (
+        | l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING)
+        |USING graft PARTITIONED BY (l_returnflag)""".stripMargin)
+    sf("lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+      .createOrReplaceTempView("src_li")
+    spark.sql("INSERT INTO graft.db.li SELECT * FROM src_li")
+    val total = spark.sql("SELECT count(*) FROM graft.db.li").collect()(0).getLong(0)
+    assert(total == sf("lineitem").count())
+
+    val r = spark.sql(
+      "SELECT count(*) FROM graft.db.li WHERE l_returnflag = 'R'").collect()(0).getLong(0)
+    assert(r == sf("lineitem").filter(col("l_returnflag") === "R").count())
+
+    // static overwrite of one partition
+    spark.sql(
+      """INSERT OVERWRITE graft.db.li PARTITION (l_returnflag = 'R')
+        |SELECT l_orderkey, 0.0 AS l_quantity FROM src_li WHERE l_returnflag = 'R'""".stripMargin)
+    val sumR = spark.sql(
+      "SELECT sum(l_quantity) FROM graft.db.li WHERE l_returnflag = 'R'").collect()(0).getDouble(0)
+    assert(sumR == 0.0)
+    assert(spark.sql("SELECT count(*) FROM graft.db.li").collect()(0).getLong(0) == total)
+  }
+
+  test("pk table: upsert via INSERT, merged SELECT without shuffle, DELETE, time travel") {
+    spark.sql(
+      """CREATE TABLE graft.db.orders (
+        | o_orderkey BIGINT, o_status STRING, o_price DOUBLE)
+        |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '4')""".stripMargin)
+    sf("orders").select(col("o_orderkey"), col("o_orderstatus").as("o_status"),
+      col("o_totalprice").as("o_price")).createOrReplaceTempView("src_orders")
+    spark.sql("INSERT INTO graft.db.orders SELECT * FROM src_orders")
+    spark.sql(
+      """INSERT INTO graft.db.orders
+        |SELECT o_orderkey, o_status, o_price * 2 FROM src_orders WHERE o_orderkey % 7 = 0""".stripMargin)
+
+    val merged = spark.sql("SELECT * FROM graft.db.orders")
+    // bucket-local merge: the scan itself merges — no Exchange below the scan
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"merged scan must not shuffle:\n$plan")
+
+    val exp = sf("orders").count()
+    assert(merged.count() == exp)
+    val doubled = merged.filter(col("o_orderkey") % 7 === 0)
+      .join(sf("orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")), "o_orderkey")
+      .filter(col("o_price") =!= col("o_totalprice") * 2)
+    assert(doubled.count() == 0, "upserted rows must carry doubled prices")
+
+    // point lookup via SQL prunes to one bucket and merges only it
+    val one = spark.sql("SELECT o_price FROM graft.db.orders WHERE o_orderkey = 8")
+    assert(one.count() == 1)
+
+    // DELETE WHERE
+    spark.sql("DELETE FROM graft.db.orders WHERE o_status = 'F'")
+    val expAfter = sf("orders").filter(col("o_orderstatus") =!= "F").count()
+    assert(spark.sql("SELECT count(*) FROM graft.db.orders").collect()(0).getLong(0) == expAfter)
+
+    // time travel back to snapshot 1 (before the second upsert and delete)
+    val v1 = spark.sql("SELECT count(*) FROM graft.db.orders VERSION AS OF 1")
+    assert(v1.collect()(0).getLong(0) == exp)
+  }
+
+  test("alter table: add/rename columns, old data remaps") {
+    spark.sql("CREATE TABLE graft.db.nat (k INT, name STRING) USING graft")
+    spark.sql("INSERT INTO graft.db.nat VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE graft.db.nat ADD COLUMN extra STRING")
+    spark.sql("ALTER TABLE graft.db.nat RENAME COLUMN name TO label")
+    spark.sql("INSERT INTO graft.db.nat VALUES (3, 'c', 'x')")
+    val rows = spark.sql("SELECT k, label, extra FROM graft.db.nat ORDER BY k").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    assert(rows.map(r => Option(r.getString(2))).toSeq == Seq(None, None, Some("x")))
+    spark.sql("DROP TABLE graft.db.nat")
+    assert(spark.sql("SHOW TABLES IN graft.db").collect()
+      .forall(_.getString(1) != "nat"))
+  }
+
+  test("merge engines through SQL: aggregation table") {
+    spark.sql(
+      """CREATE TABLE graft.db.uagg (user_id BIGINT, total DOUBLE, n BIGINT)
+        |USING graft TBLPROPERTIES (
+        | 'primary-key' = 'user_id', 'merge-engine' = 'aggregation',
+        | 'fields.total.aggregate-function' = 'sum',
+        | 'fields.n.aggregate-function' = 'sum', 'bucket' = '2')""".stripMargin)
+    val events = Fixtures.src(spark, "/root/testdata/sf0.001", "events")
+    events.select(col("user_id"), col("value").as("total"), lit(1L).as("n"))
+      .createOrReplaceTempView("src_events")
+    spark.sql("INSERT INTO graft.db.uagg SELECT * FROM src_events")
+    val got = spark.sql("SELECT user_id, n FROM graft.db.uagg")
+    val exp = events.groupBy("user_id").count()
+    assert(got.join(exp, "user_id").filter(col("n") =!= col("count")).count() == 0)
+    assert(got.count() == exp.count())
+  }
+}
