@@ -1,24 +1,84 @@
 package graft
+
+import graft.pipeline.{Dedup, VectorOps}
+import graft.table.GraftTable
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Headline benchmark (BASELINE.md plan): write throughput, upsert, scans
+  * with pruning, merge-on-read before/after compaction, and the two
+  * heaviest pipeline ops. Prints ONE JSON line for the driver.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val lineitem = Fixtures.src(spark, sfDir, "lineitem").cache()
+    lineitem.count() // warm the source so write benches time the engine
+    val orders = Fixtures.src(spark, sfDir, "orders").cache()
+    orders.count()
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // 1. bulk append write (analog: TableWriterBenchmark)
+    val liTable = GraftTable.create(spark, s"$tmp/li", lineitem.schema,
+      partitionKeys = Seq("l_returnflag"))
+    results("append_write") = time { liTable.append(lineitem) }
+
+    // 2. upsert of two overlapping batches into a PK table (analog: cluster q1)
+    val pk = GraftTable.create(spark, s"$tmp/orders_pk", orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "16"))
+    results("upsert") = time {
+      pk.upsert(orders)
+      pk.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    }
+
+    // 3. full scan + filtered scan (analog: TableReadBenchmark + pruning)
+    results("full_scan") = time { liTable.toDF.count() }
+    results("filtered_scan") = time {
+      liTable.toDF
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 10)
+        .agg(sum("l_extendedprice")).collect()
+    }
+
+    // 4. merge-on-read before vs after compaction
+    results("mor_read") = time { pk.toDF.count() }
+    results("compact") = time { pk.compact() }
+    results("compacted_read") = time { pk.toDF.count() }
+
+    // 5. pipeline ops at scale
+    val docs = Fixtures.src(spark, sfDir, "documents")
+    results("minhash_dedup") = time {
+      Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count()
+    }
+    val emb = Fixtures.src(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    results("ann_topk") = time {
+      VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 20).collect()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,46 +24,69 @@ object Dedup {
     array_distinct(grams)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum hash over the shingle set (classic Broder sketch; reference
-    * behavior used by every public MinHash-LSH pipeline).
+  /** Seed constant for the s-th minhash function: splitmix64 of s, computed
+    * once at plan-build time (deterministic, no runtime RNG).
     */
-  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingleSet, x => xxhash64(concat(x, lit("#"), s)))))
+  private def seedConst(s: Int): Long = {
+    var z = s.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
-  /** Banded LSH keys: hash each band of `rowsPerBand` signature slots; docs
-    * sharing any band key become candidates.
+  /** Derive the s-th hash from one base hash — codegen'd xxhash64 over the
+    * (hash, seed) pair, no per-seed string hashing, ANSI-safe.
     */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
-          .as("bucket")))
+  private def mix(h: Column, s: Int): Column = xxhash64(h, lit(seedConst(s)))
+
+  /** MinHash signature: for each of `numHashes` derived hash functions, the
+    * minimum hash over the shingle set (classic Broder sketch). Used for
+    * per-row signatures in tests; the candidate pipeline below uses the
+    * aggregation formulation instead.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column = {
+    val base = transform(shingleSet, x => xxhash64(x))
+    array((0 until numHashes).map(s => array_min(transform(base, h => mix(h, s)))): _*)
+  }
 
   /** Candidate near-dup pairs (idA < idB) via MinHash + banded LSH.
     *
-    * @param df       input
-    * @param idCol    unique id column
-    * @param textCol  text column
+    * Scale shape: shingles explode to (id, shingle-hash) rows, each hashed
+    * ONCE with codegen'd xxhash64; the 64 minhashes are 64 codegen'd `min`
+    * aggregates (map-side partial), band buckets are codegen'd `hash` over
+    * signature slices, and candidates come from in-bucket pair expansion —
+    * no self-join, no interpreted lambda in the hot path, one shuffle on id
+    * and one on (band, bucket).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
-    // bucket-local self-join; band+bucket equality keeps it tiny
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val hashed = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val sigs = hashed.groupBy("id")
+      .agg(min(mix(col("h"), 0)).as("m0"),
+        (1 until numHashes).map(s => min(mix(col("h"), s)).as(s"m$s")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"m$s"))
+      struct(lit(b).as("band"), hash(slots: _*).cast("long").as("bucket"))
+    }
+    val bandRows = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // in-bucket pair expansion (buckets are tiny by construction)
+    val ids = array_sort(collect_list(col("id")))
+    bandRows.groupBy("band", "bucket").agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
+
+  /** All ordered pairs (a < b) of a sorted array column. */
+  private def pairsOf(sortedIds: Column): Column =
+    flatten(transform(sortedIds, (x, i) =>
+      transform(slice(sortedIds, i + 2, size(sortedIds)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
