@@ -257,7 +257,8 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
         commitKind = commitKind,
         commitIdentifier = commitIdentifier,
         totalRecordCount = prevTotal + addRows - delRows,
-        watermark = watermark,
+        // watermarks are monotone and carry forward across commits
+        watermark = (watermark.toSeq ++ latest.flatMap(_.watermark).toSeq).maxOption,
         timestampMs = System.currentTimeMillis(),
         manifestMeta = meta,
         maxCommitIdentifier =

@@ -143,7 +143,7 @@ class GraftSource(spark: SparkSession, path: String,
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val from = start.map(o => o.json().toLong).getOrElse(startExclusive)
     val to = end.json().toLong
-    table.incremental(from, to)
+    org.apache.spark.sql.graft.SparkShims.asStreamingFrame(table.incremental(from, to))
   }
 
   override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = {
@@ -187,9 +187,9 @@ class GraftSink(spark: SparkSession, path: String,
         GraftTable.create(spark, path, data.schema, pts, pks,
           options -- Set("path", "primary-keys", "partition-keys", "checkpointLocation"))
       }
-    // the incoming frame is bound to the microbatch's incremental execution;
-    // rebind it as a plain batch frame before running our write jobs
-    val fresh = spark.createDataFrame(data.rdd, data.schema)
+    // rebind over the SAME physical rows — no re-analysis, no second read
+    // of the micro-batch source
+    val fresh = org.apache.spark.sql.graft.SparkShims.rebindMicroBatch(data)
     if (table.isPrimaryKeyed) table.upsert(fresh, commitIdentifier = batchId)
     else table.append(fresh, commitIdentifier = batchId)
   }

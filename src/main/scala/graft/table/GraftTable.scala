@@ -298,7 +298,19 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 
   def commitFiles(entries: Seq[ManifestEntry], kind: String,
       commitIdentifier: Long = -1L): Snapshot =
-    store.commit(entries, kind, commitIdentifier).snapshot
+    store.commit(entries, kind, commitIdentifier, watermarkOf(entries)).snapshot
+
+  /** Event-time watermark of a commit, derived from the per-file max stats
+    * of the configured `watermark.column` — no extra pass over the data
+    * (reference: Snapshot.watermark field, Snapshot.java:176; the store
+    * keeps it monotone across commits).
+    */
+  private def watermarkOf(entries: Seq[ManifestEntry]): Option[Long] =
+    schema.options.get("watermark.column").flatMap { c =>
+      entries.collect {
+        case ManifestEntry(ManifestEntry.ADD, f) => f.stats.get(c).flatMap(_.max)
+      }.flatten.flatMap(_.toLongOption).maxOption
+    }
 
   // ================= staging write =================
 

@@ -24,6 +24,25 @@ object SparkShims {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** Rebind a micro-batch DataFrame as a plain batch frame over the SAME
+    * physical rows (no re-analysis, no second source read) — the standard
+    * sink-side bridge for DSv1 streaming sinks.
+    */
+  def rebindMicroBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
+  /** Mark a batch DataFrame as streaming — required of DataFrames a DSv1
+    * streaming Source returns from getBatch.
+    */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** Construct a PartitionedFile for the file-source read function
     * (insulates callers from the constructor churn across Spark versions).
     */

@@ -1,0 +1,81 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  case class Ev(event_id: Long, user_id: Long, version: Long, value: Double)
+
+  test("stream → graft sink: out-of-order upserts resolve by sequence field, exactly-once") {
+    implicit val sql = spark.sqlContext
+    val path = tmpTable()
+    val input = MemoryStream[Ev]
+    val q = input.toDF().writeStream
+      .format("graft")
+      .option("path", path)
+      .option("primary-keys", "event_id")
+      .option("sequence.field", "version")
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      // batch 1: v2 arrives BEFORE v1 (out of order within the stream)
+      input.addData(Ev(1, 10, 2, 20.0), Ev(2, 10, 1, 5.0))
+      q.processAllAvailable()
+      // batch 2: late v1 for key 1 must NOT override v2; key 2 upgrades to v3
+      input.addData(Ev(1, 10, 1, 10.0), Ev(2, 10, 3, 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val t = GraftTable.load(spark, path)
+    val rows = t.toDF.orderBy("event_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((1L, 2L, 20.0), (2L, 3L, 7.0)),
+      "sequence field must win over arrival order")
+    // exactly-once: both batches committed once each (ids 0 and 1)
+    assert(t.store.latestSnapshot.get.maxCommitIdentifier == 1L)
+    assert(t.store.snapshotIds.size == 2)
+  }
+
+  test("graft source: snapshot deltas stream out with row kinds; AvailableNow terminates") {
+    val path = tmpTable()
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = GraftTable.create(spark, path, src.schema, primaryKeys = Seq("k"))
+    t.upsert(src)
+    t.upsert(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
+
+    val out = spark.readStream.format("graft").option("path", path).load()
+      .writeStream.format("memory").queryName("graft_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(out.awaitTermination(60000), "AvailableNow must terminate")
+
+    val got = spark.table("graft_stream_out")
+      .select("_row_kind", "_sequence_number", "k", "v")
+      .orderBy("_sequence_number", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      ("+I", 1L, 1L, "a"), ("+I", 1L, 2L, "b"),
+      ("+I", 2L, 2L, "b2"), ("+I", 2L, 3L, "c")))
+  }
+
+  test("watermark.column: snapshot watermarks populate from file stats, stay monotone") {
+    val path = tmpTable()
+    val df1 = Seq((1L, 100L, "x"), (2L, 300L, "y")).toDF("k", "ts", "v")
+    val t = GraftTable.create(spark, path, df1.schema, primaryKeys = Seq("k"),
+      options = Map("watermark.column" -> "ts"))
+    t.upsert(df1)
+    assert(t.store.latestSnapshot.get.watermark.contains(300L))
+    // late batch: watermark must not regress
+    t.upsert(Seq((3L, 200L, "z")).toDF("k", "ts", "v"))
+    assert(t.store.latestSnapshot.get.watermark.contains(300L))
+    t.upsert(Seq((4L, 500L, "w")).toDF("k", "ts", "v"))
+    assert(t.store.latestSnapshot.get.watermark.contains(500L))
+  }
+}
