@@ -24,16 +24,60 @@ import scala.collection.concurrent.TrieMap
   * object stores need a conditional-put shim (documented limitation, same as
   * the reference).
   */
-class FileStore(val root: String, val hadoopConf: Configuration) {
+class FileStore(val root: String, val hadoopConf: Configuration,
+    val branch: Option[String] = None) {
   val rootPath = new Path(root)
   def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
 
+  /** Branch-local metadata root: a branch is an independent snapshot chain
+    * (+ tags/consumers) sharing the main table's schema, manifests and data
+    * files (reference: branch/TableBranch.java — copy-on-branch of the
+    * snapshot pointer, shared immutable files).
+    */
+  private val metaRoot: Path =
+    branch.map(b => new Path(new Path(rootPath, "branch"), b)).getOrElse(rootPath)
+
   val schemaDir = new Path(rootPath, "schema")
-  val snapshotDir = new Path(rootPath, "snapshot")
+  val snapshotDir = new Path(metaRoot, "snapshot")
   val manifestDir = new Path(rootPath, "manifest")
   val dataDir = new Path(rootPath, "data")
-  val tagDir = new Path(rootPath, "tag")
-  val consumerDir = new Path(rootPath, "consumer")
+  val tagDir = new Path(metaRoot, "tag")
+  val consumerDir = new Path(metaRoot, "consumer")
+
+  def ofBranch(name: String): FileStore = new FileStore(root, hadoopConf, Some(name))
+  def ofMain: FileStore = new FileStore(root, hadoopConf, None)
+
+  // ---------------- branches ----------------
+
+  private def branchesDir = new Path(rootPath, "branch")
+
+  /** Fork a branch at a snapshot: copy the snapshot pointer; everything
+    * beneath (manifests, data files, schemas) is shared and immutable.
+    */
+  def createBranch(name: String, snapshotId: Long): Unit = {
+    require(branch.isEmpty, "create branches from the main table")
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
+    val b = ofBranch(name)
+    require(!fs.exists(b.snapshotDir), s"branch $name already exists")
+    require(b.writeAtomic(b.snapshotPath(snapshotId), readString(snapshotPath(snapshotId))),
+      s"failed to fork branch $name")
+  }
+
+  def deleteBranch(name: String): Unit =
+    fs.delete(new Path(branchesDir, name), true)
+
+  def listBranches: Seq[String] = {
+    if (!fs.exists(branchesDir)) return Nil
+    fs.listStatus(branchesDir).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Every manifest referenced by any snapshot of main, tags, and all
+    * branches — the safety set for expiration / orphan cleanup.
+    */
+  def allReferencedSnapshots: Seq[Snapshot] = {
+    val stores = ofMain +: listBranches.map(ofBranch)
+    stores.flatMap(s => s.snapshotIds.map(s.readSnapshot) ++ s.listTags.map(_._2))
+  }
 
   // ---------------- raw IO ----------------
 
@@ -146,7 +190,8 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
       addOnly = adds.size == entries.size,
       schemaIds = entries.map(_.file.schemaId).distinct.sorted,
       ptMin = if (parts.isEmpty || parts.head.isEmpty) None else Some(parts.min(PartTupleOrdering)),
-      ptMax = if (parts.isEmpty || parts.head.isEmpty) None else Some(parts.max(PartTupleOrdering)))
+      ptMax = if (parts.isEmpty || parts.head.isEmpty) None else Some(parts.max(PartTupleOrdering)),
+      dvCount = adds.map(_.file.dvCount).sum)
   }
 
   /** Lexicographic-by-component ordering of partition value tuples; the
@@ -220,8 +265,8 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
       val baseMeta = latest.map(_.manifestMeta.map(m => m.name -> m).toMap)
         .getOrElse(Map.empty)
       val deltaName = writeManifest(delta)
-      val addRows = delta.collect { case ManifestEntry(ManifestEntry.ADD, f) => f.rowCount }.sum
-      val delRows = delta.collect { case ManifestEntry(ManifestEntry.DELETE, f) => f.rowCount }.sum
+      val addRows = delta.collect { case ManifestEntry(ManifestEntry.ADD, f) => f.liveRowCount }.sum
+      val delRows = delta.collect { case ManifestEntry(ManifestEntry.DELETE, f) => f.liveRowCount }.sum
       val prevTotal = latest.map(_.totalRecordCount).getOrElse(0L)
 
       var manifests = baseManifests :+ deltaName
@@ -270,6 +315,31 @@ class FileStore(val root: String, val hadoopConf: Configuration) {
       require(attempt < maxRetries, s"commit failed after $maxRetries retries")
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  // ---------------- deletion vectors ----------------
+
+  val dvDir = new Path(rootPath, "dv")
+
+  /** Persist a deletion bitmap; returns the path relative to the table root. */
+  def writeDv(bitmap: org.roaringbitmap.RoaringBitmap): String = {
+    bitmap.runOptimize()
+    val buf = java.nio.ByteBuffer.allocate(bitmap.serializedSizeInBytes())
+    bitmap.serialize(buf)
+    val name = s"dv/dv-${UUID.randomUUID()}.bin"
+    val p = new Path(rootPath, name)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(buf.array(), 0, buf.position()) finally out.close()
+    name
+  }
+
+  def readDv(relPath: String): org.roaringbitmap.RoaringBitmap = {
+    val in = fs.open(new Path(rootPath, relPath))
+    val bytes = try in.readAllBytes() finally in.close()
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+    bm
   }
 
   // ---------------- tags ----------------

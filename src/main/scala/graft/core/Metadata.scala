@@ -24,7 +24,14 @@ case class DataFileMeta(
     minSeq: Long,
     maxSeq: Long,
     schemaId: Long,
-    stats: Map[String, ColStats])
+    stats: Map[String, ColStats],
+    /** Deletion vector sidecar: bitmap of deleted row positions + its
+      * cardinality (reference: deletionvectors/DeletionVector.java:39,76).
+      */
+    dvPath: Option[String] = None,
+    dvCount: Long = 0L) {
+  def liveRowCount: Long = rowCount - dvCount
+}
 
 object ManifestEntry {
   val ADD = 0
@@ -56,7 +63,10 @@ case class ManifestMeta(
     addOnly: Boolean,
     schemaIds: Seq[Long],
     ptMin: Option[Seq[String]],
-    ptMax: Option[Seq[String]])
+    ptMax: Option[Seq[String]],
+    /** Total deletion-vector cardinality of ADD entries — lets planning
+      * know DV-free snapshots without reading manifests. */
+    dvCount: Long = 0L)
 
 /** A committed table version (reference: paimon-core
   * org/apache/paimon/Snapshot.java:68). `manifests` is the full ordered list
@@ -97,6 +107,7 @@ case class Snapshot(
         val e = mm.addObject()
         e.put("name", m.name); e.put("entries", m.entries)
         e.put("dataSize", m.dataSize); e.put("addOnly", m.addOnly)
+        e.put("dvCount", m.dvCount)
         val sids = e.putArray("schemaIds"); m.schemaIds.foreach(sids.add)
         m.ptMin.foreach { vs => val a = e.putArray("ptMin"); vs.foreach(a.add) }
         m.ptMax.foreach { vs => val a = e.putArray("ptMax"); vs.foreach(a.add) }
@@ -118,7 +129,8 @@ object Snapshot {
           e.get("addOnly").asBoolean(),
           Json.elems(e.get("schemaIds")).map(_.asLong()),
           Option(e.get("ptMin")).map(a => Json.elems(a).map(_.asText())),
-          Option(e.get("ptMax")).map(a => Json.elems(a).map(_.asText())))
+          Option(e.get("ptMax")).map(a => Json.elems(a).map(_.asText())),
+          Json.optLong(e, "dvCount").getOrElse(0L))
       }
     }.getOrElse(Nil)
     Snapshot(
@@ -160,6 +172,7 @@ object ManifestCodec {
       en.put("bucket", f.bucket); en.put("level", f.level)
       en.put("minSeq", f.minSeq); en.put("maxSeq", f.maxSeq)
       en.put("schemaId", f.schemaId)
+      f.dvPath.foreach { p => en.put("dvPath", p); en.put("dvCount", f.dvCount) }
       statsToJson(en, f.stats)
     }
     Json.write(root)
@@ -184,7 +197,9 @@ object ManifestCodec {
           en.get("bucket").asInt(), en.get("level").asInt(),
           en.get("minSeq").asLong(), en.get("maxSeq").asLong(),
           en.get("schemaId").asLong(),
-          statsFromJson(en)))
+          statsFromJson(en),
+          Json.optStr(en, "dvPath"),
+          Json.optLong(en, "dvCount").getOrElse(0L)))
     }
   }
 }

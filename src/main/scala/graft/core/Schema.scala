@@ -44,6 +44,8 @@ case class TableSchema(
   def option(key: String, default: String): String = options.getOrElse(key, default)
 
   def numBuckets: Int = option(TableSchema.BucketOpt, "8").toInt
+  def defaultValueOf(field: String): Option[String] =
+    options.get(TableSchema.defaultValueOpt(field))
   def mergeEngine: String = option(TableSchema.MergeEngineOpt, "deduplicate")
   def sequenceField: Option[String] = options.get(TableSchema.SequenceFieldOpt)
   def isPrimaryKeyed: Boolean = primaryKeys.nonEmpty
@@ -74,6 +76,9 @@ object TableSchema {
   val TargetFileSizeOpt = "write.target-file-size"
   /** fields.<name>.aggregate-function = sum|max|min|last_value|... */
   def aggFuncOpt(field: String) = s"fields.$field.aggregate-function"
+  /** fields.<name>.default-value = literal filled for NULLs at read
+    * (reference: DefaultValueAssigner.java:48). */
+  def defaultValueOpt(field: String) = s"fields.$field.default-value"
   /** fields.<seqCol>.sequence-group = a,b,c  (partial-update sequence groups) */
   def seqGroupOpt(field: String) = s"fields.$field.sequence-group"
 

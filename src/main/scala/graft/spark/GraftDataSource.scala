@@ -80,7 +80,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         GraftTable.create(spark, path, data.schema, pts, pks,
           parameters -- reserved)
       }
+    val mergeSchema = parameters.get("merge-schema").exists(_.toBoolean)
     mode match {
+      case SaveMode.Append if mergeSchema => table.writeWithSchemaMerge(data)
       case SaveMode.Append => table.write(data)
       case SaveMode.Overwrite => table.overwrite(data)
       case SaveMode.ErrorIfExists if exists =>

@@ -79,7 +79,7 @@ class GraftScan(
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = prunedFiles.map(_.size).sum
-    private val rows = prunedFiles.map(_.rowCount).sum
+    private val rows = prunedFiles.map(_.liveRowCount).sum
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): java.util.OptionalLong =
@@ -131,7 +131,8 @@ class GraftScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     def info(f: DataFileMeta) = GraftFileInfo(
-      f.path, f.size, f.partition, f.bucket, f.level, f.schemaId, f.rowCount)
+      f.path, f.size, f.partition, f.bucket, f.level, f.schemaId, f.rowCount,
+      f.dvPath)
 
     if (!isPk) {
       // append table: bin-pack raw files into ~target-size splits per partition
@@ -199,8 +200,11 @@ class GraftScan(
       }
       val readSchemaForFile = StructType(wanted.flatten.map(f =>
         StructField(f.name, f.sparkType, f.nullable)))
+      // with deletion vectors, parquet must yield every row IN ORDER so the
+      // iterator index equals the file row position — no filter pushdown
+      val anyDv = prunedFiles.exists(_.dvPath.isDefined)
       val safeFilters =
-        if (sid != schema.id) Nil
+        if (anyDv || sid != schema.id) Nil
         else if (isPk) filters.filter(f => f.references.forall(r =>
           schema.primaryKeys.contains(r) || dirNames.contains(r)))
         else filters
@@ -253,8 +257,24 @@ class GraftScan(
       else None
     // raw output projection: rowSchema position of each requested column
     val outIdx = requested.fieldNames.map(n => rowSchema.fieldIndex(n))
+    // read-time default values, applied post-merge (reference:
+    // DefaultValueAssigner.java:48)
+    val defaultsExprs: Option[Seq[Expression]] =
+      if (!requested.fieldNames.exists(n => schema.defaultValueOf(n).isDefined)) None
+      else Some(requested.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        val ref = BoundReference(i, f.dataType, nullable = true)
+        schema.defaultValueOf(f.name) match {
+          case Some(d) =>
+            val v = Cast(Literal.create(d), f.dataType,
+              Some(java.util.TimeZone.getDefault.getID)).eval(null)
+            org.apache.spark.sql.catalyst.expressions.Coalesce(
+              Seq(ref, Literal.create(v, f.dataType)))
+          case None => ref
+        }
+      })
     new GraftReaderFactory(table.location, partitionSchema, rowSchema,
-      plans, merger, outIdx, requested, sortedByKey = isPk)
+      plans, merger, outIdx, requested, defaultsExprs,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
   }
 
   private def seqGroupCols: Seq[String] = schema.options.keys.collect {
@@ -271,7 +291,8 @@ case class SchemaReadPlan(
 
 case class GraftFileInfo(
     path: String, length: Long, partition: Seq[String], bucket: Int,
-    level: Int, schemaId: Long, rowCount: Long) extends Serializable
+    level: Int, schemaId: Long, rowCount: Long,
+    dvPath: Option[String] = None) extends Serializable
 
 case class GraftInputPartition(files: Seq[GraftFileInfo], merge: Boolean)
     extends InputPartition
@@ -284,7 +305,9 @@ class GraftReaderFactory(
     merger: Option[RowMerger],
     outIdx: Seq[Int],
     outSchema: StructType,
-    sortedByKey: Boolean) extends PartitionReaderFactory {
+    defaultsExprs: Option[Seq[Expression]],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
@@ -298,20 +321,45 @@ class GraftReaderFactory(
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
+      // apply the deletion bitmap by raw row position (the plan was built
+      // without filter pushdown when DVs are present, so the iterator index
+      // IS the file row index — reference: ApplyDeletionVectorReader)
+      val undeleted = f.dvPath match {
+        case Some(dv) =>
+          val bm = readDv(dv)
+          raw.zipWithIndex.collect { case (r, i) if !bm.contains(i) => r }
+        case None => raw
+      }
       val proj = UnsafeProjection.create(plan.align.toArray)
-      raw.map(proj)
+      undeleted.map(proj)
     }
 
-    val iter: Iterator[InternalRow] = (merger, p.merge) match {
+    def readDv(rel: String): org.roaringbitmap.RoaringBitmap = {
+      val path = new org.apache.hadoop.fs.Path(tableRoot, rel)
+      val fs = path.getFileSystem(conf.value)
+      val in = fs.open(path)
+      val bytes = try in.readAllBytes() finally in.close()
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+      bm
+    }
+
+    val merged: Iterator[InternalRow] = (merger, p.merge) match {
       case (Some(m), true) =>
         // merge rows are buffered per key → copy out of the reused buffers
         new SortMergeRows(m, p.files.map(f => rowsOf(f).map(_.copy())))
       case _ =>
         val project = UnsafeProjection.create(
-          outIdx.zipWithIndex.map { case (src, i) =>
+          outIdx.map { src =>
             BoundReference(src, rowSchema(src).dataType, nullable = true)
           }.toArray[Expression])
         p.files.iterator.flatMap(f => rowsOf(f)).map(project)
+    }
+    val iter = defaultsExprs match {
+      case Some(exprs) =>
+        val proj = UnsafeProjection.create(exprs.toArray)
+        merged.map(proj)
+      case None => merged
     }
 
     new PartitionReader[InternalRow] {

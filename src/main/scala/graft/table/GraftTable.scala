@@ -87,8 +87,29 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   def rawSnapshot(s: Snapshot, to: TableSchema = schema): DataFrame = {
     val singleSchema =
       s.manifestMeta.nonEmpty && s.manifestMeta.forall(_.schemaIds.forall(_ == to.id))
-    if (singleSchema) spark.baseRelationToDataFrame(fsRelationFor(Left(s), to))
+    val noDvs = s.manifestMeta.nonEmpty && s.manifestMeta.forall(_.dvCount == 0)
+    if (singleSchema && noDvs) spark.baseRelationToDataFrame(fsRelationFor(Left(s), to))
     else rawUnion(store.liveFiles(s), to)
+  }
+
+  /** Filter out DV-deleted row positions — an anti-join on (file, row
+    * index) against the broadcast deleted-position set (reference:
+    * ApplyDeletionVectorReader; the DSv2 reader applies bitmaps
+    * executor-side instead).
+    */
+  private def applyDvs(df: DataFrame, files: Seq[DataFileMeta]): DataFrame = {
+    val dvd = files.filter(_.dvPath.isDefined)
+    if (dvd.isEmpty) return df
+    val positions: Seq[(String, Long)] = dvd.flatMap { f =>
+      val name = f.path.split('/').last
+      store.readDv(f.dvPath.get).toArray.toSeq.map(i => name -> i.toLong)
+    }
+    import spark.implicits._
+    val pos = positions.toDF("__dv_file", "__dv_idx")
+    df.join(broadcast(pos),
+      element_at(split(col("_metadata.file_path"), "/"), -1) === col("__dv_file") &&
+        col("_metadata.row_index") === col("__dv_idx"),
+      "left_anti")
   }
 
   private def emptyDF: DataFrame =
@@ -108,8 +129,23 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     case Some(s) =>
       val sch = schema
       val raw = rawSnapshot(s, sch)
-      if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
-      else raw.select(sch.fields.map(f => col(f.name)): _*)
+      applyDefaults(
+        if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
+        else raw.select(sch.fields.map(f => col(f.name)): _*))
+  }
+
+  /** Fill configured per-field default values for NULLs at read (reference:
+    * DefaultValueAssigner.java:48 — read-time, post-merge).
+    */
+  private def applyDefaults(df: DataFrame): DataFrame = {
+    val withDefaults = schema.fields.filter(f => schema.defaultValueOf(f.name).isDefined)
+    if (withDefaults.isEmpty) df
+    else df.select(schema.fields.map { f =>
+      schema.defaultValueOf(f.name) match {
+        case Some(d) => coalesce(col(f.name), lit(d).cast(f.sparkType)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
   }
 
   /** Read files written under possibly different schema versions, remapped to
@@ -122,11 +158,13 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val groups = files.groupBy(_.schemaId).toSeq.sortBy(_._1)
     groups match {
       case Nil => rawDF(Nil, to)
-      case Seq((sid, fs)) if sid == to.id => rawDF(fs, to)
+      // DVs must apply on the raw relation (the _metadata pseudo-column
+      // does not survive projections)
+      case Seq((sid, fs)) if sid == to.id => applyDvs(rawDF(fs, to), fs)
       case gs =>
         gs.map { case (sid, fs) =>
           val from = if (sid == to.id) to else store.readSchema(sid)
-          alignRaw(rawDF(fs, from), from, to)
+          alignRaw(applyDvs(rawDF(fs, from), fs), from, to)
         }.reduce(_.unionByName(_))
     }
   }
@@ -220,6 +258,64 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   /** Append or upsert depending on table kind. */
   def write(df: DataFrame): Snapshot =
     if (isPrimaryKeyed) upsert(df) else append(df)
+
+  // ================= branches =================
+
+  /** A writable view of the named branch — independent snapshot chain over
+    * shared data (reference: branch/TableBranch.java).
+    */
+  def branch(name: String): GraftTable = new GraftTable(spark, store.ofBranch(name))
+
+  def createBranch(name: String, snapshotId: Long): Unit =
+    store.createBranch(name, snapshotId)
+
+  /** Fast-forward main to the branch head: one commit whose entries are the
+    * file-set diff (reference: fast_forward procedure).
+    */
+  def fastForward(branchName: String): Snapshot = {
+    require(store.branch.isEmpty, "fast-forward applies to the main table")
+    val b = store.ofBranch(branchName)
+    val target = b.latestSnapshot.getOrElse(
+      throw new IllegalArgumentException(s"branch $branchName has no snapshots"))
+    val targetFiles = b.liveFiles(target)
+    val current = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val targetPaths = targetFiles.map(_.path).toSet
+    val currentPaths = current.map(_.path).toSet
+    commitFiles(
+      current.filterNot(f => targetPaths.contains(f.path))
+        .map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        targetFiles.filterNot(f => currentPaths.contains(f.path))
+          .map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.OVERWRITE)
+  }
+
+  // ================= schema-merge write =================
+
+  /** Write with schema merging: unknown input columns are ADDED to the
+    * table schema, safe numeric widenings applied, then the write proceeds
+    * under the evolved schema with absent columns null-filled (reference:
+    * SchemaMergingUtils.mergeSchemas:41 + the `write.merge-schema` option).
+    */
+  def writeWithSchemaMerge(df: DataFrame): Snapshot = {
+    val ladder = Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    df.schema.fields.foreach { in =>
+      schema.fields.find(_.name == in.name) match {
+        case None => addColumn(in.name, in.dataType)
+        case Some(cur) if cur.sparkType == in.dataType => ()
+        case Some(cur) =>
+          val (ci, ii) = (ladder.indexOf(cur.sparkType), ladder.indexOf(in.dataType))
+          if (ci >= 0 && ii > ci) updateColumnType(in.name, in.dataType)
+          else if (ci >= 0 && ii >= 0) () // narrower input: cast on write
+          else throw new IllegalArgumentException(
+            s"cannot merge ${in.name}: ${cur.dataType} vs ${in.dataType}")
+      }
+    }
+    val filled = schema.fields.foldLeft(df) { (acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.sparkType))
+    }
+    write(filled)
+  }
 
   /** Append-table write (reference: append/AppendOnlyWriter.java:62 — here
     * Spark's parquet writer is the rolling writer; the commit registers files).

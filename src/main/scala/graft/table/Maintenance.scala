@@ -187,7 +187,11 @@ trait MaintenanceOps { self: GraftTable =>
     val ids = store.snapshotIds
     if (ids.size <= retainLast) return Nil
     val (expire, retain) = ids.splitAt(ids.size - retainLast)
-    val keepSnapshots = retain.map(store.readSnapshot) ++ store.listTags.map(_._2)
+    // keep everything still reachable: retained snapshots, tags, and every
+    // branch's chain (branches share data files with main)
+    val keepSnapshots = retain.map(store.readSnapshot) ++ store.listTags.map(_._2) ++
+      store.listBranches.map(store.ofBranch)
+        .flatMap(b => b.snapshotIds.map(b.readSnapshot) ++ b.listTags.map(_._2))
     val keepManifests = keepSnapshots.flatMap(s => s.manifests ++ s.deltaManifests).toSet
     val keepFiles = keepManifests.flatMap(m =>
       store.readManifest(m).collect { case ManifestEntry(_, f) => f.path })
@@ -211,7 +215,7 @@ trait MaintenanceOps { self: GraftTable =>
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val fs = store.fs
     if (!fs.exists(store.dataDir)) return Nil
-    val referenced = (store.snapshotIds.map(store.readSnapshot) ++ store.listTags.map(_._2))
+    val referenced = store.allReferencedSnapshots
       .flatMap(s => s.manifests ++ s.deltaManifests).distinct
       .flatMap(m => store.readManifest(m).map(_.file.path))
       .map(p => new Path(store.rootPath, p).toUri.getPath).toSet

@@ -27,8 +27,44 @@ trait RowLevelOps { self: GraftTable =>
       // DeleteFromPaimonTableCommand.scala:127)
       val refs = condRefs(cond)
       if (refs.nonEmpty && refs.forall(schema.partitionKeys.contains)) dropPartitions(cond)
+      else if (schema.option("deletion-vectors.enabled", "false").toBoolean)
+        deleteWithDvs(cond)
       else rewriteTouched(cond)(df => df.filter(!coalesce(cond, lit(false))))
     }
+  }
+
+  /** Deletion-vector DELETE: mark matching row positions in per-file
+    * bitmaps instead of rewriting files — O(matched rows) metadata, no data
+    * rewrite (reference: the DV branch of DeleteFromPaimonTableCommand
+    * :127-137 + BitmapDeletionVector). Positions fold into RoaringBitmaps;
+    * existing bitmaps union in.
+    */
+  private def deleteWithDvs(cond: Column): Snapshot = {
+    val snapOpt = store.latestSnapshot
+    if (snapOpt.isEmpty) return commitFiles(Nil, CommitKind.APPEND)
+    val live = store.liveFiles(snapOpt.get)
+    // rawUnion applies existing DVs, so already-deleted rows never re-match
+    val hits = rawUnion(live, schema).filter(cond)
+      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+        col("_metadata.row_index").cast("int").as("__i"))
+      .groupBy("__f").agg(collect_list(col("__i")).as("__is"))
+      .collect()
+    if (hits.isEmpty) return snapOpt.get
+    val byName = live.map(f => f.path.split('/').last -> f).toMap
+    val entries = hits.toSeq.flatMap { r =>
+      val f = byName(r.getString(0))
+      val bm = f.dvPath.map(store.readDv)
+        .getOrElse(new org.roaringbitmap.RoaringBitmap())
+      r.getSeq[Int](1).foreach(bm.add)
+      if (bm.getLongCardinality >= f.rowCount)
+        Seq(ManifestEntry(ManifestEntry.DELETE, f)) // fully deleted → drop file
+      else {
+        val nw = f.copy(dvPath = Some(store.writeDv(bm)),
+          dvCount = bm.getLongCardinality)
+        Seq(ManifestEntry(ManifestEntry.DELETE, f), ManifestEntry(ManifestEntry.ADD, nw))
+      }
+    }
+    commitFiles(entries, CommitKind.APPEND)
   }
 
   /** UPDATE t SET assignments WHERE cond. */

@@ -21,6 +21,7 @@ trait SystemTables { self: GraftTable =>
     case "buckets" => bucketsTable
     case "options" => optionsTable
     case "tags" => tagsTable
+    case "branches" => branchesTable
     case "consumers" => consumersTable
     case "audit_log" => auditLog
     case "read_optimized" => readOptimized
@@ -111,6 +112,17 @@ trait SystemTables { self: GraftTable =>
       StructField("tag_name", StringType), StructField("snapshot_id", LongType),
       StructField("record_count", LongType)))
     local(st, store.listTags.map { case (n, s) => Row(n, s.id, s.totalRecordCount) })
+  }
+
+  private def branchesTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("branch_name", StringType), StructField("head_snapshot_id", LongType),
+      StructField("record_count", LongType)))
+    local(st, store.listBranches.map { b =>
+      val s = store.ofBranch(b).latestSnapshot
+      Row(b, s.map(x => Long.box(x.id)).orNull,
+        s.map(x => Long.box(x.totalRecordCount)).orNull)
+    })
   }
 
   private def consumersTable: DataFrame = {

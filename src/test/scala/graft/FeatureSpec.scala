@@ -1,0 +1,103 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FeatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("default values fill NULLs at read, library and SQL paths") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, None))
+      .toDF("k", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"),
+      options = Map("fields.v.default-value" -> "unknown"))
+    t.upsert(df)
+    val got = t.toDF.orderBy("k").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("a", "unknown", "unknown"))
+    // v2 scan path honors defaults too
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.g2", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g2.db")
+    spark.sql(
+      """CREATE TABLE g2.db.dv (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key'='k', 'fields.v.default-value'='unknown')""".stripMargin)
+    Seq((1L, Some("a")), (2L, None)).toDF("k", "v").createOrReplaceTempView("dv_src")
+    spark.sql("INSERT INTO g2.db.dv SELECT * FROM dv_src")
+    val sqlGot = spark.sql("SELECT v FROM g2.db.dv ORDER BY k").collect().map(_.getString(0))
+    assert(sqlGot.toSeq == Seq("a", "unknown"))
+  }
+
+  test("schema-merge write: new columns and widenings evolve the schema") {
+    val t = GraftTable.create(spark, tmpTable(),
+      StructType(Seq(StructField("k", IntegerType), StructField("v", StringType))))
+    t.append(Seq((1, "a")).toDF("k", "v"))
+    // new column + k widened to long
+    t.writeWithSchemaMerge(Seq((2L, "b", 9.5)).toDF("k", "v", "score"))
+    assert(t.schema.fieldByName("k").sparkType == LongType)
+    assert(t.schema.fields.map(_.name).toSeq == Seq("k", "v", "score"))
+    val rows = t.toDF.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(2) && rows(1).getDouble(2) == 9.5)
+  }
+
+  test("deletion vectors: DELETE marks positions, no rewrite; reads and compaction respect them") {
+    val li = sf("lineitem").limit(3000).repartition(4).cache()
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      options = Map("deletion-vectors.enabled" -> "true"))
+    t.append(li)
+    val before = t.store.liveFiles(t.store.latestSnapshot.get)
+    val exp = li.filter(col("l_quantity") >= 25).count()
+    t.delete(col("l_quantity") < 25)
+    val after = t.store.liveFiles(t.store.latestSnapshot.get)
+    // same data files (no rewrite), but now carrying DVs
+    assert(after.map(_.path).toSet == before.map(_.path).toSet)
+    assert(after.exists(_.dvPath.isDefined))
+    assert(t.toDF.count() == exp)
+    assert(t.toDF.filter(col("l_quantity") < 25).count() == 0)
+    // snapshot row accounting reflects live rows
+    assert(t.store.latestSnapshot.get.totalRecordCount == exp)
+    // a second delete unions into existing bitmaps
+    val exp2 = li.filter(col("l_quantity") >= 25 && col("l_quantity") <= 40).count()
+    t.delete(col("l_quantity") > 40)
+    assert(t.toDF.count() == exp2)
+    // v2 SQL path applies bitmaps executor-side
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.g3", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g3.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g3.db")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(t.location),
+      new org.apache.hadoop.fs.Path(s"$wh/db/dvt"))
+    assert(spark.sql("SELECT count(*) FROM g3.db.dvt").collect()(0).getLong(0) == exp2)
+    // compaction folds DVs away and drops the sidecars from live metadata
+    t.compactSmallFiles()
+    assert(t.toDF.count() == exp2)
+    assert(t.store.liveFiles(t.store.latestSnapshot.get).forall(_.dvPath.isEmpty))
+  }
+
+  test("branches: independent writes, expiry safety, fast-forward") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"))
+    t.upsert(df)
+    t.createBranch("dev", 1)
+    val dev = t.branch("dev")
+    dev.upsert(Seq((3L, "c")).toDF("k", "v"))
+    // branch sees its write, main does not
+    assert(dev.toDF.count() == 3)
+    assert(t.toDF.count() == 2)
+    // main keeps evolving independently
+    t.upsert(Seq((9L, "z")).toDF("k", "v"))
+    assert(t.toDF.count() == 3)
+    assert(dev.toDF.count() == 3)
+    // expiring main must not delete files the branch still references
+    t.compact()
+    t.expireSnapshots(retainLast = 1)
+    assert(dev.toDF.count() == 3)
+    // fast-forward main to the branch head
+    t.fastForward("dev")
+    assert(t.toDF.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(t.system("branches").collect().map(_.getString(0)).toSeq == Seq("dev"))
+  }
+}
