@@ -342,6 +342,25 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     bm
   }
 
+  // ---------------- bloom index sidecars ----------------
+
+  private val bloomCache = TrieMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
+
+  def writeBloom(bytes: Array[Byte]): String = {
+    val name = s"idx/bloom-${UUID.randomUUID()}.bin"
+    val p = new Path(rootPath, name)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    name
+  }
+
+  def readBloom(relPath: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.getOrElseUpdate(relPath, {
+      val in = fs.open(new Path(rootPath, relPath))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    })
+
   // ---------------- tags ----------------
 
   def tagPath(name: String) = new Path(tagDir, s"tag-$name.json")

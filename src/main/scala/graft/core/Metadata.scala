@@ -29,7 +29,11 @@ case class DataFileMeta(
       * cardinality (reference: deletionvectors/DeletionVector.java:39,76).
       */
     dvPath: Option[String] = None,
-    dvCount: Long = 0L) {
+    dvCount: Long = 0L,
+    /** Bloom index sidecars, column name → path (reference:
+      * fileindex/bloomfilter/BloomFilterFileIndex.java:48-95).
+      */
+    blooms: Map[String, String] = Map.empty) {
   def liveRowCount: Long = rowCount - dvCount
 }
 
@@ -173,6 +177,10 @@ object ManifestCodec {
       en.put("minSeq", f.minSeq); en.put("maxSeq", f.maxSeq)
       en.put("schemaId", f.schemaId)
       f.dvPath.foreach { p => en.put("dvPath", p); en.put("dvCount", f.dvCount) }
+      if (f.blooms.nonEmpty) {
+        val bn = en.putObject("blooms")
+        f.blooms.toSeq.sortBy(_._1).foreach { case (c, p) => bn.put(c, p) }
+      }
       statsToJson(en, f.stats)
     }
     Json.write(root)
@@ -199,7 +207,10 @@ object ManifestCodec {
           en.get("schemaId").asLong(),
           statsFromJson(en),
           Json.optStr(en, "dvPath"),
-          Json.optLong(en, "dvCount").getOrElse(0L)))
+          Json.optLong(en, "dvCount").getOrElse(0L),
+          Option(en.get("blooms")).map(b =>
+            Json.fields(b).map { case (c, p) => c -> p.asText() }.toMap)
+            .getOrElse(Map.empty)))
     }
   }
 }

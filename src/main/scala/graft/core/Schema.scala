@@ -46,6 +46,12 @@ case class TableSchema(
   def numBuckets: Int = option(TableSchema.BucketOpt, "8").toInt
   def defaultValueOf(field: String): Option[String] =
     options.get(TableSchema.defaultValueOpt(field))
+  /** Data file format: parquet (default) or orc (reference: paimon-format
+    * supports orc/parquet/avro; Spark ships no avro datasource here). */
+  def fileFormat: String = option("file.format", "parquet") match {
+    case f @ ("parquet" | "orc") => f
+    case other => throw new IllegalArgumentException(s"unsupported file.format: $other")
+  }
   def mergeEngine: String = option(TableSchema.MergeEngineOpt, "deduplicate")
   def sequenceField: Option[String] = options.get(TableSchema.SequenceFieldOpt)
   def isPrimaryKeyed: Boolean = primaryKeys.nonEmpty

@@ -87,7 +87,8 @@ class GraftFileIndex(
       partPreds.forall(p =>
         Pruning.partitionMatches(p, partitionValueNames, typeOf, partitionOf(f))) &&
       bucketOf.forall(b => !isPkTable || f.bucket == b) &&
-      dataPreds.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount))
+      dataPreds.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
+      GraftFileIndex.bloomMightMatch(store, schema, f, dataPreds)
     }
 
     selected.groupBy(f => (f.partition, f.bucket)).toSeq.map { case ((pv, bucket), fs) =>
@@ -124,6 +125,29 @@ class GraftFileIndex(
 }
 
 object GraftFileIndex {
+
+  /** Bloom-index file skipping: an equality on an indexed column whose
+    * literal is definitely absent from the file's bloom prunes the file
+    * (reference: FileIndexPredicate.testPredicate:49,70). Conservative:
+    * only top-level AND-ed equalities consult the index.
+    */
+  def bloomMightMatch(store: FileStore, schema: TableSchema,
+      f: DataFileMeta, filters: Seq[Filter]): Boolean = {
+    if (f.blooms.isEmpty) return true
+    def eqs(fl: Filter): Seq[(String, Any)] = fl match {
+      case SEqualTo(c, v) if v != null => Seq(c -> v)
+      case SAnd(l, r) => eqs(l) ++ eqs(r)
+      case _ => Nil
+    }
+    filters.flatMap(eqs).forall { case (c, v) =>
+      (f.blooms.get(c), schema.fields.find(_.name == c)) match {
+        case (Some(p), Some(field)) =>
+          store.readBloom(p).mightContainLong(
+            org.apache.spark.sql.graft.SparkShims.xxhash64Literal(field.sparkType, v))
+        case _ => true
+      }
+    }
+  }
 
   /** Primary-key point lookups prune to one bucket: if the filters pin every
     * primary-key column with an equality, hash the literals exactly like the

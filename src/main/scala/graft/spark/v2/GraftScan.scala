@@ -111,7 +111,8 @@ class GraftScan(
         val selected = candidates.filter { f =>
           partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
           bucketOf.forall(b => !isPk || f.bucket == b) &&
-          filters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount))
+          filters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
+          GraftFileIndex.bloomMightMatch(table.store, schema, f, filters)
         }
         limit match {
           // limit pushdown (reference: DataTableBatchScan.applyPushDownLimit
@@ -183,10 +184,10 @@ class GraftScan(
     // per-schema-version read plans (field-id remap, reference:
     // SchemaEvolutionUtil.createDataProjection:266)
     val schemaIds = prunedFiles.map(_.schemaId).distinct.sorted
-    val fmt = new ParquetFileFormat
     val hadoopConf = spark.sessionState.newHadoopConf()
     val plans: Map[Long, SchemaReadPlan] = schemaIds.map { sid =>
       val fileSchema = if (sid == schema.id) schema else table.store.readSchema(sid)
+      val fmt = GraftTable.fileFormatOf(fileSchema)
       val byId = fileSchema.fields.map(f => f.id -> f).toMap
       // what to read from files of this schema version, in rowSchema order
       val wanted = readNames.map { n =>

@@ -74,7 +74,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       partitionSchema = partitionSchema(s),
       dataSchema = physicalDataSchema(s),
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = GraftTable.fileFormatOf(s),
       options = Map.empty)(spark)
   }
 
@@ -421,8 +421,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val stagingName = s"tmp-staging-${UUID.randomUUID()}"
     val staging = new Path(store.rootPath, stagingName)
     val dirs = dirCols()
-    val writer = prepared.write.mode("overwrite")
-    (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).parquet(staging.toString)
+    val writer = prepared.write.mode("overwrite").format(schema.fileFormat)
+    (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).save(staging.toString)
 
     try collectStatsAndMove(staging, level, seq)
     finally store.fs.delete(staging, true)
@@ -438,16 +438,35 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       }
     }
 
+  /** Columns with a bloom index sidecar (option `file-index.bloom.columns`,
+    * reference: BloomFilterFileIndex.java:48-95).
+    */
+  private def bloomCols(s: TableSchema = schema): Seq[Field] =
+    s.options.get("file-index.bloom.columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filter(n => s.dataFields.exists(_.name == n))
+      .map(s.fieldByName)
+
+  private def bloomBits: Long =
+    schema.option("file-index.bloom.bits", (1L << 20).toString).toLong
+
   private def collectStatsAndMove(staging: Path, level: Int, seq: Long): Seq[DataFileMeta] = {
     val fs = store.fs
     if (!fs.exists(staging)) return Nil
     val staged = spark.read
       .schema(StructType(physicalDataSchema().fields)) // data cols only; dirs ignored
       .option("basePath", staging.toString)
-      .parquet(staging.toString)
+      .format(schema.fileFormat)
+      .load(staging.toString)
 
     val cols = statCols()
-    val aggs = Seq(count(lit(1)).as("__cnt")) ++ cols.zipWithIndex.flatMap { case (f, i) =>
+    val blooms = bloomCols()
+    val bloomAggs = blooms.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.graft.SparkShims
+        .bloomFilterAgg(xxhash64(col(f.name)), bloomBits).as(s"__bf$i")
+    }
+    val aggs = Seq(count(lit(1)).as("__cnt")) ++ bloomAggs ++
+      cols.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
       val statC = f.sparkType match {
         // long strings bloat manifests: collect one char past the cap so the
@@ -496,6 +515,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         f.name -> ColStats(mn, mx, r.getAs[Long](s"__nc$i"))
       }.toMap
 
+      val bloomPaths = blooms.zipWithIndex.flatMap { case (f, i) =>
+        Option(r.getAs[Array[Byte]](s"__bf$i")).map(b => f.name -> store.writeBloom(b))
+      }.toMap
+
       val fileName = rel.split('/').last
       val targetRel = (Seq("data") ++ segs :+ fileName).mkString("/")
       val target = new Path(store.rootPath, targetRel)
@@ -511,7 +534,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         level = level,
         minSeq = seq, maxSeq = seq,
         schemaId = schema.id,
-        stats = stats)
+        stats = stats,
+        blooms = bloomPaths)
     }
   }
 }
@@ -519,6 +543,13 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 object GraftTable {
   /** Highest LSM level — fully-compacted files live here. */
   val MaxLevel = 5
+
+  /** File-format instance for a schema version's data files. */
+  def fileFormatOf(s: TableSchema): org.apache.spark.sql.execution.datasources.FileFormat =
+    s.fileFormat match {
+      case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case _ => new ParquetFileFormat
+    }
 
   /** Max stored length of string min/max stats. */
   val StatsStringCap = 64

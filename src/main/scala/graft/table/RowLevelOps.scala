@@ -40,6 +40,8 @@ trait RowLevelOps { self: GraftTable =>
     * existing bitmaps union in.
     */
   private def deleteWithDvs(cond: Column): Snapshot = {
+    require(schema.fileFormat == "parquet",
+      "deletion vectors need the parquet row_index metadata column")
     val snapOpt = store.latestSnapshot
     if (snapOpt.isEmpty) return commitFiles(Nil, CommitKind.APPEND)
     val live = store.liveFiles(snapOpt.get)

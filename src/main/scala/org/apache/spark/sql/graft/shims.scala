@@ -34,6 +34,27 @@ object SparkShims {
     spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
 
+  /** Spark's internal bloom-filter aggregate (the engine behind runtime
+    * filtering) as a usable Column — builds an
+    * org.apache.spark.util.sketch.BloomFilter over the child's LONG values.
+    */
+  def bloomFilterAgg(child: org.apache.spark.sql.Column, numBits: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expr(child), Literal(numBits / 16), Literal(numBits))
+    column(agg.toAggregateExpression())
+  }
+
+  /** Driver-side xxhash64 of one literal, matching the executor-side
+    * `xxhash64(col)` used when the bloom was built (seed 42).
+    */
+  def xxhash64Literal(dt: org.apache.spark.sql.types.DataType, value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val v = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(value)
+    XxHash64(Seq(Literal.create(v, dt)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+  }
+
   /** Mark a batch DataFrame as streaming — required of DataFrames a DSv1
     * streaming Source returns from getBatch.
     */

@@ -77,6 +77,50 @@ class FeatureSpec extends SparkSpec {
     assert(t.store.liveFiles(t.store.latestSnapshot.get).forall(_.dvPath.isEmpty))
   }
 
+  test("bloom file index: point equality skips files stats cannot exclude") {
+    val li = sf("lineitem")
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      options = Map("file-index.bloom.columns" -> "l_orderkey"))
+    // two commits over interleaved keys: min/max ranges overlap fully, so
+    // stats alone cannot skip either file — only the bloom can
+    t.append(li.filter(col("l_orderkey") % 2 === 0).coalesce(1))
+    t.append(li.filter(col("l_orderkey") % 2 === 1).coalesce(1))
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(live.forall(_.blooms.contains("l_orderkey")))
+    // an even key must be bloom-excluded from the odd file
+    import org.apache.spark.sql.sources.EqualTo
+    val keep = live.filter(f => graft.spark.GraftFileIndex.bloomMightMatch(
+      t.store, t.schema, f, Seq(EqualTo("l_orderkey", 8L))))
+    assert(keep.size == 1, s"bloom should prune to one file, kept ${keep.size}")
+    // answers unchanged
+    val exp = li.filter(col("l_orderkey") === 8).count()
+    assert(t.toDF.filter(col("l_orderkey") === 8).count() == exp)
+  }
+
+  test("orc file format: PK round trip with merge-on-read and SQL scan") {
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "v", "x")
+    val t = GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"),
+      options = Map("file.format" -> "orc"))
+    t.upsert(df)
+    t.upsert(Seq((2L, "b2", 4.0), (3L, "c", 3.0)).toDF("k", "v", "x"))
+    assert(t.store.liveFiles(t.store.latestSnapshot.get)
+      .forall(_.path.endsWith(".orc")))
+    val rows = t.toDF.orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // DSv2 merged read over orc
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.g4", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g4.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g4.db")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(t.location),
+      new org.apache.hadoop.fs.Path(s"$wh/db/orct"))
+    val got = spark.sql("SELECT k, v FROM g4.db.orct ORDER BY k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
   test("branches: independent writes, expiry safety, fast-forward") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val t = GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"))
