@@ -243,6 +243,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       commitKind: String,
       commitIdentifier: Long = -1L,
       watermark: Option[Long] = None,
+      changelog: Seq[ManifestEntry] = Nil,
       maxRetries: Int = 20): CommitResult = {
     var attempt = 0
     while (true) {
@@ -307,7 +308,9 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         timestampMs = System.currentTimeMillis(),
         manifestMeta = meta,
         maxCommitIdentifier =
-          math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L), commitIdentifier))
+          math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L), commitIdentifier),
+        changelogManifests =
+          if (changelog.isEmpty) Nil else Seq(writeManifest(changelog)))
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
         return CommitResult(snap, committed = true)
       }

@@ -92,7 +92,12 @@ case class Snapshot(
       * exactly-once replay check (identifiers are monotone batch ids;
       * reference: FileStoreCommitImpl.filterCommitted:202-207).
       */
-    maxCommitIdentifier: Long = -1L) {
+    maxCommitIdentifier: Long = -1L,
+    /** Manifests of changelog files this commit produced (reference:
+      * Snapshot.changelogManifestList — the full-compaction producer's
+      * -U/+U/-D stream, Snapshot.java:103-176).
+      */
+    changelogManifests: Seq[String] = Nil) {
 
   def toJson: String = {
     val n = Json.obj()
@@ -105,6 +110,9 @@ case class Snapshot(
     watermark.foreach(w => n.put("watermark", w))
     n.put("timestampMs", timestampMs)
     n.put("maxCommitIdentifier", maxCommitIdentifier)
+    if (changelogManifests.nonEmpty) {
+      val cm = n.putArray("changelogManifests"); changelogManifests.foreach(cm.add)
+    }
     if (manifestMeta.nonEmpty) {
       val mm = n.putArray("manifestMeta")
       manifestMeta.foreach { m =>
@@ -148,7 +156,9 @@ object Snapshot {
       Json.optLong(n, "watermark"),
       n.get("timestampMs").asLong(),
       meta,
-      Json.optLong(n, "maxCommitIdentifier").getOrElse(-1L))
+      Json.optLong(n, "maxCommitIdentifier").getOrElse(-1L),
+      Option(n.get("changelogManifests"))
+        .map(a => Json.elems(a).map(_.asText())).getOrElse(Nil))
   }
 }
 

@@ -1,0 +1,138 @@
+package graft.spark.v2
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** Session extensions: a tiny pre-parser for maintenance procedures
+  * (reference: PaimonSparkSessionExtensions.scala:30-60 + the CALL grammar
+  * PaimonSqlExtensions.g4:68-75 + CompactProcedure etc.). Everything that
+  * is not `CALL <catalog>.sys.<proc>(...)` delegates to Spark's parser.
+  *
+  * Register with
+  * `spark.sql.extensions=graft.spark.v2.GraftExtensions`. Examples:
+  * {{{
+  *   CALL graft.sys.compact('db.t')
+  *   CALL graft.sys.expire_snapshots('db.t', 3)
+  *   CALL graft.sys.create_tag('db.t', 'v1', 2)
+  *   CALL graft.sys.create_branch('db.t', 'dev', 2)
+  *   CALL graft.sys.fast_forward('db.t', 'dev')
+  *   CALL graft.sys.rollback('db.t', 1)
+  *   CALL graft.sys.zorder('db.t', 'a,b')
+  *   CALL graft.sys.remove_orphan_files('db.t')
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+}
+
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val CallRe =
+    """(?is)\s*CALL\s+(?:([A-Za-z0-9_]+)\s*\.)?\s*sys\s*\.\s*([A-Za-z0-9_]+)\s*\((.*)\)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CallRe(catalog, proc, args) =>
+      CallProcedureCommand(Option(catalog), proc.toLowerCase,
+        GraftSqlParser.splitArgs(args))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  /** Split a CALL argument list on top-level commas; unquote literals. */
+  def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote
+      case ',' if !inQuote => out += cur.toString.trim; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty || out.nonEmpty) out += cur.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+}
+
+/** Executes one maintenance procedure (reference: the Spark procedures in
+  * paimon-spark/.../spark/procedure/).
+  */
+case class CallProcedureCommand(catalog: Option[String], proc: String,
+    args: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = resolveTable(spark, args.headOption.getOrElse(
+      throw new IllegalArgumentException(s"CALL sys.$proc: first arg must be the table")))
+    val msg = proc match {
+      case "compact" =>
+        if (table.isPrimaryKeyed) { val s = table.compact(); s"compacted to snapshot ${s.id}" }
+        else { val s = table.compactSmallFiles(); s"compacted to snapshot ${s.id}" }
+      case "zorder" | "sort_compact" =>
+        val cols = args(1).split(",").map(_.trim).toSeq
+        val s = table.sortCompact(cols, if (proc == "zorder") "zorder" else "order")
+        s"clustered on ${cols.mkString(",")} at snapshot ${s.id}"
+      case "expire_snapshots" =>
+        val expired = table.expireSnapshots(args(1).toInt)
+        s"expired ${expired.size} snapshots"
+      case "create_tag" => table.store.createTag(args(1), args(2).toLong); s"tag ${args(1)}"
+      case "delete_tag" => table.store.deleteTag(args(1)); s"deleted tag ${args(1)}"
+      case "create_branch" =>
+        table.createBranch(args(1), args(2).toLong); s"branch ${args(1)}"
+      case "delete_branch" => table.store.deleteBranch(args(1)); s"deleted branch ${args(1)}"
+      case "fast_forward" =>
+        val s = table.fastForward(args(1)); s"fast-forwarded to snapshot ${s.id}"
+      case "rollback" =>
+        val s = table.rollbackTo(args(1).toLong); s"rolled back at snapshot ${s.id}"
+      case "remove_orphan_files" =>
+        val older = if (args.size > 1) args(1).toLong else 24L * 3600 * 1000
+        s"removed ${table.removeOrphanFiles(older).size} orphan files"
+      case other => throw new IllegalArgumentException(s"unknown procedure: sys.$other")
+    }
+    Seq(Row(msg))
+  }
+
+  /** Accept a filesystem path or a <catalog>.<ns>.<table> / <ns>.<table>
+    * identifier against the CALL's catalog.
+    */
+  private def resolveTable(spark: SparkSession, ref: String): GraftTable = {
+    if (ref.contains("/")) return GraftTable.load(spark, ref)
+    val parts = ref.split("\\.").toSeq
+    val (cat, ident) = (catalog, parts) match {
+      case (Some(c), ns :+ t) => (c, Identifier.of(ns.toArray, t))
+      case (None, c +: ns :+ t) if ns.nonEmpty => (c, Identifier.of(ns.toArray, t))
+      case (None, ns :+ t) => ("graft", Identifier.of(ns.toArray, t))
+      case _ => throw new IllegalArgumentException(s"cannot resolve table: $ref")
+    }
+    spark.sessionState.catalogManager.catalog(cat) match {
+      case tc: TableCatalog => tc.loadTable(ident) match {
+        case g: GraftSparkTable => g.table
+        case other => throw new IllegalArgumentException(s"not a graft table: $other")
+      }
+      case other => throw new IllegalArgumentException(s"not a table catalog: $other")
+    }
+  }
+}

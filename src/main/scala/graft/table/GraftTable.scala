@@ -214,10 +214,17 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * INCREMENTAL_BETWEEN CoreOptions.java:916).
     */
   def incremental(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val producer = schema.option(TableSchema.ChangelogProducerOpt, "input")
     val ids = store.snapshotIds.filter(id => id > fromExclusive && id <= toInclusive)
     val files = ids.flatMap { id =>
       val s = store.readSnapshot(id)
-      s.deltaManifests.flatMap(store.readManifest).collect {
+      if (producer == "full-compaction")
+        // exact -U/+U/-D stream produced at compaction time (reference:
+        // FullChangelogMergeTreeCompactRewriter.java:43)
+        s.changelogManifests.flatMap(store.readManifest).collect {
+          case ManifestEntry(ManifestEntry.ADD, f) => f
+        }
+      else s.deltaManifests.flatMap(store.readManifest).collect {
         case ManifestEntry(ManifestEntry.ADD, f) if f.level == 0 => f
       }
     }
@@ -393,8 +400,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   }
 
   def commitFiles(entries: Seq[ManifestEntry], kind: String,
-      commitIdentifier: Long = -1L): Snapshot =
-    store.commit(entries, kind, commitIdentifier, watermarkOf(entries)).snapshot
+      commitIdentifier: Long = -1L,
+      changelog: Seq[ManifestEntry] = Nil): Snapshot =
+    store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
+      changelog).snapshot
 
   /** Event-time watermark of a commit, derived from the per-file max stats
     * of the configured `watermark.column` — no extra pass over the data

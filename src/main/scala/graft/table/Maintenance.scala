@@ -82,6 +82,7 @@ trait MaintenanceOps { self: GraftTable =>
     val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
     val touched = live.filter(f => groups.contains((f.partition, f.bucket)))
     if (touched.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
+    val seq = store.latestSnapshotId.getOrElse(0L)
     val raw = rawUnion(touched, schema)
     val merged = MergeEngines.mergeRaw(schema, raw, BucketCol)
       .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
@@ -90,12 +91,60 @@ trait MaintenanceOps { self: GraftTable =>
     val prepared = merged
       .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
       .sortWithinPartitions(sortCols: _*)
-    val files = stageWrite(prepared, level = GraftTable.MaxLevel,
-      seq = store.latestSnapshotId.getOrElse(0L))
+    val files = stageWrite(prepared, level = GraftTable.MaxLevel, seq = seq)
+    // full-compaction changelog: exact -U/+U/-D diff between the previous
+    // compacted state and the new one (reference:
+    // FullChangelogMergeTreeCompactRewriter.java:43)
+    val changelog =
+      if (schema.option(TableSchema.ChangelogProducerOpt, "none") != "full-compaction") Nil
+      else {
+        val oldTop = rawUnion(touched.filter(_.level >= GraftTable.MaxLevel), schema)
+        changelogDiff(oldTop, rawUnion(files, schema), seq)
+      }
     commitFiles(
       touched.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         files.map(ManifestEntry(ManifestEntry.ADD, _)),
-      CommitKind.COMPACT)
+      CommitKind.COMPACT,
+      changelog = changelog)
+  }
+
+  /** Compute the per-key diff of two merged states and stage it as
+    * changelog files: +I for new keys, -U/+U pairs for changed values, -D
+    * for vanished keys. One full-outer join on the primary key, one write.
+    */
+  private def changelogDiff(oldState: org.apache.spark.sql.DataFrame,
+      newState: org.apache.spark.sql.DataFrame, seq: Long): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.functions.{array, coalesce, explode, filter => afilter, struct, when}
+    val pks = schema.primaryKeys
+    val values = schema.fields.map(_.name).filterNot(pks.contains)
+    def side(df: org.apache.spark.sql.DataFrame, mark: String) =
+      df.select((schema.fields.map(f => col(f.name)) :+ col(BucketCol)): _*)
+        .withColumn(mark, lit(1))
+    val o = side(oldState, "__om").alias("o")
+    val n = side(newState, "__nm").alias("n")
+    val cond = pks.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val joined = o.join(n, cond, "full_outer")
+    val oldOnly = col("__om").isNotNull && col("__nm").isNull
+    val newOnly = col("__nm").isNotNull && col("__om").isNull
+    val changed = col("__om").isNotNull && col("__nm").isNotNull &&
+      !(struct(values.map(v => col(s"o.$v")): _*) <=>
+        struct(values.map(v => col(s"n.$v")): _*))
+    def out(kind: Byte, s: String) = struct(
+      (lit(kind).as("__k") +: schema.fields.map(f => col(s"$s.${f.name}").as(f.name))) :+
+        col(s"$s.$BucketCol").as(BucketCol): _*)
+    val candidates = array(
+      when(newOnly, out(KindInsert, "n")),
+      when(changed, out(KindUpdateBefore, "o")),
+      when(changed, out(KindUpdateAfter, "n")),
+      when(oldOnly, out(KindDelete, "o")))
+    val rows = joined
+      .select(explode(afilter(candidates, x => x.isNotNull)).as("r"))
+      .select(col("r.*"))
+      .withColumn(KindCol, col("__k")).drop("__k")
+      .withColumn(SeqCol, lit(seq))
+      .withColumn(PosCol, when(col(KindCol) === lit(KindUpdateBefore), 0L).otherwise(1L))
+    val files = stageWrite(rows, level = 0, seq = seq)
+    files.map(ManifestEntry(ManifestEntry.ADD, _))
   }
 
   /** Full compaction of a primary-key table: merge every (partition, bucket)
@@ -108,20 +157,7 @@ trait MaintenanceOps { self: GraftTable =>
     require(isPrimaryKeyed, "use compactSmallFiles() for append tables")
     val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
     if (live.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
-    val raw = rawUnion(live, schema)
-    val merged = MergeEngines.mergeRaw(schema, raw, BucketCol)
-      .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
-      .withColumn(KindCol, lit(KindInsert))
-    val sortCols = (dirColsPublic ++ schema.primaryKeys).map(col)
-    val prepared = merged
-      .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
-      .sortWithinPartitions(sortCols: _*)
-    val files = stageWrite(prepared, level = GraftTable.MaxLevel,
-      seq = store.latestSnapshotId.getOrElse(0L))
-    commitFiles(
-      live.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
-        files.map(ManifestEntry(ManifestEntry.ADD, _)),
-      CommitKind.COMPACT)
+    compactBuckets(live.map(f => (f.partition, f.bucket)).toSet)
   }
 
   /** Append-table compaction: bin-pack small files into target-size files,
@@ -192,12 +228,14 @@ trait MaintenanceOps { self: GraftTable =>
     val keepSnapshots = retain.map(store.readSnapshot) ++ store.listTags.map(_._2) ++
       store.listBranches.map(store.ofBranch)
         .flatMap(b => b.snapshotIds.map(b.readSnapshot) ++ b.listTags.map(_._2))
-    val keepManifests = keepSnapshots.flatMap(s => s.manifests ++ s.deltaManifests).toSet
+    val keepManifests = keepSnapshots
+      .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).toSet
     val keepFiles = keepManifests.flatMap(m =>
       store.readManifest(m).collect { case ManifestEntry(_, f) => f.path })
 
     val expireSnaps = expire.map(store.readSnapshot)
-    val expireManifests = expireSnaps.flatMap(s => s.manifests ++ s.deltaManifests)
+    val expireManifests = expireSnaps
+      .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests)
       .distinct.filterNot(keepManifests.contains)
     val expireFiles = expireManifests.flatMap(m =>
       store.readManifest(m).map(_.file.path)).distinct.filterNot(keepFiles.contains)
@@ -216,7 +254,7 @@ trait MaintenanceOps { self: GraftTable =>
     val fs = store.fs
     if (!fs.exists(store.dataDir)) return Nil
     val referenced = store.allReferencedSnapshots
-      .flatMap(s => s.manifests ++ s.deltaManifests).distinct
+      .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).distinct
       .flatMap(m => store.readManifest(m).map(_.file.path))
       .map(p => new Path(store.rootPath, p).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs

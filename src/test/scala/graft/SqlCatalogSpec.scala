@@ -94,6 +94,26 @@ class SqlCatalogSpec extends SparkSpec {
       .forall(_.getString(1) != "nat"))
   }
 
+  test("CALL procedures: compact, tags, branches, rollback through SQL") {
+    spark.sql(
+      """CREATE TABLE graft.db.proc_t (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.proc_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.proc_t VALUES (2, 'b2'), (3, 'c')")
+
+    val r1 = spark.sql("CALL graft.sys.create_tag('db.proc_t', 'v1', 1)").collect()
+    assert(r1.head.getString(0).contains("v1"))
+    val r2 = spark.sql("CALL graft.sys.compact('db.proc_t')").collect()
+    assert(r2.head.getString(0).contains("compacted"))
+    assert(spark.sql("SELECT count(*) FROM graft.db.proc_t").collect()(0).getLong(0) == 3)
+
+    spark.sql("CALL graft.sys.create_branch('db.proc_t', 'dev', 1)")
+    spark.sql("CALL graft.sys.rollback('db.proc_t', 1)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.proc_t").collect()(0).getLong(0) == 2)
+    val r3 = spark.sql("CALL graft.sys.expire_snapshots('db.proc_t', 1)").collect()
+    assert(r3.head.getString(0).contains("expired"))
+  }
+
   test("merge engines through SQL: aggregation table") {
     spark.sql(
       """CREATE TABLE graft.db.uagg (user_id BIGINT, total DOUBLE, n BIGINT)

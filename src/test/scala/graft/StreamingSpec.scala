@@ -65,6 +65,28 @@ class StreamingSpec extends SparkSpec {
       ("+I", 2L, 2L, "b2"), ("+I", 2L, 3L, "c")))
   }
 
+  test("full-compaction changelog producer emits exact -U/+U/-D stream") {
+    val path = tmpTable()
+    val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val t = GraftTable.create(spark, path, df1.schema, primaryKeys = Seq("k"),
+      options = Map("changelog-producer" -> "full-compaction", "bucket" -> "2"))
+    t.upsert(df1)
+    t.compact() // snapshot 2: first compaction → all keys +I
+    val first = t.incremental(1, 2).select("_row_kind", "k", "v")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(first.toSeq == Seq(("+I", 1L, "a"), ("+I", 2L, "b"), ("+I", 3L, "c")))
+
+    // update key 2, delete key 3, add key 4 → compact → exact diff
+    t.upsert(Seq((2L, "b2"), (4L, "d")).toDF("k", "v"))
+    t.upsert(Seq((3L, "c")).toDF("k", "v"), kinds = Some(lit(GraftMeta.KindDelete)))
+    t.compact() // snapshot 5
+    val diff = t.incremental(4, 5)
+      .select("_row_kind", "k", "v").orderBy("k", "_row_kind").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(diff.toSeq == Seq(
+      ("+U", 2L, "b2"), ("-U", 2L, "b"), ("-D", 3L, "c"), ("+I", 4L, "d")))
+  }
+
   test("watermark.column: snapshot watermarks populate from file stats, stay monotone") {
     val path = tmpTable()
     val df1 = Seq((1L, 100L, "x"), (2L, 300L, "y")).toDF("k", "ts", "v")
