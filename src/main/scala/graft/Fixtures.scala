@@ -264,6 +264,59 @@ object Fixtures {
     tbl
   }
 
+  /** Deletion-vector table: lineitem append with DVs enabled, low
+    * quantities deleted in place (no rewrite).
+    */
+  def lineitemDv(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_dv") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("deletion-vectors.enabled" -> "true"))
+      t.append(df.repartition(8))
+      t.delete(col("l_quantity") < 25)
+      t
+    }
+
+  /** ORC-format append table over lineitem. */
+  def lineitemOrc(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_orc") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("file.format" -> "orc"))
+      t.append(df)
+      t
+    }
+
+  /** Partial-update table with a read-time default for the priority. */
+  def ordersDefaults(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_defaults") { path =>
+      val df = src(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("merge-engine" -> "partial-update",
+          "fields.o_orderpriority.default-value" -> "NONE"))
+      t.upsert(df.withColumn("o_orderpriority", lit(null).cast(StringType)))
+      t.upsert(df.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", lit(null).cast(DoubleType))
+        .withColumn("o_orderpriority", lit("RUSH")))
+      t
+    }
+
+  /** full-compaction changelog: compact, upsert the doubled batch, compact
+    * again — the second compaction's changelog is the exact diff.
+    */
+  def ordersChangelog(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_changelog") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("changelog-producer" -> "full-compaction"))
+      t.upsert(df)          // snapshot 1
+      t.compact()           // snapshot 2 (+I changelog)
+      t.upsert(ordersBatch2(spark, sfDir)) // snapshot 3
+      t.compact()           // snapshot 4 (-U/+U changelog)
+      t
+    }
+
   /** Schema evolution: append nation, add a column, rename one, append again
     * under the evolved schema — old files remap by field id at read.
     */

@@ -111,6 +111,13 @@ object SparkEntry {
       s.sql(s"SELECT * FROM $t VERSION AS OF 1")
     }),
 
+    // ---- deletion vectors / formats / defaults / changelog ----
+    "q34_dv_delete" -> ((s, d) => Fixtures.lineitemDv(s, d).toDF),
+    "q35_orc_scan" -> ((s, d) => Fixtures.lineitemOrc(s, d).toDF),
+    "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
+    "q37_compaction_changelog" -> ((s, d) =>
+      Fixtures.ordersChangelog(s, d).incremental(3, 4)),
+
     // ---- LLM-pipeline: text analysis ----
     "q40_text_stats" -> ((s, d) =>
       Fixtures.src(s, d, "documents").select(
@@ -326,6 +333,20 @@ object SparkEntry {
     "q32_sql_point_lookup" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey = 42",
     "q33_sql_time_travel" -> "SELECT * FROM orders",
+    "q34_dv_delete" -> "SELECT * FROM lineitem WHERE NOT (l_quantity < 25)",
+    "q35_orc_scan" -> "SELECT * FROM lineitem",
+    "q36_default_values" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderkey % 3 = 0 THEN 'RUSH' ELSE 'NONE' END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "q37_compaction_changelog" ->
+      """SELECT '-U' AS _row_kind, CAST(3 AS BIGINT) AS _sequence_number,
+        | o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT '+U', CAST(3 AS BIGINT), o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
     "q40_text_stats" ->
       s"""SELECT doc_id,

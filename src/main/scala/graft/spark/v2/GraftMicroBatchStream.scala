@@ -1,0 +1,117 @@
+package graft.spark.v2
+
+import graft.core.{DataFileMeta, ManifestEntry, TableSchema}
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.types.StructType
+
+/** Offset = snapshot id: a batch is every delta (or changelog) file of the
+  * snapshots in (start, end].
+  */
+case class GraftOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** DSv2 micro-batch source over the snapshot chain (reference:
+  * PaimonMicroBatchStream.scala:32 + DataTableStreamScan.java:51):
+  * per-snapshot delta follow-up, admission control by row count
+  * (`read.max-rows-per-batch`), and bounded AvailableNow runs. Rows carry
+  * the table schema; use the DSv1 `format("graft")` source or the
+  * `audit_log` system table when row kinds are needed as columns.
+  */
+class GraftMicroBatchStream(
+    spark: SparkSession,
+    table: GraftTable,
+    requested: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val store = table.store
+  private var availableNowBound: Option[Long] = None
+
+  private def maxRowsPerBatch: Option[Long] =
+    table.schema.options.get("read.max-rows-per-batch").map(_.toLong)
+
+  override def initialOffset(): Offset =
+    GraftOffset(table.schema.option("scan.mode", "latest-full") match {
+      case "latest" => store.latestSnapshotId.getOrElse(0L)
+      case _ => 0L // latest-full: first batch replays current content
+    })
+
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowBound = store.latestSnapshotId
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].snapshotId
+    val upper = availableNowBound.orElse(store.latestSnapshotId).getOrElse(from)
+    val ids = store.snapshotIds.filter(id => id > from && id <= upper)
+    if (ids.isEmpty) return GraftOffset(from)
+    limit match {
+      case r: ReadMaxRows =>
+        // admit whole snapshots until the row budget is spent (at least one)
+        var rows = 0L
+        var end = from
+        ids.foreach { id =>
+          val cnt = deltaFiles(id).map(_.liveRowCount).sum
+          if (end == from || rows + cnt <= r.maxRows) { end = id; rows += cnt }
+        }
+        GraftOffset(end)
+      case _ => GraftOffset(ids.last)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(store.latestSnapshotId.getOrElse(0L))
+
+  private def deltaFiles(id: Long): Seq[DataFileMeta] = {
+    val s = store.readSnapshot(id)
+    val producer = table.schema.option(TableSchema.ChangelogProducerOpt, "input")
+    val manifests =
+      if (producer == "full-compaction") s.changelogManifests else s.deltaManifests
+    manifests.flatMap(store.readManifest).collect {
+      case ManifestEntry(ManifestEntry.ADD, f)
+        if producer == "full-compaction" || f.level == 0 => f
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].snapshotId
+    val to = end.asInstanceOf[GraftOffset].snapshotId
+    val ids = store.snapshotIds.filter(id => id > from && id <= to)
+    val files = ids.flatMap(deltaFiles)
+    // raw splits: a streaming batch replays deltas as-is, no cross-snapshot
+    // merge (reference: DeltaFollowUpScanner.java:29)
+    files.map(f => GraftInputPartition(Seq(GraftFileInfo(
+      f.path, f.size, f.partition, f.bucket, f.level, f.schemaId, f.rowCount,
+      f.dvPath)), merge = false)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // reuse the batch reader machinery; seed the per-schema read plans with
+    // EVERY schema version so any historic delta file in the stream decodes
+    // (the placeholder metas are never read — they only carry schema ids)
+    val placeholders = (0L to store.latestSchemaId).map(sid =>
+      DataFileMeta("", 0, 0, Nil, 0, 0, 0, 0, sid, Map.empty))
+    new GraftScan(spark, table, None, requested, Nil, None,
+      filesOverride = Some(placeholders)).createReaderFactory()
+  }
+
+  override def commit(end: Offset): Unit = {
+    table.schema.options.get("consumer-id").foreach { id =>
+      store.writeConsumer(id, end.asInstanceOf[GraftOffset].snapshotId + 1)
+    }
+  }
+
+  override def stop(): Unit = ()
+}

@@ -64,7 +64,9 @@ class GraftScan(
     snapshot: Option[Snapshot],
     requested: StructType,
     filters: Seq[Filter],
-    limit: Option[Int]) extends Scan with Batch with SupportsReportStatistics {
+    limit: Option[Int],
+    filesOverride: Option[Seq[DataFileMeta]] = None)
+    extends Scan with Batch with SupportsReportStatistics {
 
   private val schema = table.schema
   private def isPk = schema.isPrimaryKeyed
@@ -72,6 +74,10 @@ class GraftScan(
   override def readSchema(): StructType = requested
 
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, table, requested)
 
   /** Planning-time stats for Catalyst CBO (join reorder / broadcast
     * decisions — reference: PaimonStatistics.scala:35-50): size from pruned
@@ -92,7 +98,7 @@ class GraftScan(
 
   // ---------------- planning ----------------
 
-  private lazy val prunedFiles: Seq[DataFileMeta] = {
+  private lazy val prunedFiles: Seq[DataFileMeta] = filesOverride.getOrElse {
     val snap = snapshot.orElse(table.store.latestSnapshot)
     snap match {
       case None => Nil
@@ -162,10 +168,14 @@ class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val partitionSchema = table.partitionSchema(schema)
+    val wantsFilePath = requested.fieldNames.contains(GraftSparkTable.FilePathCol)
+    require(!(wantsFilePath && isPk),
+      s"${GraftSparkTable.FilePathCol} is defined on raw scans only " +
+        "(a merged row spans several files); use the files system table instead")
     // columns the reader must materialize: requested data cols, plus merge
     // machinery columns for PK tables
     val neededNames: Seq[String] = {
-      val base = requested.fieldNames.toSeq
+      val base = requested.fieldNames.toSeq.filterNot(_ == GraftSparkTable.FilePathCol)
       if (isPk) {
         val meta = Seq(GraftMeta.SeqCol, GraftMeta.PosCol, GraftMeta.KindCol)
         (base ++ schema.primaryKeys ++ schema.sequenceField.toSeq ++
@@ -178,8 +188,12 @@ class GraftScan(
       .filter(n => physical.fieldNames.contains(n))
 
     // uniform executor row layout: read cols ++ partition cols
+    // (+ the per-file path appended by the reader when requested)
     val rowSchema = StructType(
-      readNames.map(n => physical(physical.fieldIndex(n))) ++ partitionSchema.fields)
+      readNames.map(n => physical(physical.fieldIndex(n))) ++ partitionSchema.fields ++
+        (if (wantsFilePath)
+          Seq(StructField(GraftSparkTable.FilePathCol, StringType, nullable = false))
+        else Nil))
 
     // per-schema-version read plans (field-id remap, reference:
     // SchemaEvolutionUtil.createDataProjection:266)
@@ -227,9 +241,12 @@ class GraftScan(
         // fresh conf per plan: buildReader mutates it with the read schema,
         // and local-mode broadcasts share the object by reference
         hadoopConf = new org.apache.hadoop.conf.Configuration(hadoopConf))
-      // align (readSchemaForFile ++ partitionSchema) → rowSchema
+      // align (readSchemaForFile ++ partitionSchema) → rowSchema (the
+      // per-file path column, when present, is appended by the reader)
       val inSchema = StructType(readSchemaForFile.fields ++ partitionSchema.fields)
-      val align: Seq[Expression] = rowSchema.fields.toSeq.map { out =>
+      val align: Seq[Expression] = rowSchema.fields.toSeq
+        .filterNot(_.name == GraftSparkTable.FilePathCol)
+        .map { out =>
         if (dirNames.contains(out.name)) {
           val i = inSchema.fieldIndex(out.name)
           BoundReference(i, inSchema(i).dataType, nullable = true)
@@ -332,7 +349,14 @@ class GraftReaderFactory(
         case None => raw
       }
       val proj = UnsafeProjection.create(plan.align.toArray)
-      undeleted.map(proj)
+      val aligned = undeleted.map(proj)
+      if (!rowSchema.fieldNames.contains(GraftSparkTable.FilePathCol)) aligned
+      else {
+        val pathRow = new GenericInternalRow(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$tableRoot/${f.path}")))
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        aligned.map(r => joined(r, pathRow))
+      }
     }
 
     def readDv(rel: String): org.roaringbitmap.RoaringBitmap = {

@@ -25,11 +25,31 @@ class GraftSparkTable(
     val table: GraftTable,
     ident: Identifier,
     snapshot: Option[Snapshot] = None) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete with TruncatableTable {
+    with SupportsRead with SupportsWrite with SupportsDelete with TruncatableTable
+    with SupportsMetadataColumns {
 
   override def name(): String = ident.toString
 
   override def schema(): StructType = table.schema.structType
+
+  /** Exposed metadata columns (reference: PaimonMetadataColumn.scala:42-49):
+    * `__file_path` (raw scans) and `__bucket` (all scans of PK tables).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val filePath = new MetadataColumn {
+      override def name(): String = GraftSparkTable.FilePathCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    }
+    val bucket = new MetadataColumn {
+      override def name(): String = graft.GraftMeta.BucketCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+    }
+    if (table.isPrimaryKeyed) Array(filePath, bucket) else Array(filePath)
+  }
 
   // no OVERWRITE_DYNAMIC: Spark's dynamic-partition-overwrite exec has no
   // V1 fallback; dynamic overwrite is served by the library API
@@ -37,6 +57,7 @@ class GraftSparkTable(
   // OVERWRITE [PARTITION (...)] via OVERWRITE_BY_FILTER
   override def capabilities(): JSet[TableCapability] = Set(
     TableCapability.BATCH_READ,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
     TableCapability.OVERWRITE_BY_FILTER,
@@ -119,6 +140,7 @@ class GraftSparkTable(
   override def truncateTable(): Boolean = { table.truncate(); true }
 
   private def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.sources._
     f match {
@@ -142,4 +164,8 @@ class GraftSparkTable(
       case other => throw new UnsupportedOperationException(s"DELETE filter: $other")
     }
   }
+}
+
+object GraftSparkTable {
+  val FilePathCol = "__file_path"
 }

@@ -114,6 +114,24 @@ class SqlCatalogSpec extends SparkSpec {
     assert(r3.head.getString(0).contains("expired"))
   }
 
+  test("metadata columns: __file_path on raw scans, __bucket on merged reads") {
+    spark.sql("CREATE TABLE graft.db.meta_t (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.db.meta_t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.db.meta_t VALUES (2, 'b')")
+    val paths = spark.sql("SELECT k, __file_path FROM graft.db.meta_t")
+      .collect().map(_.getString(1))
+    assert(paths.distinct.length == 2, "two commits → two distinct file paths")
+    assert(paths.forall(_.endsWith(".parquet")))
+
+    spark.sql(
+      """CREATE TABLE graft.db.meta_pk (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '4')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.meta_pk VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val buckets = spark.sql("SELECT k, __bucket FROM graft.db.meta_pk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(buckets.size == 3 && buckets.values.forall(b => b >= 0 && b < 4))
+  }
+
   test("merge engines through SQL: aggregation table") {
     spark.sql(
       """CREATE TABLE graft.db.uagg (user_id BIGINT, total DOUBLE, n BIGINT)

@@ -87,6 +87,31 @@ class StreamingSpec extends SparkSpec {
       ("+U", 2L, "b2"), ("-U", 2L, "b"), ("-D", 3L, "c"), ("+I", 4L, "d")))
   }
 
+  test("v2 streaming: readStream.table with admission control and AvailableNow") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.gs", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
+    spark.sql(
+      """CREATE TABLE gs.db.st (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'read.max-rows-per-batch' = '2')""".stripMargin)
+    spark.sql("INSERT INTO gs.db.st VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gs.db.st VALUES (3, 'c')")
+    spark.sql("INSERT INTO gs.db.st VALUES (2, 'b2'), (4, 'd')")
+
+    val q = spark.readStream.table("gs.db.st")
+      .writeStream.format("memory").queryName("v2_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow must terminate")
+    // admission control: 3 snapshots with max 2 rows/batch → multiple batches
+    assert(q.recentProgress.length >= 2, "row limit should split the backlog")
+    val got = spark.table("v2_stream_out").orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"), (4L, "d")))
+  }
+
   test("watermark.column: snapshot watermarks populate from file stats, stay monotone") {
     val path = tmpTable()
     val df1 = Seq((1L, 100L, "x"), (2L, 300L, "y")).toDF("k", "ts", "v")
