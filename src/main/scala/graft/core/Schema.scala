@@ -55,6 +55,14 @@ case class TableSchema(
   def mergeEngine: String = option(TableSchema.MergeEngineOpt, "deduplicate")
   def sequenceField: Option[String] = options.get(TableSchema.SequenceFieldOpt)
   def isPrimaryKeyed: Boolean = primaryKeys.nonEmpty
+  /** Primary key does not pin the partition: a key may move between
+    * partitions across upserts, so merging groups by (bucket, pk) across
+    * partitions (reference: CROSS_PARTITION bucket mode,
+    * crosspartition/GlobalIndexAssigner — ours resolves by merge instead of
+    * a global index).
+    */
+  def crossPartition: Boolean =
+    isPrimaryKeyed && !partitionKeys.forall(primaryKeys.contains)
 
   def toJson: String = {
     val root = Json.obj()

@@ -48,7 +48,11 @@ object MergeEngines {
     * does not drop deletes — compaction uses this to rewrite state.
     */
   def mergeRaw(schema: TableSchema, raw: DataFrame, bucketCol: String): DataFrame = {
-    val groupCols = (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys
+    // cross-partition keys merge across partitions: partition columns are
+    // carried values (the winner's partition), not group keys
+    val groupCols =
+      if (schema.crossPartition) bucketCol +: schema.primaryKeys
+      else (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys
     val ord = ordering(schema)
     schema.mergeEngine match {
       case "deduplicate" => dedup(schema, raw, groupCols, ord, first = false)
@@ -61,7 +65,9 @@ object MergeEngines {
 
   /** Values (non-group) fields we must carry through the merge. */
   private def valueFields(schema: TableSchema): Seq[String] = {
-    val group = (schema.partitionKeys ++ schema.primaryKeys).toSet
+    val group =
+      if (schema.crossPartition) schema.primaryKeys.toSet
+      else (schema.partitionKeys ++ schema.primaryKeys).toSet
     schema.fields.map(_.name).filterNot(group.contains)
   }
 

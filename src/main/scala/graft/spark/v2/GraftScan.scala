@@ -106,8 +106,21 @@ class GraftScan(
         val typeOf: String => Option[DataType] =
           n => schema.fields.find(_.name == n).map(_.sparkType)
         val partKeys = schema.partitionKeys
-        val partFilters = filters.filter(f =>
-          f.references.nonEmpty && f.references.forall(partKeys.contains))
+        // pre-merge file pruning on a PK table may only use KEY-determined
+        // columns — a value-column predicate could drop the file holding a
+        // key's NEWEST version and resurrect a stale one (reference:
+        // KeyValueFileStoreScan filters by key stats only, :48-116). In
+        // cross-partition mode a key can move partitions, so even partition
+        // predicates cannot prune pre-merge.
+        val partFilters =
+          if (schema.crossPartition) Nil
+          else filters.filter(f =>
+            f.references.nonEmpty && f.references.forall(partKeys.contains))
+        val pruningFilters =
+          if (!isPk) filters
+          else filters.filter(_.references.forall(r =>
+            schema.primaryKeys.contains(r) ||
+              (!schema.crossPartition && partKeys.contains(r))))
         val bucketOf = GraftFileIndex.bucketFromFilters(schema, filters)
         val candidates = table.store.liveFiles(s, meta => (meta.ptMin, meta.ptMax) match {
           case (Some(lo), Some(hi)) =>
@@ -117,8 +130,8 @@ class GraftScan(
         val selected = candidates.filter { f =>
           partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
           bucketOf.forall(b => !isPk || f.bucket == b) &&
-          filters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
-          GraftFileIndex.bloomMightMatch(table.store, schema, f, filters)
+          pruningFilters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
+          GraftFileIndex.bloomMightMatch(table.store, schema, f, pruningFilters)
         }
         limit match {
           // limit pushdown (reference: DataTableBatchScan.applyPushDownLimit
@@ -158,7 +171,12 @@ class GraftScan(
         packs.map(p => GraftInputPartition(p.toSeq, merge = false))
       }.toArray
     } else {
-      prunedFiles.groupBy(f => (f.partition, f.bucket)).map { case (_, fs) =>
+      // cross-partition keys share a bucket regardless of partition, so the
+      // merge split must span the bucket's partitions
+      val grouped =
+        if (schema.crossPartition) prunedFiles.groupBy(f => (Seq.empty[String], f.bucket))
+        else prunedFiles.groupBy(f => (f.partition, f.bucket))
+      grouped.map { case (_, fs) =>
         // a single fully-compacted file needs no merge → vectorized raw read
         val raw = fs.size == 1 && fs.head.level >= GraftTable.MaxLevel
         GraftInputPartition(fs.map(info), merge = !raw)

@@ -579,9 +579,8 @@ object GraftTable {
       partitionKeys: Seq[String] = Nil,
       primaryKeys: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): GraftTable = {
-    require(primaryKeys.isEmpty || partitionKeys.forall(primaryKeys.contains),
-      "primary key must include all partition keys (cross-partition upsert " +
-        "is not supported; reference has the same constraint for non-global-index modes)")
+    // pk ⊉ partition keys → cross-partition mode: keys merge across
+    // partitions by (bucket, pk); see TableSchema.crossPartition
     val store = new FileStore(path, spark.sessionState.newHadoopConf())
     require(!store.schemaExists, s"table already exists at $path")
     store.commitSchema(TableSchema.create(schema, partitionKeys, primaryKeys, options))

@@ -80,7 +80,13 @@ trait MaintenanceOps { self: GraftTable =>
   def compactBuckets(groups: Set[(Seq[String], Int)]): Snapshot = {
     require(isPrimaryKeyed, "use compactSmallFiles() for append tables")
     val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
-    val touched = live.filter(f => groups.contains((f.partition, f.bucket)))
+    // cross-partition keys live anywhere in their bucket → compact the
+    // whole bucket across partitions
+    val touched =
+      if (schema.crossPartition) {
+        val buckets = groups.map(_._2)
+        live.filter(f => buckets.contains(f.bucket))
+      } else live.filter(f => groups.contains((f.partition, f.bucket)))
     if (touched.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
     val seq = store.latestSnapshotId.getOrElse(0L)
     val raw = rawUnion(touched, schema)

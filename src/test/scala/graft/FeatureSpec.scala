@@ -121,6 +121,39 @@ class FeatureSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("cross-partition upsert: a key moving partitions keeps one live version") {
+    val df1 = Seq((1L, "2024-01", 10.0), (2L, "2024-01", 20.0), (3L, "2024-02", 30.0))
+      .toDF("id", "month", "amount")
+    val t = GraftTable.create(spark, tmpTable(), df1.schema,
+      partitionKeys = Seq("month"), primaryKeys = Seq("id"),
+      options = Map("bucket" -> "2"))
+    assert(t.schema.crossPartition)
+    t.upsert(df1)
+    // key 2 moves to partition 2024-02 with a new amount
+    t.upsert(Seq((2L, "2024-02", 25.0)).toDF("id", "month", "amount"))
+    val rows = t.toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      (1L, "2024-01", 10.0), (2L, "2024-02", 25.0), (3L, "2024-02", 30.0)),
+      s"moved key must surface once, in its new partition: ${rows.toSeq}")
+    // v2 SQL path merges across partitions too
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.g5", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g5.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g5.db")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(t.location),
+      new org.apache.hadoop.fs.Path(s"$wh/db/xpt"))
+    val sqlRows = spark.sql("SELECT id, month, amount FROM g5.db.xpt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(sqlRows.toSeq == rows.toSeq)
+    // compaction folds the stale version away and answers stay identical
+    t.compact()
+    val after = t.toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(after.toSeq == rows.toSeq)
+  }
+
   test("branches: independent writes, expiry safety, fast-forward") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val t = GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"))
