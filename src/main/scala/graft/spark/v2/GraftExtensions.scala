@@ -30,8 +30,29 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // incremental changelog as a table-valued function (reference:
+    // extensions.injectTableFunction, PaimonSparkSessionExtensions.scala:51;
+    // TableValuedFunctionsTest.scala:55):
+    //   SELECT * FROM graft_incremental_query('<table path>', from, to)
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_incremental_query"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_incremental_query"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_incremental_query(table_path, from_snapshot_exclusive, to_snapshot)")
+        def str(e: Expression): String = e.eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other.toString
+        }
+        val spark = SparkSession.active
+        val df = GraftTable.load(spark, str(args(0)))
+          .incremental(str(args(1)).toLong, str(args(2)).toLong)
+        org.apache.spark.sql.graft.SparkShims.analyzed(df)
+      }))
+  }
 }
 
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {

@@ -132,6 +132,19 @@ class SqlCatalogSpec extends SparkSpec {
     assert(buckets.size == 3 && buckets.values.forall(b => b >= 0 && b < 4))
   }
 
+  test("incremental query TVF returns the changelog of a snapshot range") {
+    import spark.implicits._
+    val path = tmpTable()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, path, df.schema, primaryKeys = Seq("k"))
+    t.upsert(df)
+    t.upsert(Seq((3L, "c")).toDF("k", "v"))
+    val rows = spark.sql(
+      s"SELECT _row_kind, k, v FROM graft_incremental_query('$path', 1, 2)").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("+I", 3L, "c")))
+  }
+
   test("merge engines through SQL: aggregation table") {
     spark.sql(
       """CREATE TABLE graft.db.uagg (user_id BIGINT, total DOUBLE, n BIGINT)
