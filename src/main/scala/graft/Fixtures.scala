@@ -317,6 +317,19 @@ object Fixtures {
       t
     }
 
+  /** Cross-partition PK table: partitioned by status, keyed by orderkey —
+    * the second batch MOVES the %7 keys into partition 'X'.
+    */
+  def ordersCrossPartition(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_cross") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        partitionKeys = Seq("o_orderstatus"), primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir).withColumn("o_orderstatus", lit("X")))
+      t
+    }
+
   /** Schema evolution: append nation, add a column, rename one, append again
     * under the evolved schema — old files remap by field id at read.
     */

@@ -117,6 +117,7 @@ object SparkEntry {
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
+    "q38_cross_partition" -> ((s, d) => Fixtures.ordersCrossPartition(s, d).toDF),
 
     // ---- LLM-pipeline: text analysis ----
     "q40_text_stats" -> ((s, d) =>
@@ -347,6 +348,12 @@ object SparkEntry {
         |SELECT '+U', CAST(3 AS BIGINT), o_orderkey, o_custkey, o_orderstatus,
         | o_totalprice * 2, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "q38_cross_partition" ->
+      """SELECT o_orderkey, o_custkey,
+        | CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     "q40_text_stats" ->
       s"""SELECT doc_id,
