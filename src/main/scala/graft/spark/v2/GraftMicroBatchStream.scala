@@ -59,12 +59,19 @@ class GraftMicroBatchStream(
     if (ids.isEmpty) return GraftOffset(from)
     limit match {
       case r: ReadMaxRows =>
-        // admit whole snapshots until the row budget is spent (at least one)
+        // admit whole snapshots until the row budget is spent (at least
+        // one), stopping at the FIRST rejected snapshot — admitted
+        // snapshots must stay contiguous or the batch range (from, end]
+        // would read a skipped snapshot's rows anyway
         var rows = 0L
         var end = from
+        var stopped = false
         ids.foreach { id =>
-          val cnt = deltaFiles(id).map(_.liveRowCount).sum
-          if (end == from || rows + cnt <= r.maxRows) { end = id; rows += cnt }
+          if (!stopped) {
+            val cnt = deltaFiles(id).map(_.liveRowCount).sum
+            if (end == from || rows + cnt <= r.maxRows) { end = id; rows += cnt }
+            else stopped = true
+          }
         }
         GraftOffset(end)
       case _ => GraftOffset(ids.last)
@@ -77,6 +84,8 @@ class GraftMicroBatchStream(
   private def deltaFiles(id: Long): Seq[DataFileMeta] = {
     val s = store.readSnapshot(id)
     val producer = table.schema.option(TableSchema.ChangelogProducerOpt, "input")
+    if (producer != "full-compaction" && s.commitKind == graft.core.CommitKind.COMPACT)
+      return Nil // compaction/DV rewrites reorganize existing rows — not input
     val manifests =
       if (producer == "full-compaction") s.changelogManifests else s.deltaManifests
     manifests.flatMap(store.readManifest).collect {

@@ -135,13 +135,15 @@ class GraftScan(
         }
         limit match {
           // limit pushdown (reference: DataTableBatchScan.applyPushDownLimit
-          // :64-85): once enough RAW rows are planned, stop adding files;
-          // only safe when nothing is filtered or merged away
+          // :64-85): once enough LIVE rows are planned, stop adding files;
+          // only safe when nothing is filtered or merged away. liveRowCount
+          // (not rowCount) — the reader drops DV-deleted rows, so counting
+          // raw rows could under-deliver LIMIT n.
           case Some(n) if filters.isEmpty && !isPk =>
             val acc = mutable.ArrayBuffer.empty[DataFileMeta]
             var rows = 0L
             selected.iterator.takeWhile(_ => rows < n).foreach { f =>
-              acc += f; rows += f.rowCount
+              acc += f; rows += f.liveRowCount
             }
             acc.toSeq
           case _ => selected

@@ -224,6 +224,11 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         s.changelogManifests.flatMap(store.readManifest).collect {
           case ManifestEntry(ManifestEntry.ADD, f) => f
         }
+      // COMPACT snapshots reorganize existing rows (compaction, DV
+      // rewrites) — their delta ADDs are not new input and must not
+      // re-emit downstream (reference: DeltaFollowUpScanner skips
+      // compaction snapshots)
+      else if (s.commitKind == CommitKind.COMPACT) Nil
       else s.deltaManifests.flatMap(store.readManifest).collect {
         case ManifestEntry(ManifestEntry.ADD, f) if f.level == 0 => f
       }

@@ -234,17 +234,32 @@ trait MaintenanceOps { self: GraftTable =>
     val keepSnapshots = retain.map(store.readSnapshot) ++ store.listTags.map(_._2) ++
       store.listBranches.map(store.ofBranch)
         .flatMap(b => b.snapshotIds.map(b.readSnapshot) ++ b.listTags.map(_._2))
+    // a file meta pins its data file AND its sidecars (deletion-vector
+    // bitmap, bloom indexes) — expire them together or dv/ and idx/ grow
+    // unboundedly
+    def paths(f: DataFileMeta): Seq[String] =
+      f.path +: (f.dvPath.toSeq ++ f.blooms.values.toSeq)
     val keepManifests = keepSnapshots
       .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).toSet
-    val keepFiles = keepManifests.flatMap(m =>
-      store.readManifest(m).collect { case ManifestEntry(_, f) => f.path })
+    // keep exactly what retained snapshots can still READ: each one's live
+    // fold plus its changelog files. A file superseded within a kept chain
+    // (e.g. a DV-rewritten meta's old bitmap) is never opened by any
+    // retained read — the fold drops it — so it may go even though a kept
+    // manifest file still lists it.
+    val keepFiles = keepSnapshots.flatMap { s =>
+      store.liveFiles(s).flatMap(paths) ++
+        s.changelogManifests.flatMap(store.readManifest).flatMap(e => paths(e.file))
+    }.toSet
 
     val expireSnaps = expire.map(store.readSnapshot)
-    val expireManifests = expireSnaps
-      .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests)
-      .distinct.filterNot(keepManifests.contains)
-    val expireFiles = expireManifests.flatMap(m =>
-      store.readManifest(m).map(_.file.path)).distinct.filterNot(keepFiles.contains)
+    val allExpireManifests = expireSnaps
+      .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).distinct
+    // manifest FILES in kept chains must survive (the fold reads them);
+    // their dead entries' data files may still be deleted above
+    val expireManifests = allExpireManifests.filterNot(keepManifests.contains)
+    val expireFiles = allExpireManifests.flatMap(m =>
+      store.readManifest(m).flatMap(e => paths(e.file)))
+      .distinct.filterNot(keepFiles.contains)
 
     val fs = store.fs
     expireFiles.foreach(p => fs.delete(new Path(store.rootPath, p), false))
@@ -258,20 +273,26 @@ trait MaintenanceOps { self: GraftTable =>
     */
   def removeOrphanFiles(olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val fs = store.fs
-    if (!fs.exists(store.dataDir)) return Nil
+    // sidecar dirs (dv bitmaps, bloom indexes) are scanned alongside data —
+    // they are referenced from file metas the same way
     val referenced = store.allReferencedSnapshots
       .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).distinct
-      .flatMap(m => store.readManifest(m).map(_.file.path))
+      .flatMap(m => store.readManifest(m).flatMap { e =>
+        e.file.path +: (e.file.dvPath.toSeq ++ e.file.blooms.values.toSeq)
+      })
       .map(p => new Path(store.rootPath, p).toUri.getPath).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val it = fs.listFiles(store.dataDir, true)
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getModificationTime < cutoff &&
-          !referenced.contains(st.getPath.toUri.getPath)) {
-        fs.delete(st.getPath, false)
-        deleted += st.getPath.toString
+    Seq(store.dataDir, new Path(store.rootPath, "dv"),
+        new Path(store.rootPath, "idx")).filter(fs.exists).foreach { dir =>
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getModificationTime < cutoff &&
+            !referenced.contains(st.getPath.toUri.getPath)) {
+          fs.delete(st.getPath, false)
+          deleted += st.getPath.toString
+        }
       }
     }
     deleted.toSeq

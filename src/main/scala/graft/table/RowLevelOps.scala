@@ -45,19 +45,20 @@ trait RowLevelOps { self: GraftTable =>
     val snapOpt = store.latestSnapshot
     if (snapOpt.isEmpty) return commitFiles(Nil, CommitKind.APPEND)
     val live = store.liveFiles(snapOpt.get)
-    // rawUnion applies existing DVs, so already-deleted rows never re-match
+    // rawUnion applies existing DVs, so already-deleted rows never re-match.
+    // Positions fold into per-file RoaringBitmap blobs ON THE EXECUTORS —
+    // the driver collects O(files) bitmap bytes, never O(matched rows).
     val hits = rawUnion(live, schema).filter(cond)
       .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
-        col("_metadata.row_index").cast("int").as("__i"))
-      .groupBy("__f").agg(collect_list(col("__i")).as("__is"))
+        col("_metadata.row_index").cast("long").as("__i"))
+      .groupBy("__f").agg(graft.functions.BitmapAgg.collect(col("__i")).as("__bm"))
       .collect()
     if (hits.isEmpty) return snapOpt.get
     val byName = live.map(f => f.path.split('/').last -> f).toMap
     val entries = hits.toSeq.flatMap { r =>
       val f = byName(r.getString(0))
-      val bm = f.dvPath.map(store.readDv)
-        .getOrElse(new org.roaringbitmap.RoaringBitmap())
-      r.getSeq[Int](1).foreach(bm.add)
+      val bm = graft.functions.BitmapAgg.deserialize(r.getAs[Array[Byte]](1))
+      f.dvPath.foreach(p => bm.or(store.readDv(p)))
       if (bm.getLongCardinality >= f.rowCount)
         Seq(ManifestEntry(ManifestEntry.DELETE, f)) // fully deleted → drop file
       else {
@@ -66,7 +67,9 @@ trait RowLevelOps { self: GraftTable =>
         Seq(ManifestEntry(ManifestEntry.DELETE, f), ManifestEntry(ManifestEntry.ADD, nw))
       }
     }
-    commitFiles(entries, CommitKind.APPEND)
+    // COMPACT kind: a DV rewrite reorganizes existing rows — input-producer
+    // delta scans must not re-emit the re-ADDed file's survivors as +I
+    commitFiles(entries, CommitKind.COMPACT)
   }
 
   /** UPDATE t SET assignments WHERE cond. */

@@ -88,6 +88,47 @@ class RowLevelSpec extends SparkSpec {
     assert(t.toDF.filter(col("o_orderpriority") =!= "KEPT").count() == 0)
   }
 
+  test("dv delete: commits as COMPACT and never re-emits survivors as delta") {
+    val li = sf("lineitem").limit(2000)
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      options = Map("deletion-vectors.enabled" -> "true"))
+    t.append(li)
+    val snapBefore = t.store.latestSnapshotId.get
+    t.delete(col("l_quantity") < 25)
+    val snapAfter = t.store.latestSnapshotId.get
+    assert(t.store.readSnapshot(snapAfter).commitKind == graft.core.CommitKind.COMPACT)
+    // the DV rewrite re-ADDs the data file with a bitmap — an incremental
+    // (input-producer) read across it must see NO rows, or every surviving
+    // row would duplicate downstream
+    assert(t.incremental(snapBefore, snapAfter).count() == 0)
+    assert(t.toDF.count() == li.filter(!(col("l_quantity") < 25)).count())
+  }
+
+  test("dv delete + expire cleans dv sidecars; orphan scan covers dv/ and idx/") {
+    val li = sf("lineitem").limit(1000)
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      options = Map("deletion-vectors.enabled" -> "true"))
+    t.append(li)
+    t.delete(col("l_quantity") < 10) // dv #1
+    t.delete(col("l_quantity") < 20) // dv #2 supersedes #1
+    val fs = t.store.fs
+    val dvDir = new org.apache.hadoop.fs.Path(t.store.rootPath, "dv")
+    def dvFiles() = fs.listStatus(dvDir).map(_.getPath.getName).toSet
+    assert(dvFiles().size == 2)
+    t.expireSnapshots(retainLast = 1)
+    // only the live snapshot's bitmap survives; the superseded one is gone
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+      .flatMap(_.dvPath).map(_.split('/').last).toSet
+    assert(dvFiles() == live)
+    assert(t.toDF.count() == li.filter(!(col("l_quantity") < 20)).count())
+    // orphan scan: an unreferenced bitmap in dv/ is collected
+    val stray = new org.apache.hadoop.fs.Path(dvDir, "dv-stray.bin")
+    val out = fs.create(stray, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    val deleted = t.removeOrphanFiles(olderThanMs = -1000)
+    assert(deleted.exists(_.endsWith("dv-stray.bin")))
+    assert(!fs.exists(stray))
+  }
+
   test("overwrite: whole table, static partition, dynamic") {
     val li = sf("lineitem")
     val t = GraftTable.create(spark, tmpTable(), li.schema, partitionKeys = Seq("l_returnflag"))
