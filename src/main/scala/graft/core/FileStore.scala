@@ -397,4 +397,18 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     if (!fs.exists(p)) None
     else Json.optLong(Json.parse(readString(p)), "nextSnapshot")
   }
+
+  /** All registered consumers (id, nextSnapshot) — the expiry pin set
+    * (reference: consumer/ConsumerManager.java:40 minNextSnapshot).
+    */
+  def listConsumers: Seq[(String, Long)] = {
+    if (!fs.exists(consumerDir)) return Nil
+    fs.listStatus(consumerDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("consumer-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("consumer-").stripSuffix(".json"))
+      .sorted.flatMap(id => readConsumer(id).map(id -> _))
+  }
+
+  def deleteConsumer(id: String): Unit =
+    fs.delete(new Path(consumerDir, s"consumer-$id.json"), false)
 }

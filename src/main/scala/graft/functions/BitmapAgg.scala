@@ -16,6 +16,9 @@ import org.roaringbitmap.RoaringBitmap
 object BitmapAgg extends Aggregator[java.lang.Long, RoaringBitmap, Array[Byte]] {
   override def zero: RoaringBitmap = new RoaringBitmap()
   override def reduce(b: RoaringBitmap, pos: java.lang.Long): RoaringBitmap = {
+    // positions are 32-bit in the bitmap; a file with >2^32 rows must fail
+    // loudly here, not silently wrap and mark the wrong rows deleted
+    require(pos >= 0L && pos <= 0xFFFFFFFFL, s"row position out of 32-bit range: $pos")
     b.add(pos.intValue()); b
   }
   override def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = {

@@ -84,8 +84,14 @@ class GraftMicroBatchStream(
   private def deltaFiles(id: Long): Seq[DataFileMeta] = {
     val s = store.readSnapshot(id)
     val producer = table.schema.option(TableSchema.ChangelogProducerOpt, "input")
-    if (producer != "full-compaction" && s.commitKind == graft.core.CommitKind.COMPACT)
-      return Nil // compaction/DV rewrites reorganize existing rows — not input
+    // compaction/DV/COW rewrites reorganize existing rows — not input; and
+    // overwrite/rollback replaces rows, skipped unless opted in (reference
+    // default: streaming-read-overwrite=false)
+    if (producer != "full-compaction" &&
+        (s.commitKind == graft.core.CommitKind.COMPACT ||
+          (s.commitKind == graft.core.CommitKind.OVERWRITE &&
+            !table.schema.option("streaming-read-overwrite", "false").toBoolean)))
+      return Nil
     val manifests =
       if (producer == "full-compaction") s.changelogManifests else s.deltaManifests
     manifests.flatMap(store.readManifest).collect {

@@ -227,8 +227,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       // COMPACT snapshots reorganize existing rows (compaction, DV
       // rewrites) — their delta ADDs are not new input and must not
       // re-emit downstream (reference: DeltaFollowUpScanner skips
-      // compaction snapshots)
-      else if (s.commitKind == CommitKind.COMPACT) Nil
+      // compaction snapshots). OVERWRITE snapshots (overwrite/rollback)
+      // are likewise skipped unless opted in (reference default:
+      // streaming-read-overwrite=false).
+      else if (s.commitKind == CommitKind.COMPACT ||
+        (s.commitKind == CommitKind.OVERWRITE &&
+          !schema.option("streaming-read-overwrite", "false").toBoolean)) Nil
       else s.deltaManifests.flatMap(store.readManifest).collect {
         case ManifestEntry(ManifestEntry.ADD, f) if f.level == 0 => f
       }

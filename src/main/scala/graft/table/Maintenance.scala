@@ -227,13 +227,30 @@ trait MaintenanceOps { self: GraftTable =>
   def expireSnapshots(retainLast: Int): Seq[Long] = {
     require(retainLast >= 1)
     val ids = store.snapshotIds
-    if (ids.size <= retainLast) return Nil
-    val (expire, retain) = ids.splitAt(ids.size - retainLast)
+    // consumers pin snapshots: a registered reader's nextSnapshot (and
+    // everything after it) must survive so its stream can resume
+    // (reference: consumer/ConsumerManager.java:40 + minNextSnapshot)
+    val minConsumerNext = store.listConsumers.map(_._2).minOption
+    val retainBoundary = {
+      val byCount = ids.size - retainLast
+      minConsumerNext match {
+        case Some(m) =>
+          val byConsumer = ids.indexWhere(_ >= m) match {
+            case -1 => byCount // consumer is past the chain head
+            case i => i
+          }
+          math.min(byCount, byConsumer)
+        case None => byCount
+      }
+    }
+    if (retainBoundary <= 0) return Nil
+    val (expire, retain) = ids.splitAt(retainBoundary)
     // keep everything still reachable: retained snapshots, tags, and every
     // branch's chain (branches share data files with main)
-    val keepSnapshots = retain.map(store.readSnapshot) ++ store.listTags.map(_._2) ++
-      store.listBranches.map(store.ofBranch)
-        .flatMap(b => b.snapshotIds.map(b.readSnapshot) ++ b.listTags.map(_._2))
+    val mainKeep = retain.map(store.readSnapshot) ++ store.listTags.map(_._2)
+    val branchKeep = store.listBranches.map(store.ofBranch)
+      .map(b => b.snapshotIds.map(b.readSnapshot) ++ b.listTags.map(_._2))
+    val keepSnapshots = mainKeep ++ branchKeep.flatten
     // a file meta pins its data file AND its sidecars (deletion-vector
     // bitmap, bloom indexes) — expire them together or dv/ and idx/ grow
     // unboundedly
@@ -241,15 +258,32 @@ trait MaintenanceOps { self: GraftTable =>
       f.path +: (f.dvPath.toSeq ++ f.blooms.values.toSeq)
     val keepManifests = keepSnapshots
       .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).toSet
-    // keep exactly what retained snapshots can still READ: each one's live
+    // Keep exactly what retained snapshots can still READ: each one's live
     // fold plus its changelog files. A file superseded within a kept chain
     // (e.g. a DV-rewritten meta's old bitmap) is never opened by any
     // retained read — the fold drops it — so it may go even though a kept
-    // manifest file still lists it.
-    val keepFiles = keepSnapshots.flatMap { s =>
-      store.liveFiles(s).flatMap(paths) ++
-        s.changelogManifests.flatMap(store.readManifest).flatMap(e => paths(e.file))
-    }.toSet
+    // manifest file still lists it. The fold is INCREMENTAL along each
+    // chain: consecutive snapshot ids reuse the previous live map and apply
+    // only that commit's delta, so long retention costs O(chain deltas)
+    // manifest reads, not O(kept × manifests).
+    def chainKeepFiles(snaps: Seq[Snapshot]): Seq[String] = {
+      val distinct = snaps.groupBy(_.id).map(_._2.head).toSeq.sortBy(_.id)
+      val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+      var prevId = Long.MinValue
+      distinct.flatMap { s =>
+        def apply(ms: Seq[String]): Unit = ms.foreach(m =>
+          store.readManifest(m).foreach { e =>
+            if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
+            else live.remove(e.file.path)
+          })
+        if (s.id == prevId + 1) apply(s.deltaManifests)
+        else { live.clear(); apply(s.manifests) }
+        prevId = s.id
+        (live.values.flatMap(paths) ++
+          s.changelogManifests.flatMap(store.readManifest).flatMap(e => paths(e.file))).toSeq
+      }
+    }
+    val keepFiles = (chainKeepFiles(mainKeep) ++ branchKeep.flatMap(chainKeepFiles)).toSet
 
     val expireSnaps = expire.map(store.readSnapshot)
     val allExpireManifests = expireSnaps

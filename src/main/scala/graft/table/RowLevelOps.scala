@@ -180,10 +180,12 @@ trait RowLevelOps { self: GraftTable =>
     val rewritten = transform(rawUnion(touched, schema))
       .select(schema.fields.map(f => col(f.name)): _*)
     val newFiles = stageWrite(rewritten, level = 0, seq = store.latestSnapshotId.getOrElse(0L) + 1)
+    // COMPACT kind, like the DV path: a COW rewrite reorganizes existing
+    // rows — delta scanners must not re-emit the survivors as new input
     commitFiles(
       touched.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         newFiles.map(ManifestEntry(ManifestEntry.ADD, _)),
-      CommitKind.APPEND)
+      CommitKind.COMPACT)
   }
 }
 

@@ -82,6 +82,26 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("expire honors lagging consumers: pinned snapshots survive") {
+    val orders = sf("orders").limit(300)
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "2"))
+    t.upsert(orders)                                               // snap 1
+    t.upsert(orders.withColumn("o_totalprice", lit(1.0)))          // snap 2
+    t.upsert(orders.withColumn("o_totalprice", lit(2.0)))          // snap 3
+    // a streaming reader whose next unread snapshot is 2
+    t.store.writeConsumer("lagging", 2L)
+    val expired = t.expireSnapshots(retainLast = 1)
+    // only snapshot 1 may go; 2 and 3 are pinned by the consumer
+    assert(expired == Seq(1L), s"expected [1], got $expired")
+    assert(t.store.snapshotIds == Seq(2L, 3L))
+    // the pinned snapshot is still fully readable
+    assert(t.toDF(2L).count() == orders.count())
+    // consumer gone -> the rest expires
+    t.store.deleteConsumer("lagging")
+    assert(t.expireSnapshots(retainLast = 1) == Seq(2L))
+  }
+
   test("expire snapshots deletes unreferenced files but keeps tagged ones") {
     val orders = sf("orders").limit(300)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,

@@ -104,6 +104,29 @@ class RowLevelSpec extends SparkSpec {
     assert(t.toDF.count() == li.filter(!(col("l_quantity") < 25)).count())
   }
 
+  test("cow delete: commits as COMPACT and never re-emits survivors as delta") {
+    val li = sf("lineitem").limit(2000)
+    // deletion vectors OFF -> copy-on-write rewrite of touched files
+    val t = GraftTable.create(spark, tmpTable(), li.schema)
+    t.append(li)
+    val snapBefore = t.store.latestSnapshotId.get
+    t.delete(col("l_quantity") < 25)
+    val snapAfter = t.store.latestSnapshotId.get
+    assert(t.store.readSnapshot(snapAfter).commitKind == graft.core.CommitKind.COMPACT)
+    assert(t.incremental(snapBefore, snapAfter).count() == 0)
+    assert(t.toDF.count() == li.filter(!(col("l_quantity") < 25)).count())
+  }
+
+  test("overwrite snapshots are skipped by incremental reads by default") {
+    val li = sf("lineitem").limit(1000)
+    val t = GraftTable.create(spark, tmpTable(), li.schema)
+    t.append(li)                                  // snap 1
+    val snapBefore = t.store.latestSnapshotId.get
+    t.overwrite(li.withColumn("l_comment", lit("ow"))) // snap 2: OVERWRITE
+    val snapAfter = t.store.latestSnapshotId.get
+    assert(t.incremental(snapBefore, snapAfter).count() == 0)
+  }
+
   test("dv delete + expire cleans dv sidecars; orphan scan covers dv/ and idx/") {
     val li = sf("lineitem").limit(1000)
     val t = GraftTable.create(spark, tmpTable(), li.schema,
