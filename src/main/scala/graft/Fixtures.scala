@@ -213,6 +213,41 @@ object Fixtures {
       t
     }
 
+  /** Single-bucket PK table whose level-0 runs cover DISJOINT key ranges
+    * (plus one overlapping update run): interval partitioning must plan
+    * several independent merge sections for the one bucket.
+    */
+  def ordersPkSections(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_sections") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("bucket" -> "1"))
+      t.upsert(df.filter(col("o_orderkey") <= 500))
+      t.upsert(df.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000))
+      t.upsert(df.filter(col("o_orderkey") > 1000))
+      // overlaps only the first section
+      t.upsert(ordersBatch2(spark, sfDir).filter(col("o_orderkey") <= 500))
+      t
+    }
+
+  /** Hot bucket over a compacted base: full compact, then small hot runs —
+    * maybeCompact() must rewrite only the upper runs (run-subset
+    * compaction), leaving the max-level base untouched.
+    */
+  def ordersPkPartialCompact(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_partial_compact") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("num-sorted-run.compaction-trigger" -> "3"))
+      t.upsert(df)
+      t.compact()
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.upsert(df.filter(col("o_orderkey") % 13 === 0),
+        kinds = Some(lit(GraftMeta.KindDelete)))
+      t.maybeCompact()
+      t
+    }
+
   def ordersPkRolledBack(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_rollback") { path =>
       val df = src(spark, sfDir, "orders")

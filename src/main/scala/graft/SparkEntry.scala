@@ -118,6 +118,8 @@ object SparkEntry {
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
     "q38_cross_partition" -> ((s, d) => Fixtures.ordersCrossPartition(s, d).toDF),
+    "q39_merge_sections" -> ((s, d) => Fixtures.ordersPkSections(s, d).toDF),
+    "q51_partial_compact" -> ((s, d) => Fixtures.ordersPkPartialCompact(s, d).toDF),
 
     // ---- LLM-pipeline: text analysis ----
     "q40_text_stats" -> ((s, d) =>
@@ -354,6 +356,14 @@ object SparkEntry {
         | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         | o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+
+    "q39_merge_sections" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= 500 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority FROM orders""".stripMargin,
+    "q51_partial_compact" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_orderkey % 13 <> 0",
 
     "q40_text_stats" ->
       s"""SELECT doc_id,

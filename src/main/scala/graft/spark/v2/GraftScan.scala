@@ -178,10 +178,17 @@ class GraftScan(
       val grouped =
         if (schema.crossPartition) prunedFiles.groupBy(f => (Seq.empty[String], f.bucket))
         else prunedFiles.groupBy(f => (f.partition, f.bucket))
-      grouped.map { case (_, fs) =>
-        // a single fully-compacted file needs no merge → vectorized raw read
-        val raw = fs.size == 1 && fs.head.level >= GraftTable.MaxLevel
-        GraftInputPartition(fs.map(info), merge = !raw)
+      grouped.flatMap { case (_, fs) =>
+        // interval partitioning: key-disjoint file groups within the bucket
+        // become INDEPENDENT merge splits, so a hot bucket with many
+        // non-overlapping runs parallelizes instead of merging in one task
+        // (reference: MergeTreeSplitGenerator.splitForBatch:69,
+        // IntervalPartition.partition():67)
+        IntervalSections.of(schema, fs).map { sec =>
+          // a single fully-compacted file needs no merge → vectorized raw read
+          val raw = sec.size == 1 && sec.head.level >= GraftTable.MaxLevel
+          GraftInputPartition(sec.map(info), merge = !raw)
+        }
       }.toArray
     }
   }

@@ -37,6 +37,14 @@ trait MaintenanceOps { self: GraftTable =>
     * trigger (uncompacted bytes ≥ N% of compacted bytes). Only triggered
     * buckets rewrite — a hot bucket never forces a table-wide rewrite.
     */
+  private def sizeAmpTriggered(files: Seq[DataFileMeta]): Boolean = {
+    val upper = files.filter(_.level < GraftTable.MaxLevel)
+    files.filter(_.level >= GraftTable.MaxLevel).map(_.size).sum match {
+      case 0 => false
+      case base => upper.map(_.size).sum * 100 >= base * maxSizeAmplificationPercent
+    }
+  }
+
   def pickCompaction(): Seq[(Seq[String], Int)] = {
     require(isPrimaryKeyed, "compaction picking targets primary-key tables")
     val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
@@ -45,29 +53,84 @@ trait MaintenanceOps { self: GraftTable =>
         val l0 = files.filter(_.level < GraftTable.MaxLevel)
         val compacted = files.filter(_.level >= GraftTable.MaxLevel)
         val runCount = l0.size + math.min(compacted.size, 1)
-        val sizeAmp = compacted.map(_.size).sum match {
-          case 0 => false
-          case base => l0.map(_.size).sum * 100 >= base * maxSizeAmplificationPercent
-        }
-        (l0.nonEmpty && runCount >= compactionTrigger) || sizeAmp
+        (l0.nonEmpty && runCount >= compactionTrigger) || sizeAmpTriggered(files)
       } => (pt, b)
     }
   }
 
-  /** Compact triggered buckets only (reference:
-    * UniversalCompaction.pick:42 at bucket granularity; append tables use
-    * the small-file packing trigger).
+  /** Can this table compact a run SUBSET without a terminal merge?
+    * deduplicate / first-row folds are associative per key — the survivor
+    * re-folds identically against older runs — so a partial rewrite
+    * preserves read results. partial-update/aggregation folds and the
+    * full-compaction changelog producer need the terminal whole-bucket
+    * rewrite (reference: UniversalCompaction picks run subsets;
+    * MergeTreeCompactRewriter drops deletes only at max level).
+    */
+  private def subsetEligible: Boolean =
+    Seq("deduplicate", "first-row").contains(schema.mergeEngine) &&
+      schema.option(TableSchema.ChangelogProducerOpt, "none") != "full-compaction"
+
+  /** Compact triggered buckets only (reference: UniversalCompaction.pick:42).
+    * Buckets with a dominant max-level base rewrite just their upper runs
+    * into one intermediate run (O(picked bytes) write amplification); the
+    * size-amplification trigger still forces the terminal full rewrite.
     */
   def maybeCompact(): Option[Snapshot] = {
     if (isPrimaryKeyed) {
       val groups = pickCompaction()
-      if (groups.nonEmpty) Some(compactBuckets(groups.toSet)) else None
+      if (groups.isEmpty) None
+      else if (!subsetEligible) Some(compactBuckets(groups.toSet))
+      else {
+        val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+        val byGroup = live.groupBy(f => (f.partition, f.bucket))
+        val (partial, full) = groups.partition { g =>
+          val files = byGroup.getOrElse(g, Nil)
+          files.exists(_.level >= GraftTable.MaxLevel) && !sizeAmpTriggered(files)
+        }
+        var snap: Option[Snapshot] = None
+        if (full.nonEmpty) snap = Some(compactBuckets(full.toSet))
+        if (partial.nonEmpty) snap = Some(compactBucketsPartial(partial.toSet))
+        snap
+      }
     } else {
       val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
       val smallPerPartition = live.filter(_.size < smallFileThreshold)
         .groupBy(_.partition).values.map(_.size)
       if (smallPerPartition.exists(_ >= compactionTrigger)) Some(compactSmallFiles()) else None
     }
+  }
+
+  /** NON-terminal compaction of the given buckets: merge only the runs
+    * ABOVE the max-level base into one intermediate (level-1) run, leaving
+    * the base untouched. Deletes are retained and merged sequence/kind
+    * survive, so the rewritten run re-folds correctly against the base at
+    * read time. Write amplification is O(upper-run bytes), not O(bucket)
+    * (reference: UniversalCompaction.pick run subsets :70-114).
+    */
+  def compactBucketsPartial(groups: Set[(Seq[String], Int)]): Snapshot = {
+    require(isPrimaryKeyed, "use compactSmallFiles() for append tables")
+    require(subsetEligible, s"run-subset compaction unsupported for ${schema.mergeEngine}")
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val inGroups =
+      if (schema.crossPartition) {
+        val buckets = groups.map(_._2)
+        live.filter(f => buckets.contains(f.bucket))
+      } else live.filter(f => groups.contains((f.partition, f.bucket)))
+    val touched = inGroups.filter(_.level < GraftTable.MaxLevel)
+    if (touched.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
+    val seq = store.latestSnapshotId.getOrElse(0L)
+    // mergeRaw keeps KindCol/SeqCol/PosCol and does NOT drop deletes — a
+    // -D survivor must still cancel base rows at read time
+    val merged = MergeEngines.mergeRaw(schema, rawUnion(touched, schema), BucketCol)
+    val sortCols = (dirColsPublic ++ schema.primaryKeys).map(col)
+    val prepared = merged
+      .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
+    val files = stageWrite(prepared, level = 1, seq = seq)
+    commitFiles(
+      touched.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.COMPACT)
   }
 
   /** Merge + rewrite ONLY the given (partition, bucket) groups as max-level

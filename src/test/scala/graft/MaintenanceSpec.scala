@@ -82,6 +82,58 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("interval sections: key-disjoint runs plan independent merge splits") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "1"))
+    t.upsert(orders.filter(col("o_orderkey") <= 500))
+    t.upsert(orders.filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000))
+    t.upsert(orders.filter(col("o_orderkey") > 1000))
+    val scan = new graft.spark.v2.GraftScan(spark, t, None, t.schema.structType, Nil, None)
+    val parts = scan.planInputPartitions()
+    assert(parts.length == 3,
+      s"3 key-disjoint runs in one bucket must plan 3 sections, got ${parts.length}")
+    // an overlapping run joins the section(s) it overlaps
+    t.upsert(orders.filter(col("o_orderkey") <= 500)
+      .withColumn("o_totalprice", col("o_totalprice") + 1))
+    val scan2 = new graft.spark.v2.GraftScan(spark, t, None, t.schema.structType, Nil, None)
+    assert(scan2.planInputPartitions().length == 3)
+    // correctness across sections
+    val expected = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") <= 500, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+    assert(t.toDF.orderBy("o_orderkey").collect()
+      .sameElements(expected.orderBy("o_orderkey").collect()))
+  }
+
+  test("run-subset compaction leaves the max-level base untouched") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("bucket" -> "2", "num-sorted-run.compaction-trigger" -> "3"))
+    t.upsert(orders)
+    t.compact() // base at max level
+    val basePaths = t.store.liveFiles(t.store.latestSnapshot.get)
+      .filter(_.level == GraftTable.MaxLevel).map(_.path).toSet
+    assert(basePaths.nonEmpty)
+    // hot updates + a delete of keys that live in the base
+    t.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    t.upsert(orders.filter(col("o_orderkey") % 13 === 0),
+      kinds = Some(lit(GraftMeta.KindDelete)))
+    val expected = t.toDF.orderBy("o_orderkey").collect()
+    val snap = t.maybeCompact()
+    assert(snap.isDefined, "trigger=3 with 2 L0 runs + base must compact")
+    val after = t.store.liveFiles(t.store.latestSnapshot.get)
+    // base untouched, upper runs collapsed into one level-1 partial run
+    assert(after.filter(_.level == GraftTable.MaxLevel).map(_.path).toSet == basePaths,
+      "partial compaction must not rewrite the max-level base")
+    assert(after.count(_.level == 0) == 0, "all L0 runs rewritten")
+    assert(after.count(_.level == 1) >= 1, "partial run written at level 1")
+    // read invariance: the -D survivors in the partial run still cancel base rows
+    assert(t.toDF.orderBy("o_orderkey").collect().sameElements(expected))
+    assert(t.toDF.filter(col("o_orderkey") % 13 === 0).count() == 0)
+  }
+
   test("expire honors lagging consumers: pinned snapshots survive") {
     val orders = sf("orders").limit(300)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
