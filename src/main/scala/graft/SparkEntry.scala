@@ -146,7 +146,7 @@ object SparkEntry {
         threshold = 0.7).select("id_a", "id_b")),
     "q46_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Fixtures.src(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3).select("id_a", "id_b")),
+        maxHamming = 3, md5Basis = true).select("id_a", "id_b")),
     "q47_dedup_keep" -> ((s, d) => {
       val docs = Fixtures.src(s, d, "documents")
       val drops = Dedup.dropIds(
@@ -215,6 +215,54 @@ object SparkEntry {
        |  (CASE WHEN $stopRatio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0, 6) AS quality
        |FROM (SELECT doc_id, text, ' ' || LOWER(text) || ' ' AS p FROM documents)""".stripMargin
   }
+
+  // SimHash oracle: recompute the md5-basis sketches IN DUCKDB (two 32-bit
+  // digest halves per token, per-bit majority vote) and take exact all-pairs
+  // Hamming <= 3 — the engine's 5-block pigeonhole blocking must find the
+  // identical pair set.
+  private val simhashOracle = {
+    def bitSum(arr: String, i: Int) =
+      s"CASE WHEN list_sum(list_transform($arr, h -> CASE WHEN ((h >> $i) & 1) = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END"
+    val skLo = (0 until 32).map(i => bitSum("lo", i)).mkString(" + ")
+    val skHi = (0 until 32).map(i => bitSum("hi", i)).mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, list_distinct(string_split_regex(
+       |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+       |  FROM documents),
+       |th AS (SELECT doc_id,
+       |    list_transform(t, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hi,
+       |    list_transform(t, s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS lo
+       |  FROM toks),
+       |sk AS (SELECT doc_id, $skLo AS sk_lo, $skHi AS sk_hi FROM th)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sk_lo, b.sk_lo)) + bit_count(xor(a.sk_hi, b.sk_hi)) <= 3""".stripMargin
+  }
+
+  // Vector-LSH oracles: the plane constants are md5-derived and inlined as
+  // literals on BOTH sides, so DuckDB reproduces the exact buckets.
+  private def bucketSql(vecExpr: String, numPlanes: Int): String =
+    graft.pipeline.VectorOps.planeComponents(numPlanes, 64).zipWithIndex.map {
+      case (pl, p) =>
+        val lst = "CAST([" + pl.mkString(", ") + "] AS DOUBLE[])"
+        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $vecExpr[i] * ($lst)[i])) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val annLshOracle =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT v AS qv, ${bucketSql("v", 4)} AS qb FROM e WHERE vec_id = 0)
+       |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, (SELECT qv FROM q)), 6) AS cosine_sim
+       |FROM e WHERE vec_id <> 0 AND ${bucketSql("v", 4)} = (SELECT qb FROM q)
+       |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+
+  private val embedPairsOracle =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql("v", 4)} AS bk FROM e)
+       |SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       |  ROUND(LIST_COSINE_SIMILARITY(a.v, x.v), 6) AS cosine_sim
+       |FROM b a JOIN b x ON a.bk = x.bk AND a.vec_id < x.vec_id
+       |WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, x.v), 6) >= 0.45""".stripMargin
 
   // all-pairs exact n-gram Jaccard (the oracle is exact; the engine finds the
   // same pairs via MinHash LSH — the sf0.01 corpus has a wide gap between
@@ -392,9 +440,9 @@ object SparkEntry {
         |SELECT vec_id,
         | ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine_sim
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
-    // q46_simhash_pairs, q49_ann_lsh_topk, q50_embed_sim_pairs: outputs
-    // depend on engine-internal hashes (xxhash64 sketches / LSH buckets)
-    // not expressible in DuckDB → rows-only check.
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q46_simhash_pairs" -> simhashOracle,
+    "q49_ann_lsh_topk" -> annLshOracle,
+    "q50_embed_sim_pairs" -> embedPairsOracle
   )
 }

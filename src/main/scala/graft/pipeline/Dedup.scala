@@ -59,7 +59,7 @@ object Dedup {
     * and one on (band, bucket).
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, maxArrayBucket: Int = 4096): DataFrame = {
     val rowsPerBand = numHashes / bands
     val hashed = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
@@ -73,13 +73,27 @@ object Dedup {
     }
     val bandRows = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // in-bucket pair expansion (buckets are tiny by construction)
+    // in-bucket pair expansion: normal buckets are tiny by construction and
+    // expand from one collected array row
     val ids = array_sort(collect_list(col("id")))
-    bandRows.groupBy("band", "bucket").agg(ids.as("ids"))
+    val grouped = bandRows.groupBy("band", "bucket").agg(ids.as("ids"))
       .filter(size(col("ids")) > 1)
+    val smallPairs = grouped.filter(size(col("ids")) <= maxArrayBucket)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    // a DEGENERATE bucket (e.g. thousands of byte-identical docs when exact
+    // dedup was skipped) would blow the single-row array expansion; route
+    // oversized buckets through a distributed bucket-local self-join — the
+    // same pairs, with the inherently quadratic work spread across tasks
+    // instead of materialized on one executor row
+    val bigKeys = grouped.filter(size(col("ids")) > maxArrayBucket)
+      .select("band", "bucket")
+    val bigRows = bandRows.join(broadcast(bigKeys), Seq("band", "bucket"))
+    val bigPairs = bigRows.as("a").join(bigRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    smallPairs.union(bigPairs).distinct()
   }
 
   /** All ordered pairs (a < b) of a sorted array column. */
@@ -97,9 +111,10 @@ object Dedup {
     * threshold. The verify join touches only candidate pairs.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      maxArrayBucket: Int = 4096): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-    val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands)
+    val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands, maxArrayBucket)
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -133,24 +148,48 @@ object Dedup {
     transform(array_distinct(toks), t => xxhash64(t))
   }
 
+  /** md5-derived 64-bit token hashes: two 32-bit halves of the digest packed
+    * with shifts (no ANSI overflow). Slower than xxhash64 but reproducible
+    * by an external SQL oracle — used by the oracle-checked simhash query.
+    */
+  def tokenHashesMd5(text: Column): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    transform(array_distinct(toks), t => {
+      val h = md5(t.cast("binary"))
+      shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+    })
+  }
+
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidate pairs: block on 4 16-bit sketch segments
-    * (any pair within Hamming distance 3 shares at least one exact segment
-    * — pigeonhole), verify by full Hamming distance.
+  /** SimHash near-dup candidate pairs, blocked on two-block combinations of
+    * 5 sketch blocks (13/13/13/13/12 bits): a pair within Hamming distance 3
+    * has ≥ 2 intact blocks, so it shares one of the C(5,2)=10 combo keys
+    * (pigeonhole) — and each key spans ≥ 25 bits (~33M values), so chance
+    * collisions stay rare at billions of docs, unlike 16-bit segments whose
+    * 65k buckets go quadratic. Verified by full Hamming distance.
+    *
+    * @param md5Basis hash tokens with md5 (oracle-reproducible) instead of
+    *                 xxhash64.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sk = df.select(col(idCol).as("id"),
-        simhashFromHashes(tokenHashes(col(textCol))).as("sk"))
-    val segs = array((0 until 4).map(i => struct(lit(i).as("seg"),
-      shiftright(col("sk"), i * 16).bitwiseAND(0xFFFFL).as("val"))): _*)
-    val seg = sk.select(col("id"), col("sk"), explode(segs).as("s"))
-      .select(col("id"), col("sk"), col("s.seg"), col("s.val"))
-    seg.as("a").join(seg.as("b"),
-        col("a.seg") === col("b.seg") && col("a.val") === col("b.val")
-          && col("a.id") < col("b.id"))
+      maxHamming: Int = 3, md5Basis: Boolean = false): DataFrame = {
+    require(maxHamming <= 3, "5-block blocking guarantees completeness only for hamming <= 3")
+    val th = if (md5Basis) tokenHashesMd5(col(textCol)) else tokenHashes(col(textCol))
+    val sk = df.select(col(idCol).as("id"), simhashFromHashes(th).as("sk"))
+    val widths = Seq(13, 13, 13, 13, 12)
+    val offs = widths.scanLeft(0)(_ + _)
+    def blockVal(j: Int): Column =
+      shiftrightunsigned(col("sk"), offs(j)).bitwiseAND(lit((1L << widths(j)) - 1))
+    val combos = for { i <- 0 until 5; j <- i + 1 until 5 } yield
+      struct(lit(i * 5 + j).as("cb"), blockVal(i).as("v1"), blockVal(j).as("v2"))
+    val keyed = sk.select(col("id"), col("sk"), explode(array(combos: _*)).as("c"))
+      .select(col("id"), col("sk"), col("c.cb"), col("c.v1"), col("c.v2"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.cb") === col("b.cb") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sk"), col("b.sk")).as("hamming"))
       .distinct()

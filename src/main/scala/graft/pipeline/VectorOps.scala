@@ -39,22 +39,29 @@ object VectorOps {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1): seeded by
-    * (plane, dim) so every executor derives the same planes with no
-    * broadcast state.
+  /** Deterministic pseudo-random hyperplane components in [-1, 1), derived
+    * from md5("plane#p/i") — computed ONCE at plan-build time and inlined
+    * as literal arrays, so executors do zero hashing in the hot path and an
+    * external SQL oracle (DuckDB) can reproduce the identical planes.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(concat(lit(s"plane#$plane/"), dim)), lit(2000000)).cast("double")
-      / 1000000.0) - 1.0
+  def planeComponents(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"plane#$p/$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h = d.take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(h, 16) % 2000000L).toDouble / 1000000.0 - 1.0
+      }
+    }
 
   /** Sign-random-projection LSH bucket of a vector: one bit per hyperplane
     * (sign of the projection), packed into a long.
     */
-  def lshBucket(vec: Column, numPlanes: Int = 12): Column =
-    (0 until numPlanes).map { p =>
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      val plc = array(pl.map(lit): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+        zip_with(vec, plc, (x, c) => x.cast("double") * c),
         lit(0.0), (a, v) => a + v)
       when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
@@ -65,12 +72,15 @@ object VectorOps {
     */
   def cosineTopKLsh(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
+    val planes = planeComponents(numPlanes, query.length)
     val q = array(query.map(lit): _*)
-    val bucketed = df.withColumn("__b", lshBucket(col(vecCol), numPlanes))
-    val qb = bucketed.sparkSession.range(1)
-      .select(lshBucket(q, numPlanes).as("__qb"))
-      .collect()(0).getLong(0)
-    bucketed.filter(col("__b") === qb)
+    // query bucket computed driver-side with the same plane constants
+    val qb = planes.zipWithIndex.map { case (pl, p) =>
+      val proj = pl.zip(query).map { case (c, x) => c * x }.sum
+      if (proj >= 0.0) 1L << p else 0L
+    }.reduce(_ | _)
+    df.withColumn("__b", lshBucket(col(vecCol), planes))
+      .filter(col("__b") === qb)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
@@ -80,9 +90,10 @@ object VectorOps {
     * cosine ≥ threshold. Join is bucket-local (no all-pairs).
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+      threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = planeComponents(numPlanes, dim)
     val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+      lshBucket(col(vecCol), planes).as("bucket"))
     b.as("a").join(b.as("x"),
         col("a.bucket") === col("x.bucket") && col("a.id") < col("x.id"))
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"),

@@ -1,0 +1,71 @@
+package graft
+
+import graft.pipeline.{Dedup, VectorOps}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lsh candidates: degenerate bucket (identical docs) routes through the join path") {
+    val clusterText = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs =
+      (0 until 200).map(i => (i.toLong, clusterText)) ++
+        (200 until 230).map(i => (i.toLong, s"totally unrelated document number $i about topic-$i with its own words-$i"))
+    val df = docs.toDF("doc_id", "text")
+    // force the join path with a tiny array cap; the default array path must
+    // produce the identical pair set
+    val viaJoin = Dedup.lshCandidatePairs(df, "doc_id", "text", maxArrayBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaArray = Dedup.lshCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaJoin == viaArray)
+    // the identical cluster yields ALL its pairs (the answer is inherently quadratic)
+    val clusterPairs = viaJoin.count { case (a, b) => a < 200 && b < 200 }
+    assert(clusterPairs == 200 * 199 / 2, s"got $clusterPairs")
+    // verified near-dups agree
+    val verified = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.99,
+      maxArrayBucket = 10)
+    assert(verified.count() == 200L * 199 / 2)
+  }
+
+  test("simhash 5-block blocking finds exactly the brute-force hamming<=3 pairs") {
+    // clusters of near-identical token sets (1-2 token edits) + unrelated docs
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base), (1L, base + " extra"), (2L, base + " extra more"),
+      (3L, base.replace("alpha", "alpha2")),
+      (4L, "one two three four five six seven eight nine ten eleven twelve"),
+      (5L, "one two three four five six seven eight nine ten eleven twelve thirteen"),
+      (6L, "completely different words about sailing ships and ocean storms tonight"),
+      (7L, "completely different words about sailing ships and ocean storms tonight ahoy")
+    ) ++ (8 until 40).map(i => (i.toLong, s"filler doc $i with unique content token-$i marker-$i item-$i"))
+    val df = docs.toDF("doc_id", "text")
+    val sk = df.select(col("doc_id").as("id"),
+      Dedup.simhashFromHashes(Dedup.tokenHashesMd5(col("text"))).as("sk"))
+    val brute = sk.as("a").join(sk.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Dedup.hamming(col("a.sk"), col("b.sk")).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, md5Basis = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    assert(brute.nonEmpty, "fixture should contain at least one hamming<=3 pair")
+  }
+
+  test("vector lsh buckets are deterministic and prune the candidate set") {
+    val n = 100
+    val dim = 16
+    // deterministic synthetic vectors: cluster A around e1, cluster B around -e1
+    def vec(i: Int): Seq[Float] = {
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (0 until dim).map(d => if (d == 0) sign else ((i * 31 + d * 7) % 11 - 5) / 50.0f)
+    }
+    val df = (0 until n).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val planes = VectorOps.planeComponents(6, dim)
+    val b1 = df.select(col("id"), VectorOps.lshBucket(col("v"), planes).as("b")).collect()
+    val b2 = df.select(col("id"), VectorOps.lshBucket(col("v"), planes).as("b")).collect()
+    assert(b1.sameElements(b2))
+    assert(b1.map(_.getLong(1)).distinct.length > 1, "vectors should spread over buckets")
+  }
+}
