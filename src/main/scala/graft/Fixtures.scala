@@ -299,6 +299,38 @@ object Fixtures {
     tbl
   }
 
+  /** SQL row-level DML: the canonical orders table maintained through
+    * `spark.sql` UPDATE / MERGE INTO statements (requires the
+    * GraftExtensions analysis rule). Returns the catalog table name.
+    */
+  def sqlOrdersDml(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft.db.orders_dml_$tag"
+    build(spark, sfDir, "sql_orders_dml") { _ =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", s"$base/warehouse")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           | o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+           |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '8')""".stripMargin)
+      src(spark, sfDir, "orders").createOrReplaceTempView(s"src_orders_dml_$tag")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM src_orders_dml_$tag")
+      // the canonical doubled batch, via SQL MERGE (matched-update only)
+      spark.sql(
+        s"""MERGE INTO $tbl t
+           |USING (SELECT * FROM src_orders_dml_$tag WHERE o_orderkey % 7 = 0) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2""".stripMargin)
+      // q16's update, via SQL UPDATE
+      spark.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 10.0 WHERE o_orderstatus = 'O'")
+      GraftTable.load(spark, s"$base/warehouse/db/orders_dml_$tag")
+    }
+    tbl
+  }
+
   /** Deletion-vector table: lineitem append with DVs enabled, low
     * quantities deleted in place (no rewrite).
     */

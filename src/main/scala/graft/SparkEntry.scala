@@ -110,6 +110,10 @@ object SparkEntry {
       val t = Fixtures.sqlOrders(s, d)
       s.sql(s"SELECT * FROM $t VERSION AS OF 1")
     }),
+    "q52_sql_update_merge" -> ((s, d) => {
+      val t = Fixtures.sqlOrdersDml(s, d)
+      s.sql(s"SELECT * FROM $t")
+    }),
 
     // ---- deletion vectors / formats / defaults / changelog ----
     "q34_dv_delete" -> ((s, d) => Fixtures.lineitemDv(s, d).toDF),
@@ -384,6 +388,11 @@ object SparkEntry {
     "q32_sql_point_lookup" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey = 42",
     "q33_sql_time_travel" -> "SELECT * FROM orders",
+    "q52_sql_update_merge" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         | CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+         | o_orderdate, o_orderpriority
+         |FROM ($mergedOrders)""".stripMargin,
     "q34_dv_delete" -> "SELECT * FROM lineitem WHERE NOT (l_quantity < 25)",
     "q35_orc_scan" -> "SELECT * FROM lineitem",
     "q36_default_values" ->

@@ -32,6 +32,9 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // SQL UPDATE / MERGE INTO → row-level commands (reference: the analysis
+    // rules PaimonUpdateTable.scala / PaimonMergeInto.scala)
+    ext.injectPostHocResolutionRule(session => GraftRowLevelSqlRule(session))
     // incremental changelog as a table-valued function (reference:
     // extensions.injectTableFunction, PaimonSparkSessionExtensions.scala:51;
     // TableValuedFunctionsTest.scala:55):

@@ -114,6 +114,46 @@ class SqlCatalogSpec extends SparkSpec {
     assert(r3.head.getString(0).contains("expired"))
   }
 
+  test("SQL UPDATE and MERGE INTO route through row-level ops") {
+    spark.sql(
+      """CREATE TABLE graft.db.rls (
+        | k BIGINT, status STRING, price DOUBLE)
+        |USING graft TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.rls VALUES (1, 'O', 10.0), (2, 'F', 20.0), (3, 'O', 30.0)")
+
+    spark.sql("UPDATE graft.db.rls SET price = price + 5.0 WHERE status = 'O'")
+    val afterUpdate = spark.sql("SELECT k, price FROM graft.db.rls ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterUpdate == Seq((1L, 15.0), (2L, 20.0), (3L, 35.0)))
+
+    spark.sql("SELECT * FROM VALUES (2, 'X', 0.0), (9, 'N', 90.0) AS v(k, status, price)")
+      .createOrReplaceTempView("rls_src")
+    spark.sql(
+      """MERGE INTO graft.db.rls t USING rls_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET status = s.status, price = s.price
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = spark.sql("SELECT k, status, price FROM graft.db.rls ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(afterMerge == Seq((1L, "O", 15.0), (2L, "X", 0.0), (3L, "O", 35.0), (9L, "N", 90.0)))
+
+    // MERGE with delete clauses
+    spark.sql("SELECT * FROM VALUES (1, 'D', 0.0) AS v(k, status, price)")
+      .createOrReplaceTempView("rls_del")
+    spark.sql(
+      """MERGE INTO graft.db.rls t USING rls_del s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.db.rls WHERE k = 1")
+      .collect()(0).getLong(0) == 0)
+
+    // SQL UPDATE on an append (non-pk) table takes the COW path
+    spark.sql("CREATE TABLE graft.db.rls_append (k BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO graft.db.rls_append VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("UPDATE graft.db.rls_append SET v = 0.0 WHERE k = 2")
+    val app = spark.sql("SELECT k, v FROM graft.db.rls_append ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(app == Seq((1L, 1.0), (2L, 0.0)))
+  }
+
   test("metadata columns: __file_path on raw scans, __bucket on merged reads") {
     spark.sql("CREATE TABLE graft.db.meta_t (k BIGINT, v STRING) USING graft")
     spark.sql("INSERT INTO graft.db.meta_t VALUES (1, 'a')")
