@@ -66,10 +66,43 @@ class GraftScan(
     filters: Seq[Filter],
     limit: Option[Int],
     filesOverride: Option[Seq[DataFileMeta]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private val schema = table.schema
   private def isPk = schema.isPrimaryKeyed
+
+  // ---------------- runtime filtering (DPP) ----------------
+  // Join-driven partition pruning (reference: PaimonScan.scala:39-51):
+  // Spark evaluates the join's build side, converts the matched partition
+  // values to In-filters on the declared attributes, and calls filter()
+  // before planInputPartitions — star-join shapes then scan only matching
+  // partitions. Cross-partition tables cannot prune pre-merge (a key may
+  // have moved partitions), so they declare no filterable attributes.
+
+  private var runtimeSelected: Option[Seq[DataFileMeta]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (schema.crossPartition) Array.empty
+    else schema.partitionKeys.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(runtimeFilters: Array[Filter]): Unit = {
+    val partKeys = schema.partitionKeys
+    val typeOf: String => Option[DataType] =
+      n => schema.fields.find(_.name == n).map(_.sparkType)
+    val applicable = runtimeFilters.filter(f =>
+      f.references.nonEmpty && f.references.forall(partKeys.contains))
+    if (applicable.nonEmpty) {
+      runtimeSelected = Some(prunedFiles.filter(f =>
+        applicable.forall(p =>
+          Pruning.partitionMatches(p, partKeys, typeOf, f.partition))))
+    }
+  }
+
+  /** Files after static pruning AND any runtime (join-driven) filter. */
+  private def effectiveFiles: Seq[DataFileMeta] =
+    runtimeSelected.getOrElse(prunedFiles)
 
   override def readSchema(): StructType = requested
 
@@ -159,7 +192,7 @@ class GraftScan(
     if (!isPk) {
       // append table: bin-pack raw files into ~target-size splits per partition
       val target = 128L * 1024 * 1024
-      prunedFiles.groupBy(_.partition).values.flatMap { fs =>
+      effectiveFiles.groupBy(_.partition).values.flatMap { fs =>
         val packs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[GraftFileInfo]]
         var cur = mutable.ArrayBuffer.empty[GraftFileInfo]
         var curBytes = 0L
@@ -176,8 +209,8 @@ class GraftScan(
       // cross-partition keys share a bucket regardless of partition, so the
       // merge split must span the bucket's partitions
       val grouped =
-        if (schema.crossPartition) prunedFiles.groupBy(f => (Seq.empty[String], f.bucket))
-        else prunedFiles.groupBy(f => (f.partition, f.bucket))
+        if (schema.crossPartition) effectiveFiles.groupBy(f => (Seq.empty[String], f.bucket))
+        else effectiveFiles.groupBy(f => (f.partition, f.bucket))
       grouped.flatMap { case (_, fs) =>
         // interval partitioning: key-disjoint file groups within the bucket
         // become INDEPENDENT merge splits, so a hot bucket with many
@@ -222,11 +255,14 @@ class GraftScan(
           Seq(StructField(GraftSparkTable.FilePathCol, StringType, nullable = false))
         else Nil))
 
-    // per-schema-version read plans (field-id remap, reference:
-    // SchemaEvolutionUtil.createDataProjection:266)
-    val schemaIds = prunedFiles.map(_.schemaId).distinct.sorted
+    // per-(schema-version, has-dv) read plans (field-id remap, reference:
+    // SchemaEvolutionUtil.createDataProjection:266). DV presence is part of
+    // the KEY: only DV'd files give up parquet filter pushdown (their row
+    // positions must stay dense); every DV-free file keeps row-group
+    // skipping even when it shares the scan with DV'd ones.
+    val planKeys = effectiveFiles.map(f => (f.schemaId, f.dvPath.isDefined)).distinct.sorted
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val plans: Map[Long, SchemaReadPlan] = schemaIds.map { sid =>
+    val plans: Map[(Long, Boolean), SchemaReadPlan] = planKeys.map { case (sid, hasDv) =>
       val fileSchema = if (sid == schema.id) schema else table.store.readSchema(sid)
       val fmt = GraftTable.fileFormatOf(fileSchema)
       val byId = fileSchema.fields.map(f => f.id -> f).toMap
@@ -242,11 +278,10 @@ class GraftScan(
       }
       val readSchemaForFile = StructType(wanted.flatten.map(f =>
         StructField(f.name, f.sparkType, f.nullable)))
-      // with deletion vectors, parquet must yield every row IN ORDER so the
+      // with a deletion vector, parquet must yield every row IN ORDER so the
       // iterator index equals the file row position — no filter pushdown
-      val anyDv = prunedFiles.exists(_.dvPath.isDefined)
       val safeFilters =
-        if (anyDv || sid != schema.id) Nil
+        if (hasDv || sid != schema.id) Nil
         else if (isPk) filters.filter(f => f.references.forall(r =>
           schema.primaryKeys.contains(r) || dirNames.contains(r)))
         else filters
@@ -294,7 +329,7 @@ class GraftScan(
           s" readSchemaForFile=${readSchemaForFile.fieldNames.mkString(",")}" +
           s" align=${align.mkString(";")} rowSchema=${rowSchema.fieldNames.mkString(",")}")
       }
-      sid -> SchemaReadPlan(readFunc, align, supportsBatch)
+      (sid, hasDv) -> SchemaReadPlan(readFunc, align, supportsBatch)
     }.toMap
 
     val merger =
@@ -346,7 +381,7 @@ class GraftReaderFactory(
     tableRoot: String,
     partitionSchema: StructType,
     rowSchema: StructType,
-    plans: Map[Long, SchemaReadPlan],
+    plans: Map[(Long, Boolean), SchemaReadPlan],
     merger: Option[RowMerger],
     outIdx: Seq[Int],
     outSchema: StructType,
@@ -358,7 +393,7 @@ class GraftReaderFactory(
     val p = partition.asInstanceOf[GraftInputPartition]
 
     def rowsOf(f: GraftFileInfo): Iterator[InternalRow] = {
-      val plan = plans(f.schemaId)
+      val plan = plans((f.schemaId, f.dvPath.isDefined))
       val ptRow = partitionRow(f)
       val pf = org.apache.spark.sql.graft.SparkShims.partitionedFile(
         ptRow, s"$tableRoot/${f.path}", 0, f.length)

@@ -154,6 +154,25 @@ class SqlCatalogSpec extends SparkSpec {
     assert(app == Seq((1L, 1.0), (2L, 0.0)))
   }
 
+  test("runtime filtering: a join-driven partition filter re-prunes the scan") {
+    val li = sf("lineitem")
+    val t = graft.table.GraftTable.create(spark, tmpTable(), li.schema,
+      partitionKeys = Seq("l_returnflag"))
+    t.append(li)
+    val scan = new graft.spark.v2.GraftScan(spark, t, None, t.schema.structType, Nil, None)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("l_returnflag"))
+    val all = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("l_returnflag", "R")))
+    val pruned = scan.planInputPartitions().length
+    assert(pruned < all, s"runtime filter must drop partitions ($pruned vs $all)")
+    // non-partition runtime filters are ignored (no correctness impact)
+    val scan2 = new graft.spark.v2.GraftScan(spark, t, None, t.schema.structType, Nil, None)
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("l_quantity", 1.0)))
+    assert(scan2.planInputPartitions().length == all)
+  }
+
   test("metadata columns: __file_path on raw scans, __bucket on merged reads") {
     spark.sql("CREATE TABLE graft.db.meta_t (k BIGINT, v STRING) USING graft")
     spark.sql("INSERT INTO graft.db.meta_t VALUES (1, 'a')")
