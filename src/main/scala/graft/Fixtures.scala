@@ -188,7 +188,9 @@ object Fixtures {
         col("ts").as("min_ts"),
         col("event_type").as("last_type"),
         col("event_type").as("types"),
-        lit(1L).as("n"))
+        lit(1L).as("n"),
+        array(struct(col("event_id").as("eid"), col("event_type").as("etype")))
+          .as("recent"))
       val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("user_id"),
         options = Map(
           "merge-engine" -> "aggregation",
@@ -198,7 +200,9 @@ object Fixtures {
           "fields.min_ts.aggregate-function" -> "min",
           "fields.last_type.aggregate-function" -> "last_value",
           "fields.types.aggregate-function" -> "listagg",
-          "fields.n.aggregate-function" -> "sum"))
+          "fields.n.aggregate-function" -> "sum",
+          "fields.recent.aggregate-function" -> "nested_update",
+          "fields.recent.nested-key" -> "eid"))
       t.upsert(df)
       t
     }

@@ -116,17 +116,55 @@ object MergeEngines {
   /** aggregation engine: per-field aggregate chosen by
     * 'fields.<f>.aggregate-function' (reference: AggregateMergeFunction.java +
     * aggregate/FieldAggregator.java:43-120). Default: last_non_null_value.
+    *
+    * Retractions (-U/-D kinds): `sum`/`count` subtract them; a field marked
+    * 'fields.<f>.ignore-retract' = true skips them entirely (reference:
+    * FieldIgnoreRetractAgg.java:22); other aggregators fold them as values
+    * (lenient divergence from the reference's throw — documented).
     */
   private def aggregation(schema: TableSchema, raw: DataFrame,
       groupCols: Seq[String], ord: Column): DataFrame = {
+    val retract = col(KindCol) === lit(KindDelete) || col(KindCol) === lit(KindUpdateBefore)
     val aggs = valueFields(schema).map { f =>
       val func = schema.options.getOrElse(TableSchema.aggFuncOpt(f), "last_non_null_value")
-      fieldAggregate(func, col(f), ord, schema.fieldByName(f).dataType).as(f)
+      val ignoreRetract =
+        schema.options.get(s"fields.$f.ignore-retract").exists(_.toBoolean)
+      val c0 = col(f)
+      val c = if (ignoreRetract) when(!retract, c0) else c0
+      val ddl = schema.fieldByName(f).dataType
+      func match {
+        case "sum" if !ignoreRetract =>
+          sum(when(retract, -c0).otherwise(c0)).as(f)
+        case "count" if !ignoreRetract =>
+          coalesce(sum(when(c0.isNotNull, when(retract, -1L).otherwise(1L))
+            .otherwise(0L)), lit(0L)).as(f)
+        case "nested_update" => nestedUpdate(schema, f, c, ord).as(f)
+        case _ => fieldAggregate(func, c, ord, ddl).as(f)
+      }
     } ++ Seq(
       max_by(col(KindCol), ord).as(KindCol),
       max(col(SeqCol)).as(SeqCol),
       max(col(PosCol)).as(PosCol))
     raw.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `nested_update`: the field is an array of rows upserted by a nested key
+    * (option 'fields.<f>.nested-key' = csv of struct fields). Incoming
+    * arrays fold in version order; a row replaces the prior row with the
+    * same nested key and moves to the end — one hash aggregate, no UDF
+    * (reference: FieldNestedUpdateAgg.java:45).
+    */
+  private def nestedUpdate(schema: TableSchema, f: String, c: Column,
+      ord: Column): Column = {
+    val keys = schema.options.getOrElse(s"fields.$f.nested-key", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, s"nested_update needs 'fields.$f.nested-key'")
+    val ddl = schema.fieldByName(f).dataType
+    // collect_list skips null entries, so sorted holds only real versions
+    val sorted = array_sort(collect_list(when(c.isNotNull, struct(ord.as("o"), c.as("v")))))
+    val rows = flatten(transform(sorted, x => x("v")))
+    aggregate(rows, array().cast(ddl), (acc, r) =>
+      concat(filter(acc, e => !keys.map(k => e(k) <=> r(k)).reduce(_ && _)), array(r)))
   }
 
   /** One per-field aggregator (reference: mergetree/compact/aggregate/Field*Agg).

@@ -172,7 +172,7 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
         else {
           val func = schema.options.getOrElse(
             TableSchema.aggFuncOpt(output(i)), "last_non_null_value")
-          foldField(func, sorted, ci, outTypes(i))
+          foldField(func, output(i), sorted, ci, outTypes(i))
         }
       i += 1
     }
@@ -181,16 +181,30 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
 
   /** Fold one field over the version-ordered rows — mirrors
     * [[MergeEngines.fieldAggregate]] (reference: aggregate/Field*Agg).
+    * Retraction handling mirrors the DF path: sum/count subtract -U/-D
+    * rows; 'fields.<f>.ignore-retract' skips them (reference:
+    * FieldIgnoreRetractAgg.java:22).
     */
-  private def foldField(func: String, sorted: mutable.ArrayBuffer[InternalRow],
-      ci: Int, dt: DataType): Any = {
+  private def foldField(func: String, fieldName: String,
+      allSorted: mutable.ArrayBuffer[InternalRow], ci: Int, dt: DataType): Any = {
+    val ignoreRetract =
+      schema.options.get(s"fields.$fieldName.ignore-retract").exists(_.toBoolean)
+    val sorted =
+      if (ignoreRetract) allSorted.filterNot(r => isDeleteKind(r.getByte(kindI)))
+      else allSorted
     def values: Iterator[Any] =
       sorted.iterator.map(r => if (r.isNullAt(ci)) null else r.get(ci, dt))
     def nonNull: Iterator[Any] = values.filter(_ != null)
+    def retractOf(r: InternalRow): Boolean =
+      !ignoreRetract && isDeleteKind(r.getByte(kindI))
     func match {
-      case "last_value" => { val r = sorted.last; if (r.isNullAt(ci)) null else r.get(ci, dt) }
+      case "last_value" =>
+        if (sorted.isEmpty) null
+        else { val r = sorted.last; if (r.isNullAt(ci)) null else r.get(ci, dt) }
       case "last_non_null_value" => nonNull.foldLeft(null: Any)((_, v) => v)
-      case "first_value" => { val r = sorted.head; if (r.isNullAt(ci)) null else r.get(ci, dt) }
+      case "first_value" =>
+        if (sorted.isEmpty) null
+        else { val r = sorted.head; if (r.isNullAt(ci)) null else r.get(ci, dt) }
       case "first_non_null_value" => nonNull.buffered.headOption.orNull
       case "max" =>
         val ord = TypeUtils.getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]]
@@ -198,8 +212,31 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
       case "min" =>
         val ord = TypeUtils.getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]]
         nonNull.foldLeft(null: Any)((a, v) => if (a == null || ord.compare(v, a) < 0) v else a)
-      case "count" => nonNull.size.toLong
-      case "sum" => sumFold(nonNull, dt)
+      case "count" =>
+        sorted.iterator.filterNot(_.isNullAt(ci))
+          .map(r => if (retractOf(r)) -1L else 1L).sum
+      case "sum" =>
+        sumFold(sorted.iterator.filterNot(_.isNullAt(ci)).map { r =>
+          val v = r.get(ci, dt)
+          if (retractOf(r)) negate(v, dt) else v
+        }, dt)
+      case "nested_update" =>
+        val st = dt.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+        val keyNames = schema.options.getOrElse(s"fields.$fieldName.nested-key", "")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        require(keyNames.nonEmpty, s"nested_update needs 'fields.$fieldName.nested-key'")
+        val keyIdxs = keyNames.map(st.fieldIndex)
+        val acc = mutable.LinkedHashMap.empty[Seq[Any], Any]
+        nonNull.foreach { v =>
+          val arr = v.asInstanceOf[ArrayData]
+          arr.foreach(st, (_, e) => {
+            val row = e.asInstanceOf[InternalRow].copy()
+            val key = keyIdxs.map(j => row.get(j, st(j).dataType)).toSeq
+            acc.remove(key) // re-append: an update moves to the end (DF-path order)
+            acc.put(key, row)
+          })
+        }
+        new GenericArrayData(acc.values.toArray)
       case "bool_and" => nonNull.foldLeft(null: Any)((a, v) =>
         if (a == null) v else java.lang.Boolean.valueOf(
           a.asInstanceOf[Boolean] && v.asInstanceOf[Boolean]))
@@ -278,6 +315,14 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
         if (a == null) v
         else a.asInstanceOf[Decimal] + v.asInstanceOf[Decimal])
     case other => throw new IllegalArgumentException(s"sum over $other")
+  }
+
+  private def negate(v: Any, dt: DataType): Any = v match {
+    case b: Byte => (-b).toByte; case s: Short => (-s).toShort
+    case i: Int => -i; case l: Long => -l
+    case f: Float => -f; case d: Double => -d
+    case dec: Decimal => Decimal(dec.toBigDecimal.unary_-, dec.precision, dec.scale)
+    case other => throw new IllegalArgumentException(s"cannot retract $other ($dt)")
   }
 
   private def numericToDouble(v: Any, dt: DataType): Double = v match {

@@ -125,16 +125,10 @@ class GraftSource(spark: SparkSession, path: String,
     options: Map[String, String]) extends Source {
 
   private val table = GraftTable.load(spark, path)
-  /** Start mode: "latest-full" (default) emits current content first;
-    * "from-snapshot" starts after `scan.snapshot-id`; "latest" only new data
-    * (reference: CoreOptions.StartupMode:1966-2025).
+  /** Start mode: latest-full / latest / from-snapshot / from-timestamp /
+    * from-watermark — see [[GraftTable.streamingStartExclusive]].
     */
-  private val startExclusive: Long = options.get("scan.mode") match {
-    case Some("latest") => table.store.latestSnapshotId.getOrElse(0L)
-    case Some("from-snapshot") =>
-      options.get("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L)
-    case _ => 0L
-  }
+  private val startExclusive: Long = table.streamingStartExclusive(options)
 
   override def schema: StructType = GraftSource.schemaFor(table)
 

@@ -35,10 +35,7 @@ class GraftMicroBatchStream(
     table.schema.options.get("read.max-rows-per-batch").map(_.toLong)
 
   override def initialOffset(): Offset =
-    GraftOffset(table.schema.option("scan.mode", "latest-full") match {
-      case "latest" => store.latestSnapshotId.getOrElse(0L)
-      case _ => 0L // latest-full: first batch replays current content
-    })
+    GraftOffset(table.streamingStartExclusive())
 
   override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
 

@@ -240,6 +240,37 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     withChangelogCols(rawUnion(files, schema))
   }
 
+  /** Exclusive starting snapshot id for a streaming read under the
+    * configured scan mode (reference: the starting scanners in
+    * paimon-core table/source/snapshot/ — StaticFromTimestampStartingScanner,
+    * StaticFromWatermarkStartingScanner; modes CoreOptions.StartupMode
+    * :1966-2025). Read options override table options.
+    *
+    *  - latest-full (default): 0 — the first batch replays current content
+    *  - latest: only snapshots committed after the stream starts
+    *  - from-snapshot: deltas after `scan.snapshot-id` - 1
+    *  - from-timestamp: deltas of snapshots committed after
+    *    `scan.timestamp-millis`
+    *  - from-watermark: deltas from the first snapshot whose watermark
+    *    reached `scan.watermark`
+    */
+  def streamingStartExclusive(options: Map[String, String] = Map.empty): Long = {
+    def opt(k: String): Option[String] = options.get(k).orElse(schema.options.get(k))
+    opt("scan.mode").getOrElse("latest-full") match {
+      case "latest" => store.latestSnapshotId.getOrElse(0L)
+      case "from-snapshot" => opt("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L)
+      case "from-timestamp" =>
+        val ts = opt("scan.timestamp-millis").map(_.toLong).getOrElse(0L)
+        store.snapshotIds.filter(id => store.readSnapshot(id).timestampMs <= ts)
+          .maxOption.getOrElse(0L)
+      case "from-watermark" =>
+        val w = opt("scan.watermark").map(_.toLong).getOrElse(Long.MinValue)
+        store.snapshotIds.find(id => store.readSnapshot(id).watermark.exists(_ >= w))
+          .map(_ - 1).getOrElse(store.latestSnapshotId.getOrElse(0L))
+      case _ => 0L // latest-full
+    }
+  }
+
   /** Full audit log: every row version currently live, with rowkind column
     * (reference: table/system/AuditLogTable.java:77-111).
     */

@@ -220,4 +220,39 @@ class SqlCatalogSpec extends SparkSpec {
     assert(got.join(exp, "user_id").filter(col("n") =!= col("count")).count() == 0)
     assert(got.count() == exp.count())
   }
+
+  test("aggregation engine: nested_update and ignore-retract (both merge paths)") {
+    spark.sql(
+      """CREATE TABLE graft.db.nagg (
+        | k BIGINT, s BIGINT, si BIGINT, recent ARRAY<STRUCT<eid: BIGINT, v: STRING>>)
+        |USING graft TBLPROPERTIES (
+        | 'primary-key' = 'k', 'merge-engine' = 'aggregation', 'bucket' = '1',
+        | 'fields.s.aggregate-function' = 'sum',
+        | 'fields.si.aggregate-function' = 'sum',
+        | 'fields.si.ignore-retract' = 'true',
+        | 'fields.recent.aggregate-function' = 'nested_update',
+        | 'fields.recent.nested-key' = 'eid')""".stripMargin)
+    val t = graft.table.GraftTable.load(spark,
+      s"$wh/db/nagg")
+    import spark.implicits._
+    def batch(s: Long, eid: Long, v: String) =
+      Seq((1L, s, s, Seq((eid, v)))).toDF("k", "s", "si", "recent")
+        .withColumn("recent", col("recent").cast("array<struct<eid: bigint, v: string>>"))
+    t.upsert(batch(10, 1, "a"))
+    t.upsert(batch(10, 1, "a2"), kinds = Some(lit(GraftMeta.KindUpdateBefore)))
+    t.upsert(batch(7, 2, "b"))
+    def render(df: org.apache.spark.sql.DataFrame) = df.select(col("k"), col("s"), col("si"),
+        array_join(transform(col("recent"),
+          x => concat(x("eid").cast("string"), lit(":"), x("v"))), ",").as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // DF merge path
+    val viaDf = render(t.toDF)
+    // executor (k-way merge) path via the catalog scan
+    val viaSql = render(spark.sql("SELECT * FROM graft.db.nagg"))
+    // sum retracts: 10 - 10 + 7; ignore-retract skips the -U row: 10 + 7;
+    // nested upsert: eid 1 re-appended by the -U row's value, then eid 2
+    val expected = Seq((1L, 7L, 17L, "1:a2,2:b"))
+    assert(viaDf == expected, s"df path: $viaDf")
+    assert(viaSql == expected, s"sql path: $viaSql")
+  }
 }

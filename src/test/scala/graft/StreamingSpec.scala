@@ -112,6 +112,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"), (4L, "d")))
   }
 
+  test("streaming start modes: from-timestamp and from-watermark") {
+    val path = tmpTable()
+    val df1 = Seq((1L, 100L, "a")).toDF("k", "ts", "v")
+    val t = GraftTable.create(spark, path, df1.schema, primaryKeys = Seq("k"),
+      options = Map("watermark.column" -> "ts"))
+    t.upsert(df1)                                    // snap 1, wm 100
+    Thread.sleep(20)
+    t.upsert(Seq((2L, 300L, "b")).toDF("k", "ts", "v")) // snap 2, wm 300
+    Thread.sleep(20)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.upsert(Seq((3L, 700L, "c")).toDF("k", "ts", "v")) // snap 3, wm 700
+
+    // from-timestamp: start after the last snapshot committed <= betweenTs
+    assert(t.streamingStartExclusive(Map(
+      "scan.mode" -> "from-timestamp",
+      "scan.timestamp-millis" -> betweenTs.toString)) == 2L)
+    // from-watermark: first snapshot whose watermark reached 300 is snap 2
+    assert(t.streamingStartExclusive(Map(
+      "scan.mode" -> "from-watermark", "scan.watermark" -> "300")) == 1L)
+    // watermark beyond the chain head: nothing to replay yet
+    assert(t.streamingStartExclusive(Map(
+      "scan.mode" -> "from-watermark", "scan.watermark" -> "9999")) == 3L)
+
+    // end-to-end through the DSv1 source: only snapshot 3 streams out
+    val out = spark.readStream.format("graft").option("path", path)
+      .option("scan.mode", "from-timestamp")
+      .option("scan.timestamp-millis", betweenTs.toString)
+      .load()
+      .writeStream.format("memory").queryName("start_mode_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(out.awaitTermination(60000))
+    val got = spark.table("start_mode_out").select("k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L), s"expected only snapshot 3's rows, got $got")
+  }
+
   test("watermark.column: snapshot watermarks populate from file stats, stay monotone") {
     val path = tmpTable()
     val df1 = Seq((1L, 100L, "x"), (2L, 300L, "y")).toDF("k", "ts", "v")
