@@ -176,17 +176,40 @@ object SparkEntry {
       VectorOps.cosineTopK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
     }),
     "q49_ann_lsh_topk" -> ((s, d) => {
-      val emb = Fixtures.src(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).collect()(0)
-        .getSeq[Double](0)
-      VectorOps.cosineTopKLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
-        20, numPlanes = 4)
+      // RECALL oracle: the corpus is embeddings ∪ 20 deterministic
+      // perturbations of the query vector (cos ≈ 0.999 ≫ 0.44, the natural
+      // max), so the true top-20 is separable and the oracle is the exact
+      // brute-force ranking — the banded LSH must recover it in full.
+      val (corpus, q) = annRecallCorpus(s, d)
+      VectorOps.cosineTopKLsh(corpus, "vec_id", "embedding", q, 20)
     }),
-    "q50_embed_sim_pairs" -> ((s, d) =>
-      VectorOps.nearDupPairs(Fixtures.src(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.45, numPlanes = 4))
+    "q50_embed_sim_pairs" -> ((s, d) => {
+      // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
+      // (LSH-independent), so every qualifying pair must be recalled
+      val (corpus, _) = annRecallCorpus(s, d)
+      VectorOps.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)
+    })
   )
+
+  /** Shared q49/q50 fixture: (embeddings minus the query row) ∪ 20 synthetic
+    * near-copies `q + 0.05·v_i` of the query vector, ids offset by 100000 —
+    * reproduced verbatim by the DuckDB oracle CTE.
+    */
+  private def annRecallCorpus(s: SparkSession, d: String): (DataFrame, Seq[Double]) = {
+    val emb = Fixtures.src(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0)
+    val qArr = array(q.map(lit): _*)
+    val synth = emb.filter(col("vec_id").between(1, 20))
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(qArr, col("embedding").cast("array<double>"),
+          (a, b) => a + lit(0.05) * b).as("embedding"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(synth)
+    (corpus, q)
+  }
 
   // ---------------- oracle SQL (DuckDB dialect) ----------------
 
@@ -252,29 +275,30 @@ object SparkEntry {
   }
 
   // Vector-LSH oracles: the plane constants are md5-derived and inlined as
-  // literals on BOTH sides, so DuckDB reproduces the exact buckets.
-  private def bucketSql(vecExpr: String, numPlanes: Int): String =
-    graft.pipeline.VectorOps.planeComponents(numPlanes, 64).zipWithIndex.map {
-      case (pl, p) =>
-        val lst = "CAST([" + pl.mkString(", ") + "] AS DOUBLE[])"
-        s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $vecExpr[i] * ($lst)[i])) >= 0 " +
-          s"THEN ${1L << p} ELSE 0 END)"
-    }.mkString(" + ")
+  // q49/q50 share this corpus CTE: embeddings (minus the query row) plus 20
+  // deterministic near-copies of the query vector — byte-identical to
+  // SparkEntry.annRecallCorpus. The oracles below are EXACT (brute-force /
+  // all-pairs), independent of the LSH, so a green hash asserts full recall.
+  private val annCorpusCte =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |synth AS (SELECT e.vec_id + 100000 AS vec_id,
+      |  list_transform(range(1, 65), i -> q.qv[i] + 0.05 * e.v[i]) AS v
+      |  FROM e, q WHERE e.vec_id BETWEEN 1 AND 20),
+      |corpus AS (SELECT vec_id, v FROM e WHERE vec_id <> 0
+      |           UNION ALL SELECT vec_id, v FROM synth)""".stripMargin
 
   private val annLshOracle =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT v AS qv, ${bucketSql("v", 4)} AS qb FROM e WHERE vec_id = 0)
+    s"""$annCorpusCte
        |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, (SELECT qv FROM q)), 6) AS cosine_sim
-       |FROM e WHERE vec_id <> 0 AND ${bucketSql("v", 4)} = (SELECT qb FROM q)
-       |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+       |FROM corpus ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
 
   private val embedPairsOracle =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |b AS (SELECT vec_id, v, ${bucketSql("v", 4)} AS bk FROM e)
+    s"""$annCorpusCte
        |SELECT a.vec_id AS id_a, x.vec_id AS id_b,
        |  ROUND(LIST_COSINE_SIMILARITY(a.v, x.v), 6) AS cosine_sim
-       |FROM b a JOIN b x ON a.bk = x.bk AND a.vec_id < x.vec_id
-       |WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, x.v), 6) >= 0.45""".stripMargin
+       |FROM corpus a JOIN corpus x ON a.vec_id < x.vec_id
+       |WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, x.v), 6) >= 0.95""".stripMargin
 
   // all-pairs exact n-gram Jaccard (the oracle is exact; the engine finds the
   // same pairs via MinHash LSH — the sf0.01 corpus has a wide gap between

@@ -409,6 +409,25 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       .sorted.flatMap(id => readConsumer(id).map(id -> _))
   }
 
+  /** Consumers with the wall-clock time of their last progress write (file
+    * mtime — writeConsumer rewrites the file on every advance). Lets expiry
+    * ignore abandoned readers (reference: CoreOptions
+    * "consumer.expiration-time").
+    */
+  def listConsumersWithTime: Seq[(String, Long, Long)] = {
+    if (!fs.exists(consumerDir)) return Nil
+    fs.listStatus(consumerDir).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("consumer-") && n.endsWith(".json")
+      }
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val id = st.getPath.getName.stripPrefix("consumer-").stripSuffix(".json")
+        readConsumer(id).map(next => (id, next, st.getModificationTime))
+      }
+  }
+
   def deleteConsumer(id: String): Unit =
     fs.delete(new Path(consumerDir, s"consumer-$id.json"), false)
 }

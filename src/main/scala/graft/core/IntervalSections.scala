@@ -65,6 +65,11 @@ object IntervalSections {
 
   private def boundsOf(schema: TableSchema, f: DataFileMeta)
       : Option[(MinKey, MaxKey)] = {
+    // Stats are keyed by field NAME under the file's own schema; after a
+    // rename that reuses another column's former name the lookup would read
+    // a different field's stats. Only trust same-schema files — older files
+    // degrade the bucket to a single section (conservative, never wrong).
+    if (f.schemaId != schema.id) return None
     val fields = schema.primaryKeys.map(schema.fieldByName)
     val mins = fields.map(fd => f.stats.get(fd.name).flatMap(_.min)
       .flatMap(StatsCodec.toComparable(fd.sparkType, _)))

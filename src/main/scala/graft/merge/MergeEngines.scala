@@ -162,7 +162,8 @@ object MergeEngines {
     val ddl = schema.fieldByName(f).dataType
     // collect_list skips null entries, so sorted holds only real versions
     val sorted = array_sort(collect_list(when(c.isNotNull, struct(ord.as("o"), c.as("v")))))
-    val rows = flatten(transform(sorted, x => x("v")))
+    // drop null ELEMENTS inside each array too (row path skips them as well)
+    val rows = filter(flatten(transform(sorted, x => x("v"))), e => e.isNotNull)
     aggregate(rows, array().cast(ddl), (acc, r) =>
       concat(filter(acc, e => !keys.map(k => e(k) <=> r(k)).reduce(_ && _)), array(r)))
   }

@@ -229,7 +229,7 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
         val acc = mutable.LinkedHashMap.empty[Seq[Any], Any]
         nonNull.foreach { v =>
           val arr = v.asInstanceOf[ArrayData]
-          arr.foreach(st, (_, e) => {
+          arr.foreach(st, (_, e) => if (e != null) { // skip null entries (DF path does too)
             val row = e.asInstanceOf[InternalRow].copy()
             val key = keyIdxs.map(j => row.get(j, st(j).dataType)).toSeq
             acc.remove(key) // re-append: an update moves to the end (DF-path order)

@@ -82,13 +82,16 @@ object Dedup {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
     // a DEGENERATE bucket (e.g. thousands of byte-identical docs when exact
-    // dedup was skipped) would blow the single-row array expansion; route
-    // oversized buckets through a distributed bucket-local self-join — the
-    // same pairs, with the inherently quadratic work spread across tasks
-    // instead of materialized on one executor row
-    val bigKeys = grouped.filter(size(col("ids")) > maxArrayBucket)
-      .select("band", "bucket")
-    val bigRows = bandRows.join(broadcast(bigKeys), Seq("band", "bucket"))
+    // dedup was skipped) would blow the single-row PAIR expansion (quadratic
+    // structs in one row); route oversized buckets through a distributed
+    // bucket-local self-join instead. The big rows re-explode from the
+    // already-aggregated arrays — every branch (small, and both join sides)
+    // hangs off the SAME (band, bucket) exchange, so the expensive
+    // shingle-explode + 64-min signature pipeline executes ONCE and the
+    // other consumers read it as ReusedExchange (re-joining the
+    // pre-aggregation bandRows here re-ran that pipeline per consumer).
+    val bigRows = grouped.filter(size(col("ids")) > maxArrayBucket)
+      .select(col("band"), col("bucket"), explode(col("ids")).as("id"))
     val bigPairs = bigRows.as("a").join(bigRows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))

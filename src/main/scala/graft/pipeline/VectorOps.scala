@@ -66,38 +66,76 @@ object VectorOps {
       when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** Approximate top-k: restrict the exact ranking to vectors sharing the
-    * query's LSH bucket (single-probe). The scale path — the scan prunes to
-    * one bucket; recall is tunable by `numPlanes` and multi-probing.
+  /** Loud dimensionality guard: a vector of the wrong length would zip_with
+    * into nulls and silently collapse every bucket to 0 (degrading the LSH
+    * join to all-pairs) — fail the query instead.
+    */
+  private def checkedVec(vec: Column, dim: Int): Column =
+    when(size(vec) === dim, vec).otherwise(raise_error(concat(
+      lit(s"graft LSH: expected $dim-dim vector, found dim="), size(vec).cast("string"))))
+
+  /** The `numTables` × `planesPerTable` hyperplane family, sliced out of one
+    * [[planeComponents]] call so an external SQL oracle reproduces the exact
+    * constants by index.
+    */
+  def tableFamily(numTables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    planeComponents(numTables * planesPerTable, dim).grouped(planesPerTable).toSeq
+
+  /** Approximate top-k via BANDED MULTI-TABLE sign-random-projection LSH:
+    * `numTables` independent tables of `planesPerTable` planes each; a
+    * vector is a candidate if it shares the query's bucket in ANY table
+    * (union of probes — the same band shape as the MinHash text path).
+    *
+    * Scale: per-table bucket count is 2^planesPerTable — size planesPerTable
+    * ≈ log2(corpusSize / targetBucketSize) so buckets stay small as the
+    * corpus grows; recall is tuned INDEPENDENTLY by adding tables (miss
+    * probability decays geometrically in numTables). A candidate's full
+    * ranking is exact cosine, so precision is always exact.
     */
   def cosineTopKLsh(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
-    val planes = planeComponents(numPlanes, query.length)
+      query: Seq[Double], k: Int, numTables: Int = 8, planesPerTable: Int = 8): DataFrame = {
+    val dim = query.length
+    val tables = tableFamily(numTables, planesPerTable, dim)
     val q = array(query.map(lit): _*)
-    // query bucket computed driver-side with the same plane constants
-    val qb = planes.zipWithIndex.map { case (pl, p) =>
-      val proj = pl.zip(query).map { case (c, x) => c * x }.sum
-      if (proj >= 0.0) 1L << p else 0L
-    }.reduce(_ | _)
-    df.withColumn("__b", lshBucket(col(vecCol), planes))
-      .filter(col("__b") === qb)
+    // query buckets computed driver-side with the same plane constants
+    val qBuckets = tables.map { pls =>
+      pls.zipWithIndex.map { case (pl, p) =>
+        val proj = pl.zip(query).map { case (c, x) => c * x }.sum
+        if (proj >= 0.0) 1L << p else 0L
+      }.reduce(_ | _)
+    }
+    val v = checkedVec(col(vecCol), dim)
+    val anyTableMatch = tables.zip(qBuckets)
+      .map { case (pls, qb) => lshBucket(v, pls) === qb }
+      .reduce(_ || _)
+    df.filter(anyTableMatch)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
   }
 
-  /** Embedding near-dup pairs: LSH-bucketed candidates verified by exact
-    * cosine ≥ threshold. Join is bucket-local (no all-pairs).
+  /** Embedding near-dup pairs: banded multi-table LSH candidates (union
+    * over tables, deduplicated) verified by exact cosine ≥ threshold. The
+    * join is (table, bucket)-local — |tables| × Σ (bucket size choose 2),
+    * never all-pairs.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = planeComponents(numPlanes, dim)
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    b.as("a").join(b.as("x"),
-        col("a.bucket") === col("x.bucket") && col("a.id") < col("x.id"))
+      threshold: Double = 0.95, numTables: Int = 8, planesPerTable: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val tables = tableFamily(numTables, planesPerTable, dim)
+    val v = checkedVec(col(vecCol), dim)
+    val keys = tables.zipWithIndex.map { case (pls, t) =>
+      struct(lit(t).as("t"), lshBucket(v, pls).as("bucket"))
+    }
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(keys: _*)).as("k"))
+      .select(col("id"), col("v"), col("k.t").as("t"), col("k.bucket").as("bucket"))
+    keyed.as("a").join(keyed.as("x"),
+        col("a.t") === col("x.t") && col("a.bucket") === col("x.bucket") &&
+          col("a.id") < col("x.id"))
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"),
         round(cosine(col("a.v"), col("x.v")), 6).as("cosine_sim"))
+      .distinct()
       .filter(col("cosine_sim") >= threshold)
   }
 }

@@ -37,8 +37,11 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
         if u.resolved && graftOf(target).isDefined =>
       GraftUpdateCommand(graftOf(target).get, assignments, condition)
     case m: MergeIntoTable
-        if m.childrenResolved && m.mergeCondition.resolved &&
-          graftOf(m.targetTable).isDefined =>
+        if m.resolved && graftOf(m.targetTable).isDefined =>
+      if (m.withSchemaEvolution)
+        throw new UnsupportedOperationException(
+          "MERGE INTO ... WITH SCHEMA EVOLUTION is not supported on graft tables; " +
+            "ALTER TABLE first, then MERGE")
       GraftMergeCommand(graftOf(m.targetTable).get,
         new MergeSpec(m.sourceTable, m.mergeCondition, m.matchedActions,
           m.notMatchedActions, m.notMatchedBySourceActions,
@@ -74,9 +77,14 @@ case class GraftUpdateCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     // Spark's assignment alignment may expand SET lists to every column with
-    // identity values — drop the no-ops (they would trip the pk-update guard)
+    // identity values (possibly cast-wrapped) — drop the no-ops (they would
+    // trip the pk-update guard)
+    def stripTrivialCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripTrivialCast(c.child)
+      case other => other
+    }
     val real = assignments.filterNot { a =>
-      (a.key, a.value) match {
+      (a.key, stripTrivialCast(a.value)) match {
         case (k: AttributeReference, v: AttributeReference) => k.exprId == v.exprId
         case _ => false
       }

@@ -292,8 +292,21 @@ trait MaintenanceOps { self: GraftTable =>
     val ids = store.snapshotIds
     // consumers pin snapshots: a registered reader's nextSnapshot (and
     // everything after it) must survive so its stream can resume
-    // (reference: consumer/ConsumerManager.java:40 + minNextSnapshot)
-    val minConsumerNext = store.listConsumers.map(_._2).minOption
+    // (reference: consumer/ConsumerManager.java:40 + minNextSnapshot).
+    // A pin older than 'consumer.expiration-time' (last progress = file
+    // mtime) is an abandoned reader and is ignored — otherwise one stale
+    // consumer silently stops ALL reclamation forever (reference:
+    // CoreOptions "consumer.expiration-time").
+    val consumerTtl = schema.options.get("consumer.expiration-time")
+      .map(Maintenance.parseDurationMillis)
+    val now = System.currentTimeMillis()
+    val livePins = store.listConsumersWithTime.filter { case (id, _, mtime) =>
+      val live = consumerTtl.forall(ttl => now - mtime <= ttl)
+      if (!live) Maintenance.log.info(s"ignoring expired consumer pin '$id' " +
+        s"(idle ${now - mtime} ms > TTL ${consumerTtl.get} ms)")
+      live
+    }
+    val minConsumerNext = livePins.map(_._2).minOption
     val retainBoundary = {
       val byCount = ids.size - retainLast
       minConsumerNext match {
@@ -416,4 +429,28 @@ trait MaintenanceOps { self: GraftTable =>
   /** Expose dir columns for maintenance jobs. */
   private[table] def dirColsPublic: Seq[String] =
     if (isPrimaryKeyed) schema.partitionKeys :+ BucketCol else schema.partitionKeys
+}
+
+object Maintenance {
+  private[table] val log = org.slf4j.LoggerFactory.getLogger("graft.Maintenance")
+
+  /** Parse a duration option value: plain millis, or `<n><unit>` with unit
+    * ms/s/m/h/d (e.g. "30m", "7d"), whitespace tolerated.
+    */
+  private[table] def parseDurationMillis(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val m = "^(\\d+)\\s*(ms|s|m|h|d)?$".r
+    t match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case null | "ms" => 1L
+          case "s" => 1000L
+          case "m" => 60L * 1000
+          case "h" => 3600L * 1000
+          case "d" => 24L * 3600 * 1000
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"bad duration: '$s'")
+    }
+  }
 }

@@ -68,4 +68,33 @@ class PipelineSpec extends SparkSpec {
     assert(b1.sameElements(b2))
     assert(b1.map(_.getLong(1)).distinct.length > 1, "vectors should spread over buckets")
   }
+
+  test("banded multi-table LSH top-k equals brute force on a separable fixture") {
+    val dim = 16
+    // 25 near-copies of a base direction (true top-k) + 200 scattered vectors
+    def noise(i: Int, d: Int): Float = ((i * 31 + d * 7) % 11 - 5) / 100.0f
+    val base = (0 until dim).map(d => if (d == 0) 1.0f else 0.1f * d / dim)
+    val cluster = (0 until 25).map(i =>
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.05f * noise(i, d) }))
+    val scattered = (100 until 300).map(i =>
+      (i.toLong, (0 until dim).map(d => noise(i * 13, d * 3 + 1) * 10)))
+    val df = (cluster ++ scattered).toDF("id", "v")
+    val q = base.map(_.toDouble)
+    val exact = VectorOps.cosineTopK(df, "id", "v", q, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lsh = VectorOps.cosineTopKLsh(df, "id", "v", q, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(lsh == exact, "banded LSH must recover the full separable top-k")
+    assert(exact.map(_._1).toSet == cluster.map(_._1).toSet)
+  }
+
+  test("LSH fails loudly on a wrong-dimension vector instead of bucketing to 0") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      VectorOps.cosineTopKLsh(df, "id", "v", Seq(1.0, 0.0, 0.0), 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("expected 3-dim vector")), msgs(ex).mkString("; "))
+  }
 }
