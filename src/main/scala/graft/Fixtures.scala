@@ -207,6 +207,24 @@ object Fixtures {
       t
     }
 
+  /** Dynamic-bucket (`bucket = -1`) orders table: new keys arrive across
+    * TWO commits (odd keys, then even keys) so the hash index grows buckets
+    * incrementally, then the canonical doubled batch updates %7 keys —
+    * routed through the index back to their original buckets.
+    */
+  def ordersPkDynamicBucket(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_dynbucket") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("bucket" -> "-1",
+          "dynamic-bucket.target-row-num" -> "2000",
+          "dynamic-bucket.assigner-parallelism" -> "4"))
+      t.upsert(df.filter(col("o_orderkey") % 2 === 1))
+      t.upsert(df.filter(col("o_orderkey") % 2 === 0))
+      t.upsert(ordersBatch2(spark, sfDir))
+      t
+    }
+
   def ordersPkCompacted(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_compacted") { path =>
       val df = src(spark, sfDir, "orders")

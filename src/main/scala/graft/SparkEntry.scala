@@ -132,6 +132,7 @@ object SparkEntry {
     "q38_cross_partition" -> ((s, d) => Fixtures.ordersCrossPartition(s, d).toDF),
     "q39_merge_sections" -> ((s, d) => Fixtures.ordersPkSections(s, d).toDF),
     "q51_partial_compact" -> ((s, d) => Fixtures.ordersPkPartialCompact(s, d).toDF),
+    "q53_dynamic_bucket" -> ((s, d) => Fixtures.ordersPkDynamicBucket(s, d).toDF),
 
     // ---- LLM-pipeline: text analysis ----
     "q40_text_stats" -> ((s, d) =>
@@ -454,6 +455,7 @@ object SparkEntry {
         | o_orderdate, o_orderpriority FROM orders""".stripMargin,
     "q51_partial_compact" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey % 13 <> 0",
+    "q53_dynamic_bucket" -> mergedOrders,
 
     "q40_text_stats" ->
       s"""SELECT doc_id,

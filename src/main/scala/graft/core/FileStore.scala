@@ -244,6 +244,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       commitIdentifier: Long = -1L,
       watermark: Option[Long] = None,
       changelog: Seq[ManifestEntry] = Nil,
+      newIndexFiles: Seq[String] = Nil,
       maxRetries: Int = 20): CommitResult = {
     var attempt = 0
     while (true) {
@@ -310,7 +311,8 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         maxCommitIdentifier =
           math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L), commitIdentifier),
         changelogManifests =
-          if (changelog.isEmpty) Nil else Seq(writeManifest(changelog)))
+          if (changelog.isEmpty) Nil else Seq(writeManifest(changelog)),
+        indexFiles = latest.map(_.indexFiles).getOrElse(Nil) ++ newIndexFiles)
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
         return CommitResult(snap, committed = true)
       }

@@ -97,7 +97,13 @@ case class Snapshot(
       * Snapshot.changelogManifestList — the full-compaction producer's
       * -U/+U/-D stream, Snapshot.java:103-176).
       */
-    changelogManifests: Seq[String] = Nil) {
+    changelogManifests: Seq[String] = Nil,
+    /** Dynamic-bucket hash-index deltas (parquet dirs relative to the table
+      * root), carried forward monotonically — together they form the
+      * authoritative pk-hash → bucket map (reference: Snapshot.indexManifest
+      * + index/HashIndexFile).
+      */
+    indexFiles: Seq[String] = Nil) {
 
   def toJson: String = {
     val n = Json.obj()
@@ -112,6 +118,9 @@ case class Snapshot(
     n.put("maxCommitIdentifier", maxCommitIdentifier)
     if (changelogManifests.nonEmpty) {
       val cm = n.putArray("changelogManifests"); changelogManifests.foreach(cm.add)
+    }
+    if (indexFiles.nonEmpty) {
+      val ix = n.putArray("indexFiles"); indexFiles.foreach(ix.add)
     }
     if (manifestMeta.nonEmpty) {
       val mm = n.putArray("manifestMeta")
@@ -158,6 +167,8 @@ object Snapshot {
       meta,
       Json.optLong(n, "maxCommitIdentifier").getOrElse(-1L),
       Option(n.get("changelogManifests"))
+        .map(a => Json.elems(a).map(_.asText())).getOrElse(Nil),
+      Option(n.get("indexFiles"))
         .map(a => Json.elems(a).map(_.asText())).getOrElse(Nil))
   }
 }

@@ -44,6 +44,28 @@ case class TableSchema(
   def option(key: String, default: String): String = options.getOrElse(key, default)
 
   def numBuckets: Int = option(TableSchema.BucketOpt, "8").toInt
+
+  /** `bucket = -1`: HASH_DYNAMIC mode — buckets are assigned per key by a
+    * durable pk-hash → bucket index and grow with the data instead of being
+    * fixed at CREATE (reference: BucketMode.HASH_DYNAMIC,
+    * index/HashBucketAssigner.java:37).
+    */
+  def dynamicBucket: Boolean = isPrimaryKeyed && numBuckets == -1
+
+  /** Rows per dynamic bucket before the assigner opens a new one
+    * (reference: CoreOptions "dynamic-bucket.target-row-num", default 2M).
+    */
+  def dynamicBucketTargetRows: Long =
+    option("dynamic-bucket.target-row-num", "2000000").toLong
+
+  /** Parallelism of new-key assignment: keys shard by hash across this many
+    * independent assigners, each owning buckets ≡ shard (mod N) — so
+    * assigning a billion new keys is N parallel sorts, not one (reference:
+    * CoreOptions "dynamic-bucket.assigner-parallelism",
+    * HashBucketAssigner ownership rule).
+    */
+  def dynamicBucketAssigners: Int =
+    option("dynamic-bucket.assigner-parallelism", "8").toInt
   def defaultValueOf(field: String): Option[String] =
     options.get(TableSchema.defaultValueOpt(field))
   /** Data file format: parquet (default) or orc (reference: paimon-format

@@ -169,7 +169,10 @@ object GraftFileIndex {
     }
     val h = Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int]
     val n = schema.numBuckets
-    Some(((h % n) + n) % n)
+    // dynamic-bucket tables (n == -1) route by the durable hash index, not
+    // a modulus — no static bucket pruning (partition/stats pruning still
+    // applies)
+    if (n <= 0) None else Some(((h % n) + n) % n)
   }
 
   /** Spark partition-path string → Catalyst internal value. */

@@ -398,15 +398,86 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       // the id is captured BEFORE the bucket shuffle, so it reflects source
       // order, not shuffle arrival order)
       .withColumn(PosCol, monotonically_increasing_id())
-      .withColumn(BucketCol, pmod(hash(pkCols: _*), lit(schema.numBuckets)))
+    val (bucketed, indexDelta) =
+      if (schema.dynamicBucket) assignDynamicBuckets(prepared)
+      else (prepared.withColumn(BucketCol,
+        pmod(hash(pkCols: _*), lit(schema.numBuckets))), Nil)
     val sortCols = (dirCols() ++ schema.primaryKeys).map(col) ++
       schema.sequenceField.map(col).toSeq
-    val shuffled = prepared
+    val shuffled = bucketed
       .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
       .sortWithinPartitions(sortCols: _*)
     val files = stageWrite(shuffled, level = 0, seq = seq)
     commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)), CommitKind.APPEND,
-      commitIdentifier)
+      commitIdentifier, indexFiles = indexDelta)
+  }
+
+  /** Dynamic-bucket (`bucket = -1`) key routing: buckets grow with the data
+    * instead of being fixed at CREATE (reference: BucketMode.HASH_DYNAMIC,
+    * index/HashBucketAssigner.java:37, DynamicBucketRowKeyExtractor.java).
+    *
+    * The authoritative pk-hash → bucket map lives in parquet index deltas
+    * under `index/`, registered in each snapshot (`Snapshot.indexFiles`)
+    * and carried forward monotonically. A write:
+    *   1. joins incoming distinct key hashes against the index (distributed
+    *      shuffle join — the index is data, never driver state);
+    *   2. assigns unseen keys: hashes shard across
+    *      `dynamic-bucket.assigner-parallelism` independent assigners, each
+    *      owning buckets ≡ shard (mod N) and filling them to
+    *      `dynamic-bucket.target-row-num` keys before opening its next one —
+    *      so bulk new-key assignment is N parallel rank computations;
+    *   3. materializes the new assignments as an index delta and routes the
+    *      batch through the updated map.
+    *
+    * Hash collisions co-locate their keys in one bucket (consistent, merely
+    * conservative). Like the reference, assignment assumes one writer per
+    * table at a time; the optimistic commit still detects snapshot races.
+    */
+  private def assignDynamicBuckets(prepared: DataFrame): (DataFrame, Seq[String]) = {
+    require(!schema.crossPartition,
+      "dynamic bucket (bucket=-1) requires partition keys contained in the primary key")
+    val kh = "__kh"
+    val shard = "__shard"
+    val ptCols = schema.partitionKeys
+    val joinKeys = ptCols :+ kh
+    val shards = math.max(1, schema.dynamicBucketAssigners)
+    val target = math.max(1L, schema.dynamicBucketTargetRows)
+    val idxDirs = store.latestSnapshot.map(_.indexFiles).getOrElse(Nil)
+    val existing: DataFrame =
+      if (idxDirs.isEmpty) {
+        val fields = ptCols.map(p => schema.fieldByName(p).toStructField) ++
+          Seq(StructField(kh, IntegerType, nullable = false),
+            StructField(BucketCol, IntegerType, nullable = false))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(fields))
+      } else spark.read
+        .parquet(idxDirs.map(d => new Path(store.rootPath, d).toString): _*)
+    val withKh = prepared.withColumn(kh, hash(schema.primaryKeys.map(col): _*))
+    val incoming = withKh.select(joinKeys.map(col): _*).distinct()
+    val newKeys = incoming.join(existing, joinKeys, "left_anti")
+      .withColumn(shard, pmod(col(kh), lit(shards)))
+    val counts = existing
+      .withColumn(shard, pmod(col(kh), lit(shards)))
+      .groupBy((ptCols :+ shard).map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((ptCols :+ shard).map(col): _*).orderBy(col(kh))
+    val assigned = newKeys
+      .join(counts, ptCols :+ shard, "left_outer")
+      .withColumn("__pos", coalesce(col("__cnt"), lit(0L)) + row_number().over(w) - 1)
+      .withColumn(BucketCol,
+        (col(shard) + floor(col("__pos") / target) * shards).cast("int"))
+      .select(joinKeys.map(col) :+ col(BucketCol): _*)
+    val deltaRel = s"index/delta-${UUID.randomUUID()}"
+    val deltaPath = new Path(store.rootPath, deltaRel)
+    assigned.write.parquet(deltaPath.toString)
+    // re-read the just-written delta: assignments materialize exactly once,
+    // the routing join never recomputes the rank window
+    val hasRows = store.fs.listStatus(deltaPath)
+      .exists(st => st.isFile && st.getPath.getName.startsWith("part-") && st.getLen > 0)
+    val (fullIndex, delta) =
+      if (hasRows)
+        (existing.unionByName(spark.read.parquet(deltaPath.toString)), Seq(deltaRel))
+      else { store.fs.delete(deltaPath, true); (existing, Nil) }
+    (withKh.join(fullIndex, joinKeys, "inner").drop(kh), delta)
   }
 
   /** INSERT OVERWRITE: whole table, a static partition spec, or dynamic
@@ -441,9 +512,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 
   def commitFiles(entries: Seq[ManifestEntry], kind: String,
       commitIdentifier: Long = -1L,
-      changelog: Seq[ManifestEntry] = Nil): Snapshot =
+      changelog: Seq[ManifestEntry] = Nil,
+      indexFiles: Seq[String] = Nil): Snapshot =
     store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
-      changelog).snapshot
+      changelog, indexFiles).snapshot
 
   /** Event-time watermark of a commit, derived from the per-file max stats
     * of the configured `watermark.column` — no extra pass over the data

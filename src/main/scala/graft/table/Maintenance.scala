@@ -391,15 +391,22 @@ trait MaintenanceOps { self: GraftTable =>
         e.file.path +: (e.file.dvPath.toSeq ++ e.file.blooms.values.toSeq)
       })
       .map(p => new Path(store.rootPath, p).toUri.getPath).toSet
+    // dynamic-bucket index DELTAS are directories referenced by prefix
+    val referencedIdxDirs = store.allReferencedSnapshots
+      .flatMap(_.indexFiles).distinct
+      .map(p => new Path(store.rootPath, p).toUri.getPath)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     Seq(store.dataDir, new Path(store.rootPath, "dv"),
-        new Path(store.rootPath, "idx")).filter(fs.exists).foreach { dir =>
+        new Path(store.rootPath, "idx"),
+        new Path(store.rootPath, "index")).filter(fs.exists).foreach { dir =>
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val st = it.next()
+        val p = st.getPath.toUri.getPath
         if (st.isFile && st.getModificationTime < cutoff &&
-            !referenced.contains(st.getPath.toUri.getPath)) {
+            !referenced.contains(p) &&
+            !referencedIdxDirs.exists(d => p.startsWith(d + "/"))) {
           fs.delete(st.getPath, false)
           deleted += st.getPath.toString
         }

@@ -177,4 +177,42 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(t.system("branches").collect().map(_.getString(0)).toSeq == Seq("dev"))
   }
+
+  test("dynamic bucket mode: buckets grow with keys, updates stay in place") {
+    val df = (1L to 900L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmpTable(),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "100",
+        "dynamic-bucket.assigner-parallelism" -> "2"))
+    t.upsert(df.filter(col("k") <= 300))
+    def bucketsOf(): Map[Long, Long] = {
+      val snap = t.store.latestSnapshot.get
+      t.rawSnapshot(snap).select(col("k"), col("__bucket"))
+        .collect().groupBy(_.getLong(0)).map { case (k, rs) =>
+          k -> rs.map(_.getInt(1).toLong).max }
+    }
+    val b1 = bucketsOf()
+    val bucketCount1 = b1.values.toSet.size
+    assert(bucketCount1 >= 3, s"300 keys / target 100 should open >=3 buckets, got $bucketCount1")
+    // more NEW keys must open NEW buckets, never move existing keys
+    t.upsert(df)
+    val b2 = bucketsOf()
+    assert(b2.values.toSet.size > bucketCount1, "bucket count must grow with new keys")
+    b1.foreach { case (k, b) => assert(b2(k) == b, s"key $k moved bucket $b -> ${b2(k)}") }
+    // an UPDATE of existing keys routes to the assigned buckets (no growth)
+    t.upsert(df.filter(col("k") % 10 === 0).withColumn("v", lit("upd")))
+    val b3 = bucketsOf()
+    assert(b3.values.toSet.size == b2.values.toSet.size)
+    b2.foreach { case (k, b) => assert(b3(k) == b) }
+    // merged read is exact
+    val got = t.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 900)
+    assert(got.forall { case (k, v) => v == (if (k % 10 == 0) "upd" else s"v$k") })
+    // per-bucket fill respects the target (hash collisions only co-locate)
+    val fill = b3.groupBy(_._2).view.mapValues(_.size)
+    assert(fill.values.forall(_ <= 110), s"bucket overfilled: ${fill.toMap}")
+  }
 }
