@@ -178,32 +178,63 @@ object Fixtures {
   /** aggregation engine over events keyed by user: per-field sum / max /
     * min / last_value / listagg, versioned by sequence field event_id.
     */
+  /** The events frame shaped for the aggregation engine (one aggregated
+    * column per function) and its table options.
+    */
+  def eventsAggInput(spark: SparkSession, sfDir: String): DataFrame =
+    src(spark, sfDir, "events").select(
+      col("user_id"),
+      col("event_id"),
+      floor(col("value") * 100).cast(LongType).as("total_cents"),
+      col("value").as("max_value"),
+      col("ts").as("min_ts"),
+      col("event_type").as("last_type"),
+      col("event_type").as("types"),
+      lit(1L).as("n"),
+      array(struct(col("event_id").as("eid"), col("event_type").as("etype")))
+        .as("recent"))
+
+  val eventsAggOptions: Map[String, String] = Map(
+    "merge-engine" -> "aggregation",
+    "sequence.field" -> "event_id",
+    "fields.total_cents.aggregate-function" -> "sum",
+    "fields.max_value.aggregate-function" -> "max",
+    "fields.min_ts.aggregate-function" -> "min",
+    "fields.last_type.aggregate-function" -> "last_value",
+    "fields.types.aggregate-function" -> "listagg",
+    "fields.n.aggregate-function" -> "sum",
+    "fields.recent.aggregate-function" -> "nested_update",
+    "fields.recent.nested-key" -> "eid")
+
   def eventsAgg(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "events_agg") { path =>
-      val df = src(spark, sfDir, "events").select(
-        col("user_id"),
-        col("event_id"),
-        floor(col("value") * 100).cast(LongType).as("total_cents"),
-        col("value").as("max_value"),
-        col("ts").as("min_ts"),
-        col("event_type").as("last_type"),
-        col("event_type").as("types"),
-        lit(1L).as("n"),
-        array(struct(col("event_id").as("eid"), col("event_type").as("etype")))
-          .as("recent"))
+      val df = eventsAggInput(spark, sfDir)
       val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("user_id"),
-        options = Map(
-          "merge-engine" -> "aggregation",
-          "sequence.field" -> "event_id",
-          "fields.total_cents.aggregate-function" -> "sum",
-          "fields.max_value.aggregate-function" -> "max",
-          "fields.min_ts.aggregate-function" -> "min",
-          "fields.last_type.aggregate-function" -> "last_value",
-          "fields.types.aggregate-function" -> "listagg",
-          "fields.n.aggregate-function" -> "sum",
-          "fields.recent.aggregate-function" -> "nested_update",
-          "fields.recent.nested-key" -> "eid"))
+        options = eventsAggOptions)
       t.upsert(df)
+      t
+    }
+
+  /** Aggregation-engine table over a compacted base plus two small hot
+    * runs: maybeCompact() must take the RUN-SUBSET path (all field folds
+    * associative, no retracts), leaving the max-level base untouched while
+    * the merged read still equals the one-shot aggregation.
+    */
+  def eventsAggPartialCompact(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "events_agg_partial") { path =>
+      val df = eventsAggInput(spark, sfDir)
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("user_id"),
+        options = eventsAggOptions + ("num-sorted-run.compaction-trigger" -> "3"))
+      // RANGE splits: the hot runs' sequence-field (event_id) ranges lie
+      // strictly above the base's, so file stats prove the subset rewrite
+      // re-folds in order
+      val mx = df.agg(max("event_id")).collect()(0).getLong(0)
+      val (cut1, cut2) = (mx * 8 / 10, mx * 9 / 10)
+      t.upsert(df.filter(col("event_id") <= cut1))
+      t.compact()
+      t.upsert(df.filter(col("event_id") > cut1 && col("event_id") <= cut2))
+      t.upsert(df.filter(col("event_id") > cut2))
+      t.maybeCompact()
       t
     }
 

@@ -26,6 +26,19 @@ object SparkEntry {
         .cast("double").as("sum_price"))
   }
 
+  // One-shot aggregation of the events table — the target state of the
+  // aggregation merge engine however its input is batched/compacted
+  private val eventsAggSql =
+    """SELECT user_id, MAX(event_id) AS event_id,
+      | CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      | MAX(value) AS max_value,
+      | MIN(ts) AS min_ts,
+      | ARG_MAX(event_type, event_id) AS last_type,
+      | STRING_AGG(event_type, ',' ORDER BY event_id) AS types,
+      | CAST(COUNT(*) AS BIGINT) AS n,
+      | STRING_AGG(event_id || ':' || event_type, ',' ORDER BY event_id) AS recent_rows
+      |FROM events GROUP BY user_id""".stripMargin
+
   // SQL fragment: the merged orders state after the two canonical upserts
   private val mergedOrders =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -133,6 +146,13 @@ object SparkEntry {
     "q39_merge_sections" -> ((s, d) => Fixtures.ordersPkSections(s, d).toDF),
     "q51_partial_compact" -> ((s, d) => Fixtures.ordersPkPartialCompact(s, d).toDF),
     "q53_dynamic_bucket" -> ((s, d) => Fixtures.ordersPkDynamicBucket(s, d).toDF),
+    "q54_agg_partial_compact" -> ((s, d) =>
+      Fixtures.eventsAggPartialCompact(s, d).toDF.select(
+        col("user_id"), col("event_id"), col("total_cents"), col("max_value"),
+        col("min_ts"), col("last_type"), col("types"), col("n"),
+        array_join(transform(col("recent"),
+          x => concat(x("eid").cast("string"), lit(":"), x("etype"))), ",")
+          .as("recent_rows"))),
 
     // ---- LLM-pipeline: text analysis ----
     "q40_text_stats" -> ((s, d) =>
@@ -377,16 +397,7 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 3 = 0 THEN 'RUSH' ELSE CAST(NULL AS VARCHAR) END AS o_orderpriority
         |FROM orders""".stripMargin,
-    "q20_agg_engine" ->
-      """SELECT user_id, MAX(event_id) AS event_id,
-        | CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-        | MAX(value) AS max_value,
-        | MIN(ts) AS min_ts,
-        | ARG_MAX(event_type, event_id) AS last_type,
-        | STRING_AGG(event_type, ',' ORDER BY event_id) AS types,
-        | CAST(COUNT(*) AS BIGINT) AS n,
-        | STRING_AGG(event_id || ':' || event_type, ',' ORDER BY event_id) AS recent_rows
-        |FROM events GROUP BY user_id""".stripMargin,
+    "q20_agg_engine" -> eventsAggSql,
     "q21_compact_invariance" -> mergedOrders,
     "q22_rollback" -> "SELECT * FROM orders",
     "q23_expire_snapshots" -> mergedOrders,
@@ -456,6 +467,7 @@ object SparkEntry {
     "q51_partial_compact" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey % 13 <> 0",
     "q53_dynamic_bucket" -> mergedOrders,
+    "q54_agg_partial_compact" -> eventsAggSql,
 
     "q40_text_stats" ->
       s"""SELECT doc_id,

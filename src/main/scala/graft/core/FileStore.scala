@@ -388,6 +388,21 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       .sorted.map(n => n -> readTag(n))
   }
 
+  // ---------------- column statistics (ANALYZE → CBO) ----------------
+
+  private val colStatsPath = new Path(metaRoot, "stats/colstats.json")
+
+  /** Persist ANALYZE results (reference: stats/Statistics.java + the Spark
+    * PaimonAnalyzeTableColumnCommand.scala:43). Latest-wins single file;
+    * `snapshotId` records freshness.
+    */
+  def writeColStats(stats: TableColStats): Unit =
+    writeString(colStatsPath, stats.toJson)
+
+  def readColStats(): Option[TableColStats] =
+    if (!fs.exists(colStatsPath)) None
+    else Some(TableColStats.fromJson(readString(colStatsPath)))
+
   // ---------------- consumers (durable read progress, T4) ----------------
 
   def writeConsumer(id: String, nextSnapshot: Long): Unit =

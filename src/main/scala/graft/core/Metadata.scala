@@ -235,3 +235,59 @@ object ManifestCodec {
     }
   }
 }
+
+/** One column's ANALYZE statistics (reference: paimon-core
+  * stats/ColStats.java — NDV via HLL sketch, null count, bounds, lengths).
+  * min/max use the StatsCodec string encoding (timestamps as micros, dates
+  * as epoch days).
+  */
+case class AnalyzedColStats(
+    ndv: Long,
+    nullCount: Long,
+    min: Option[String],
+    max: Option[String],
+    avgLen: Option[Long],
+    maxLen: Option[Long])
+
+/** Table-level ANALYZE output served to Catalyst CBO through the DSv2 scan
+  * (reference: stats/Statistics.java + PaimonStatistics.scala:35-50).
+  */
+case class TableColStats(
+    snapshotId: Long,
+    rowCount: Long,
+    cols: Map[String, AnalyzedColStats]) {
+
+  def toJson: String = {
+    val n = Json.obj()
+    n.put("snapshotId", snapshotId)
+    n.put("rowCount", rowCount)
+    val cs = n.putObject("cols")
+    cols.toSeq.sortBy(_._1).foreach { case (name, c) =>
+      val e = cs.putObject(name)
+      e.put("ndv", c.ndv); e.put("nullCount", c.nullCount)
+      c.min.foreach(e.put("min", _)); c.max.foreach(e.put("max", _))
+      c.avgLen.foreach(e.put("avgLen", _)); c.maxLen.foreach(e.put("maxLen", _))
+    }
+    Json.write(n)
+  }
+}
+
+object TableColStats {
+  def fromJson(s: String): TableColStats = {
+    val n = Json.parse(s)
+    val cs = n.get("cols")
+    val cols = cs.fields()
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, AnalyzedColStats]
+    cols.forEachRemaining { e =>
+      val c = e.getValue
+      m.put(e.getKey, AnalyzedColStats(
+        c.get("ndv").asLong(),
+        c.get("nullCount").asLong(),
+        Option(c.get("min")).map(_.asText()),
+        Option(c.get("max")).map(_.asText()),
+        Json.optLong(c, "avgLen"),
+        Json.optLong(c, "maxLen")))
+    }
+    TableColStats(n.get("snapshotId").asLong(), n.get("rowCount").asLong(), m.toMap)
+  }
+}

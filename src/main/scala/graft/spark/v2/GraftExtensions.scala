@@ -134,6 +134,11 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       case "remove_orphan_files" =>
         val older = if (args.size > 1) args(1).toLong else 24L * 3600 * 1000
         s"removed ${table.removeOrphanFiles(older).size} orphan files"
+      case "analyze" =>
+        val cols =
+          if (args.size > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq else Nil
+        val st = table.analyzeColumns(cols)
+        s"analyzed ${st.cols.size} columns over ${st.rowCount} rows at snapshot ${st.snapshotId}"
       case other => throw new IllegalArgumentException(s"unknown procedure: sys.$other")
     }
     Seq(Row(msg))

@@ -114,7 +114,10 @@ class GraftScan(
 
   /** Planning-time stats for Catalyst CBO (join reorder / broadcast
     * decisions — reference: PaimonStatistics.scala:35-50): size from pruned
-    * file metadata, row count from the snapshot when nothing was pruned.
+    * file metadata, row count from the snapshot when nothing was pruned,
+    * and per-column NDV/nullCount/bounds from the last ANALYZE
+    * (`CALL sys.analyze`) so filter-selectivity estimation can shrink a
+    * join side below the broadcast threshold.
     */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = prunedFiles.map(_.size).sum
@@ -123,6 +126,38 @@ class GraftScan(
       java.util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(rows)
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      table.store.readColStats().foreach { st =>
+        st.cols.foreach { case (name, c) =>
+          if (requested.fieldNames.contains(name)) {
+            val dt = requested(name).dataType
+            val mkMin = c.min.flatMap(GraftScan.statInternal(dt, _))
+            val mkMax = c.max.flatMap(GraftScan.statInternal(dt, _))
+            m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(c.ndv)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(c.nullCount)
+                override def min(): java.util.Optional[Object] =
+                  mkMin.map(java.util.Optional.of[Object]).getOrElse(java.util.Optional.empty())
+                override def max(): java.util.Optional[Object] =
+                  mkMax.map(java.util.Optional.of[Object]).getOrElse(java.util.Optional.empty())
+                override def avgLen(): java.util.OptionalLong =
+                  c.avgLen.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+                override def maxLen(): java.util.OptionalLong =
+                  c.maxLen.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+              })
+          }
+        }
+      }
+      m
+    }
   }
 
   override def description(): String =
@@ -465,5 +500,29 @@ class GraftReaderFactory(
       else GraftFileIndex.partitionValueToInternal(sf.dataType, f.partition(i))
     }
     new GenericInternalRow(vals.toArray)
+  }
+}
+
+object GraftScan {
+  /** Decode a StatsCodec-encoded ANALYZE bound to the Catalyst-internal
+    * value Catalyst's ColumnStat expects (dates as epoch days, timestamps
+    * as epoch micros). Strings/complex types serve no range bounds.
+    */
+  private[v2] def statInternal(dt: org.apache.spark.sql.types.DataType,
+      s: String): Option[Object] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case ByteType => Some(java.lang.Byte.valueOf(s.toByte))
+      case ShortType => Some(java.lang.Short.valueOf(s.toShort))
+      case IntegerType | DateType => Some(java.lang.Integer.valueOf(s.toInt))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(java.lang.Long.valueOf(s.toLong))
+      case FloatType => Some(java.lang.Float.valueOf(s.toFloat))
+      case DoubleType => Some(java.lang.Double.valueOf(s.toDouble))
+      case d: DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s), d.precision, d.scale))
+      case BooleanType => Some(java.lang.Boolean.valueOf(s))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
   }
 }

@@ -7,6 +7,7 @@ import graft.merge.MergeEngines
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DateType, NumericType, StringType, TimestampNTZType, TimestampType}
 
 /** Background reorganization jobs, run as normal Spark jobs over the table
   * (reference: paimon-core mergetree/compact and the Spark
@@ -58,17 +59,78 @@ trait MaintenanceOps { self: GraftTable =>
     }
   }
 
-  /** Can this table compact a run SUBSET without a terminal merge?
-    * deduplicate / first-row folds are associative per key — the survivor
-    * re-folds identically against older runs — so a partial rewrite
-    * preserves read results. partial-update/aggregation folds and the
-    * full-compaction changelog producer need the terminal whole-bucket
-    * rewrite (reference: UniversalCompaction picks run subsets;
-    * MergeTreeCompactRewriter drops deletes only at max level).
+  /** Can this table compact a run SUBSET without a terminal merge? The
+    * subset rewrite is sound exactly when the per-key fold is ASSOCIATIVE
+    * in sequence order — the intermediate survivor then re-folds against
+    * the untouched base to the same result (reference: UniversalCompaction
+    * picks run subsets; MergeTreeCompactRewriter drops deletes only at max
+    * level):
+    *  - deduplicate / first-row: last/first-wins is associative;
+    *  - partial-update: latest-non-null per field is associative, UNLESS
+    *    sequence-groups are configured (an intermediate row stores one
+    *    value per column, so it cannot carry each group's own winning
+    *    sequence — re-folding against the base could then pick the wrong
+    *    side);
+    *  - aggregation: per-field folds are associative (a partial sum
+    *    re-enters as an addend, a partial max as a candidate, …) EXCEPT
+    *    `count`, which counts input ROWS — a re-folded intermediate would
+    *    collapse its count to 1 — and except retract inputs (-U/-D), whose
+    *    sign is derived from the row kind the intermediate cannot preserve
+    *    per contribution (checked against the actual runs at compact time).
+    * The full-compaction changelog producer always needs the terminal
+    * whole-bucket merge to diff against.
     */
-  private def subsetEligible: Boolean =
-    Seq("deduplicate", "first-row").contains(schema.mergeEngine) &&
+  private def subsetEligible: Boolean = {
+    val engineOk = schema.mergeEngine match {
+      case "deduplicate" | "first-row" => true
+      case "partial-update" =>
+        !schema.options.keys.exists(k =>
+          k.startsWith("fields.") && k.endsWith(".sequence-group"))
+      case "aggregation" =>
+        !schema.options.exists { case (k, v) =>
+          k.endsWith(".aggregate-function") && v == "count"
+        }
+      case _ => false
+    }
+    engineOk &&
       schema.option(TableSchema.ChangelogProducerOpt, "none") != "full-compaction"
+  }
+
+  /** Aggregation folds are sign-sensitive to retract kinds; a subset
+    * rewrite is only sound over retract-free runs. One cheap scan of the
+    * candidate upper runs (kind column only, parquet-pruned) decides.
+    */
+  private def retractFree(files: Seq[DataFileMeta]): Boolean =
+    schema.mergeEngine != "aggregation" || files.isEmpty ||
+      rawUnion(files, schema)
+        .filter(col(KindCol) =!= lit(KindInsert))
+        .limit(1).isEmpty
+
+  /** With a USER sequence field, upper runs can interleave with the base in
+    * fold order — an intermediate row then re-folds in the wrong position
+    * (latest-non-null picks a stale side; listagg/nested_update concatenate
+    * out of order). The subset rewrite stays sound when file stats PROVE
+    * every upper run's sequence range lies strictly above the base's
+    * (stats of other-schema files are name-keyed and untrusted — see
+    * IntervalSections.boundsOf). Without a sequence field the commit
+    * sequence orders runs, and upper > base holds by construction.
+    */
+  private def seqFieldOrderSafe(files: Seq[DataFileMeta]): Boolean =
+    schema.sequenceField match {
+      case None => true
+      case Some(_) if !Seq("partial-update", "aggregation").contains(schema.mergeEngine) =>
+        true // dedup/first-row keep whole winner rows: max/min of maxes composes
+      case Some(sf) =>
+        val dt = schema.fieldByName(sf).sparkType
+        val (upper, base) = files.partition(_.level < GraftTable.MaxLevel)
+        def stat(f: DataFileMeta, pick: ColStats => Option[String]): Option[Comparable[Any]] =
+          if (f.schemaId != schema.id) None
+          else f.stats.get(sf).flatMap(pick).flatMap(StatsCodec.toComparable(dt, _))
+        val upperMins = upper.map(stat(_, _.min))
+        val baseMaxs = base.map(stat(_, _.max))
+        upperMins.forall(_.isDefined) && baseMaxs.forall(_.isDefined) &&
+          upperMins.flatten.forall(u => baseMaxs.flatten.forall(b => u.compareTo(b) > 0))
+    }
 
   /** Compact triggered buckets only (reference: UniversalCompaction.pick:42).
     * Buckets with a dominant max-level base rewrite just their upper runs
@@ -83,10 +145,19 @@ trait MaintenanceOps { self: GraftTable =>
       else {
         val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
         val byGroup = live.groupBy(f => (f.partition, f.bucket))
-        val (partial, full) = groups.partition { g =>
+        val (partial0, full0) = groups.partition { g =>
           val files = byGroup.getOrElse(g, Nil)
-          files.exists(_.level >= GraftTable.MaxLevel) && !sizeAmpTriggered(files)
+          files.exists(_.level >= GraftTable.MaxLevel) && !sizeAmpTriggered(files) &&
+            seqFieldOrderSafe(files)
         }
+        // aggregation tables: retract rows in the candidate upper runs force
+        // the terminal rewrite (sign is derived from row kind, which an
+        // intermediate row cannot preserve per contribution)
+        val partialUpper = partial0.flatMap(g => byGroup.getOrElse(g, Nil))
+          .filter(_.level < GraftTable.MaxLevel)
+        val (partial, full) =
+          if (retractFree(partialUpper)) (partial0, full0)
+          else (Nil, groups)
         var snap: Option[Snapshot] = None
         if (full.nonEmpty) snap = Some(compactBuckets(full.toSet))
         if (partial.nonEmpty) snap = Some(compactBucketsPartial(partial.toSet))
@@ -279,6 +350,67 @@ trait MaintenanceOps { self: GraftTable =>
       live.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         files.map(ManifestEntry(ManifestEntry.ADD, _)),
       CommitKind.COMPACT)
+  }
+
+  // ---------------- ANALYZE (column statistics for CBO) ----------------
+
+  /** Compute per-column NDV / null count / bounds / lengths in ONE
+    * distributed aggregate over the merged table and persist them for the
+    * DSv2 scan to serve to Catalyst's cost-based optimizer (reference:
+    * PaimonAnalyzeTableColumnCommand.scala:43, stats/Statistics.java). NDV
+    * uses HyperLogLog++ (`approx_count_distinct`) — exact distinct at 100 TB
+    * would shuffle every column's values.
+    */
+  def analyzeColumns(colNames: Seq[String] = Nil): TableColStats = {
+    val targets = (if (colNames.isEmpty) schema.dataFields.map(_.name) else colNames)
+      .map(schema.fieldByName)
+      .filter { f =>
+        f.sparkType match {
+          case _: NumericType | StringType | DateType | TimestampType |
+               TimestampNTZType | BooleanType => true
+          case _ => false
+        }
+      }
+    require(targets.nonEmpty, "no analyzable columns")
+    val df = toDF
+    def fixedLen(dt: org.apache.spark.sql.types.DataType): Option[Long] =
+      dt match {
+        case StringType => None
+        case other => Some(other.defaultSize.toLong)
+      }
+    val aggs = Seq(count(lit(1)).as("__rc")) ++ targets.flatMap { f =>
+      val c = col(f.name)
+      val lenAggs = fixedLen(f.sparkType) match {
+        case Some(w) => Seq(lit(w).as(s"__al_${f.name}"), lit(w).as(s"__ml_${f.name}"))
+        case None => Seq(
+          ceil(coalesce(avg(length(c)), lit(1.0))).cast("long").as(s"__al_${f.name}"),
+          coalesce(max(length(c)), lit(1)).cast("long").as(s"__ml_${f.name}"))
+      }
+      Seq(
+        approx_count_distinct(c).as(s"__ndv_${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nc_${f.name}"),
+        min(c).as(s"__mn_${f.name}"),
+        max(c).as(s"__mx_${f.name}")) ++ lenAggs
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val cols = targets.map { f =>
+      def enc(which: String): Option[String] = {
+        val v = row.getAs[Any](s"__${which}_${f.name}")
+        StatsCodec.encode(f.sparkType, v)
+      }
+      f.name -> AnalyzedColStats(
+        ndv = row.getAs[Long](s"__ndv_${f.name}"),
+        nullCount = row.getAs[Long](s"__nc_${f.name}"),
+        min = enc("mn"), max = enc("mx"),
+        avgLen = Option(row.getAs[Long](s"__al_${f.name}")),
+        maxLen = Option(row.getAs[Long](s"__ml_${f.name}")))
+    }.toMap
+    val stats = TableColStats(
+      snapshotId = store.latestSnapshotId.getOrElse(0L),
+      rowCount = row.getAs[Long]("__rc"),
+      cols = cols)
+    store.writeColStats(stats)
+    stats
   }
 
   // ---------------- expiration / cleanup ----------------

@@ -134,6 +134,47 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF.filter(col("o_orderkey") % 13 === 0).count() == 0)
   }
 
+  test("run-subset compaction on an aggregation-engine table re-folds exactly") {
+    val t = Fixtures.eventsAggPartialCompact(spark, "/root/testdata/sf0.001")
+    val files = t.store.liveFiles(t.store.latestSnapshot.get)
+    // the subset path ran: base survives at max level, one level-1 run
+    assert(files.count(_.level == GraftTable.MaxLevel) >= 1)
+    assert(files.count(_.level == 1) >= 1,
+      s"expected a level-1 partial run, got levels ${files.map(_.level).distinct}")
+    assert(files.count(_.level == 0) == 0, "hot runs rewritten")
+    // the merged read equals the one-shot aggregation of the same input
+    val oneShot = {
+      val df = Fixtures.eventsAggInput(spark, "/root/testdata/sf0.001")
+      val t2 = GraftTable.create(spark, tmpTable(), df.schema,
+        primaryKeys = Seq("user_id"), options = Fixtures.eventsAggOptions)
+      t2.upsert(df)
+      t2.toDF
+    }
+    val key = Seq("user_id")
+    val a = t.toDF.orderBy(key.map(col): _*).collect()
+    val b = oneShot.orderBy(key.map(col): _*).collect()
+    assert(a.sameElements(b), "partial-compacted agg table diverged from one-shot fold")
+    // interleaving sequence ranges must NOT take the subset path: a listagg
+    // fold would concatenate out of order (stats cannot prove disjointness)
+    val df = Fixtures.eventsAggInput(spark, "/root/testdata/sf0.001")
+    val t3 = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("user_id"),
+      options = Fixtures.eventsAggOptions + ("num-sorted-run.compaction-trigger" -> "3"))
+    t3.upsert(df.filter(col("event_id") % 10 < 8))
+    t3.compact()
+    t3.upsert(df.filter(col("event_id") % 10 === 8))
+    t3.upsert(df.filter(col("event_id") % 10 === 9))
+    val before = t3.toDF.orderBy(key.map(col): _*).collect()
+    t3.maybeCompact()
+    val files3 = t3.store.liveFiles(t3.store.latestSnapshot.get)
+    assert(files3.count(_.level == 1) == 0,
+      "interleaved sequence ranges must fall back to the terminal rewrite")
+    // compaction must not change what a read sees (one-shot equality is
+    // unattainable here: an intermediate fold cannot re-interleave listagg)
+    val c = t3.toDF.orderBy(key.map(col): _*).collect()
+    assert(c.sameElements(before), "terminal fallback changed read results")
+  }
+
   test("expire honors lagging consumers: pinned snapshots survive") {
     val orders = sf("orders").limit(300)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,

@@ -255,4 +255,45 @@ class SqlCatalogSpec extends SparkSpec {
     assert(viaDf == expected, s"df path: $viaDf")
     assert(viaSql == expected, s"sql path: $viaSql")
   }
+
+  test("ANALYZE column stats flip a selective-filter join side to broadcast under CBO") {
+    spark.sql(
+      """CREATE TABLE graft.db.cbo_t (o_orderkey BIGINT, o_custkey BIGINT,
+        | o_orderpriority STRING)
+        |USING graft""".stripMargin)
+    sf("orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+      .createOrReplaceTempView("src_cbo")
+    spark.sql("INSERT INTO graft.db.cbo_t SELECT * FROM src_cbo")
+    val tableBytes = graft.table.GraftTable
+      .load(spark, s"$wh/db/cbo_t").store.liveFiles(
+        graft.table.GraftTable.load(spark, s"$wh/db/cbo_t").store.latestSnapshot.get)
+      .map(_.size).sum
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // threshold below the full table size: only a stats-shrunk side broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (tableBytes / 2).toString)
+      val q =
+        """SELECT a.o_orderkey, b.o_orderpriority
+          |FROM graft.db.cbo_t a JOIN graft.db.cbo_t b ON a.o_custkey = b.o_custkey
+          |WHERE b.o_orderkey = 42""".stripMargin
+      def joins(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => "broadcast"
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => "sortmerge"
+        }
+      val before = joins(spark.sql(q).queryExecution.executedPlan)
+      assert(before == Seq("sortmerge"),
+        s"without column stats the filtered side must not be broadcast: $before")
+      spark.sql("CALL graft.sys.analyze('db.cbo_t')")
+      val after = joins(spark.sql(q).queryExecution.executedPlan)
+      assert(after == Seq("broadcast"),
+        s"NDV-based selectivity must shrink b below the broadcast threshold: $after")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
