@@ -437,6 +437,20 @@ object Fixtures {
       t
     }
 
+  /** `changelog-producer = lookup`: the -U/+U pairs come from the WRITE
+    * commits themselves (pre-images looked up bucket-locally) — no
+    * compaction in this fixture at all.
+    */
+  def ordersLookupChangelog(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_lookup_changelog") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("changelog-producer" -> "lookup"))
+      t.upsert(df)                         // snapshot 1: +I changelog
+      t.upsert(ordersBatch2(spark, sfDir)) // snapshot 2: -U/+U changelog
+      t
+    }
+
   /** Cross-partition PK table: partitioned by status, keyed by orderkey —
     * the second batch MOVES the %7 keys into partition 'X'.
     */

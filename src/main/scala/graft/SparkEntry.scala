@@ -146,6 +146,8 @@ object SparkEntry {
     "q39_merge_sections" -> ((s, d) => Fixtures.ordersPkSections(s, d).toDF),
     "q51_partial_compact" -> ((s, d) => Fixtures.ordersPkPartialCompact(s, d).toDF),
     "q53_dynamic_bucket" -> ((s, d) => Fixtures.ordersPkDynamicBucket(s, d).toDF),
+    "q55_lookup_changelog" -> ((s, d) =>
+      Fixtures.ordersLookupChangelog(s, d).incremental(1, 2)),
     "q54_agg_partial_compact" -> ((s, d) =>
       Fixtures.eventsAggPartialCompact(s, d).toDF.select(
         col("user_id"), col("event_id"), col("total_cents"), col("max_value"),
@@ -468,6 +470,14 @@ object SparkEntry {
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey % 13 <> 0",
     "q53_dynamic_bucket" -> mergedOrders,
     "q54_agg_partial_compact" -> eventsAggSql,
+    "q55_lookup_changelog" ->
+      """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
+        | o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT '+U', CAST(2 AS BIGINT), o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
     "q40_text_stats" ->
       s"""SELECT doc_id,

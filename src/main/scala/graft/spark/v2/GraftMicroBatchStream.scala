@@ -81,19 +81,19 @@ class GraftMicroBatchStream(
   private def deltaFiles(id: Long): Seq[DataFileMeta] = {
     val s = store.readSnapshot(id)
     val producer = table.schema.option(TableSchema.ChangelogProducerOpt, "input")
+    // full-compaction and lookup read dedicated changelog files
+    val fromChangelog = producer == "full-compaction" || producer == "lookup"
     // compaction/DV/COW rewrites reorganize existing rows — not input; and
     // overwrite/rollback replaces rows, skipped unless opted in (reference
     // default: streaming-read-overwrite=false)
-    if (producer != "full-compaction" &&
+    if (!fromChangelog &&
         (s.commitKind == graft.core.CommitKind.COMPACT ||
           (s.commitKind == graft.core.CommitKind.OVERWRITE &&
             !table.schema.option("streaming-read-overwrite", "false").toBoolean)))
       return Nil
-    val manifests =
-      if (producer == "full-compaction") s.changelogManifests else s.deltaManifests
+    val manifests = if (fromChangelog) s.changelogManifests else s.deltaManifests
     manifests.flatMap(store.readManifest).collect {
-      case ManifestEntry(ManifestEntry.ADD, f)
-        if producer == "full-compaction" || f.level == 0 => f
+      case ManifestEntry(ManifestEntry.ADD, f) if fromChangelog || f.level == 0 => f
     }
   }
 

@@ -218,9 +218,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val ids = store.snapshotIds.filter(id => id > fromExclusive && id <= toInclusive)
     val files = ids.flatMap { id =>
       val s = store.readSnapshot(id)
-      if (producer == "full-compaction")
-        // exact -U/+U/-D stream produced at compaction time (reference:
-        // FullChangelogMergeTreeCompactRewriter.java:43)
+      if (producer == "full-compaction" || producer == "lookup")
+        // exact -U/+U/-D stream produced at compaction time
+        // (full-compaction — FullChangelogMergeTreeCompactRewriter.java:43)
+        // or at write time (lookup — LookupMergeTreeCompactRewriter.java:51)
         s.changelogManifests.flatMap(store.readManifest).collect {
           case ManifestEntry(ManifestEntry.ADD, f) => f
         }
@@ -409,7 +410,34 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       .sortWithinPartitions(sortCols: _*)
     val files = stageWrite(shuffled, level = 0, seq = seq)
     commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)), CommitKind.APPEND,
-      commitIdentifier, indexFiles = indexDelta)
+      commitIdentifier, changelog = lookupChangelog(files, seq),
+      indexFiles = indexDelta)
+  }
+
+  /** `changelog-producer = lookup`: per-COMMIT -U/+U/-D/+I changelog by
+    * looking up pre-images at write time, so streaming readers get exact
+    * retractions WITHOUT waiting for a full compaction (reference:
+    * LookupMergeTreeCompactRewriter.java:51, LookupLevels.java:64 — there a
+    * file-level point lookup; here the distributed analog: merge the
+    * TOUCHED buckets' prior state and diff it against the post-write state,
+    * bucket-local, no table-wide work).
+    */
+  private def lookupChangelog(newFiles: Seq[DataFileMeta], seq: Long): Seq[ManifestEntry] = {
+    if (schema.option(TableSchema.ChangelogProducerOpt, "none") != "lookup" ||
+        newFiles.isEmpty) return Nil
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val oldFiles =
+      if (schema.crossPartition) {
+        val buckets = newFiles.map(_.bucket).toSet
+        live.filter(f => buckets.contains(f.bucket))
+      } else {
+        val groups = newFiles.map(f => (f.partition, f.bucket)).toSet
+        live.filter(f => groups.contains((f.partition, f.bucket)))
+      }
+    def mergedState(fs: Seq[DataFileMeta]) =
+      MergeEngines.mergeRaw(schema, rawUnion(fs, schema), BucketCol)
+        .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
+    changelogDiff(mergedState(oldFiles), mergedState(oldFiles ++ newFiles), seq)
   }
 
   /** Dynamic-bucket (`bucket = -1`) key routing: buckets grow with the data

@@ -252,7 +252,7 @@ trait MaintenanceOps { self: GraftTable =>
     * changelog files: +I for new keys, -U/+U pairs for changed values, -D
     * for vanished keys. One full-outer join on the primary key, one write.
     */
-  private def changelogDiff(oldState: org.apache.spark.sql.DataFrame,
+  protected def changelogDiff(oldState: org.apache.spark.sql.DataFrame,
       newState: org.apache.spark.sql.DataFrame, seq: Long): Seq[ManifestEntry] = {
     import org.apache.spark.sql.functions.{array, coalesce, explode, filter => afilter, struct, when}
     val pks = schema.primaryKeys

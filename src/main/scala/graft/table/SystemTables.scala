@@ -54,17 +54,48 @@ trait SystemTables { self: GraftTable =>
         s.options.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))))
   }
 
-  private def filesTable: DataFrame = {
-    val st = StructType(Seq(
-      StructField("file_path", StringType), StructField("partition", StringType),
-      StructField("bucket", IntegerType), StructField("level", IntegerType),
-      StructField("row_count", LongType), StructField("file_size_in_bytes", LongType),
-      StructField("min_sequence_number", LongType), StructField("max_sequence_number", LongType),
-      StructField("schema_id", LongType)))
-    val files = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
-    local(st, files.map(f => Row(f.path, f.partition.mkString("/"), f.bucket,
-      f.level, f.rowCount, f.size, f.minSeq, f.maxSeq, f.schemaId)))
+  /** DISTRIBUTED live-file frame: the driver ships only manifest NAMES;
+    * executors read + parse the manifest shards and the ADD/DELETE fold is
+    * a distributed arg-max per path — at 10⁷ files nothing O(files) ever
+    * touches the driver (reference: table/system/FilesTable.java, which
+    * also scans manifests lazily).
+    */
+  private def liveFilesDF: DataFrame = {
+    import spark.implicits._
+    val names = store.latestSnapshot.map(_.manifests).getOrElse(Nil)
+    val mDir = store.manifestDir.toString
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val entries = spark.createDataset(names.zipWithIndex)
+      .repartition(math.max(1, math.min(names.size, 32)))
+      .flatMap { case (name, ord) =>
+        val p = new org.apache.hadoop.fs.Path(mDir, name)
+        val fs = p.getFileSystem(serConf.value)
+        val in = fs.open(p)
+        val content =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        graft.core.ManifestCodec.entriesFromJson(content).map { e =>
+          val f = e.file
+          (ord, e.kind, f.path, f.partition.mkString("/"), f.bucket, f.level,
+            f.rowCount, f.size, f.minSeq, f.maxSeq, f.schemaId)
+        }
+      }
+      .toDF("__ord", "__kind", "file_path", "partition", "bucket", "level",
+        "row_count", "file_size_in_bytes", "min_sequence_number",
+        "max_sequence_number", "schema_id")
+    // a path appears at most once per manifest; the latest entry decides
+    entries.groupBy("file_path")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct(entries.columns.map(
+          org.apache.spark.sql.functions.col): _*),
+        org.apache.spark.sql.functions.col("__ord")).as("e"))
+      .select("e.*")
+      .filter(org.apache.spark.sql.functions.col("__kind") === ManifestEntry.ADD)
+      .drop("__ord", "__kind")
   }
+
+  private def filesTable: DataFrame = liveFilesDF
 
   private def manifestsTable: DataFrame = {
     val st = StructType(Seq(
@@ -81,25 +112,20 @@ trait SystemTables { self: GraftTable =>
   }
 
   private def partitionsTable: DataFrame = {
-    val st = StructType(Seq(
-      StructField("partition", StringType), StructField("record_count", LongType),
-      StructField("file_count", LongType), StructField("file_size_in_bytes", LongType)))
-    val files = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
-    local(st, files.groupBy(_.partition).toSeq.sortBy(_._1.mkString("/")).map {
-      case (p, fs) => Row(p.mkString("/"), fs.map(_.rowCount).sum,
-        fs.size.toLong, fs.map(_.size).sum)
-    })
+    import org.apache.spark.sql.functions._
+    liveFilesDF.groupBy("partition")
+      .agg(sum("row_count").as("record_count"),
+        count(lit(1)).as("file_count"),
+        sum("file_size_in_bytes").as("file_size_in_bytes"))
+      .orderBy("partition")
   }
 
   private def bucketsTable: DataFrame = {
-    val st = StructType(Seq(
-      StructField("partition", StringType), StructField("bucket", IntegerType),
-      StructField("record_count", LongType), StructField("file_count", LongType)))
-    val files = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
-    local(st, files.groupBy(f => (f.partition, f.bucket)).toSeq
-      .sortBy { case ((p, b), _) => (p.mkString("/"), b) }
-      .map { case ((p, b), fs) =>
-        Row(p.mkString("/"), b, fs.map(_.rowCount).sum, fs.size.toLong) })
+    import org.apache.spark.sql.functions._
+    liveFilesDF.groupBy("partition", "bucket")
+      .agg(sum("row_count").as("record_count"),
+        count(lit(1)).as("file_count"))
+      .orderBy("partition", "bucket")
   }
 
   private def optionsTable: DataFrame = {

@@ -259,5 +259,20 @@ class MaintenanceSpec extends SparkSpec {
     t.store.createTag("v1", 1)
     assert(t.system("tags").count() == 1)
     assert(t.system("schemas").count() == 1)
+    // $files must agree with the driver-side live fold...
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    val viaDf = t.system("files").collect()
+      .map(r => (r.getAs[String]("file_path"), r.getAs[Long]("row_count"))).toSet
+    assert(viaDf == live.map(f => (f.path, f.rowCount)).toSet)
+    // ...while shipping only manifest NAMES from the driver: every local
+    // leaf is O(manifests), the file rows materialize in executors
+    val leaves = t.system("files").queryExecution.executedPlan.collectLeaves()
+    val localRows = leaves.collect {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.size
+      case r: org.apache.spark.sql.execution.RDDScanExec => -1
+    }
+    val nManifests = t.store.latestSnapshot.get.manifests.size
+    assert(localRows.forall(n => n >= 0 && n <= nManifests),
+      s"driver-side leaf bigger than the manifest list: $localRows vs $nManifests manifests")
   }
 }
