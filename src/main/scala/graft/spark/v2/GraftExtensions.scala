@@ -134,6 +134,11 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       case "remove_orphan_files" =>
         val older = if (args.size > 1) args(1).toLong else 24L * 3600 * 1000
         s"removed ${table.removeOrphanFiles(older).size} orphan files"
+      case "expire_partitions" =>
+        table.expirePartitions() match {
+          case Some(s) => s"expired partitions at snapshot ${s.id}"
+          case None => "no partitions expired"
+        }
       case "analyze" =>
         val cols =
           if (args.size > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq else Nil

@@ -60,6 +60,7 @@ class GraftSparkTable(
     TableCapability.MICRO_BATCH_READ,
     TableCapability.BATCH_WRITE,
     TableCapability.V1_BATCH_WRITE,
+    TableCapability.STREAMING_WRITE,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.TRUNCATE).asJava
 
@@ -99,6 +100,13 @@ class GraftSparkTable(
       }
 
       override def build(): Write = new V1Write {
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          val spark = org.apache.spark.sql.SparkSession.active
+          new GraftStreamingWrite(table.location, info.schema(), info.queryId(),
+            new org.apache.spark.util.SerializableConfiguration(
+              spark.sparkContext.hadoopConfiguration))
+        }
         override def toInsertableRelation: InsertableRelation = (data, _) => {
           if (sys.env.contains("GRAFT_DEBUG_SCAN"))
             println(s"[write-debug] mode=$mode filters=${overwriteFilters.mkString(";")}")

@@ -389,10 +389,25 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     require(isPrimaryKeyed, "upsert requires primary keys")
     val seq = nextSeq
     val pkCols = schema.primaryKeys.map(col)
+    // kind precedence: explicit `kinds` param, then the `rowkind.field`
+    // option (a string column carrying +I/-U/+U/-D — CDC-shaped ingest via
+    // plain SQL INSERT / streaming writes; reference:
+    // table/sink/RowKindGenerator.java:34), else +I
+    val kindExpr = kinds.orElse(schema.options.get("rowkind.field").map { f =>
+      require(schema.fields.exists(_.name == f), s"rowkind.field '$f' not in schema")
+      val c = col(f)
+      when(c === "+I", lit(KindInsert))
+        .when(c === "-U", lit(KindUpdateBefore))
+        .when(c === "+U", lit(KindUpdateAfter))
+        .when(c === "-D", lit(KindDelete))
+        .otherwise(raise_error(concat(
+          lit(s"rowkind.field '$f' must be one of +I/-U/+U/-D, found: "),
+          coalesce(c, lit("null")))))
+    })
     // resolve the kind expression against the caller's frame (it may reference
     // caller-only columns, e.g. MERGE INTO's action marker), then align
     val prepared = df
-      .withColumn(KindCol, kinds.getOrElse(lit(KindInsert)).cast(ByteType))
+      .withColumn(KindCol, kindExpr.getOrElse(lit(KindInsert)).cast(ByteType))
       .select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)) :+ col(KindCol): _*)
       .withColumn(SeqCol, lit(seq))
       // later input rows win ties within one commit (per input partition;

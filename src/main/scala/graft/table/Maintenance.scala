@@ -352,6 +352,57 @@ trait MaintenanceOps { self: GraftTable =>
       CommitKind.COMPACT)
   }
 
+  // ---------------- partition expiration ----------------
+
+  /** Drop partitions whose business time fell behind
+    * `partition.expiration-time` (reference: operation/PartitionExpire.java:45,
+    * CoreOptions partition.timestamp-pattern/-formatter). Time-partitioned
+    * 100-TB tables need this to bound growth; the drop is one metadata-only
+    * commit of DELETE entries — data files are reclaimed by snapshot expiry
+    * later, so time travel across the drop still works.
+    *
+    * The partition's time comes from substituting its values into
+    * `partition.timestamp-pattern` (default `$<first partition key>`) and
+    * parsing with `partition.timestamp-formatter` (default yyyy-MM-dd, with
+    * a datetime fallback). Unparseable partitions are SKIPPED, never
+    * dropped.
+    */
+  def expirePartitions(): Option[Snapshot] = {
+    require(schema.partitionKeys.nonEmpty, "partition expiration needs a partitioned table")
+    val ttl = schema.options.get("partition.expiration-time")
+      .map(Maintenance.parseDurationMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        "set 'partition.expiration-time' to enable partition expiration"))
+    val pattern = schema.option("partition.timestamp-pattern", "$" + schema.partitionKeys.head)
+    val fmt = schema.option("partition.timestamp-formatter", "yyyy-MM-dd")
+    val cutoff = System.currentTimeMillis() - ttl
+    def timeOf(pt: Seq[String]): Option[Long] = {
+      val s = schema.partitionKeys.zip(pt).foldLeft(pattern) {
+        case (acc, (k, v)) => acc.replace("$" + k, v)
+      }
+      val f = java.time.format.DateTimeFormatter.ofPattern(fmt)
+      try Some(java.time.LocalDateTime.parse(s, f)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try Some(java.time.LocalDate.parse(s, f).atStartOfDay()
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+          catch { case _: java.time.format.DateTimeParseException => None }
+      }
+    }
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+    val expired = live.groupBy(_.partition)
+      .filter { case (pt, _) => timeOf(pt).exists(_ < cutoff) }
+    if (expired.isEmpty) None
+    else {
+      Maintenance.log.info(s"expiring ${expired.size} partitions: " +
+        expired.keys.take(5).map(_.mkString("/")).mkString(", "))
+      Some(commitFiles(
+        expired.values.flatten.toSeq.map(ManifestEntry(ManifestEntry.DELETE, _)),
+        CommitKind.OVERWRITE))
+    }
+  }
+
   // ---------------- ANALYZE (column statistics for CBO) ----------------
 
   /** Compute per-column NDV / null count / bounds / lengths in ONE

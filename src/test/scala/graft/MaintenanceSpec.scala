@@ -175,6 +175,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(c.sameElements(before), "terminal fallback changed read results")
   }
 
+  test("partition expiration drops aged partitions, keeps recent ones") {
+    import spark.implicits._
+    val today = java.time.LocalDate.now().toString
+    val df = Seq((1L, "2000-01-01", "old"), (2L, "2000-06-01", "old2"),
+      (3L, today, "fresh")).toDF("k", "dt", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      partitionKeys = Seq("dt"),
+      options = Map("partition.expiration-time" -> "30d"))
+    t.append(df)
+    val snap = t.expirePartitions()
+    assert(snap.isDefined)
+    val vals = t.toDF.select("v").collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("fresh"), s"got $vals")
+    // the drop is metadata-only: time travel still sees the old partitions
+    assert(t.toDF(1).count() == 3)
+    // a second run is a no-op; snapshot expiry then reclaims data files but
+    // keeps the retained partition intact
+    assert(t.expirePartitions().isEmpty)
+    t.expireSnapshots(retainLast = 1)
+    assert(t.toDF.select("v").collect().map(_.getString(0)).toSeq == Seq("fresh"))
+  }
+
   test("expire honors lagging consumers: pinned snapshots survive") {
     val orders = sf("orders").limit(300)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,

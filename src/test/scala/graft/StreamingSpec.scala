@@ -10,6 +10,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   case class Ev(event_id: Long, user_id: Long, version: Long, value: Double)
+  case class OpEv(event_id: Long, value: Double, op: String)
 
   test("stream → graft sink: out-of-order upserts resolve by sequence field, exactly-once") {
     implicit val sql = spark.sqlContext
@@ -40,6 +41,67 @@ class StreamingSpec extends SparkSpec {
     // exactly-once: both batches committed once each (ids 0 and 1)
     assert(t.store.latestSnapshot.get.maxCommitIdentifier == 1L)
     assert(t.store.snapshotIds.size == 2)
+  }
+
+  test("rowkind.field: a string column drives row kinds on streaming writes") {
+    implicit val sql = spark.sqlContext
+    val path = tmpTable()
+    val input = MemoryStream[OpEv]
+    val q = input.toDF().writeStream
+      .format("graft")
+      .option("path", path)
+      .option("primary-keys", "event_id")
+      .option("rowkind.field", "op")
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      input.addData(OpEv(1, 10.0, "+I"), OpEv(2, 20.0, "+I"), OpEv(3, 30.0, "+I"))
+      q.processAllAvailable()
+      // CDC-shaped batch: update key 2, delete key 3 — kinds from the column
+      input.addData(OpEv(2, 25.0, "+U"), OpEv(3, 30.0, "-D"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = GraftTable.load(spark, path)
+    val rows = t.toDF.orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 25.0)), s"got $rows")
+    // the audit log surfaces the raw -D
+    val kinds = t.auditLog.filter(col("event_id") === 3)
+      .select("_row_kind").collect().map(_.getString(0)).toSet
+    assert(kinds.contains("-D"), s"audit log kinds for key 3: $kinds")
+  }
+
+  test("DSv2 StreamingWrite: writeStream.toTable round trip, exactly-once epochs") {
+    implicit val sql = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft-swh").toString
+    spark.conf.set("spark.sql.catalog.gsw", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsw.db")
+    spark.sql(
+      """CREATE TABLE gsw.db.sw (event_id BIGINT, user_id BIGINT, version BIGINT,
+        | value DOUBLE) USING graft TBLPROPERTIES ('primary-key'='event_id')""".stripMargin)
+    val input = MemoryStream[Ev]
+    val q = input.toDF().writeStream
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .trigger(Trigger.ProcessingTime(100))
+      .toTable("gsw.db.sw")
+    try {
+      input.addData(Ev(1, 10, 1, 1.0), Ev(2, 10, 1, 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(2, 10, 2, 22.0), Ev(3, 10, 1, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT event_id, value FROM gsw.db.sw ORDER BY event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)), s"got $got")
+    val t = GraftTable.load(spark, s"$wh/db/sw")
+    assert(t.store.latestSnapshot.get.maxCommitIdentifier == 1L,
+      "each epoch commits exactly once")
+    // staging fully cleaned up
+    val leftovers = new java.io.File(s"$wh/db/sw").listFiles()
+      .filter(_.getName.startsWith("tmp-streaming"))
+    assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.mkString(",")}")
   }
 
   test("graft source: snapshot deltas stream out with row kinds; AvailableNow terminates") {
