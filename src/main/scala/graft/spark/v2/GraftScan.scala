@@ -264,13 +264,15 @@ class GraftScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val partitionSchema = table.partitionSchema(schema)
     val wantsFilePath = requested.fieldNames.contains(GraftSparkTable.FilePathCol)
-    require(!(wantsFilePath && isPk),
-      s"${GraftSparkTable.FilePathCol} is defined on raw scans only " +
-        "(a merged row spans several files); use the files system table instead")
+    val wantsRowIndex = requested.fieldNames.contains(GraftSparkTable.RowIndexCol)
+    require(!((wantsFilePath || wantsRowIndex) && isPk),
+      s"${GraftSparkTable.FilePathCol}/${GraftSparkTable.RowIndexCol} are defined on raw " +
+        "scans only (a merged row spans several files); use the files system table instead")
     // columns the reader must materialize: requested data cols, plus merge
     // machinery columns for PK tables
     val neededNames: Seq[String] = {
-      val base = requested.fieldNames.toSeq.filterNot(_ == GraftSparkTable.FilePathCol)
+      val base = requested.fieldNames.toSeq
+        .filterNot(n => n == GraftSparkTable.FilePathCol || n == GraftSparkTable.RowIndexCol)
       if (isPk) {
         val meta = Seq(GraftMeta.SeqCol, GraftMeta.PosCol, GraftMeta.KindCol)
         (base ++ schema.primaryKeys ++ schema.sequenceField.toSeq ++
@@ -288,6 +290,9 @@ class GraftScan(
       readNames.map(n => physical(physical.fieldIndex(n))) ++ partitionSchema.fields ++
         (if (wantsFilePath)
           Seq(StructField(GraftSparkTable.FilePathCol, StringType, nullable = false))
+        else Nil) ++
+        (if (wantsRowIndex)
+          Seq(StructField(GraftSparkTable.RowIndexCol, LongType, nullable = false))
         else Nil))
 
     // per-(schema-version, has-dv) read plans (field-id remap, reference:
@@ -313,10 +318,11 @@ class GraftScan(
       }
       val readSchemaForFile = StructType(wanted.flatten.map(f =>
         StructField(f.name, f.sparkType, f.nullable)))
-      // with a deletion vector, parquet must yield every row IN ORDER so the
-      // iterator index equals the file row position — no filter pushdown
+      // with a deletion vector (or the __row_index metadata column), parquet
+      // must yield every row IN ORDER so the iterator index equals the file
+      // row position — no filter pushdown
       val safeFilters =
-        if (hasDv || sid != schema.id) Nil
+        if (hasDv || wantsRowIndex || sid != schema.id) Nil
         else if (isPk) filters.filter(f => f.references.forall(r =>
           schema.primaryKeys.contains(r) || dirNames.contains(r)))
         else filters
@@ -342,7 +348,8 @@ class GraftScan(
       // per-file path column, when present, is appended by the reader)
       val inSchema = StructType(readSchemaForFile.fields ++ partitionSchema.fields)
       val align: Seq[Expression] = rowSchema.fields.toSeq
-        .filterNot(_.name == GraftSparkTable.FilePathCol)
+        .filterNot(f => f.name == GraftSparkTable.FilePathCol ||
+          f.name == GraftSparkTable.RowIndexCol)
         .map { out =>
         if (dirNames.contains(out.name)) {
           val i = inSchema.fieldIndex(out.name)
@@ -436,23 +443,44 @@ class GraftReaderFactory(
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
-      // apply the deletion bitmap by raw row position (the plan was built
-      // without filter pushdown when DVs are present, so the iterator index
-      // IS the file row index — reference: ApplyDeletionVectorReader)
-      val undeleted = f.dvPath match {
-        case Some(dv) =>
-          val bm = readDv(dv)
-          raw.zipWithIndex.collect { case (r, i) if !bm.contains(i) => r }
-        case None => raw
-      }
       val proj = UnsafeProjection.create(plan.align.toArray)
-      val aligned = undeleted.map(proj)
-      if (!rowSchema.fieldNames.contains(GraftSparkTable.FilePathCol)) aligned
-      else {
-        val pathRow = new GenericInternalRow(Array[Any](
-          org.apache.spark.unsafe.types.UTF8String.fromString(s"$tableRoot/${f.path}")))
+      val hasPath = rowSchema.fieldNames.contains(GraftSparkTable.FilePathCol)
+      val hasIdx = rowSchema.fieldNames.contains(GraftSparkTable.RowIndexCol)
+      if (!hasIdx) {
+        // apply the deletion bitmap by raw row position (the plan was built
+        // without filter pushdown when DVs are present, so the iterator index
+        // IS the file row index — reference: ApplyDeletionVectorReader)
+        val undeleted = f.dvPath match {
+          case Some(dv) =>
+            val bm = readDv(dv)
+            raw.zipWithIndex.collect { case (r, i) if !bm.contains(i) => r }
+          case None => raw
+        }
+        val aligned = undeleted.map(proj)
+        if (!hasPath) aligned
+        else {
+          val pathRow = new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"$tableRoot/${f.path}")))
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          aligned.map(r => joined(r, pathRow))
+        }
+      } else {
+        // __row_index: the per-file position BEFORE dv filtering (pushdown
+        // is disabled for the whole scan, so the index is dense). The
+        // shared meta row is safe: the downstream output projection copies
+        // each row before the next advance.
+        val bm = f.dvPath.map(readDv)
+        val indexed = raw.zipWithIndex.filter { case (_, i) => bm.forall(!_.contains(i)) }
+        val metaVals = new Array[Any](if (hasPath) 2 else 1)
+        if (hasPath) metaVals(0) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$tableRoot/${f.path}")
+        val metaRow = new GenericInternalRow(metaVals)
+        val idxSlot = if (hasPath) 1 else 0
         val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        aligned.map(r => joined(r, pathRow))
+        indexed.map { case (r, i) =>
+          metaRow.update(idxSlot, i.toLong)
+          joined(proj(r), metaRow)
+        }
       }
     }
 

@@ -48,7 +48,14 @@ class GraftSparkTable(
         org.apache.spark.sql.types.IntegerType
       override def isNullable: Boolean = false
     }
-    if (table.isPrimaryKeyed) Array(filePath, bucket) else Array(filePath)
+    val rowIndex = new MetadataColumn {
+      override def name(): String = GraftSparkTable.RowIndexCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+    }
+    if (table.isPrimaryKeyed) Array(filePath, rowIndex, bucket)
+    else Array(filePath, rowIndex)
   }
 
   // no OVERWRITE_DYNAMIC: Spark's dynamic-partition-overwrite exec has no
@@ -176,4 +183,5 @@ class GraftSparkTable(
 
 object GraftSparkTable {
   val FilePathCol = "__file_path"
+  val RowIndexCol = "__row_index"
 }

@@ -1,6 +1,6 @@
 package graft.table
 
-import graft.core.ManifestEntry
+import graft.core.{ManifestEntry, TableSchema}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
@@ -25,6 +25,8 @@ trait SystemTables { self: GraftTable =>
     case "consumers" => consumersTable
     case "audit_log" => auditLog
     case "read_optimized" => readOptimized
+    case "statistics" => statisticsTable
+    case "aggregation_fields" => aggregationFieldsTable
     case other => throw new IllegalArgumentException(s"unknown system table: $other")
   }
 
@@ -148,6 +150,43 @@ trait SystemTables { self: GraftTable =>
       val s = store.ofBranch(b).latestSnapshot
       Row(b, s.map(x => Long.box(x.id)).orNull,
         s.map(x => Long.box(x.totalRecordCount)).orNull)
+    })
+  }
+
+  /** Last ANALYZE output (reference: table/system/StatisticTable.java:71). */
+  private def statisticsTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("snapshot_id", LongType), StructField("rowCount", LongType),
+      StructField("column", StringType), StructField("ndv", LongType),
+      StructField("null_count", LongType), StructField("min", StringType),
+      StructField("max", StringType), StructField("avg_len", LongType),
+      StructField("max_len", LongType)))
+    val rows = store.readColStats().toSeq.flatMap { s =>
+      s.cols.toSeq.sortBy(_._1).map { case (name, c) =>
+        Row(s.snapshotId, s.rowCount, name, c.ndv, c.nullCount,
+          c.min.orNull, c.max.orNull,
+          c.avgLen.map(Long.box).orNull, c.maxLen.map(Long.box).orNull)
+      }
+    }
+    local(st, rows)
+  }
+
+  /** Per-field aggregate functions of an aggregation-engine table
+    * (reference: table/system/AggregationFieldsTable.java:91).
+    */
+  private def aggregationFieldsTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("field_name", StringType), StructField("field_type", StringType),
+      StructField("function", StringType), StructField("function_options", StringType)))
+    local(st, schema.fields.map { f =>
+      val func =
+        if (schema.primaryKeys.contains(f.name)) "primary-key"
+        else schema.options.getOrElse(TableSchema.aggFuncOpt(f.name),
+          if (schema.mergeEngine == "aggregation") "last_non_null_value" else "")
+      val opts = schema.options.toSeq
+        .filter { case (k, _) => k.startsWith(s"fields.${f.name}.") && !k.endsWith(".aggregate-function") }
+        .sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+      Row(f.name, f.dataType, func, opts)
     })
   }
 

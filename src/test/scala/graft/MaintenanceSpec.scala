@@ -281,6 +281,19 @@ class MaintenanceSpec extends SparkSpec {
     t.store.createTag("v1", 1)
     assert(t.system("tags").count() == 1)
     assert(t.system("schemas").count() == 1)
+    // $statistics is empty before ANALYZE, populated after
+    assert(t.system("statistics").count() == 0)
+    t.analyzeColumns(Seq("o_orderkey", "o_orderstatus"))
+    val stats = t.system("statistics").collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("ndv")).toMap
+    assert(stats.keySet == Set("o_orderkey", "o_orderstatus"))
+    assert(stats("o_orderstatus") <= 5 && stats("o_orderstatus") >= 1)
+    // $aggregation_fields reflects per-field functions
+    val aggT = Fixtures.eventsAgg(spark, "/root/testdata/sf0.001")
+    val funcs = aggT.system("aggregation_fields").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(funcs("user_id") == "primary-key" && funcs("total_cents") == "sum" &&
+      funcs("types") == "listagg")
     // $files must agree with the driver-side live fold...
     val live = t.store.liveFiles(t.store.latestSnapshot.get)
     val viaDf = t.system("files").collect()

@@ -189,6 +189,22 @@ class SqlCatalogSpec extends SparkSpec {
     val buckets = spark.sql("SELECT k, __bucket FROM graft.db.meta_pk").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(buckets.size == 3 && buckets.values.forall(b => b >= 0 && b < 4))
+
+    // __row_index: per-file position, dense per file, filter-safe (pushdown
+    // is disabled so the position reflects the FILE, not the filtered view)
+    // one input partition → one file holding rows (3, 4, 5) in order
+    import spark.implicits._
+    Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("meta_t_batch")
+    spark.sql("INSERT INTO graft.db.meta_t SELECT * FROM meta_t_batch")
+    val idx = spark.sql(
+      "SELECT __file_path, __row_index, k FROM graft.db.meta_t").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(idx.values.forall(is => is == (0L until is.length)),
+      s"row indexes must be dense per file: $idx")
+    val filtered = spark.sql(
+      "SELECT __row_index FROM graft.db.meta_t WHERE k = 5").collect().map(_.getLong(0))
+    assert(filtered.toSeq == Seq(2L), s"k=5 is the third row of its file: ${filtered.toSeq}")
   }
 
   test("incremental query TVF returns the changelog of a snapshot range") {
