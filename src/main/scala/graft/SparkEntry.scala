@@ -206,6 +206,14 @@ object SparkEntry {
       val (corpus, q) = annRecallCorpus(s, d)
       VectorOps.cosineTopKLsh(corpus, "vec_id", "embedding", q, 20)
     }),
+    "q56_ann_ivf_topk" -> ((s, d) => {
+      // same separable fixture as q49; IVF coarse-quantizes the corpus and
+      // probes the 4 of 16 centroid cells nearest the query — the exact
+      // brute-force oracle asserts full recall of the planted top-20
+      val (corpus, q) = annRecallCorpus(s, d)
+      VectorOps.cosineTopKIvf(corpus, "vec_id", "embedding", q, 20,
+        numCentroids = 16, nProbe = 4)
+    }),
     "q50_embed_sim_pairs" -> ((s, d) => {
       // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
       // (LSH-independent), so every qualifying pair must be recalled
@@ -509,6 +517,7 @@ object SparkEntry {
         |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
     "q46_simhash_pairs" -> simhashOracle,
     "q49_ann_lsh_topk" -> annLshOracle,
+    "q56_ann_ivf_topk" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle
   )
 }

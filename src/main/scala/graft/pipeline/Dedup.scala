@@ -49,61 +49,63 @@ object Dedup {
     array((0 until numHashes).map(s => array_min(transform(base, h => mix(h, s)))): _*)
   }
 
-  /** Candidate near-dup pairs (idA < idB) via MinHash + banded LSH.
+  /** One aggregation computing, per document, the `numHashes` minhash
+    * signature slots (and, when `withSets`, the distinct shingle-hash set
+    * for exact Jaccard verification). Shingles explode to (id, shingle-hash)
+    * rows, each hashed ONCE with codegen'd xxhash64; the minhashes are
+    * codegen'd `min` aggregates with map-side partials, so the id-shuffle
+    * carries one signature row per doc per input partition, not the
+    * exploded shingles.
     *
-    * Scale shape: shingles explode to (id, shingle-hash) rows, each hashed
-    * ONCE with codegen'd xxhash64; the 64 minhashes are 64 codegen'd `min`
-    * aggregates (map-side partial), band buckets are codegen'd `hash` over
-    * signature slices, and candidates come from in-bucket pair expansion —
-    * no self-join, no interpreted lambda in the hot path, one shuffle on id
-    * and one on (band, bucket).
+    * The result is pinned to a SINGLE plan node (`createDataFrame` over the
+    * frame's own RDD): every downstream consumer — both sides of the
+    * candidate self-join, both sides of the verify lookup — shares the one
+    * groupBy shuffle, whose map stage holds all the expensive work. Spark's
+    * plan-level exchange reuse does not fire across these differently-
+    * projected subtrees (measured: the signature pipeline re-ran per
+    * consumer, 1.3-1.8× the total runtime); RDD-level shuffle reuse always
+    * does.
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, maxArrayBucket: Int = 4096): DataFrame = {
-    val rowsPerBand = numHashes / bands
+  private def sigFrame(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, withSets: Boolean): DataFrame = {
     val hashed = df
       .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("h"))
-    val sigs = hashed.groupBy("id")
-      .agg(min(mix(col("h"), 0)).as("m0"),
-        (1 until numHashes).map(s => min(mix(col("h"), s)).as(s"m$s")): _*)
+    val aggs = (if (withSets) Seq(collect_set(col("h")).as("hs")) else Nil) ++
+      (0 until numHashes).map(s => min(mix(col("h"), s)).as(s"m$s"))
+    val sigs = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    df.sparkSession.createDataFrame(sigs.rdd, sigs.schema)
+  }
+
+  /** Candidate pairs (idA < idB) from a [[sigFrame]]: band buckets are
+    * codegen'd `hash` over signature slices; candidates are a bucket-local
+    * self-join of the (id, band, bucket) rows. A degenerate bucket
+    * (thousands of identical docs) produces its inherently-quadratic pairs
+    * across distributed join tasks (AQE skew-join splits hot buckets)
+    * instead of expanding structs in a single row.
+    */
+  private def candidatesFrom(sigsMat: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"m$s"))
       struct(lit(b).as("band"), hash(slots: _*).cast("long").as("bucket"))
     }
-    val bandRows = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+    val bandRows = sigsMat.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // in-bucket pair expansion: normal buckets are tiny by construction and
-    // expand from one collected array row
-    val ids = array_sort(collect_list(col("id")))
-    val grouped = bandRows.groupBy("band", "bucket").agg(ids.as("ids"))
-      .filter(size(col("ids")) > 1)
-    val smallPairs = grouped.filter(size(col("ids")) <= maxArrayBucket)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-    // a DEGENERATE bucket (e.g. thousands of byte-identical docs when exact
-    // dedup was skipped) would blow the single-row PAIR expansion (quadratic
-    // structs in one row); route oversized buckets through a distributed
-    // bucket-local self-join instead. The big rows re-explode from the
-    // already-aggregated arrays — every branch (small, and both join sides)
-    // hangs off the SAME (band, bucket) exchange, so the expensive
-    // shingle-explode + 64-min signature pipeline executes ONCE and the
-    // other consumers read it as ReusedExchange (re-joining the
-    // pre-aggregation bandRows here re-ran that pipeline per consumer).
-    val bigRows = grouped.filter(size(col("ids")) > maxArrayBucket)
-      .select(col("band"), col("bucket"), explode(col("ids")).as("id"))
-    val bigPairs = bigRows.as("a").join(bigRows.as("b"),
+    bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    smallPairs.union(bigPairs).distinct()
+      .distinct()
   }
 
-  /** All ordered pairs (a < b) of a sorted array column. */
-  private def pairsOf(sortedIds: Column): Column =
-    flatten(transform(sortedIds, (x, i) =>
-      transform(slice(sortedIds, i + 2, size(sortedIds)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
+  /** Candidate near-dup pairs (idA < idB) via MinHash + banded LSH; see
+    * [[sigFrame]] and [[candidatesFrom]] for the scale shape.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    candidatesFrom(sigFrame(df, idCol, textCol, numHashes, withSets = false),
+      numHashes, bands)
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -111,18 +113,23 @@ object Dedup {
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
   /** Near-dup pairs: LSH candidates verified by exact n-gram Jaccard ≥
-    * threshold. The verify join touches only candidate pairs.
+    * threshold. The verify join touches only candidate pairs, and the
+    * Jaccard is computed over the distinct shingle-HASH sets that the
+    * signature aggregation already produced (identical to string-shingle
+    * Jaccard up to 64-bit collisions, ~2⁻⁴⁰ per corpus) — so documents are
+    * scanned and shingled exactly once for the whole candidates+verify
+    * pipeline.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      maxArrayBucket: Int = 4096): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-    val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands, maxArrayBucket)
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sigsMat = sigFrame(df, idCol, textCol, numHashes, withSets = true)
+    val cands = candidatesFrom(sigsMat, numHashes, bands)
+    val sets = sigsMat.select(col("id"), col("hs"))
     cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(sets.toDF("id_a", "hs_a"), "id_a")
+      .join(sets.toDF("id_b", "hs_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard_sim"))
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard_sim"))
       .filter(col("jaccard_sim") >= threshold)
   }
 

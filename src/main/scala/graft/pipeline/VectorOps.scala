@@ -114,6 +114,75 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Nearest-centroid assignment by cosine: index of the max similarity in
+    * the per-centroid similarity array (`array_position` returns the FIRST
+    * occurrence, so ties break to the smaller index, deterministically).
+    */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val sims = array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** IVF coarse quantizer training: deterministic seeding (the
+    * `numCentroids` rows with the smallest md5(id) — a uniform,
+    * reproducible sample) followed by `iterations` Lloyd steps, each one
+    * distributed pass: assign → posexplode → per-(cluster, dim) average.
+    * Driver holds only C×dim doubles. Empty clusters keep their previous
+    * centroid.
+    *
+    * Scale: each Lloyd step is one scan + one shuffle of C×dim partial
+    * sums (map-side combined) — the standard distributed k-means shape.
+    * C ≈ sqrt(corpus) keeps both the assignment expression and the probe
+    * lists balanced at 100-TB corpora.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, iterations: Int = 1): Seq[Seq[Double]] = {
+    val seeds = df
+      .select(col(vecCol).cast("array<double>").as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy("h").limit(numCentroids)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    (1 to iterations).foldLeft(seeds: Seq[Seq[Double]]) { (cents, _) =>
+      val means = df
+        .select(ivfAssign(col(vecCol).cast("array<double>"), cents).as("c"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "x")))
+        .groupBy("c", "p").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents.zipWithIndex.map { case (old, ci) =>
+        if (means.contains((ci, 0))) old.indices.map(p => means((ci, p))) else old
+      }
+    }
+  }
+
+  /** Approximate top-k via an IVF (inverted-file) index: vectors are
+    * coarse-quantized to their nearest centroid and only the `nProbe`
+    * centroid cells closest to the query are searched exactly.
+    *
+    * Scale path: persist `df.withColumn("ivf_cluster", ivfAssign(...))`
+    * partitioned by cluster (e.g. a graft table partitioned on
+    * `ivf_cluster`) — then a query reads nProbe/numCentroids of the data
+    * via partition pruning instead of filtering a full scan, and the
+    * centroid table is broadcast-sized metadata. Recall is tuned by
+    * nProbe; ranking within probes is exact cosine, so precision is
+    * always exact.
+    */
+  def cosineTopKIvf(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      iterations: Int = 1): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, numCentroids, iterations)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      val (dot, nc, nq) = (c.zip(query).map { case (a, b) => a * b }.sum,
+        math.sqrt(c.map(x => x * x).sum), math.sqrt(query.map(x => x * x).sum))
+      (if (nc * nq == 0) 0.0 else dot / (nc * nq), i)
+    }.sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+    val q = array(query.map(lit): _*)
+    val v = checkedVec(col(vecCol), query.length).cast("array<double>")
+    df.filter(ivfAssign(v, cents).isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs: banded multi-table LSH candidates (union
     * over tables, deduplicated) verified by exact cosine ≥ threshold. The
     * join is (table, bucket)-local — |tables| × Σ (bucket size choose 2),

