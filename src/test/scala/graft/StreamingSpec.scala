@@ -225,4 +225,43 @@ class StreamingSpec extends SparkSpec {
     t.upsert(Seq((4L, 500L, "w")).toDF("k", "ts", "v"))
     assert(t.store.latestSnapshot.get.watermark.contains(500L))
   }
+
+  test("lookup join: fresh sees dim upserts between batches, pinned does not") {
+    import graft.streaming.LookupJoin
+    implicit val sql = spark.sqlContext
+    val dimPath = tmpTable()
+    val dimV1 = Seq((10L, "gold"), (20L, "silver")).toDF("cust_id", "tier")
+    val dim = GraftTable.create(spark, dimPath, dimV1.schema, primaryKeys = Seq("cust_id"))
+    dim.upsert(dimV1)
+
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("order_id", "cust_id")
+
+    val freshQ = LookupJoin.fresh(stream, spark, dimPath, Seq("cust_id"))
+      .writeStream.format("memory").queryName("lookup_fresh")
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    val pinnedQ = LookupJoin.pinned(stream, dim, Seq("cust_id"))
+      .writeStream.format("memory").queryName("lookup_pinned")
+      .option("checkpointLocation", tmpTable() + "-ckpt2")
+      .start()
+    try {
+      input.addData((1L, 10L))
+      freshQ.processAllAvailable(); pinnedQ.processAllAvailable()
+      // dim upsert BETWEEN batches: 10 promotes, 30 appears
+      dim.upsert(Seq((10L, "platinum"), (30L, "bronze")).toDF("cust_id", "tier"))
+      input.addData((2L, 10L), (3L, 30L))
+      freshQ.processAllAvailable(); pinnedQ.processAllAvailable()
+    } finally { freshQ.stop(); pinnedQ.stop() }
+
+    def got(name: String) = spark.table(name)
+      .select("order_id", "tier").orderBy("order_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("null"))).toSeq
+    // fresh: batch 2 re-resolved the snapshot — promoted tier + new key join
+    assert(got("lookup_fresh") ==
+      Seq((1L, "gold"), (2L, "platinum"), (3L, "bronze")))
+    // pinned: batch 2 still joins the snapshot from join-build time
+    assert(got("lookup_pinned") ==
+      Seq((1L, "gold"), (2L, "gold"), (3L, "null")))
+  }
 }
