@@ -60,6 +60,15 @@ object Fixtures {
       t
     }
 
+  def lineitemHilbert(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_hilbert") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema)
+      t.append(df)
+      t.sortCompact(Seq("l_orderkey", "l_partkey"), "hilbert")
+      t
+    }
+
   /** lineitem with partition R dynamically overwritten (l_discount zeroed). */
   def lineitemOverwrite(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "lineitem_overwrite") { path =>

@@ -71,6 +71,7 @@ object SparkEntry {
         .filter(col("l_orderkey").between(100, 200))
         .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")),
     "q06_zorder_scan" -> ((s, d) => Fixtures.lineitemZorder(s, d).toDF),
+    "q57_hilbert_scan" -> ((s, d) => Fixtures.lineitemHilbert(s, d).toDF),
     "q07_overwrite_dynamic" -> ((s, d) => Fixtures.lineitemOverwrite(s, d).toDF),
 
     // ---- primary-key tables: LSM upsert + merge-on-read ----
@@ -365,6 +366,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200""".stripMargin,
     "q06_zorder_scan" -> "SELECT * FROM lineitem",
+    "q57_hilbert_scan" -> "SELECT * FROM lineitem",
     "q07_overwrite_dynamic" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         | l_extendedprice,

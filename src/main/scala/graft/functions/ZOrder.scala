@@ -28,7 +28,7 @@ case class ZValue(children: Seq[Expression]) extends Expression with CodegenFall
     var z = 0L
     var j = 0
     while (j < k) {
-      val lane = normalize(children(j), children(j).eval(input))
+      val lane = Lanes.normalize(children(j).dataType, children(j).eval(input))
       var i = 0
       while (i < 16) {
         z |= ((lane >> i) & 1L) << (i.toLong * k + j)
@@ -39,10 +39,17 @@ case class ZValue(children: Seq[Expression]) extends Expression with CodegenFall
     z
   }
 
-  /** Order-preserving 16-bit unsigned projection of a value. */
-  private def normalize(e: Expression, v: Any): Long = {
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Order-preserving 16-bit unsigned lane projection shared by the space-
+  * filling-curve expressions.
+  */
+private[functions] object Lanes {
+  def normalize(dt: DataType, v: Any): Long = {
     if (v == null) return 0L
-    val bits64: Long = e.dataType match {
+    val bits64: Long = dt match {
       case IntegerType | DateType => (v.asInstanceOf[Int].toLong ^ Long.MinValue)
       case LongType | TimestampType | TimestampNTZType =>
         v.asInstanceOf[Long] ^ Long.MinValue
@@ -57,7 +64,7 @@ case class ZValue(children: Seq[Expression]) extends Expression with CodegenFall
         ((b0 << 8) | b1) << 48
       case BooleanType => if (v.asInstanceOf[Boolean]) Long.MinValue + 1 else 0L
       case _: DecimalType => ieee(v.asInstanceOf[Decimal].toDouble)
-      case other => throw new IllegalArgumentException(s"zvalue: unsupported type $other")
+      case other => throw new IllegalArgumentException(s"curve value: unsupported type $other")
     }
     bits64 >>> 48 // top 16 bits
   }
@@ -68,9 +75,6 @@ case class ZValue(children: Seq[Expression]) extends Expression with CodegenFall
     val flipped = if (b < 0) ~b else b | Long.MinValue
     flipped
   }
-
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
-    copy(children = newChildren)
 }
 
 object ZOrder {

@@ -115,9 +115,10 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       case "compact" =>
         if (table.isPrimaryKeyed) { val s = table.compact(); s"compacted to snapshot ${s.id}" }
         else { val s = table.compactSmallFiles(); s"compacted to snapshot ${s.id}" }
-      case "zorder" | "sort_compact" =>
+      case "zorder" | "hilbert" | "sort_compact" =>
         val cols = args(1).split(",").map(_.trim).toSeq
-        val s = table.sortCompact(cols, if (proc == "zorder") "zorder" else "order")
+        val strategy = if (proc == "sort_compact") "order" else proc
+        val s = table.sortCompact(cols, strategy)
         s"clustered on ${cols.mkString(",")} at snapshot ${s.id}"
       case "expire_snapshots" =>
         val expired = table.expireSnapshots(args(1).toInt)
@@ -139,6 +140,12 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
           case Some(s) => s"expired partitions at snapshot ${s.id}"
           case None => "no partitions expired"
         }
+      case "reset_consumer" =>
+        val id = args(1)
+        if (args.size > 2) {
+          table.store.writeConsumer(id, args(2).toLong)
+          s"consumer $id reset to next snapshot ${args(2)}"
+        } else { table.store.deleteConsumer(id); s"consumer $id deleted" }
       case "analyze" =>
         val cols =
           if (args.size > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq else Nil

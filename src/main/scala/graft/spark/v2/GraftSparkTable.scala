@@ -86,6 +86,12 @@ class GraftSparkTable(
     val snap = snapshot.orElse {
       Option(options.get("scan.snapshot-id")).map(id => table.store.readSnapshot(id.toLong))
         .orElse(Option(options.get("scan.tag-name")).map(table.store.readTag))
+        .orElse(Option(options.get("scan.mode")).collect {
+          // content as of the latest full compaction (reference:
+          // CoreOptions.StartupMode COMPACTED_FULL); falls back to latest
+          // when the table was never compacted
+          case "compacted-full" => table.latestCompactSnapshot
+        }.flatten)
     }
     new GraftScanBuilder(spark, table, snap)
   }

@@ -124,6 +124,15 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   /** Time travel to a tag. */
   def toDFAtTag(tag: String): DataFrame = toDF(Some(store.readTag(tag)))
 
+  /** The most recent compaction snapshot — the `compacted-full` scan-mode
+    * anchor (reference: CoreOptions.StartupMode COMPACTED_FULL,
+    * StaticFromSnapshotStartingScanner family).
+    */
+  def latestCompactSnapshot: Option[Snapshot] =
+    store.snapshotIds.reverse.iterator.map(store.readSnapshot)
+      .find(_.commitKind == CommitKind.COMPACT)
+      .orElse(store.latestSnapshot)
+
   def toDF(snapshot: Option[Snapshot]): DataFrame = snapshot match {
     case None => emptyDF
     case Some(s) =>
@@ -556,9 +565,45 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   def commitFiles(entries: Seq[ManifestEntry], kind: String,
       commitIdentifier: Long = -1L,
       changelog: Seq[ManifestEntry] = Nil,
-      indexFiles: Seq[String] = Nil): Snapshot =
-    store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
+      indexFiles: Seq[String] = Nil): Snapshot = {
+    val s = store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
       changelog, indexFiles).snapshot
+    autoCreateTag(s)
+    s
+  }
+
+  /** Time-based automatic tags (reference: tag/TagAutoCreation.java,
+    * CoreOptions 'tag.automatic-creation' = process-time | watermark,
+    * 'tag.creation-period' = daily | hourly, 'tag.num-retained-max').
+    * After each commit, the snapshot is tagged with its period bucket name
+    * (yyyy-MM-dd[ HH]) if that period has no tag yet — the first commit of
+    * a period pins it; old auto tags beyond the retention cap are dropped
+    * (oldest first). O(tags) driver-side metadata work per commit.
+    */
+  private def autoCreateTag(s: Snapshot): Unit = {
+    val mode = schema.option("tag.automatic-creation", "none")
+    if (mode != "process-time" && mode != "watermark") return
+    val timeMs = mode match {
+      case "watermark" => s.watermark.getOrElse(return)
+      case _ => s.timestampMs
+    }
+    val fmt = schema.option("tag.creation-period", "daily") match {
+      case "hourly" => "yyyy-MM-dd HH"
+      case _ => "yyyy-MM-dd"
+    }
+    val name = java.time.Instant.ofEpochMilli(timeMs)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern(fmt))
+    if (!store.listTags.exists(_._1 == name)) {
+      store.createTag(name, s.id)
+      val max = schema.option("tag.num-retained-max", "").toIntOption.getOrElse(Int.MaxValue)
+      val auto = store.listTags.map(_._1).filter(looksLikeAutoTag).sorted
+      auto.dropRight(max).foreach(store.deleteTag)
+    }
+  }
+
+  private def looksLikeAutoTag(n: String): Boolean =
+    n.matches("""\d{4}-\d{2}-\d{2}( \d{2})?""")
 
   /** Event-time watermark of a commit, derived from the per-file max stats
     * of the configured `watermark.column` — no extra pass over the data

@@ -342,6 +342,11 @@ trait MaintenanceOps { self: GraftTable =>
         df.withColumn("__z", z)
           .repartitionByRange(col("__z")).sortWithinPartitions(col("__z"))
           .drop("__z")
+      case "hilbert" =>
+        val h = graft.functions.Hilbert.hvalue(cols.map(col): _*)
+        df.withColumn("__h", h)
+          .repartitionByRange(col("__h")).sortWithinPartitions(col("__h"))
+          .drop("__h")
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
     val files = stageWrite(sorted, level = GraftTable.MaxLevel,

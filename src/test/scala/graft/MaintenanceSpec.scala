@@ -82,6 +82,49 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("hilbert curve: bijective on the grid, consecutive cells adjacent; clustering keeps data") {
+    import graft.functions.Hilbert
+    // pure curve: 2 dims x 4 bits — a true Hilbert curve visits all 256
+    // cells exactly once and consecutive indices are grid neighbors
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (Hilbert.index(Array(x.toLong, y.toLong), 4), (x, y))
+    assert(cells.map(_._1).distinct.size == 256, "must be a bijection")
+    val walk = cells.sortBy(_._1).map(_._2)
+    assert(walk.sliding(2).forall { case Seq((x1, y1), (x2, y2)) =>
+      (x1 - x2).abs + (y1 - y2).abs == 1
+    }, "consecutive hilbert cells must be grid-adjacent")
+
+    val li = sf("lineitem")
+    val t = GraftTable.create(spark, tmpTable(), li.schema)
+    t.append(li.repartition(8))
+    t.sortCompact(Seq("l_orderkey", "l_partkey"), "hilbert")
+    assert(t.toDF.count() == li.count())
+    assert(t.store.liveFiles(t.store.latestSnapshot.get).forall(_.level == GraftTable.MaxLevel))
+  }
+
+  test("tag auto-creation: watermark periods pin tags, retention drops oldest") {
+    import spark.implicits._
+    val df = Seq((1L, 1000L * 3600 * 24 * 400, "a")).toDF("k", "ts", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"),
+      options = Map(
+        "watermark.column" -> "ts",
+        "tag.automatic-creation" -> "watermark",
+        "tag.creation-period" -> "hourly",
+        "tag.num-retained-max" -> "2"))
+    val h = 3600L * 1000
+    def at(hour: Long, k: Long) = Seq((k, hour * h, s"v$k")).toDF("k", "ts", "v")
+    t.upsert(at(100, 1)) // hour-100 tag
+    t.upsert(at(100, 2)) // same period — no new tag
+    assert(t.store.listTags.size == 1)
+    t.upsert(at(101, 3)) // hour-101 tag
+    assert(t.store.listTags.size == 2)
+    t.upsert(at(102, 4)) // hour-102 tag → hour-100 pruned by retention
+    val tags = t.store.listTags.map(_._1).sorted
+    assert(tags == Seq("1970-01-05 05", "1970-01-05 06"), tags.toString)
+    // the pinned snapshot of each period is the FIRST commit of that period
+    assert(t.store.listTags.map(_._2.id).sorted == Seq(3L, 4L))
+  }
+
   test("interval sections: key-disjoint runs plan independent merge splits") {
     val orders = sf("orders")
     val t = GraftTable.create(spark, tmpTable(), orders.schema,

@@ -114,6 +114,32 @@ class SqlCatalogSpec extends SparkSpec {
     assert(r3.head.getString(0).contains("expired"))
   }
 
+  test("compacted-full scan mode and reset_consumer procedure") {
+    spark.sql(
+      """CREATE TABLE graft.db.cfull_t (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.cfull_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL graft.sys.compact('db.cfull_t')")
+    spark.sql("INSERT INTO graft.db.cfull_t VALUES (2, 'b2'), (3, 'c')")
+
+    // latest content sees the post-compaction upsert...
+    assert(spark.table("graft.db.cfull_t").count() == 3)
+    // ...compacted-full pins to the last compaction snapshot
+    val cf = spark.read.option("scan.mode", "compacted-full")
+      .table("graft.db.cfull_t")
+    assert(cf.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // consumer lifecycle via procedure
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/cfull_t")
+    t.store.writeConsumer("app1", 2L)
+    assert(t.store.listConsumers == Seq(("app1", 2L)))
+    spark.sql("CALL graft.sys.reset_consumer('db.cfull_t', 'app1', 5)")
+    assert(t.store.readConsumer("app1").contains(5L))
+    spark.sql("CALL graft.sys.reset_consumer('db.cfull_t', 'app1')")
+    assert(t.store.listConsumers.isEmpty)
+  }
+
   test("SQL UPDATE and MERGE INTO route through row-level ops") {
     spark.sql(
       """CREATE TABLE graft.db.rls (
