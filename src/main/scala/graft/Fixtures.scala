@@ -335,6 +335,19 @@ object Fixtures {
     * through the DSv2 catalog — CREATE TABLE, two INSERTs, nothing but SQL.
     * Returns the catalog-qualified table name.
     */
+  /** upsert → compact → upsert: `scan.mode=compacted-full` must pin to the
+    * state at the compaction (= the first batch), not the latest.
+    */
+  def ordersCompactedFull(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_compacted_full") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.compact()
+      t.upsert(ordersBatch2(spark, sfDir))
+      t
+    }
+
   def sqlOrders(spark: SparkSession, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"graft.db.orders_$tag"

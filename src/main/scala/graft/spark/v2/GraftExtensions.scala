@@ -55,6 +55,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .incremental(str(args(1)).toLong, str(args(2)).toLong)
         org.apache.spark.sql.graft.SparkShims.analyzed(df)
       }))
+    // system tables as a table-valued function (reference exposes them as
+    // `t$snapshots` suffix tables, table/system/SystemTableLoader.java; a
+    // TVF keeps our distributed $files/$partitions plans intact):
+    //   SELECT * FROM graft_system('<table path>', 'snapshots')
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_system"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "graft_system"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_system(table_path, system_table_name)")
+        def str(e: Expression): String = e.eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other.toString
+        }
+        val spark = SparkSession.active
+        val df = GraftTable.load(spark, str(args(0))).system(str(args(1)))
+        org.apache.spark.sql.graft.SparkShims.analyzed(df)
+      }))
   }
 }
 

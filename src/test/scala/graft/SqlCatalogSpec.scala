@@ -246,6 +246,26 @@ class SqlCatalogSpec extends SparkSpec {
       Seq(("+I", 3L, "c")))
   }
 
+  test("system tables through SQL: graft_system TVF") {
+    import spark.implicits._
+    val path = tmpTable()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = graft.table.GraftTable.create(spark, path, df.schema, primaryKeys = Seq("k"))
+    t.upsert(df)
+    t.upsert(Seq((3L, "c")).toDF("k", "v"))
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, commit_kind FROM graft_system('$path', 'snapshots')").collect()
+    assert(snaps.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "APPEND"), (2L, "APPEND")))
+    val files = spark.sql(
+      s"SELECT count(*) FROM graft_system('$path', 'files')").collect()(0).getLong(0)
+    assert(files >= 2)
+    val al = spark.sql(
+      s"SELECT _row_kind, k FROM graft_system('$path', 'audit_log') ORDER BY k").collect()
+    assert(al.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("+I", 1L), ("+I", 2L), ("+I", 3L)))
+  }
+
   test("merge engines through SQL: aggregation table") {
     spark.sql(
       """CREATE TABLE graft.db.uagg (user_id BIGINT, total DOUBLE, n BIGINT)
