@@ -183,6 +183,9 @@ object SparkEntry {
     "q45_minhash_neardup" -> ((s, d) =>
       Dedup.nearDupPairs(Fixtures.src(s, d, "documents"), "doc_id", "text",
         threshold = 0.7).select("id_a", "id_b")),
+    "q59_jaccard_join" -> ((s, d) =>
+      Dedup.jaccardJoin(Fixtures.src(s, d, "documents"), "doc_id", "text",
+        threshold = 0.7).select("id_a", "id_b")),
     "q46_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Fixtures.src(s, d, "documents"), "doc_id", "text",
         maxHamming = 3, md5Basis = true).select("id_a", "id_b")),
@@ -512,6 +515,7 @@ object SparkEntry {
     "q43_langid" -> langidSql,
     "q44_quality_score" -> qualitySql,
     "q45_minhash_neardup" -> jaccardPairsSql,
+    "q59_jaccard_join" -> jaccardPairsSql,
     "q47_dedup_keep" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM ($jaccardPairsSql))""".stripMargin,

@@ -133,6 +133,47 @@ object Dedup {
       .filter(col("jaccard_sim") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard self-join (similarity ≥ threshold) via prefix
+    * filtering (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    * WWW'07; the PPJoin family): two sets can reach Jaccard t only if the
+    * first `|S| - ceil(t·|S|) + 1` elements of their canonically-sorted
+    * shingle sets intersect, so pairs sharing ≥ 1 prefix token are a
+    * GUARANTEED-recall candidate set — use this instead of MinHash LSH
+    * when missing a near-dup is not acceptable. The companion length
+    * filter (t·|B| ≤ |A| ≤ |B|/t) prunes size-incompatible pairs inside
+    * the join condition.
+    *
+    * Scale shape: candidates are prefix-token-local (one shuffle on the
+    * token), never all-pairs; the set frame is pinned to a single plan
+    * node so its shuffle is shared by the prefix explode and both verify
+    * lookups.
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val sets0 = hashed.groupBy("id").agg(array_sort(collect_set(col("h"))).as("hs"))
+      .select(col("id"), col("hs"), size(col("hs")).as("n"))
+    val sets = df.sparkSession.createDataFrame(sets0.rdd, sets0.schema)
+    val prefixLen = greatest(
+      (col("n").cast("double") - ceil(col("n") * threshold) + 1).cast("int"), lit(1))
+    val prefix = sets.select(col("id"), col("n"),
+      explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.n") * threshold <= col("b.n") &&
+          col("b.n") * threshold <= col("a.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
   /** Documents to DROP so that each near-dup cluster keeps its smallest id
     * (greedy edge rule: drop the larger id of every qualifying pair —
     * deterministic and union-find-free; at 100 TB this is one aggregation

@@ -25,6 +25,31 @@ class PipelineSpec extends SparkSpec {
     assert(verified.count() == 200L * 199 / 2)
   }
 
+  test("prefix-filter jaccard join equals brute force (guaranteed recall)") {
+    // overlapping word sequences: doc i shares a sliding window with i+1,
+    // giving a spectrum of pairwise jaccards around any threshold
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 25).map { i =>
+      (i.toLong, words.slice(i, i + 12).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def setOf(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      (0 to math.max(toks.length - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    for (thr <- Seq(0.3, 0.5, 0.8)) {
+      val brute = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        sa = setOf(ta); sb = setOf(tb)
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= thr
+      } yield (a, b)).toSet
+      val got = Dedup.jaccardJoin(df, "doc_id", "text", thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"threshold $thr: got ${got.size}, brute ${brute.size}")
+    }
+  }
+
   test("simhash 5-block blocking finds exactly the brute-force hamming<=3 pairs") {
     // clusters of near-identical token sets (1-2 token edits) + unrelated docs
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
