@@ -335,6 +335,34 @@ object Fixtures {
     * through the DSv2 catalog — CREATE TABLE, two INSERTs, nothing but SQL.
     * Returns the catalog-qualified table name.
     */
+  /** Shared ANN recall fixture: (embeddings minus the query row) ∪ 20
+    * synthetic near-copies `q + 0.05·v_i` of the query vector, ids offset
+    * by 100000 — reproduced verbatim by the DuckDB oracle CTE.
+    */
+  def annRecallCorpus(spark: SparkSession, sfDir: String): (DataFrame, Seq[Double]) = {
+    val emb = src(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0)
+    val qArr = array(q.map(lit): _*)
+    val synth = emb.filter(col("vec_id").between(1, 20))
+      .select((col("vec_id") + 100000).as("vec_id"),
+        zip_with(qArr, col("embedding").cast("array<double>"),
+          (a, b) => a + lit(0.05) * b).as("embedding"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(synth)
+    (corpus, q)
+  }
+
+  /** The recall corpus persisted as a partition-per-cluster IVF index. */
+  def annIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "ann_ivf_index") { path =>
+      val (corpus, _) = annRecallCorpus(spark, sfDir)
+      graft.pipeline.VectorOps.buildIvfIndex(corpus, "vec_id", "embedding", path,
+        numCentroids = 16)
+    }
+
   /** upsert → compact → upsert: `scan.mode=compacted-full` must pin to the
     * state at the compaction (= the first batch), not the latest.
     */

@@ -221,6 +221,12 @@ object SparkEntry {
       VectorOps.cosineTopKIvf(corpus, "vec_id", "embedding", q, 20,
         numCentroids = 16, nProbe = 4)
     }),
+    "q60_ann_ivf_index" -> ((s, d) => {
+      // persisted IVF index (graft table partitioned by cluster): the probe
+      // reads only nProbe partitions; exact oracle asserts full recall
+      val (_, q) = annRecallCorpus(s, d)
+      VectorOps.ivfIndexTopK(Fixtures.annIvfIndex(s, d), q, 20, nProbe = 4)
+    }),
     "q50_embed_sim_pairs" -> ((s, d) => {
       // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
       // (LSH-independent), so every qualifying pair must be recalled
@@ -229,25 +235,9 @@ object SparkEntry {
     })
   )
 
-  /** Shared q49/q50 fixture: (embeddings minus the query row) ∪ 20 synthetic
-    * near-copies `q + 0.05·v_i` of the query vector, ids offset by 100000 —
-    * reproduced verbatim by the DuckDB oracle CTE.
-    */
-  private def annRecallCorpus(s: SparkSession, d: String): (DataFrame, Seq[Double]) = {
-    val emb = Fixtures.src(s, d, "embeddings")
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).collect()(0)
-      .getSeq[Double](0)
-    val qArr = array(q.map(lit): _*)
-    val synth = emb.filter(col("vec_id").between(1, 20))
-      .select((col("vec_id") + 100000).as("vec_id"),
-        zip_with(qArr, col("embedding").cast("array<double>"),
-          (a, b) => a + lit(0.05) * b).as("embedding"))
-    val corpus = emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      .unionByName(synth)
-    (corpus, q)
-  }
+  /** Shared q49/q50/q56/q60 fixture — see [[Fixtures.annRecallCorpus]]. */
+  private def annRecallCorpus(s: SparkSession, d: String): (DataFrame, Seq[Double]) =
+    Fixtures.annRecallCorpus(s, d)
 
   // ---------------- oracle SQL (DuckDB dialect) ----------------
 
@@ -528,6 +518,7 @@ object SparkEntry {
     "q46_simhash_pairs" -> simhashOracle,
     "q49_ann_lsh_topk" -> annLshOracle,
     "q56_ann_ivf_topk" -> annLshOracle,
+    "q60_ann_ivf_index" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle
   )
 }

@@ -183,6 +183,53 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Persist an IVF index as a graft table PARTITIONED BY the coarse
+    * cluster id, with the trained centroids stored in the table options.
+    * At query time [[ivfIndexTopK]] filters on the partition column, so
+    * the connector's partition pruning (not a full scan + filter) reads
+    * only the probed cells — at a 100-TB corpus a query touches
+    * nProbe/numCentroids of the data. Rebuild after large ingests to
+    * re-balance cells (the assignment is a deterministic function of the
+    * stored centroids, so incremental appends also route correctly by
+    * computing the cluster column with [[ivfAssign]] on the same
+    * centroids).
+    */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
+      numCentroids: Int = 16, iterations: Int = 1): graft.table.GraftTable = {
+    val cents = ivfCentroids(df, idCol, vecCol, numCentroids, iterations)
+    val assigned = df.select(col(idCol), col(vecCol))
+      .withColumn("ivf_cluster", ivfAssign(col(vecCol).cast("array<double>"), cents))
+    val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
+      .mkString(";")
+    val t = graft.table.GraftTable.create(df.sparkSession, path, assigned.schema,
+      partitionKeys = Seq("ivf_cluster"),
+      options = Map("ivf.centroids" -> serialized, "ivf.vec-col" -> vecCol,
+        "ivf.id-col" -> idCol))
+    t.append(assigned)
+    t
+  }
+
+  /** Top-k cosine query against a persisted IVF index: probes the nProbe
+    * cells nearest the query via a partition-pruned scan.
+    */
+  def ivfIndexTopK(index: graft.table.GraftTable, query: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = index.schema.option("ivf.centroids", "")
+      .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
+    val idCol = index.schema.option("ivf.id-col", "id")
+    val vecCol = index.schema.option("ivf.vec-col", "vec")
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      val (dot, nc, nq) = (c.zip(query).map { case (a, b) => a * b }.sum,
+        math.sqrt(c.map(x => x * x).sum), math.sqrt(query.map(x => x * x).sum))
+      (if (nc * nq == 0) 0.0 else dot / (nc * nq), i)
+    }.sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+    val q = array(query.map(lit): _*)
+    index.toDF.filter(col("ivf_cluster").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-dup pairs: banded multi-table LSH candidates (union
     * over tables, deduplicated) verified by exact cosine ≥ threshold. The
     * join is (table, bucket)-local — |tables| × Σ (bucket size choose 2),

@@ -269,6 +269,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     opt("scan.mode").getOrElse("latest-full") match {
       case "latest" => store.latestSnapshotId.getOrElse(0L)
       case "from-snapshot" => opt("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L)
+      case "from-tag" =>
+        opt("scan.tag-name").map(store.readTag(_).id - 1).getOrElse(0L)
       case "from-timestamp" =>
         val ts = opt("scan.timestamp-millis").map(_.toLong).getOrElse(0L)
         store.snapshotIds.filter(id => store.readSnapshot(id).timestampMs <= ts)

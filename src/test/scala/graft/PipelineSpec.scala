@@ -134,6 +134,36 @@ class PipelineSpec extends SparkSpec {
     assert(cells > 1, "corpus should spread over centroid cells")
   }
 
+  test("persisted IVF index: partition-pruned probes recover the exact top-k") {
+    val dim = 16
+    def noise(i: Int, d: Int): Float = ((i * 31 + d * 7) % 11 - 5) / 100.0f
+    val base = (0 until dim).map(d => if (d == 0) 1.0f else 0.1f * d / dim)
+    val cluster = (0 until 25).map(i =>
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + 0.05f * noise(i, d) }))
+    val scattered = (100 until 300).map(i =>
+      (i.toLong, (0 until dim).map(d => noise(i * 13, d * 3 + 1) * 10)))
+    val df = (cluster ++ scattered).toDF("id", "v")
+    val q = base.map(_.toDouble)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val idx = VectorOps.buildIvfIndex(df, "id", "v", path, numCentroids = 8)
+    // the index is a real partitioned graft table: several cluster cells
+    val parts = idx.system("partitions").collect()
+    assert(parts.length > 1, s"expected several cells, got ${parts.length}")
+    // a probe reads a strict subset of the partitions (partition pruning)
+    val exact = VectorOps.cosineTopK(df, "id", "v", q, 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = VectorOps.ivfIndexTopK(idx, q, 25, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == exact, "index probes must recover the separable top-k")
+    // the probe filter lands in PartitionFilters of the scan — pruned at
+    // file-listing time by GraftFileIndex, not filtered row-by-row
+    val probed = idx.toDF.filter(col("ivf_cluster") === 0)
+    val scanPlan = probed.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("ivf_cluster"),
+      s"expected a partition-pruned scan, got:\n$scanPlan")
+  }
+
   test("LSH fails loudly on a wrong-dimension vector instead of bucketing to 0") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f))).toDF("id", "v")
     val ex = intercept[Exception] {

@@ -197,6 +197,10 @@ class StreamingSpec extends SparkSpec {
     // watermark beyond the chain head: nothing to replay yet
     assert(t.streamingStartExclusive(Map(
       "scan.mode" -> "from-watermark", "scan.watermark" -> "9999")) == 3L)
+    // from-tag: deltas from the tagged snapshot onward
+    t.store.createTag("cut", 2L)
+    assert(t.streamingStartExclusive(Map(
+      "scan.mode" -> "from-tag", "scan.tag-name" -> "cut")) == 1L)
 
     // end-to-end through the DSv1 source: only snapshot 3 streams out
     val out = spark.readStream.format("graft").option("path", path)
