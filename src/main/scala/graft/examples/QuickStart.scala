@@ -71,6 +71,25 @@ object QuickStart {
     println(s"[append] after partition delete rows=${apT.toDF.count()}")
     apT.sortCompact(Seq("l_orderkey", "l_partkey"), "zorder")
     println(s"[append] after zorder rows=${apT.toDF.count()}")
+
+    // ---- pipeline layer: dedup, similarity, ANN over the same testdata ----
+    import graft.pipeline.{Dedup, TextOps, VectorOps}
+    val docs = graft.Fixtures.src(spark, sfDir, "documents")
+    println(s"[pipeline] near-dup pairs (minhash+LSH, exact-verified): " +
+      Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count())
+    println(s"[pipeline] exact jaccard-join pairs (prefix filter): " +
+      Dedup.jaccardJoin(docs, "doc_id", "text", threshold = 0.7).count())
+    println(s"[pipeline] docs kept after exact dedup: " +
+      TextOps.exactDedup(docs, "doc_id", "text").count())
+    val emb = graft.Fixtures.src(spark, sfDir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    val ivfPath = s"$base/ivf_index"
+    val ivf = VectorOps.buildIvfIndex(
+      emb.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", ivfPath, numCentroids = 8)
+    println("[pipeline] ANN top-3 via partition-pruned IVF index:")
+    VectorOps.ivfIndexTopK(ivf, qv, 3, nProbe = 2).show(false)
     println("[done]")
     spark.stop()
   }
