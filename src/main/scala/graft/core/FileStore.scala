@@ -97,8 +97,26 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     if (fs.exists(target)) return false
     val tmp = new Path(target.getParent, s".${target.getName}.${UUID.randomUUID()}.tmp")
     writeString(tmp, s)
-    val ok = try fs.rename(tmp, target) catch { case _: java.io.IOException => false }
-    if (!ok) fs.delete(tmp, false)
+    val ok = try {
+      if (fs.getScheme == "file") {
+        // POSIX rename(2) silently REPLACES an existing destination, so two
+        // racing committers would both think they won and one snapshot
+        // would be lost (found by ConcurrencySpec). Hard-link creation is
+        // the atomic fail-if-exists primitive on a local filesystem.
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        // HDFS-like stores: rename refuses an existing destination
+        fs.rename(tmp, target)
+      }
+    } catch { case _: java.io.IOException => false }
+    fs.delete(tmp, false) // no-op when the rename path consumed it
     ok
   }
 
