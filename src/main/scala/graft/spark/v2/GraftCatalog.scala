@@ -105,13 +105,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident)
   }
 
-  /** Time travel: SELECT ... VERSION AS OF <snapshotId|tagName>. */
+  /** Time travel: SELECT ... VERSION AS OF <snapshotId|tagName|branchName>.
+    * A tag wins over a same-named branch; a branch resolves to its head
+    * snapshot (branch snapshots share manifests/data with main).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val t = GraftTable.load(spark, tablePath(ident).toString)
     val snap = version.toLongOption match {
       case Some(id) => t.store.readSnapshot(id)
-      case None => t.store.readTag(version)
+      case None if t.store.listTags.exists(_._1 == version) => t.store.readTag(version)
+      case None if t.store.listBranches.contains(version) =>
+        t.store.ofBranch(version).latestSnapshot.getOrElse(
+          throw new IllegalArgumentException(s"branch $version has no snapshot"))
+      case None => t.store.readTag(version) // fall through for the error message
     }
     new GraftSparkTable(spark, t, ident, Some(snap))
   }

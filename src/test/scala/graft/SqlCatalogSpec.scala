@@ -108,6 +108,10 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.db.proc_t").collect()(0).getLong(0) == 3)
 
     spark.sql("CALL graft.sys.create_branch('db.proc_t', 'dev', 1)")
+    // branch read through SQL: the branch head is snapshot 1 (2 rows) even
+    // though main has moved on
+    assert(spark.sql("SELECT count(*) FROM graft.db.proc_t VERSION AS OF 'dev'")
+      .collect()(0).getLong(0) == 2)
     spark.sql("CALL graft.sys.rollback('db.proc_t', 1)")
     assert(spark.sql("SELECT count(*) FROM graft.db.proc_t").collect()(0).getLong(0) == 2)
     val r3 = spark.sql("CALL graft.sys.expire_snapshots('db.proc_t', 1)").collect()
