@@ -54,7 +54,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     if (table.isPrimaryKeyed && !readOptimized) {
       throw new IllegalArgumentException(
         "graft: merged (merge-on-read) reads of primary-key tables need a " +
-          "plan above the scan; use Graft.load(spark, path) / GraftTable.toDF, " +
+          "plan above the scan; use GraftTable.load(spark, path).toDF or the " +
+          "DSv2 catalog (spark.sql.catalog.<name>), " +
           "or pass option read-optimized=true for compacted-only data")
     }
     val files = snapshot.map(table.store.liveFiles).getOrElse(Nil)

@@ -44,6 +44,23 @@ class ConcurrencySpec extends SparkSpec {
       s"lost or duplicated rows: $rows")
   }
 
+  test("stale rewrite is rejected: deleting an already-deleted file conflicts") {
+    import graft.core.ManifestEntry
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmpTable(), df0.schema, primaryKeys = Seq("k"))
+    t.upsert(df0)
+    val victim = t.store.liveFiles(t.store.latestSnapshot.get).head
+    // writer A compacts (rewrites victim away)
+    t.compact()
+    // writer B, planned against the OLD snapshot, tries to delete the same
+    // file — the optimistic conflict check must refuse, not corrupt
+    val ex = intercept[IllegalArgumentException] {
+      t.store.commit(Seq(ManifestEntry(ManifestEntry.DELETE, victim)), "COMPACT")
+    }
+    assert(ex.getMessage.contains("conflict"), ex.getMessage)
+    assert(t.toDF.count() == 2)
+  }
+
   test("racing upserts to the same key: chain stays linear, one winner per seq") {
     val df0 = Seq((1L, 0L)).toDF("k", "n")
     val t = GraftTable.create(spark, tmpTable(), df0.schema, primaryKeys = Seq("k"))
