@@ -127,6 +127,13 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
     Seq(AttributeReference("result", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // migrate_table adopts a PLAIN parquet directory — no graft table yet
+    if (proc == "migrate_table") {
+      require(args.size >= 2, "CALL sys.migrate_table(source_dir, target_path)")
+      val t = graft.table.Migrate.parquetTable(spark, args(0), args(1))
+      return Seq(Row(s"migrated ${args(0)} -> ${args(1)} " +
+        s"(${t.store.latestSnapshot.map(_.totalRecordCount).getOrElse(0L)} rows in place)"))
+    }
     val table = resolveTable(spark, args.headOption.getOrElse(
       throw new IllegalArgumentException(s"CALL sys.$proc: first arg must be the table")))
     val msg = proc match {

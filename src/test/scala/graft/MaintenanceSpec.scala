@@ -102,6 +102,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.store.liveFiles(t.store.latestSnapshot.get).forall(_.level == GraftTable.MaxLevel))
   }
 
+  test("migrate_table adopts a parquet dir in place: content, stats, pruning") {
+    import spark.implicits._
+    val srcDir = tmpTable() + "-src"
+    val df = (1 to 100).map(i => (i.toLong, i * 1.5, s"r$i", if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "score", "name", "parity")
+    df.write.partitionBy("parity").parquet(srcDir)
+
+    val t = graft.table.Migrate.parquetTable(spark, srcDir, tmpTable())
+    assert(t.schema.partitionKeys == Seq("parity"))
+    // content identical, partition column reconstructed
+    val got = t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(got == (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd")))
+    // files are served IN PLACE — nothing copied under the table root
+    val files = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(files.forall(_.path.startsWith("/")), files.map(_.path).toString)
+    assert(files.forall(_.path.contains("-src")), "must reference source files")
+    // per-file numeric stats landed → range pruning works
+    assert(files.forall(_.stats.get("id").exists(_.min.isDefined)))
+    // partition pruning on the discovered key
+    val plan = t.toDF.filter(col("parity") === "even").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(t.toDF.filter(col("parity") === "even").count() == 50)
+    // a small-file compaction re-homes data under the table root
+    t.compactSmallFiles()
+    val after = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(after.forall(f => !f.path.startsWith("/")), after.map(_.path).toString)
+    assert(t.toDF.count() == 100)
+  }
+
   test("tag auto-creation: watermark periods pin tags, retention drops oldest") {
     import spark.implicits._
     val df = Seq((1L, 1000L * 3600 * 24 * 400, "a")).toDF("k", "ts", "v")

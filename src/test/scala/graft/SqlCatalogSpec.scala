@@ -250,6 +250,16 @@ class SqlCatalogSpec extends SparkSpec {
       Seq(("+I", 3L, "c")))
   }
 
+  test("CALL migrate_table adopts a parquet directory") {
+    import spark.implicits._
+    val srcDir = tmpTable() + "-mig-src"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(srcDir)
+    val target = tmpTable() + "-mig"
+    val r = spark.sql(s"CALL graft.sys.migrate_table('$srcDir', '$target')").collect()
+    assert(r.head.getString(0).contains("migrated"))
+    assert(graft.table.GraftTable.load(spark, target).toDF.count() == 2)
+  }
+
   test("system tables through SQL: graft_system TVF") {
     import spark.implicits._
     val path = tmpTable()
