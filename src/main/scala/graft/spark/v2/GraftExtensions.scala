@@ -165,6 +165,28 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
           case Some(s) => s"expired partitions at snapshot ${s.id}"
           case None => "no partitions expired"
         }
+      case "repair" =>
+        // consistency audit: every live manifest entry must point at an
+        // existing file of the recorded size (reference procedure `repair`
+        // re-syncs catalog metadata; filesystem-native graft validates it)
+        val fs = table.store.fs
+        val live = table.store.latestSnapshot.map(table.store.liveFiles).getOrElse(Nil)
+        val problems = live.flatMap { f =>
+          val p = new org.apache.hadoop.fs.Path(table.store.rootPath, f.path)
+          if (!fs.exists(p)) Some(s"MISSING ${f.path}")
+          else {
+            val len = fs.getFileStatus(p).getLen
+            if (len != f.size) Some(s"SIZE-MISMATCH ${f.path} ($len != ${f.size})")
+            else None
+          }
+        }
+        val dvProblems = live.flatMap(_.dvPath).filterNot(d =>
+          fs.exists(new org.apache.hadoop.fs.Path(table.store.rootPath, d)))
+          .map(d => s"MISSING-DV $d")
+        val all = problems ++ dvProblems
+        if (all.isEmpty) s"ok: ${live.size} live files verified"
+        else throw new IllegalStateException(
+          s"repair found ${all.size} problems: ${all.take(5).mkString("; ")}")
       case "reset_consumer" =>
         val id = args(1)
         if (args.size > 2) {

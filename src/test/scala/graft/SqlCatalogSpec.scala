@@ -260,6 +260,25 @@ class SqlCatalogSpec extends SparkSpec {
     assert(graft.table.GraftTable.load(spark, target).toDF.count() == 2)
   }
 
+  test("CALL repair verifies live files and flags a missing one") {
+    spark.sql(
+      """CREATE TABLE graft.db.rep_t (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.rep_t VALUES (1, 'a'), (2, 'b')")
+    val ok = spark.sql("CALL graft.sys.repair('db.rep_t')").collect()
+    assert(ok.head.getString(0).contains("ok:"), ok.head.getString(0))
+    // sabotage: remove a live data file behind the table's back
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/rep_t")
+    val victim = t.store.liveFiles(t.store.latestSnapshot.get).head
+    t.store.fs.delete(new org.apache.hadoop.fs.Path(t.store.rootPath, victim.path), false)
+    val ex = intercept[Exception] {
+      spark.sql("CALL graft.sys.repair('db.rep_t')").collect()
+    }
+    def msgs(e: Throwable): String =
+      if (e == null) "" else e.getMessage + " | " + msgs(e.getCause)
+    assert(msgs(ex).contains("MISSING"), msgs(ex))
+  }
+
   test("system tables through SQL: graft_system TVF") {
     import spark.implicits._
     val path = tmpTable()
