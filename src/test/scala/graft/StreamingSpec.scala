@@ -230,6 +230,29 @@ class StreamingSpec extends SparkSpec {
     assert(t.store.latestSnapshot.get.watermark.contains(500L))
   }
 
+  test("streaming read across schema evolution: old snapshots remap to the current schema") {
+    val path = tmpTable()
+    val df1 = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, path, df1.schema, primaryKeys = Seq("k"))
+    t.upsert(df1)
+    t.addColumn("score", org.apache.spark.sql.types.DoubleType)
+    val t2 = GraftTable.load(spark, path)
+    t2.upsert(Seq((2L, "b", 9.5)).toDF("k", "v", "score"))
+
+    val out = spark.readStream.format("graft").option("path", path).load()
+      .writeStream.format("memory").queryName("evo_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(out.awaitTermination(60000))
+    val got = spark.table("evo_stream_out").select("k", "v", "score")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    // pre-evolution file null-fills the added column; both snapshots stream
+    assert(got == Seq((1L, "a", null), (2L, "b", 9.5)), got.toString)
+  }
+
   test("lookup join: fresh sees dim upserts between batches, pinned does not") {
     import graft.streaming.LookupJoin
     implicit val sql = spark.sqlContext
