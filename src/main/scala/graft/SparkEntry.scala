@@ -183,6 +183,10 @@ object SparkEntry {
     "q45_minhash_neardup" -> ((s, d) =>
       Dedup.nearDupPairs(Fixtures.src(s, d, "documents"), "doc_id", "text",
         threshold = 0.7).select("id_a", "id_b")),
+    "q61_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.jaccardJoin(Fixtures.src(s, d, "documents"), "doc_id", "text",
+          threshold = 0.7).select("id_a", "id_b"))),
     "q59_jaccard_join" -> ((s, d) =>
       Dedup.jaccardJoin(Fixtures.src(s, d, "documents"), "doc_id", "text",
         threshold = 0.7).select("id_a", "id_b")),
@@ -341,6 +345,24 @@ object SparkEntry {
       |  CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b FROM p WHERE j >= 0.7""".stripMargin
+
+  // min-reachable-id clustering over the exact jaccard>=0.7 pair graph
+  private val dupClustersSql =
+    """WITH RECURSIVE toks AS (SELECT doc_id,
+      |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-2, 1)+1),
+      |  i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s FROM toks),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+      |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |reach AS (SELECT id, id AS label FROM n
+      |  UNION SELECT e.src, reach.label FROM e JOIN reach ON e.dst = reach.id)
+      |SELECT id AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_append_scan" -> "SELECT * FROM lineitem",
@@ -506,6 +528,7 @@ object SparkEntry {
     "q44_quality_score" -> qualitySql,
     "q45_minhash_neardup" -> jaccardPairsSql,
     "q59_jaccard_join" -> jaccardPairsSql,
+    "q61_dup_clusters" -> dupClustersSql,
     "q47_dedup_keep" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM ($jaccardPairsSql))""".stripMargin,

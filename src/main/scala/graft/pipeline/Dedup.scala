@@ -174,6 +174,46 @@ object Dedup {
       .filter(col("jaccard_sim") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: every document that
+    * appears in a pair is labeled with the SMALLEST id reachable through
+    * dup edges (its cluster representative) — the cluster-keep-one
+    * primitive of a dedup pipeline, strictly stronger than the greedy
+    * edge rule of [[dropIds]] for transitive dup chains (a~b, b~c: greedy
+    * keeps a and drops b,c; clustering agrees here, but also labels c
+    * with a even when a~c was never emitted as a pair).
+    *
+    * Hash-min label propagation: each iteration joins labels across edges
+    * and keeps the per-node minimum; iterate to fixpoint (checked), with
+    * `localCheckpoint` truncating the growing plan lineage each round —
+    * the standard shape for iterative DataFrame algorithms. Near-dup
+    * clusters have tiny diameters (near-cliques), so convergence is a
+    * handful of rounds even at corpus scale; each round is one join + one
+    * aggregation on the (small) pair-graph node set, never the corpus.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"dup clustering did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Documents to DROP so that each near-dup cluster keeps its smallest id
     * (greedy edge rule: drop the larger id of every qualifying pair —
     * deterministic and union-find-free; at 100 TB this is one aggregation

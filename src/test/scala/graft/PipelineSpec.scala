@@ -50,6 +50,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dup clustering: min-reachable label over chains and separate cliques") {
+    // chain 10-11-...-16 (diameter 6, needs several propagation rounds),
+    // clique 20-21-22, isolated pair 30-31
+    val pairs = ((10L to 15L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((10L to 16L).forall(got(_) == 10L), got.toString)
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got.size == 12)
+  }
+
   test("simhash 5-block blocking finds exactly the brute-force hamming<=3 pairs") {
     // clusters of near-identical token sets (1-2 token edits) + unrelated docs
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
