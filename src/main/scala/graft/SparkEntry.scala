@@ -168,6 +168,9 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).cast("long").as("token_count"),
         round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
         round(TextOps.meanWordLength(col("text")), 6).as("mean_word_len"))),
+    "q62_split_bucket" -> ((s, d) =>
+      Fixtures.src(s, d, "documents").select(col("doc_id"),
+        TextOps.splitBucket(col("doc_id"), 10).as("bucket"))),
     "q41_exact_dedup" -> ((s, d) =>
       TextOps.exactDedup(Fixtures.src(s, d, "documents"), "doc_id", "text")),
     "q42_fingerprint_dedup" -> ((s, d) =>
@@ -517,6 +520,10 @@ object SparkEntry {
          | ROUND(CASE WHEN $wordCountSql = 0 THEN 0.0
          |   ELSE CAST(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g')) AS DOUBLE) / $wordCountSql END, 6) AS mean_word_len
          |FROM documents""".stripMargin,
+    "q62_split_bucket" ->
+      """SELECT doc_id,
+        | CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS INTEGER) AS bucket
+        |FROM documents""".stripMargin,
     "q41_exact_dedup" ->
       """SELECT MD5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY MD5(text)""".stripMargin,

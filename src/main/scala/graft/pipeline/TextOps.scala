@@ -98,6 +98,16 @@ object TextOps {
   /** Exact-duplicate groups by content hash: one row per distinct content,
     * keeping the smallest id (deterministic canonical representative).
     */
+  /** Deterministic split bucket in [0, nBuckets) from md5 of the id — the
+    * reproducible train/eval/test partitioner of a data pipeline: stable
+    * across runs, engines, and row order (md5 is bit-identical everywhere,
+    * unlike engine-specific hash functions), so the same document lands in
+    * the same split forever. Pure projection — no shuffle.
+    */
+  def splitBucket(id: Column, nBuckets: Int): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % nBuckets).cast("int")
+
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))

@@ -178,6 +178,24 @@ class PipelineSpec extends SparkSpec {
       s"expected a partition-pruned scan, got:\n$scanPlan")
   }
 
+  test("empty inputs: dedup, jaccard join, clustering, and split bucket degrade to empty") {
+    import org.apache.spark.sql.types._
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(Dedup.nearDupPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.jaccardJoin(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    assert(Dedup.dupClusters(emptyPairs).count() == 0)
+    val one = Seq((5L, "only doc here")).toDF("doc_id", "text")
+    assert(Dedup.nearDupPairs(one, "doc_id", "text").count() == 0)
+    val b = one.select(graft.pipeline.TextOps.splitBucket(col("doc_id"), 10).as("b"))
+      .collect()(0).getInt(0)
+    assert(b >= 0 && b < 10)
+  }
+
   test("LSH fails loudly on a wrong-dimension vector instead of bucketing to 0") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f))).toDF("id", "v")
     val ex = intercept[Exception] {
