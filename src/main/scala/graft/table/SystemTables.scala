@@ -25,6 +25,7 @@ trait SystemTables { self: GraftTable =>
     case "consumers" => consumersTable
     case "audit_log" => auditLog
     case "read_optimized" => readOptimized
+    case "table_indexes" => tableIndexesTable
     case "statistics" => statisticsTable
     case "aggregation_fields" => aggregationFieldsTable
     case other => throw new IllegalArgumentException(s"unknown system table: $other")
@@ -80,12 +81,14 @@ trait SystemTables { self: GraftTable =>
         graft.core.ManifestCodec.entriesFromJson(content).map { e =>
           val f = e.file
           (ord, e.kind, f.path, f.partition.mkString("/"), f.bucket, f.level,
-            f.rowCount, f.size, f.minSeq, f.maxSeq, f.schemaId)
+            f.rowCount, f.size, f.minSeq, f.maxSeq, f.schemaId,
+            f.dvPath.orNull, f.dvCount,
+            f.blooms.toSeq.sorted.map { case (c, p) => s"$c=$p" }.mkString(";"))
         }
       }
       .toDF("__ord", "__kind", "file_path", "partition", "bucket", "level",
         "row_count", "file_size_in_bytes", "min_sequence_number",
-        "max_sequence_number", "schema_id")
+        "max_sequence_number", "schema_id", "__dv_path", "__dv_count", "__blooms")
     // a path appears at most once per manifest; the latest entry decides
     entries.groupBy("file_path")
       .agg(org.apache.spark.sql.functions.max_by(
@@ -97,7 +100,37 @@ trait SystemTables { self: GraftTable =>
       .drop("__ord", "__kind")
   }
 
-  private def filesTable: DataFrame = liveFilesDF
+  private def filesTable: DataFrame =
+    liveFilesDF.drop("__dv_path", "__dv_count", "__blooms")
+
+  /** Index sidecars of live files — deletion vectors and bloom filters
+    * (distributed, from the same manifest fold as `$files`) plus
+    * snapshot-level index files (dynamic-bucket hash index; O(buckets),
+    * driver-side).
+    */
+  private def tableIndexesTable: DataFrame = {
+    import org.apache.spark.sql.functions._
+    val live = liveFilesDF
+    val dv = live.filter(col("__dv_path").isNotNull)
+      .select(lit("DELETION_VECTOR").as("index_type"), col("__dv_path").as("index_path"),
+        col("file_path").as("data_file_path"), col("partition"), col("bucket"),
+        col("__dv_count").as("entry_count"))
+    val blooms = live.filter(col("__blooms") =!= "")
+      .select(explode(split(col("__blooms"), ";")).as("b"),
+        col("file_path"), col("partition"), col("bucket"))
+      .select(concat(lit("BLOOM_FILTER:"), substring_index(col("b"), "=", 1)).as("index_type"),
+        substring_index(col("b"), "=", -1).as("index_path"),
+        col("file_path").as("data_file_path"), col("partition"), col("bucket"),
+        lit(0L).as("entry_count"))
+    val st = StructType(Seq(
+      StructField("index_type", StringType), StructField("index_path", StringType),
+      StructField("data_file_path", StringType), StructField("partition", StringType),
+      StructField("bucket", IntegerType), StructField("entry_count", LongType)))
+    val hashIdx = local(st,
+      store.latestSnapshot.map(_.indexFiles).getOrElse(Nil).map(p =>
+        Row("HASH_BUCKET_INDEX", p, null, null, 0, 0L)))
+    dv.unionByName(blooms).unionByName(hashIdx)
+  }
 
   private def manifestsTable: DataFrame = {
     val st = StructType(Seq(

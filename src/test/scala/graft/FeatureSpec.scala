@@ -77,6 +77,26 @@ class FeatureSpec extends SparkSpec {
     assert(t.store.liveFiles(t.store.latestSnapshot.get).forall(_.dvPath.isEmpty))
   }
 
+  test("$table_indexes lists DV and bloom sidecars of live files") {
+    val li = sf("lineitem").limit(2000)
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      options = Map("deletion-vectors.enabled" -> "true",
+        "file-index.bloom.columns" -> "l_orderkey"))
+    t.append(li)
+    t.delete(col("l_quantity") < 10)
+    val idx = t.system("table_indexes").collect()
+    val types = idx.map(_.getString(0)).toSet
+    assert(types.contains("DELETION_VECTOR"), types.toString)
+    assert(types.exists(_.startsWith("BLOOM_FILTER:l_orderkey")), types.toString)
+    // every index row points at a live data file and a real sidecar
+    val live = t.store.liveFiles(t.store.latestSnapshot.get).map(_.path).toSet
+    assert(idx.filter(r => r.getString(2) != null).forall(r => live.contains(r.getString(2))))
+    idx.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(t.store.rootPath, r.getString(1))
+      assert(t.store.fs.exists(p), s"missing sidecar ${r.getString(1)}")
+    }
+  }
+
   test("bloom file index: point equality skips files stats cannot exclude") {
     val li = sf("lineitem")
     val t = GraftTable.create(spark, tmpTable(), li.schema,

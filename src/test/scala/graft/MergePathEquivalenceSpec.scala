@@ -47,7 +47,11 @@ class MergePathEquivalenceSpec extends SparkSpec {
       "fields.s.aggregate-function" -> Seq("last_non_null_value", "first_value", "listagg")(rnd.nextInt(3)),
       "fields.b.aggregate-function" -> Seq("bool_or", "bool_and")(rnd.nextInt(2)))
     else Map.empty
-    base ++ seqField ++ aggs
+    // partial-update: sometimes version the (d, s) fields by their own
+    // sequence column instead of the global order
+    val seqGroup = if (engine == "partial-update" && rnd.nextBoolean())
+      Map("fields.ver.sequence-group" -> "d,s") else Map.empty
+    base ++ seqField ++ aggs ++ seqGroup
   }
 
   private def randomBatch(rnd: Random, n: Int): Seq[Row] =
