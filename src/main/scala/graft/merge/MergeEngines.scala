@@ -50,9 +50,12 @@ object MergeEngines {
   def mergeRaw(schema: TableSchema, raw: DataFrame, bucketCol: String): DataFrame = {
     // cross-partition keys merge across partitions: partition columns are
     // carried values (the winner's partition), not group keys
+    // .distinct: primary keys CONTAIN the partition keys on a standard
+    // partitioned PK table — without it the merge output carried duplicate
+    // partition columns and compaction's partitioned write failed
     val groupCols =
-      if (schema.crossPartition) bucketCol +: schema.primaryKeys
-      else (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys
+      (if (schema.crossPartition) bucketCol +: schema.primaryKeys
+      else (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys).distinct
     val ord = ordering(schema)
     schema.mergeEngine match {
       case "deduplicate" => dedup(schema, raw, groupCols, ord, first = false)

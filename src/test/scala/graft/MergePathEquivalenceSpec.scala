@@ -30,6 +30,7 @@ class MergePathEquivalenceSpec extends SparkSpec {
 
   private val schema = StructType(Seq(
     StructField("k", LongType, nullable = false),
+    StructField("p", StringType, nullable = false), // optional partition key
     StructField("ver", LongType, nullable = false),
     StructField("l", LongType),
     StructField("d", DoubleType),
@@ -56,8 +57,10 @@ class MergePathEquivalenceSpec extends SparkSpec {
 
   private def randomBatch(rnd: Random, n: Int): Seq[Row] =
     (0 until n).map { _ =>
+      val k = rnd.nextInt(8).toLong
       Row(
-        rnd.nextInt(8).toLong, // few keys → lots of merging
+        k, // few keys → lots of merging
+        "p" + (k % 2), // partition stable per key (fixed-bucket routing)
         rnd.nextInt(20).toLong, // out-of-order versions incl. duplicates
         if (rnd.nextInt(5) == 0) null else rnd.nextInt(100).toLong,
         if (rnd.nextInt(5) == 0) null else rnd.nextInt(100) / 10.0,
@@ -77,8 +80,10 @@ class MergePathEquivalenceSpec extends SparkSpec {
       val rnd = new Random(scenario * 7919L + 17)
       val opts = randomConfig(rnd)
       val name = s"eq_$scenario"
+      val pts = if (rnd.nextBoolean()) Seq("p") else Nil
+      val pks = if (pts.nonEmpty) Seq("k", "p") else Seq("k")
       val t = GraftTable.create(spark, s"$wh/db/$name", schema,
-        primaryKeys = Seq("k"), options = opts)
+        partitionKeys = pts, primaryKeys = pks, options = opts)
       val withDeletes = opts("merge-engine") == "deduplicate"
       for (_ <- 0 until 3) {
         val rows = randomBatch(rnd, 30)
