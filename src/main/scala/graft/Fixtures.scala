@@ -363,6 +363,24 @@ object Fixtures {
         numCentroids = 16)
     }
 
+  /** The STANDARD partitioned PK layout (primary key contains the
+    * partition key — the reference's required shape for fixed-bucket
+    * partitioned tables): upserts route to (partition, bucket), merges are
+    * partition-local, compaction rewrites per partition.
+    */
+  def ordersPkPartitioned(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_partitioned") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        partitionKeys = Seq("o_orderstatus"),
+        primaryKeys = Seq("o_orderkey", "o_orderstatus"),
+        options = Map("bucket" -> "4"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.compact()
+      t
+    }
+
   /** upsert → compact → upsert: `scan.mode=compacted-full` must pin to the
     * state at the compaction (= the first batch), not the latest.
     */

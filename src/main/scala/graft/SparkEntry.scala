@@ -82,6 +82,7 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))),
     "q12_intra_batch_dup" -> ((s, d) => Fixtures.ordersPkIntraBatch(s, d).toDF),
     "q13_time_travel" -> ((s, d) => Fixtures.ordersPk(s, d).toDF(1)),
+    "q63_pk_partitioned" -> ((s, d) => Fixtures.ordersPkPartitioned(s, d).toDF),
     "q58_compacted_full" -> ((s, d) =>
       Fixtures.ordersCompactedFull(s, d)
         .toDF(Fixtures.ordersCompactedFull(s, d).latestCompactSnapshot)),
@@ -403,6 +404,7 @@ object SparkEntry {
     "q12_intra_batch_dup" -> mergedOrders,
     "q13_time_travel" -> "SELECT * FROM orders",
     "q58_compacted_full" -> "SELECT * FROM orders",
+    "q63_pk_partitioned" -> mergedOrders,
     "q14_incremental" ->
       """SELECT '+I' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
         | o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
