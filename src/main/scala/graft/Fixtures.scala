@@ -420,6 +420,29 @@ object Fixtures {
     tbl
   }
 
+  /** lineitem as a catalog append table partitioned by l_returnflag — the
+    * fixture for metadata-only aggregate pushdown (COUNT/MIN/MAX answered
+    * from manifests through the DSv2 SQL path). Returns the table name.
+    */
+  def sqlLineitem(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft.db.lineitem_$tag"
+    build(spark, sfDir, "sql_lineitem") { _ =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", s"$base/warehouse")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      val df = src(spark, sfDir, "lineitem")
+      spark.sql(
+        s"""CREATE TABLE $tbl (${df.schema.toDDL})
+           |USING graft PARTITIONED BY (l_returnflag)""".stripMargin)
+      df.createOrReplaceTempView(s"src_lineitem_$tag")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM src_lineitem_$tag")
+      GraftTable.load(spark, s"$base/warehouse/db/lineitem_$tag")
+    }
+    tbl
+  }
+
   /** SQL row-level DML: the canonical orders table maintained through
     * `spark.sql` UPDATE / MERGE INTO statements (requires the
     * GraftExtensions analysis rule). Returns the catalog table name.

@@ -116,6 +116,18 @@ object SparkEntry {
       Fixtures.lineitemAppend(s, d).system("partitions")
         .select(col("partition"), col("record_count"))),
 
+    // metadata-only aggregate pushdown: COUNT/MIN/MAX + partition group-by
+    // answered from manifest stats (LocalTableScan — zero data files read)
+    "q64_meta_agg" -> ((s, d) => {
+      val t = Fixtures.sqlLineitem(s, d)
+      s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS cnt, COUNT(l_orderkey) AS cnt_ok,
+           | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           | MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+           |FROM $t WHERE l_returnflag IN ('R', 'A')
+           |GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // ---- SQL through the DSv2 catalog (bucket-local merge-on-read) ----
     "q30_sql_select" -> ((s, d) => {
       val t = Fixtures.sqlOrders(s, d)
@@ -461,6 +473,12 @@ object SparkEntry {
     "q29_sys_partitions" ->
       """SELECT l_returnflag AS partition, COUNT(*) AS record_count
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q64_meta_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt, COUNT(l_orderkey) AS cnt_ok,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |FROM lineitem WHERE l_returnflag IN ('R', 'A')
+        |GROUP BY l_returnflag""".stripMargin,
     "q30_sql_select" -> mergedOrders,
     "q31_sql_agg" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

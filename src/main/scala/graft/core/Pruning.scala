@@ -13,10 +13,12 @@ object StatsCodec {
   /** Encode a value collected from a Spark Row (external types) for storage. */
   def encode(dt: DataType, v: Any): Option[String] = Option(v).map { x =>
     dt match {
-      case TimestampType => x match {
+      case TimestampType | TimestampNTZType => x match {
         case t: Timestamp => (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
         case t: java.time.Instant =>
           (t.getEpochSecond * 1000000L + t.getNano / 1000).toString
+        case t: java.time.LocalDateTime => // TimestampNTZ external type
+          (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000).toString
         case other => other.toString
       }
       case DateType => x match {
@@ -28,14 +30,33 @@ object StatsCodec {
     }
   }
 
+  /** Timestamp stat string → epoch micros. Canonical encoding is a decimal
+    * epoch-micros string; manifests written before TimestampNTZ encoding was
+    * fixed hold ISO LocalDateTime strings (`LocalDateTime.toString`), so
+    * accept both — otherwise every NTZ stat would silently stop skipping.
+    */
+  private def tsMicros(s: String): Option[Long] =
+    try Some(s.toLong)
+    catch {
+      case _: NumberFormatException =>
+        try {
+          val t = java.time.LocalDateTime.parse(s)
+          Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000)
+        } catch { case _: java.time.format.DateTimeParseException => None }
+    }
+
   /** Comparable key for a stored stat string under the column's type.
     * Returns None for types we don't order (complex, binary).
     */
   def toComparable(dt: DataType, s: String): Option[Comparable[Any]] = {
     try {
       val c: Comparable[_] = dt match {
-        case ByteType | ShortType | IntegerType | LongType | TimestampType |
-             TimestampNTZType | DateType => java.lang.Long.valueOf(s.toLong)
+        case TimestampType | TimestampNTZType => tsMicros(s) match {
+          case Some(l) => java.lang.Long.valueOf(l)
+          case None => return None
+        }
+        case ByteType | ShortType | IntegerType | LongType | DateType =>
+          java.lang.Long.valueOf(s.toLong)
         case FloatType | DoubleType => java.lang.Double.valueOf(s.toDouble)
         case _: DecimalType => new java.math.BigDecimal(s)
         case StringType => s

@@ -18,7 +18,17 @@ import scala.collection.JavaConverters._
   * `spark.sql.catalog.graft.warehouse = <dir>`, then plain SQL works:
   * CREATE/ALTER/DROP TABLE, SELECT, INSERT [OVERWRITE], DELETE, TRUNCATE.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+
+  // FunctionCatalog: the bucket transform reported by scans resolves here,
+  // enabling storage-partitioned joins between same-bucket-spec tables
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: Path = _

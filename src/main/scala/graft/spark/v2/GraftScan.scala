@@ -32,15 +32,25 @@ import scala.collection.mutable
   */
 class GraftScanBuilder(spark: SparkSession, table: GraftTable, snapshot: Option[Snapshot])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var pushedFiltersArr: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.schema.structType
   private var limit: Option[Int] = None
+  private var aggResult: Option[(StructType, Array[InternalRow])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushedFiltersArr = filters
-    filters // all filters stay as residuals — pruning is best-effort
+    // Exactly-decidable partition predicates are CONSUMED: partition
+    // columns are constant across a file, and the planner evaluates those
+    // shapes exactly per file, so no surviving row can violate them —
+    // Spark drops its Filter node, which is also what lets a filtered
+    // aggregate reach pushAggregation. Everything else stays residual
+    // (stats pruning is best-effort only). Streaming scans never enter
+    // this path: Spark builds them without filter pushdown.
+    if (table.schema.crossPartition) filters
+    else filters.filterNot(GraftAggPushdown.exactlyDecidable(table.schema, _))
   }
 
   override def pushedFilters(): Array[Filter] = pushedFiltersArr
@@ -54,8 +64,26 @@ class GraftScanBuilder(spark: SparkSession, table: GraftTable, snapshot: Option[
     false // partial: we stop planning files early, Spark still applies limit
   }
 
-  override def build(): Scan =
-    new GraftScan(spark, table, snapshot, requiredSchema, pushedFiltersArr.toSeq, limit)
+  // metadata-only COUNT/MIN/MAX (see GraftAggPushdown). Complete pushdown
+  // only: we answer from manifests exactly or not at all — partial
+  // pushdown would still scan every file.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    GraftAggPushdown.plan(table, snapshot, pushedFiltersArr.toSeq, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    GraftAggPushdown.plan(table, snapshot, pushedFiltersArr.toSeq, agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, rowsArr)) =>
+      GraftLocalAggScan(aggSchema, rowsArr, table.location)
+    case None =>
+      new GraftScan(spark, table, snapshot, requiredSchema, pushedFiltersArr.toSeq, limit)
+  }
 }
 
 class GraftScan(
@@ -67,10 +95,50 @@ class GraftScan(
     limit: Option[Int],
     filesOverride: Option[Seq[DataFileMeta]] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   private val schema = table.schema
   private def isPk = schema.isPrimaryKeyed
+
+  // ---------------- reported partitioning / ordering ----------------
+  // Fixed-bucket unpartitioned PK tables are physically clustered by
+  // bucket(n, pk): report it as KeyGroupedPartitioning so two tables with
+  // the same bucket spec JOIN WITHOUT A SHUFFLE (storage-partitioned join,
+  // resolved through GraftCatalog's bucket function). Opt-in via Spark's
+  // own `spark.sql.sources.v2.bucketing.enabled` because grouping splits
+  // by bucket caps single-table scan parallelism at the bucket count
+  // (sections within a bucket fold into one task). Dynamic-bucket tables
+  // are excluded: their assignment is an index lookup, not a pure function
+  // of the key. Table-partitioned tables are excluded: their clustering
+  // would include the partition columns, which defeats pk-equijoin
+  // compatibility.
+  private def spjEligible: Boolean =
+    isPk && !schema.crossPartition && !schema.dynamicBucket &&
+      schema.partitionKeys.isEmpty &&
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjEligible) {
+      val buckets = effectiveFiles.map(_.bucket).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          schema.numBuckets, schema.primaryKeys: _*)), math.max(buckets, 1))
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  // every merge split (and every single-file compacted split) emits rows
+  // sorted by the full primary key — report it so Catalyst elides sorts
+  // (e.g. the two sort nodes under a pk sort-merge join). Only when the pk
+  // columns survive column pruning: Spark resolves the named references
+  // against the scan output.
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (isPk && schema.primaryKeys.forall(requested.fieldNames.contains))
+      schema.primaryKeys.toArray.map { k =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(k),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }
+    else Array.empty
 
   // ---------------- runtime filtering (DPP) ----------------
   // Join-driven partition pruning (reference: PaimonScan.scala:39-51):
@@ -255,7 +323,9 @@ class GraftScan(
         IntervalSections.of(schema, fs).map { sec =>
           // a single fully-compacted file needs no merge → vectorized raw read
           val raw = sec.size == 1 && sec.head.level >= GraftTable.MaxLevel
-          GraftInputPartition(sec.map(info), merge = !raw)
+          val keyRow = if (spjEligible)
+            new GenericInternalRow(Array[Any](sec.head.bucket)) else null
+          GraftInputPartition(sec.map(info), merge = !raw, keyRow)
         }
       }.toArray
     }
@@ -416,8 +486,14 @@ case class GraftFileInfo(
     level: Int, schemaId: Long, rowCount: Long,
     dvPath: Option[String] = None) extends Serializable
 
-case class GraftInputPartition(files: Seq[GraftFileInfo], merge: Boolean)
-    extends InputPartition
+/** `keyRow` is the KeyGroupedPartitioning key ([bucket id]) — only set
+  * (and only read by Spark) when the scan reports bucket partitioning.
+  */
+case class GraftInputPartition(files: Seq[GraftFileInfo], merge: Boolean,
+    keyRow: InternalRow = null)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = keyRow
+}
 
 class GraftReaderFactory(
     tableRoot: String,

@@ -391,4 +391,69 @@ class SqlCatalogSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered from manifests, no file read") {
+    spark.sql(
+      """CREATE TABLE graft.db.aggpush (k BIGINT, qty DOUBLE, flag STRING)
+        |USING graft PARTITIONED BY (flag)
+        |TBLPROPERTIES ('deletion-vectors.enabled' = 'true')""".stripMargin)
+    val src = sf("lineitem").select(col("l_orderkey").as("k"),
+      col("l_quantity").as("qty"), col("l_returnflag").as("flag"))
+    src.createOrReplaceTempView("src_aggpush")
+    spark.sql("INSERT INTO graft.db.aggpush SELECT * FROM src_aggpush")
+
+    def isLocal(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("LocalTableScan") && !p.contains("BatchScan")
+    }
+
+    // global: one metadata row, zero files read
+    val g = spark.sql("SELECT count(*), count(qty), min(qty), max(k) FROM graft.db.aggpush")
+    assert(isLocal(g), s"global agg must become LocalTableScan:\n${g.queryExecution.executedPlan}")
+    val gr = g.collect()(0)
+    assert(gr.getLong(0) == src.count())
+    assert(gr.getLong(1) == src.filter(col("qty").isNotNull).count())
+    assert(gr.getDouble(2) == src.agg(min("qty")).collect()(0).getDouble(0))
+    assert(gr.getLong(3) == src.agg(max("k")).collect()(0).getLong(0))
+
+    // grouped by the partition column, with an exact partition filter
+    val grp = spark.sql(
+      """SELECT flag, count(*) AS c, max(qty) AS m FROM graft.db.aggpush
+        |WHERE flag IN ('R','A') GROUP BY flag""".stripMargin)
+    assert(isLocal(grp), s"partition-grouped agg must be metadata-only:\n${grp.queryExecution.executedPlan}")
+    val expected = src.filter(col("flag").isin("R", "A")).groupBy("flag")
+      .agg(count(lit(1)).as("c"), max("qty").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(grp.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet == expected)
+
+    // value-column filter cannot be answered from metadata → real scan, still correct
+    val f = spark.sql("SELECT count(*) FROM graft.db.aggpush WHERE qty > 25")
+    assert(!isLocal(f), "non-partition filter must fall back to a scan")
+    assert(f.collect()(0).getLong(0) == src.filter(col("qty") > 25).count())
+
+    // min/max over strings must NOT push (truncated stats); count(*) still does
+    val s = spark.sql("SELECT min(flag) FROM graft.db.aggpush")
+    assert(!isLocal(s), "string min/max must not be served from truncated stats")
+
+    // row-level DELETE writes a deletion vector: count(*) stays metadata-exact,
+    // min/max falls back to scanning
+    spark.sql("DELETE FROM graft.db.aggpush WHERE k = 1 AND qty > 0")
+    val afterDel = spark.sql("SELECT count(*) FROM graft.db.aggpush")
+    val expectedDel = src.filter(!(col("k") === 1 && col("qty") > 0)).count()
+    assert(afterDel.collect()(0).getLong(0) == expectedDel)
+    val mm = spark.sql("SELECT min(qty) FROM graft.db.aggpush")
+    assert(!isLocal(mm), "deletion vectors invalidate metadata min/max")
+    assert(mm.collect()(0).getDouble(0) ==
+      src.filter(!(col("k") === 1 && col("qty") > 0))
+        .agg(min("qty")).collect()(0).getDouble(0))
+
+    // PK tables merge on read — never push
+    spark.sql(
+      """CREATE TABLE graft.db.aggpush_pk (k BIGINT, qty DOUBLE)
+        |USING graft TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.aggpush_pk VALUES (1, 1.0), (2, 2.0), (1, 3.0)")
+    val pk = spark.sql("SELECT count(*) FROM graft.db.aggpush_pk")
+    assert(!isLocal(pk), "PK tables must not serve metadata counts")
+    assert(pk.collect()(0).getLong(0) == 2L)
+  }
 }
