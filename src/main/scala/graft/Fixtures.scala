@@ -443,6 +443,34 @@ object Fixtures {
     tbl
   }
 
+  /** Two same-bucket-spec PK tables over orders, for the
+    * storage-partitioned-join query: with
+    * `spark.sql.sources.v2.bucketing.enabled` their pk equijoin plans with
+    * ZERO exchanges (KeyGroupedPartitioning over GraftCatalog's bucket
+    * function). Returns the two catalog table names.
+    */
+  def sqlSpjOrders(spark: SparkSession, sfDir: String): (String, String) = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val (t1, t2) = (s"graft.db.spj1_$tag", s"graft.db.spj2_$tag")
+    build(spark, sfDir, "sql_spj_orders") { _ =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", s"$base/warehouse")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      src(spark, sfDir, "orders").createOrReplaceTempView(s"src_spj_$tag")
+      spark.sql(
+        s"""CREATE TABLE $t1 (o_orderkey BIGINT, o_totalprice DOUBLE)
+           |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '8')""".stripMargin)
+      spark.sql(s"INSERT INTO $t1 SELECT o_orderkey, o_totalprice FROM src_spj_$tag")
+      spark.sql(
+        s"""CREATE TABLE $t2 (o_orderkey BIGINT, o_orderpriority STRING)
+           |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '8')""".stripMargin)
+      spark.sql(s"INSERT INTO $t2 SELECT o_orderkey, o_orderpriority FROM src_spj_$tag")
+      GraftTable.load(spark, s"$base/warehouse/db/spj1_$tag")
+    }
+    (t1, t2)
+  }
+
   /** SQL row-level DML: the canonical orders table maintained through
     * `spark.sql` UPDATE / MERGE INTO statements (requires the
     * GraftExtensions analysis rule). Returns the catalog table name.

@@ -128,6 +128,25 @@ object SparkEntry {
            |GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // storage-partitioned join: two same-bucket-spec pk tables, equijoin
+    // planned with zero exchanges. Executed eagerly (localCheckpoint) while
+    // the v2-bucketing conf is on, so the returned frame is the SPJ result
+    // and the conf never leaks into later queries.
+    "q65_bucketed_join" -> ((s, d) => {
+      val (t1, t2) = Fixtures.sqlSpjOrders(s, d)
+      val key = "spark.sql.sources.v2.bucketing.enabled"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try s.sql(
+          s"""SELECT a.o_orderkey, a.o_totalprice, b.o_orderpriority
+             |FROM $t1 a JOIN $t2 b ON a.o_orderkey = b.o_orderkey""".stripMargin)
+        .localCheckpoint(true)
+      finally saved match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }),
+
     // ---- SQL through the DSv2 catalog (bucket-local merge-on-read) ----
     "q30_sql_select" -> ((s, d) => {
       val t = Fixtures.sqlOrders(s, d)
@@ -479,6 +498,8 @@ object SparkEntry {
         | MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
         |FROM lineitem WHERE l_returnflag IN ('R', 'A')
         |GROUP BY l_returnflag""".stripMargin,
+    "q65_bucketed_join" ->
+      "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders",
     "q30_sql_select" -> mergedOrders,
     "q31_sql_agg" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, Murmur3Hash}
 import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, FileIndex, PartitionDirectory}
-import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter}
+import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter, In => SIn}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -153,26 +153,54 @@ object GraftFileIndex {
     * primary-key column with an equality, hash the literals exactly like the
     * write path does (Murmur3, seed 42 — Spark's functions.hash).
     */
-  def bucketFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Int] = {
+  def bucketFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Int] =
+    bucketsFromFilters(schema, filters).collect { case s if s.size == 1 => s.head }
+
+  /** The set of buckets a pk-constraining predicate can touch: full-pk
+    * equality pins one bucket; a single-column pk additionally prunes
+    * through `IN` lists (each listed key hashes to its bucket — a
+    * multi-key lookup on a 100-TB table reads at most |list| buckets).
+    * None = no pk constraint (all buckets).
+    */
+  def bucketsFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Set[Int]] = {
     if (!schema.isPrimaryKeyed) return None
-    def eqs(f: Filter): Seq[(String, Any)] = f match {
-      case SEqualTo(c, v) => Seq(c -> v)
-      case SAnd(l, r) => eqs(l) ++ eqs(r)
-      case _ => Nil
-    }
-    val pinned = filters.flatMap(eqs).toMap
-    if (!schema.primaryKeys.forall(pinned.contains)) return None
-    val lits = schema.primaryKeys.map { k =>
-      val dt = schema.fieldByName(k).sparkType
-      val v = org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(pinned(k))
-      Literal.create(v, dt)
-    }
-    val h = Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int]
     val n = schema.numBuckets
     // dynamic-bucket tables (n == -1) route by the durable hash index, not
     // a modulus — no static bucket pruning (partition/stats pruning still
     // applies)
-    if (n <= 0) None else Some(((h % n) + n) % n)
+    if (n <= 0) return None
+
+    def bucketOf(vals: Seq[(String, Any)]): Int = {
+      val lits = vals.map { case (k, v) =>
+        val dt = schema.fieldByName(k).sparkType
+        Literal.create(
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v), dt)
+      }
+      val h = Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }
+
+    def eqs(f: Filter): Seq[(String, Any)] = f match {
+      case SEqualTo(c, v) if v != null => Seq(c -> v)
+      case SAnd(l, r) => eqs(l) ++ eqs(r)
+      case _ => Nil
+    }
+    val pinned = filters.flatMap(eqs).toMap
+    if (schema.primaryKeys.forall(pinned.contains))
+      return Some(Set(bucketOf(schema.primaryKeys.map(k => k -> pinned(k)))))
+
+    // single-column pk: any AND-ed IN list bounds the touched buckets
+    // (null list entries match nothing, so dropping them is exact)
+    if (schema.primaryKeys.length == 1) {
+      val pk = schema.primaryKeys.head
+      def inList(f: Filter): Option[Seq[Any]] = f match {
+        case SIn(c, vs) if c == pk => Some(vs.toSeq.filter(_ != null))
+        case SAnd(l, r) => inList(l).orElse(inList(r))
+        case _ => None
+      }
+      filters.flatMap(inList(_)).headOption
+        .map(vs => vs.map(v => bucketOf(Seq(pk -> v))).toSet)
+    } else None
   }
 
   /** Spark partition-path string → Catalyst internal value. */

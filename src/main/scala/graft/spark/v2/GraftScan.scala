@@ -257,7 +257,7 @@ class GraftScan(
           else filters.filter(_.references.forall(r =>
             schema.primaryKeys.contains(r) ||
               (!schema.crossPartition && partKeys.contains(r))))
-        val bucketOf = GraftFileIndex.bucketFromFilters(schema, filters)
+        val bucketsOf = GraftFileIndex.bucketsFromFilters(schema, filters)
         val candidates = table.store.liveFiles(s, meta => (meta.ptMin, meta.ptMax) match {
           case (Some(lo), Some(hi)) =>
             partFilters.forall(p => Pruning.shardMightMatch(p, partKeys, lo, hi))
@@ -265,7 +265,7 @@ class GraftScan(
         })
         val selected = candidates.filter { f =>
           partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
-          bucketOf.forall(b => !isPk || f.bucket == b) &&
+          bucketsOf.forall(bs => !isPk || bs.contains(f.bucket)) &&
           pruningFilters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
           GraftFileIndex.bloomMightMatch(table.store, schema, f, pruningFilters)
         }

@@ -456,4 +456,121 @@ class SqlCatalogSpec extends SparkSpec {
     assert(!isLocal(pk), "PK tables must not serve metadata counts")
     assert(pk.collect()(0).getLong(0) == 2L)
   }
+
+  test("storage-partitioned join: same-bucket pk tables join with no shuffle and no sort") {
+    for (t <- Seq("spj_a", "spj_b")) {
+      spark.sql(
+        s"""CREATE TABLE graft.db.$t (o_orderkey BIGINT, v DOUBLE)
+           |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '4')""".stripMargin)
+      sf("orders").select(col("o_orderkey"), col("o_totalprice").as("v"))
+        .createOrReplaceTempView(s"src_$t")
+      spark.sql(s"INSERT INTO graft.db.$t SELECT * FROM src_$t")
+    }
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+      val q =
+        """SELECT a.o_orderkey, a.v, b.v FROM graft.db.spj_a a
+          |JOIN graft.db.spj_b b ON a.o_orderkey = b.o_orderkey""".stripMargin
+
+      // baseline: without v2 bucketing the join shuffles both sides
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val before = spark.sql(q).queryExecution.executedPlan.toString
+      assert(before.contains("Exchange"), s"baseline should shuffle:\n$before")
+
+      // with v2 bucketing: KeyGroupedPartitioning on bucket(4, pk) on both
+      // sides + reported pk ordering → no Exchange, no Sort anywhere
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val df = spark.sql(q)
+      val exec = df.queryExecution.executedPlan
+      val plan = exec.toString
+      assert(!plan.contains("Exchange"), s"storage-partitioned join must not shuffle:\n$plan")
+      val sorts = exec.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty, s"reported pk ordering must elide join sorts:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+
+      val expected = sf("orders").count()
+      assert(df.count() == expected, "join must still produce one row per key")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("IN-list point lookups prune to the listed keys' buckets") {
+    spark.sql(
+      """CREATE TABLE graft.db.inprune (k BIGINT, v DOUBLE)
+        |USING graft TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '16')""".stripMargin)
+    sf("orders").select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      .createOrReplaceTempView("src_inprune")
+    spark.sql("INSERT INTO graft.db.inprune SELECT * FROM src_inprune")
+
+    def scannedParts(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+
+    val all = scannedParts("SELECT * FROM graft.db.inprune")
+    assert(all >= 16, s"16 buckets expected, scanned $all")
+    val two = scannedParts("SELECT * FROM graft.db.inprune WHERE k IN (42, 43, 44)")
+    assert(two <= 3, s"IN-list lookup must touch at most 3 buckets, scanned $two")
+    val rows = spark.sql("SELECT * FROM graft.db.inprune WHERE k IN (42, 43, 44)")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.sameElements(Array(42L, 43L, 44L)))
+  }
+
+  test("bucket function matches the write path: foreign side shuffled by graft.bucket") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled routes the NON-graft
+    // side through GraftBucketBound.produceResult; rows land on the wrong
+    // stored bucket (silent row loss in the join) unless the function is
+    // bit-identical to the writer's pmod(hash(pk), n)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql(
+        """CREATE TABLE IF NOT EXISTS graft.db.spj_c (o_orderkey BIGINT, v DOUBLE)
+          |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '4')""".stripMargin)
+      sf("orders").select(col("o_orderkey"), col("o_totalprice").as("v"))
+        .createOrReplaceTempView("src_spj_c")
+      spark.sql("INSERT INTO graft.db.spj_c SELECT * FROM src_spj_c")
+      sf("orders").select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView("spj_foreign")
+      val df = spark.sql(
+        """SELECT a.o_orderkey, a.v, f.o_custkey FROM graft.db.spj_c a
+          |JOIN spj_foreign f ON a.o_orderkey = f.o_orderkey""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(df.count() == sf("orders").count(),
+        s"foreign-side bucket shuffle lost rows — produceResult diverges from the writer:\n$plan")
+
+      // and directly: the bound function reproduces the writer's assignment
+      val bound = graft.spark.v2.GraftBucketFunction.bind(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+      val viaExpr = sf("orders").select(col("o_orderkey"),
+          pmod(hash(col("o_orderkey")), lit(4)).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      viaExpr.foreach { case (k, b) =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](4, k))
+        assert(bound.produceResult(row) == b, s"bucket mismatch for key $k")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
 }
