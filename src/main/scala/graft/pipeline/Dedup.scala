@@ -40,42 +40,52 @@ object Dedup {
   private def mix(h: Column, s: Int): Column = xxhash64(h, lit(seedConst(s)))
 
   /** MinHash signature: for each of `numHashes` derived hash functions, the
-    * minimum hash over the shingle set (classic Broder sketch). Used for
-    * per-row signatures in tests; the candidate pipeline below uses the
-    * aggregation formulation instead.
+    * minimum hash over the shingle set (classic Broder sketch). A pure
+    * per-row projection — whole-stage codegen, no shuffle; the hash loops
+    * stay small enough to JIT (one `array_min(transform(...))` per slot),
+    * unlike a 64-column aggregate whose generated update method does not.
     */
   def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column = {
     val base = transform(shingleSet, x => xxhash64(x))
     array((0 until numHashes).map(s => array_min(transform(base, h => mix(h, s)))): _*)
   }
 
-  /** One aggregation computing, per document, the `numHashes` minhash
-    * signature slots (and, when `withSets`, the distinct shingle-hash set
-    * for exact Jaccard verification). Shingles explode to (id, shingle-hash)
-    * rows, each hashed ONCE with codegen'd xxhash64; the minhashes are
-    * codegen'd `min` aggregates with map-side partials, so the id-shuffle
-    * carries one signature row per doc per input partition, not the
-    * exploded shingles.
-    *
-    * The result is pinned to a SINGLE plan node (`createDataFrame` over the
-    * frame's own RDD): every downstream consumer — both sides of the
-    * candidate self-join, both sides of the verify lookup — shares the one
-    * groupBy shuffle, whose map stage holds all the expensive work. Spark's
-    * plan-level exchange reuse does not fire across these differently-
-    * projected subtrees (measured: the signature pipeline re-ran per
-    * consumer, 1.3-1.8× the total runtime); RDD-level shuffle reuse always
-    * does.
+  /** Distinct 64-bit shingle hashes of a text column (the exact-Jaccard
+    * verification basis: Jaccard over these equals string-shingle Jaccard
+    * up to 64-bit collisions, ~2⁻⁴⁰ per corpus).
+    */
+  def shingleHashes(text: Column): Column =
+    array_distinct(transform(shingles(text), x => xxhash64(x)))
+
+  /** Repartition a corpus when its lineage exposes fewer partitions than
+    * the cluster has cores — a corpus read from one file (or a handful)
+    * would otherwise run every per-row signature serially in one task,
+    * which is the actual bottleneck at small file counts. At 100 TB the
+    * input arrives thousands-partitioned and this is a no-op.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
+  /** Per-document minhash signatures as one `numHashes`-slot array column,
+    * computed in a single codegen'd projection (no shuffle — minhash is
+    * per-row math) and pinned with an eager `localCheckpoint` so the three
+    * downstream consumers (both sides of the candidate self-join, the
+    * verify id set) share one computation. Only (id, 8·numHashes bytes)
+    * per document is materialized — the heavyweight shingle-hash sets are
+    * NOT stored; verification recomputes them for candidate ids only.
     */
   private def sigFrame(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, withSets: Boolean): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val aggs = (if (withSets) Seq(collect_set(col("h")).as("hs")) else Nil) ++
-      (0 until numHashes).map(s => min(mix(col("h"), s)).as(s"m$s"))
-    val sigs = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    df.sparkSession.createDataFrame(sigs.rdd, sigs.schema)
-  }
+      numHashes: Int): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      // two projections on purpose: the shingle-hash array materializes
+      // ONCE per row (CollapseProject keeps non-cheap exprs referenced 64×
+      // un-inlined), then each signature slot is one array_min pass over it
+      .select(col("id"), shingleHashes(col("text")).as("hs"))
+      .select(col("id"), array((0 until numHashes).map(s =>
+        array_min(transform(col("hs"), h => mix(h, s)))): _*).as("sig"))
+      .localCheckpoint(true)
 
   /** Candidate pairs (idA < idB) from a [[sigFrame]]: band buckets are
     * codegen'd `hash` over signature slices; candidates are a bucket-local
@@ -87,7 +97,8 @@ object Dedup {
   private def candidatesFrom(sigsMat: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
-      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"m$s"))
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => element_at(col("sig"), s + 1))
       struct(lit(b).as("band"), hash(slots: _*).cast("long").as("bucket"))
     }
     val bandRows = sigsMat.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
@@ -104,8 +115,7 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16): DataFrame =
-    candidatesFrom(sigFrame(df, idCol, textCol, numHashes, withSets = false),
-      numHashes, bands)
+    candidatesFrom(sigFrame(df, idCol, textCol, numHashes), numHashes, bands)
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -113,18 +123,28 @@ object Dedup {
       size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
   /** Near-dup pairs: LSH candidates verified by exact n-gram Jaccard ≥
-    * threshold. The verify join touches only candidate pairs, and the
-    * Jaccard is computed over the distinct shingle-HASH sets that the
-    * signature aggregation already produced (identical to string-shingle
-    * Jaccard up to 64-bit collisions, ~2⁻⁴⁰ per corpus) — so documents are
-    * scanned and shingled exactly once for the whole candidates+verify
-    * pipeline.
+    * threshold, computed over distinct shingle-HASH sets (identical to
+    * string-shingle Jaccard up to 64-bit collisions, ~2⁻⁴⁰ per corpus).
+    *
+    * Scale shape: the corpus is shingled twice — once for the signature
+    * projection (all docs, 8·numHashes bytes stored per doc) and once at
+    * verify time for CANDIDATE docs only (semi-joined on the broadcast
+    * candidate-id set). Storing the full shingle-hash sets instead would
+    * roughly double the corpus footprint in block storage; recomputing
+    * them for the (small) candidate subset is the cheaper trade at scale.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sigsMat = sigFrame(df, idCol, textCol, numHashes, withSets = true)
-    val cands = candidatesFrom(sigsMat, numHashes, bands)
-    val sets = sigsMat.select(col("id"), col("hs"))
+    val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sigs = sigFrame(df, idCol, textCol, numHashes)
+    val cands = candidatesFrom(sigs, numHashes, bands).localCheckpoint(true)
+    val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // ids ends in a distinct-shuffle, so AQE sees its true size and
+    // broadcast-converts this join when the candidate set is small —
+    // without risking a forced broadcast of a pathologically large one.
+    val sets = spread(src).join(ids, "id")
+      .select(col("id"), shingleHashes(col("text")).as("hs"))
+      .localCheckpoint(true)
     cands
       .join(sets.toDF("id_a", "hs_a"), "id_a")
       .join(sets.toDF("id_b", "hs_b"), "id_b")
@@ -150,12 +170,10 @@ object Dedup {
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val sets0 = hashed.groupBy("id").agg(array_sort(collect_set(col("h"))).as("hs"))
+    val sets = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), array_sort(shingleHashes(col("text"))).as("hs"))
       .select(col("id"), col("hs"), size(col("hs")).as("n"))
-    val sets = df.sparkSession.createDataFrame(sets0.rdd, sets0.schema)
+      .localCheckpoint(true)
     val prefixLen = greatest(
       (col("n").cast("double") - ceil(col("n") * threshold) + 1).cast("int"), lit(1))
     val prefix = sets.select(col("id"), col("n"),
@@ -268,8 +286,16 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, md5Basis: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "5-block blocking guarantees completeness only for hamming <= 3")
-    val th = if (md5Basis) tokenHashesMd5(col(textCol)) else tokenHashes(col(textCol))
-    val sk = df.select(col(idCol).as("id"), simhashFromHashes(th).as("sk"))
+    val th = if (md5Basis) tokenHashesMd5(col("text")) else tokenHashes(col("text"))
+    // per-row sketch projection, spread across cores and pinned (16 B/doc)
+    // so both sides of the blocked self-join share one computation. Token
+    // hashes materialize in their own projection: simhashFromHashes
+    // references the array 64× (once per bit) and inlining the md5/xxhash
+    // tokenization into each would re-tokenize the text per bit.
+    val sk = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"), th.as("th"))
+      .select(col("id"), simhashFromHashes(col("th")).as("sk"))
+      .localCheckpoint(true)
     val widths = Seq(13, 13, 13, 13, 12)
     val offs = widths.scanLeft(0)(_ + _)
     def blockVal(j: Int): Column =
