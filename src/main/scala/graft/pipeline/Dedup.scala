@@ -57,16 +57,7 @@ object Dedup {
   def shingleHashes(text: Column): Column =
     array_distinct(transform(shingles(text), x => xxhash64(x)))
 
-  /** Repartition a corpus when its lineage exposes fewer partitions than
-    * the cluster has cores — a corpus read from one file (or a handful)
-    * would otherwise run every per-row signature serially in one task,
-    * which is the actual bottleneck at small file counts. At 100 TB the
-    * input arrives thousands-partitioned and this is a no-op.
-    */
-  private def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
-  }
+  private def spread(df: DataFrame): DataFrame = PipelineUtil.spread(df)
 
   /** Per-document minhash signatures as one `numHashes`-slot array column,
     * computed in a single codegen'd projection (no shuffle — minhash is

@@ -33,7 +33,7 @@ object VectorOps {
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame = {
     val q = array(query.map(lit): _*)
-    df.select(col(idCol),
+    PipelineUtil.spread(df).select(col(idCol),
         round(cosine(col(vecCol), q), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
@@ -108,7 +108,7 @@ object VectorOps {
     val anyTableMatch = tables.zip(qBuckets)
       .map { case (pls, qb) => lshBucket(v, pls) === qb }
       .reduce(_ || _)
-    df.filter(anyTableMatch)
+    PipelineUtil.spread(df).filter(anyTableMatch)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
@@ -169,7 +169,8 @@ object VectorOps {
   def cosineTopKIvf(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, numCentroids: Int = 16, nProbe: Int = 4,
       iterations: Int = 1): DataFrame = {
-    val cents = ivfCentroids(df, idCol, vecCol, numCentroids, iterations)
+    val spreadDf = PipelineUtil.spread(df)
+    val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
     val probes = cents.zipWithIndex.map { case (c, i) =>
       val (dot, nc, nq) = (c.zip(query).map { case (a, b) => a * b }.sum,
         math.sqrt(c.map(x => x * x).sum), math.sqrt(query.map(x => x * x).sum))
@@ -177,7 +178,7 @@ object VectorOps {
     }.sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
     val q = array(query.map(lit): _*)
     val v = checkedVec(col(vecCol), query.length).cast("array<double>")
-    df.filter(ivfAssign(v, cents).isin(probes: _*))
+    spreadDf.filter(ivfAssign(v, cents).isin(probes: _*))
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
@@ -196,8 +197,9 @@ object VectorOps {
     */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
       numCentroids: Int = 16, iterations: Int = 1): graft.table.GraftTable = {
-    val cents = ivfCentroids(df, idCol, vecCol, numCentroids, iterations)
-    val assigned = df.select(col(idCol), col(vecCol))
+    val spreadDf = PipelineUtil.spread(df)
+    val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
+    val assigned = spreadDf.select(col(idCol), col(vecCol))
       .withColumn("ivf_cluster", ivfAssign(col(vecCol).cast("array<double>"), cents))
     val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
       .mkString(";")
@@ -234,24 +236,38 @@ object VectorOps {
     * over tables, deduplicated) verified by exact cosine ≥ threshold. The
     * join is (table, bucket)-local — |tables| × Σ (bucket size choose 2),
     * never all-pairs.
+    *
+    * Scale shape: the self-joined frame carries only (id, table, bucket) —
+    * 20 bytes per doc per table, pinned once — never the vectors; exact
+    * cosine verification re-reads vectors for CANDIDATE ids only, through
+    * an AQE-sized join that broadcast-converts when the candidate set is
+    * small.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, numTables: Int = 8, planesPerTable: Int = 8,
       dim: Int = 64): DataFrame = {
     val tables = tableFamily(numTables, planesPerTable, dim)
-    val v = checkedVec(col(vecCol), dim)
+    val src = PipelineUtil.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val v = checkedVec(col("v"), dim)
     val keys = tables.zipWithIndex.map { case (pls, t) =>
       struct(lit(t).as("t"), lshBucket(v, pls).as("bucket"))
     }
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(array(keys: _*)).as("k"))
-      .select(col("id"), col("v"), col("k.t").as("t"), col("k.bucket").as("bucket"))
-    keyed.as("a").join(keyed.as("x"),
+    val keyed = src.select(col("id"), explode(array(keys: _*)).as("k"))
+      .select(col("id"), col("k.t").as("t"), col("k.bucket").as("bucket"))
+      .localCheckpoint(true)
+    val cands = keyed.as("a").join(keyed.as("x"),
         col("a.t") === col("x.t") && col("a.bucket") === col("x.bucket") &&
           col("a.id") < col("x.id"))
-      .select(col("a.id").as("id_a"), col("x.id").as("id_b"),
-        round(cosine(col("a.v"), col("x.v")), 6).as("cosine_sim"))
+      .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val vecs = src.join(ids, "id").localCheckpoint(true)
+    cands
+      .join(vecs.toDF("id_a", "v_a"), "id_a")
+      .join(vecs.toDF("id_b", "v_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 }
