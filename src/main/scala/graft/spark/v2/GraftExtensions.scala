@@ -51,8 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => other.toString
         }
         val spark = SparkSession.active
-        val df = GraftTable.load(spark, str(args(0)))
-          .incremental(str(args(1)).toLong, str(args(2)).toLong)
+        val table = GraftTable.load(spark, str(args(0)))
+        // numeric bounds are snapshot ids; anything else resolves as a tag
+        // name (reference: CoreOptions INCREMENTAL_BETWEEN accepts both,
+        // CoreOptions.java:916)
+        def bound(s: String): Long =
+          if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+          else table.store.readTag(s).id
+        val df = table.incremental(bound(str(args(1))), bound(str(args(2))))
         org.apache.spark.sql.graft.SparkShims.analyzed(df)
       }))
     // system tables as a table-valued function (reference exposes them as
@@ -70,7 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => other.toString
         }
         val spark = SparkSession.active
-        val df = GraftTable.load(spark, str(args(0))).system(str(args(1)))
+        val name = str(args(1))
+        // catalog-level system tables take the WAREHOUSE path instead of a
+        // table path (reference: AllTableOptionsTable / CatalogOptionsTable)
+        val df =
+          if (graft.table.CatalogSystemTables.Names(name))
+            graft.table.CatalogSystemTables(spark, str(args(0)), name)
+          else GraftTable.load(spark, str(args(0))).system(name)
         org.apache.spark.sql.graft.SparkShims.analyzed(df)
       }))
   }

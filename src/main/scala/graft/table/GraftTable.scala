@@ -250,6 +250,13 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     withChangelogCols(rawUnion(files, schema))
   }
 
+  /** Incremental read between two tags (reference: CoreOptions
+    * INCREMENTAL_BETWEEN accepts tag names as well as snapshot ids —
+    * CoreOptions.java:916; resolution in IncrementalStartingScanner).
+    */
+  def incrementalBetweenTags(fromTag: String, toTag: String): DataFrame =
+    incremental(store.readTag(fromTag).id, store.readTag(toTag).id)
+
   /** Exclusive starting snapshot id for a streaming read under the
     * configured scan mode (reference: the starting scanners in
     * paimon-core table/source/snapshot/ — StaticFromTimestampStartingScanner,

@@ -235,3 +235,53 @@ trait SystemTables { self: GraftTable =>
     local(st, rows)
   }
 }
+
+/** Catalog-level system tables — metadata spanning every table under a
+  * warehouse directory (reference: table/system/AllTableOptionsTable.java,
+  * CatalogOptionsTable.java, exposed as `sys.all_table_options` /
+  * `sys.catalog_options`). Reached through the `graft_system` TVF with the
+  * WAREHOUSE path as the first argument.
+  */
+object CatalogSystemTables {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.hadoop.fs.Path
+
+  val Names: Set[String] = Set("all_table_options", "catalog_options")
+
+  def apply(spark: SparkSession, warehouse: String, name: String): DataFrame =
+    name match {
+      case "all_table_options" => allTableOptions(spark, warehouse)
+      case "catalog_options" => catalogOptions(spark, warehouse)
+      case other => throw new IllegalArgumentException(
+        s"unknown catalog system table: $other")
+    }
+
+  /** One row per (database, table, option key): the declared options of
+    * every graft table under the warehouse. Metadata-scale — O(tables) —
+    * listed on the driver like the reference's catalog-backed loader.
+    */
+  def allTableOptions(spark: SparkSession, warehouse: String): DataFrame = {
+    val st = StructType(Seq(
+      StructField("database_name", StringType), StructField("table_name", StringType),
+      StructField("key", StringType), StructField("value", StringType)))
+    val wh = new Path(warehouse)
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows =
+      if (!fs.exists(wh)) Nil
+      else for {
+        db <- fs.listStatus(wh).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+        td <- fs.listStatus(db).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+        if GraftTable.exists(spark, td.toString)
+        (k, v) <- GraftTable.load(spark, td.toString).schema.options.toSeq.sortBy(_._1)
+      } yield Row(db.getName, td.getName, k, v)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
+  }
+
+  /** The catalog's own configuration (reference: CatalogOptionsTable). */
+  def catalogOptions(spark: SparkSession, warehouse: String): DataFrame = {
+    val st = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("warehouse", warehouse)), 1), st)
+  }
+}

@@ -573,4 +573,21 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("catalog-level system tables: all_table_options + catalog_options") {
+    spark.sql(
+      """CREATE TABLE graft.db.opts_t (id BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'id', 'bucket' = '4',
+        |  'merge-engine' = 'deduplicate')""".stripMargin)
+    val all = spark.sql(
+      s"SELECT * FROM graft_system('$wh', 'all_table_options')")
+    assert(all.columns.toSeq ==
+      Seq("database_name", "table_name", "key", "value"))
+    val mine = all.filter(col("table_name") === "opts_t")
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(mine("bucket") == "4")
+    assert(mine("merge-engine") == "deduplicate")
+    val cat = spark.sql(s"SELECT * FROM graft_system('$wh', 'catalog_options')")
+    assert(cat.filter(col("key") === "warehouse").count() == 1)
+  }
+
 }

@@ -130,5 +130,11 @@ class TableSpec extends SparkSpec {
     assert(inc.columns.contains("_row_kind"))
     t.store.createTag("v1", s1)
     assert(t.toDFAtTag("v1").count() == 500)
+    // incremental between tags resolves tag -> snapshot bounds
+    t.store.createTag("v2", s1 + 1)
+    assert(t.incrementalBetweenTags("v1", "v2").count() == inc.count())
+    val viaTvf = spark.sql(
+      s"SELECT * FROM graft_incremental_query('${t.location}', 'v1', 'v2')")
+    assert(viaTvf.count() == inc.count())
   }
 }
