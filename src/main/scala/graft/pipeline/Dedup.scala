@@ -72,7 +72,12 @@ object Dedup {
     spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
       // two projections on purpose: the shingle-hash array materializes
       // ONCE per row (CollapseProject keeps non-cheap exprs referenced 64×
-      // un-inlined), then each signature slot is one array_min pass over it
+      // un-inlined), then each signature slot is one array_min pass over
+      // it. 64 separate slot expressions beat one seed-array nested
+      // transform by ~10×: literal seeds keep each inner lambda a two-arg
+      // hash the interpreter fuses, while a lambda-bound seed forces
+      // per-element variable binding in the outer loop (measured 21 s vs
+      // 2 s on the sf0.1 corpus).
       .select(col("id"), shingleHashes(col("text")).as("hs"))
       .select(col("id"), array((0 until numHashes).map(s =>
         array_min(transform(col("hs"), h => mix(h, s)))): _*).as("sig"))
