@@ -389,8 +389,39 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   def append(df: DataFrame, commitIdentifier: Long = -1L): Snapshot = {
     require(!isPrimaryKeyed, "use upsert() for primary-key tables")
     val files = stageWrite(align(df), level = 0, seq = nextSeq)
-    commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)), CommitKind.APPEND,
-      commitIdentifier)
+    val snap = commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.APPEND, commitIdentifier)
+    postWriteCompact().getOrElse(snap)
+  }
+
+  /** Writer-side automatic compaction, mirroring the reference's in-writer
+    * `MergeTreeCompactManager`: after each data commit, unless
+    * `write-only = true` (CoreOptions WRITE_ONLY — dedicated compact jobs
+    * set it so ingest never stalls on compaction), run the universal picker;
+    * and when `full-compaction.delta-commits = N` is set, force a FULL
+    * compaction every N data commits (the cadence that makes
+    * `changelog-producer = full-compaction` emit its -U/+U stream;
+    * reference: CoreOptions FULL_COMPACTION_DELTA_COMMITS,
+    * FullChangelogMergeTreeCompactRewriter.java:43).
+    */
+  private def postWriteCompact(): Option[Snapshot] = {
+    if (schema.option("write-only", "false").toBoolean) return None
+    // Best-effort, like the reference's writer-embedded compaction: the
+    // DATA commit already succeeded; if a racing writer's compaction (or
+    // write) invalidates ours, abort quietly — the next write re-picks.
+    try {
+      val fullEvery = schema.option("full-compaction.delta-commits", "0").toInt
+      if (fullEvery > 0) {
+        val ids = store.snapshotIds
+        val lastCompact = ids.reverse
+          .find(id => store.readSnapshot(id).commitKind == CommitKind.COMPACT)
+        val deltas = ids.count(id => lastCompact.forall(id > _))
+        if (deltas >= fullEvery) Some(compact()) else None
+      } else maybeCompact()
+    } catch {
+      case e: IllegalArgumentException if
+          Option(e.getMessage).exists(_.contains("commit conflict")) => None
+    }
   }
 
   /** Primary-key upsert: route rows to (partition, bucket), sort within
@@ -442,9 +473,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
       .sortWithinPartitions(sortCols: _*)
     val files = stageWrite(shuffled, level = 0, seq = seq)
-    commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)), CommitKind.APPEND,
-      commitIdentifier, changelog = lookupChangelog(files, seq),
+    val snap = commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)),
+      CommitKind.APPEND, commitIdentifier, changelog = lookupChangelog(files, seq),
       indexFiles = indexDelta)
+    postWriteCompact().getOrElse(snap)
   }
 
   /** `changelog-producer = lookup`: per-COMMIT -U/+U/-D/+I changelog by

@@ -14,7 +14,10 @@ class ConcurrencySpec extends SparkSpec {
 
   test("8 racing appenders: every commit lands, no rows lost") {
     val df0 = Seq((0L, "seed")).toDF("k", "v")
-    val t = GraftTable.create(spark, tmpTable(), df0.schema)
+    // write-only: this test asserts the exact snapshot-id sequence, which
+    // writer-side auto-compaction would interleave with COMPACT commits
+    val t = GraftTable.create(spark, tmpTable(), df0.schema,
+      options = Map("write-only" -> "true"))
     val writers = 8
     val pool = Executors.newFixedThreadPool(writers)
     val start = new CountDownLatch(1)
@@ -63,7 +66,8 @@ class ConcurrencySpec extends SparkSpec {
 
   test("racing upserts to the same key: chain stays linear, one winner per seq") {
     val df0 = Seq((1L, 0L)).toDF("k", "n")
-    val t = GraftTable.create(spark, tmpTable(), df0.schema, primaryKeys = Seq("k"))
+    val t = GraftTable.create(spark, tmpTable(), df0.schema, primaryKeys = Seq("k"),
+      options = Map("write-only" -> "true"))
     val writers = 6
     val pool = Executors.newFixedThreadPool(writers)
     val start = new CountDownLatch(1)

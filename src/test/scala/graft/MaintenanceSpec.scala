@@ -28,7 +28,8 @@ class MaintenanceSpec extends SparkSpec {
     val orders = sf("orders")
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
       primaryKeys = Seq("o_orderkey"), options = Map(
-        "bucket" -> "4", "num-sorted-run.compaction-trigger" -> "4"))
+        "bucket" -> "4", "num-sorted-run.compaction-trigger" -> "4",
+        "write-only" -> "true"))
     t.upsert(orders) // one run in every bucket
     // pile runs onto the single bucket that owns key 1
     val oneKey = orders.filter(col("o_orderkey") === 1)
@@ -50,9 +51,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.pickCompaction().isEmpty)
   }
 
+  test("writes auto-compact past the trigger; write-only suppresses it") {
+    val orders = sf("orders").limit(200).cache()
+    def runs(t: GraftTable) = t.store.liveFiles(t.store.latestSnapshot.get)
+      .groupBy(f => (f.partition, f.bucket)).values.map(_.size).max
+    // default (write-only=false): the 5-run trigger fires during ingest
+    val auto = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "1", "num-sorted-run.compaction-trigger" -> "3"))
+    (1 to 5).foreach(i => auto.upsert(orders.withColumn("o_totalprice", lit(i * 1.0))))
+    assert(auto.store.snapshotIds.map(auto.store.readSnapshot)
+      .exists(_.commitKind == graft.core.CommitKind.COMPACT),
+      "auto-compaction should have committed during ingest")
+    assert(runs(auto) < 5)
+    assert(auto.toDF.count() == 200)
+    // write-only: identical ingest, zero COMPACT commits
+    val manual = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "1", "num-sorted-run.compaction-trigger" -> "3",
+        "write-only" -> "true"))
+    (1 to 5).foreach(i => manual.upsert(orders.withColumn("o_totalprice", lit(i * 1.0))))
+    assert(manual.store.snapshotIds.map(manual.store.readSnapshot)
+      .forall(_.commitKind != graft.core.CommitKind.COMPACT))
+    assert(runs(manual) == 5)
+    // full-compaction.delta-commits: forced FULL compaction cadence
+    val cadence = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "1", "full-compaction.delta-commits" -> "2"))
+    (1 to 4).foreach(i => cadence.upsert(orders.withColumn("o_totalprice", lit(i * 1.0))))
+    val kinds = cadence.store.snapshotIds.map(cadence.store.readSnapshot(_).commitKind)
+    assert(kinds.count(_ == graft.core.CommitKind.COMPACT) == 2, kinds.toString)
+    assert(cadence.toDF.count() == 200)
+  }
+
   test("append small-file compaction reduces file count, keeps data") {
     val li = sf("lineitem")
-    val t = GraftTable.create(spark, tmpTable(), li.schema)
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      options = Map("write-only" -> "true"))
     (1 to 6).foreach(i => t.append(li.filter(col("l_orderkey") % 6 === i - 1)))
     val before = t.store.liveFiles(t.store.latestSnapshot.get).size
     assert(t.maybeCompact().isDefined)
@@ -181,7 +216,8 @@ class MaintenanceSpec extends SparkSpec {
     val orders = sf("orders")
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
       primaryKeys = Seq("o_orderkey"),
-      options = Map("bucket" -> "2", "num-sorted-run.compaction-trigger" -> "3"))
+      options = Map("bucket" -> "2", "num-sorted-run.compaction-trigger" -> "3",
+        "write-only" -> "true"))
     t.upsert(orders)
     t.compact() // base at max level
     val basePaths = t.store.liveFiles(t.store.latestSnapshot.get)
