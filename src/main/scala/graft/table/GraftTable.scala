@@ -405,6 +405,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * FullChangelogMergeTreeCompactRewriter.java:43).
     */
   private def postWriteCompact(): Option[Snapshot] = {
+    // write-only skips BOTH compaction and expiration (reference:
+    // CoreOptions WRITE_ONLY — the dedicated compact-job pattern)
     if (schema.option("write-only", "false").toBoolean) return None
     // Best-effort, like the reference's writer-embedded compaction: the
     // DATA commit already succeeded; if a racing writer's compaction (or
@@ -421,8 +423,21 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     } catch {
       case e: IllegalArgumentException if
           Option(e.getMessage).exists(_.contains("commit conflict")) => None
-    }
+    } finally postWriteExpire()
   }
+
+  /** In-commit snapshot expiration, like the reference's
+    * `TableCommitImpl.expireSnapshots` — but opt-in: only when
+    * `snapshot.num-retained.max` is set explicitly (the reference's 1-hour
+    * `snapshot.time-retained` default would make time travel silently
+    * lossy in a library whose tests and fixtures travel freely; an
+    * operator bounding chain growth sets the option and gets the same
+    * per-commit cadence).
+    */
+  private def postWriteExpire(): Unit =
+    schema.options.get("snapshot.num-retained.max").map(_.toInt).foreach { max =>
+      if (store.snapshotIds.size > max) expireSnapshots(retainLast = max)
+    }
 
   /** Primary-key upsert: route rows to (partition, bucket), sort within
     * buckets by key, flush as level-0 sorted runs (reference write path:

@@ -84,6 +84,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(cadence.toDF.count() == 200)
   }
 
+  test("snapshot.num-retained.max expires old snapshots during ingest") {
+    val orders = sf("orders").limit(100).cache()
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "1", "snapshot.num-retained.max" -> "3"))
+    (1 to 6).foreach(i => t.upsert(orders.withColumn("o_totalprice", lit(i * 1.0))))
+    assert(t.store.snapshotIds.size <= 3, t.store.snapshotIds.toString)
+    assert(t.store.snapshotIds.last >= 6) // auto-compaction may append COMPACTs
+    assert(t.toDF.count() == 100)
+    // without the option the chain keeps everything
+    val keep = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "1", "write-only" -> "true"))
+    (1 to 6).foreach(i => keep.upsert(orders.withColumn("o_totalprice", lit(i * 1.0))))
+    assert(keep.store.snapshotIds.size == 6)
+  }
+
   test("append small-file compaction reduces file count, keeps data") {
     val li = sf("lineitem")
     val t = GraftTable.create(spark, tmpTable(), li.schema,
