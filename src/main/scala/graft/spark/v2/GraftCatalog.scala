@@ -32,6 +32,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private var catalogName: String = _
   private var warehouse: Path = _
+  private var user: String = "anonymous"
+  private var password: String = ""
   private def spark: SparkSession = SparkSession.active
   private def fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -39,7 +41,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     catalogName = name
     warehouse = new Path(Option(options.get("warehouse"))
       .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse"))
+    user = Option(options.get("user")).getOrElse("anonymous")
+    password = Option(options.get("password")).getOrElse("")
     fs.mkdirs(warehouse)
+  }
+
+  // ---------------- privileges (reference: PrivilegedCatalog.java) -------
+
+  /** File-based grants under `<warehouse>/.privilege/`; a no-op until
+    * `CALL sys.init_file_based_privilege(...)` creates the state file.
+    * Identity comes from the catalog options `user` / `password`
+    * (reference passes the same through catalog options).
+    */
+  def privileges: graft.core.PrivilegeManager =
+    new graft.core.PrivilegeManager(warehouse, spark.sessionState.newHadoopConf())
+
+  def currentUser: String = user
+
+  private def checked(priv: String, ident: Identifier): Unit = {
+    val p = privileges
+    p.authenticate(user, password)
+    p.check(user, priv, ident.namespace().mkString("."), ident.name())
   }
 
   override def name(): String = catalogName
@@ -78,6 +100,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    val p = privileges
+    p.authenticate(user, password)
+    p.check(user, graft.core.Privilege.CreateDatabase, namespace.mkString("."))
     if (namespaceExists(namespace) && !namespace.sameElements(Array("default")))
       throw new NamespaceAlreadyExistsException(namespace)
     fs.mkdirs(nsPath(namespace))
@@ -88,6 +113,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     throw new UnsupportedOperationException("ALTER NAMESPACE")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = privileges
+    p.authenticate(user, password)
+    p.check(user, graft.core.Privilege.DropDatabase, namespace.mkString("."))
     if (!namespaceExists(namespace)) return false
     if (!cascade && listTables(namespace).nonEmpty)
       throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
@@ -112,7 +140,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident)
+    new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident,
+      acl = priv => checked(priv, ident))
   }
 
   /** Time travel: SELECT ... VERSION AS OF <snapshotId|tagName|branchName>.
@@ -147,6 +176,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val p = privileges
+    p.authenticate(user, password)
+    p.check(user, graft.core.Privilege.CreateTable, ident.namespace().mkString("."))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala.toMap
     val partitionKeys = partitions.toSeq.map { t =>
@@ -165,6 +197,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    checked(graft.core.Privilege.AlterTable, ident)
     val t = GraftTable.load(spark, tablePath(ident).toString)
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -187,6 +220,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    checked(graft.core.Privilege.DropTable, ident)
     if (!tableExists(ident)) return false
     fs.delete(tablePath(ident), true)
   }

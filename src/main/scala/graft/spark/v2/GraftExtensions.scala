@@ -146,6 +146,39 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       return Seq(Row(s"migrated ${args(0)} -> ${args(1)} " +
         s"(${t.store.latestSnapshot.map(_.totalRecordCount).getOrElse(0L)} rows in place)"))
     }
+    // privilege procedures act on the CALL's catalog, not a table
+    // (reference: paimon-spark procedure/ privilege procedures +
+    // paimon-core privilege/FileBasedPrivilegeManager.java)
+    if (proc.contains("privilege") || proc.contains("privileged_user")) {
+      val cat = spark.sessionState.catalogManager
+        .catalog(catalog.getOrElse("graft")) match {
+          case g: GraftCatalog => g
+          case other => throw new IllegalArgumentException(
+            s"privilege procedures need a graft catalog, got $other")
+        }
+      val p = cat.privileges
+      val actor = cat.currentUser
+      val msg = proc match {
+        case "init_file_based_privilege" =>
+          p.initFileBased(args.headOption.getOrElse(
+            throw new IllegalArgumentException("init_file_based_privilege(root_password)")))
+          "privileges initialized; root user created"
+        case "create_privileged_user" =>
+          p.createUser(actor, args(0), args(1)); s"user ${args(0)} created"
+        case "drop_privileged_user" =>
+          p.dropUser(actor, args(0)); s"user ${args(0)} dropped"
+        case "grant_privilege_to_user" =>
+          val scope = if (args.size > 2) args(2) else "*"
+          p.grant(actor, args(0), args(1).toUpperCase, scope)
+          s"granted ${args(1)} on $scope to ${args(0)}"
+        case "revoke_privilege_from_user" =>
+          val scope = if (args.size > 2) args(2) else "*"
+          p.revoke(actor, args(0), args(1).toUpperCase, scope)
+          s"revoked ${args(1)} on $scope from ${args(0)}"
+        case other => throw new IllegalArgumentException(s"unknown procedure: sys.$other")
+      }
+      return Seq(Row(msg))
+    }
     val table = resolveTable(spark, args.headOption.getOrElse(
       throw new IllegalArgumentException(s"CALL sys.$proc: first arg must be the table")))
     val msg = proc match {

@@ -24,7 +24,11 @@ class GraftSparkTable(
     spark: SparkSession,
     val table: GraftTable,
     ident: Identifier,
-    snapshot: Option[Snapshot] = None) extends Table
+    snapshot: Option[Snapshot] = None,
+    /** Operation-level ACL hook (reference: PrivilegedFileStoreTable checks
+      * SELECT on newScan, INSERT on newWrite); throws AccessDenied.
+      */
+    acl: String => Unit = _ => ()) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete with TruncatableTable
     with SupportsMetadataColumns {
 
@@ -83,6 +87,7 @@ class GraftSparkTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    acl(graft.core.Privilege.Select)
     val snap = snapshot.orElse {
       Option(options.get("scan.snapshot-id")).map(id => table.store.readSnapshot(id.toLong))
         .orElse(Option(options.get("scan.tag-name")).map(table.store.readTag))
@@ -98,7 +103,8 @@ class GraftSparkTable(
 
   // ---------------- writes (V1 fallback, reference SparkWrite.scala:30) ----
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    acl(graft.core.Privilege.Insert)
     new WriteBuilder with SupportsTruncate with SupportsOverwrite
         with SupportsDynamicOverwrite {
       private var mode: String = "append"
@@ -146,6 +152,7 @@ class GraftSparkTable(
         }
       }
     }
+  }
 
   // ---------------- DELETE WHERE (reference: SupportsDelete path of
   // DeleteFromPaimonTableCommand) ----------------
