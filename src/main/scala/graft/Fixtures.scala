@@ -99,6 +99,21 @@ object Fixtures {
       t
     }
 
+  /** Deletion-vector mode: same upsert+delete chain as the MOR tables, but
+    * superseded rows are bitmap-masked and reads are raw + DV (no merge).
+    */
+  def ordersPkDv(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_dv") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        primaryKeys = Seq("o_orderkey"),
+        options = Map("deletion-vectors.enabled" -> "true", "write-only" -> "true"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.delete(col("o_orderkey") % 13 === 0)
+      t
+    }
+
   /** Both versions of the %7 keys inside ONE commit (original rows first,
     * doubled rows second) — proves deterministic intra-batch last-wins.
     */

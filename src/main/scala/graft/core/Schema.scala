@@ -86,6 +86,32 @@ case class TableSchema(
   def crossPartition: Boolean =
     isPrimaryKeyed && !partitionKeys.forall(primaryKeys.contains)
 
+  /** Deletion-vector mode for PK tables (reference: CoreOptions
+    * DELETION_VECTORS_ENABLED, "deletion-vectors.enabled"): upserts
+    * MASK superseded rows in existing files via per-file bitmaps instead
+    * of relying on merge-on-read, so scans are raw + DV — vectorized, no
+    * k-way merge, value-predicate file skipping and parquet pushdown on
+    * DV-free files all legal. The write pays the mask lookup; the read
+    * becomes an append-table read.
+    */
+  def deletionVectors: Boolean =
+    isPrimaryKeyed && option("deletion-vectors.enabled", "false").toBoolean
+
+  /** Validity constraints for deletion-vector mode (create-time). */
+  def validateDeletionVectors(): Unit = if (deletionVectors) {
+    require(fileFormat == "parquet",
+      "deletion-vectors.enabled needs parquet (dense row_index)")
+    require(mergeEngine == "deduplicate",
+      s"deletion-vectors.enabled supports merge-engine=deduplicate, not $mergeEngine")
+    require(sequenceField.isEmpty,
+      "deletion-vectors.enabled is ordered by commit time; sequence.field unsupported")
+    require(!crossPartition,
+      "deletion-vectors.enabled requires partition keys contained in the primary key")
+    val producer = option(TableSchema.ChangelogProducerOpt, "none")
+    require(producer == "none",
+      s"deletion-vectors.enabled does not support changelog-producer=$producer")
+  }
+
   def toJson: String = {
     val root = Json.obj()
     root.put("id", id)

@@ -28,6 +28,10 @@ class GraftMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  require(!table.schema.deletionVectors,
+    "streaming reads are not supported on deletion-vector tables")
+
+
   private val store = table.store
   private var availableNowBound: Option[Long] = None
 

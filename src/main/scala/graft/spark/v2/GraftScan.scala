@@ -100,6 +100,11 @@ class GraftScan(
 
   private val schema = table.schema
   private def isPk = schema.isPrimaryKeyed
+  // deletion-vector tables scan RAW (append-style): superseded rows are
+  // masked by per-file bitmaps, so no k-way merge is needed and value
+  // predicates may prune files (a mask, unlike a newer version in another
+  // file, cannot be lost by skipping that file)
+  private def mergeRead = isPk && !schema.deletionVectors
 
   // ---------------- reported partitioning / ordering ----------------
   // Fixed-bucket unpartitioned PK tables are physically clustered by
@@ -114,7 +119,7 @@ class GraftScan(
   // would include the partition columns, which defeats pk-equijoin
   // compatibility.
   private def spjEligible: Boolean =
-    isPk && !schema.crossPartition && !schema.dynamicBucket &&
+    mergeRead && !schema.crossPartition && !schema.dynamicBucket &&
       schema.partitionKeys.isEmpty &&
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
 
@@ -132,7 +137,8 @@ class GraftScan(
   // columns survive column pruning: Spark resolves the named references
   // against the scan output.
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    if (isPk && schema.primaryKeys.forall(requested.fieldNames.contains))
+    // dv tables bin-pack several raw files per split -> no global pk order
+    if (mergeRead && schema.primaryKeys.forall(requested.fieldNames.contains))
       schema.primaryKeys.toArray.map { k =>
         org.apache.spark.sql.connector.expressions.Expressions.sort(
           org.apache.spark.sql.connector.expressions.Expressions.column(k),
@@ -253,7 +259,7 @@ class GraftScan(
           else filters.filter(f =>
             f.references.nonEmpty && f.references.forall(partKeys.contains))
         val pruningFilters =
-          if (!isPk) filters
+          if (!mergeRead) filters
           else filters.filter(_.references.forall(r =>
             schema.primaryKeys.contains(r) ||
               (!schema.crossPartition && partKeys.contains(r))))
@@ -292,8 +298,9 @@ class GraftScan(
       f.path, f.size, f.partition, f.bucket, f.level, f.schemaId, f.rowCount,
       f.dvPath)
 
-    if (!isPk) {
-      // append table: bin-pack raw files into ~target-size splits per partition
+    if (!mergeRead) {
+      // append table (or dv-mode pk table): bin-pack raw files into
+      // ~target-size splits per partition
       val target = 128L * 1024 * 1024
       effectiveFiles.groupBy(_.partition).values.flatMap { fs =>
         val packs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[GraftFileInfo]]
@@ -335,7 +342,7 @@ class GraftScan(
     val partitionSchema = table.partitionSchema(schema)
     val wantsFilePath = requested.fieldNames.contains(GraftSparkTable.FilePathCol)
     val wantsRowIndex = requested.fieldNames.contains(GraftSparkTable.RowIndexCol)
-    require(!((wantsFilePath || wantsRowIndex) && isPk),
+    require(!((wantsFilePath || wantsRowIndex) && mergeRead),
       s"${GraftSparkTable.FilePathCol}/${GraftSparkTable.RowIndexCol} are defined on raw " +
         "scans only (a merged row spans several files); use the files system table instead")
     // columns the reader must materialize: requested data cols, plus merge
@@ -343,11 +350,12 @@ class GraftScan(
     val neededNames: Seq[String] = {
       val base = requested.fieldNames.toSeq
         .filterNot(n => n == GraftSparkTable.FilePathCol || n == GraftSparkTable.RowIndexCol)
-      if (isPk) {
+      if (mergeRead) {
         val meta = Seq(GraftMeta.SeqCol, GraftMeta.PosCol, GraftMeta.KindCol)
         (base ++ schema.primaryKeys ++ schema.sequenceField.toSeq ++
           seqGroupCols ++ meta).distinct
-      } else base
+      } else if (isPk) (base :+ GraftMeta.KindCol).distinct // dv: -D tombstone filter
+      else base
     }
     val dirNames = partitionSchema.fieldNames.toSet
     val physical = table.physicalDataSchema(schema)
@@ -445,8 +453,11 @@ class GraftScan(
     }.toMap
 
     val merger =
-      if (isPk) Some(new RowMerger(schema, rowSchema, requested.fieldNames.toSeq))
+      if (mergeRead) Some(new RowMerger(schema, rowSchema, requested.fieldNames.toSeq))
       else None
+    // dv-mode raw reads drop -D tombstones by the kind byte
+    val dropKindIdx: Option[Int] =
+      if (isPk && !mergeRead) Some(rowSchema.fieldIndex(GraftMeta.KindCol)) else None
     // raw output projection: rowSchema position of each requested column
     val outIdx = requested.fieldNames.map(n => rowSchema.fieldIndex(n))
     // read-time default values, applied post-merge (reference:
@@ -466,7 +477,8 @@ class GraftScan(
       })
     new GraftReaderFactory(table.location, partitionSchema, rowSchema,
       plans, merger, outIdx, requested, defaultsExprs,
-      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+      dropKindIdx)
   }
 
   private def seqGroupCols: Seq[String] = schema.options.keys.collect {
@@ -504,7 +516,8 @@ class GraftReaderFactory(
     outIdx: Seq[Int],
     outSchema: StructType,
     defaultsExprs: Option[Seq[Expression]],
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    dropKindIdx: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -579,7 +592,14 @@ class GraftReaderFactory(
           outIdx.map { src =>
             BoundReference(src, rowSchema(src).dataType, nullable = true)
           }.toArray[Expression])
-        p.files.iterator.flatMap(f => rowsOf(f)).map(project)
+        val rows = p.files.iterator.flatMap(f => rowsOf(f))
+        // dv-mode pk tables: L0 delete tombstones are stored rows the raw
+        // scan must drop (their older targets are masked by bitmaps)
+        val live = dropKindIdx match {
+          case Some(i) => rows.filter(r => r.getByte(i) != graft.GraftMeta.KindDelete)
+          case None => rows
+        }
+        live.map(project)
     }
     val iter = defaultsExprs match {
       case Some(exprs) =>

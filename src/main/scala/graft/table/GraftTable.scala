@@ -101,13 +101,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val dvd = files.filter(_.dvPath.isDefined)
     if (dvd.isEmpty) return df
     val positions: Seq[(String, Long)] = dvd.flatMap { f =>
-      val name = f.path.split('/').last
-      store.readDv(f.dvPath.get).toArray.toSeq.map(i => name -> i.toLong)
+      store.readDv(f.dvPath.get).toArray.toSeq.map(i => f.path -> i.toLong)
     }
     import spark.implicits._
     val pos = positions.toDF("__dv_file", "__dv_idx")
     df.join(broadcast(pos),
-      element_at(split(col("_metadata.file_path"), "/"), -1) === col("__dv_file") &&
+      GraftTable.relDataPath === col("__dv_file") &&
         col("_metadata.row_index") === col("__dv_idx"),
       "left_anti")
   }
@@ -139,7 +138,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       val sch = schema
       val raw = rawSnapshot(s, sch)
       applyDefaults(
-        if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
+        // deletion-vector tables read RAW: DVs already masked superseded
+        // rows in rawSnapshot; only L0 delete tombstones remain to filter
+        if (sch.deletionVectors)
+          raw.filter(col(KindCol) =!= lit(KindDelete))
+            .select(sch.fields.map(f => col(f.name)): _*)
+        else if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
         else raw.select(sch.fields.map(f => col(f.name)): _*))
   }
 
@@ -223,6 +227,9 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * INCREMENTAL_BETWEEN CoreOptions.java:916).
     */
   def incremental(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(!schema.deletionVectors,
+      "incremental reads are not supported on deletion-vector tables: a dv " +
+        "rewrite re-adds level-0 files, which a delta scan would re-emit")
     val producer = schema.option(TableSchema.ChangelogProducerOpt, "input")
     val ids = store.snapshotIds.filter(id => id > fromExclusive && id <= toInclusive)
     val files = ids.flatMap { id =>
@@ -478,9 +485,22 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       // the id is captured BEFORE the bucket shuffle, so it reflects source
       // order, not shuffle arrival order)
       .withColumn(PosCol, monotonically_increasing_id())
+    // deletion-vector mode: the batch must hold ONE row per key (the L0
+    // files are read raw, never merged), so keep the last version per key
+    // before bucketing — one extra key-shuffle, the documented write cost
+    // of the mode (reference: deletion-vectors.enabled write path)
+    val batch =
+      if (!schema.deletionVectors) prepared
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((schema.partitionKeys ++ schema.primaryKeys).map(col): _*)
+          .orderBy(col(PosCol).desc)
+        prepared.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     val (bucketed, indexDelta) =
-      if (schema.dynamicBucket) assignDynamicBuckets(prepared)
-      else (prepared.withColumn(BucketCol,
+      if (schema.dynamicBucket) assignDynamicBuckets(batch)
+      else (batch.withColumn(BucketCol,
         pmod(hash(pkCols: _*), lit(schema.numBuckets))), Nil)
     val sortCols = (dirCols() ++ schema.primaryKeys).map(col) ++
       schema.sequenceField.map(col).toSeq
@@ -488,10 +508,73 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
       .sortWithinPartitions(sortCols: _*)
     val files = stageWrite(shuffled, level = 0, seq = seq)
-    val snap = commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)),
+    val snap = commitFiles(
+      files.map(ManifestEntry(ManifestEntry.ADD, _)) ++ dvMaskEntries(files),
       CommitKind.APPEND, commitIdentifier, changelog = lookupChangelog(files, seq),
       indexFiles = indexDelta)
     postWriteCompact().getOrElse(snap)
+  }
+
+  /** Deletion-vector upsert masks: every key in the freshly staged L0 files
+    * supersedes its copy in OLDER live files, which gets marked in that
+    * file's bitmap instead of waiting for merge-on-read (reference:
+    * deletion-vectors.enabled — there maintained by lookup compaction; here
+    * the distributed analog: semi-join the touched buckets' prior state
+    * against the new keys by position). O(touched-bucket bytes) read,
+    * O(files) bitmap metadata — no data rewrite. `-D` rows stay in L0 as
+    * tombstones the scan filters and compaction drops.
+    */
+  private def dvMaskEntries(newFiles: Seq[DataFileMeta]): Seq[ManifestEntry] = {
+    if (!schema.deletionVectors || newFiles.isEmpty) return Nil
+    val snapOpt = store.latestSnapshot
+    if (snapOpt.isEmpty) return Nil
+    val touched = newFiles.map(f => (f.partition, f.bucket)).toSet
+    val old = store.liveFiles(snapOpt.get)
+      .filter(f => touched.contains((f.partition, f.bucket)))
+    if (old.isEmpty) return Nil
+    val keyCols = schema.partitionKeys ++ schema.primaryKeys
+    // keys of the new batch, read back from the just-staged L0 files (one
+    // cheap columnar scan of the pk columns; ends in a distinct-shuffle so
+    // AQE sizes the semi-join and broadcast-converts small batches)
+    val newKeys = rawDF(newFiles, schema).select(keyCols.map(col): _*).distinct()
+    // (partition+pk, file, row-index) of the prior state, one frame per
+    // schema version: the metadata pseudo-columns must materialize directly
+    // on each raw scan (they do not survive alignment projections or
+    // joins), and key columns remap by field id. Already-masked positions
+    // may re-match — OR-ing them again is idempotent, so prior DVs need no
+    // re-application here. `_metadata.row_index` is parquet's stored row
+    // position, valid even with predicate pushdown.
+    val oldPositions = old.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
+      case (sid, fs) =>
+        val from = if (sid == schema.id) schema else store.readSchema(sid)
+        val byId = from.fields.map(f => f.id -> f).toMap
+        val keySel = keyCols.map { n =>
+          val cur = schema.fieldByName(n)
+          val oldF = byId.getOrElse(cur.id, throw new IllegalStateException(
+            s"key column $n (id ${cur.id}) missing from schema $sid"))
+          col(oldF.name).cast(cur.sparkType).as(n)
+        }
+        rawDF(fs, from).select(keySel :+
+          GraftTable.relDataPath.as("__f") :+
+          col("_metadata.row_index").cast("long").as("__i"): _*)
+    }.reduce(_.unionByName(_))
+    val hits = oldPositions
+      .join(newKeys, keyCols)
+      .groupBy("__f").agg(graft.functions.BitmapAgg.collect(col("__i")).as("__bm"))
+      .collect()
+    if (hits.isEmpty) return Nil
+    val byPath = old.map(f => f.path -> f).toMap
+    hits.toSeq.flatMap { r =>
+      val f = byPath(r.getString(0))
+      val bm = graft.functions.BitmapAgg.deserialize(r.getAs[Array[Byte]](1))
+      f.dvPath.foreach(p => bm.or(store.readDv(p)))
+      if (bm.getLongCardinality >= f.rowCount)
+        Seq(ManifestEntry(ManifestEntry.DELETE, f)) // fully superseded → drop
+      else
+        Seq(ManifestEntry(ManifestEntry.DELETE, f),
+          ManifestEntry(ManifestEntry.ADD,
+            f.copy(dvPath = Some(store.writeDv(bm)), dvCount = bm.getLongCardinality)))
+    }
   }
 
   /** `changelog-producer = lookup`: per-COMMIT -U/+U/-D/+I changelog by
@@ -839,7 +922,9 @@ object GraftTable {
     // partitions by (bucket, pk); see TableSchema.crossPartition
     val store = new FileStore(path, spark.sessionState.newHadoopConf())
     require(!store.schemaExists, s"table already exists at $path")
-    store.commitSchema(TableSchema.create(schema, partitionKeys, primaryKeys, options))
+    val ts = TableSchema.create(schema, partitionKeys, primaryKeys, options)
+    ts.validateDeletionVectors()
+    store.commitSchema(ts)
     new GraftTable(spark, store)
   }
 
@@ -851,4 +936,12 @@ object GraftTable {
 
   def exists(spark: SparkSession, path: String): Boolean =
     new FileStore(path, spark.sessionState.newHadoopConf()).schemaExists
+
+  /** Table-relative path of `_metadata.file_path` ("data/<dirs>/<file>").
+    * Spark writes one identically-named part file per output directory in a
+    * single job, so the FILENAME alone collides across buckets/partitions —
+    * bitmap keys must carry the directory path.
+    */
+  def relDataPath: Column =
+    concat(lit("data/"), substring_index(col("_metadata.file_path"), "/data/", -1))
 }

@@ -49,14 +49,14 @@ trait RowLevelOps { self: GraftTable =>
     // Positions fold into per-file RoaringBitmap blobs ON THE EXECUTORS —
     // the driver collects O(files) bitmap bytes, never O(matched rows).
     val hits = rawUnion(live, schema).filter(cond)
-      .select(element_at(split(col("_metadata.file_path"), "/"), -1).as("__f"),
+      .select(GraftTable.relDataPath.as("__f"),
         col("_metadata.row_index").cast("long").as("__i"))
       .groupBy("__f").agg(graft.functions.BitmapAgg.collect(col("__i")).as("__bm"))
       .collect()
     if (hits.isEmpty) return snapOpt.get
-    val byName = live.map(f => f.path.split('/').last -> f).toMap
+    val byPath = live.map(f => f.path -> f).toMap
     val entries = hits.toSeq.flatMap { r =>
-      val f = byName(r.getString(0))
+      val f = byPath(r.getString(0))
       val bm = graft.functions.BitmapAgg.deserialize(r.getAs[Array[Byte]](1))
       f.dvPath.foreach(p => bm.or(store.readDv(p)))
       if (bm.getLongCardinality >= f.rowCount)

@@ -1,0 +1,108 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+
+/** Deletion-vector mode for primary-key tables (reference: CoreOptions
+  * "deletion-vectors.enabled"): upserts mask superseded rows in existing
+  * files via per-file bitmaps, reads are raw + DV (no merge-on-read).
+  * Results must be indistinguishable from a plain merge-on-read table.
+  */
+class DvTableSpec extends SparkSpec {
+
+  private def dvTable(extra: Map[String, String] = Map.empty): GraftTable =
+    GraftTable.create(spark, tmpTable(), sf("orders").schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("bucket" -> "4", "deletion-vectors.enabled" -> "true",
+        "write-only" -> "true") ++ extra)
+
+  test("dv upsert chain matches a merge-on-read table bit for bit") {
+    val orders = sf("orders").cache()
+    val dv = dvTable()
+    val mor = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("bucket" -> "4", "write-only" -> "true"))
+    def drive(t: GraftTable): Unit = {
+      t.upsert(orders)
+      t.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 13 === 0)
+    }
+    drive(dv); drive(mor)
+    assert(dv.toDF.count() == mor.toDF.count())
+    assert(dv.toDF.except(mor.toDF).isEmpty && mor.toDF.except(dv.toDF).isEmpty)
+    // the second upsert actually produced masks
+    val live = dv.store.liveFiles(dv.store.latestSnapshot.get)
+    assert(live.exists(_.dvPath.isDefined), "expected dv sidecars on masked files")
+    // DSv2 read agrees (raw + dv scan path)
+    val ident = s"graft_dv_t"
+    dv.toDF.createOrReplaceTempView(ident)
+    assert(spark.table(ident).count() == mor.toDF.count())
+  }
+
+  test("intra-batch duplicates collapse to the last version before staging") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "2", "deletion-vectors.enabled" -> "true"))
+    t.upsert(Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("k", "v"))
+    val rows = t.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "c"), (2L, "b")))
+    // raw file rows: exactly one per key (no merge available to hide dups)
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(live.map(_.rowCount).sum == 2)
+  }
+
+  test("compaction clears masks and tombstones, content invariant") {
+    val orders = sf("orders").limit(300).cache()
+    val t = dvTable()
+    t.upsert(orders)
+    t.upsert(orders.withColumn("o_comment", lit("v2")))
+    t.delete(col("o_orderkey") % 5 === 0)
+    val before = t.toDF.orderBy("o_orderkey").collect()
+    t.compact()
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(live.forall(_.dvPath.isEmpty), "compaction must clear dv sidecars")
+    assert(live.forall(_.level == GraftTable.MaxLevel))
+    assert(t.toDF.orderBy("o_orderkey").collect().sameElements(before))
+  }
+
+  test("fully superseded files drop instead of carrying full masks") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "deletion-vectors.enabled" -> "true",
+        "write-only" -> "true"))
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.upsert(Seq((1L, "a2"), (2L, "b2")).toDF("k", "v")) // supersedes everything
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(live.size == 1, s"old file should be dropped, got ${live.map(_.path)}")
+    assert(t.toDF.count() == 2)
+  }
+
+  test("mode restrictions are enforced at create time") {
+    import spark.implicits._
+    val st = Seq((1L, "x")).toDF("k", "v").schema
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), st, primaryKeys = Seq("k"),
+        options = Map("deletion-vectors.enabled" -> "true",
+          "merge-engine" -> "partial-update"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), st, primaryKeys = Seq("k"),
+        options = Map("deletion-vectors.enabled" -> "true",
+          "sequence.field" -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), st, primaryKeys = Seq("k"),
+        options = Map("deletion-vectors.enabled" -> "true",
+          "changelog-producer" -> "input"))
+    }
+    val t = GraftTable.create(spark, tmpTable(), st, primaryKeys = Seq("k"),
+      options = Map("deletion-vectors.enabled" -> "true"))
+    t.upsert(Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException] { t.incremental(0, 1) }
+  }
+}
