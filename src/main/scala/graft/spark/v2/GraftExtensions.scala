@@ -146,6 +146,15 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       return Seq(Row(s"migrated ${args(0)} -> ${args(1)} " +
         s"(${t.store.latestSnapshot.map(_.totalRecordCount).getOrElse(0L)} rows in place)"))
     }
+    // adopt a parquet directory's files into an EXISTING table (reference:
+    // MigrateFileProcedure.java:42)
+    if (proc == "migrate_file") {
+      require(args.size >= 2, "CALL sys.migrate_file(source_dir, target_table)")
+      val t = graft.table.Migrate.parquetFilesInto(spark, args(0),
+        resolveTable(spark, args(1)))
+      return Seq(Row(s"migrated files of ${args(0)} into ${args(1)} " +
+        s"(now ${t.store.latestSnapshot.map(_.totalRecordCount).getOrElse(0L)} rows)"))
+    }
     // privilege procedures act on the CALL's catalog, not a table
     // (reference: paimon-spark procedure/ privilege procedures +
     // paimon-core privilege/FileBasedPrivilegeManager.java)

@@ -35,10 +35,34 @@ object Migrate {
       .filter(discoveredPartitionCols(spark, sourceDir).contains)
     val t = GraftTable.create(spark, targetPath, src.schema,
       partitionKeys = partitionKeys, options = options)
+    adopt(spark, sourceDir, t)
+  }
+
+  /** Adopt the parquet files of `sourceDir` into an EXISTING append table
+    * without rewriting them (reference: `migrate_file` Spark procedure,
+    * MigrateFileProcedure.java:42 — moves another table's files into a
+    * target). Source columns must cover the target's schema by name; the
+    * source's partition directories must match the target's partition keys.
+    */
+  def parquetFilesInto(spark: SparkSession, sourceDir: String,
+      t: GraftTable): GraftTable = {
+    require(!t.isPrimaryKeyed, "migrate_file targets append tables " +
+      "(a primary-key table needs bucketed, pk-sorted files)")
+    val src = spark.read.parquet(sourceDir)
+    val missing = t.schema.fields.map(_.name).toSet -- src.schema.fieldNames.toSet
+    require(missing.isEmpty, s"source lacks columns: ${missing.mkString(",")}")
+    adopt(spark, sourceDir, t)
+  }
+
+  private def adopt(spark: SparkSession, sourceDir: String,
+      t: GraftTable): GraftTable = {
+    val src = spark.read.parquet(sourceDir)
+    val partitionKeys = t.schema.partitionKeys
 
     // stats columns: skip strings (write-path string stats carry a
     // truncation protocol; absent stats are soundly un-prunable)
-    val statCols = src.schema.fields.toSeq.filter { f =>
+    val tFields = t.schema.fields.map(_.name).toSet
+    val statCols = src.schema.fields.toSeq.filter(f => tFields.contains(f.name)).filter { f =>
       f.dataType match {
         case _: NumericType | DateType | TimestampType | TimestampNTZType |
              BooleanType => true

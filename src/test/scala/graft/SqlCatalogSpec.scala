@@ -258,6 +258,14 @@ class SqlCatalogSpec extends SparkSpec {
     val r = spark.sql(s"CALL graft.sys.migrate_table('$srcDir', '$target')").collect()
     assert(r.head.getString(0).contains("migrated"))
     assert(graft.table.GraftTable.load(spark, target).toDF.count() == 2)
+
+    // migrate_file adopts MORE files into the existing table in place
+    val srcDir2 = tmpTable() + "-mig-src2"
+    Seq((3L, "c")).toDF("k", "v").write.parquet(srcDir2)
+    val r2 = spark.sql(s"CALL graft.sys.migrate_file('$srcDir2', '$target')").collect()
+    assert(r2.head.getString(0).contains("3 rows"), r2.head.getString(0))
+    val t = graft.table.GraftTable.load(spark, target)
+    assert(t.toDF.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
   test("CALL repair verifies live files and flags a missing one") {
