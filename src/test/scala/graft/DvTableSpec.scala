@@ -82,6 +82,41 @@ class DvTableSpec extends SparkSpec {
     assert(t.toDF.count() == 2)
   }
 
+  test("partitioned dv table: masks stay partition-local, pruning works") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "B", 40.0))
+      .toDF("k", "pt", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      partitionKeys = Seq("pt"), primaryKeys = Seq("k", "pt"),
+      options = Map("bucket" -> "2", "deletion-vectors.enabled" -> "true"))
+    t.upsert(df)
+    t.upsert(Seq((1L, "A", 11.0), (3L, "B", 31.0)).toDF("k", "pt", "v"))
+    val rows = t.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 11.0), (2L, 20.0), (3L, 31.0), (4L, 40.0)))
+    assert(t.toDF.filter(col("pt") === "A").count() == 2)
+  }
+
+  test("SQL UPDATE and MERGE INTO work on a dv table through the catalog") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dv-wh").toString
+    spark.conf.set("spark.sql.catalog.gdv", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdv.db")
+    spark.sql(
+      """CREATE TABLE gdv.db.t (k BIGINT, v DOUBLE) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2',
+        |  'deletion-vectors.enabled' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO gdv.db.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("UPDATE gdv.db.t SET v = v * 10 WHERE k <= 2")
+    spark.sql("""MERGE INTO gdv.db.t t USING (SELECT 3L AS k, 99.0 AS v) s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql("DELETE FROM gdv.db.t WHERE k = 1")
+    val rows = spark.sql("SELECT k, v FROM gdv.db.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((2L, 20.0), (3L, 99.0)))
+  }
+
   test("mode restrictions are enforced at create time") {
     import spark.implicits._
     val st = Seq((1L, "x")).toDF("k", "v").schema
