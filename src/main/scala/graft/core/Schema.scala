@@ -108,7 +108,10 @@ case class TableSchema(
     require(!crossPartition,
       "deletion-vectors.enabled requires partition keys contained in the primary key")
     val producer = option(TableSchema.ChangelogProducerOpt, "none")
-    require(producer == "none",
+    // lookup works: its changelog is computed at write time by merging the
+    // touched buckets' pre-mask state, which dv mode leaves intact within
+    // the committing batch (reference pairs dv with the lookup producer)
+    require(producer == "none" || producer == "lookup",
       s"deletion-vectors.enabled does not support changelog-producer=$producer")
   }
 

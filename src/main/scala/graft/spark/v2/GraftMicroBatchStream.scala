@@ -28,8 +28,9 @@ class GraftMicroBatchStream(
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  require(!table.schema.deletionVectors,
-    "streaming reads are not supported on deletion-vector tables")
+  require(!table.schema.deletionVectors ||
+      table.schema.option(graft.core.TableSchema.ChangelogProducerOpt, "none") == "lookup",
+    "streaming reads on a deletion-vector table need changelog-producer=lookup")
 
 
   private val store = table.store

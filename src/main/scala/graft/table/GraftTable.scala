@@ -227,10 +227,11 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * INCREMENTAL_BETWEEN CoreOptions.java:916).
     */
   def incremental(fromExclusive: Long, toInclusive: Long): DataFrame = {
-    require(!schema.deletionVectors,
-      "incremental reads are not supported on deletion-vector tables: a dv " +
-        "rewrite re-adds level-0 files, which a delta scan would re-emit")
     val producer = schema.option(TableSchema.ChangelogProducerOpt, "input")
+    require(!schema.deletionVectors || producer == "lookup",
+      "incremental reads on a deletion-vector table need " +
+        "changelog-producer=lookup: a dv rewrite re-adds level-0 files, " +
+        "which a raw delta scan would re-emit")
     val ids = store.snapshotIds.filter(id => id > fromExclusive && id <= toInclusive)
     val files = ids.flatMap { id =>
       val s = store.readSnapshot(id)

@@ -117,6 +117,25 @@ class DvTableSpec extends SparkSpec {
     assert(rows.toSeq == Seq((2L, 20.0), (3L, 99.0)))
   }
 
+  test("dv + changelog-producer=lookup: exact -U/+U stream without merge reads") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "2", "deletion-vectors.enabled" -> "true",
+        "changelog-producer" -> "lookup", "write-only" -> "true"))
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val s1 = t.store.latestSnapshotId.get
+    t.upsert(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"))
+    val ch = t.incremental(s1, s1 + 1)
+      .select(col("k"), col("v"), col("_row_kind"))
+      .orderBy("k", "_row_kind")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ch.toSeq == Seq((1L, "a2", "+U"), (1L, "a", "-U"), (3L, "c", "+I")),
+      ch.mkString(";"))
+    assert(t.toDF.count() == 3)
+  }
+
   test("mode restrictions are enforced at create time") {
     import spark.implicits._
     val st = Seq((1L, "x")).toDF("k", "v").schema
