@@ -100,12 +100,35 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   private def applyDvs(df: DataFrame, files: Seq[DataFileMeta]): DataFrame = {
     val dvd = files.filter(_.dvPath.isDefined)
     if (dvd.isEmpty) return df
-    val positions: Seq[(String, Long)] = dvd.flatMap { f =>
-      store.readDv(f.dvPath.get).toArray.toSeq.map(i => f.path -> i.toLong)
-    }
     import spark.implicits._
-    val pos = positions.toDF("__dv_file", "__dv_idx")
-    df.join(broadcast(pos),
+    // metadata already knows the total masked-row count — pick the plan
+    // by size instead of guessing: small masks broadcast from the driver
+    // (one tiny build side, zero table shuffle); big masks expand on the
+    // EXECUTORS (the driver ships only (path, dvPath) pairs and reads no
+    // bitmap — a 10M-row mask never materializes driver-side)
+    val pos =
+      if (dvd.map(_.dvCount).sum <= 1000000L)
+        broadcast(dvd.flatMap { f =>
+          store.readDv(f.dvPath.get).toArray.toSeq.map(i => f.path -> i.toLong)
+        }.toDF("__dv_file", "__dv_idx"))
+      else {
+        val rootStr = store.rootPath.toString
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        spark.sparkContext
+          .parallelize(dvd.map(f => (f.path, f.dvPath.get)),
+            math.min(dvd.size, spark.sparkContext.defaultParallelism))
+          .flatMap { case (p, dv) =>
+            val path = new Path(rootStr, dv)
+            val fs = path.getFileSystem(conf.value)
+            val in = fs.open(path)
+            val bytes = try in.readAllBytes() finally in.close()
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+            bm.toArray.iterator.map(i => (p, i.toLong))
+          }.toDF("__dv_file", "__dv_idx")
+      }
+    df.join(pos,
       GraftTable.relDataPath === col("__dv_file") &&
         col("_metadata.row_index") === col("__dv_idx"),
       "left_anti")
