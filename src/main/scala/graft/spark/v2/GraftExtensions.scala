@@ -200,7 +200,16 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         val s = table.sortCompact(cols, strategy)
         s"clustered on ${cols.mkString(",")} at snapshot ${s.id}"
       case "expire_snapshots" =>
-        val expired = table.expireSnapshots(args(1).toInt)
+        // numeric arg: retain-last count; duration arg ("7d", "30m"): expire
+        // by commit age (reference: ExpireSnapshotsProcedure's retain_max /
+        // older_than pair)
+        val expired =
+          if (args(1).forall(_.isDigit)) table.expireSnapshots(args(1).toInt)
+          else {
+            val retainMin = if (args.size > 2) args(2).toInt else 1
+            table.expireSnapshotsOlderThan(
+              graft.table.Maintenance.parseDurationMillis(args(1)), retainMin)
+          }
         s"expired ${expired.size} snapshots"
       case "create_tag" => table.store.createTag(args(1), args(2).toLong); s"tag ${args(1)}"
       case "delete_tag" => table.store.deleteTag(args(1)); s"deleted tag ${args(1)}"
@@ -210,7 +219,11 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       case "fast_forward" =>
         val s = table.fastForward(args(1)); s"fast-forwarded to snapshot ${s.id}"
       case "rollback" =>
-        val s = table.rollbackTo(args(1).toLong); s"rolled back at snapshot ${s.id}"
+        // snapshot id, or a tag name (reference: RollbackProcedure)
+        val s =
+          if (args(1).forall(_.isDigit)) table.rollbackTo(args(1).toLong)
+          else table.rollbackToTag(args(1))
+        s"rolled back at snapshot ${s.id}"
       case "remove_orphan_files" =>
         val older = if (args.size > 1) args(1).toLong else 24L * 3600 * 1000
         s"removed ${table.removeOrphanFiles(older).size} orphan files"

@@ -603,12 +603,34 @@ trait MaintenanceOps { self: GraftTable =>
     deleted.toSeq
   }
 
+  /** Expire every snapshot whose commit time is older than `olderThanMs`,
+    * always retaining the newest `retainMin` (reference: CoreOptions
+    * "snapshot.time-retained" + num-retained.min — ExpireSnapshotsImpl
+    * applies both bounds together).
+    */
+  def expireSnapshotsOlderThan(olderThanMs: Long, retainMin: Int = 1): Seq[Long] = {
+    val ids = store.snapshotIds
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val expirable = ids.dropRight(math.max(retainMin, 1))
+      .takeWhile(id => store.readSnapshot(id).timestampMs < cutoff)
+    if (expirable.isEmpty) Nil
+    else expireSnapshots(retainLast = ids.size - expirable.size)
+  }
+
+  /** Rollback to the snapshot a TAG points at (reference: RollbackProcedure
+    * accepts either a snapshot id or a tag name). Uses the tag's own
+    * snapshot copy, which outlives expiration of the chain entry.
+    */
+  def rollbackToTag(tag: String): Snapshot = rollbackToSnapshot(store.readTag(tag))
+
   /** Rollback the table to an earlier snapshot by committing its file set
     * difference (reference: RollbackProcedure — theirs truncates the
     * snapshot chain; an inverse commit preserves immutable history).
     */
-  def rollbackTo(snapshotId: Long): Snapshot = {
-    val target = store.readSnapshot(snapshotId)
+  def rollbackTo(snapshotId: Long): Snapshot =
+    rollbackToSnapshot(store.readSnapshot(snapshotId))
+
+  private def rollbackToSnapshot(target: Snapshot): Snapshot = {
     val targetFiles = store.liveFiles(target)
     val current = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
     val targetPaths = targetFiles.map(_.path).toSet
@@ -632,7 +654,7 @@ object Maintenance {
   /** Parse a duration option value: plain millis, or `<n><unit>` with unit
     * ms/s/m/h/d (e.g. "30m", "7d"), whitespace tolerated.
     */
-  private[table] def parseDurationMillis(s: String): Long = {
+  def parseDurationMillis(s: String): Long = {
     val t = s.trim.toLowerCase
     val m = "^(\\d+)\\s*(ms|s|m|h|d)?$".r
     t match {

@@ -101,6 +101,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(keep.store.snapshotIds.size == 6)
   }
 
+  test("time-based expire and rollback-to-tag") {
+    val orders = sf("orders").limit(100).cache()
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "1", "write-only" -> "true"))
+    (1 to 4).foreach(i => t.upsert(orders.withColumn("o_totalprice", lit(i * 1.0))))
+    t.store.createTag("keep", 2)
+    // everything is newer than 1 day -> nothing expires
+    assert(t.expireSnapshotsOlderThan(24L * 3600 * 1000).isEmpty)
+    // everything is older than 0ms except the retained minimum
+    val expired = t.expireSnapshotsOlderThan(0L, retainMin = 2)
+    assert(expired == Seq(1L, 2L), expired.toString)
+    assert(t.toDF.count() == 100)
+    // the tag still serves its snapshot's content after expiry
+    assert(t.toDFAtTag("keep").count() == 100)
+    // rollback to the tag restores snapshot-2 content (prices were i=2.0)
+    t.rollbackToTag("keep")
+    assert(t.toDF.agg(max("o_totalprice")).head().getDouble(0) == 2.0)
+    assert(t.toDF.count() == 100)
+  }
+
   test("append small-file compaction reduces file count, keeps data") {
     val li = sf("lineitem")
     val t = GraftTable.create(spark, tmpTable(), li.schema,
