@@ -254,6 +254,9 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         if (all.isEmpty) s"ok: ${live.size} live files verified"
         else throw new IllegalStateException(
           s"repair found ${all.size} problems: ${all.take(5).mkString("; ")}")
+      case "rescale" =>
+        val s = table.rescaleBucket(args(1).toInt)
+        s"rescaled to ${args(1)} buckets at snapshot ${s.id}"
       case "reset_consumer" =>
         val id = args(1)
         if (args.size > 2) {

@@ -509,6 +509,21 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       // the id is captured BEFORE the bucket shuffle, so it reflects source
       // order, not shuffle arrival order)
       .withColumn(PosCol, monotonically_increasing_id())
+    val (shuffled, indexDelta) = pkStagePrep(prepared)
+    val files = stageWrite(shuffled, level = 0, seq = seq)
+    val snap = commitFiles(
+      files.map(ManifestEntry(ManifestEntry.ADD, _)) ++ dvMaskEntries(files),
+      CommitKind.APPEND, commitIdentifier, changelog = lookupChangelog(files, seq),
+      indexFiles = indexDelta)
+    postWriteCompact().getOrElse(snap)
+  }
+
+  /** Bucket-route, dedup (dv mode), and sort a kind/seq/pos-decorated frame
+    * for staging — the shared tail of upsert and PK overwrite. Returns the
+    * shuffle-ready frame plus any dynamic-bucket index delta.
+    */
+  private def pkStagePrep(prepared: DataFrame): (DataFrame, Seq[String]) = {
+    val pkCols = schema.primaryKeys.map(col)
     // deletion-vector mode: the batch must hold ONE row per key (the L0
     // files are read raw, never merged), so keep the last version per key
     // before bucketing — one extra key-shuffle, the documented write cost
@@ -528,15 +543,9 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         pmod(hash(pkCols: _*), lit(schema.numBuckets))), Nil)
     val sortCols = (dirCols() ++ schema.primaryKeys).map(col) ++
       schema.sequenceField.map(col).toSeq
-    val shuffled = bucketed
+    (bucketed
       .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
-      .sortWithinPartitions(sortCols: _*)
-    val files = stageWrite(shuffled, level = 0, seq = seq)
-    val snap = commitFiles(
-      files.map(ManifestEntry(ManifestEntry.ADD, _)) ++ dvMaskEntries(files),
-      CommitKind.APPEND, commitIdentifier, changelog = lookupChangelog(files, seq),
-      indexFiles = indexDelta)
-    postWriteCompact().getOrElse(snap)
+      .sortWithinPartitions(sortCols: _*), indexDelta)
   }
 
   /** Deletion-vector upsert masks: every key in the freshly staged L0 files
@@ -702,7 +711,16 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   def overwrite(df: DataFrame, staticPartition: Map[String, String] = Map.empty,
       dynamic: Boolean = false): Snapshot = {
     val seq = nextSeq
-    val files = stageWrite(align(df), level = 0, seq = seq)
+    // PK tables route through the bucketed write path (kind +I; the
+    // OVERWRITE commit replaces the old file set, so no merge history or
+    // dv masks are needed for the replaced scope)
+    val prepared =
+      if (!isPrimaryKeyed) align(df)
+      else pkStagePrep(
+        align(df).withColumn(KindCol, lit(KindInsert).cast(ByteType))
+          .withColumn(SeqCol, lit(seq))
+          .withColumn(PosCol, monotonically_increasing_id()))._1
+    val files = stageWrite(prepared, level = 0, seq = seq)
     val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
     val ptIdx = schema.partitionKeys.zipWithIndex.toMap
     val deleted =

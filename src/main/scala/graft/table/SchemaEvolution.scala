@@ -54,9 +54,43 @@ trait SchemaEvolution { self: GraftTable =>
         if (f.name == name) f.copy(dataType = dataType.sql) else f))
     }
 
-  def setOption(key: String, value: String): TableSchema =
-    commitEvolved(s => s.copy(options = s.options + (key -> value)))
+  def setOption(key: String, value: String): TableSchema = {
+    // bucket count determines the physical layout of every existing PK
+    // file — flipping it via SET would break bucket pruning and point
+    // lookups (reference: AbstractFileStoreTable.java:198 "Cannot change
+    // bucket number through dynamic options. You might need to rescale
+    // bucket."); rescaleBucket() rewrites the layout instead
+    if (key == TableSchema.BucketOpt && isPrimaryKeyed &&
+        schema.option(TableSchema.BucketOpt, "8") != value &&
+        store.latestSnapshot.isDefined)
+      throw new UnsupportedOperationException(
+        "cannot change bucket number on a populated primary-key table via " +
+          "SET - use rescaleBucket() / CALL sys.rescale")
+    // dv mode changes the physical contract of existing files (one row per
+    // key, masks instead of versions) — only flippable while empty
+    if (key == "deletion-vectors.enabled" && store.latestSnapshot.isDefined &&
+        schema.option(key, "false") != value)
+      throw new UnsupportedOperationException(
+        "cannot toggle deletion-vectors.enabled on a populated table")
+    val next = commitEvolved(s => s.copy(options = s.options + (key -> value)))
+    next.validateDeletionVectors()
+    next
+  }
 
   def removeOption(key: String): TableSchema =
     commitEvolved(s => s.copy(options = s.options - key))
+
+  /** Change the bucket count of a PK table by REWRITING it under the new
+    * layout — one merged read of the pinned current snapshot, one
+    * whole-table OVERWRITE commit under the evolved schema (reference:
+    * the documented rescale-bucket procedure: bucket changes require an
+    * INSERT OVERWRITE rewrite).
+    */
+  def rescaleBucket(n: Int): graft.core.Snapshot = {
+    require(isPrimaryKeyed, "rescale targets primary-key tables")
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    val content = toDF // pins the CURRENT snapshot's file set
+    commitEvolved(s => s.copy(options = s.options + (TableSchema.BucketOpt -> n.toString)))
+    overwrite(content)
+  }
 }

@@ -122,6 +122,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF.count() == 100)
   }
 
+  test("rescale rewrites a pk table under a new bucket count") {
+    val orders = sf("orders").limit(500).cache()
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "2", "write-only" -> "true"))
+    t.upsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    val before = t.toDF.orderBy("o_orderkey").collect()
+    // SET of bucket on a populated table is refused, pointing at rescale
+    intercept[UnsupportedOperationException] { t.setOption("bucket", "8") }
+    t.rescaleBucket(8)
+    assert(t.schema.numBuckets == 8)
+    val buckets = t.store.liveFiles(t.store.latestSnapshot.get).map(_.bucket).distinct
+    assert(buckets.size > 2, s"expected >2 buckets, got $buckets")
+    assert(t.toDF.orderBy("o_orderkey").collect().sameElements(before))
+    // point lookup still routes to the right (new) bucket
+    val k = before.head.getLong(0)
+    assert(t.lookup(Map("o_orderkey" -> k)).isDefined)
+  }
+
   test("append small-file compaction reduces file count, keeps data") {
     val li = sf("lineitem")
     val t = GraftTable.create(spark, tmpTable(), li.schema,
