@@ -203,6 +203,10 @@ object MergeEngines {
         (acc, m) => map_concat(acc, m))
     case "product" =>
       aggregate(collect_list(c.cast("double")), lit(1.0d), (acc, x) => acc * x)
+    // serialized RoaringBitmap metrics union per key (reference:
+    // FieldRoaringBitmap32Agg.java / FieldRoaringBitmap64Agg.java)
+    case "rbm32" => graft.functions.BitmapOrAgg.or(c)
+    case "rbm64" => graft.functions.Bitmap64OrAgg.or(c)
     case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
   }
 }

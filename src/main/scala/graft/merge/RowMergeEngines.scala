@@ -275,6 +275,17 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
         }
         if (acc.isEmpty) null
         else ArrayBasedMapData(acc.keys.toArray, acc.values.toArray)
+      case "rbm32" =>
+        // serialized RoaringBitmap union (reference: FieldRoaringBitmap32Agg)
+        val folded = nonNull.map(v => graft.functions.BitmapAgg
+            .deserialize(v.asInstanceOf[Array[Byte]]))
+          .reduceOption { (a, b) => a.or(b); a }
+        folded.map(graft.functions.BitmapAgg.serialize).orNull
+      case "rbm64" =>
+        val folded = nonNull.map(v => graft.functions.Bitmap64OrAgg
+            .deserialize64(v.asInstanceOf[Array[Byte]]))
+          .reduceOption { (a, b) => a.or(b); a }
+        folded.map(graft.functions.Bitmap64OrAgg.serialize64).orNull
       case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
     }
   }

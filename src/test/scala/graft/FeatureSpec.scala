@@ -235,4 +235,59 @@ class FeatureSpec extends SparkSpec {
     val fill = b3.groupBy(_._2).view.mapValues(_.size)
     assert(fill.values.forall(_ <= 110), s"bucket overfilled: ${fill.toMap}")
   }
+
+  test("rbm32/rbm64 aggregators union bitmap metrics in both merge paths") {
+    import spark.implicits._
+    import graft.functions.{BitmapAgg, Bitmap64OrAgg}
+    import org.roaringbitmap.RoaringBitmap
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    def bm32(xs: Int*): Array[Byte] = BitmapAgg.serialize(RoaringBitmap.bitmapOf(xs: _*))
+    def bm64(xs: Long*): Array[Byte] = {
+      val m = new Roaring64NavigableMap(); xs.foreach(m.addLong); Bitmap64OrAgg.serialize64(m)
+    }
+    val df1 = Seq((1L, bm32(1, 2), bm64(10L)), (2L, bm32(5), bm64(50L)))
+      .toDF("k", "visitors", "events")
+    val wh = java.nio.file.Files.createTempDirectory("graft-rbm-wh").toString
+    spark.conf.set("spark.sql.catalog.grbm", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grbm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grbm.db")
+    val t = GraftTable.create(spark, s"$wh/db/rbm_t", df1.schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "2", "merge-engine" -> "aggregation",
+        "fields.visitors.aggregate-function" -> "rbm32",
+        "fields.events.aggregate-function" -> "rbm64",
+        "write-only" -> "true"))
+    t.upsert(df1)
+    t.upsert(Seq((1L, bm32(2, 3), bm64(11L))).toDF("k", "visitors", "events"))
+    def check(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      val byK = rows.map(r => r.getLong(0) ->
+        (BitmapAgg.deserialize(r.getAs[Array[Byte]](1)),
+          Bitmap64OrAgg.deserialize64(r.getAs[Array[Byte]](2)))).toMap
+      assert(byK(1L)._1.toArray.toSeq == Seq(1, 2, 3))
+      assert(byK(1L)._2.toArray.toSeq == Seq(10L, 11L))
+      assert(byK(2L)._1.toArray.toSeq == Seq(5))
+    }
+    // DataFrame merge path
+    check(t.toDF.orderBy("k").collect())
+    // executor row-merge path (DSv2 catalog scan)
+    check(spark.sql("SELECT k, visitors, events FROM grbm.db.rbm_t ORDER BY k").collect())
+  }
+
+  test("SQL INSERT OVERWRITE on a primary-key table") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-ow-wh").toString
+    spark.conf.set("spark.sql.catalog.gow", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gow.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gow.db")
+    spark.sql(
+      """CREATE TABLE gow.db.pk_t (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO gow.db.pk_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT OVERWRITE gow.db.pk_t VALUES (7, 'x'), (8, 'y')")
+    val rows = spark.sql("SELECT k, v FROM gow.db.pk_t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((7L, "x"), (8L, "y")))
+    // and the bucketed layout still serves point lookups
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/pk_t")
+    assert(t.lookup(Map("k" -> 7L)).isDefined)
+  }
 }
