@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.StructType
   *  - streaming write: idempotent per-batch commits keyed by batchId
   *    (reference: FileStoreCommitImpl.filterCommitted:202-207).
   */
-class GraftDataSource extends RelationProvider with CreatableRelationProvider
+class GraftDataSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider
     with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -36,6 +37,24 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft: 'path' must be specified"))
+
+  /** With a user-specified schema: serve the real table when it exists;
+    * otherwise a metadata-only placeholder. Spark's V1
+    * `CreateDataSourceTableCommand` (the path `CREATE TABLE ... USING graft`
+    * takes in a session catalog) resolves the relation just to validate the
+    * schema BEFORE any data exists — [[graft.spark.v2.GraftSessionCatalog]]
+    * materializes the actual layout on first access.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], userSchema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    if (GraftTable.exists(spark, path)) createRelation(sqlContext, parameters)
+    else new BaseRelation {
+      override def sqlContext: SQLContext = spark.sqlContext
+      override def schema: StructType = userSchema
+    }
+  }
 
   // ---------------- batch read ----------------
 

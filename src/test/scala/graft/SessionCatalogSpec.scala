@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The spark_catalog wrapper: graft tables live in the session metastore
+  * beside ordinary Spark tables (reference: SparkGenericCatalog).
+  */
+class SessionCatalogSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.spark_catalog",
+      classOf[graft.spark.v2.GraftSessionCatalog].getName)
+  }
+
+  test("graft and non-graft tables coexist in spark_catalog") {
+    val loc = tmpTable() + "-gsc"
+    spark.sql(
+      s"""CREATE TABLE spark_catalog.default.gsc_t (k BIGINT, v STRING) USING graft
+         |LOCATION '$loc'
+         |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO spark_catalog.default.gsc_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO spark_catalog.default.gsc_t VALUES (1, 'a2')")
+    val rows = spark.sql("SELECT k, v FROM spark_catalog.default.gsc_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a2"), (2L, "b")), rows.mkString(","))
+    // row-level command through the wrapper
+    spark.sql("UPDATE spark_catalog.default.gsc_t SET v = 'x' WHERE k = 2")
+    assert(spark.sql("SELECT v FROM spark_catalog.default.gsc_t WHERE k = 2")
+      .head().getString(0) == "x")
+    // the physical layout at the metastore location is a real graft table
+    assert(graft.table.GraftTable.exists(spark, loc))
+
+    // a plain parquet table delegates untouched
+    val ploc = tmpTable() + "-plain"
+    spark.sql(
+      s"""CREATE TABLE spark_catalog.default.gsc_plain (k BIGINT) USING parquet
+         |LOCATION '$ploc'""".stripMargin)
+    spark.sql("INSERT INTO spark_catalog.default.gsc_plain VALUES (7)")
+    assert(spark.sql("SELECT * FROM spark_catalog.default.gsc_plain").count() == 1)
+    // both listed side by side
+    val names = spark.sql("SHOW TABLES IN spark_catalog.default").collect()
+      .map(_.getString(1)).toSet
+    assert(names.contains("gsc_t") && names.contains("gsc_plain"))
+
+    spark.sql("DROP TABLE spark_catalog.default.gsc_t")
+    spark.sql("DROP TABLE spark_catalog.default.gsc_plain")
+  }
+}
