@@ -114,6 +114,21 @@ object Fixtures {
       t
     }
 
+  /** PK table rescaled 2 → 8 buckets after its upsert chain: content must
+    * be invariant under the layout rewrite.
+    */
+  def ordersPkRescaled(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_rescaled") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        primaryKeys = Seq("o_orderkey"),
+        options = Map("bucket" -> "2", "write-only" -> "true"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t.rescaleBucket(8)
+      t
+    }
+
   /** Both versions of the %7 keys inside ONE commit (original rows first,
     * doubled rows second) — proves deterministic intra-batch last-wins.
     */

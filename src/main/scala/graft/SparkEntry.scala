@@ -77,6 +77,7 @@ object SparkEntry {
     // ---- primary-key tables: LSM upsert + merge-on-read ----
     "q10_pk_upsert" -> ((s, d) => Fixtures.ordersPk(s, d).toDF),
     "q66_dv_pk_table" -> ((s, d) => Fixtures.ordersPkDv(s, d).toDF),
+    "q67_rescaled_bucket" -> ((s, d) => Fixtures.ordersPkRescaled(s, d).toDF),
     "q11_pk_agg" -> ((s, d) =>
       Fixtures.ordersPk(s, d).toDF.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
@@ -431,6 +432,7 @@ object SparkEntry {
     "q10_pk_upsert" -> mergedOrders,
     "q66_dv_pk_table" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey % 13 <> 0",
+    "q67_rescaled_bucket" -> mergedOrders,
     "q11_pk_agg" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
