@@ -136,6 +136,63 @@ class DvTableSpec extends SparkSpec {
     assert(t.toDF.count() == 3)
   }
 
+  test("fuzz: dv table and mor table agree under random upsert/delete chains") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val st = Seq((1L, 0L, "x")).toDF("k", "n", "v").schema
+    for (trial <- 1 to 3) {
+      val dv = GraftTable.create(spark, tmpTable(), st, primaryKeys = Seq("k"),
+        options = Map("bucket" -> "2", "deletion-vectors.enabled" -> "true"))
+      val mor = GraftTable.create(spark, tmpTable(), st, primaryKeys = Seq("k"),
+        options = Map("bucket" -> "2"))
+      for (step <- 1 to 6) {
+        val op = rnd.nextInt(3)
+        if (op < 2) {
+          // upsert a random batch, possibly with intra-batch duplicate keys
+          val rows = (1 to (5 + rnd.nextInt(20))).map { _ =>
+            val k = rnd.nextInt(30).toLong
+            (k, rnd.nextLong(1000), s"t$trial-s$step-${rnd.nextInt(100)}")
+          }
+          val df = rows.toDF("k", "n", "v")
+          dv.upsert(df); mor.upsert(df)
+        } else {
+          val m = 2 + rnd.nextInt(5)
+          dv.delete(col("k") % m === 0); mor.delete(col("k") % m === 0)
+        }
+        val a = dv.toDF.orderBy("k").collect().toSeq
+        val b = mor.toDF.orderBy("k").collect().toSeq
+        assert(a == b, s"trial $trial step $step: dv=$a mor=$b")
+      }
+      dv.compact()
+      assert(dv.toDF.orderBy("k").collect().toSeq ==
+        mor.toDF.orderBy("k").collect().toSeq)
+    }
+  }
+
+  test("readStream serves a dv + lookup-producer table") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "deletion-vectors.enabled" -> "true",
+        "changelog-producer" -> "lookup", "write-only" -> "true"))
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.upsert(Seq((1L, "a2")).toDF("k", "v"))
+    val q = spark.readStream.format("graft")
+      .option("scan.mode", "latest-full").load(t.location)
+      .writeStream.format("memory").queryName("dv_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.table("dv_stream")
+      .select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // replay from the beginning via changelog: +I a, +I b, then -U/+U pair
+    assert(rows.contains((1L, "a2", "+U")) && rows.contains((1L, "a", "-U")),
+      rows.toString)
+    assert(rows.contains((2L, "b", "+I")))
+  }
+
   test("mode restrictions are enforced at create time") {
     import spark.implicits._
     val st = Seq((1L, "x")).toDF("k", "v").schema
