@@ -419,7 +419,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     */
   def append(df: DataFrame, commitIdentifier: Long = -1L): Snapshot = {
     require(!isPrimaryKeyed, "use upsert() for primary-key tables")
-    val files = stageWrite(align(df), level = 0, seq = nextSeq)
+    val files = stageWrite(align(ComputedColumns(schema, df)), level = 0, seq = nextSeq)
     val snap = commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)),
       CommitKind.APPEND, commitIdentifier)
     postWriteCompact().getOrElse(snap)
@@ -501,7 +501,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     })
     // resolve the kind expression against the caller's frame (it may reference
     // caller-only columns, e.g. MERGE INTO's action marker), then align
-    val prepared = df
+    val prepared = ComputedColumns(schema, df)
       .withColumn(KindCol, kindExpr.getOrElse(lit(KindInsert)).cast(ByteType))
       .select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)) :+ col(KindCol): _*)
       .withColumn(SeqCol, lit(seq))

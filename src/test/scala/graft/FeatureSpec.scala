@@ -273,6 +273,34 @@ class FeatureSpec extends SparkSpec {
     check(spark.sql("SELECT k, visitors, events FROM grbm.db.rbm_t ORDER BY k").collect())
   }
 
+  test("computed columns derive partition values at write time") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-15 10:30:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2025-07-01 23:05:00"), "b"))
+      .toDF("id", "ts", "v")
+    val full = df.withColumn("pt", lit(0)).withColumn("nm", lit(""))
+    val t = GraftTable.create(spark, tmpTable(), full.schema,
+      partitionKeys = Seq("pt"),
+      options = Map("computed-columns" ->
+        "pt=year(ts), nm=substring(v, 1, 2)"))
+    // writer supplies NO pt/nm values — they derive from ts/v
+    t.append(df.withColumn("pt", lit(null).cast("int"))
+      .withColumn("nm", lit(null).cast("string")))
+    val rows = t.toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getString(4)))
+    assert(rows.toSeq == Seq((1L, 2024, "a"), (2L, 2025, "b")), rows.mkString(","))
+    // partition pruning works on the derived column
+    assert(t.toDF.filter(col("pt") === 2024).count() == 1)
+    // truncate buckets numerics; cast and date_format compile too
+    val spec = "b=truncate(id, 10), d=date_format(ts, 'yyyy-MM'), c=cast(id, 'string')"
+    val parsed = graft.table.ComputedColumns.parse(spec,
+      n => if (n == "id") Some("bigint") else Some("timestamp"))
+    assert(parsed.map(_._1) == Seq("b", "d", "c"))
+    val out = df.select(parsed.map { case (n, c) => c.as(n) }: _*).orderBy("c").collect()
+    assert(out(0).getLong(0) == 0L && out(0).getString(1) == "2024-03")
+  }
+
   test("SQL INSERT OVERWRITE on a primary-key table") {
     val wh = java.nio.file.Files.createTempDirectory("graft-ow-wh").toString
     spark.conf.set("spark.sql.catalog.gow", classOf[graft.spark.v2.GraftCatalog].getName)
