@@ -195,6 +195,8 @@ object SparkEntry {
           .as("recent_rows"))),
 
     // ---- LLM-pipeline: text analysis ----
+    "q68_repeated_spans" -> ((s, d) =>
+      TextOps.repeatedWindows(Fixtures.src(s, d, "documents"), "doc_id", "text", n = 8)),
     "q40_text_stats" -> ((s, d) =>
       Fixtures.src(s, d, "documents").select(
         col("doc_id"),
@@ -557,6 +559,16 @@ object SparkEntry {
         | o_totalprice * 2, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
+    "q68_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id,
+        |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-8+1, 0)+1),
+        |  i -> {'start': i-1, 'win': ARRAY_TO_STRING(t[i:i+7], ' ')})) AS s FROM toks),
+        |flat AS (SELECT doc_id, s.start AS start, s.win AS win FROM w),
+        |c AS (SELECT win, COUNT(*) AS occurrences FROM flat GROUP BY win)
+        |SELECT f.doc_id, f.start, c.occurrences FROM flat f JOIN c USING (win)
+        |WHERE c.occurrences >= 2""".stripMargin,
     "q40_text_stats" ->
       s"""SELECT doc_id,
          | CAST($wordCountSql AS BIGINT) AS word_count,

@@ -116,4 +116,35 @@ object TextOps {
   def fingerprintDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Repeated token-window detection — the tractable core of EXACT-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": repeated ≥n-token substrings are memorization hot-spots that
+    * MinHash-style whole-doc dedup misses). Every length-`n` token window is
+    * keyed; windows whose key repeats (within OR across documents) come back
+    * as (doc_id, start_token, occurrences) spans a pipeline can mask or cut.
+    *
+    * Scale shape: windows explode to one row per token position (the
+    * unavoidable cost of substring-level analysis), then ONE groupBy on the
+    * window key counts occurrences and a key-local join maps survivors back
+    * to positions — no all-pairs comparison anywhere. At 100 TB, key by
+    * `xxhash64(window)` instead of the text to shrink the shuffle 10×
+    * (identical answers up to 64-bit collisions); the text key keeps this
+    * oracle-checkable bit-for-bit.
+    */
+  def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val src = PipelineUtil.spread(df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val starts = when(size(col("__t")) >= n, sequence(lit(0), size(col("__t")) - n))
+      .otherwise(array().cast("array<int>"))
+    val wins = src.select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"),
+        posexplode(transform(starts, i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
+      .toDF("doc_id", "start", "win")
+    val counted = wins.groupBy("win").agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") >= minOccurrences)
+    wins.join(counted, "win")
+      .select(col("doc_id"), col("start"), col("occurrences"))
+  }
 }
