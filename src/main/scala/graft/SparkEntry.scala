@@ -195,6 +195,12 @@ object SparkEntry {
           .as("recent_rows"))),
 
     // ---- LLM-pipeline: text analysis ----
+    "q69_pii_redaction" -> ((s, d) => {
+      val docs = Fixtures.src(s, d, "documents")
+      val counts = TextOps.piiCounts(col("text"))
+        .map { case (n, c) => c.as(s"n_$n") }
+      docs.select(col("doc_id") +: TextOps.redactPii(col("text")).as("redacted") +: counts: _*)
+    }),
     "q68_repeated_spans" -> ((s, d) =>
       TextOps.repeatedWindows(Fixtures.src(s, d, "documents"), "doc_id", "text", n = 8)),
     "q40_text_stats" -> ((s, d) =>
@@ -559,6 +565,16 @@ object SparkEntry {
         | o_totalprice * 2, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
+    "q69_pii_redaction" ->
+      """SELECT doc_id,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS n_phone,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4
+        |FROM documents""".stripMargin,
     "q68_repeated_spans" ->
       """WITH toks AS (SELECT doc_id,
         |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t

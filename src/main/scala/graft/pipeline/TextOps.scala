@@ -132,6 +132,30 @@ object TextOps {
     * (identical answers up to 64-bit collisions); the text key keeps this
     * oracle-checkable bit-for-bit.
     */
+  /** PII patterns a training-data pipeline scrubs before release. Regex
+    * dialect kept to the portable core (character classes + quantifiers) so
+    * an external SQL engine reproduces the scrub bit-for-bit.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Text with every PII pattern replaced by its placeholder (applied in
+    * [[PiiPatterns]] order — email first so phone-like digit runs inside
+    * addresses are already gone). Pure codegen projection.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Per-pattern match counts (the audit metric next to the scrub). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, re, _) =>
+      name -> size(regexp_extract_all(text, lit(re), lit(0)))
+    }
+
   def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minOccurrences: Int = 2): DataFrame = {
     val src = PipelineUtil.spread(df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
