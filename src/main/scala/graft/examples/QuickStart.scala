@@ -90,6 +90,25 @@ object QuickStart {
       "vec_id", "embedding", ivfPath, numCentroids = 8)
     println("[pipeline] ANN top-3 via partition-pruned IVF index:")
     VectorOps.ivfIndexTopK(ivf, qv, 3, nProbe = 2).show(false)
+
+    // ---- deletion-vector mode: merge-free PK reads ----
+    val ords = graft.Fixtures.src(spark, sfDir, "orders")
+    val dvT = GraftTable.create(spark, s"$base/orders_dv", ords.schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("deletion-vectors.enabled" -> "true"))
+    dvT.upsert(ords)
+    dvT.upsert(ords.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    dvT.delete(col("o_orderkey") % 13 === 0)
+    val masked = dvT.store.liveFiles(dvT.store.latestSnapshot.get)
+      .count(_.dvPath.isDefined)
+    println(s"[dv] rows=${dvT.toDF.count()} masked-files=$masked (raw scan, no merge)")
+
+    // ---- repeated-span + PII scrub pipeline ops ----
+    println(s"[pipeline] repeated 8-token spans: " +
+      TextOps.repeatedWindows(docs, "doc_id", "text", n = 8).count())
+    println(s"[pipeline] docs with PII-pattern hits: " +
+      docs.filter(TextOps.piiCounts(col("text")).map(_._2).reduce(_ + _) > 0).count())
     println("[done]")
     spark.stop()
   }
