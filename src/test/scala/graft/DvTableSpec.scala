@@ -193,6 +193,24 @@ class DvTableSpec extends SparkSpec {
     assert(rows.contains((2L, "b", "+I")))
   }
 
+  test("dv mode composes with dynamic buckets") {
+    import spark.implicits._
+    val st = Seq((1L, "x")).toDF("k", "v").schema
+    val t = GraftTable.create(spark, tmpTable(), st, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1", "deletion-vectors.enabled" -> "true",
+        "dynamic-bucket.target-row-num" -> "50", "write-only" -> "true"))
+    val big = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    t.upsert(big)
+    t.upsert((1L to 200L by 5).map(k => (k, s"u$k")).toDF("k", "v"))
+    val rows = t.toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 200)
+    assert(rows.forall { case (k, v) => v == (if (k % 5 == 1) s"u$k" else s"v$k") })
+    // the update produced masks, and dynamic assignment opened several buckets
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(live.exists(_.dvPath.isDefined))
+    assert(live.map(_.bucket).distinct.size >= 3)
+  }
+
   test("mode restrictions are enforced at create time") {
     import spark.implicits._
     val st = Seq((1L, "x")).toDF("k", "v").schema

@@ -301,6 +301,22 @@ class FeatureSpec extends SparkSpec {
     assert(out(0).getLong(0) == 0L && out(0).getString(1) == "2024-03")
   }
 
+  test("computed columns drive PK-table partition routing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-15 10:30:00"), "a"),
+      (2L, java.sql.Timestamp.valueOf("2025-07-01 23:05:00"), "b"))
+      .toDF("id", "ts", "v").withColumn("pt", lit(0))
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      partitionKeys = Seq("pt"), primaryKeys = Seq("id", "pt"),
+      options = Map("bucket" -> "2", "computed-columns" -> "pt=year(ts)"))
+    t.upsert(df) // writer's pt=0 is overwritten by the computed value
+    t.upsert(Seq((1L, java.sql.Timestamp.valueOf("2024-03-15 10:30:00"), "a2"))
+      .toDF("id", "ts", "v").withColumn("pt", lit(0)))
+    val rows = t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getInt(3), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, 2024, "a2"), (2L, 2025, "b")), rows.mkString(","))
+  }
+
   test("SQL INSERT OVERWRITE on a primary-key table") {
     val wh = java.nio.file.Files.createTempDirectory("graft-ow-wh").toString
     spark.conf.set("spark.sql.catalog.gow", classOf[graft.spark.v2.GraftCatalog].getName)
