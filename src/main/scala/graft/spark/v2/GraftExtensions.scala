@@ -211,7 +211,14 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
               graft.table.Maintenance.parseDurationMillis(args(1)), retainMin)
           }
         s"expired ${expired.size} snapshots"
-      case "create_tag" => table.store.createTag(args(1), args(2).toLong); s"tag ${args(1)}"
+      case "create_tag" =>
+        // snapshot id optional: default to the latest (reference:
+        // CreateTagProcedure's optional snapshot parameter)
+        val id = if (args.size > 2) args(2).toLong
+          else table.store.latestSnapshotId.getOrElse(
+            throw new IllegalArgumentException("table has no snapshots to tag"))
+        table.store.createTag(args(1), id)
+        s"tag ${args(1)} -> snapshot $id"
       case "delete_tag" => table.store.deleteTag(args(1)); s"deleted tag ${args(1)}"
       case "create_branch" =>
         table.createBranch(args(1), args(2).toLong); s"branch ${args(1)}"

@@ -18,7 +18,13 @@ trait RowLevelOps { self: GraftTable =>
 
   /** DELETE FROM t WHERE cond. */
   def delete(cond: Column): Snapshot = {
-    if (isPrimaryKeyed) {
+    if (isPrimaryKeyed && schema.deletionVectors) {
+      // dv mode: mark positions directly — no tombstone rows, no new data
+      // files, one metadata commit (same machinery as the append-table DV
+      // delete; live rows are unique per key so a position mask IS the
+      // delete)
+      deleteWithDvs(cond)
+    } else if (isPrimaryKeyed) {
       val matching = toDF.filter(cond)
       upsert(matching, kinds = Some(lit(KindDelete)))
     } else {

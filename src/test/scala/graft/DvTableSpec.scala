@@ -193,6 +193,27 @@ class DvTableSpec extends SparkSpec {
     assert(rows.contains((2L, "b", "+I")))
   }
 
+  test("dv delete is metadata-only: no new data files, just masks") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "deletion-vectors.enabled" -> "true",
+        "write-only" -> "true"))
+    t.upsert((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val filesBefore = t.store.liveFiles(t.store.latestSnapshot.get).map(_.path).toSet
+    t.delete(col("k") % 4 === 0)
+    val after = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(after.map(_.path).toSet == filesBefore, "delete must not write data files")
+    assert(after.exists(_.dvCount > 0))
+    assert(t.toDF.count() == 75)
+    assert(t.toDF.filter(col("k") % 4 === 0).count() == 0)
+    // deleting everything drops the files outright
+    t.delete(lit(true))
+    assert(t.store.liveFiles(t.store.latestSnapshot.get).isEmpty)
+    assert(t.toDF.count() == 0)
+  }
+
   test("dv mode composes with dynamic buckets") {
     import spark.implicits._
     val st = Seq((1L, "x")).toDF("k", "v").schema
