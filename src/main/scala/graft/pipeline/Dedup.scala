@@ -40,14 +40,17 @@ object Dedup {
   private def mix(h: Column, s: Int): Column = xxhash64(h, lit(seedConst(s)))
 
   /** MinHash signature: for each of `numHashes` derived hash functions, the
-    * minimum hash over the shingle set (classic Broder sketch). A pure
-    * per-row projection — whole-stage codegen, no shuffle; the hash loops
-    * stay small enough to JIT (one `array_min(transform(...))` per slot),
-    * unlike a 64-column aggregate whose generated update method does not.
+    * minimum hash over the shingle set (classic Broder sketch). One custom
+    * codegen'd expression computes every slot in a single pass over the
+    * hashed shingles (see [[graft.functions.MinHashSignature]] — ~10×
+    * faster than the per-slot higher-order-function formulation, which is
+    * CodegenFallback).
     */
   def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column = {
     val base = transform(shingleSet, x => xxhash64(x))
-    array((0 until numHashes).map(s => array_min(transform(base, h => mix(h, s)))): _*)
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graft.SparkShims.expr(base), numHashes))
   }
 
   /** Distinct 64-bit shingle hashes of a text column (the exact-Jaccard
@@ -71,16 +74,12 @@ object Dedup {
       numHashes: Int): DataFrame =
     spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
       // two projections on purpose: the shingle-hash array materializes
-      // ONCE per row (CollapseProject keeps non-cheap exprs referenced 64×
-      // un-inlined), then each signature slot is one array_min pass over
-      // it. 64 separate slot expressions beat one seed-array nested
-      // transform by ~10×: literal seeds keep each inner lambda a two-arg
-      // hash the interpreter fuses, while a lambda-bound seed forces
-      // per-element variable binding in the outer loop (measured 21 s vs
-      // 2 s on the sf0.1 corpus).
+      // ONCE per row, then ONE custom codegen'd expression computes every
+      // signature slot in a single pass over it
       .select(col("id"), shingleHashes(col("text")).as("hs"))
-      .select(col("id"), array((0 until numHashes).map(s =>
-        array_min(transform(col("hs"), h => mix(h, s)))): _*).as("sig"))
+      .select(col("id"), org.apache.spark.sql.graft.SparkShims.column(
+        graft.functions.MinHashSignature(
+          org.apache.spark.sql.graft.SparkShims.expr(col("hs")), numHashes)).as("sig"))
       .localCheckpoint(true)
 
   /** Candidate pairs (idA < idB) from a [[sigFrame]]: band buckets are

@@ -4,6 +4,32 @@ import graft.pipeline.{Dedup, VectorOps}
 import org.apache.spark.sql.functions._
 
 class PipelineSpec extends SparkSpec {
+
+  test("MinHashSignature expression matches the composed-builtin formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 50).map(i => (i.toLong,
+      (0 to i % 17).map(j => s"tok${(i * 31 + j * 7) % 23}").mkString(" "))) :+
+      (99L, "") // empty doc: no shingles
+    val df = docs.toDF("id", "text")
+    val hs = graft.pipeline.Dedup.shingleHashes(col("text"))
+    val viaExpr = df.select(col("id"),
+      graft.pipeline.Dedup.minhashSignature(
+        graft.pipeline.Dedup.shingles(col("text"))).as("sig"))
+    // the reference formulation: one array_min(transform) per slot
+    def seed(s: Int): Long = graft.functions.MinHashSignature.seedConst(s)
+    val viaBuiltins = df.select(col("id"), array((0 until 64).map(s =>
+      array_min(transform(hs, h => xxhash64(h, lit(seed(s)))))): _*).as("sig"))
+    val a = viaExpr.orderBy("id").collect().map(r => r.getSeq[Long](1))
+    val b = viaBuiltins.orderBy("id").collect()
+      .map(r => r.getSeq[Any](1).map {
+        case null => Long.MaxValue // empty set: builtin yields null, expr MaxValue
+        case l: Long => l
+      })
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i: $x vs $y")
+    }
+  }
   import spark.implicits._
 
   test("lsh candidates: degenerate bucket (identical docs) yields the full quadratic pair set") {
