@@ -232,6 +232,32 @@ class DvTableSpec extends SparkSpec {
     assert(live.map(_.bucket).distinct.size >= 3)
   }
 
+  test("dv masks stay correct across schema evolution") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "2", "deletion-vectors.enabled" -> "true",
+        "write-only" -> "true"))
+    t.upsert((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"))
+    // evolve: add a column, rename the value column
+    t.addColumn("extra", org.apache.spark.sql.types.IntegerType)
+    t.renameColumn("v", "val")
+    // upsert under the NEW schema supersedes rows written under the OLD one
+    // (the mask join resolves key columns by field id across schema versions)
+    t.upsert((1L to 20L by 2).map(k => (k, s"u$k", k.toInt))
+      .toDF("k", "val", "extra"))
+    val rows = t.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (k, v, e) =>
+      if (k % 2 == 1) assert(v == s"u$k" && e == k.toInt, s"$k: $v/$e")
+      else assert(v == s"v$k" && e == -1, s"$k: $v/$e")
+    }
+    // old-schema files got masked
+    assert(t.store.liveFiles(t.store.latestSnapshot.get).exists(_.dvCount > 0))
+  }
+
   test("mode restrictions are enforced at create time") {
     import spark.implicits._
     val st = Seq((1L, "x")).toDF("k", "v").schema
