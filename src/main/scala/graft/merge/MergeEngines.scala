@@ -142,6 +142,13 @@ object MergeEngines {
           coalesce(sum(when(c0.isNotNull, when(retract, -1L).otherwise(1L))
             .otherwise(0L)), lit(0L)).as(f)
         case "nested_update" => nestedUpdate(schema, f, c, ord).as(f)
+        case "collect" =>
+          // arrays CONCATENATE per key (reference: FieldCollectAgg — dups
+          // kept unless 'fields.<f>.distinct'); sorted nulls-first for a
+          // deterministic result the row path reproduces
+          val es = flatten(collect_list(c))
+          val distinct = schema.options.get(s"fields.$f.distinct").exists(_.toBoolean)
+          sort_array(if (distinct) array_distinct(es) else es).as(f)
         case _ => fieldAggregate(func, c, ord, ddl).as(f)
       }
     } ++ Seq(
@@ -193,8 +200,9 @@ object MergeEngines {
           x => x("v")),
         ",")
     case "collect" =>
-      // order-insensitive set collect; deterministic via sort
-      array_sort(array_distinct(collect_list(c)))
+      // array-valued inputs concatenate; deterministic via sort (the
+      // aggregation engine adds the 'fields.<f>.distinct' option on top)
+      sort_array(flatten(collect_list(c)))
     case "merge_map" =>
       // fold maps in version order; later keys win (needs LAST_WIN dedup policy)
       aggregate(

@@ -252,14 +252,18 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
           if (a == null) d else java.lang.Double.valueOf(a.asInstanceOf[Double] * d)
         }
       case "collect" =>
+        // mirror the DF path: concatenate arrays (dups kept unless the
+        // 'fields.<f>.distinct' option), sort with nulls first
         val elemType = dt.asInstanceOf[ArrayType].elementType
-        val seen = mutable.LinkedHashSet.empty[Any]
+        val distinct = schema.options.get(s"fields.$fieldName.distinct").exists(_.toBoolean)
+        val acc = mutable.ArrayBuffer.empty[Any]
         nonNull.foreach { v =>
           val arr = v.asInstanceOf[ArrayData]
-          arr.foreach(elemType, (_, e) => seen += e)
+          arr.foreach(elemType, (_, e) => acc += e)
         }
+        val all = if (distinct) acc.distinct.toSeq else acc.toSeq
         val ord = TypeUtils.getInterpretedOrdering(elemType).asInstanceOf[Ordering[Any]]
-        val (nulls, rest) = seen.toSeq.partition(_ == null)
+        val (nulls, rest) = all.partition(_ == null)
         new GenericArrayData((nulls ++ rest.sorted(ord)).toArray)
       case "merge_map" =>
         val mt = dt.asInstanceOf[MapType]

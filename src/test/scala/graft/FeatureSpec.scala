@@ -301,6 +301,33 @@ class FeatureSpec extends SparkSpec {
     assert(out(0).getLong(0) == 0L && out(0).getString(1) == "2024-03")
   }
 
+  test("collect aggregator concatenates arrays; distinct option dedups — both paths") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-colwh").toString
+    spark.conf.set("spark.sql.catalog.gcol", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcol.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcol.db")
+    def drive(name: String, opts: Map[String, String]): (Seq[Long], Seq[Long]) = {
+      val df1 = Seq((1L, Seq(3L, 1L)), (2L, Seq(5L))).toDF("k", "xs")
+      val t = GraftTable.create(spark, s"$wh/db/$name", df1.schema,
+        primaryKeys = Seq("k"),
+        options = Map("bucket" -> "1", "merge-engine" -> "aggregation",
+          "fields.xs.aggregate-function" -> "collect", "write-only" -> "true") ++ opts)
+      t.upsert(df1)
+      t.upsert(Seq((1L, Seq(2L, 3L))).toDF("k", "xs"))
+      val viaDf = t.toDF.filter(col("k") === 1).head().getSeq[Long](1)
+      val viaScan = spark.sql(s"SELECT xs FROM gcol.db.$name WHERE k = 1")
+        .head().getSeq[Long](0)
+      (viaDf, viaScan)
+    }
+    // default: duplicates kept (reference FieldCollectAgg default)
+    val (a, b) = drive("col_dup", Map.empty)
+    assert(a == Seq(1L, 2L, 3L, 3L) && b == a, s"$a / $b")
+    // fields.<f>.distinct dedups
+    val (c, d) = drive("col_dis", Map("fields.xs.distinct" -> "true"))
+    assert(c == Seq(1L, 2L, 3L) && d == c, s"$c / $d")
+  }
+
   test("computed columns drive PK-table partition routing") {
     import spark.implicits._
     val df = Seq(
