@@ -102,8 +102,11 @@ object MergeEngines {
     val groupOf: Map[String, Column] = schema.options.collect {
       case (k, fieldsCsv) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
         val seqCol = k.stripPrefix("fields.").stripSuffix(".sequence-group")
+        // (group sequence, commit seq, in-batch position) — the position
+        // breaks intra-batch ties exactly like the row path's
+        // compareGroupOrd, keeping both merge paths deterministic and equal
         fieldsCsv.split(",").map(_.trim).map(f =>
-          f -> struct(col(seqCol), col(SeqCol))).toSeq
+          f -> struct(col(seqCol), col(SeqCol), col(PosCol))).toSeq
     }.flatten.toMap
     val aggs = valueFields(schema).map { f =>
       val o = groupOf.getOrElse(f, ord)

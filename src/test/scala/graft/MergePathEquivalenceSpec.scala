@@ -35,7 +35,8 @@ class MergePathEquivalenceSpec extends SparkSpec {
     StructField("l", LongType),
     StructField("d", DoubleType),
     StructField("s", StringType),
-    StructField("b", BooleanType)))
+    StructField("b", BooleanType),
+    StructField("arr", ArrayType(LongType))))
 
   private def randomConfig(rnd: Random): Map[String, String] = {
     val engine = Seq("deduplicate", "first-row", "partial-update", "aggregation")(rnd.nextInt(4))
@@ -46,7 +47,9 @@ class MergePathEquivalenceSpec extends SparkSpec {
       "fields.l.aggregate-function" -> Seq("sum", "max", "min", "last_non_null_value")(rnd.nextInt(4)),
       "fields.d.aggregate-function" -> Seq("sum", "max", "min")(rnd.nextInt(3)),
       "fields.s.aggregate-function" -> Seq("last_non_null_value", "first_value", "listagg")(rnd.nextInt(3)),
-      "fields.b.aggregate-function" -> Seq("bool_or", "bool_and")(rnd.nextInt(2)))
+      "fields.b.aggregate-function" -> Seq("bool_or", "bool_and")(rnd.nextInt(2)),
+      "fields.arr.aggregate-function" -> "collect") ++
+      (if (rnd.nextBoolean()) Map("fields.arr.distinct" -> "true") else Map.empty)
     else Map.empty
     // partial-update: sometimes version the (d, s) fields by their own
     // sequence column instead of the global order
@@ -65,13 +68,16 @@ class MergePathEquivalenceSpec extends SparkSpec {
         if (rnd.nextInt(5) == 0) null else rnd.nextInt(100).toLong,
         if (rnd.nextInt(5) == 0) null else rnd.nextInt(100) / 10.0,
         if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(10)}",
-        if (rnd.nextInt(5) == 0) null else rnd.nextBoolean())
+        if (rnd.nextInt(5) == 0) null else rnd.nextBoolean(),
+        if (rnd.nextInt(5) == 0) null
+        else (0 until rnd.nextInt(4)).map(_ => rnd.nextInt(6).toLong))
     }
 
   private def canon(rows: Array[Row]): Seq[String] =
     rows.map(_.toSeq.map {
       case null => "∅"
       case d: Double => f"$d%.6f"
+      case sq: Seq[_] => sq.mkString("[", ";", "]")
       case x => x.toString
     }.mkString("|")).sorted.toSeq
 
