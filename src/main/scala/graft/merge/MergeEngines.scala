@@ -57,13 +57,27 @@ object MergeEngines {
       (if (schema.crossPartition) bucketCol +: schema.primaryKeys
       else (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys).distinct
     val ord = ordering(schema)
-    schema.mergeEngine match {
+    val merged = schema.mergeEngine match {
       case "deduplicate" => dedup(schema, raw, groupCols, ord, first = false)
       case "first-row" => dedup(schema, raw, groupCols, ord, first = true)
       case "partial-update" => partialUpdate(schema, raw, groupCols, ord)
       case "aggregation" => aggregation(schema, raw, groupCols, ord)
       case e => throw new IllegalArgumentException(s"unknown merge-engine: $e")
     }
+    // pin every schema column back to its DECLARED type: Spark's typed
+    // aggregates widen (sum(decimal(10,2)) → decimal(20,2), sum(int) →
+    // bigint), which would violate the table schema downstream and poison
+    // compaction rewrites (staged parquet in the widened type fails the
+    // declared-schema read). The row-merge path keeps declared types, so
+    // this also keeps the two paths bit-identical.
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    merged.select(merged.columns.toSeq.map { c =>
+      byName.get(c) match {
+        case Some(f) if merged.schema(c).dataType != f.sparkType =>
+          col(c).cast(f.sparkType).as(c)
+        case _ => col(c)
+      }
+    }: _*)
   }
 
   /** Values (non-group) fields we must carry through the merge. */

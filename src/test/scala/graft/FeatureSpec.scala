@@ -301,6 +301,33 @@ class FeatureSpec extends SparkSpec {
     assert(out(0).getLong(0) == 0L && out(0).getString(1) == "2024-03")
   }
 
+  test("decimal/int sums keep declared types through merge and compaction") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val st = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("amt", DecimalType(10, 2)),
+      StructField("n", IntegerType)))
+    val t = GraftTable.create(spark, tmpTable(), st,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "merge-engine" -> "aggregation",
+        "fields.amt.aggregate-function" -> "sum",
+        "fields.n.aggregate-function" -> "sum", "write-only" -> "true"))
+    def df(v: String, n: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, new java.math.BigDecimal(v), n))), st)
+    t.upsert(df("10.50", 3))
+    t.upsert(df("2.25", 4))
+    // declared types survive the merge (sum would widen to decimal(20,2)/bigint)
+    assert(t.toDF.schema("amt").dataType == DecimalType(10, 2))
+    assert(t.toDF.schema("n").dataType == IntegerType)
+    val r = t.toDF.head()
+    assert(r.getDecimal(1).toPlainString == "12.75" && r.getInt(2) == 7)
+    // compaction rewrites under the declared schema without type poisoning
+    t.compact()
+    val r2 = t.toDF.head()
+    assert(r2.getDecimal(1).toPlainString == "12.75" && r2.getInt(2) == 7)
+  }
+
   test("collect aggregator concatenates arrays; distinct option dedups — both paths") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("graft-colwh").toString
