@@ -195,6 +195,25 @@ object MergeEngines {
       concat(filter(acc, e => !keys.map(k => e(k) <=> r(k)).reduce(_ && _)), array(r)))
   }
 
+  /** Key/value type DDL of a `map<k, v>` DDL string (top-level comma split). */
+  private def keyTypeOf(mapDdl: String): String = splitMapDdl(mapDdl)._1
+  private def valueTypeOf(mapDdl: String): String = splitMapDdl(mapDdl)._2
+  private def splitMapDdl(mapDdl: String): (String, String) = {
+    val t = mapDdl.trim
+    require(t.length > 5 && t.take(4).equalsIgnoreCase("map<") && t.endsWith(">"),
+      s"not a map DDL: $mapDdl")
+    val inner = t.drop(4).dropRight(1)
+    var depth = 0
+    val i = inner.indexWhere {
+      case '<' => depth += 1; false
+      case '>' => depth -= 1; false
+      case ',' => depth == 0
+      case _ => false
+    }
+    require(i > 0, s"not a map DDL: $mapDdl")
+    (inner.take(i).trim, inner.drop(i + 1).trim)
+  }
+
   /** One per-field aggregator (reference: mergetree/compact/aggregate/Field*Agg).
     * @param ddl the field's data type (DDL string) — needed for typed zeros.
     */
@@ -221,11 +240,20 @@ object MergeEngines {
       // aggregation engine adds the 'fields.<f>.distinct' option on top)
       sort_array(flatten(collect_list(c)))
     case "merge_map" =>
-      // fold maps in version order; later keys win (needs LAST_WIN dedup policy)
-      aggregate(
-        transform(array_sort(collect_list(struct(ord.as("o"), c.as("v")))), x => x("v")),
-        map().cast(ddl),
-        (acc, m) => map_concat(acc, m))
+      // fold maps in version order, later keys replacing earlier ones —
+      // expressed over the ENTRY array (replace-then-append, like
+      // nested_update) so it never constructs a duplicate-keyed map and is
+      // independent of spark.sql.mapKeyDedupPolicy (whose EXCEPTION
+      // default would make a map_concat fold throw for real sessions)
+      // comparator form: a struct CONTAINING a map is not orderable, so
+      // sort by the version struct alone
+      val sorted = array_sort(
+        collect_list(when(c.isNotNull, struct(ord.as("o"), c.as("v")))),
+        (l, r) => when(l("o") < r("o"), -1).when(l("o") > r("o"), 1).otherwise(0))
+      val entries = flatten(transform(sorted, x => map_entries(x("v"))))
+      val entryType = s"array<struct<key:${keyTypeOf(ddl)},value:${valueTypeOf(ddl)}>>"
+      map_from_entries(aggregate(entries, expr(s"cast(array() as $entryType)"),
+        (acc, e) => concat(filter(acc, a => !(a("key") <=> e("key"))), array(e))))
     case "product" =>
       aggregate(collect_list(c.cast("double")), lit(1.0d), (acc, x) => acc * x)
     // serialized RoaringBitmap metrics union per key (reference:

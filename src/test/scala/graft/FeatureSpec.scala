@@ -301,6 +301,28 @@ class FeatureSpec extends SparkSpec {
     assert(out(0).getLong(0) == 0L && out(0).getString(1) == "2024-03")
   }
 
+  test("merge_map folds later-wins on both paths without a dedup-policy dependency") {
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") == "EXCEPTION")
+    val wh = java.nio.file.Files.createTempDirectory("graft-mmwh").toString
+    spark.conf.set("spark.sql.catalog.gmm", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmm.db")
+    val df1 = Seq((1L, Map("a" -> 1.0, "b" -> 2.0))).toDF("k", "m")
+    val t = GraftTable.create(spark, s"$wh/db/mm_t", df1.schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "merge-engine" -> "aggregation",
+        "fields.m.aggregate-function" -> "merge_map", "write-only" -> "true"))
+    t.upsert(df1)
+    t.upsert(Seq((1L, Map("b" -> 20.0, "c" -> 3.0))).toDF("k", "m"))
+    val expect = Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0)
+    assert(t.toDF.head().getMap[String, Double](1).toMap == expect)
+    assert(spark.sql("SELECT m FROM gmm.db.mm_t").head()
+      .getMap[String, Double](0).toMap == expect)
+    t.compact()
+    assert(t.toDF.head().getMap[String, Double](1).toMap == expect)
+  }
+
   test("decimal/int sums keep declared types through merge and compaction") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
