@@ -581,6 +581,30 @@ class SqlCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF and SQL TRUNCATE") {
+    spark.sql(
+      """CREATE TABLE graft.db.tt_t (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.tt_t VALUES (1, 'a')")
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/tt_t")
+    val ts1 = t.store.latestSnapshot.get.timestampMs
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.db.tt_t VALUES (2, 'b')")
+    // travel to the instant of the first commit
+    val fmt = new java.sql.Timestamp(ts1)
+    val asOf = spark.sql(
+      s"SELECT count(*) FROM graft.db.tt_t TIMESTAMP AS OF '$fmt'")
+      .head().getLong(0)
+    assert(asOf == 1, s"expected 1 row at ts1, got $asOf")
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt_t").head().getLong(0) == 2)
+    spark.sql("TRUNCATE TABLE graft.db.tt_t")
+    assert(spark.sql("SELECT count(*) FROM graft.db.tt_t").head().getLong(0) == 0)
+    // history preserved: the snapshot before the truncate still serves
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db.tt_t TIMESTAMP AS OF '$fmt'")
+      .head().getLong(0) == 1)
+  }
+
   test("catalog-level system tables: all_table_options + catalog_options") {
     spark.sql(
       """CREATE TABLE graft.db.opts_t (id BIGINT, v STRING) USING graft
