@@ -840,17 +840,88 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   private def bloomBits: Long =
     schema.option("file-index.bloom.bits", (1L << 20).toString).toLong
 
+  /** Per-staged-file stats in external form, source-agnostic: from parquet
+    * FOOTERS when possible (metadata-only — writing 100 TB must not imply
+    * re-reading 100 TB), else from one aggregation scan of the staged data.
+    */
+  private case class StagedStats(
+      uri: String, rowCount: Long,
+      mins: Map[String, Any], maxs: Map[String, Any], nulls: Map[String, Long],
+      blooms: Map[String, Array[Byte]])
+
   private def collectStatsAndMove(staging: Path, level: Int, seq: Long): Seq[DataFileMeta] = {
     val fs = store.fs
     if (!fs.exists(staging)) return Nil
+    val cols = statCols()
+    val blooms = bloomCols()
+    // footers carry min/max/nullCount already; the scan fallback covers orc,
+    // bloom sidecar builds (which need the data anyway), and any footer with
+    // absent/unknown statistics
+    val perFile: Seq[StagedStats] =
+      (if (schema.fileFormat == "parquet" && blooms.isEmpty)
+        footerStats(staging, cols) else None)
+        .getOrElse(scanStats(staging, cols, blooms))
+
+    val stagingName = staging.getName
+    perFile.map { r =>
+      val uri = r.uri
+      val at = uri.indexOf(stagingName)
+      require(at >= 0, s"unexpected staged file path: $uri")
+      val rel = uri.substring(at + stagingName.length + 1)
+      // partition values from the directory segments, in dirCols order
+      val segs = rel.split('/').dropRight(1)
+      val kv = segs.map { s =>
+        val i = s.indexOf('=')
+        s.take(i) -> PartitionPathUtils.unescape(s.drop(i + 1))
+      }.toMap
+      val ptValues = schema.partitionKeys.map(k => kv.getOrElse(k, PartitionPathUtils.NullPartitionValue))
+      val bucket = kv.get(BucketCol).map(_.toInt).getOrElse(0)
+
+      val stats = cols.map { f =>
+        val mnRaw = r.mins.getOrElse(f.name, null)
+        val mxRaw = r.maxs.getOrElse(f.name, null)
+        val (mn, mx) = f.sparkType match {
+          case StringType =>
+            (Option(mnRaw).map(_.toString).map(_.take(StatsStringCap)),
+             Option(mxRaw).map(_.toString).flatMap { s =>
+               if (s.length <= StatsStringCap) Some(s)
+               else truncateUp(s.take(StatsStringCap)) // None → unbounded
+             })
+          case dt => (StatsCodec.encode(dt, mnRaw), StatsCodec.encode(dt, mxRaw))
+        }
+        f.name -> ColStats(mn, mx, r.nulls.getOrElse(f.name, 0L))
+      }.toMap
+
+      val bloomPaths = r.blooms.map { case (n, b) => n -> store.writeBloom(b) }
+
+      val fileName = rel.split('/').last
+      val targetRel = (Seq("data") ++ segs :+ fileName).mkString("/")
+      val target = new Path(store.rootPath, targetRel)
+      fs.mkdirs(target.getParent)
+      val src = new Path(staging, rel)
+      require(fs.rename(src, target), s"failed to move $src -> $target")
+      DataFileMeta(
+        path = targetRel,
+        size = fs.getFileStatus(target).getLen,
+        rowCount = r.rowCount,
+        partition = ptValues,
+        bucket = bucket,
+        level = level,
+        minSeq = seq, maxSeq = seq,
+        schemaId = schema.id,
+        stats = stats,
+        blooms = bloomPaths)
+    }
+  }
+
+  /** One aggregation pass over the staged files (the pre-footer path). */
+  private def scanStats(staging: Path, cols: Seq[Field],
+      blooms: Seq[Field]): Seq[StagedStats] = {
     val staged = spark.read
       .schema(StructType(physicalDataSchema().fields)) // data cols only; dirs ignored
       .option("basePath", staging.toString)
       .format(schema.fileFormat)
       .load(staging.toString)
-
-    val cols = statCols()
-    val blooms = bloomCols()
     val bloomAggs = blooms.zipWithIndex.map { case (f, i) =>
       org.apache.spark.sql.graft.SparkShims
         .bloomFilterAgg(xxhash64(col(f.name)), bloomBits).as(s"__bf$i")
@@ -870,63 +941,145 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       Seq(min(statC).as(s"__mn$i"), max(statC).as(s"__mx$i"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nc$i"))
     }
-    val rows = staged
-      .groupBy(col("_metadata.file_path").as("__path"))
+    staged.groupBy(col("_metadata.file_path").as("__path"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
+      .collect().toSeq.map { row =>
+        StagedStats(
+          uri = row.getAs[String]("__path"),
+          rowCount = row.getAs[Long]("__cnt"),
+          mins = cols.zipWithIndex.flatMap { case (f, i) =>
+            Option(row.get(row.fieldIndex(s"__mn$i"))).map(f.name -> _) }.toMap,
+          maxs = cols.zipWithIndex.flatMap { case (f, i) =>
+            Option(row.get(row.fieldIndex(s"__mx$i"))).map(f.name -> _) }.toMap,
+          nulls = cols.zipWithIndex.map { case (f, i) =>
+            f.name -> row.getAs[Long](s"__nc$i") }.toMap,
+          blooms = blooms.zipWithIndex.flatMap { case (f, i) =>
+            Option(row.getAs[Array[Byte]](s"__bf$i")).map(f.name -> _) }.toMap)
+      }
+  }
 
-    val stagingName = staging.getName
-    rows.toSeq.map { r =>
-      val uri = r.getAs[String]("__path")
-      val at = uri.indexOf(stagingName)
-      require(at >= 0, s"unexpected staged file path: $uri")
-      val rel = uri.substring(at + stagingName.length + 1)
-      // partition values from the directory segments, in dirCols order
-      val segs = rel.split('/').dropRight(1)
-      val kv = segs.map { s =>
-        val i = s.indexOf('=')
-        s.take(i) -> PartitionPathUtils.unescape(s.drop(i + 1))
-      }.toMap
-      val ptValues = schema.partitionKeys.map(k => kv.getOrElse(k, PartitionPathUtils.NullPartitionValue))
-      val bucket = kv.get(BucketCol).map(_.toInt).getOrElse(0)
-
-      val stats = cols.zipWithIndex.map { case (f, i) =>
-        val mnRaw = r.get(r.fieldIndex(s"__mn$i"))
-        val mxRaw = r.get(r.fieldIndex(s"__mx$i"))
-        val (mn, mx) = f.sparkType match {
-          case StringType =>
-            (Option(mnRaw).map(_.toString).map(_.take(StatsStringCap)),
-             Option(mxRaw).map(_.toString).flatMap { s =>
-               if (s.length <= StatsStringCap) Some(s)
-               else truncateUp(s.take(StatsStringCap)) // None → unbounded
-             })
-          case dt => (StatsCodec.encode(dt, mnRaw), StatsCodec.encode(dt, mxRaw))
-        }
-        f.name -> ColStats(mn, mx, r.getAs[Long](s"__nc$i"))
-      }.toMap
-
-      val bloomPaths = blooms.zipWithIndex.flatMap { case (f, i) =>
-        Option(r.getAs[Array[Byte]](s"__bf$i")).map(b => f.name -> store.writeBloom(b))
-      }.toMap
-
-      val fileName = rel.split('/').last
-      val targetRel = (Seq("data") ++ segs :+ fileName).mkString("/")
-      val target = new Path(store.rootPath, targetRel)
-      fs.mkdirs(target.getParent)
-      val src = new Path(staging, rel)
-      require(fs.rename(src, target), s"failed to move $src -> $target")
-      DataFileMeta(
-        path = targetRel,
-        size = fs.getFileStatus(target).getLen,
-        rowCount = r.getAs[Long]("__cnt"),
-        partition = ptValues,
-        bucket = bucket,
-        level = level,
-        minSeq = seq, maxSeq = seq,
-        schemaId = schema.id,
-        stats = stats,
-        blooms = bloomPaths)
+  /** Metadata-only stats from parquet footers — row counts and per-column
+    * min/max/nullCount read from row-group metadata, no data pages touched
+    * (reference: the reference's writers collect stats DURING the write;
+    * footers are the Spark-native equivalent since the staged write is
+    * Spark's own parquet writer). Returns None (→ scan fallback) on any
+    * file whose footer lacks well-formed statistics for a stat column or
+    * stores it under an unexpected physical type.
+    */
+  private def footerStats(staging: Path, cols: Seq[Field]): Option[Seq[StagedStats]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val fs = store.fs
+    val conf = spark.sessionState.newHadoopConf()
+    val files = {
+      val it = fs.listFiles(staging, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) b += f.getPath
+      }
+      b.result()
     }
+    val out = files.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var rowCount = 0L
+        val mins = scala.collection.mutable.Map.empty[String, Any]
+        val maxs = scala.collection.mutable.Map.empty[String, Any]
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
+        val wanted = cols.map(f => f.name -> f).toMap
+        var i = 0
+        while (i < blocks.size()) {
+          val block = blocks.get(i)
+          rowCount += block.getRowCount
+          var j = 0
+          val chunks = block.getColumns
+          while (j < chunks.size()) {
+            val ch = chunks.get(j)
+            val path = ch.getPath.toArray
+            if (path.length == 1 && wanted.contains(path(0))) {
+              val f = wanted(path(0))
+              val st = ch.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              nulls.updateWith(f.name)(n => Some(n.getOrElse(0L) + st.getNumNulls))
+              if (st.hasNonNullValue) {
+                val prim = ch.getPrimitiveType.getPrimitiveTypeName
+                val conv = footerValue(f.sparkType, prim, _: Any)
+                val (mnV, mxV) =
+                  (conv(st.genericGetMin), conv(st.genericGetMax)) match {
+                    case (Some(a), Some(b)) => (a, b)
+                    case _ => return None // unsupported mapping → scan fallback
+                  }
+                val ord = footerOrdering(f.sparkType).getOrElse(return None)
+                mins.updateWith(f.name)(cur =>
+                  Some(cur.filter(c => ord.compare(c, mnV) <= 0).getOrElse(mnV)))
+                maxs.updateWith(f.name)(cur =>
+                  Some(cur.filter(c => ord.compare(c, mxV) >= 0).getOrElse(mxV)))
+              } else if (st.isEmpty && block.getRowCount > 0) {
+                return None // stats dropped (e.g. oversized values)
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        StagedStats(p.toString, rowCount, mins.toMap, maxs.toMap, nulls.toMap, Map.empty)
+      } finally reader.close()
+    }
+    Some(out)
+  }
+
+  /** Map a parquet footer min/max to the external value [[StatsCodec.encode]]
+    * canonicalizes for the given Spark type; None = unsupported combination.
+    */
+  private def footerValue(dt: DataType,
+      prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      v: Any): Option[Any] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.io.api.Binary
+    (dt, prim) match {
+      case (ByteType | ShortType | IntegerType | DateType, INT32) => Some(v)
+      case (LongType | TimestampType | TimestampNTZType, INT64) => Some(v)
+      case (FloatType, FLOAT) => Some(v)
+      case (DoubleType, DOUBLE) => Some(v)
+      case (BooleanType, BOOLEAN) => Some(v)
+      case (StringType, BINARY) =>
+        Some(new String(v.asInstanceOf[Binary].getBytes,
+          java.nio.charset.StandardCharsets.UTF_8))
+      case (d: DecimalType, INT32) =>
+        Some(java.math.BigDecimal.valueOf(v.asInstanceOf[Integer].longValue(), d.scale))
+      case (d: DecimalType, INT64) =>
+        Some(java.math.BigDecimal.valueOf(v.asInstanceOf[java.lang.Long], d.scale))
+      case (d: DecimalType, FIXED_LEN_BYTE_ARRAY | BINARY) =>
+        Some(new java.math.BigDecimal(
+          new java.math.BigInteger(v.asInstanceOf[Binary].getBytes), d.scale))
+      case _ => None
+    }
+  }
+
+  /** Ordering used to merge footer stats across row groups — must match the
+    * engine's own comparison semantics per type (UTF8 byte order for
+    * strings, numeric order otherwise).
+    */
+  private def footerOrdering(dt: DataType): Option[Ordering[Any]] = {
+    val o: Option[Ordering[_]] = dt match {
+      case ByteType | ShortType | IntegerType | DateType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Integer].intValue()))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[java.lang.Long].longValue()))
+      case FloatType => Some(Ordering.by((x: Any) => x.asInstanceOf[java.lang.Float].floatValue()))
+      case DoubleType => Some(Ordering.by((x: Any) => x.asInstanceOf[java.lang.Double].doubleValue()))
+      case BooleanType => Some(Ordering.by((x: Any) => x.asInstanceOf[java.lang.Boolean].booleanValue()))
+      case StringType => Some(Ordering.comparatorToOrdering(
+        (a: Any, b: Any) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))))
+      case _: DecimalType => Some(Ordering.by((x: Any) => x.asInstanceOf[java.math.BigDecimal]))
+      case _ => None
+    }
+    o.map(_.asInstanceOf[Ordering[Any]])
   }
 }
 
