@@ -301,6 +301,40 @@ class FeatureSpec extends SparkSpec {
     assert(out(0).getLong(0) == 0L && out(0).getString(1) == "2024-03")
   }
 
+  test("footer-derived stats equal scan-derived stats across all stat types") {
+    import spark.implicits._
+    // mixed-type frame incl nulls, long strings past the 64-char cap,
+    // decimals, dates and both timestamp flavors
+    val df = sf("orders").limit(500)
+      .withColumn("dec", (col("o_totalprice") * 100).cast("decimal(12,2)"))
+      .withColumn("dt", to_date(col("o_orderdate")))
+      .withColumn("ntz", col("o_orderdate").cast("timestamp_ntz"))
+      .withColumn("longstr",
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(concat(lit("x" * 80), col("o_orderkey").cast("string"))))
+      .cache()
+    // footer path: plain parquet table
+    val tf = GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("write-only" -> "true"))
+    tf.append(df)
+    // scan path: identical table with a bloom column (forces the fallback)
+    val ts = GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("write-only" -> "true",
+        "file-index.bloom.columns" -> "o_orderkey"))
+    ts.append(df)
+    def statsOf(t: GraftTable) = t.store
+      .liveFiles(t.store.latestSnapshot.get)
+      .sortBy(_.path).map(f => (f.rowCount, f.stats.toSeq.sortBy(_._1)))
+    val (a, b) = (statsOf(tf), statsOf(ts))
+    assert(a.map(_._1).sum == b.map(_._1).sum)
+    // same number of files written identically → compare pairwise
+    assert(a.size == b.size)
+    a.zip(b).foreach { case ((ra, sa), (rb, sb)) =>
+      assert(ra == rb)
+      assert(sa == sb, s"stats diverged:\n  footer: $sa\n  scan:   $sb")
+    }
+  }
+
   test("merge_map folds later-wins on both paths without a dedup-policy dependency") {
     import spark.implicits._
     assert(spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") == "EXCEPTION")
