@@ -97,6 +97,27 @@ case class TableSchema(
   def deletionVectors: Boolean =
     isPrimaryKeyed && option("deletion-vectors.enabled", "false").toBoolean
 
+  /** Create-time option validation (reference: schema/SchemaValidation.java
+    * :174-530 — the combinations the reference rejects outright).
+    */
+  def validate(): Unit = {
+    if (mergeEngine == "first-row") {
+      val producer = option(TableSchema.ChangelogProducerOpt, "none")
+      require(producer == "none" || producer == "lookup",
+        s"first-row supports changelog-producer none or lookup, not $producer")
+      require(sequenceField.isEmpty,
+        "sequence.field is not supported with the first-row merge engine")
+    }
+    sequenceField.foreach { sf =>
+      require(fields.exists(_.name == sf), s"sequence field '$sf' not in schema")
+      require(!options.contains(TableSchema.aggFuncOpt(sf)),
+        s"must not define an aggregation on sequence field '$sf'")
+      require(!crossPartition,
+        "sequence.field is not supported with cross-partition update")
+    }
+    validateDeletionVectors()
+  }
+
   /** Validity constraints for deletion-vector mode (create-time). */
   def validateDeletionVectors(): Unit = if (deletionVectors) {
     require(fileFormat == "parquet",

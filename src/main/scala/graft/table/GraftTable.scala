@@ -1118,7 +1118,7 @@ object GraftTable {
     val store = new FileStore(path, spark.sessionState.newHadoopConf())
     require(!store.schemaExists, s"table already exists at $path")
     val ts = TableSchema.create(schema, partitionKeys, primaryKeys, options)
-    ts.validateDeletionVectors()
+    ts.validate()
     store.commitSchema(ts)
     new GraftTable(spark, store)
   }

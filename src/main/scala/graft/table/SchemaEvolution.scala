@@ -72,9 +72,10 @@ trait SchemaEvolution { self: GraftTable =>
         schema.option(key, "false") != value)
       throw new UnsupportedOperationException(
         "cannot toggle deletion-vectors.enabled on a populated table")
-    val next = commitEvolved(s => s.copy(options = s.options + (key -> value)))
-    next.validateDeletionVectors()
-    next
+    // validate a PREVIEW before committing — a rejected combination must
+    // not leave a persisted schema version behind
+    schema.copy(options = schema.options + (key -> value)).validate()
+    commitEvolved(s => s.copy(options = s.options + (key -> value)))
   }
 
   def removeOption(key: String): TableSchema =
