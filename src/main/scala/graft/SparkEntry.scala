@@ -195,6 +195,8 @@ object SparkEntry {
           .as("recent_rows"))),
 
     // ---- LLM-pipeline: text analysis ----
+    "q70_token_freq" -> ((s, d) =>
+      TextOps.tokenFrequencies(Fixtures.src(s, d, "documents"), "text", minCount = 5L)),
     "q69_pii_redaction" -> ((s, d) => {
       val docs = Fixtures.src(s, d, "documents")
       val counts = TextOps.piiCounts(col("text"))
@@ -565,6 +567,11 @@ object SparkEntry {
         | o_totalprice * 2, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
+    "q70_token_freq" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9]+', ' ', 'g')), ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 5""".stripMargin,
     "q69_pii_redaction" ->
       """SELECT doc_id,
         |  REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,

@@ -132,6 +132,19 @@ object TextOps {
     * (identical answers up to 64-bit collisions); the text key keeps this
     * oracle-checkable bit-for-bit.
     */
+  /** Corpus token frequencies — the vocabulary-building primitive (explode
+    * normalized tokens, one count aggregation; map-side partial combine
+    * keeps the shuffle at distinct-token scale). `minCount` drops the long
+    * tail at the source.
+    */
+  def tokenFrequencies(df: DataFrame, textCol: String,
+      minCount: Long = 2L): DataFrame =
+    df.select(explode(split(trim(regexp_replace(lower(col(textCol)),
+        "[^a-z0-9]+", " ")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
   /** PII patterns a training-data pipeline scrubs before release. Regex
     * dialect kept to the portable core (character classes + quantifiers) so
     * an external SQL engine reproduces the scrub bit-for-bit.
