@@ -465,10 +465,17 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * operator bounding chain growth sets the option and gets the same
     * per-commit cadence).
     */
-  private def postWriteExpire(): Unit =
+  private def postWriteExpire(): Unit = {
     schema.options.get("snapshot.num-retained.max").map(_.toInt).foreach { max =>
       if (store.snapshotIds.size > max) expireSnapshots(retainLast = max)
     }
+    // age bound, also opt-in (reference default: 1h — see the note above);
+    // always keeps snapshot.num-retained.min newest (reference default 10)
+    schema.options.get("snapshot.time-retained").foreach { d =>
+      expireSnapshotsOlderThan(Maintenance.parseDurationMillis(d),
+        retainMin = schema.option("snapshot.num-retained.min", "10").toInt)
+    }
+  }
 
   /** Primary-key upsert: route rows to (partition, bucket), sort within
     * buckets by key, flush as level-0 sorted runs (reference write path:

@@ -122,6 +122,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF.count() == 100)
   }
 
+  test("snapshot.time-retained expires by age during ingest, keeping the minimum") {
+    val orders = sf("orders").limit(100).cache()
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "1",
+        "snapshot.time-retained" -> "0ms", "snapshot.num-retained.min" -> "2"))
+    (1 to 5).foreach(i => t.upsert(orders.withColumn("o_totalprice", lit(i * 1.0))))
+    // everything older than 0ms expires except the 2 newest
+    assert(t.store.snapshotIds.size <= 2, t.store.snapshotIds.toString)
+    assert(t.toDF.count() == 100)
+  }
+
   test("rescale rewrites a pk table under a new bucket count") {
     val orders = sf("orders").limit(500).cache()
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
