@@ -258,6 +258,27 @@ class DvTableSpec extends SparkSpec {
     assert(t.store.liveFiles(t.store.latestSnapshot.get).exists(_.dvCount > 0))
   }
 
+  test("audit_log and read_optimized system tables on a dv table") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "deletion-vectors.enabled" -> "true",
+        "write-only" -> "true"))
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    t.upsert(Seq((1L, "a2")).toDF("k", "v"))
+    // audit_log: surviving raw rows with kinds; the masked old version of
+    // key 1 is gone, the new one is +I
+    val audit = t.system("audit_log")
+      .select("_row_kind", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(audit == Set(("+I", 1L, "a2"), ("+I", 2L, "b")), audit.toString)
+    // read_optimized: empty until a compaction produces max-level files
+    assert(t.readOptimized.count() == 0)
+    t.compact()
+    assert(t.readOptimized.count() == 2)
+  }
+
   test("mode restrictions are enforced at create time") {
     import spark.implicits._
     val st = Seq((1L, "x")).toDF("k", "v").schema
