@@ -64,23 +64,23 @@ object Dedup {
 
   /** Per-document minhash signatures as one `numHashes`-slot array column,
     * computed in a single codegen'd projection (no shuffle — minhash is
-    * per-row math) and pinned with an eager `localCheckpoint` so the three
-    * downstream consumers (both sides of the candidate self-join, the
-    * verify id set) share one computation. Only (id, 8·numHashes bytes)
-    * per document is materialized — the heavyweight shingle-hash sets are
-    * NOT stored; verification recomputes them for candidate ids only.
+    * per-row math) and lazily pinned so the downstream consumers (both
+    * sides of the candidate self-join) share one computation without a
+    * serializing materialization job. Only (id, 8·numHashes bytes) per
+    * document is persisted — the heavyweight shingle-hash sets are NOT
+    * stored; verification recomputes them for candidate ids only.
     */
   private def sigFrame(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame =
-    spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      // two projections on purpose: the shingle-hash array materializes
-      // ONCE per row, then ONE custom codegen'd expression computes every
-      // signature slot in a single pass over it
-      .select(col("id"), shingleHashes(col("text")).as("hs"))
-      .select(col("id"), org.apache.spark.sql.graft.SparkShims.column(
-        graft.functions.MinHashSignature(
-          org.apache.spark.sql.graft.SparkShims.expr(col("hs")), numHashes)).as("sig"))
-      .localCheckpoint(true)
+    PipelineUtil.pin(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        // two projections on purpose: the shingle-hash array materializes
+        // ONCE per row, then ONE custom codegen'd expression computes every
+        // signature slot in a single pass over it
+        .select(col("id"), shingleHashes(col("text")).as("hs"))
+        .select(col("id"), org.apache.spark.sql.graft.SparkShims.column(
+          graft.functions.MinHashSignature(
+            org.apache.spark.sql.graft.SparkShims.expr(col("hs")), numHashes)).as("sig")))
 
   /** Candidate pairs (idA < idB) from a [[sigFrame]]: band buckets are
     * codegen'd `hash` over signature slices; candidates are a bucket-local
@@ -132,14 +132,16 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val sigs = sigFrame(df, idCol, textCol, numHashes)
-    val cands = candidatesFrom(sigs, numHashes, bands).localCheckpoint(true)
+    // lazy pins: cands feeds both the id-set derivation and the final
+    // verify join, sets feeds both sides of it — pin each so it computes
+    // once, but WITHOUT eager barriers (stages overlap inside one job)
+    val cands = PipelineUtil.pin(candidatesFrom(sigs, numHashes, bands))
     val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     // ids ends in a distinct-shuffle, so AQE sees its true size and
     // broadcast-converts this join when the candidate set is small —
     // without risking a forced broadcast of a pathologically large one.
-    val sets = spread(src).join(ids, "id")
-      .select(col("id"), shingleHashes(col("text")).as("hs"))
-      .localCheckpoint(true)
+    val sets = PipelineUtil.pin(spread(src).join(ids, "id")
+      .select(col("id"), shingleHashes(col("text")).as("hs")))
     cands
       .join(sets.toDF("id_a", "hs_a"), "id_a")
       .join(sets.toDF("id_b", "hs_b"), "id_b")
@@ -165,10 +167,10 @@ object Dedup {
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
-    val sets = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), array_sort(shingleHashes(col("text"))).as("hs"))
-      .select(col("id"), col("hs"), size(col("hs")).as("n"))
-      .localCheckpoint(true)
+    val sets = PipelineUtil.pin(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"), array_sort(shingleHashes(col("text"))).as("hs"))
+        .select(col("id"), col("hs"), size(col("hs")).as("n")))
     val prefixLen = greatest(
       (col("n").cast("double") - ceil(col("n") * threshold) + 1).cast("int"), lit(1))
     val prefix = sets.select(col("id"), col("n"),
@@ -282,15 +284,16 @@ object Dedup {
       maxHamming: Int = 3, md5Basis: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "5-block blocking guarantees completeness only for hamming <= 3")
     val th = if (md5Basis) tokenHashesMd5(col("text")) else tokenHashes(col("text"))
-    // per-row sketch projection, spread across cores and pinned (16 B/doc)
-    // so both sides of the blocked self-join share one computation. Token
-    // hashes materialize in their own projection: simhashFromHashes
-    // references the array 64× (once per bit) and inlining the md5/xxhash
-    // tokenization into each would re-tokenize the text per bit.
-    val sk = spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"), th.as("th"))
-      .select(col("id"), simhashFromHashes(col("th")).as("sk"))
-      .localCheckpoint(true)
+    // per-row sketch projection, spread across cores and lazily pinned
+    // (16 B/doc) so both sides of the blocked self-join share one
+    // computation. Token hashes materialize in their own projection:
+    // simhashFromHashes references the array 64× (once per bit) and
+    // inlining the md5/xxhash tokenization into each would re-tokenize
+    // the text per bit.
+    val sk = PipelineUtil.pin(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
+        .select(col("id"), th.as("th"))
+        .select(col("id"), simhashFromHashes(col("th")).as("sk")))
     val widths = Seq(13, 13, 13, 13, 12)
     val offs = widths.scanLeft(0)(_ + _)
     def blockVal(j: Int): Column =

@@ -32,8 +32,12 @@ object VectorOps {
     */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int): DataFrame = {
+    // deliberately NO repartition here: TakeOrderedAndProject already
+    // reduces each input partition to k rows, so a shuffle in front of it
+    // only adds cost — whatever parallelism the source has is what the
+    // scan gets, and at scale the source is thousands-partitioned anyway
     val q = array(query.map(lit): _*)
-    PipelineUtil.spread(df).select(col(idCol),
+    df.select(col(idCol),
         round(cosine(col(vecCol), q), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
@@ -252,17 +256,18 @@ object VectorOps {
     val keys = tables.zipWithIndex.map { case (pls, t) =>
       struct(lit(t).as("t"), lshBucket(v, pls).as("bucket"))
     }
-    val keyed = src.select(col("id"), explode(array(keys: _*)).as("k"))
-      .select(col("id"), col("k.t").as("t"), col("k.bucket").as("bucket"))
-      .localCheckpoint(true)
-    val cands = keyed.as("a").join(keyed.as("x"),
+    // lazy pins (PipelineUtil.pin): each frame below feeds two consumers;
+    // pinning avoids recomputation WITHOUT eager job barriers
+    val keyed = PipelineUtil.pin(
+      src.select(col("id"), explode(array(keys: _*)).as("k"))
+        .select(col("id"), col("k.t").as("t"), col("k.bucket").as("bucket")))
+    val cands = PipelineUtil.pin(keyed.as("a").join(keyed.as("x"),
         col("a.t") === col("x.t") && col("a.bucket") === col("x.bucket") &&
           col("a.id") < col("x.id"))
       .select(col("a.id").as("id_a"), col("x.id").as("id_b"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val ids = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val vecs = src.join(ids, "id").localCheckpoint(true)
+    val vecs = PipelineUtil.pin(src.join(ids, "id"))
     cands
       .join(vecs.toDF("id_a", "v_a"), "id_a")
       .join(vecs.toDF("id_b", "v_b"), "id_b")
