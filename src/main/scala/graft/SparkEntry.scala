@@ -117,6 +117,17 @@ object SparkEntry {
     "q29_sys_partitions" -> ((s, d) =>
       Fixtures.lineitemAppend(s, d).system("partitions")
         .select(col("partition"), col("record_count"))),
+    // $manifests is a DISTRIBUTED fold (no driver readManifest loop); the
+    // oracle-checkable invariant: the ADD/DELETE row totals over the latest
+    // snapshot's manifest list net out to the table's live row count
+    "q72_sys_manifests" -> ((s, d) => {
+      def liveRows(t: graft.table.GraftTable, name: String) =
+        t.system("manifests")
+          .agg((sum(col("added_rows")) - sum(col("deleted_rows"))).as("live_rows"))
+          .select(lit(name).as("tbl"), col("live_rows"))
+      liveRows(Fixtures.lineitemAppend(s, d), "lineitem")
+        .unionByName(liveRows(Fixtures.ordersPkCompacted(s, d), "orders_pk"))
+    }),
 
     // metadata-only aggregate pushdown: COUNT/MIN/MAX + partition group-by
     // answered from manifest stats (LocalTableScan — zero data files read)
@@ -507,6 +518,10 @@ object SparkEntry {
     "q29_sys_partitions" ->
       """SELECT l_returnflag AS partition, COUNT(*) AS record_count
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q72_sys_manifests" ->
+      """SELECT 'lineitem' AS tbl, COUNT(*) AS live_rows FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_pk', COUNT(DISTINCT o_orderkey) FROM orders""".stripMargin,
     "q64_meta_agg" ->
       """SELECT l_returnflag, COUNT(*) AS cnt, COUNT(l_orderkey) AS cnt_ok,
         | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,

@@ -69,7 +69,7 @@ class GraftFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val partPreds = translate(partitionFilters)
     val dataPreds = translate(dataFilters)
-    val bucketOf = bucketFromFilters(dataPreds)
+    val bucketKeep = GraftFileIndex.bucketPruner(store, schema, dataPreds)
 
     // manifest-shard skipping: with a partition predicate, folded shards
     // whose recorded partition range can't match are never parsed
@@ -86,7 +86,7 @@ class GraftFileIndex(
     val selected = candidates.filter { f =>
       partPreds.forall(p =>
         Pruning.partitionMatches(p, partitionValueNames, typeOf, partitionOf(f))) &&
-      bucketOf.forall(b => !isPkTable || f.bucket == b) &&
+      bucketKeep(f) &&
       dataPreds.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
       GraftFileIndex.bloomMightMatch(store, schema, f, dataPreds)
     }
@@ -107,9 +107,6 @@ class GraftFileIndex(
 
   private def translate(exprs: Seq[Expression]): Seq[Filter] =
     exprs.flatMap(e => org.apache.spark.sql.graft.SparkShims.translateFilter(e))
-
-  private def bucketFromFilters(filters: Seq[Filter]): Option[Int] =
-    GraftFileIndex.bucketFromFilters(schema, filters)
 
   private def toFileStatus(f: DataFileMeta): FileStatus =
     new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L,
@@ -155,6 +152,32 @@ object GraftFileIndex {
     */
   def bucketFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Int] =
     bucketsFromFilters(schema, filters).collect { case s if s.size == 1 => s.head }
+
+  /** Per-file bucket-prune predicate that is safe across bucket-rescale
+    * history: each file's bucket id is checked against literals hashed with
+    * the bucket count of the schema the file was WRITTEN under (files carry
+    * their schemaId), never blindly with the current count. A scan that
+    * observes a table mid-rescale — the bucket option already flipped but
+    * the rewrite not yet committed, or a rescale that failed between its
+    * two commits — must not prune old-layout files with the new modulus:
+    * that silently drops matching rows. Costs one schema-file read per
+    * DISTINCT schemaId in the scan (cached), zero for the common
+    * single-schema case.
+    */
+  def bucketPruner(store: FileStore, current: TableSchema,
+      filters: Seq[Filter]): DataFileMeta => Boolean = {
+    if (!current.isPrimaryKeyed) return _ => true
+    val bySchema = scala.collection.mutable.Map.empty[Long, Option[Set[Int]]]
+    def bucketsFor(schemaId: Long): Option[Set[Int]] = bySchema.get(schemaId) match {
+      case Some(v) => v
+      case None =>
+        val s = if (schemaId == current.id) current else store.readSchema(schemaId)
+        val v = bucketsFromFilters(s, filters)
+        bySchema(schemaId) = v
+        v
+    }
+    f => bucketsFor(f.schemaId).forall(_.contains(f.bucket))
+  }
 
   /** The set of buckets a pk-constraining predicate can touch: full-pk
     * equality pins one bucket; a single-column pk additionally prunes

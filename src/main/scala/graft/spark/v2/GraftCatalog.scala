@@ -58,6 +58,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   def currentUser: String = user
 
+  /** Authenticate the catalog's configured identity (a no-op until
+    * privileges are initialized). Privilege procedures MUST call this
+    * before dispatch: `PrivilegeManager.mutate` only checks that the
+    * actor is an admin by NAME, so skipping authentication would let any
+    * session claiming `user=root` administer grants without the password.
+    */
+  def authenticateCurrentUser(): Unit = privileges.authenticate(user, password)
+
   private def checked(priv: String, ident: Identifier): Unit = {
     val p = privileges
     p.authenticate(user, password)

@@ -167,6 +167,9 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         }
       val p = cat.privileges
       val actor = cat.currentUser
+      // verify the actor's password before any privilege mutation —
+      // mutate() alone only checks the admin bit by user NAME
+      cat.authenticateCurrentUser()
       val msg = proc match {
         case "init_file_based_privilege" =>
           p.initFileBased(args.headOption.getOrElse(

@@ -263,7 +263,7 @@ class GraftScan(
           else filters.filter(_.references.forall(r =>
             schema.primaryKeys.contains(r) ||
               (!schema.crossPartition && partKeys.contains(r))))
-        val bucketsOf = GraftFileIndex.bucketsFromFilters(schema, filters)
+        val bucketKeep = GraftFileIndex.bucketPruner(table.store, schema, filters)
         val candidates = table.store.liveFiles(s, meta => (meta.ptMin, meta.ptMax) match {
           case (Some(lo), Some(hi)) =>
             partFilters.forall(p => Pruning.shardMightMatch(p, partKeys, lo, hi))
@@ -271,7 +271,7 @@ class GraftScan(
         })
         val selected = candidates.filter { f =>
           partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
-          bucketsOf.forall(bs => !isPk || bs.contains(f.bucket)) &&
+          bucketKeep(f) &&
           pruningFilters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
           GraftFileIndex.bloomMightMatch(table.store, schema, f, pruningFilters)
         }

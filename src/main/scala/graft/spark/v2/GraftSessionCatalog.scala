@@ -56,12 +56,23 @@ class GraftSessionCatalog extends DelegatingCatalogExtension {
       case tr if tr.name() == "identity" && tr.references().length == 1 =>
         tr.references()(0).fieldNames().mkString(".")
     }
-    val primaryKeys = props.get("primary-key").toSeq
+    // `CREATE TABLE ... USING graft OPTIONS (...)` arrives through the V1
+    // path with each option recorded under the "option." property prefix —
+    // honor them exactly like TBLPROPERTIES instead of silently dropping
+    // them (an OPTIONS-declared primary-key table materializing as a plain
+    // append table would change write/read semantics with no error)
+    val fromOptions = props.collect {
+      case (k, v) if k.length > TableCatalog.OPTION_PREFIX.length &&
+          k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.substring(TableCatalog.OPTION_PREFIX.length) -> v
+    }
+    val merged = fromOptions ++ props // TBLPROPERTIES win on a key collision
+    val primaryKeys = merged.get("primary-key").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
-      "primary-key", "transient_lastDdlTime")
-    val options = (props -- reserved)
+      "primary-key", "path", "transient_lastDdlTime")
+    val options = (merged -- reserved)
       .filterNot { case (k, _) => k.startsWith("option.") || k.startsWith("spark.sql.") }
     GraftTable.create(spark, loc, t.schema(),
       partitionKeys, primaryKeys, options)

@@ -28,7 +28,8 @@ import java.util.UUID
   * Reads go through [[GraftFileIndex]] + Spark's vectorized reader.
   */
 class GraftTable(val spark: SparkSession, val store: FileStore)
-    extends RowLevelOps with MaintenanceOps with SystemTables with SchemaEvolution {
+    extends RowLevelOps with MaintenanceOps with SystemTables with SchemaEvolution
+    with org.apache.spark.internal.Logging {
   import GraftTable.{StatsStringCap, truncateUp}
 
   def schema: TableSchema = store.latestSchema
@@ -440,8 +441,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     // CoreOptions WRITE_ONLY — the dedicated compact-job pattern)
     if (schema.option("write-only", "false").toBoolean) return None
     // Best-effort, like the reference's writer-embedded compaction: the
-    // DATA commit already succeeded; if a racing writer's compaction (or
-    // write) invalidates ours, abort quietly — the next write re-picks.
+    // DATA commit already succeeded and is durable, so NO maintenance
+    // failure may propagate — a caller seeing the write "fail" would retry
+    // and duplicate rows. Conflict aborts are the common case (a racing
+    // writer re-picks next commit); anything else non-fatal is logged.
     try {
       val fullEvery = schema.option("full-compaction.delta-commits", "0").toInt
       if (fullEvery > 0) {
@@ -452,9 +455,15 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         if (deltas >= fullEvery) Some(compact()) else None
       } else maybeCompact()
     } catch {
-      case e: IllegalArgumentException if
-          Option(e.getMessage).exists(_.contains("commit conflict")) => None
-    } finally postWriteExpire()
+      case e if scala.util.control.NonFatal(e) =>
+        logWarning("post-commit compaction failed (write already durable)", e)
+        None
+    } finally
+      try postWriteExpire()
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          logWarning("post-commit snapshot expiration failed (write already durable)", e)
+      }
   }
 
   /** In-commit snapshot expiration, like the reference's
@@ -1012,8 +1021,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
               if (st == null || !st.isNumNullsSet) return None
               nulls.updateWith(f.name)(n => Some(n.getOrElse(0L) + st.getNumNulls))
               if (st.hasNonNullValue) {
-                val prim = ch.getPrimitiveType.getPrimitiveTypeName
-                val conv = footerValue(f.sparkType, prim, _: Any)
+                val conv = footerValue(f.sparkType, ch.getPrimitiveType, _: Any)
                 val (mnV, mxV) =
                   (conv(st.genericGetMin), conv(st.genericGetMax)) match {
                     case (Some(a), Some(b)) => (a, b)
@@ -1042,13 +1050,31 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * canonicalizes for the given Spark type; None = unsupported combination.
     */
   private def footerValue(dt: DataType,
-      prim: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName,
+      primType: org.apache.parquet.schema.PrimitiveType,
       v: Any): Option[Any] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.io.api.Binary
+    val prim = primType.getPrimitiveTypeName
     (dt, prim) match {
       case (ByteType | ShortType | IntegerType | DateType, INT32) => Some(v)
-      case (LongType | TimestampType | TimestampNTZType, INT64) => Some(v)
+      case (LongType, INT64) => Some(v)
+      case (TimestampType | TimestampNTZType, INT64) =>
+        // the stats domain is epoch-MICROS; a writer configured with
+        // spark.sql.parquet.outputTimestampType=TIMESTAMP_MILLIS stores
+        // footer min/max in millis — trusting the primitive type alone
+        // would make bounds 1000× too small and prune matching files
+        primType.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(v)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(java.lang.Long.valueOf(
+                  Math.multiplyExact(v.asInstanceOf[java.lang.Long].longValue(), 1000L)))
+              case _ => None // NANOS etc. → scan fallback
+            }
+          case _ => None // no annotation → unknown unit → scan fallback
+        }
       case (FloatType, FLOAT) => Some(v)
       case (DoubleType, DOUBLE) => Some(v)
       case (BooleanType, BOOLEAN) => Some(v)

@@ -91,7 +91,22 @@ trait SchemaEvolution { self: GraftTable =>
     require(isPrimaryKeyed, "rescale targets primary-key tables")
     require(n >= 1, s"bucket count must be >= 1, got $n")
     val content = toDF // pins the CURRENT snapshot's file set
+    val prevBucket = schema.option(TableSchema.BucketOpt, "8")
     commitEvolved(s => s.copy(options = s.options + (TableSchema.BucketOpt -> n.toString)))
-    overwrite(content)
+    // Reads are safe in the window between the two commits (and after a
+    // crash inside it): bucket pruning hashes each file with the bucket
+    // count of the schema the FILE was written under (GraftFileIndex
+    // .bucketPruner), so old-layout files are never pruned with the new
+    // modulus. The rollback below additionally keeps WRITE routing
+    // consistent with the live files when the rewrite fails, so later
+    // upserts don't produce a mixed-modulus layout.
+    try overwrite(content)
+    catch {
+      case e: Throwable =>
+        try commitEvolved(s =>
+          s.copy(options = s.options + (TableSchema.BucketOpt -> prevBucket)))
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
+    }
   }
 }

@@ -63,13 +63,16 @@ trait SystemTables { self: GraftTable =>
     * touches the driver (reference: table/system/FilesTable.java, which
     * also scans manifests lazily).
     */
-  private def liveFilesDF: DataFrame = {
+  /** Per-manifest-entry frame, parsed executor-side: the driver ships only
+    * manifest NAMES. Shared by [[liveFilesDF]] and [[manifestsTable]].
+    */
+  private def manifestEntriesDF: DataFrame = {
     import spark.implicits._
     val names = store.latestSnapshot.map(_.manifests).getOrElse(Nil)
     val mDir = store.manifestDir.toString
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val entries = spark.createDataset(names.zipWithIndex)
+    spark.createDataset(names.zipWithIndex)
       .repartition(math.max(1, math.min(names.size, 32)))
       .flatMap { case (name, ord) =>
         val p = new org.apache.hadoop.fs.Path(mDir, name)
@@ -80,15 +83,19 @@ trait SystemTables { self: GraftTable =>
           finally in.close()
         graft.core.ManifestCodec.entriesFromJson(content).map { e =>
           val f = e.file
-          (ord, e.kind, f.path, f.partition.mkString("/"), f.bucket, f.level,
+          (name, ord, e.kind, f.path, f.partition.mkString("/"), f.bucket, f.level,
             f.rowCount, f.size, f.minSeq, f.maxSeq, f.schemaId,
             f.dvPath.orNull, f.dvCount,
             f.blooms.toSeq.sorted.map { case (c, p) => s"$c=$p" }.mkString(";"))
         }
       }
-      .toDF("__ord", "__kind", "file_path", "partition", "bucket", "level",
-        "row_count", "file_size_in_bytes", "min_sequence_number",
+      .toDF("__manifest", "__ord", "__kind", "file_path", "partition", "bucket",
+        "level", "row_count", "file_size_in_bytes", "min_sequence_number",
         "max_sequence_number", "schema_id", "__dv_path", "__dv_count", "__blooms")
+  }
+
+  private def liveFilesDF: DataFrame = {
+    val entries = manifestEntriesDF.drop("__manifest")
     // a path appears at most once per manifest; the latest entry decides
     entries.groupBy("file_path")
       .agg(org.apache.spark.sql.functions.max_by(
@@ -132,18 +139,22 @@ trait SystemTables { self: GraftTable =>
     dv.unionByName(blooms).unionByName(hashIdx)
   }
 
+  /** DISTRIBUTED per-manifest aggregates: executors parse the shards (same
+    * fold as `$files`) and the per-manifest counts are a map-side-combined
+    * groupBy — no driver-side readManifest loop, O(1) driver work at 10⁷
+    * files (reference: table/system/ManifestsTable.java reads lazily).
+    */
   private def manifestsTable: DataFrame = {
-    val st = StructType(Seq(
-      StructField("manifest", StringType), StructField("num_added_files", LongType),
-      StructField("num_deleted_files", LongType), StructField("added_rows", LongType),
-      StructField("deleted_rows", LongType)))
-    val ms = store.latestSnapshot.map(_.manifests).getOrElse(Nil)
-    local(st, ms.map { m =>
-      val es = store.readManifest(m)
-      val (adds, dels) = es.partition(_.kind == ManifestEntry.ADD)
-      Row(m, adds.size.toLong, dels.size.toLong,
-        adds.map(_.file.rowCount).sum, dels.map(_.file.rowCount).sum)
-    })
+    import org.apache.spark.sql.functions._
+    val isAdd = col("__kind") === ManifestEntry.ADD
+    manifestEntriesDF
+      .groupBy(col("__manifest").as("manifest"))
+      .agg(
+        sum(when(isAdd, 1L).otherwise(0L)).as("num_added_files"),
+        sum(when(!isAdd, 1L).otherwise(0L)).as("num_deleted_files"),
+        sum(when(isAdd, col("row_count")).otherwise(0L)).as("added_rows"),
+        sum(when(!isAdd, col("row_count")).otherwise(0L)).as("deleted_rows"))
+      .orderBy("manifest")
   }
 
   private def partitionsTable: DataFrame = {

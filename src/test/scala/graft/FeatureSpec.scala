@@ -335,6 +335,43 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("footer stats stay in the micros domain under TIMESTAMP_MILLIS output") {
+    // a writer configured for millis parquet timestamps must not poison
+    // the epoch-micros stats domain (bounds 1000x too small would let
+    // pruning skip files that contain matching rows)
+    val df = sf("orders").limit(500)
+      .withColumn("ntz", col("o_orderdate").cast("timestamp_ntz"))
+      .cache()
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try {
+      val tf = GraftTable.create(spark, tmpTable(), df.schema,
+        options = Map("write-only" -> "true"))
+      tf.append(df)
+      // scan-derived twin (bloom column forces the non-footer path)
+      val ts = GraftTable.create(spark, tmpTable(), df.schema,
+        options = Map("write-only" -> "true",
+          "file-index.bloom.columns" -> "o_orderkey"))
+      ts.append(df)
+      def statsOf(t: GraftTable) = t.store
+        .liveFiles(t.store.latestSnapshot.get)
+        .sortBy(_.path).map(f => (f.rowCount, f.stats.toSeq.sortBy(_._1)))
+      statsOf(tf).zip(statsOf(ts)).foreach { case ((ra, sa), (rb, sb)) =>
+        assert(ra == rb)
+        assert(sa == sb, s"stats diverged:\n  footer: $sa\n  scan:   $sb")
+      }
+      // pruning correctness: a timestamp range filter must still see rows
+      val cnt = df.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")).count()
+      assert(cnt > 0)
+      assert(tf.toDF
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .count() == cnt)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   test("merge_map folds later-wins on both paths without a dedup-policy dependency") {
     import spark.implicits._
     assert(spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") == "EXCEPTION")

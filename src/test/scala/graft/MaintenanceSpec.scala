@@ -155,6 +155,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.lookup(Map("o_orderkey" -> k)).isDefined)
   }
 
+  test("mid-rescale reads stay correct: pruning hashes with each file's own layout") {
+    val orders = sf("orders").limit(500).cache()
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"), options = Map(
+        "bucket" -> "2", "write-only" -> "true"))
+    t.upsert(orders)
+    // simulate the window inside rescaleBucket (or a crash between its two
+    // commits): the bucket option is flipped but the data rewrite has not
+    // happened — every pk-equality read must still find its row, because
+    // bucket pruning uses the bucket count of the schema each FILE carries
+    t.store.commitSchema(t.schema.copy(id = t.schema.id + 1,
+      options = t.schema.options + ("bucket" -> "16")))
+    assert(t.schema.numBuckets == 16)
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0)).take(50)
+    keys.foreach { k =>
+      assert(t.lookup(Map("o_orderkey" -> k)).isDefined, s"lost key $k mid-rescale")
+    }
+    // IN-list pruning path too (DSv2 scan)
+    assert(t.toDF.filter(col("o_orderkey").isin(keys.take(10).map(Long.box): _*))
+      .count() == 10)
+    assert(t.toDF.count() == 500)
+  }
+
   test("append small-file compaction reduces file count, keeps data") {
     val li = sf("lineitem")
     val t = GraftTable.create(spark, tmpTable(), li.schema,

@@ -76,6 +76,13 @@ class PrivilegeSpec extends SparkSpec {
     reg("privmallory", "alice", "wrong")
     denied(spark.sql("SELECT * FROM privmallory.pdb.t0").collect())
 
+    // privilege procedures authenticate too: claiming user=root with the
+    // wrong password must not be able to administer users or grants
+    reg("privfakeroot", "root", "wrong")
+    denied(spark.sql("CALL privfakeroot.sys.create_privileged_user('eve', 'evepw')"))
+    denied(spark.sql(
+      "CALL privfakeroot.sys.grant_privilege_to_user('alice', 'ADMIN', '*')"))
+
     // drop user
     spark.sql("CALL privroot.sys.drop_privileged_user('alice')")
     denied(spark.sql("SELECT * FROM privalice.pdb.t0").collect())

@@ -46,4 +46,24 @@ class SessionCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE spark_catalog.default.gsc_t")
     spark.sql("DROP TABLE spark_catalog.default.gsc_plain")
   }
+
+  test("OPTIONS-declared table properties are honored through the V1 path") {
+    val loc = tmpTable() + "-gsc-opts"
+    // OPTIONS (not TBLPROPERTIES): the V1 create records these under the
+    // "option." property prefix — a primary-key declared here must still
+    // materialize a PK table, not a silent plain append table
+    spark.sql(
+      s"""CREATE TABLE spark_catalog.default.gsc_opts (k BIGINT, v STRING) USING graft
+         |OPTIONS ('primary-key' = 'k', 'bucket' = '2')
+         |LOCATION '$loc'""".stripMargin)
+    spark.sql("INSERT INTO spark_catalog.default.gsc_opts VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO spark_catalog.default.gsc_opts VALUES (1, 'a2')")
+    val rows = spark.sql("SELECT k, v FROM spark_catalog.default.gsc_opts ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "a2"), (2L, "b")), rows.mkString(","))
+    val gt = graft.table.GraftTable.load(spark, loc)
+    assert(gt.schema.primaryKeys == Seq("k"))
+    assert(gt.schema.numBuckets == 2)
+    spark.sql("DROP TABLE spark_catalog.default.gsc_opts")
+  }
 }
