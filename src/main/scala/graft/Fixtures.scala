@@ -150,6 +150,33 @@ object Fixtures {
       t
     }
 
+  /** Streaming round trip under the batch oracle: the full changelog of
+    * [[ordersPkDeleted]] (two upserts + a PK -D delete) is streamed out
+    * with Trigger.AvailableNow through the graft SOURCE and applied by the
+    * graft SINK into a fresh PK table, replaying row kinds
+    * (`rowkind.field = _row_kind`) and commit order
+    * (`sequence.field = _sequence_number`). The sink's merged state must
+    * equal the source's merged state — which the DuckDB oracle computes
+    * independently. Converts the streaming path (S2/W10/T1/T3/T6) from
+    * unit-grade to oracle-grade.
+    */
+  def ordersStreamRoundTrip(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_stream_rt") { path =>
+      val srcT = ordersPkDeleted(spark, sfDir)
+      val q = spark.readStream.format("graft")
+        .option("path", srcT.store.rootPath.toString).load()
+        .writeStream.format("graft")
+        .option("path", path)
+        .option("primary-keys", "o_orderkey")
+        .option("rowkind.field", "_row_kind")
+        .option("sequence.field", "_sequence_number")
+        .option("checkpointLocation", path + "-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "AvailableNow stream did not terminate")
+      GraftTable.load(spark, path)
+    }
+
   def ordersPkUpdated(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_updated") { path =>
       val df = src(spark, sfDir, "orders")

@@ -90,6 +90,11 @@ object SparkEntry {
         .toDF(Fixtures.ordersCompactedFull(s, d).latestCompactSnapshot)),
     "q14_incremental" -> ((s, d) => Fixtures.ordersPk(s, d).incremental(1, 2)),
     "q15_delete" -> ((s, d) => Fixtures.ordersPkDeleted(s, d).toDF),
+    // AvailableNow changelog replay through source AND sink; final sink
+    // state is oracle-checked against the independently merged source
+    "q71_stream_availablenow" -> ((s, d) =>
+      Fixtures.ordersStreamRoundTrip(s, d).toDF
+        .drop("_row_kind", "_sequence_number")),
     "q16_update" -> ((s, d) => Fixtures.ordersPkUpdated(s, d).toDF),
     "q17_merge_into" -> ((s, d) => Fixtures.ordersPkMerged(s, d).toDF),
     "q18_first_row" -> ((s, d) => Fixtures.ordersFirstRow(s, d).toDF),
@@ -468,6 +473,8 @@ object SparkEntry {
         | o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "q15_delete" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_orderstatus <> 'F'",
+    "q71_stream_availablenow" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderstatus <> 'F'",
     "q16_update" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
