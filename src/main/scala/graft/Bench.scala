@@ -75,6 +75,34 @@ object Bench {
       VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 20).collect()
     }
 
+    // 6. storage-partitioned join: two 16-bucket PK tables joined on the
+    // bucket key, with vs without v2 bucketing — the with-SPJ plan has zero
+    // exchanges/sorts (asserted in SqlCatalogSpec); here the elimination
+    // shows up as a measured number
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", s"$tmp/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    orders.createOrReplaceTempView("bench_orders_src")
+    spark.sql(
+      """CREATE TABLE graft.db.spj_fact (o_orderkey BIGINT, o_totalprice DOUBLE)
+        |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '16')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.spj_fact SELECT o_orderkey, o_totalprice FROM bench_orders_src")
+    spark.sql(
+      """CREATE TABLE graft.db.spj_dim (o_orderkey BIGINT, o_orderpriority STRING)
+        |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '16')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.spj_dim SELECT o_orderkey, o_orderpriority FROM bench_orders_src")
+    val spjSql =
+      """SELECT b.o_orderpriority, SUM(a.o_totalprice) AS s, COUNT(*) AS c
+        |FROM graft.db.spj_fact a JOIN graft.db.spj_dim b
+        |  ON a.o_orderkey = b.o_orderkey
+        |GROUP BY b.o_orderpriority""".stripMargin
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    spark.conf.set(bucketingKey, "false")
+    results("spj_join_shuffle") = time { spark.sql(spjSql).collect() }
+    spark.conf.set(bucketingKey, "true")
+    results("spj_join") = time { spark.sql(spjSql).collect() }
+    spark.conf.unset(bucketingKey)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
