@@ -101,6 +101,17 @@ case class TableSchema(
     * :174-530 — the combinations the reference rejects outright).
     */
   def validate(): Unit = {
+    // create-time format check with an actionable message — without it,
+    // `file.format=avro` would only fail deep in the first read/write
+    options.get("file.format").foreach {
+      case "parquet" | "orc" => ()
+      case "avro" => throw new IllegalArgumentException(
+        "file.format=avro is not supported in this build: the spark-avro " +
+          "datasource module is not on the classpath (offline environment; " +
+          "see README 'Limitations'). Use parquet (the default) or orc.")
+      case other => throw new IllegalArgumentException(
+        s"unsupported file.format: $other (expected parquet or orc)")
+    }
     if (mergeEngine == "first-row") {
       val producer = option(TableSchema.ChangelogProducerOpt, "none")
       require(producer == "none" || producer == "lookup",

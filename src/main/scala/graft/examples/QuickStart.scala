@@ -104,6 +104,39 @@ object QuickStart {
       .count(_.dvPath.isDefined)
     println(s"[dv] rows=${dvT.toDF.count()} masked-files=$masked (raw scan, no merge)")
 
+    // ---- CDC-shaped ingestion (reference capability: paimon-flink-cdc
+    // sync actions, re-expressed Spark-first): Kafka-style JSON values with
+    // an op column stream into a PK table via rowkind.field; the lookup
+    // changelog producer computes exact -U/+U images at write time. A real
+    // deployment swaps readStream.format("kafka") for the memory source.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val cdc = MemoryStream[String]
+      val q = cdc.toDF()
+        .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+          .fromDDL("id BIGINT, name STRING, op STRING")).as("r"))
+        .select("r.*")
+        .writeStream.format("graft")
+        .option("path", s"$base/cdc")
+        .option("primary-keys", "id")
+        .option("rowkind.field", "op")
+        .option("changelog-producer", "lookup")
+        .option("checkpointLocation", s"$base/cdc-ckpt")
+        .trigger(Trigger.AvailableNow())
+      cdc.addData(
+        """{"id":1,"name":"ann","op":"+I"}""",
+        """{"id":2,"name":"bob","op":"+I"}""",
+        """{"id":2,"name":"bo","op":"+U"}""",
+        """{"id":1,"name":"ann","op":"-D"}""")
+      val run = q.start(); run.awaitTermination(60000)
+      val cdcT = GraftTable.load(spark, s"$base/cdc")
+      println(s"[cdc] applied state rows=${cdcT.toDF.count()} " +
+        s"(kept=${cdcT.toDF.select("name").collect().map(_.getString(0)).mkString(",")})")
+    }
+
     // ---- repeated-span + PII scrub pipeline ops ----
     println(s"[pipeline] repeated 8-token spans: " +
       TextOps.repeatedWindows(docs, "doc_id", "text", n = 8).count())

@@ -335,6 +335,20 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("file.format=avro is rejected at create time with an actionable message") {
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), sf("orders").schema,
+        options = Map("file.format" -> "avro"))
+    }
+    assert(e.getMessage.contains("spark-avro"), e.getMessage)
+    // unknown formats are rejected too, not silently mapped to parquet
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), sf("orders").schema,
+        options = Map("file.format" -> "csv"))
+    }
+    assert(e2.getMessage.contains("unsupported file.format"), e2.getMessage)
+  }
+
   test("footer stats stay in the micros domain under TIMESTAMP_MILLIS output") {
     // a writer configured for millis parquet timestamps must not poison
     // the epoch-micros stats domain (bounds 1000x too small would let

@@ -104,6 +104,69 @@ class StreamingSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.mkString(",")}")
   }
 
+  test("CDC ingestion recipe: Kafka-shaped JSON → rowkind apply → changelog out") {
+    // The capability equivalent of the reference's CDC sync actions
+    // (paimon-flink-cdc MySqlSyncTableAction), expressed Spark-first: a
+    // stream of Kafka-style JSON values carrying an op column is parsed
+    // with from_json and applied to a PK table through rowkind.field, with
+    // changelog-producer=lookup computing exact -U/+U images at write time;
+    // schema evolution is an explicit addColumn between deployments.
+    implicit val sql = spark.sqlContext
+    val path = tmpTable()
+    val input = MemoryStream[String]
+    val v1Schema = "id BIGINT, name STRING, op STRING"
+    def start(parseSchema: String) = input.toDF()
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+        .fromDDL(parseSchema)).as("r"))
+      .select("r.*")
+      .writeStream.format("graft")
+      .option("path", path)
+      .option("primary-keys", "id")
+      .option("rowkind.field", "op")
+      .option("changelog-producer", "lookup")
+      .option("bucket", "2")
+      .option("checkpointLocation", path + "-ckpt")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+
+    // deployment 1: inserts, then a CDC batch with update + delete
+    val q1 = start(v1Schema)
+    try {
+      input.addData(
+        """{"id":1,"name":"ann","op":"+I"}""",
+        """{"id":2,"name":"bob","op":"+I"}""",
+        """{"id":3,"name":"cat","op":"+I"}""")
+      q1.processAllAvailable()
+      input.addData(
+        """{"id":2,"name":"bo","op":"+U"}""",
+        """{"id":3,"name":"cat","op":"-D"}""")
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val t = GraftTable.load(spark, path)
+    assert(t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "ann"), (2L, "bo")))
+    // lookup producer emitted exact retraction images for the CDC batch
+    val change = t.incremental(1, 2).select("_row_kind", "id", "name")
+      .orderBy("id", "_row_kind").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(change == Seq(("+U", 2L, "bo"), ("-U", 2L, "bob"), ("-D", 3L, "cat")),
+      s"lookup changelog was $change")
+
+    // deployment 2: upstream added a column — evolve, restart with the
+    // wider parse schema, same checkpoint
+    t.addColumn("email", org.apache.spark.sql.types.StringType)
+    val q2 = start(v1Schema + ", email STRING")
+    try {
+      input.addData("""{"id":4,"name":"dan","op":"+I","email":"d@x"}""")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = GraftTable.load(spark, path).toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)).orNull)).toSeq
+    assert(rows == Seq((1L, "ann", null), (2L, "bo", null), (4L, "dan", "d@x")),
+      s"got $rows")
+  }
+
   test("graft source: snapshot deltas stream out with row kinds; AvailableNow terminates") {
     val path = tmpTable()
     val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
