@@ -80,6 +80,68 @@ object Fixtures {
       t
     }
 
+  /** TRUNCATE lifecycle: load A-rows, truncate, load R-rows — the final
+    * state must be exactly the post-truncate batch (W9 under the oracle).
+    */
+  def lineitemTruncated(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_truncated") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema)
+      t.append(df.filter(col("l_returnflag") === "A"))
+      t.truncate()
+      t.append(df.filter(col("l_returnflag") === "R"))
+      t
+    }
+
+  /** Schema-merge write (W11): a second batch arrives with an extra column;
+    * the write widens the table schema and earlier rows read as null.
+    */
+  def ordersSchemaMerged(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_schema_merged") { path =>
+      val df = src(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val t = GraftTable.create(spark, path, df.schema)
+      t.append(df.filter(col("o_orderkey") % 2 === 0))
+      t.writeWithSchemaMerge(
+        src(spark, sfDir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey") % 2 === 1))
+      t
+    }
+
+  /** Bloom-indexed append table (P6): sidecar bloom filters on l_orderkey
+    * over several small files — the oracle checks the filter drops nothing.
+    */
+  def lineitemBloom(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_bloom") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("file-index.bloom.columns" -> "l_orderkey",
+          "write-only" -> "true"))
+      (0 until 4).foreach(i => t.append(df.filter(col("l_orderkey") % 4 === i)))
+      t
+    }
+
+  /** rowkind.field applied through the BATCH upsert path (T9): a string op
+    * column drives +I/+U/-D per row across two commits.
+    */
+  def ordersRowkindApplied(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_rowkind") { path =>
+      val df = src(spark, sfDir, "orders").withColumn("op", lit("+I"))
+      val t = GraftTable.create(spark, path, df.schema,
+        primaryKeys = Seq("o_orderkey"), options = Map("rowkind.field" -> "op"))
+      t.upsert(df)
+      // CDC-shaped second commit: double prices for %3 keys (+U), drop %10
+      // keys (-D) — kinds read from the column, not from an API parameter
+      t.upsert(df.filter(col("o_orderkey") % 3 === 0 || col("o_orderkey") % 10 === 0)
+        .withColumn("op",
+          when(col("o_orderkey") % 10 === 0, "-D").otherwise("+U"))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 =!= 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice"))))
+      t
+    }
+
   // ---------------- primary-key tables over orders ----------------
 
   /** The canonical second batch: doubled prices for keys divisible by 7. */

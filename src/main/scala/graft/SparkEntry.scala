@@ -71,6 +71,25 @@ object SparkEntry {
         .filter(col("l_orderkey").between(100, 200))
         .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")),
     "q06_zorder_scan" -> ((s, d) => Fixtures.lineitemZorder(s, d).toDF),
+    "q73_truncate" -> ((s, d) => Fixtures.lineitemTruncated(s, d).toDF),
+    "q74_schema_merge" -> ((s, d) => Fixtures.ordersSchemaMerged(s, d).toDF),
+    "q75_bloom_scan" -> ((s, d) =>
+      Fixtures.lineitemBloom(s, d).toDF
+        .filter(col("l_orderkey").isin(42L, 4242L, 9999L))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+    // runtime (join-driven) partition filtering: partitioned fact joined to
+    // a filtered dim on the partition column
+    "q76_dpp_join" -> ((s, d) => {
+      val t = Fixtures.sqlLineitem(s, d)
+      s.sql(
+        s"""SELECT f.l_returnflag, COUNT(*) AS cnt,
+           | CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM $t f
+           |JOIN (SELECT flag FROM VALUES ('R'), ('N') AS d(flag) WHERE flag <> 'N') d
+           |  ON f.l_returnflag = d.flag
+           |GROUP BY f.l_returnflag""".stripMargin)
+    }),
+    "q77_rowkind_apply" -> ((s, d) => Fixtures.ordersRowkindApplied(s, d).toDF),
     "q57_hilbert_scan" -> ((s, d) => Fixtures.lineitemHilbert(s, d).toDF),
     "q07_overwrite_dynamic" -> ((s, d) => Fixtures.lineitemOverwrite(s, d).toDF),
 
@@ -447,6 +466,27 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200""".stripMargin,
     "q06_zorder_scan" -> "SELECT * FROM lineitem",
+    "q73_truncate" -> "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+    "q74_schema_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "q75_bloom_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_orderkey IN (42, 4242, 9999)""".stripMargin,
+    "q76_dpp_join" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag""".stripMargin,
+    "q77_rowkind_apply" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority,
+        | CASE WHEN o_orderkey % 3 = 0 THEN '+U' ELSE '+I' END AS op
+        |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin,
     "q57_hilbert_scan" -> "SELECT * FROM lineitem",
     "q07_overwrite_dynamic" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,

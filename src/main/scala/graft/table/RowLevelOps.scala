@@ -127,28 +127,27 @@ trait RowLevelOps { self: GraftTable =>
       CommitKind.APPEND)
   }
 
-  /** Distinct partition value tuples among `live` satisfying cond. */
+  /** Distinct partition value tuples among `live` satisfying cond. The
+    * original path-encoded strings ride along as a hidden column, so the
+    * match maps back in O(matched) instead of a per-row linear re-encode
+    * scan over every distinct partition.
+    */
   def partitionsMatching(cond: Column, live: Seq[DataFileMeta]): Set[Seq[String]] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val Sep = "\u0001" // never appears in partition-path-encoded values
     val ptFields = schema.partitionKeys.map(schema.fieldByName)
     val distinctVals = live.map(_.partition).distinct
     val rows = distinctVals.map { vs =>
       Row.fromSeq(vs.zip(ptFields).map { case (s, f) =>
-        partitionValueToExternal(f.sparkType, s) })
+        partitionValueToExternal(f.sparkType, s) } :+ vs.mkString(Sep))
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(ptFields.map(_.toStructField)))
-    val matchedRows = df.filter(cond).collect().toSeq
-    // map back by re-encoding to partition-path strings
-    val idx = distinctVals.map(vs => vs).toSet
-    matchedRows.map { r =>
-      distinctVals.find { vs =>
-        vs.zip(ptFields).zipWithIndex.forall { case ((s, f), i) =>
-          val ext = partitionValueToExternal(f.sparkType, s)
-          ext == r.get(i) || (ext == null && r.isNullAt(i))
-        }
-      }.get
-    }.toSet
+      StructType(ptFields.map(_.toStructField) :+ StructField("__pt", StringType, false)))
+    df.filter(cond).select("__pt").collect()
+      .map(r => if (ptFields.isEmpty) Seq.empty[String]
+                else r.getString(0).split(Sep, -1).toSeq)
+      .toSet
   }
 
   private def partitionValueToExternal(dt: org.apache.spark.sql.types.DataType, s: String): Any = {
