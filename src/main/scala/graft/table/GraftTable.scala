@@ -874,8 +874,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     // bloom sidecar builds (which need the data anyway), and any footer with
     // absent/unknown statistics
     val perFile: Seq[StagedStats] =
-      (if (schema.fileFormat == "parquet" && blooms.isEmpty)
-        footerStats(staging, cols) else None)
+      (if (blooms.nonEmpty) None // bloom sidecars need the data anyway
+       else if (schema.fileFormat == "parquet") footerStats(staging, cols)
+       else if (schema.fileFormat == "orc") orcFooterStats(staging, cols)
+       else None)
         .getOrElse(scanStats(staging, cols, blooms))
 
     val stagingName = staging.getName
@@ -1037,6 +1039,97 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
               }
             }
             j += 1
+          }
+          i += 1
+        }
+        StagedStats(p.toString, rowCount, mins.toMap, maxs.toMap, nulls.toMap, Map.empty)
+      } finally reader.close()
+    }
+    Some(out)
+  }
+
+  /** Metadata-only stats from ORC file footers — the ORC twin of
+    * [[footerStats]]: per-column file-level ColumnStatistics read via
+    * `OrcFile.createReader` (no stripes decoded), mapped to the same
+    * external-value domain [[StatsCodec.encode]] canonicalizes. Returns
+    * None (→ scan fallback) on any column whose statistics are missing,
+    * truncated, or of an unexpected kind — never a weaker bound.
+    */
+  private def orcFooterStats(staging: Path, cols: Seq[Field]): Option[Seq[StagedStats]] = {
+    import org.apache.orc._
+    val fs = store.fs
+    val conf = spark.sessionState.newHadoopConf()
+    val files = {
+      val it = fs.listFiles(staging, true)
+      val b = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".orc")) b += f.getPath
+      }
+      b.result()
+    }
+    def tsMicros(t: java.sql.Timestamp): java.lang.Long = {
+      val secs = Math.floorDiv(t.getTime, 1000L)
+      java.lang.Long.valueOf(secs * 1000000L + t.getNanos / 1000)
+    }
+    val wanted = cols.map(f => f.name -> f).toMap
+    val out = files.map { p =>
+      val reader = OrcFile.createReader(p, OrcFile.readerOptions(conf))
+      try {
+        val rowCount = reader.getNumberOfRows
+        val root = reader.getSchema
+        if (root.getCategory != TypeDescription.Category.STRUCT) return None
+        val stats = reader.getStatistics
+        val names = root.getFieldNames
+        val children = root.getChildren
+        val mins = scala.collection.mutable.Map.empty[String, Any]
+        val maxs = scala.collection.mutable.Map.empty[String, Any]
+        val nulls = scala.collection.mutable.Map.empty[String, Long]
+        var i = 0
+        while (i < names.size()) {
+          wanted.get(names.get(i)).foreach { f =>
+            val st = stats(children.get(i).getId)
+            nulls(f.name) = rowCount - st.getNumberOfValues
+            if (st.getNumberOfValues > 0) {
+              // the stats domain must match what StatsCodec.encode expects
+              // for the SPARK type — reject any unexpected pairing
+              val mnmx: Option[(Any, Any)] = (f.sparkType, st) match {
+                case (ByteType | ShortType | IntegerType | LongType,
+                    s: IntegerColumnStatistics) =>
+                  Some((Long.box(s.getMinimum), Long.box(s.getMaximum)))
+                case (TimestampNTZType, s: IntegerColumnStatistics) =>
+                  // Spark's ORC writer stores NTZ physically as a bigint of
+                  // epoch-micros (round-tripped via a metadata attribute),
+                  // so integer stats ARE the micros stats domain
+                  Some((Long.box(s.getMinimum), Long.box(s.getMaximum)))
+                case (FloatType | DoubleType, s: DoubleColumnStatistics) =>
+                  Some((Double.box(s.getMinimum), Double.box(s.getMaximum)))
+                case (BooleanType, s: BooleanColumnStatistics) =>
+                  Some((Boolean.box(s.getFalseCount == 0),
+                    Boolean.box(s.getTrueCount > 0)))
+                case (StringType, s: StringColumnStatistics) =>
+                  // null min/max with values present = truncated/unavailable
+                  if (s.getMinimum == null || s.getMaximum == null) return None
+                  Some((s.getMinimum, s.getMaximum))
+                case (DateType, s: DateColumnStatistics) =>
+                  Some((Long.box(s.getMinimumDayOfEpoch),
+                    Long.box(s.getMaximumDayOfEpoch)))
+                case (TimestampType, s: TimestampColumnStatistics) =>
+                  if (s.getMinimumUTC == null || s.getMaximumUTC == null) return None
+                  Some((tsMicros(s.getMinimumUTC), tsMicros(s.getMaximumUTC)))
+                case (d: DecimalType, s: DecimalColumnStatistics) =>
+                  // HiveDecimal strips trailing zeros; restore the column
+                  // scale so the encoding matches the scan-path external
+                  if (s.getMinimum == null || s.getMaximum == null) return None
+                  Some((s.getMinimum.bigDecimalValue().setScale(d.scale),
+                    s.getMaximum.bigDecimalValue().setScale(d.scale)))
+                // binary, nested, unexpected pairings: no safe mapping
+                case _ => return None
+              }
+              mnmx.foreach { case (mn, mx) =>
+                mins(f.name) = mn; maxs(f.name) = mx
+              }
+            }
           }
           i += 1
         }

@@ -349,6 +349,41 @@ class FeatureSpec extends SparkSpec {
     assert(e2.getMessage.contains("unsupported file.format"), e2.getMessage)
   }
 
+  test("ORC footer-derived stats equal scan-derived stats") {
+    import spark.implicits._
+    val df = sf("orders").limit(500)
+      .withColumn("dec", (col("o_totalprice") * 100).cast("decimal(12,2)"))
+      .withColumn("dt", to_date(col("o_orderdate")))
+      .withColumn("flag", col("o_orderkey") % 2 === 0)
+      .withColumn("longstr",
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(concat(lit("x" * 80), col("o_orderkey").cast("string"))))
+      .cache()
+    // footer path: plain ORC table
+    val tf = GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("write-only" -> "true", "file.format" -> "orc"))
+    tf.append(df)
+    // scan path: identical ORC table with a bloom column (forces fallback)
+    val ts = GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("write-only" -> "true", "file.format" -> "orc",
+        "file-index.bloom.columns" -> "o_orderkey"))
+    ts.append(df)
+    def statsOf(t: GraftTable) = t.store
+      .liveFiles(t.store.latestSnapshot.get)
+      .sortBy(_.path).map(f => (f.rowCount, f.stats.toSeq.sortBy(_._1)))
+    val (a, b) = (statsOf(tf), statsOf(ts))
+    assert(a.size == b.size && a.nonEmpty)
+    a.zip(b).foreach { case ((ra, sa), (rb, sb)) =>
+      assert(ra == rb)
+      assert(sa == sb, s"stats diverged:\n  footer: $sa\n  scan:   $sb")
+    }
+    // pruning correctness through the footer-stats path
+    val cnt = df.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")).count()
+    assert(cnt > 0 && tf.toDF
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+      .count() == cnt)
+  }
+
   test("footer stats stay in the micros domain under TIMESTAMP_MILLIS output") {
     // a writer configured for millis parquet timestamps must not poison
     // the epoch-micros stats domain (bounds 1000x too small would let
