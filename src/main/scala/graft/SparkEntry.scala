@@ -219,6 +219,10 @@ object SparkEntry {
     "q39_merge_sections" -> ((s, d) => Fixtures.ordersPkSections(s, d).toDF),
     "q51_partial_compact" -> ((s, d) => Fixtures.ordersPkPartialCompact(s, d).toDF),
     "q53_dynamic_bucket" -> ((s, d) => Fixtures.ordersPkDynamicBucket(s, d).toDF),
+    // point lookup on a dynamic-bucket table: pruned to the key's bucket
+    // through the durable hash index (not a modulus)
+    "q78_dynamic_point_lookup" -> ((s, d) =>
+      Fixtures.ordersPkDynamicBucket(s, d).toDF.filter(col("o_orderkey") === 42)),
     "q55_lookup_changelog" -> ((s, d) =>
       Fixtures.ordersLookupChangelog(s, d).incremental(1, 2)),
     "q54_agg_partial_compact" -> ((s, d) =>
@@ -619,6 +623,8 @@ object SparkEntry {
     "q51_partial_compact" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey % 13 <> 0",
     "q53_dynamic_bucket" -> mergedOrders,
+    "q78_dynamic_point_lookup" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_orderkey = 42",
     "q54_agg_partial_compact" -> eventsAggSql,
     "q55_lookup_changelog" ->
       """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,

@@ -70,6 +70,14 @@ class GraftFileIndex(
     val partPreds = translate(partitionFilters)
     val dataPreds = translate(dataFilters)
     val bucketKeep = GraftFileIndex.bucketPruner(store, schema, dataPreds)
+    // dynamic-bucket point lookups prune through the durable hash index
+    val dynKeep: DataFileMeta => Boolean = source match {
+      case Left(snap) =>
+        GraftFileIndex.dynamicBuckets(spark, store, schema, snap.indexFiles, dataPreds)
+          .map(bs => (f: DataFileMeta) => bs.contains(f.bucket))
+          .getOrElse(_ => true)
+      case _ => _ => true
+    }
 
     // manifest-shard skipping: with a partition predicate, folded shards
     // whose recorded partition range can't match are never parsed
@@ -86,7 +94,7 @@ class GraftFileIndex(
     val selected = candidates.filter { f =>
       partPreds.forall(p =>
         Pruning.partitionMatches(p, partitionValueNames, typeOf, partitionOf(f))) &&
-      bucketKeep(f) &&
+      bucketKeep(f) && dynKeep(f) &&
       dataPreds.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
       GraftFileIndex.bloomMightMatch(store, schema, f, dataPreds)
     }
@@ -179,6 +187,56 @@ object GraftFileIndex {
     f => bucketsFor(f.schemaId).forall(_.contains(f.bucket))
   }
 
+  /** Column → value equalities pinned by AND-ed filters. */
+  private def pinnedEqs(filters: Seq[Filter]): Map[String, Any] = {
+    def eqs(f: Filter): Seq[(String, Any)] = f match {
+      case SEqualTo(c, v) if v != null => Seq(c -> v)
+      case SAnd(l, r) => eqs(l) ++ eqs(r)
+      case _ => Nil
+    }
+    filters.flatMap(eqs).toMap
+  }
+
+  /** Raw Murmur3(seed 42) hash of a fully-pinned pk tuple — identical to
+    * the write path's `functions.hash(pkCols)` and therefore to the key
+    * hash stored in the dynamic-bucket index. None when the filters don't
+    * pin every pk column with an equality.
+    */
+  def pkHashFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Int] = {
+    if (!schema.isPrimaryKeyed) return None
+    val pinned = pinnedEqs(filters)
+    if (!schema.primaryKeys.forall(pinned.contains)) return None
+    val lits = schema.primaryKeys.map { k =>
+      val dt = schema.fieldByName(k).sparkType
+      Literal.create(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(pinned(k)), dt)
+    }
+    Some(Murmur3Hash(lits, 42).eval(InternalRow.empty).asInstanceOf[Int])
+  }
+
+  /** Buckets a fully-pinned pk equality can touch on a DYNAMIC-bucket
+    * table, resolved from the snapshot's durable hash index (the
+    * key-hash → bucket parquet files; reference: the HashBucketIndex the
+    * dynamic-bucket point-lookup path loads). One columnar, pushdown-
+    * filtered read of the index — at 100 TB a point lookup reads the
+    * index plus exactly the mapped bucket instead of EVERY bucket.
+    * None = not a pinned lookup (or no index yet — all buckets);
+    * Some(empty) = key provably absent.
+    */
+  def dynamicBuckets(spark: SparkSession, store: FileStore, schema: TableSchema,
+      indexFiles: Seq[String], filters: Seq[Filter]): Option[Set[Int]] = {
+    if (!schema.dynamicBucket || indexFiles.isEmpty) return None
+    import org.apache.spark.sql.functions.{col, lit}
+    pkHashFromFilters(schema, filters).map { h =>
+      spark.read
+        .parquet(indexFiles.map(d => new Path(store.rootPath, d).toString): _*)
+        .filter(col("__kh") === lit(h))
+        .select(GraftMeta.BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet // O(hash collisions) rows
+    }
+  }
+
   /** The set of buckets a pk-constraining predicate can touch: full-pk
     * equality pins one bucket; a single-column pk additionally prunes
     * through `IN` lists (each listed key hashes to its bucket — a
@@ -203,12 +261,7 @@ object GraftFileIndex {
       ((h % n) + n) % n
     }
 
-    def eqs(f: Filter): Seq[(String, Any)] = f match {
-      case SEqualTo(c, v) if v != null => Seq(c -> v)
-      case SAnd(l, r) => eqs(l) ++ eqs(r)
-      case _ => Nil
-    }
-    val pinned = filters.flatMap(eqs).toMap
+    val pinned = pinnedEqs(filters)
     if (schema.primaryKeys.forall(pinned.contains))
       return Some(Set(bucketOf(schema.primaryKeys.map(k => k -> pinned(k)))))
 

@@ -264,6 +264,12 @@ class GraftScan(
             schema.primaryKeys.contains(r) ||
               (!schema.crossPartition && partKeys.contains(r))))
         val bucketKeep = GraftFileIndex.bucketPruner(table.store, schema, filters)
+        // dynamic-bucket point lookups prune through the durable hash index
+        val dynKeep: DataFileMeta => Boolean =
+          GraftFileIndex.dynamicBuckets(
+              table.spark, table.store, schema, s.indexFiles, filters)
+            .map(bs => (f: DataFileMeta) => bs.contains(f.bucket))
+            .getOrElse(_ => true)
         val candidates = table.store.liveFiles(s, meta => (meta.ptMin, meta.ptMax) match {
           case (Some(lo), Some(hi)) =>
             partFilters.forall(p => Pruning.shardMightMatch(p, partKeys, lo, hi))
@@ -271,7 +277,7 @@ class GraftScan(
         })
         val selected = candidates.filter { f =>
           partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
-          bucketKeep(f) &&
+          bucketKeep(f) && dynKeep(f) &&
           pruningFilters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
           GraftFileIndex.bloomMightMatch(table.store, schema, f, pruningFilters)
         }

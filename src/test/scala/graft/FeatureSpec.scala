@@ -234,6 +234,21 @@ class FeatureSpec extends SparkSpec {
     // per-bucket fill respects the target (hash collisions only co-locate)
     val fill = b3.groupBy(_._2).view.mapValues(_.size)
     assert(fill.values.forall(_ <= 110), s"bucket overfilled: ${fill.toMap}")
+
+    // point-lookup pruning through the durable hash index: a pinned pk
+    // equality resolves to exactly the key's assigned bucket
+    val snap = t.store.latestSnapshot.get
+    val dyn = graft.spark.GraftFileIndex.dynamicBuckets(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 42L)))
+    assert(dyn == Some(Set(b3(42L).toInt)), s"expected bucket ${b3(42L)}, got $dyn")
+    assert(t.lookup(Map("k" -> 42L)).map(_.getString(1)).contains("v42"))
+    // a key the index never assigned prunes to zero buckets → empty scan
+    val absent = graft.spark.GraftFileIndex.dynamicBuckets(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 424242L)))
+    assert(absent == Some(Set.empty[Int]), s"got $absent")
+    assert(t.toDF.filter(col("k") === 424242L).isEmpty)
   }
 
   test("rbm32/rbm64 aggregators union bitmap metrics in both merge paths") {
