@@ -239,6 +239,22 @@ object Fixtures {
       GraftTable.load(spark, path)
     }
 
+  /** Branch lifecycle under the oracle: a branch cut at snapshot 1
+    * receives its own upsert; reading the branch must see snapshot-1 state
+    * plus ONLY the branch commit (main's second upsert stays invisible).
+    */
+  def ordersBranched(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_branched") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir)) // diverges on MAIN only
+      t.createBranch("audit", 1)
+      t.branch("audit").upsert(df.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderpriority", lit("BRANCHED")))
+      t
+    }
+
   def ordersPkUpdated(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_updated") { path =>
       val df = src(spark, sfDir, "orders")

@@ -108,6 +108,7 @@ object SparkEntry {
       Fixtures.ordersCompactedFull(s, d)
         .toDF(Fixtures.ordersCompactedFull(s, d).latestCompactSnapshot)),
     "q14_incremental" -> ((s, d) => Fixtures.ordersPk(s, d).incremental(1, 2)),
+    "q79_branch_read" -> ((s, d) => Fixtures.ordersBranched(s, d).branch("audit").toDF),
     "q15_delete" -> ((s, d) => Fixtures.ordersPkDeleted(s, d).toDF),
     // AvailableNow changelog replay through source AND sink; final sink
     // state is oracle-checked against the independently merged source
@@ -625,6 +626,11 @@ object SparkEntry {
     "q53_dynamic_bucket" -> mergedOrders,
     "q78_dynamic_point_lookup" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey = 42",
+    "q79_branch_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        | CASE WHEN o_orderkey % 5 = 0 THEN 'BRANCHED' ELSE o_orderpriority END
+        |   AS o_orderpriority
+        |FROM orders""".stripMargin,
     "q54_agg_partial_compact" -> eventsAggSql,
     "q55_lookup_changelog" ->
       """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
