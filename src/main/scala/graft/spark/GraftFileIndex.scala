@@ -175,6 +175,9 @@ object GraftFileIndex {
   def bucketPruner(store: FileStore, current: TableSchema,
       filters: Seq[Filter]): DataFileMeta => Boolean = {
     if (!current.isPrimaryKeyed) return _ => true
+    // no pk constraint in the filters → no bucket set under ANY bucket
+    // count — skip the per-schemaId resolution (and its schema-file reads)
+    if (bucketsFromFilters(current, filters).isEmpty) return _ => true
     val bySchema = scala.collection.mutable.Map.empty[Long, Option[Set[Int]]]
     def bucketsFor(schemaId: Long): Option[Set[Int]] = bySchema.get(schemaId) match {
       case Some(v) => v

@@ -289,6 +289,22 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   def incrementalBetweenTags(fromTag: String, toTag: String): DataFrame =
     incremental(store.readTag(fromTag).id, store.readTag(toTag).id)
 
+  /** Incremental read between two commit TIMESTAMPS (epoch millis): the
+    * range covers every snapshot committed in (fromMillis, toMillis]
+    * (reference: CoreOptions INCREMENTAL_BETWEEN_TIMESTAMP:931 resolved by
+    * IncrementalTimeStampStartingScanner — the latest snapshot at-or-before
+    * each bound becomes the id range).
+    */
+  def incrementalBetweenTimestamps(fromMillis: Long, toMillis: Long): DataFrame = {
+    require(fromMillis <= toMillis,
+      s"incremental timestamp range inverted: $fromMillis > $toMillis")
+    // O(snapshots) driver metadata scan, same bound as snapshot listing
+    def atOrBefore(ts: Long): Long = store.snapshotIds
+      .filter(id => store.readSnapshot(id).timestampMs <= ts)
+      .maxOption.getOrElse(0L)
+    incremental(atOrBefore(fromMillis), atOrBefore(toMillis))
+  }
+
   /** Exclusive starting snapshot id for a streaming read under the
     * configured scan mode (reference: the starting scanners in
     * paimon-core table/source/snapshot/ — StaticFromTimestampStartingScanner,

@@ -137,4 +137,18 @@ class TableSpec extends SparkSpec {
       s"SELECT * FROM graft_incremental_query('${t.location}', 'v1', 'v2')")
     assert(viaTvf.count() == inc.count())
   }
+
+  test("incremental between timestamps resolves commit-time bounds") {
+    val orders = sf("orders")
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"))
+    t.upsert(orders.limit(200))
+    Thread.sleep(5) // distinct commit millis for unambiguous bounds
+    val ts1 = t.store.readSnapshot(1).timestampMs
+    t.upsert(orders.limit(50).withColumn("o_totalprice", lit(1.0)))
+    val ts2 = t.store.readSnapshot(2).timestampMs
+    assert(t.incrementalBetweenTimestamps(ts1, ts2).count() == 50)
+    assert(t.incrementalBetweenTimestamps(0L, ts1).count() == 200)
+    assert(t.incrementalBetweenTimestamps(ts2, ts2 + 1000).isEmpty)
+  }
 }
