@@ -263,6 +263,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       watermark: Option[Long] = None,
       changelog: Seq[ManifestEntry] = Nil,
       newIndexFiles: Seq[String] = Nil,
+      replaceIndexFiles: Boolean = false,
       maxRetries: Int = 20): CommitResult = {
     var attempt = 0
     while (true) {
@@ -330,7 +331,11 @@ class FileStore(val root: String, val hadoopConf: Configuration,
           math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L), commitIdentifier),
         changelogManifests =
           if (changelog.isEmpty) Nil else Seq(writeManifest(changelog)),
-        indexFiles = latest.map(_.indexFiles).getOrElse(Nil) ++ newIndexFiles)
+        // replaceIndexFiles: an index consolidation swaps the delta list
+        // for its fold (single-writer, like dynamic-bucket assignment)
+        indexFiles =
+          if (replaceIndexFiles) newIndexFiles
+          else latest.map(_.indexFiles).getOrElse(Nil) ++ newIndexFiles)
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
         return CommitResult(snap, committed = true)
       }

@@ -463,13 +463,19 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     // writer re-picks next commit); anything else non-fatal is logged.
     try {
       val fullEvery = schema.option("full-compaction.delta-commits", "0").toInt
-      if (fullEvery > 0) {
-        val ids = store.snapshotIds
-        val lastCompact = ids.reverse
-          .find(id => store.readSnapshot(id).commitKind == CommitKind.COMPACT)
-        val deltas = ids.count(id => lastCompact.forall(id > _))
-        if (deltas >= fullEvery) Some(compact()) else None
-      } else maybeCompact()
+      val dataSnap =
+        if (fullEvery > 0) {
+          val ids = store.snapshotIds
+          val lastCompact = ids.reverse
+            .find(id => store.readSnapshot(id).commitKind == CommitKind.COMPACT)
+          val deltas = ids.count(id => lastCompact.forall(id > _))
+          if (deltas >= fullEvery) Some(compact()) else None
+        } else maybeCompact()
+      // AFTER the data pass: an index-only COMPACT commit must not reset
+      // the full-compaction.delta-commits cadence computed above. Always
+      // evaluated — orElse alone would skip it whenever data compacted.
+      val idxSnap = compactIndexIfNeeded()
+      dataSnap.orElse(idxSnap)
     } catch {
       case e if scala.util.control.NonFatal(e) =>
         logWarning("post-commit compaction failed (write already durable)", e)
@@ -778,9 +784,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   def commitFiles(entries: Seq[ManifestEntry], kind: String,
       commitIdentifier: Long = -1L,
       changelog: Seq[ManifestEntry] = Nil,
-      indexFiles: Seq[String] = Nil): Snapshot = {
+      indexFiles: Seq[String] = Nil,
+      replaceIndexFiles: Boolean = false): Snapshot = {
     val s = store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
-      changelog, indexFiles).snapshot
+      changelog, indexFiles, replaceIndexFiles).snapshot
     autoCreateTag(s)
     s
   }

@@ -137,6 +137,33 @@ trait MaintenanceOps { self: GraftTable =>
     * into one intermediate run (O(picked bytes) write amplification); the
     * size-amplification trigger still forces the terminal full rewrite.
     */
+  /** Consolidate the dynamic-bucket hash index when its delta-dir list
+    * grows past `dynamic-bucket.index-compact.threshold` (default 16):
+    * read every delta, write ONE folded dir, and commit a COMPACT snapshot
+    * whose index list is just the fold. Keys never move buckets, so the
+    * fold is a plain union with no conflict resolution. Old delta dirs
+    * stay on disk for snapshots that still reference them and are
+    * reclaimed by expiration + orphan cleanup. Without this, a table
+    * written to for years accumulates one index dir per keyed commit and
+    * every write re-opens thousands of tiny parquet footers.
+    * Single-writer, like dynamic-bucket assignment itself.
+    */
+  def compactIndexIfNeeded(): Option[Snapshot] = {
+    if (!schema.dynamicBucket) return None
+    val threshold =
+      schema.option("dynamic-bucket.index-compact.threshold", "16").toInt
+    val snap = store.latestSnapshot.getOrElse(return None)
+    val dirs = snap.indexFiles
+    if (dirs.size < threshold) return None
+    val folded = spark.read
+      .parquet(dirs.map(d => new Path(store.rootPath, d).toString): _*)
+    val rel = s"index/fold-${java.util.UUID.randomUUID()}"
+    folded.repartition(math.max(1, schema.dynamicBucketAssigners))
+      .write.parquet(new Path(store.rootPath, rel).toString)
+    Some(commitFiles(Nil, CommitKind.COMPACT,
+      indexFiles = Seq(rel), replaceIndexFiles = true))
+  }
+
   def maybeCompact(): Option[Snapshot] = {
     if (isPrimaryKeyed) {
       val groups = pickCompaction()

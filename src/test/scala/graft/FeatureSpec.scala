@@ -251,6 +251,34 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.filter(col("k") === 424242L).isEmpty)
   }
 
+  test("dynamic-bucket index deltas consolidate past the threshold") {
+    val df = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmpTable(),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "100",
+        "dynamic-bucket.index-compact.threshold" -> "3"))
+    // four keyed commits → four index deltas → folded once past 3
+    (0 until 4).foreach(i =>
+      t.upsert(df.filter(col("k") > i * 100 && col("k") <= (i + 1) * 100)))
+    val snap = t.store.latestSnapshot.get
+    assert(snap.indexFiles.size <= 2,
+      s"index deltas not consolidated: ${snap.indexFiles}")
+    // assignments and reads survive the fold
+    assert(t.toDF.count() == 400)
+    val dyn = graft.spark.GraftFileIndex.dynamicBuckets(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 250L)))
+    assert(dyn.exists(_.size == 1), s"got $dyn")
+    assert(t.lookup(Map("k" -> 250L)).map(_.getString(1)).contains("v250"))
+    // an update commit (no new keys) adds no delta and keeps the fold
+    t.upsert(df.filter(col("k") <= 50).withColumn("v", lit("upd")))
+    assert(t.store.latestSnapshot.get.indexFiles.size <= 2)
+    assert(t.lookup(Map("k" -> 10L)).map(_.getString(1)).contains("upd"))
+  }
+
   test("rbm32/rbm64 aggregators union bitmap metrics in both merge paths") {
     import spark.implicits._
     import graft.functions.{BitmapAgg, Bitmap64OrAgg}
