@@ -237,6 +237,13 @@ object SparkEntry {
     // ---- LLM-pipeline: text analysis ----
     "q70_token_freq" -> ((s, d) =>
       TextOps.tokenFrequencies(Fixtures.src(s, d, "documents"), "text", minCount = 5L)),
+    // benchmark decontamination: docs sharing an 8-gram with the "benchmark"
+    // subset (every 50th doc) are flagged with their distinct-gram hit count
+    "q80_decontaminate" -> ((s, d) => {
+      val docs = Fixtures.src(s, d, "documents")
+      TextOps.contaminatedDocs(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "text", n = 8)
+    }),
     "q69_pii_redaction" -> ((s, d) => {
       val docs = Fixtures.src(s, d, "documents")
       val counts = TextOps.piiCounts(col("text"))
@@ -641,6 +648,17 @@ object SparkEntry {
         | o_totalprice * 2, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
+    "q80_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-7, 1)+1),
+        |  i -> ARRAY_TO_STRING(t[i:i+7], ' '))) AS s FROM toks),
+        |bg AS (SELECT DISTINCT UNNEST(s) AS gram FROM g WHERE doc_id % 50 = 0),
+        |cg AS (SELECT doc_id, UNNEST(s) AS gram FROM g)
+        |SELECT cg.doc_id, COUNT(DISTINCT cg.gram) AS hits
+        |FROM cg JOIN bg ON cg.gram = bg.gram
+        |GROUP BY cg.doc_id""".stripMargin,
     "q70_token_freq" ->
       """SELECT token, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text),

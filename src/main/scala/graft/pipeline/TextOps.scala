@@ -108,6 +108,34 @@ object TextOps {
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % nBuckets).cast("int")
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minHits` distinct word n-grams with ANY benchmark document — the
+    * standard eval-contamination filter of a training-data pipeline
+    * (n-gram-overlap decontamination as in the GPT-3 appendix /
+    * open-data-pipeline practice: a training doc containing a test-set
+    * n-gram leaks the benchmark).
+    *
+    * Scale shape: the benchmark n-gram set is tiny and DISTINCT (one
+    * explode + distinct; AQE broadcast-joins it), the corpus explodes its
+    * n-grams once and inner-joins on the gram — gram-local, never
+    * all-pairs — and hits aggregate with map-side combine per doc. At
+    * 100 TB the cost is one pass over the corpus text.
+    */
+  def contaminatedDocs(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(benchGrams, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
