@@ -155,6 +155,39 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.lookup(Map("o_orderkey" -> k)).isDefined)
   }
 
+  test("rescale fuzz: random upserts/deletes across rescales match a model") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("v", LongType)))
+    val t = GraftTable.create(spark, tmpTable(), sch, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "2", "write-only" -> "true"))
+    val model = scala.collection.mutable.Map.empty[Long, Long]
+    for (step <- 0 until 6) {
+      val rows = (0 until 60).map(_ => (rnd.nextInt(300).toLong, rnd.nextLong(1000)))
+      t.upsert(rows.toDF("k", "v"))
+      rows.foreach { case (k, v) => model(k) = v } // later wins, like the engine
+      if (rnd.nextBoolean()) {
+        val bound = rnd.nextInt(300).toLong
+        t.delete(col("k") < bound)
+        model.keys.filter(_ < bound).toSeq.foreach(model.remove)
+      }
+      if (step % 2 == 1) t.rescaleBucket(1 + rnd.nextInt(8))
+      // engine state must equal the model after every step
+      val got = t.toDF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model.toMap,
+        s"step $step diverged (buckets=${t.schema.numBuckets}): " +
+          s"missing=${(model.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- model.keySet).take(5)}")
+      // point lookups route correctly across the layout change
+      (0 until 10).map(_ => rnd.nextInt(300).toLong).foreach { k =>
+        assert(t.lookup(Map("k" -> k)).map(_.getLong(1)) == model.get(k),
+          s"step $step lookup($k) wrong under bucket=${t.schema.numBuckets}")
+      }
+    }
+  }
+
   test("mid-rescale reads stay correct: pruning hashes with each file's own layout") {
     val orders = sf("orders").limit(500).cache()
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
