@@ -559,6 +559,27 @@ object Fixtures {
     * fixture for metadata-only aggregate pushdown (COUNT/MIN/MAX answered
     * from manifests through the DSv2 SQL path). Returns the table name.
     */
+  /** nation written as ONE sorted file so the `__row_index` metadata
+    * column is deterministic (= rank by sort key); read via the DSv2
+    * catalog, which serves the metadata columns. Returns the table name.
+    */
+  def sqlNationRowIndexed(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft.db.nation_ri_$tag"
+    build(spark, sfDir, "sql_nation_rowidx") { _ =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", s"$base/warehouse")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      val df = src(spark, sfDir, "nation")
+      spark.sql(s"CREATE TABLE $tbl (${df.schema.toDDL}) USING graft")
+      val t = GraftTable.load(spark, s"$base/warehouse/db/nation_ri_$tag")
+      t.append(df.repartition(1).sortWithinPartitions("n_nationkey"))
+      t
+    }
+    tbl
+  }
+
   def sqlLineitem(spark: SparkSession, sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val tbl = s"graft.db.lineitem_$tag"

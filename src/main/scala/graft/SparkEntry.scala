@@ -134,6 +134,10 @@ object SparkEntry {
     "q24_read_optimized" -> ((s, d) => Fixtures.ordersPkCompacted(s, d).readOptimized),
     "q25_audit_log" -> ((s, d) => Fixtures.ordersPk(s, d).auditLog),
     "q26_schema_evolution" -> ((s, d) => Fixtures.nationEvolved(s, d).toDF),
+    // __row_index metadata column over a single sorted file: position = rank
+    "q81_metadata_row_index" -> ((s, d) =>
+      s.sql(s"""SELECT n_nationkey, n_name, __row_index
+               |FROM ${Fixtures.sqlNationRowIndexed(s, d)}""".stripMargin)),
     "q27_point_lookup" -> ((s, d) =>
       Fixtures.ordersPk(s, d).toDF.filter(col("o_orderkey") === 42)),
     "q28_sys_snapshots" -> ((s, d) =>
@@ -570,6 +574,10 @@ object SparkEntry {
         |SELECT n_nationkey, n_name, n_regionkey, 'filled' FROM nation""".stripMargin,
     "q27_point_lookup" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderkey = 42",
+    "q81_metadata_row_index" ->
+      """SELECT n_nationkey, n_name,
+        | ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS __row_index
+        |FROM nation""".stripMargin,
     "q28_sys_snapshots" ->
       """SELECT CAST(1 AS BIGINT) AS snapshot_id, 'APPEND' AS commit_kind
         |UNION ALL SELECT CAST(2 AS BIGINT), 'APPEND'
