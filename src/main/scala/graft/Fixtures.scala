@@ -255,6 +255,49 @@ object Fixtures {
       t
     }
 
+  /** Consumer progress under the oracle: an AvailableNow stream registered
+    * with a consumer-id drains the table twice (a fresh commit between the
+    * runs); the durable consumer record is written when a batch is PLANNED
+    * with the batch's exclusive start, so after the second drain it points
+    * at the third snapshot — snapshots 1-2 are released for expiration
+    * while the in-flight read range stays pinned.
+    */
+  def ordersConsumed(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_consumed") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("write-only" -> "true"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      def drain(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("path", path).option("consumer-id", "etl_main").load()
+          .writeStream.format("noop")
+          .option("checkpointLocation", path + "-consumer-ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(120000), "consumer stream did not terminate")
+      }
+      drain() // reads (0, 2] → pin 1
+      t.upsert(ordersBatch2(spark, sfDir))
+      drain() // reads (2, 3] → pin 3
+      t
+    }
+
+  /** Snapshot watermarks from file stats (`watermark.column = ts`), two
+    * commits — the recorded watermark per snapshot is max(ts) so far
+    * (monotone carry-forward), checkable by the oracle in epoch-micros.
+    */
+  def eventsWatermarked(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "events_watermarked") { path =>
+      val df = src(spark, sfDir, "events")
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("watermark.column" -> "ts", "write-only" -> "true"))
+      t.append(df.filter(col("event_id") % 2 === 0))
+      t.append(df.filter(col("event_id") % 2 === 1))
+      t
+    }
+
   def ordersPkUpdated(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_updated") { path =>
       val df = src(spark, sfDir, "orders")

@@ -109,6 +109,14 @@ object SparkEntry {
         .toDF(Fixtures.ordersCompactedFull(s, d).latestCompactSnapshot)),
     "q14_incremental" -> ((s, d) => Fixtures.ordersPk(s, d).incremental(1, 2)),
     "q79_branch_read" -> ((s, d) => Fixtures.ordersBranched(s, d).branch("audit").toDF),
+    // durable consumer progress: the registered stream's record points past
+    // the chain head after an AvailableNow drain
+    "q82_consumer_progress" -> ((s, d) =>
+      Fixtures.ordersConsumed(s, d).system("consumers")),
+    // snapshot watermarks populated from the watermark column's file stats
+    "q83_watermarks" -> ((s, d) =>
+      Fixtures.eventsWatermarked(s, d).system("snapshots")
+        .select(col("snapshot_id"), col("watermark"))),
     "q15_delete" -> ((s, d) => Fixtures.ordersPkDeleted(s, d).toDF),
     // AvailableNow changelog replay through source AND sink; final sink
     // state is oracle-checked against the independently merged source
@@ -646,6 +654,18 @@ object SparkEntry {
         | CASE WHEN o_orderkey % 5 = 0 THEN 'BRANCHED' ELSE o_orderpriority END
         |   AS o_orderpriority
         |FROM orders""".stripMargin,
+    "q82_consumer_progress" ->
+      "SELECT 'etl_main' AS consumer_id, CAST(3 AS BIGINT) AS next_snapshot",
+    "q83_watermarks" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot_id,
+        |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS watermark
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  CAST(GREATEST(
+        |    (SELECT epoch_us(MAX(ts)) FROM events WHERE event_id % 2 = 0),
+        |    epoch_us(MAX(ts))) AS BIGINT)
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
     "q54_agg_partial_compact" -> eventsAggSql,
     "q55_lookup_changelog" ->
       """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,

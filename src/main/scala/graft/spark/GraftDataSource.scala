@@ -159,6 +159,11 @@ class GraftSource(spark: SparkSession, path: String,
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val from = start.map(o => o.json().toLong).getOrElse(startExclusive)
     val to = end.json().toLong
+    // durable read progress at PLAN time (see GraftMicroBatchStream
+    // .planInputPartitions): Spark never calls commit() after the final
+    // AvailableNow batch, so the in-flight batch's exclusive start is the
+    // crash-safe pin; commit() below advances it when Spark does call it.
+    options.get("consumer-id").foreach(id => table.store.writeConsumer(id, from + 1))
     org.apache.spark.sql.graft.SparkShims.asStreamingFrame(table.incremental(from, to))
   }
 

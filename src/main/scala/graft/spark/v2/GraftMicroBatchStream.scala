@@ -105,6 +105,14 @@ class GraftMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].snapshotId
     val to = end.asInstanceOf[GraftOffset].snapshotId
+    // durable read progress written at PLAN time with the in-flight batch's
+    // exclusive start: Spark only invokes commit() once a SUBSEQUENT batch
+    // starts (never after the final AvailableNow batch), so this is the
+    // crash-safe lower bound — it pins exactly the range being read, and
+    // commit() advances it further whenever Spark does call it.
+    table.schema.options.get("consumer-id").foreach { id =>
+      store.writeConsumer(id, from + 1)
+    }
     val ids = store.snapshotIds.filter(id => id > from && id <= to)
     val files = ids.flatMap(deltaFiles)
     // raw splits: a streaming batch replays deltas as-is, no cross-snapshot

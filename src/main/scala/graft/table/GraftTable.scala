@@ -1057,8 +1057,13 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
                   Some(cur.filter(c => ord.compare(c, mnV) <= 0).getOrElse(mnV)))
                 maxs.updateWith(f.name)(cur =>
                   Some(cur.filter(c => ord.compare(c, mxV) >= 0).getOrElse(mxV)))
-              } else if (st.isEmpty && block.getRowCount > 0) {
-                return None // stats dropped (e.g. oversized values)
+              } else if (st.getNumNulls < block.getRowCount) {
+                // non-null values exist but the footer records no usable
+                // min/max — INT96 timestamps (parquet ignores their stats),
+                // dropped oversized values, … → scan fallback. Skipping
+                // silently here would leave boundless ColStats: no pruning
+                // and no watermark for the column, with no signal why.
+                return None
               }
             }
             j += 1
