@@ -298,6 +298,119 @@ object Fixtures {
       t
     }
 
+  /** Computed columns (2.11) under the oracle: `hh`/`ts_day` are declared
+    * in the table schema but ABSENT from the writer's frame — write-time
+    * expressions (whole-stage codegen, no UDFs) fill them, the oracle
+    * recomputes them in SQL.
+    */
+  def eventsComputed(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "events_computed") { path =>
+      val df = src(spark, sfDir, "events").select("event_id", "ts", "user_id")
+      val schema = df.schema
+        .add("hh", IntegerType).add("ts_day", StringType)
+      val t = GraftTable.create(spark, path, schema, options = Map(
+        "computed-columns" -> "hh=hour(ts), ts_day=date_format(ts, 'yyyy-MM-dd')"))
+      t.append(df)
+      t
+    }
+
+  /** Append small-file compaction (C5) under the oracle: six small commits
+    * bin-packed into target-size files; the rewrite must preserve every row
+    * (oracle) and actually reduce the file count (hard require here, since
+    * the oracle cannot see file counts).
+    */
+  def lineitemCompactedSmall(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_compact_small") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("write-only" -> "true"))
+      (0 until 6).foreach(i => t.append(df.filter(col("l_orderkey") % 6 === i)))
+      val before = t.system("files").count()
+      t.compactSmallFiles()
+      val after = t.system("files").count()
+      require(after < before, s"append compaction must shrink files ($before -> $after)")
+      t
+    }
+
+  /** Orphan cleanup (C9) under the oracle: a planted unreferenced data file
+    * (mtime past the grace period) is removed while every live file — and
+    * therefore every row, which is what the oracle checks — survives.
+    */
+  def ordersOrphanCleaned(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_orphans") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema)
+      t.append(df)
+      val junk = new java.io.File(new java.io.File(path, "data"), "orphan-0.parquet")
+      java.nio.file.Files.write(junk.toPath, Array[Byte](0x50, 0x41, 0x52, 0x31))
+      junk.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+      val removed = t.removeOrphanFiles()
+      require(removed.exists(_.contains("orphan-0")) && !junk.exists(),
+        s"planted orphan must be removed, got: $removed")
+      t
+    }
+
+  /** Read limits (T5) under the oracle: a 3-commit source with
+    * `read.max-rows-per-batch = 1` admits exactly one whole snapshot per
+    * micro-batch (at least one is always admitted), so an AvailableNow
+    * drain through the DSv2 stream produces one sink commit per source
+    * snapshot — the sink's snapshot count IS the batch count.
+    */
+  def ordersReadLimited(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_read_limited_sink") { path =>
+      val df = src(spark, sfDir, "orders")
+      val wh = s"$base/${key(sfDir, "rl_wh")}"
+      val srcPath = s"$wh/db/rl_src"
+      val st = GraftTable.create(spark, srcPath, df.schema,
+        options = Map("write-only" -> "true", "read.max-rows-per-batch" -> "1"))
+      (0 until 3).foreach(i => st.append(df.filter(col("o_orderkey") % 3 === i)))
+      // admission control lives in the DSv2 MicroBatchStream → readStream.table
+      spark.conf.set("spark.sql.catalog.graft_rl",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_rl.warehouse", wh)
+      val q = spark.readStream.table("graft_rl.db.rl_src")
+        .writeStream.format("graft")
+        .option("path", path)
+        .option("checkpointLocation", path + "-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "read-limited stream did not terminate")
+      GraftTable.load(spark, path)
+    }
+
+  /** Stream-static lookup join (J1) under the oracle: orders streamed
+    * AvailableNow, enriched per micro-batch against a customer dimension
+    * graft table (broadcast, per-batch snapshot resolution), landed in an
+    * append sink whose final state the oracle recomputes as a plain join.
+    */
+  def ordersLookupEnriched(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_lookup_enriched") { path =>
+      val dimPath = s"$base/${key(sfDir, "customer_dim")}"
+      val dim = src(spark, sfDir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment"))
+      val dimT = GraftTable.create(spark, dimPath, dim.schema,
+        primaryKeys = Seq("o_custkey"))
+      dimT.upsert(dim)
+      val srcPath = s"$base/${key(sfDir, "orders_lookup_src")}"
+      val ordersSlim = src(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+      val srcT = GraftTable.create(spark, srcPath, ordersSlim.schema,
+        options = Map("write-only" -> "true"))
+      srcT.append(ordersSlim)
+      val stream = spark.readStream.format("graft")
+        .option("path", srcPath).load()
+        .select("o_orderkey", "o_custkey")
+      val joined = graft.streaming.LookupJoin
+        .fresh(stream, spark, dimPath, Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+      val q = joined.writeStream.format("graft")
+        .option("path", path)
+        .option("checkpointLocation", path + "-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "lookup-join stream did not terminate")
+      GraftTable.load(spark, path)
+    }
+
   def ordersPkUpdated(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_updated") { path =>
       val df = src(spark, sfDir, "orders")

@@ -117,6 +117,21 @@ object SparkEntry {
     "q83_watermarks" -> ((s, d) =>
       Fixtures.eventsWatermarked(s, d).system("snapshots")
         .select(col("snapshot_id"), col("watermark"))),
+    // write-time computed columns: hh/ts_day absent from the input frame
+    "q84_computed_columns" -> ((s, d) => Fixtures.eventsComputed(s, d).toDF),
+    // append small-file compaction preserves every row through the rewrite
+    "q85_append_compact" -> ((s, d) => Fixtures.lineitemCompactedSmall(s, d).toDF),
+    // orphan cleanup removes the planted file (fixture require) and no live one
+    "q86_orphan_cleanup" -> ((s, d) => Fixtures.ordersOrphanCleaned(s, d).toDF),
+    // read.max-rows-per-batch admission: one sink commit per source snapshot
+    "q87_read_limit" -> ((s, d) => {
+      val sink = Fixtures.ordersReadLimited(s, d)
+      sink.system("snapshots").agg(count(lit(1)).as("batches"))
+        .crossJoin(sink.toDF.agg(count(lit(1)).as("rows")))
+    }),
+    // stream-static lookup join: per-batch broadcast enrichment, final sink
+    // state equals the plain batch join
+    "q88_lookup_join" -> ((s, d) => Fixtures.ordersLookupEnriched(s, d).toDF),
     "q15_delete" -> ((s, d) => Fixtures.ordersPkDeleted(s, d).toDF),
     // AvailableNow changelog replay through source AND sink; final sink
     // state is oracle-checked against the independently merged source
@@ -666,6 +681,17 @@ object SparkEntry {
         |    (SELECT epoch_us(MAX(ts)) FROM events WHERE event_id % 2 = 0),
         |    epoch_us(MAX(ts))) AS BIGINT)
         |FROM events WHERE event_id % 2 = 1""".stripMargin,
+    "q84_computed_columns" ->
+      """SELECT event_id, ts, user_id, CAST(hour(ts) AS INT) AS hh,
+        |  strftime(ts, '%Y-%m-%d') AS ts_day FROM events""".stripMargin,
+    "q85_append_compact" -> "SELECT * FROM lineitem",
+    "q86_orphan_cleanup" -> "SELECT * FROM orders",
+    "q87_read_limit" ->
+      """SELECT CAST(3 AS BIGINT) AS batches,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows""".stripMargin,
+    "q88_lookup_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q54_agg_partial_compact" -> eventsAggSql,
     "q55_lookup_changelog" ->
       """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
