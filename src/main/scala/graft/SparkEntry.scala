@@ -39,6 +39,29 @@ object SparkEntry {
       | STRING_AGG(event_id || ':' || event_type, ',' ORDER BY event_id) AS recent_rows
       |FROM events GROUP BY user_id""".stripMargin
 
+  // BM25 query terms shared by q90's Spark side and its DuckDB oracle
+  private val bm25Terms = Seq("spark", "merge", "window")
+
+  private val bm25Sql: String = {
+    val dfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN LIST_CONTAINS(t, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(", ")
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(LEN(LIST_FILTER(t, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(", ")
+    val score = bm25Terms.indices.map(i =>
+      s"LN((n - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * 2.2) / " +
+        s"(tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    LIST_FILTER(STRING_SPLIT(TRIM(REGEXP_REPLACE(LOWER(text),
+       |      '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    AVG(CAST(LEN(t) AS DOUBLE)) AS avgdl, $dfs FROM toks),
+       |per AS (SELECT doc_id, CAST(LEN(t) AS DOUBLE) AS dl, $tfs FROM toks)
+       |SELECT doc_id, ROUND($score, 6) AS bm25 FROM per, st""".stripMargin
+  }
+
   // SQL fragment: the merged orders state after the two canonical upserts
   private val mergedOrders =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -262,6 +285,23 @@ object SparkEntry {
           .as("recent_rows"))),
 
     // ---- LLM-pipeline: text analysis ----
+    // line-level boilerplate dedup: synthetic "pages" of 3 docs wrapped in
+    // a shared header/footer; lines in >= 2 pages are cut, doc lines stay
+    "q89_line_dedup" -> ((s, d) => {
+      val docs = Fixtures.src(s, d, "documents")
+      val pages = docs.groupBy(expr("doc_id div 3").as("page_id"))
+        .agg(concat_ws("\n",
+          lit("=== SITE HEADER ==="),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x("text")), "\n"),
+          lit("(c) example.com - all rights reserved")).as("text"))
+      TextOps.dedupLines(pages, "page_id", "text", minDocs = 2)
+    }),
+    // BM25 relevance of every doc against a fixed bag-of-words query
+    "q90_bm25" -> ((s, d) =>
+      TextOps.bm25Scores(Fixtures.src(s, d, "documents"), "doc_id", "text",
+        bm25Terms)),
     "q70_token_freq" -> ((s, d) =>
       TextOps.tokenFrequencies(Fixtures.src(s, d, "documents"), "text", minCount = 5L)),
     // benchmark decontamination: docs sharing an 8-gram with the "benchmark"
@@ -713,6 +753,26 @@ object SparkEntry {
         |SELECT cg.doc_id, COUNT(DISTINCT cg.gram) AS hits
         |FROM cg JOIN bg ON cg.gram = bg.gram
         |GROUP BY cg.doc_id""".stripMargin,
+    "q89_line_dedup" ->
+      """WITH pages AS (
+        |  SELECT doc_id // 3 AS page_id,
+        |    '=== SITE HEADER ===' || chr(10) ||
+        |    STRING_AGG(text, chr(10) ORDER BY doc_id) || chr(10) ||
+        |    '(c) example.com - all rights reserved' AS text
+        |  FROM documents GROUP BY 1),
+        |sp AS (SELECT page_id, STRING_SPLIT(text, chr(10)) AS ls FROM pages),
+        |lines AS (SELECT page_id, UNNEST(ls) AS line,
+        |    UNNEST(RANGE(1, LEN(ls) + 1)) AS pos FROM sp),
+        |common AS (SELECT LOWER(TRIM(line)) AS nline FROM lines
+        |  WHERE LEN(TRIM(line)) > 0
+        |  GROUP BY 1 HAVING COUNT(DISTINCT page_id) >= 2),
+        |kept AS (SELECT page_id, pos, line FROM lines
+        |  WHERE LOWER(TRIM(line)) NOT IN (SELECT nline FROM common)),
+        |agg AS (SELECT page_id, STRING_AGG(line, chr(10) ORDER BY pos)
+        |    AS text_dedup FROM kept GROUP BY page_id)
+        |SELECT p.page_id, COALESCE(a.text_dedup, '') AS text_dedup
+        |FROM pages p LEFT JOIN agg a USING (page_id)""".stripMargin,
+    "q90_bm25" -> bm25Sql,
     "q70_token_freq" ->
       """SELECT token, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text),

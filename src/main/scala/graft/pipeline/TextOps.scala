@@ -136,6 +136,74 @@ object TextOps {
       .filter(col("hits") >= minHits)
   }
 
+  /** Line-level dedup (boilerplate removal) — the CCNet/RefinedWeb recipe:
+    * a line whose normalized form appears in at least `minDocs` DISTINCT
+    * documents is boilerplate (site headers, cookie banners, copyright
+    * footers) and is cut from every document; the remaining lines are
+    * reassembled in their original order. Whole-doc dedup cannot see
+    * these — the surrounding text differs per page.
+    *
+    * Scale shape: one explode (linear in corpus lines), ONE hash aggregate
+    * at distinct-line scale with map-side combine, then an anti-join keyed
+    * on the line — line-local shuffle, never all-pairs — and a per-doc
+    * re-aggregation. The common-lines side is output-filtered tiny
+    * (only lines crossing the threshold), so AQE broadcasts it. At 100 TB,
+    * key the aggregate and join on `xxhash64(line)` instead of the text to
+    * shrink the shuffle ~10× (identical up to 64-bit collisions); the text
+    * key keeps this oracle-checkable bit-for-bit.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2L): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n"))).toDF("__id", "pos", "line")
+    def norm = lower(trim(col("line")))
+    val common = lines.filter(length(norm) > 0)
+      .groupBy(norm.as("nline"))
+      .agg(countDistinct(col("__id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("nline")
+    val rebuilt = lines.join(common, norm === col("nline"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("text_dedup"))
+    df.select(col(idCol)).join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol), coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** BM25 relevance of every document against a bag-of-words query — the
+    * classic sparse ranking function (Robertson & Spärck Jones; the BM25
+    * variant with idf = ln(1 + (N - df + 0.5)/(df + 0.5))), the retrieval
+    * half of a dedup/quality pipeline's "find documents like these".
+    *
+    * Scale shape: corpus statistics (N, avgdl, per-term document
+    * frequencies) come from ONE tiny aggregate — a single row, broadcast
+    * into the scoring cross-join — and scoring itself is a pure projection
+    * over the token array (no explode, no shuffle, no per-term join). At
+    * 100 TB the cost is two passes of one scan each: stats, then score.
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = filter(split(trim(regexp_replace(lower(col(textCol)),
+      "[^a-z0-9]+", " ")), " "), t => t =!= "")
+    val withToks = df.select(col(idCol), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val dfAggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val statAggs = count(lit(1)).cast("double").as("n") +:
+      avg(col("dl")).as("avgdl") +: dfAggs
+    val stats = withToks.agg(statAggs.head, statAggs.tail: _*)
+    val score = queryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("toks"), x => x === t)).cast("double")
+      val idf = log((col("n") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * (k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    withToks.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 6).as("bm25"))
+  }
+
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))

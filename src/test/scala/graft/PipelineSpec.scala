@@ -231,4 +231,33 @@ class PipelineSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("expected 3-dim vector")), msgs(ex).mkString("; "))
   }
+
+  test("line dedup: boilerplate cut everywhere, order kept, all-boilerplate doc -> empty") {
+    import graft.pipeline.TextOps
+    val docs = Seq(
+      (1L, "HEADER\nalpha beta\ngamma\nFOOTER"),
+      (2L, "header\ndelta\nFOOTER"), // normalized match: HEADER vs header
+      (3L, "HEADER\nFOOTER"),        // nothing unique survives
+      (4L, "epsilon\nzeta")          // no boilerplate at all
+    ).toDF("id", "text")
+    val out = TextOps.dedupLines(docs, "id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha beta\ngamma")
+    assert(out(2L) == "delta")
+    assert(out(3L) == "")
+    assert(out(4L) == "epsilon\nzeta")
+  }
+
+  test("bm25: term-bearing docs outrank term-free docs; shorter doc outranks longer") {
+    import graft.pipeline.TextOps
+    val docs = Seq(
+      (1L, "spark engine"),                      // short, has term
+      (2L, "spark engine running on a cluster of machines"), // longer, has term
+      (3L, "completely unrelated words here")    // no term
+    ).toDF("id", "text")
+    val s = TextOps.bm25Scores(docs, "id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(3L) == 0.0)
+    assert(s(1L) > s(2L) && s(2L) > 0.0, s"scores: $s")
+  }
 }
