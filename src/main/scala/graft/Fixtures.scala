@@ -411,6 +411,28 @@ object Fixtures {
       GraftTable.load(spark, path)
     }
 
+  /** Distinct-count sketch aggregation (A4 `hll_sketch`/`theta_sketch`):
+    * writers pre-aggregate raw event ids into one sketch per user and the
+    * table's aggregation merge engine unions the blobs across commits —
+    * the reference's DataSketches workflow with self-contained sketches.
+    */
+  def eventsSketched(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "events_sketched") { path =>
+      val df = src(spark, sfDir, "events")
+      def batch(parity: Int): DataFrame =
+        df.filter(col("event_id") % 2 === parity).groupBy("user_id").agg(
+          graft.functions.HllFromLongsAgg.fromLongs(col("event_id")).as("uniq_hll"),
+          graft.functions.ThetaFromLongsAgg.fromLongs(col("event_id")).as("uniq_theta"))
+      val b1 = batch(0)
+      val t = GraftTable.create(spark, path, b1.schema, primaryKeys = Seq("user_id"),
+        options = Map("merge-engine" -> "aggregation",
+          "fields.uniq_hll.aggregate-function" -> "hll_sketch",
+          "fields.uniq_theta.aggregate-function" -> "theta_sketch"))
+      t.upsert(b1)
+      t.upsert(batch(1))
+      t
+    }
+
   def ordersPkUpdated(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_updated") { path =>
       val df = src(spark, sfDir, "orders")

@@ -155,6 +155,23 @@ object SparkEntry {
     // stream-static lookup join: per-batch broadcast enrichment, final sink
     // state equals the plain batch join
     "q88_lookup_join" -> ((s, d) => Fixtures.ordersLookupEnriched(s, d).toDF),
+    // hll_sketch / theta_sketch field aggregators: sketches unioned across
+    // two commits; estimates checked against the exact distinct counts
+    // (hll within 5%, theta exact below its k) — the oracle pins the
+    // booleans, the estimate itself is engine-specific. The estimate UDFs
+    // run on the O(keys) post-aggregation frame, never the raw corpus.
+    "q91_sketch_agg" -> ((s, d) => {
+      val hllEst = udf((b: Array[Byte]) => graft.functions.Sketches.hllEstimate(b))
+      val thetaEst = udf((b: Array[Byte]) => graft.functions.Sketches.thetaEstimate(b))
+      val exact = Fixtures.src(s, d, "events").groupBy("user_id")
+        .agg(countDistinct(col("event_id")).as("exact"))
+      Fixtures.eventsSketched(s, d).toDF.join(exact, "user_id")
+        .select(col("user_id"),
+          (abs(hllEst(col("uniq_hll")) - col("exact")) <= col("exact") * 0.05)
+            .as("hll_ok"),
+          (thetaEst(col("uniq_theta")) === col("exact").cast("double"))
+            .as("theta_exact"))
+    }),
     "q15_delete" -> ((s, d) => Fixtures.ordersPkDeleted(s, d).toDF),
     // AvailableNow changelog replay through source AND sink; final sink
     // state is oracle-checked against the independently merged source
@@ -732,6 +749,9 @@ object SparkEntry {
     "q88_lookup_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q91_sketch_agg" ->
+      """SELECT user_id, true AS hll_ok, true AS theta_exact
+        |FROM events GROUP BY user_id""".stripMargin,
     "q54_agg_partial_compact" -> eventsAggSql,
     "q55_lookup_changelog" ->
       """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,

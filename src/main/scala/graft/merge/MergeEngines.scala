@@ -260,6 +260,10 @@ object MergeEngines {
     // FieldRoaringBitmap32Agg.java / FieldRoaringBitmap64Agg.java)
     case "rbm32" => graft.functions.BitmapOrAgg.or(c)
     case "rbm64" => graft.functions.Bitmap64OrAgg.or(c)
+    // distinct-count sketch unions (reference: FieldHllSketchAgg.java /
+    // FieldThetaSketchAgg.java; self-contained algorithms, see Sketches)
+    case "hll_sketch" => graft.functions.HllUnionAgg.union(c)
+    case "theta_sketch" => graft.functions.ThetaUnionAgg.union(c)
     case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
   }
 }

@@ -290,6 +290,14 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
             .deserialize64(v.asInstanceOf[Array[Byte]]))
           .reduceOption { (a, b) => a.or(b); a }
         folded.map(graft.functions.Bitmap64OrAgg.serialize64).orNull
+      case "hll_sketch" =>
+        nonNull.map(_.asInstanceOf[Array[Byte]])
+          .reduceOption(graft.functions.Sketches.hllMerge).orNull
+      case "theta_sketch" =>
+        nonNull.map(v => graft.functions.Sketches
+            .thetaDeserialize(v.asInstanceOf[Array[Byte]]))
+          .reduceOption(graft.functions.Sketches.thetaMergeHashes)
+          .map(graft.functions.Sketches.thetaSerialize).orNull
       case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
     }
   }

@@ -232,6 +232,68 @@ class PipelineSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("expected 3-dim vector")), msgs(ex).mkString("; "))
   }
 
+  test("hll sketch: accuracy at 100k distinct, merge of halves == sketch of whole") {
+    import graft.functions.Sketches
+    val whole = Sketches.hllEmpty()
+    val h1 = Sketches.hllEmpty()
+    val h2 = Sketches.hllEmpty()
+    (0 until 100000).foreach { i =>
+      Sketches.hllAdd(whole, i.toLong)
+      Sketches.hllAdd(if (i % 2 == 0) h1 else h2, i.toLong)
+    }
+    val est = Sketches.hllEstimate(whole)
+    assert(math.abs(est - 100000) / 100000.0 < 0.03, s"hll estimate $est")
+    // union is register-max: merging disjoint halves reproduces the whole
+    assert(java.util.Arrays.equals(Sketches.hllMerge(h1, h2), whole))
+    // idempotent: re-merging changes nothing
+    assert(java.util.Arrays.equals(Sketches.hllMerge(whole, whole), whole))
+  }
+
+  test("theta sketch: exact below k, within 5% at 100k distinct") {
+    import graft.functions.{Sketches, ThetaFromLongsAgg}
+    var small = Array.emptyLongArray
+    var big = Array.emptyLongArray
+    (0 until 100000).foreach { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 99L)
+      if (i < 500) small = Sketches.thetaMergeHashes(small, Array(h))
+      big = Sketches.thetaMergeHashes(big, Array(h))
+    }
+    assert(Sketches.thetaEstimate(Sketches.thetaSerialize(small)) == 500.0)
+    val est = Sketches.thetaEstimate(Sketches.thetaSerialize(big))
+    assert(math.abs(est - 100000) / 100000.0 < 0.05, s"theta estimate $est")
+    assert(ThetaFromLongsAgg.finish(big).length == 8 + 1024 * 8)
+  }
+
+  test("sketch aggregation table: estimates stable across compaction (row vs DF merge path)") {
+    import graft.functions.Sketches
+    val vals = (1 to 3000).map(i => ((i % 7).toLong, i.toLong)).toDF("k", "v")
+    def batch(parity: Int) = vals.filter(col("v") % 2 === parity).groupBy("k")
+      .agg(graft.functions.HllFromLongsAgg.fromLongs(col("v")).as("hll"),
+        graft.functions.ThetaFromLongsAgg.fromLongs(col("v")).as("theta"))
+    val path = java.nio.file.Files.createTempDirectory("graft-sketch").toString + "/t"
+    val t = graft.table.GraftTable.create(spark, path, batch(0).schema,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "aggregation",
+        "fields.hll.aggregate-function" -> "hll_sketch",
+        "fields.theta.aggregate-function" -> "theta_sketch"))
+    t.upsert(batch(0))
+    t.upsert(batch(1))
+    def read(): Map[Long, (Double, Double)] =
+      t.toDF.collect().map(r => r.getLong(0) ->
+        (Sketches.hllEstimate(r.getAs[Array[Byte]](1)),
+          Sketches.thetaEstimate(r.getAs[Array[Byte]](2)))).toMap
+    val merged = read()
+    t.compact()
+    val compacted = read()
+    assert(merged == compacted, "compaction changed sketch estimates")
+    // k=0..6 each see ~428 distinct v (< theta k): theta is exact
+    val exact = (1 to 3000).groupBy(i => (i % 7).toLong).view.mapValues(_.size).toMap
+    exact.foreach { case (k, n) =>
+      assert(compacted(k)._2 == n.toDouble, s"theta k=$k")
+      assert(math.abs(compacted(k)._1 - n) / n.toDouble < 0.05, s"hll k=$k")
+    }
+  }
+
   test("line dedup: boilerplate cut everywhere, order kept, all-boilerplate doc -> empty") {
     import graft.pipeline.TextOps
     val docs = Seq(
