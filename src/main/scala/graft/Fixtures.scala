@@ -433,6 +433,21 @@ object Fixtures {
       t
     }
 
+  /** `bucket-key` narrowed to a pk subset: routing, pruning, and joins all
+    * hash o_custkey alone, so a custkey equality prunes to one bucket even
+    * though the full (o_orderkey, o_custkey) pk is not pinned.
+    */
+  def ordersBucketKeyed(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_bucket_keyed") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        primaryKeys = Seq("o_orderkey", "o_custkey"),
+        options = Map("bucket-key" -> "o_custkey"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t
+    }
+
   def ordersPkUpdated(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_pk_updated") { path =>
       val df = src(spark, sfDir, "orders")

@@ -160,6 +160,11 @@ object SparkEntry {
     // (hll within 5%, theta exact below its k) — the oracle pins the
     // booleans, the estimate itself is engine-specific. The estimate UDFs
     // run on the O(keys) post-aggregation frame, never the raw corpus.
+    // bucket-key narrowed to a pk subset: merged read filtered on just the
+    // bucket key (prunes to one bucket; correctness of routing + merge)
+    "q92_bucket_key" -> ((s, d) =>
+      Fixtures.ordersBucketKeyed(s, d).toDF
+        .filter(col("o_custkey").isin(37L, 38L))),
     "q91_sketch_agg" -> ((s, d) => {
       val hllEst = udf((b: Array[Byte]) => graft.functions.Sketches.hllEstimate(b))
       val thetaEst = udf((b: Array[Byte]) => graft.functions.Sketches.thetaEstimate(b))
@@ -752,6 +757,8 @@ object SparkEntry {
     "q91_sketch_agg" ->
       """SELECT user_id, true AS hll_ok, true AS theta_exact
         |FROM events GROUP BY user_id""".stripMargin,
+    "q92_bucket_key" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_custkey IN (37, 38)",
     "q54_agg_partial_compact" -> eventsAggSql,
     "q55_lookup_changelog" ->
       """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,

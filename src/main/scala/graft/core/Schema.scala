@@ -45,6 +45,17 @@ case class TableSchema(
 
   def numBuckets: Int = option(TableSchema.BucketOpt, "8").toInt
 
+  /** Columns the fixed-bucket hash routes on (reference: CoreOptions
+    * `bucket-key`, BUCKET_KEY :169). Defaults to the full primary key; an
+    * explicit subset lets a table bucket on its JOIN key — two tables
+    * bucketed on the same key equi-join storage-partitioned, zero
+    * exchanges, even when their full primary keys differ.
+    */
+  def bucketKeys: Seq[String] =
+    options.get(TableSchema.BucketKeyOpt)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(primaryKeys)
+
   /** `bucket = -1`: HASH_DYNAMIC mode — buckets are assigned per key by a
     * durable pk-hash → bucket index and grow with the data instead of being
     * fixed at CREATE (reference: BucketMode.HASH_DYNAMIC,
@@ -126,6 +137,20 @@ case class TableSchema(
       require(!crossPartition,
         "sequence.field is not supported with cross-partition update")
     }
+    options.get(TableSchema.BucketKeyOpt).foreach { _ =>
+      // reference: SchemaValidation — for pk tables the bucket key must be
+      // a subset of the primary key (every write/lookup/join path derives
+      // the bucket from values it is guaranteed to have)
+      require(isPrimaryKeyed,
+        "bucket-key requires a primary-key table in this build")
+      require(bucketKeys.nonEmpty, "bucket-key must name at least one column")
+      val stray = bucketKeys.filterNot(primaryKeys.contains)
+      require(stray.isEmpty,
+        s"bucket-key must be a subset of the primary key; not in pk: ${stray.mkString(",")}")
+      require(!dynamicBucket,
+        "bucket-key is incompatible with dynamic buckets (bucket=-1): the " +
+          "durable index routes by full-pk hash")
+    }
     validateDeletionVectors()
   }
 
@@ -167,6 +192,7 @@ case class TableSchema(
 
 object TableSchema {
   val BucketOpt = "bucket"
+  val BucketKeyOpt = "bucket-key"
   val MergeEngineOpt = "merge-engine"
   val SequenceFieldOpt = "sequence.field"
   val ChangelogProducerOpt = "changelog-producer"

@@ -264,21 +264,23 @@ object GraftFileIndex {
       ((h % n) + n) % n
     }
 
+    // routing hashes schema.bucketKeys (full pk unless 'bucket-key'
+    // narrows it) — pruning needs exactly those columns pinned
     val pinned = pinnedEqs(filters)
-    if (schema.primaryKeys.forall(pinned.contains))
-      return Some(Set(bucketOf(schema.primaryKeys.map(k => k -> pinned(k)))))
+    if (schema.bucketKeys.forall(pinned.contains))
+      return Some(Set(bucketOf(schema.bucketKeys.map(k => k -> pinned(k)))))
 
-    // single-column pk: any AND-ed IN list bounds the touched buckets
-    // (null list entries match nothing, so dropping them is exact)
-    if (schema.primaryKeys.length == 1) {
-      val pk = schema.primaryKeys.head
+    // single-column bucket key: any AND-ed IN list bounds the touched
+    // buckets (null list entries match nothing, so dropping them is exact)
+    if (schema.bucketKeys.length == 1) {
+      val bk = schema.bucketKeys.head
       def inList(f: Filter): Option[Seq[Any]] = f match {
-        case SIn(c, vs) if c == pk => Some(vs.toSeq.filter(_ != null))
+        case SIn(c, vs) if c == bk => Some(vs.toSeq.filter(_ != null))
         case SAnd(l, r) => inList(l).orElse(inList(r))
         case _ => None
       }
       filters.flatMap(inList(_)).headOption
-        .map(vs => vs.map(v => bucketOf(Seq(pk -> v))).toSet)
+        .map(vs => vs.map(v => bucketOf(Seq(bk -> v))).toSet)
     } else None
   }
 

@@ -128,7 +128,7 @@ class GraftScan(
       val buckets = effectiveFiles.map(_.bucket).distinct.size
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-          schema.numBuckets, schema.primaryKeys: _*)), math.max(buckets, 1))
+          schema.numBuckets, schema.bucketKeys: _*)), math.max(buckets, 1))
     } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   // every merge split (and every single-file compacted split) emits rows

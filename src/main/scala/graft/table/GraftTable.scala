@@ -578,7 +578,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val (bucketed, indexDelta) =
       if (schema.dynamicBucket) assignDynamicBuckets(batch)
       else (batch.withColumn(BucketCol,
-        pmod(hash(pkCols: _*), lit(schema.numBuckets))), Nil)
+        pmod(hash(schema.bucketKeys.map(col): _*), lit(schema.numBuckets))), Nil)
     val sortCols = (dirCols() ++ schema.primaryKeys).map(col) ++
       schema.sequenceField.map(col).toSeq
     (bucketed

@@ -66,6 +66,13 @@ trait SchemaEvolution { self: GraftTable =>
       throw new UnsupportedOperationException(
         "cannot change bucket number on a populated primary-key table via " +
           "SET - use rescaleBucket() / CALL sys.rescale")
+    // the bucket-key column set is baked into every existing file's bucket
+    // id the same way the bucket count is — immutable once populated
+    if (key == TableSchema.BucketKeyOpt && isPrimaryKeyed &&
+        schema.options.get(key).getOrElse("") != value &&
+        store.latestSnapshot.isDefined)
+      throw new UnsupportedOperationException(
+        "cannot change bucket-key on a populated primary-key table")
     // dv mode changes the physical contract of existing files (one row per
     // key, masks instead of versions) — only flippable while empty
     if (key == "deletion-vectors.enabled" && store.latestSnapshot.isDefined &&

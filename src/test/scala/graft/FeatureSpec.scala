@@ -573,4 +573,62 @@ class FeatureSpec extends SparkSpec {
     val t = graft.table.GraftTable.load(spark, s"$wh/db/pk_t")
     assert(t.lookup(Map("k" -> 7L)).isDefined)
   }
+
+  test("bucket-key: routes and prunes on the pk subset; invalid specs rejected") {
+    import org.apache.spark.sql.sources.EqualTo
+    val df = (1L to 200L).map(i => (i, i % 10, s"v$i")).toDF("k1", "k2", "v")
+    val path = tmpTable()
+    val t = GraftTable.create(spark, path, df.schema,
+      primaryKeys = Seq("k1", "k2"), options = Map("bucket-key" -> "k2", "bucket" -> "4"))
+    t.upsert(df)
+    // pinning ONLY the bucket key prunes to one bucket (the full pk is not
+    // pinned — impossible before bucket-key)
+    val pruned = graft.spark.GraftFileIndex.bucketsFromFilters(
+      t.schema, Seq(EqualTo("k2", 3L)))
+    assert(pruned.exists(_.size == 1), s"expected one bucket, got $pruned")
+    // pinning only the other pk column cannot prune
+    assert(graft.spark.GraftFileIndex.bucketsFromFilters(
+      t.schema, Seq(EqualTo("k1", 3L))).isEmpty)
+    // end-to-end through the merged read
+    assert(t.toDF.filter(col("k2") === 3L).count() == 20)
+    assert(t.lookup(Map("k1" -> 13L, "k2" -> 3L)).map(_.getString(2)).contains("v13"))
+    // immutable once populated; must be a pk subset; not with dynamic buckets
+    intercept[UnsupportedOperationException](t.setOption("bucket-key", "k1"))
+    intercept[IllegalArgumentException](GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("k1"), options = Map("bucket-key" -> "v")))
+    intercept[IllegalArgumentException](GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("k1"), options = Map("bucket-key" -> "k1", "bucket" -> "-1")))
+  }
+
+  test("bucket-key: tables with different pks SPJ-join on the shared bucket key") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bk-wh").toString
+    spark.conf.set("spark.sql.catalog.gbk", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbk.db")
+    spark.sql(
+      """CREATE TABLE gbk.db.bk_a (k BIGINT, sub BIGINT, v DOUBLE) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k,sub', 'bucket-key' = 'k', 'bucket' = '4')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE gbk.db.bk_b (k BIGINT, other STRING, w DOUBLE) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k,other', 'bucket-key' = 'k', 'bucket' = '4')""".stripMargin)
+    spark.sql("INSERT INTO gbk.db.bk_a SELECT id, id % 3, id * 1.0 FROM range(100)")
+    spark.sql("INSERT INTO gbk.db.bk_b SELECT id, 'x' || (id % 2), id * 2.0 FROM range(100)")
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val df = spark.sql(
+        "SELECT a.k, a.v, b.w FROM gbk.db.bk_a a JOIN gbk.db.bk_b b ON a.k = b.k")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-key equijoin must be storage-partitioned (no shuffle):\n$plan")
+      assert(df.count() == 100, "one row per k on both sides")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
