@@ -919,6 +919,39 @@ object Fixtures {
       t
     }
 
+  /** `ignore-delete`: the second batch's -D records are dropped at write
+    * time (CDC streams whose deletes must not reach the table), while its
+    * +U records still apply.
+    */
+  def ordersIgnoreDelete(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_ignore_delete") { path =>
+      val df = src(spark, sfDir, "orders").withColumn("op", lit("+I"))
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("rowkind.field" -> "op", "ignore-delete" -> "true"))
+      t.upsert(df)
+      val b2 = src(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 3 =!= 2)
+        .withColumn("op", when(col("o_orderkey") % 3 === 0, "-D").otherwise("+U"))
+        .withColumn("o_totalprice", when(col("o_orderkey") % 3 === 1,
+          col("o_totalprice") * 3).otherwise(col("o_totalprice")))
+      t.upsert(b2)
+      t
+    }
+
+  /** Re-upsert of IDENTICAL rows on a lookup-changelog table: under the
+    * reference default (`changelog-producer.row-deduplicate = false`) the
+    * touched-but-unchanged keys still emit their -U/+U pair.
+    */
+  def ordersNoopChangelog(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_noop_changelog") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("changelog-producer" -> "lookup"))
+      t.upsert(df)
+      t.upsert(df.filter(col("o_orderkey") % 11 === 0)) // byte-identical rows
+      t
+    }
+
   /** Cross-partition PK table: partitioned by status, keyed by orderkey —
     * the second batch MOVES the %7 keys into partition 'X'.
     */

@@ -298,6 +298,11 @@ object SparkEntry {
       Fixtures.ordersPkDynamicBucket(s, d).toDF.filter(col("o_orderkey") === 42)),
     "q55_lookup_changelog" -> ((s, d) =>
       Fixtures.ordersLookupChangelog(s, d).incremental(1, 2)),
+    // ignore-delete: -D records vanish at write time, +U still applies
+    "q93_ignore_delete" -> ((s, d) => Fixtures.ordersIgnoreDelete(s, d).toDF),
+    // row-deduplicate default: identical re-upserts emit their -U/+U pair
+    "q94_noop_changelog" -> ((s, d) =>
+      Fixtures.ordersNoopChangelog(s, d).incremental(1, 2)),
     "q54_agg_partial_compact" -> ((s, d) =>
       Fixtures.eventsAggPartialCompact(s, d).toDF.select(
         col("user_id"), col("event_id"), col("total_cents"), col("max_value"),
@@ -769,6 +774,21 @@ object SparkEntry {
         | o_totalprice * 2, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
+    "q93_ignore_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice * 3
+        |   ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority,
+        | CASE WHEN o_orderkey % 3 = 1 THEN '+U' ELSE '+I' END AS op
+        |FROM orders""".stripMargin,
+    "q94_noop_changelog" ->
+      """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
+        | o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT '+U', CAST(2 AS BIGINT), o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin,
     "q80_decontaminate" ->
       """WITH toks AS (SELECT doc_id,
         |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t

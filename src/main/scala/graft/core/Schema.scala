@@ -56,6 +56,22 @@ case class TableSchema(
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(primaryKeys)
 
+  /** Drop retraction records (-U/-D) at write AND merge time — the CDC
+    * ingest switch for streams whose deletes must not reach the table
+    * (reference: CoreOptions IGNORE_DELETE :314, with the per-engine
+    * legacy keys `<merge-engine>.ignore-delete` as fallback aliases).
+    */
+  def ignoreDelete: Boolean =
+    Seq("ignore-delete", s"$mergeEngine.ignore-delete")
+      .exists(k => option(k, "false").toBoolean)
+
+  /** Suppress -U/+U changelog pairs whose before and after images are
+    * identical (reference: CoreOptions "changelog-producer.row-deduplicate",
+    * default false — a touched-but-unchanged key still emits its pair).
+    */
+  def changelogRowDeduplicate: Boolean =
+    option("changelog-producer.row-deduplicate", "false").toBoolean
+
   /** `bucket = -1`: HASH_DYNAMIC mode — buckets are assigned per key by a
     * durable pk-hash → bucket index and grow with the data instead of being
     * fixed at CREATE (reference: BucketMode.HASH_DYNAMIC,

@@ -57,11 +57,18 @@ object MergeEngines {
       (if (schema.crossPartition) bucketCol +: schema.primaryKeys
       else (schema.partitionKeys :+ bucketCol) ++ schema.primaryKeys).distinct
     val ord = ordering(schema)
+    // ignore-delete: retracts written before the option was set (or by
+    // older writers) still vanish at merge time (reference:
+    // DeduplicateMergeFunction.java:50 checks ignoreDelete in add())
+    val input =
+      if (!schema.ignoreDelete) raw
+      else raw.filter(col(KindCol) =!= lit(KindDelete) &&
+        col(KindCol) =!= lit(KindUpdateBefore))
     val merged = schema.mergeEngine match {
-      case "deduplicate" => dedup(schema, raw, groupCols, ord, first = false)
-      case "first-row" => dedup(schema, raw, groupCols, ord, first = true)
-      case "partial-update" => partialUpdate(schema, raw, groupCols, ord)
-      case "aggregation" => aggregation(schema, raw, groupCols, ord)
+      case "deduplicate" => dedup(schema, input, groupCols, ord, first = false)
+      case "first-row" => dedup(schema, input, groupCols, ord, first = true)
+      case "partial-update" => partialUpdate(schema, input, groupCols, ord)
+      case "aggregation" => aggregation(schema, input, groupCols, ord)
       case e => throw new IllegalArgumentException(s"unknown merge-engine: $e")
     }
     // pin every schema column back to its DECLARED type: Spark's typed

@@ -79,7 +79,12 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
   /** Merge all versions of ONE key (any order) into the final row, or None
     * if the key's final state is a delete. Mirrors [[MergeEngines.merge]].
     */
-  def merge(rows: mutable.ArrayBuffer[InternalRow]): Option[InternalRow] = {
+  def merge(allRows: mutable.ArrayBuffer[InternalRow]): Option[InternalRow] = {
+    // ignore-delete: mirror of the DF path's retract pre-filter
+    val rows =
+      if (!schema.ignoreDelete) allRows
+      else allRows.filterNot(r => isDeleteKind(r.getByte(kindI)))
+    if (rows.isEmpty) return None
     val latest = rows.maxBy(identity)(ordOrdering)
     schema.mergeEngine match {
       case "deduplicate" => finishPicked(latest)

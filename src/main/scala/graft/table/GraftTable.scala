@@ -547,7 +547,14 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       // the id is captured BEFORE the bucket shuffle, so it reflects source
       // order, not shuffle arrival order)
       .withColumn(PosCol, monotonically_increasing_id())
-    val (shuffled, indexDelta) = pkStagePrep(prepared)
+    // ignore-delete: retraction records never reach the files (reference:
+    // TableWriteImpl skips them; the merge engines re-check for tables
+    // that enabled the option after writing retracts)
+    val kept =
+      if (!schema.ignoreDelete) prepared
+      else prepared.filter(col(KindCol) =!= lit(KindDelete) &&
+        col(KindCol) =!= lit(KindUpdateBefore))
+    val (shuffled, indexDelta) = pkStagePrep(kept)
     val files = stageWrite(shuffled, level = 0, seq = seq)
     val snap = commitFiles(
       files.map(ManifestEntry(ManifestEntry.ADD, _)) ++ dvMaskEntries(files),
@@ -671,7 +678,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     def mergedState(fs: Seq[DataFileMeta]) =
       MergeEngines.mergeRaw(schema, rawUnion(fs, schema), BucketCol)
         .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
-    changelogDiff(mergedState(oldFiles), mergedState(oldFiles ++ newFiles), seq)
+    // the commit's own keys scope row-deduplicate: a touched-but-unchanged
+    // key emits its -U/+U pair unless the option suppresses it
+    val touchedKeys = rawUnion(newFiles, schema)
+      .select(schema.primaryKeys.map(col): _*)
+    changelogDiff(mergedState(oldFiles), mergedState(oldFiles ++ newFiles), seq,
+      Some(touchedKeys))
   }
 
   /** Dynamic-bucket (`bucket = -1`) key routing: buckets grow with the data

@@ -266,7 +266,12 @@ trait MaintenanceOps { self: GraftTable =>
       if (schema.option(TableSchema.ChangelogProducerOpt, "none") != "full-compaction") Nil
       else {
         val oldTop = rawUnion(touched.filter(_.level >= GraftTable.MaxLevel), schema)
-        changelogDiff(oldTop, rawUnion(files, schema), seq)
+        // keys with records BELOW the top level are the input since the
+        // last full compaction — the reference's row-deduplicate scope
+        val touchedKeys = rawUnion(
+          touched.filter(_.level < GraftTable.MaxLevel), schema)
+          .select(schema.primaryKeys.map(col): _*)
+        changelogDiff(oldTop, rawUnion(files, schema), seq, Some(touchedKeys))
       }
     commitFiles(
       touched.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
@@ -276,11 +281,19 @@ trait MaintenanceOps { self: GraftTable =>
   }
 
   /** Compute the per-key diff of two merged states and stage it as
-    * changelog files: +I for new keys, -U/+U pairs for changed values, -D
+    * changelog files: +I for new keys, -U/+U pairs for updated values, -D
     * for vanished keys. One full-outer join on the primary key, one write.
+    *
+    * `touchedKeys` (a distinct pk frame of the keys the triggering input
+    * actually wrote) drives the reference's
+    * `changelog-producer.row-deduplicate` default: a touched key whose
+    * value did NOT change still emits its -U/+U pair unless the option
+    * suppresses it. Untouched keys never emit. None = suppress no-op
+    * pairs regardless (callers with no touched-key notion).
     */
   protected def changelogDiff(oldState: org.apache.spark.sql.DataFrame,
-      newState: org.apache.spark.sql.DataFrame, seq: Long): Seq[ManifestEntry] = {
+      newState: org.apache.spark.sql.DataFrame, seq: Long,
+      touchedKeys: Option[org.apache.spark.sql.DataFrame] = None): Seq[ManifestEntry] = {
     import org.apache.spark.sql.functions.{array, coalesce, explode, filter => afilter, struct, when}
     val pks = schema.primaryKeys
     val values = schema.fields.map(_.name).filterNot(pks.contains)
@@ -290,12 +303,23 @@ trait MaintenanceOps { self: GraftTable =>
     val o = side(oldState, "__om").alias("o")
     val n = side(newState, "__nm").alias("n")
     val cond = pks.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
-    val joined = o.join(n, cond, "full_outer")
+    val outer = o.join(n, cond, "full_outer")
+    val joined = touchedKeys.filter(_ => !schema.changelogRowDeduplicate) match {
+      case None => outer.withColumn("__tm", lit(null: Integer))
+      case Some(t) =>
+        val tk = t.select(pks.map(k => col(k).as(s"__t_$k")): _*).distinct()
+          .withColumn("__tm", lit(1)).alias("t")
+        outer.join(tk,
+          pks.map(k => col(s"n.$k") === col(s"t.__t_$k")).reduce(_ && _),
+          "left_outer")
+    }
     val oldOnly = col("__om").isNotNull && col("__nm").isNull
     val newOnly = col("__nm").isNotNull && col("__om").isNull
-    val changed = col("__om").isNotNull && col("__nm").isNotNull &&
+    val valuesDiffer =
       !(struct(values.map(v => col(s"o.$v")): _*) <=>
         struct(values.map(v => col(s"n.$v")): _*))
+    val changed = col("__om").isNotNull && col("__nm").isNotNull &&
+      (valuesDiffer || col("__tm").isNotNull)
     def out(kind: Byte, s: String) = struct(
       (lit(kind).as("__k") +: schema.fields.map(f => col(s"$s.${f.name}").as(f.name))) :+
         col(s"$s.$BucketCol").as(BucketCol): _*)

@@ -212,6 +212,54 @@ class StreamingSpec extends SparkSpec {
       ("+U", 2L, "b2"), ("-U", 2L, "b"), ("-D", 3L, "c"), ("+I", 4L, "d")))
   }
 
+  test("changelog-producer.row-deduplicate suppresses no-op -U/+U pairs") {
+    def mk(dedup: Boolean): GraftTable = {
+      val path = tmpTable()
+      val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("k"),
+        options = Map("changelog-producer" -> "lookup",
+          "changelog-producer.row-deduplicate" -> dedup.toString))
+      t.upsert(df)
+      t.upsert(Seq((1L, "a"), (2L, "b2")).toDF("k", "v")) // 1 is a no-op
+      t
+    }
+    // reference default (false): the touched-but-unchanged key 1 emits
+    val loud = mk(dedup = false).incremental(1, 2)
+      .select("_row_kind", "k", "v").orderBy("k", "_row_kind").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(loud == Seq(("+U", 1L, "a"), ("-U", 1L, "a"),
+      ("+U", 2L, "b2"), ("-U", 2L, "b")), s"got $loud")
+    // row-deduplicate=true: only the real change emits
+    val quiet = mk(dedup = true).incremental(1, 2)
+      .select("_row_kind", "k", "v").orderBy("k", "_row_kind").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(quiet == Seq(("+U", 2L, "b2"), ("-U", 2L, "b")), s"got $quiet")
+  }
+
+  test("ignore-delete: -D records dropped at write and at merge time") {
+    val path = tmpTable()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("k"),
+      options = Map("ignore-delete" -> "true"))
+    t.upsert(df)
+    t.upsert(Seq((1L, "a")).toDF("k", "v"), kinds = Some(lit(GraftMeta.KindDelete)))
+    t.upsert(Seq((2L, "b2")).toDF("k", "v"))
+    val rows = t.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b2")), s"got $rows")
+    // merge-time check: enable on a table that ALREADY holds a retract
+    val path2 = tmpTable()
+    val t2 = GraftTable.create(spark, path2, df.schema, primaryKeys = Seq("k"))
+    t2.upsert(df)
+    t2.upsert(Seq((1L, "a")).toDF("k", "v"), kinds = Some(lit(GraftMeta.KindDelete)))
+    assert(t2.toDF.count() == 1)
+    t2.setOption("ignore-delete", "true")
+    val t2b = GraftTable.load(spark, path2)
+    val revived = t2b.toDF.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(revived == Seq((1L, "a"), (2L, "b")), s"got $revived")
+  }
+
   test("v2 streaming: readStream.table with admission control and AvailableNow") {
     val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
     spark.conf.set("spark.sql.catalog.gs", classOf[graft.spark.v2.GraftCatalog].getName)
