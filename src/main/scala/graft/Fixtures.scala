@@ -362,7 +362,10 @@ object Fixtures {
       val wh = s"$base/${key(sfDir, "rl_wh")}"
       val srcPath = s"$wh/db/rl_src"
       val st = GraftTable.create(spark, srcPath, df.schema,
-        options = Map("write-only" -> "true", "read.max-rows-per-batch" -> "1"))
+        options = Map("write-only" -> "true", "read.max-rows-per-batch" -> "1",
+          // admission control applies to delta catch-up; latest-full would
+          // collapse the backlog into one full first batch
+          "scan.mode" -> "from-snapshot", "scan.snapshot-id" -> "1"))
       (0 until 3).foreach(i => st.append(df.filter(col("o_orderkey") % 3 === i)))
       // admission control lives in the DSv2 MicroBatchStream → readStream.table
       spark.conf.set("spark.sql.catalog.graft_rl",

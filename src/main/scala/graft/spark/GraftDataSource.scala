@@ -155,6 +155,8 @@ class GraftSource(spark: SparkSession, path: String,
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     table.store.latestSnapshotId.filter(_ > startExclusive).map(LongOffset(_))
 
+  private val fullFirst = table.streamingFullFirst(options)
+
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val from = start.map(o => o.json().toLong).getOrElse(startExclusive)
@@ -164,7 +166,15 @@ class GraftSource(spark: SparkSession, path: String,
     // AvailableNow batch, so the in-flight batch's exclusive start is the
     // crash-safe pin; commit() below advances it when Spark does call it.
     options.get("consumer-id").foreach(id => table.store.writeConsumer(id, from + 1))
-    org.apache.spark.sql.graft.SparkShims.asStreamingFrame(table.incremental(from, to))
+    // latest-full / from-snapshot-full: the FIRST batch (start = None, so
+    // deterministic under checkpoint recovery) is the full merged state as
+    // of the batch end — a delta replay from 0 would silently lose rows
+    // once expiration dropped early snapshots (reference:
+    // FullStartingScanner). Later batches are plain delta replays.
+    val frame =
+      if (fullFirst && start.isEmpty) GraftSource.fullFrame(table, to)
+      else table.incremental(from, to)
+    org.apache.spark.sql.graft.SparkShims.asStreamingFrame(frame)
   }
 
   override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = {
@@ -185,6 +195,16 @@ object GraftSource {
       StructField("_row_kind", StringType) +:
       StructField("_sequence_number", LongType) +:
       table.schema.structType.fields.toIndexedSeq)
+  }
+
+  /** Full merged state as of snapshot `to`, shaped like the changelog
+    * schema: every live row is a +I at sequence `to`.
+    */
+  def fullFrame(table: GraftTable, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    table.toDF(to).select(
+      lit("+I").as("_row_kind") +: lit(to).as("_sequence_number") +:
+        table.schema.structType.fields.toIndexedSeq.map(f => col(f.name)): _*)
   }
 }
 

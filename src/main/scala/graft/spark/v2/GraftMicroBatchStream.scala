@@ -36,11 +36,18 @@ class GraftMicroBatchStream(
   private val store = table.store
   private var availableNowBound: Option[Long] = None
 
+  // deterministic for the full-first modes (latest-full → 0,
+  // from-snapshot-full → id - 1), so `from == startExclusive` re-detects
+  // the first batch across checkpoint recovery
+  private val startExclusive: Long = table.streamingStartExclusive()
+  private val scanMode: String =
+    table.schema.option("scan.mode", "latest-full")
+  private val fullFirst: Boolean = table.streamingFullFirst()
+
   private def maxRowsPerBatch: Option[Long] =
     table.schema.options.get("read.max-rows-per-batch").map(_.toLong)
 
-  override def initialOffset(): Offset =
-    GraftOffset(table.streamingStartExclusive())
+  override def initialOffset(): Offset = GraftOffset(startExclusive)
 
   override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
 
@@ -57,6 +64,15 @@ class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftOffset].snapshotId
     val upper = availableNowBound.orElse(store.latestSnapshotId).getOrElse(from)
+    // the full first batch is ONE whole-table scan: row admission does not
+    // apply to it. from-snapshot-full ends it at the named snapshot so
+    // follow-up deltas replay individually; latest-full at the chain head.
+    if (fullFirst && from == startExclusive && upper > from) {
+      val end =
+        if (scanMode == "from-snapshot-full") math.min(startExclusive + 1, upper)
+        else upper
+      return GraftOffset(math.max(end, from))
+    }
     val ids = store.snapshotIds.filter(id => id > from && id <= upper)
     if (ids.isEmpty) return GraftOffset(from)
     limit match {
@@ -113,6 +129,13 @@ class GraftMicroBatchStream(
     table.schema.options.get("consumer-id").foreach { id =>
       store.writeConsumer(id, from + 1)
     }
+    // full first batch: plan the snapshot's live files exactly as a batch
+    // scan would (merged splits for pk tables) — immune to expired early
+    // snapshots, unlike a delta replay from 0 (reference:
+    // FullStartingScanner)
+    if (fullFirst && from == startExclusive)
+      return new GraftScan(spark, table, Some(store.readSnapshot(to)),
+        requested, Nil, None).planInputPartitions()
     val ids = store.snapshotIds.filter(id => id > from && id <= to)
     val files = ids.flatMap(deltaFiles)
     // raw splits: a streaming batch replays deltas as-is, no cross-snapshot

@@ -311,9 +311,11 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * StaticFromWatermarkStartingScanner; modes CoreOptions.StartupMode
     * :1966-2025). Read options override table options.
     *
-    *  - latest-full (default): 0 — the first batch replays current content
+    *  - latest-full (default): 0 — the stream's FIRST batch is a full
+    *    merged scan (see [[streamingFullFirst]]), deltas after
     *  - latest: only snapshots committed after the stream starts
     *  - from-snapshot: deltas after `scan.snapshot-id` - 1
+    *  - from-snapshot-full: full scan first, then deltas after the id
     *  - from-timestamp: deltas of snapshots committed after
     *    `scan.timestamp-millis`
     *  - from-watermark: deltas from the first snapshot whose watermark
@@ -323,7 +325,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     def opt(k: String): Option[String] = options.get(k).orElse(schema.options.get(k))
     opt("scan.mode").getOrElse("latest-full") match {
       case "latest" => store.latestSnapshotId.getOrElse(0L)
-      case "from-snapshot" => opt("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L)
+      case "from-snapshot" | "from-snapshot-full" =>
+        opt("scan.snapshot-id").map(_.toLong - 1).getOrElse(0L)
       case "from-tag" =>
         opt("scan.tag-name").map(store.readTag(_).id - 1).getOrElse(0L)
       case "from-timestamp" =>
@@ -337,6 +340,21 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       case _ => 0L // latest-full
     }
   }
+
+  /** Whether the stream's FIRST batch must be a FULL merged scan of the
+    * table instead of a delta replay (modes `latest-full` — the default —
+    * and `from-snapshot-full`; reference: StartupMode.LATEST_FULL /
+    * FROM_SNAPSHOT_FULL → FullStartingScanner). A delta replay from
+    * snapshot 0 only reconstructs state while every early snapshot still
+    * exists; once expiration has dropped them (their L0 files are GONE),
+    * the replay silently loses data — the full first batch is immune.
+    */
+  def streamingFullFirst(options: Map[String, String] = Map.empty): Boolean =
+    options.get("scan.mode").orElse(schema.options.get("scan.mode"))
+      .getOrElse("latest-full") match {
+      case "latest-full" | "from-snapshot-full" => true
+      case _ => false
+    }
 
   /** Full audit log: every row version currently live, with rowkind column
     * (reference: table/system/AuditLogTable.java:77-111).

@@ -174,7 +174,10 @@ class StreamingSpec extends SparkSpec {
     t.upsert(src)
     t.upsert(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
 
-    val out = spark.readStream.format("graft").option("path", path).load()
+    // from-snapshot: a pure delta replay, every version streams out
+    val out = spark.readStream.format("graft").option("path", path)
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .load()
       .writeStream.format("memory").queryName("graft_stream_out")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpTable() + "-ckpt")
@@ -188,6 +191,21 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(
       ("+I", 1L, 1L, "a"), ("+I", 1L, 2L, "b"),
       ("+I", 2L, 2L, "b2"), ("+I", 2L, 3L, "c")))
+
+    // latest-full (default): the FIRST batch is the full MERGED state —
+    // one row per live key, not a delta replay (survives expired history)
+    val full = spark.readStream.format("graft").option("path", path).load()
+      .writeStream.format("memory").queryName("graft_stream_full")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(full.awaitTermination(60000))
+    val fullGot = spark.table("graft_stream_full")
+      .select("_row_kind", "_sequence_number", "k", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(fullGot == Seq(
+      ("+I", 2L, 1L, "a"), ("+I", 2L, 2L, "b2"), ("+I", 2L, 3L, "c")), s"got $fullGot")
   }
 
   test("full-compaction changelog producer emits exact -U/+U/-D stream") {
@@ -210,6 +228,26 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     assert(diff.toSeq == Seq(
       ("+U", 2L, "b2"), ("-U", 2L, "b"), ("-D", 3L, "c"), ("+I", 4L, "d")))
+  }
+
+  test("latest-full survives snapshot expiration where a delta replay loses rows") {
+    val path = tmpTable()
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("k"))
+    t.upsert(df)
+    t.upsert(Seq((2L, "b")).toDF("k", "v"))
+    t.upsert(Seq((3L, "c")).toDF("k", "v"))
+    t.expireSnapshots(retainLast = 1) // snapshots 1-2 gone from the chain
+    val out = spark.readStream.format("graft").option("path", path).load()
+      .writeStream.format("memory").queryName("expired_full_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(out.awaitTermination(60000))
+    val got = spark.table("expired_full_out").select("k").orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"full first batch must see rows whose commit snapshots expired; got $got")
   }
 
   test("changelog-producer.row-deduplicate suppresses no-op -U/+U pairs") {
@@ -267,7 +305,8 @@ class StreamingSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gs.db")
     spark.sql(
       """CREATE TABLE gs.db.st (k BIGINT, v STRING) USING graft
-        |TBLPROPERTIES ('primary-key' = 'k', 'read.max-rows-per-batch' = '2')""".stripMargin)
+        |TBLPROPERTIES ('primary-key' = 'k', 'read.max-rows-per-batch' = '2',
+        |  'scan.mode' = 'from-snapshot', 'scan.snapshot-id' = '1')""".stripMargin)
     spark.sql("INSERT INTO gs.db.st VALUES (1, 'a'), (2, 'b')")
     spark.sql("INSERT INTO gs.db.st VALUES (3, 'c')")
     spark.sql("INSERT INTO gs.db.st VALUES (2, 'b2'), (4, 'd')")
