@@ -955,6 +955,26 @@ object Fixtures {
       t
     }
 
+  /** PK table with record-level TTL (reference: io/RecordLevelExpire.java):
+    * `rt` holds seconds-epoch INT — %5 keys carry a long-expired time, the
+    * rest a far-future one (deterministic regardless of wall clock); batch 2
+    * doubles %7 prices; the final full compaction drops the expired rows.
+    */
+  def ordersRecordExpire(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_record_expire") { path =>
+      val rt = when(col("o_orderkey") % 5 === 0, lit(100))
+        .otherwise(lit(2000000000)).cast("int")
+      val df = src(spark, sfDir, "orders").withColumn("rt", rt)
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("record-level.expire-time" -> "30d",
+          "record-level.time-field" -> "rt"))
+      t.upsert(df)
+      t.upsert(df.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.compact()
+      t
+    }
+
   /** Cross-partition PK table: partitioned by status, keyed by orderkey —
     * the second batch MOVES the %7 keys into partition 'X'.
     */

@@ -300,6 +300,7 @@ object SparkEntry {
       Fixtures.ordersLookupChangelog(s, d).incremental(1, 2)),
     // ignore-delete: -D records vanish at write time, +U still applies
     "q93_ignore_delete" -> ((s, d) => Fixtures.ordersIgnoreDelete(s, d).toDF),
+    "q95_record_expire" -> ((s, d) => Fixtures.ordersRecordExpire(s, d).toDF),
     // row-deduplicate default: identical re-upserts emit their -U/+U pair
     "q94_noop_changelog" -> ((s, d) =>
       Fixtures.ordersNoopChangelog(s, d).incremental(1, 2)),
@@ -781,6 +782,12 @@ object SparkEntry {
         | o_orderdate, o_orderpriority,
         | CASE WHEN o_orderkey % 3 = 1 THEN '+U' ELSE '+I' END AS op
         |FROM orders""".stripMargin,
+    "q95_record_expire" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |   ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate, o_orderpriority, CAST(2000000000 AS INT) AS rt
+        |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
     "q94_noop_changelog" ->
       """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
         | o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -124,6 +124,22 @@ case class TableSchema(
   def deletionVectors: Boolean =
     isPrimaryKeyed && option("deletion-vectors.enabled", "false").toBoolean
 
+  /** Record-level TTL: (time field name, expire seconds). Expiration is
+    * applied on COMPACTION rewrites only — best-effort, no guarantee of
+    * timely expiry; plain reads still see expired rows until a compaction
+    * touches their bucket (reference: io/RecordLevelExpire.java:40-91,
+    * CoreOptions "record-level.expire-time"). The time field holds
+    * seconds-since-epoch as INT, as in the reference.
+    */
+  def recordLevelExpire: Option[(String, Long)] =
+    options.get("record-level.expire-time").map { d =>
+      val tf = options.getOrElse("record-level.time-field", throw
+        new IllegalArgumentException(
+          "record-level.expire-time requires 'record-level.time-field' " +
+            "(a seconds-epoch INT column)"))
+      (tf, TableSchema.parseDurationMillis(d) / 1000)
+    }
+
   /** Create-time option validation (reference: schema/SchemaValidation.java
     * :174-530 — the combinations the reference rejects outright).
     */
@@ -166,6 +182,16 @@ case class TableSchema(
       require(!dynamicBucket,
         "bucket-key is incompatible with dynamic buckets (bucket=-1): the " +
           "durable index routes by full-pk hash")
+    }
+    recordLevelExpire.foreach { case (tf, _) =>
+      // reference: RecordLevelExpire.create — pk table, INT seconds field
+      require(isPrimaryKeyed,
+        "record-level.expire-time targets primary-key tables")
+      val f = fields.find(_.name == tf).getOrElse(throw
+        new IllegalArgumentException(
+          s"record-level.time-field '$tf' not in schema"))
+      require(f.sparkType == org.apache.spark.sql.types.IntegerType,
+        s"record-level.time-field must be INT (seconds epoch), '$tf' is ${f.dataType}")
     }
     validateDeletionVectors()
   }
@@ -220,6 +246,26 @@ object TableSchema {
   def defaultValueOpt(field: String) = s"fields.$field.default-value"
   /** fields.<seqCol>.sequence-group = a,b,c  (partial-update sequence groups) */
   def seqGroupOpt(field: String) = s"fields.$field.sequence-group"
+
+  /** Parse a duration option value: plain millis, or `<n><unit>` with unit
+    * ms/s/m/h/d (e.g. "30m", "7d"), whitespace tolerated.
+    */
+  def parseDurationMillis(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val m = "^(\\d+)\\s*(ms|s|m|h|d)?$".r
+    t match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case null | "ms" => 1L
+          case "s" => 1000L
+          case "m" => 60L * 1000
+          case "h" => 3600L * 1000
+          case "d" => 24L * 3600 * 1000
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"bad duration: '$s'")
+    }
+  }
 
   def fromJson(s: String): TableSchema = {
     val n = Json.parse(s)

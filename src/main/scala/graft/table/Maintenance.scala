@@ -219,7 +219,8 @@ trait MaintenanceOps { self: GraftTable =>
     val seq = store.latestSnapshotId.getOrElse(0L)
     // mergeRaw keeps KindCol/SeqCol/PosCol and does NOT drop deletes — a
     // -D survivor must still cancel base rows at read time
-    val merged = MergeEngines.mergeRaw(schema, rawUnion(touched, schema), BucketCol)
+    val merged = MergeEngines.mergeRaw(schema,
+      applyRecordExpire(rawUnion(touched, schema)), BucketCol)
     val sortCols = (dirColsPublic ++ schema.primaryKeys).map(col)
     val prepared = merged
       .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
@@ -250,7 +251,7 @@ trait MaintenanceOps { self: GraftTable =>
       } else live.filter(f => groups.contains((f.partition, f.bucket)))
     if (touched.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
     val seq = store.latestSnapshotId.getOrElse(0L)
-    val raw = rawUnion(touched, schema)
+    val raw = applyRecordExpire(rawUnion(touched, schema))
     val merged = MergeEngines.mergeRaw(schema, raw, BucketCol)
       .filter(col(KindCol) =!= lit(KindDelete) && col(KindCol) =!= lit(KindUpdateBefore))
       .withColumn(KindCol, lit(KindInsert))
@@ -279,6 +280,31 @@ trait MaintenanceOps { self: GraftTable =>
       CommitKind.COMPACT,
       changelog = changelog)
   }
+
+  /** Record-level TTL filter on COMPACTION inputs (reference:
+    * io/RecordLevelExpire.java:79-91 wraps each compaction file reader):
+    * a row expires when `timeField + expire-time < now` with the time
+    * field holding seconds-since-epoch as INT. Filtering happens BEFORE
+    * the merge, as in the reference — an expired newer version lets an
+    * older live version win. Null time values are an error (reference
+    * checkArgument); plain reads never filter, so expiry is best-effort
+    * until a compaction touches the bucket.
+    */
+  private def applyRecordExpire(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    schema.recordLevelExpire match {
+      case None => df
+      case Some((tf, expireSec)) =>
+        val now = System.currentTimeMillis() / 1000
+        // one conditional expression, not a conjunction — the optimizer
+        // would split `assert && cond` and null rows could be filtered
+        // before the assert ever evaluates
+        df.filter(
+          when(col(tf).isNull, raise_error(lit(
+            s"Time field '$tf' for record-level expire should not be null."))
+            .cast("boolean"))
+          .otherwise(col(tf).cast("long") + lit(expireSec) >= lit(now)))
+    }
 
   /** Compute the per-key diff of two merged states and stage it as
     * changelog files: +I for new keys, -U/+U pairs for updated values, -D
@@ -705,20 +731,5 @@ object Maintenance {
   /** Parse a duration option value: plain millis, or `<n><unit>` with unit
     * ms/s/m/h/d (e.g. "30m", "7d"), whitespace tolerated.
     */
-  def parseDurationMillis(s: String): Long = {
-    val t = s.trim.toLowerCase
-    val m = "^(\\d+)\\s*(ms|s|m|h|d)?$".r
-    t match {
-      case m(n, unit) =>
-        val mult = unit match {
-          case null | "ms" => 1L
-          case "s" => 1000L
-          case "m" => 60L * 1000
-          case "h" => 3600L * 1000
-          case "d" => 24L * 3600 * 1000
-        }
-        n.toLong * mult
-      case _ => throw new IllegalArgumentException(s"bad duration: '$s'")
-    }
-  }
+  def parseDurationMillis(s: String): Long = TableSchema.parseDurationMillis(s)
 }

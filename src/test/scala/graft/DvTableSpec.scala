@@ -178,8 +178,11 @@ class DvTableSpec extends SparkSpec {
         "changelog-producer" -> "lookup", "write-only" -> "true"))
     t.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
     t.upsert(Seq((1L, "a2")).toDF("k", "v"))
+    // from-snapshot 1: replay from the beginning via the lookup changelog —
+    // +I a, +I b, then the -U/+U pair for the dv-masked update
     val q = spark.readStream.format("graft")
-      .option("scan.mode", "latest-full").load(t.location)
+      .option("scan.mode", "from-snapshot").option("scan.snapshot-id", "1")
+      .load(t.location)
       .writeStream.format("memory").queryName("dv_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -187,10 +190,21 @@ class DvTableSpec extends SparkSpec {
     val rows = spark.table("dv_stream")
       .select("k", "v", "_row_kind").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
-    // replay from the beginning via changelog: +I a, +I b, then -U/+U pair
     assert(rows.contains((1L, "a2", "+U")) && rows.contains((1L, "a", "-U")),
       rows.toString)
     assert(rows.contains((2L, "b", "+I")))
+    // latest-full (the default): first batch is the full MERGED state as
+    // +I rows — no historical churn (reference: FullStartingScanner)
+    val q2 = spark.readStream.format("graft")
+      .option("scan.mode", "latest-full").load(t.location)
+      .writeStream.format("memory").queryName("dv_stream_full")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    val full = spark.table("dv_stream_full")
+      .select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(full == Set((1L, "a2", "+I"), (2L, "b", "+I")), full.toString)
   }
 
   test("dv delete is metadata-only: no new data files, just masks") {

@@ -432,6 +432,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.toDF.select("v").collect().map(_.getString(0)).toSeq == Seq("fresh"))
   }
 
+  test("record-level expire drops aged rows on compaction only") {
+    import spark.implicits._
+    val nowSec = (System.currentTimeMillis() / 1000).toInt
+    val df = Seq((1L, "old", 100), (2L, "fresh", nowSec), (3L, "aging", nowSec))
+      .toDF("k", "v", "rt")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("k"), options = Map(
+        "record-level.expire-time" -> "30d", "record-level.time-field" -> "rt",
+        "write-only" -> "true"))
+    t.upsert(df)
+    // an expired NEWER version resurrects the older live one (pre-merge
+    // filtering, as in the reference's per-file reader wrap)
+    t.upsert(Seq((3L, "aging-v2", 100)).toDF("k", "v", "rt"))
+    // best-effort: plain reads still see every row before compaction
+    assert(t.toDF.count() == 3)
+    assert(t.toDF.filter(col("k") === 3).select("v").head().getString(0) == "aging-v2")
+    t.compact()
+    val rows = t.toDF.orderBy("k").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "fresh"), (3L, "aging")), rows.toString)
+    // null time value is an error, as in the reference (schema must DECLARE
+    // rt nullable — on a non-nullable column the optimizer rightly folds
+    // the null check away)
+    val nullableSchema = org.apache.spark.sql.types.StructType(
+      df.schema.map(f => f.copy(nullable = true)))
+    val bad = GraftTable.create(spark, tmpTable(),
+      nullableSchema, primaryKeys = Seq("k"), options = Map(
+        "record-level.expire-time" -> "30d", "record-level.time-field" -> "rt",
+        "write-only" -> "true"))
+    bad.upsert(Seq((1L, "x", null.asInstanceOf[Integer])).toDF("k", "v", "rt"))
+    intercept[Exception](bad.compact())
+    // create-time validation: time field must exist and be INT
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"),
+        options = Map("record-level.expire-time" -> "30d"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"),
+        options = Map("record-level.expire-time" -> "30d",
+          "record-level.time-field" -> "v"))
+    }
+  }
+
   test("expire honors lagging consumers: pinned snapshots survive") {
     val orders = sf("orders").limit(300)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
