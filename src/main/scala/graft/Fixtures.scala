@@ -922,6 +922,23 @@ object Fixtures {
       t
     }
 
+  /** Lookup-changelog table whose FIRST snapshot is expired under decoupled
+    * changelog retention (`changelog.num-retained.max`): the preserved
+    * changelog under changelog/ still serves the full replay (reference:
+    * Changelog.java, ExpireChangelogImpl.java).
+    */
+  def ordersChangelogDecoupled(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_changelog_decoupled") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema, primaryKeys = Seq("o_orderkey"),
+        options = Map("changelog-producer" -> "lookup",
+          "changelog.num-retained.max" -> "100"))
+      t.upsert(df)                         // snapshot 1: +I changelog
+      t.upsert(ordersBatch2(spark, sfDir)) // snapshot 2: -U/+U changelog
+      t.expireSnapshots(retainLast = 1)    // snap 1 survives only as changelog
+      t
+    }
+
   /** `ignore-delete`: the second batch's -D records are dropped at write
     * time (CDC streams whose deletes must not reach the table), while its
     * +U records still apply.

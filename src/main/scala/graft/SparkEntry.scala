@@ -301,6 +301,9 @@ object SparkEntry {
     // ignore-delete: -D records vanish at write time, +U still applies
     "q93_ignore_delete" -> ((s, d) => Fixtures.ordersIgnoreDelete(s, d).toDF),
     "q95_record_expire" -> ((s, d) => Fixtures.ordersRecordExpire(s, d).toDF),
+    // decoupled changelog: full replay served though snapshot 1 is expired
+    "q96_changelog_decoupled" -> ((s, d) =>
+      Fixtures.ordersChangelogDecoupled(s, d).incremental(0, 2)),
     // row-deduplicate default: identical re-upserts emit their -U/+U pair
     "q94_noop_changelog" -> ((s, d) =>
       Fixtures.ordersNoopChangelog(s, d).incremental(1, 2)),
@@ -782,6 +785,18 @@ object SparkEntry {
         | o_orderdate, o_orderpriority,
         | CASE WHEN o_orderkey % 3 = 1 THEN '+U' ELSE '+I' END AS op
         |FROM orders""".stripMargin,
+    "q96_changelog_decoupled" ->
+      """SELECT '+I' AS _row_kind, CAST(1 AS BIGINT) AS _sequence_number,
+        | o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT '-U', CAST(2 AS BIGINT), o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT '+U', CAST(2 AS BIGINT), o_orderkey, o_custkey, o_orderstatus,
+        | o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
     "q95_record_expire" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

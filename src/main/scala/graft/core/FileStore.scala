@@ -157,6 +157,33 @@ class FileStore(val root: String, val hadoopConf: Configuration,
 
   def latestSnapshot: Option[Snapshot] = latestSnapshotId.map(readSnapshot)
 
+  // ---------------- decoupled changelog ----------------
+  // With changelog retention configured (changelog.num-retained.max /
+  // changelog.time-retained), snapshot expiration PRESERVES each expired
+  // snapshot's changelog as `changelog/changelog-<id>.json` — a copy of the
+  // snapshot metadata — so streaming/incremental reads outlive the snapshot
+  // itself (reference: Changelog.java:36, SnapshotManager.commitChangelog,
+  // ExpireChangelogImpl.java). Changelogs expire on their OWN schedule via
+  // MaintenanceOps.expireChangelogs().
+
+  def changelogDir = new Path(rootPath, "changelog")
+
+  def changelogPath(id: Long) = new Path(changelogDir, s"changelog-$id.json")
+
+  def changelogIds: Seq[Long] = listNumbered(changelogDir, "changelog-").sorted
+
+  def writeChangelog(s: Snapshot): Unit =
+    writeString(changelogPath(s.id), s.toJson)
+
+  def readChangelog(id: Long): Snapshot =
+    Snapshot.fromJson(readString(changelogPath(id)))
+
+  /** Snapshot metadata for `id` whether it is still live or survives only
+    * as a preserved changelog.
+    */
+  def snapshotOrChangelog(id: Long): Snapshot =
+    if (fs.exists(snapshotPath(id))) readSnapshot(id) else readChangelog(id)
+
   // ---------------- manifests ----------------
 
   // Manifest files are immutable → safe to cache across reads (reference:

@@ -140,6 +140,17 @@ case class TableSchema(
       (tf, TableSchema.parseDurationMillis(d) / 1000)
     }
 
+  /** Changelog lifecycle decoupled from snapshots: with either retention
+    * option set, snapshot expiration preserves expired snapshots' changelog
+    * under `changelog/` instead of deleting it, and
+    * `expireChangelogs()` applies `changelog.num-retained.min/max` +
+    * `changelog.time-retained` on its own schedule (reference:
+    * CoreOptions.changelogLifecycleDecoupled, ExpireChangelogImpl.java).
+    */
+  def changelogDecoupled: Boolean =
+    options.contains("changelog.num-retained.max") ||
+      options.contains("changelog.time-retained")
+
   /** Create-time option validation (reference: schema/SchemaValidation.java
     * :174-530 — the combinations the reference rejects outright).
     */

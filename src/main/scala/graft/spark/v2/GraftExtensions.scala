@@ -214,6 +214,10 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
               graft.table.Maintenance.parseDurationMillis(args(1)), retainMin)
           }
         s"expired ${expired.size} snapshots"
+      case "expire_changelogs" =>
+        // decoupled changelog retention (changelog.num-retained.min/max,
+        // changelog.time-retained) applied on demand
+        s"expired ${table.expireChangelogs().size} changelogs"
       case "create_tag" =>
         // snapshot id optional: default to the latest (reference:
         // CreateTagProcedure's optional snapshot parameter)

@@ -256,9 +256,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       "incremental reads on a deletion-vector table need " +
         "changelog-producer=lookup: a dv rewrite re-adds level-0 files, " +
         "which a raw delta scan would re-emit")
-    val ids = store.snapshotIds.filter(id => id > fromExclusive && id <= toInclusive)
+    // preserved changelogs (decoupled retention) serve ids whose snapshot
+    // has already expired — a lagging stream keeps replaying seamlessly
+    val ids = (store.snapshotIds ++ store.changelogIds).distinct.sorted
+      .filter(id => id > fromExclusive && id <= toInclusive)
     val files = ids.flatMap { id =>
-      val s = store.readSnapshot(id)
+      val s = store.snapshotOrChangelog(id)
       if (producer == "full-compaction" || producer == "lookup")
         // exact -U/+U/-D stream produced at compaction time
         // (full-compaction — FullChangelogMergeTreeCompactRewriter.java:43)

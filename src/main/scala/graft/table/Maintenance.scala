@@ -629,18 +629,116 @@ trait MaintenanceOps { self: GraftTable =>
     val expireSnaps = expire.map(store.readSnapshot)
     val allExpireManifests = expireSnaps
       .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).distinct
+    // decoupled changelog: each expired snapshot's changelog payload is
+    // preserved — metadata copied to changelog/<id>, its manifests and
+    // files exempt from deletion until expireChangelogs() reclaims them
+    // (reference: Changelog.java, ExpireChangelogImpl)
+    val decoupled = schema.changelogDecoupled
+    val preserved = if (!decoupled) Nil else expireSnaps.map(changelogPayload)
+    if (decoupled) expireSnaps.zip(preserved).foreach { case (s, (ms, _)) =>
+      if (ms.nonEmpty) store.writeChangelog(s)
+    }
+    val preservedManifests = preserved.flatMap(_._1).toSet
+    val preservedFiles = preserved.flatMap(_._2).toSet
     // manifest FILES in kept chains must survive (the fold reads them);
     // their dead entries' data files may still be deleted above
-    val expireManifests = allExpireManifests.filterNot(keepManifests.contains)
+    val expireManifests = allExpireManifests
+      .filterNot(keepManifests.contains).filterNot(preservedManifests.contains)
     val expireFiles = allExpireManifests.flatMap(m =>
       store.readManifest(m).flatMap(e => paths(e.file)))
-      .distinct.filterNot(keepFiles.contains)
+      .distinct.filterNot(keepFiles.contains).filterNot(preservedFiles.contains)
 
     val fs = store.fs
     expireFiles.foreach(p => fs.delete(new Path(store.rootPath, p), false))
     expireManifests.foreach(m => fs.delete(new Path(store.manifestDir, m), false))
     expire.foreach(id => fs.delete(store.snapshotPath(id), false))
+    if (decoupled) expireChangelogs()
     expire
+  }
+
+  /** The manifests + file paths a streaming/incremental read of snapshot
+    * `s` consumes — EXACTLY the selection [[GraftTable.incremental]] makes:
+    * explicit changelog files for lookup/full-compaction producers, level-0
+    * delta ADDs otherwise, nothing for compaction/overwrite commits.
+    */
+  private def changelogPayload(s: Snapshot): (Seq[String], Seq[String]) = {
+    val producer = schema.option(TableSchema.ChangelogProducerOpt, "input")
+    def sidecars(f: DataFileMeta): Seq[String] =
+      f.path +: (f.dvPath.toSeq ++ f.blooms.values.toSeq)
+    if (producer == "full-compaction" || producer == "lookup")
+      (s.changelogManifests, s.changelogManifests.flatMap(store.readManifest).collect {
+        case ManifestEntry(ManifestEntry.ADD, f) => sidecars(f)
+      }.flatten)
+    else if (s.commitKind == CommitKind.COMPACT ||
+      (s.commitKind == CommitKind.OVERWRITE &&
+        !schema.option("streaming-read-overwrite", "false").toBoolean)) (Nil, Nil)
+    else (s.deltaManifests, s.deltaManifests.flatMap(store.readManifest).collect {
+      case ManifestEntry(ManifestEntry.ADD, f) if f.level == 0 => sidecars(f)
+    }.flatten)
+  }
+
+  /** Expire preserved changelogs by their OWN retention
+    * (`changelog.num-retained.min/max`, `changelog.time-retained`) —
+    * independent of snapshot retention, so a stream may lag days behind a
+    * tight snapshot TTL (reference: ExpireChangelogImpl.expire). A payload
+    * file still live in a retained snapshot (an input-producer L0 file not
+    * yet compacted away) survives; explicit changelog files are exclusively
+    * owned by their snapshot and delete freely.
+    */
+  def expireChangelogs(): Seq[Long] = {
+    val ids = store.changelogIds
+    if (ids.isEmpty) return Nil
+    val retainMax = schema.option("changelog.num-retained.max",
+      Int.MaxValue.toString).toInt
+    // an unset min defaults to 10 but never above an EXPLICIT max
+    val retainMin = schema.options.get("changelog.num-retained.min") match {
+      case Some(v) =>
+        val m = v.toInt
+        require(m <= retainMax,
+          "changelog.num-retained.min must be <= changelog.num-retained.max")
+        m
+      case None => math.min(10, retainMax)
+    }
+    val cutoff = schema.options.get("changelog.time-retained")
+      .map(d => System.currentTimeMillis() - Maintenance.parseDurationMillis(d))
+    val n = ids.size
+    val byMax = n - retainMax
+    val byTime = cutoff match {
+      case None => 0
+      case Some(c) =>
+        math.min(ids.count(id => store.readChangelog(id).timestampMs < c),
+          n - retainMin)
+    }
+    val k = math.max(byMax, byTime)
+    if (k <= 0) return Nil
+    val expire = ids.take(k)
+    // files reachable from ANY live snapshot/tag/branch must survive
+    val reachable = reachableLiveFiles()
+    val fs = store.fs
+    expire.foreach { id =>
+      val s = store.readChangelog(id)
+      val (ms, fps) = changelogPayload(s)
+      fps.filterNot(reachable.contains)
+        .foreach(p => fs.delete(new Path(store.rootPath, p), false))
+      ms.foreach(m => fs.delete(new Path(store.manifestDir, m), false))
+      fs.delete(store.changelogPath(id), false)
+    }
+    expire
+  }
+
+  /** Every file path reachable from current snapshots, tags, and branches
+    * (data + sidecars). O(total manifest entries) driver metadata work.
+    */
+  private def reachableLiveFiles(): Set[String] = {
+    val snaps = store.snapshotIds.map(store.readSnapshot) ++
+      store.listTags.map(_._2) ++
+      store.listBranches.map(store.ofBranch).flatMap(b =>
+        b.snapshotIds.map(b.readSnapshot) ++ b.listTags.map(_._2))
+    snaps.flatMap(s => s.manifests ++ s.deltaManifests).distinct
+      .flatMap(m => store.readManifest(m).collect {
+        case ManifestEntry(ManifestEntry.ADD, f) =>
+          f.path +: (f.dvPath.toSeq ++ f.blooms.values.toSeq)
+      }.flatten).toSet
   }
 
   /** Delete data files not referenced by any snapshot/tag and older than the
@@ -650,11 +748,15 @@ trait MaintenanceOps { self: GraftTable =>
     val fs = store.fs
     // sidecar dirs (dv bitmaps, bloom indexes) are scanned alongside data —
     // they are referenced from file metas the same way
-    val referenced = store.allReferencedSnapshots
+    // preserved changelogs (decoupled retention) reference only their
+    // payload (their base manifest list may already be reclaimed)
+    val changelogRefs = store.changelogIds.map(store.readChangelog)
+      .flatMap(s => changelogPayload(s)._2)
+    val referenced = (store.allReferencedSnapshots
       .flatMap(s => s.manifests ++ s.deltaManifests ++ s.changelogManifests).distinct
       .flatMap(m => store.readManifest(m).flatMap { e =>
         e.file.path +: (e.file.dvPath.toSeq ++ e.file.blooms.values.toSeq)
-      })
+      }) ++ changelogRefs)
       .map(p => new Path(store.rootPath, p).toUri.getPath).toSet
     // dynamic-bucket index DELTAS are directories referenced by prefix
     val referencedIdxDirs = store.allReferencedSnapshots

@@ -475,6 +475,55 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("decoupled changelog retention outlives snapshot expiration") {
+    import spark.implicits._
+    // lookup producer: explicit changelog files, exclusively owned
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "changelog-producer" -> "lookup",
+        "changelog.num-retained.max" -> "50"))
+    t.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // snap 1
+    t.upsert(Seq((1L, "a2")).toDF("k", "v"))           // snap 2
+    t.upsert(Seq((3L, "c")).toDF("k", "v"))            // snap 3
+    t.upsert(Seq((2L, "b2")).toDF("k", "v"))           // snap 4
+    def replay() = t.incremental(0, 4)
+      .select("_row_kind", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val before = replay()
+    t.expireSnapshots(retainLast = 1)
+    assert(t.store.snapshotIds == Seq(4L))
+    assert(t.store.changelogIds == Seq(1L, 2L, 3L), t.store.changelogIds)
+    // the full changelog replay is identical after snapshot expiration
+    assert(replay() == before)
+    // orphan cleanup does not reclaim preserved changelog files
+    t.removeOrphanFiles(olderThanMs = 0)
+    assert(replay() == before)
+    // tighten retention: only the 2 newest changelogs survive
+    t.setOption("changelog.num-retained.max", "2")
+    t.expireChangelogs()
+    assert(t.store.changelogIds == Seq(2L, 3L), t.store.changelogIds)
+    val after = replay()
+    assert(after.toSet.subsetOf(before.toSet) && after.size < before.size)
+
+    // input producer: payload is the L0 data files, which may still be
+    // LIVE in retained snapshots — changelog expiry must not delete those
+    val t2 = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "write-only" -> "true",
+        "changelog.num-retained.max" -> "50"))
+    t2.upsert(Seq((1L, "a")).toDF("k", "v"))
+    t2.upsert(Seq((2L, "b")).toDF("k", "v"))
+    t2.upsert(Seq((3L, "c")).toDF("k", "v"))
+    val full = t2.toDF.orderBy("k").collect().toSeq
+    val beforeT2 = t2.incremental(0, 3).count()
+    t2.expireSnapshots(retainLast = 1)
+    assert(t2.incremental(0, 3).count() == beforeT2)
+    t2.setOption("changelog.num-retained.max", "1")
+    t2.expireChangelogs()
+    // the uncompacted L0 files stay readable through the live snapshot
+    assert(t2.toDF.orderBy("k").collect().toSeq == full)
+  }
+
   test("expire honors lagging consumers: pinned snapshots survive") {
     val orders = sf("orders").limit(300)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
