@@ -73,7 +73,7 @@ class GraftMicroBatchStream(
         else upper
       return GraftOffset(math.max(end, from))
     }
-    val ids = store.snapshotIds.filter(id => id > from && id <= upper)
+    val ids = liveAndPreservedIds.filter(id => id > from && id <= upper)
     if (ids.isEmpty) return GraftOffset(from)
     limit match {
       case r: ReadMaxRows =>
@@ -99,8 +99,14 @@ class GraftMicroBatchStream(
   override def reportLatestOffset(): Offset =
     GraftOffset(store.latestSnapshotId.getOrElse(0L))
 
+  /** Snapshot ids plus ids surviving only as preserved changelogs
+    * (decoupled retention) — a lagging stream replays through both.
+    */
+  private def liveAndPreservedIds: Seq[Long] =
+    (store.snapshotIds ++ store.changelogIds).distinct.sorted
+
   private def deltaFiles(id: Long): Seq[DataFileMeta] = {
-    val s = store.readSnapshot(id)
+    val s = store.snapshotOrChangelog(id)
     val producer = table.schema.option(TableSchema.ChangelogProducerOpt, "input")
     // full-compaction and lookup read dedicated changelog files
     val fromChangelog = producer == "full-compaction" || producer == "lookup"
@@ -136,7 +142,7 @@ class GraftMicroBatchStream(
     if (fullFirst && from == startExclusive)
       return new GraftScan(spark, table, Some(store.readSnapshot(to)),
         requested, Nil, None).planInputPartitions()
-    val ids = store.snapshotIds.filter(id => id > from && id <= to)
+    val ids = liveAndPreservedIds.filter(id => id > from && id <= to)
     val files = ids.flatMap(deltaFiles)
     // raw splits: a streaming batch replays deltas as-is, no cross-snapshot
     // merge (reference: DeltaFollowUpScanner.java:29)
