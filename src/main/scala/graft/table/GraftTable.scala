@@ -883,7 +883,11 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val stagingName = s"tmp-staging-${UUID.randomUUID()}"
     val staging = new Path(store.rootPath, stagingName)
     val dirs = dirCols()
-    val writer = prepared.write.mode("overwrite").format(schema.fileFormat)
+    val writer0 = prepared.write.mode("overwrite").format(schema.fileFormat)
+    // table-level codec (reference: CoreOptions "file.compression", default
+    // zstd there; we keep Spark's format default unless set)
+    val writer = schema.options.get("file.compression")
+      .fold(writer0)(c => writer0.option("compression", c))
     (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).save(staging.toString)
 
     try collectStatsAndMove(staging, level, seq)

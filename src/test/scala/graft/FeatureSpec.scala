@@ -378,6 +378,26 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("file.compression sets the data-file codec") {
+    import spark.implicits._
+    // highly compressible payload so the codec visibly changes file size
+    val df = spark.range(20000)
+      .select(col("id").as("k"), lit("abcabcabc abcabcabc abcabcabc").as("v"))
+    def totalBytes(opts: Map[String, String]): Long = {
+      val t = GraftTable.create(spark, tmpTable(), df.schema, options = opts)
+      t.append(df)
+      assert(t.toDF.count() == 20000)
+      t.store.liveFiles(t.store.latestSnapshot.get).map(_.size).sum
+    }
+    val none = totalBytes(Map("file.compression" -> "none"))
+    val zstd = totalBytes(Map("file.compression" -> "zstd"))
+    assert(zstd < none, s"zstd=$zstd none=$none")
+    // orc honors it too
+    val orcNone = totalBytes(Map("file.format" -> "orc", "file.compression" -> "none"))
+    val orcZstd = totalBytes(Map("file.format" -> "orc", "file.compression" -> "zstd"))
+    assert(orcZstd < orcNone, s"zstd=$orcZstd none=$orcNone")
+  }
+
   test("file.format=avro is rejected at create time with an actionable message") {
     val e = intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpTable(), sf("orders").schema,
