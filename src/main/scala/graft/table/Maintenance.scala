@@ -191,10 +191,20 @@ trait MaintenanceOps { self: GraftTable =>
         snap
       }
     } else {
+      // append tables: compact a partition's small files when enough of
+      // them sum to a target-size file (compaction.min.file-num — avoids
+      // compacting almost-full files, not cost-effective) or when the
+      // sheer count passes compaction.max.file-num (reference:
+      // AppendOnlyCompactManager.pickCompactBefore:180-181)
+      val minFileNum = schema.option("compaction.min.file-num", "5").toInt
+      val maxFileNum = schema.option("compaction.max.file-num", "50").toInt
       val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
-      val smallPerPartition = live.filter(_.size < smallFileThreshold)
-        .groupBy(_.partition).values.map(_.size)
-      if (smallPerPartition.exists(_ >= compactionTrigger)) Some(compactSmallFiles()) else None
+      val trip = live.filter(_.size < smallFileThreshold)
+        .groupBy(_.partition).values.exists { fs =>
+          fs.size >= maxFileNum ||
+            (fs.size >= minFileNum && fs.map(_.size).sum >= smallFileThreshold * 2)
+        }
+      if (trip) Some(compactSmallFiles()) else None
     }
   }
 
@@ -584,8 +594,14 @@ trait MaintenanceOps { self: GraftTable =>
         case None => byCount
       }
     }
-    if (retainBoundary <= 0) return Nil
-    val (expire, retain) = ids.splitAt(retainBoundary)
+    // bound per-call expire work (reference: CoreOptions
+    // "snapshot.expire.limit", default 10) — a long-lived chain reclaims
+    // incrementally across calls instead of one giant delete pass that
+    // stalls the committing writer
+    val boundary = math.min(retainBoundary,
+      schema.option("snapshot.expire.limit", "10").toInt)
+    if (boundary <= 0) return Nil
+    val (expire, retain) = ids.splitAt(boundary)
     // keep everything still reachable: retained snapshots, tags, and every
     // branch's chain (branches share data files with main)
     val mainKeep = retain.map(store.readSnapshot) ++ store.listTags.map(_._2)

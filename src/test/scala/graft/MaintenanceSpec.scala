@@ -213,8 +213,10 @@ class MaintenanceSpec extends SparkSpec {
 
   test("append small-file compaction reduces file count, keeps data") {
     val li = sf("lineitem")
+    // tiny test files never sum to a target-size file, so trip the
+    // compaction.max.file-num count gate instead
     val t = GraftTable.create(spark, tmpTable(), li.schema,
-      options = Map("write-only" -> "true"))
+      options = Map("write-only" -> "true", "compaction.max.file-num" -> "6"))
     (1 to 6).foreach(i => t.append(li.filter(col("l_orderkey") % 6 === i - 1)))
     val before = t.store.liveFiles(t.store.latestSnapshot.get).size
     assert(t.maybeCompact().isDefined)
@@ -473,6 +475,44 @@ class MaintenanceSpec extends SparkSpec {
         options = Map("record-level.expire-time" -> "30d",
           "record-level.time-field" -> "v"))
     }
+  }
+
+  test("append compaction trigger honors compaction.min/max.file-num") {
+    import spark.implicits._
+    // one dataframe partition -> exactly one data file per append
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+    // tiny files never sum to a target-size file, so the min-file-num/size
+    // gate stays closed — only the max-file-num count gate can trip
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("compaction.max.file-num" -> "3"))
+    t.append(df); t.append(df)
+    assert(t.store.snapshotIds.map(t.store.readSnapshot)
+      .forall(_.commitKind != graft.core.CommitKind.COMPACT))
+    t.append(df) // third small file trips the count gate during ingest
+    assert(t.store.snapshotIds.map(t.store.readSnapshot)
+      .exists(_.commitKind == graft.core.CommitKind.COMPACT))
+    assert(t.store.liveFiles(t.store.latestSnapshot.get).size < 3)
+    assert(t.toDF.count() == 6)
+    // defaults (min 5 / max 50): six tiny appends never trigger — not
+    // cost-effective until a target-size file's worth accumulates
+    val t2 = GraftTable.create(spark, tmpTable(), df.schema)
+    (1 to 6).foreach(_ => t2.append(df))
+    assert(t2.store.snapshotIds.map(t2.store.readSnapshot)
+      .forall(_.commitKind != graft.core.CommitKind.COMPACT))
+  }
+
+  test("snapshot.expire.limit bounds per-call expiration") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "1",
+        "write-only" -> "true", "snapshot.expire.limit" -> "2"))
+    (1 to 6).foreach(i => t.upsert(df.withColumn("v", lit(i.toString))))
+    assert(t.expireSnapshots(retainLast = 1) == Seq(1L, 2L))
+    assert(t.expireSnapshots(retainLast = 1) == Seq(3L, 4L))
+    assert(t.expireSnapshots(retainLast = 1) == Seq(5L))
+    assert(t.store.snapshotIds == Seq(6L))
+    assert(t.toDF.count() == 1)
   }
 
   test("decoupled changelog retention outlives snapshot expiration") {
