@@ -278,6 +278,26 @@ object TableSchema {
     }
   }
 
+  /** Parse a memory-size option value: plain bytes, or `<n><unit>` with
+    * unit b/kb/mb/gb (e.g. "128mb"), case-insensitive, whitespace tolerated
+    * (reference: MemorySize.parse, used by CoreOptions size options).
+    */
+  def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val m = "^(\\d+)\\s*(b|kb|mb|gb)?$".r
+    t match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case null | "b" => 1L
+          case "kb" => 1024L
+          case "mb" => 1024L * 1024
+          case "gb" => 1024L * 1024 * 1024
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"bad size: '$s'")
+    }
+  }
+
   def fromJson(s: String): TableSchema = {
     val n = Json.parse(s)
     val fields = Json.elems(n.get("fields")).map { fn =>

@@ -306,17 +306,25 @@ class GraftScan(
 
     if (!mergeRead) {
       // append table (or dv-mode pk table): bin-pack raw files into
-      // ~target-size splits per partition
-      val target = 128L * 1024 * 1024
+      // ~target-size splits per partition. Each file weighs at least
+      // open-file-cost so a split of many tiny files stays small enough to
+      // amortize per-file open/footer latency (reference: CoreOptions
+      // "source.split.target-size" 128mb / "source.split.open-file-cost"
+      // 4mb, FlinkSourceBuilder → BinPacking weight function)
+      val target = TableSchema.parseBytes(
+        schema.option("source.split.target-size", "128mb"))
+      val openCost = TableSchema.parseBytes(
+        schema.option("source.split.open-file-cost", "4mb"))
       effectiveFiles.groupBy(_.partition).values.flatMap { fs =>
         val packs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[GraftFileInfo]]
         var cur = mutable.ArrayBuffer.empty[GraftFileInfo]
         var curBytes = 0L
         fs.sortBy(-_.size).foreach { f =>
-          if (curBytes > 0 && curBytes + f.size > target) {
+          val w = math.max(f.size, openCost)
+          if (curBytes > 0 && curBytes + w > target) {
             packs += cur; cur = mutable.ArrayBuffer.empty; curBytes = 0
           }
-          cur += info(f); curBytes += f.size
+          cur += info(f); curBytes += w
         }
         if (cur.nonEmpty) packs += cur
         packs.map(p => GraftInputPartition(p.toSeq, merge = false))

@@ -884,10 +884,18 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val staging = new Path(store.rootPath, stagingName)
     val dirs = dirCols()
     val writer0 = prepared.write.mode("overwrite").format(schema.fileFormat)
-    // table-level codec (reference: CoreOptions "file.compression", default
-    // zstd there; we keep Spark's format default unless set)
-    val writer = schema.options.get("file.compression")
-      .fold(writer0)(c => writer0.option("compression", c))
+    // codec: per-LSM-level override first ("0:lz4,5:zstd" — fast codec for
+    // short-lived L0 runs, tight codec for the long-lived compacted base;
+    // reference: CoreOptions "file.compression.per.level"), else the
+    // table-level "file.compression", else Spark's format default
+    val codec = schema.options.get("file.compression.per.level")
+      .flatMap { spec =>
+        spec.split(',').iterator.map(_.split(':')).collectFirst {
+          case Array(l, c) if l.trim.toInt == level => c.trim
+        }
+      }
+      .orElse(schema.options.get("file.compression"))
+    val writer = codec.fold(writer0)(c => writer0.option("compression", c))
     (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).save(staging.toString)
 
     try collectStatsAndMove(staging, level, seq)

@@ -378,6 +378,27 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("source.split.target-size / open-file-cost shape raw-scan splits") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+    def splits(opts: Map[String, String]): Array[_] = {
+      val t = GraftTable.create(spark, tmpTable(), df.schema, options = opts)
+      (1 to 8).foreach(_ => t.append(df)) // 8 small files
+      new graft.spark.v2.GraftScan(spark, t, None, t.schema.structType, Nil, None)
+        .planInputPartitions()
+    }
+    // defaults: 8 tiny files fit one 128mb split
+    assert(splits(Map("write-only" -> "true")).length == 1)
+    // tiny target: one split per file
+    assert(splits(Map("write-only" -> "true",
+      "source.split.target-size" -> "1b")).length == 8)
+    // open-file-cost dominates tiny files: 4 files of weight>=32kb per 128kb
+    // split even though their bytes would all fit in one
+    assert(splits(Map("write-only" -> "true",
+      "source.split.target-size" -> "128kb",
+      "source.split.open-file-cost" -> "32kb")).length == 2)
+  }
+
   test("file.compression sets the data-file codec") {
     import spark.implicits._
     // highly compressible payload so the codec visibly changes file size
@@ -396,6 +417,28 @@ class FeatureSpec extends SparkSpec {
     val orcNone = totalBytes(Map("file.format" -> "orc", "file.compression" -> "none"))
     val orcZstd = totalBytes(Map("file.format" -> "orc", "file.compression" -> "zstd"))
     assert(orcZstd < orcNone, s"zstd=$orcZstd none=$orcNone")
+  }
+
+  test("file.compression.per.level: L0 codec differs from compacted-level codec") {
+    import spark.implicits._
+    val df = spark.range(20000)
+      .select(col("id").as("k"), lit("abcabcabc abcabcabc abcabcabc").as("v"))
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "write-only" -> "true",
+        "file.compression.per.level" -> s"0:none,${GraftTable.MaxLevel}:zstd"))
+    t.upsert(df)
+    val l0 = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(l0.forall(_.level == 0))
+    val l0Bytes = l0.map(_.size).sum
+    t.compact()
+    val top = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(top.forall(_.level == GraftTable.MaxLevel))
+    val topBytes = top.map(_.size).sum
+    // same rows: the compacted zstd file must be much smaller than the
+    // uncompressed L0 run
+    assert(topBytes * 2 < l0Bytes, s"top=$topBytes l0=$l0Bytes")
+    assert(t.toDF.count() == 20000)
   }
 
   test("file.format=avro is rejected at create time with an actionable message") {
