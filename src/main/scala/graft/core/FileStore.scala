@@ -420,10 +420,26 @@ class FileStore(val root: String, val hadoopConf: Configuration,
 
   def tagPath(name: String) = new Path(tagDir, s"tag-$name.json")
 
-  def createTag(name: String, snapshotId: Long): Unit = {
+  /** A tag file is the snapshot JSON plus tag metadata: creation time and
+    * an optional time-to-live (reference: tag/Tag.java "tagCreateTime" /
+    * "tagTimeRetained"). Snapshot.fromJson ignores the extra keys.
+    */
+  def createTag(name: String, snapshotId: Long,
+      timeRetainedMs: Option[Long] = None): Unit = {
     require(fs.exists(snapshotPath(snapshotId)), s"no snapshot $snapshotId")
-    require(writeAtomic(tagPath(name), readString(snapshotPath(snapshotId))),
+    val node = Json.parse(readString(snapshotPath(snapshotId)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.put("tagCreateTime", System.currentTimeMillis())
+    timeRetainedMs.foreach(ms => node.put("tagTimeRetained", ms))
+    require(writeAtomic(tagPath(name), Json.write(node)),
       s"tag $name already exists")
+  }
+
+  /** (createTimeMs, timeRetainedMs) of a tag; absent on pre-TTL tag files. */
+  def readTagMeta(name: String): (Option[Long], Option[Long]) = {
+    val n = Json.parse(readString(tagPath(name)))
+    (Option(n.get("tagCreateTime")).map(_.asLong()),
+      Option(n.get("tagTimeRetained")).map(_.asLong()))
   }
 
   def deleteTag(name: String): Unit = fs.delete(tagPath(name), false)

@@ -219,13 +219,18 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         // changelog.time-retained) applied on demand
         s"expired ${table.expireChangelogs().size} changelogs"
       case "create_tag" =>
-        // snapshot id optional: default to the latest (reference:
-        // CreateTagProcedure's optional snapshot parameter)
+        // snapshot id optional: default to the latest; 4th arg = TTL
+        // duration (reference: CreateTagProcedure's optional snapshot /
+        // time_retained parameters)
         val id = if (args.size > 2) args(2).toLong
           else table.store.latestSnapshotId.getOrElse(
             throw new IllegalArgumentException("table has no snapshots to tag"))
-        table.store.createTag(args(1), id)
+        val ttl = if (args.size > 3)
+          Some(graft.core.TableSchema.parseDurationMillis(args(3))) else None
+        table.store.createTag(args(1), id, ttl)
         s"tag ${args(1)} -> snapshot $id"
+      case "expire_tags" =>
+        s"expired tags: ${table.expireTags().mkString(",")}"
       case "delete_tag" => table.store.deleteTag(args(1)); s"deleted tag ${args(1)}"
       case "create_branch" =>
         table.createBranch(args(1), args(2).toLong); s"branch ${args(1)}"

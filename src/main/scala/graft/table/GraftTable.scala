@@ -844,16 +844,45 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       case "hourly" => "yyyy-MM-dd HH"
       case _ => "yyyy-MM-dd"
     }
+    // 'tag.creation-delay': the period is pinned by the first commit at or
+    // after period-start + delay, so late data arriving inside the delay
+    // window lands BEFORE the pin (reference: TagTimeExtractor +
+    // TagAutoCreation's creation-delay handling)
+    val delay = schema.options.get("tag.creation-delay")
+      .map(TableSchema.parseDurationMillis).getOrElse(0L)
+    if (delay > 0) {
+      val unit = if (fmt.contains("HH")) java.time.temporal.ChronoUnit.HOURS
+        else java.time.temporal.ChronoUnit.DAYS
+      val periodStart = java.time.Instant.ofEpochMilli(timeMs).truncatedTo(unit)
+      if (timeMs < periodStart.toEpochMilli + delay) return
+    }
     val name = java.time.Instant.ofEpochMilli(timeMs)
       .atZone(java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ofPattern(fmt))
     if (!store.listTags.exists(_._1 == name)) {
-      store.createTag(name, s.id)
+      // auto tags inherit the table's default TTL (reference: CoreOptions
+      // "tag.default-time-retained")
+      val ttl = schema.options.get("tag.default-time-retained")
+        .map(TableSchema.parseDurationMillis)
+      store.createTag(name, s.id, ttl)
       val max = schema.option("tag.num-retained-max", "").toIntOption.getOrElse(Int.MaxValue)
       val auto = store.listTags.map(_._1).filter(looksLikeAutoTag).sorted
       auto.dropRight(max).foreach(store.deleteTag)
     }
+    expireTags()
   }
+
+  /** Drop every tag whose time-to-live has elapsed; tags without a TTL
+    * never expire. Returns the deleted names. O(tags) metadata work
+    * (reference: tag/TagTimeExpire.expire).
+    */
+  def expireTags(nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    store.listTags.map(_._1).filter { n =>
+      store.readTagMeta(n) match {
+        case (Some(created), Some(retained)) => created + retained <= nowMs
+        case _ => false
+      }
+    }.map { n => store.deleteTag(n); n }
 
   private def looksLikeAutoTag(n: String): Boolean =
     n.matches("""\d{4}-\d{2}-\d{2}( \d{2})?""")

@@ -318,6 +318,51 @@ class MaintenanceSpec extends SparkSpec {
     assert(t.store.listTags.map(_._2.id).sorted == Seq(3L, 4L))
   }
 
+  test("tag TTL: default-time-retained expires auto tags, manual tags persist") {
+    import spark.implicits._
+    val h = 3600L * 1000
+    def at(hour: Long, k: Long) = Seq((k, hour * h, s"v$k")).toDF("k", "ts", "v")
+    val t = GraftTable.create(spark, tmpTable(), at(0, 0).schema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "watermark.column" -> "ts",
+        "tag.automatic-creation" -> "watermark",
+        "tag.creation-period" -> "hourly",
+        "tag.default-time-retained" -> "1h"))
+    t.upsert(at(100, 1))
+    t.store.createTag("keep-me", t.store.latestSnapshotId.get) // no TTL
+    assert(t.store.listTags.size == 2)
+    // within the TTL nothing expires
+    assert(t.expireTags() == Nil)
+    // past the TTL the auto tag goes, the manual tag stays
+    val expired = t.expireTags(nowMs = System.currentTimeMillis() + 2 * h)
+    assert(expired == Seq("1970-01-05 04"), expired.toString)
+    assert(t.store.listTags.map(_._1) == Seq("keep-me"))
+    // a manual tag WITH a TTL expires too
+    t.store.createTag("short-lived", t.store.latestSnapshotId.get, Some(h))
+    assert(t.expireTags(nowMs = System.currentTimeMillis() + 2 * h)
+      == Seq("short-lived"))
+  }
+
+  test("tag.creation-delay defers the period pin past late data") {
+    import spark.implicits._
+    val h = 3600L * 1000
+    def at(ms: Long, k: Long) = Seq((k, ms, s"v$k")).toDF("k", "ts", "v")
+    val t = GraftTable.create(spark, tmpTable(), at(0, 0).schema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "watermark.column" -> "ts",
+        "tag.automatic-creation" -> "watermark",
+        "tag.creation-period" -> "hourly",
+        "tag.creation-delay" -> "10m"))
+    val start = 100 * h
+    t.upsert(at(start + 5 * 60 * 1000, 1)) // inside the delay window: no tag
+    assert(t.store.listTags.isEmpty)
+    t.upsert(at(start + 15 * 60 * 1000, 2)) // past start+delay: pin
+    assert(t.store.listTags.map(_._1) == Seq("1970-01-05 04"))
+    assert(t.store.listTags.head._2.id == 2L)
+  }
+
   test("interval sections: key-disjoint runs plan independent merge splits") {
     val orders = sf("orders")
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
