@@ -315,7 +315,15 @@ class GraftScan(
         schema.option("source.split.target-size", "128mb"))
       val openCost = TableSchema.parseBytes(
         schema.option("source.split.open-file-cost", "4mb"))
-      effectiveFiles.groupBy(_.partition).values.flatMap { fs =>
+      // 'scan.plan-sort-partition': emit splits in partition-value order so
+      // a consumer that processes tasks in order sees partitions whole
+      // (reference: CoreOptions "scan.plan-sort-partition",
+      // SnapshotReaderImpl's partition-sorted plan)
+      val sortParts = schema.option("scan.plan-sort-partition", "false").toBoolean
+      val groups = effectiveFiles.groupBy(_.partition).toSeq
+      val ordered = if (sortParts)
+        groups.sortBy(_._1.mkString(" ")) else groups
+      ordered.flatMap { case (_, fs) =>
         val packs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[GraftFileInfo]]
         var cur = mutable.ArrayBuffer.empty[GraftFileInfo]
         var curBytes = 0L

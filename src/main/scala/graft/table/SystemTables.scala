@@ -28,6 +28,7 @@ trait SystemTables { self: GraftTable =>
     case "table_indexes" => tableIndexesTable
     case "statistics" => statisticsTable
     case "aggregation_fields" => aggregationFieldsTable
+    case "file_monitor" => fileMonitorTable
     case other => throw new IllegalArgumentException(s"unknown system table: $other")
   }
 
@@ -155,6 +156,45 @@ trait SystemTables { self: GraftTable =>
         sum(when(isAdd, col("row_count")).otherwise(0L)).as("added_rows"),
         sum(when(!isAdd, col("row_count")).otherwise(0L)).as("deleted_rows"))
       .orderBy("manifest")
+  }
+
+  /** Per-snapshot file changes, one row per (snapshot, partition, bucket)
+    * with the files the commit removed (`before_files`) and added
+    * (`data_files`) — the monitoring feed a downstream compactor or
+    * replicator tails (reference: table/system/FileMonitorTable.java:57).
+    * DISTRIBUTED like `$files`: the driver ships (snapshot, delta-manifest
+    * NAME) pairs; executors parse the shards.
+    */
+  private def fileMonitorTable: DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // O(snapshots) driver-side metadata: one JSON read per snapshot
+    val pairs = store.snapshotIds.map(store.readSnapshot)
+      .flatMap(s => s.deltaManifests.map(m => (s.id, m)))
+    val mDir = store.manifestDir.toString
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val entries = spark.createDataset(pairs)
+      .repartition(math.max(1, math.min(pairs.size, 32)))
+      .flatMap { case (sid, name) =>
+        val p = new org.apache.hadoop.fs.Path(mDir, name)
+        val fs = p.getFileSystem(serConf.value)
+        val in = fs.open(p)
+        val content =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        graft.core.ManifestCodec.entriesFromJson(content).map { e =>
+          (sid, e.kind, e.file.partition.mkString("/"), e.file.bucket, e.file.path)
+        }
+      }
+      .toDF("snapshot_id", "__kind", "partition", "bucket", "file_path")
+    entries.groupBy("snapshot_id", "partition", "bucket")
+      .agg(
+        sort_array(collect_list(when(col("__kind") === ManifestEntry.DELETE,
+          col("file_path")))).as("before_files"),
+        sort_array(collect_list(when(col("__kind") === ManifestEntry.ADD,
+          col("file_path")))).as("data_files"))
+      .orderBy("snapshot_id", "partition", "bucket")
   }
 
   private def partitionsTable: DataFrame = {

@@ -399,6 +399,40 @@ class FeatureSpec extends SparkSpec {
       "source.split.open-file-cost" -> "32kb")).length == 2)
   }
 
+  test("scan.plan-sort-partition orders raw splits by partition value") {
+    import spark.implicits._
+    val df = Seq(("c", 1L), ("a", 2L), ("b", 3L)).toDF("pt", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      partitionKeys = Seq("pt"),
+      options = Map("scan.plan-sort-partition" -> "true",
+        "source.split.target-size" -> "1b")) // one split per file
+    t.append(df)
+    val parts = new graft.spark.v2.GraftScan(
+        spark, t, None, t.schema.structType, Nil, None)
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.spark.v2.GraftInputPartition])
+    val order = parts.map(_.files.head.partition.mkString).toSeq
+    assert(order == order.sorted, order.toString)
+    assert(order == Seq("a", "b", "c"))
+  }
+
+  test("$file_monitor lists per-snapshot file changes") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "1", "write-only" -> "true"))
+    t.upsert(df)
+    t.upsert(df.withColumn("v", lit("x")))
+    t.compact()
+    val fm = t.system("file_monitor").collect()
+    val bySnap = fm.map(r => r.getLong(0) ->
+      (r.getSeq[String](3), r.getSeq[String](4))).toMap
+    // writes add files and remove none; compaction replaces both L0 runs
+    assert(bySnap(1L)._1.isEmpty && bySnap(1L)._2.size == 1)
+    assert(bySnap(2L)._1.isEmpty && bySnap(2L)._2.size == 1)
+    assert(bySnap(3L)._1.size == 2 && bySnap(3L)._2.size == 1)
+  }
+
   test("file.compression sets the data-file codec") {
     import spark.implicits._
     // highly compressible payload so the codec visibly changes file size
