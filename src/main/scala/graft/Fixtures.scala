@@ -122,6 +122,50 @@ object Fixtures {
       t
     }
 
+  /** embeddings as a graft table — ARRAY<FLOAT> round-trips the format, so
+    * a vector corpus lives IN the table and ANN runs over the table scan.
+    */
+  def embeddingsGraft(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "embeddings_graft") { path =>
+      val df = src(spark, sfDir, "embeddings")
+      val t = GraftTable.create(spark, path, df.schema)
+      t.append(df)
+      t
+    }
+
+  /** lineitem under explicit split sizing + partition-sorted planning: many
+    * small files whose splits are capped by open-file-cost. The options are
+    * read-side only — the scan must return exactly the table.
+    */
+  def lineitemTinySplits(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_tiny_splits") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema,
+        partitionKeys = Seq("l_returnflag"),
+        options = Map(
+          "write-only" -> "true",
+          "source.split.target-size" -> "4mb",
+          "source.split.open-file-cost" -> "1mb",
+          "scan.plan-sort-partition" -> "true"))
+      (0 until 4).foreach(i => t.append(df.filter(col("l_orderkey") % 4 === i)))
+      t
+    }
+
+  /** pk orders with per-LSM-level codecs: snappy L0 runs compacted into a
+    * zstd max-level base — reads span both codecs transparently.
+    */
+  def ordersPerLevelCodec(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_per_level_codec") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        primaryKeys = Seq("o_orderkey"),
+        options = Map("bucket" -> "4", "write-only" -> "true",
+          "file.compression.per.level" -> s"0:snappy,${GraftTable.MaxLevel}:zstd"))
+      t.upsert(df)
+      t.compact()
+      t
+    }
+
   /** rowkind.field applied through the BATCH upsert path (T9): a string op
     * column drives +I/+U/-D per row across two commits.
     */

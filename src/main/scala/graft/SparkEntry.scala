@@ -393,7 +393,22 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // split sizing + partition-sorted planning are read-side only: the
+    // scan of a many-small-file table returns exactly the table
+    "q98_split_sizing" -> ((s, d) => Fixtures.lineitemTinySplits(s, d).toDF),
+    // per-LSM-level codecs: snappy L0 merged into a zstd compacted base
+    "q99_per_level_codec" -> ((s, d) => Fixtures.ordersPerLevelCodec(s, d).toDF),
+
     // ---- LLM-pipeline: vector similarity ----
+    // the corpus lives IN the table format: ARRAY<FLOAT> round-trips the
+    // graft table and brute-force ANN runs over the table scan
+    "q97_graft_ann" -> ((s, d) => {
+      val t = Fixtures.embeddingsGraft(s, d).toDF
+      val q = t.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      VectorOps.cosineTopK(t.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 20)
+    }),
     "q48_ann_brute_topk" -> ((s, d) => {
       val emb = Fixtures.src(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -511,6 +526,13 @@ object SparkEntry {
       |  FROM e, q WHERE e.vec_id BETWEEN 1 AND 20),
       |corpus AS (SELECT vec_id, v FROM e WHERE vec_id <> 0
       |           UNION ALL SELECT vec_id, v FROM synth)""".stripMargin
+
+  private val annBruteOracle =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      | ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine_sim
+      |FROM embeddings WHERE vec_id <> 0
+      |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
 
   private val annLshOracle =
     s"""$annCorpusCte
@@ -895,12 +917,10 @@ object SparkEntry {
     "q47_dedup_keep" ->
       s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM ($jaccardPairsSql))""".stripMargin,
-    "q48_ann_brute_topk" ->
-      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id,
-        | ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine_sim
-        |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
+    "q48_ann_brute_topk" -> annBruteOracle,
+    "q97_graft_ann" -> annBruteOracle,
+    "q98_split_sizing" -> "SELECT * FROM lineitem",
+    "q99_per_level_codec" -> "SELECT * FROM orders",
     "q46_simhash_pairs" -> simhashOracle,
     "q49_ann_lsh_topk" -> annLshOracle,
     "q56_ann_ivf_topk" -> annLshOracle,
