@@ -650,12 +650,20 @@ trait MaintenanceOps { self: GraftTable =>
     // files exempt from deletion until expireChangelogs() reclaims them
     // (reference: Changelog.java, ExpireChangelogImpl)
     val decoupled = schema.changelogDecoupled
+    // payloads preserved by EARLIER expire rounds must survive too: a
+    // changelog-1 L0 file is still listed in snapshot 2's base manifests,
+    // so the round that expires snapshot 2 would otherwise delete it —
+    // breaking preserved-changelog replay well within changelog retention
+    // (only expireChangelogs() may reclaim these).
+    val priorPreserved =
+      if (!decoupled) Nil
+      else store.changelogIds.map(id => changelogPayload(store.readChangelog(id)))
     val preserved = if (!decoupled) Nil else expireSnaps.map(changelogPayload)
     if (decoupled) expireSnaps.zip(preserved).foreach { case (s, (ms, _)) =>
       if (ms.nonEmpty) store.writeChangelog(s)
     }
-    val preservedManifests = preserved.flatMap(_._1).toSet
-    val preservedFiles = preserved.flatMap(_._2).toSet
+    val preservedManifests = (priorPreserved ++ preserved).flatMap(_._1).toSet
+    val preservedFiles = (priorPreserved ++ preserved).flatMap(_._2).toSet
     // manifest FILES in kept chains must survive (the fold reads them);
     // their dead entries' data files may still be deleted above
     val expireManifests = allExpireManifests

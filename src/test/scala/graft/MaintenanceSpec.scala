@@ -609,6 +609,45 @@ class MaintenanceSpec extends SparkSpec {
     assert(t2.toDF.orderBy("k").collect().toSeq == full)
   }
 
+  test("multi-round expiry keeps earlier rounds' preserved changelog payloads") {
+    import spark.implicits._
+    // input producer + snapshot.expire.limit=1 forces one-snapshot-per-call
+    // expiry. Round 1 preserves changelog/1 (payload = snap 1's L0 file);
+    // snap 2's BASE manifests still list that file, so the round that
+    // expires snap 2 must not delete it — changelog replay would break
+    // well within changelog retention otherwise.
+    val t = GraftTable.create(spark, tmpTable(),
+      Seq((1L, "x")).toDF("k", "v").schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "write-only" -> "true",
+        "snapshot.expire.limit" -> "1",
+        "changelog.num-retained.max" -> "50"))
+    t.upsert(Seq((1L, "a")).toDF("k", "v")) // snap 1, L0 f1
+    t.upsert(Seq((2L, "b")).toDF("k", "v")) // snap 2, L0 f2
+    t.upsert(Seq((3L, "c")).toDF("k", "v")) // snap 3, L0 f3
+    t.compact()                             // snap 4: fold drops f1..f3
+    t.upsert(Seq((4L, "d")).toDF("k", "v")) // snap 5
+    val before = t.incremental(0, 3)
+      .select("_row_kind", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(before.nonEmpty)
+    t.expireSnapshots(retainLast = 1) // expires snap 1 -> changelog/1 {f1}
+    assert(t.store.changelogIds == Seq(1L))
+    t.expireSnapshots(retainLast = 1) // expires snap 2 — must NOT delete f1
+    t.expireSnapshots(retainLast = 1) // expires snap 3
+    t.expireSnapshots(retainLast = 1) // expires snap 4 (compact, no payload)
+    assert(t.store.snapshotIds == Seq(5L))
+    assert(t.store.changelogIds == Seq(1L, 2L, 3L), t.store.changelogIds)
+    // full replay across all preserved changelogs is byte-identical
+    val after = t.incremental(0, 3)
+      .select("_row_kind", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(after == before, s"replay changed: $after vs $before")
+    // reclamation still works through the dedicated path
+    t.setOption("changelog.num-retained.max", "1")
+    t.expireChangelogs()
+    assert(t.store.changelogIds == Seq(3L))
+  }
+
   test("expire honors lagging consumers: pinned snapshots survive") {
     val orders = sf("orders").limit(300)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
