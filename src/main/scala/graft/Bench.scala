@@ -8,8 +8,18 @@ import org.apache.spark.sql.functions._
 /** Headline benchmark (BASELINE.md plan): write throughput, upsert, scans
   * with pruning, merge-on-read before/after compaction, and the two
   * heaviest pipeline ops. Prints ONE JSON line for the driver.
+  *
+  * The bench host shows up to 8x run-to-run variance under contention
+  * (BASELINE.md "variance" note; BENCH_r06 recorded a 41 s minhash sample
+  * whose reproducible median is 5 s). To make the official record robust,
+  * the suite self-medians: one warm-up pass (JIT + codegen + shuffle-service
+  * caches), then SAMPLES timed passes; "queries" carries the per-key
+  * medians and "samples" the raw observations. Write benches get a fresh
+  * table per pass so every sample measures the same cold-table work.
   */
 object Bench {
+  private val SAMPLES = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,58 +37,17 @@ object Bench {
     lineitem.count() // warm the source so write benches time the engine
     val orders = Fixtures.src(spark, sfDir, "orders").cache()
     orders.count()
+    val docs = Fixtures.src(spark, sfDir, "documents")
+    val emb = Fixtures.src(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-
-    // 1. bulk append write (analog: TableWriterBenchmark)
-    val liTable = GraftTable.create(spark, s"$tmp/li", lineitem.schema,
-      partitionKeys = Seq("l_returnflag"))
-    results("append_write") = time { liTable.append(lineitem) }
-
-    // 2. upsert of two overlapping batches into a PK table (analog: cluster q1)
-    val pk = GraftTable.create(spark, s"$tmp/orders_pk", orders.schema,
-      primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "16"))
-    results("upsert") = time {
-      pk.upsert(orders)
-      pk.upsert(orders.filter(col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") * 2))
-    }
-
-    // 3. full scan + filtered scan (analog: TableReadBenchmark + pruning)
-    results("full_scan") = time { liTable.toDF.count() }
-    results("filtered_scan") = time {
-      liTable.toDF
-        .filter(col("l_returnflag") === "R" &&
-          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_quantity") < 10)
-        .agg(sum("l_extendedprice")).collect()
-    }
-
-    // 4. merge-on-read before vs after compaction
-    results("mor_read") = time { pk.toDF.count() }
-    results("compact") = time { pk.compact() }
-    results("compacted_read") = time { pk.toDF.count() }
-
-    // 5. pipeline ops at scale
-    val docs = Fixtures.src(spark, sfDir, "documents")
-    results("minhash_dedup") = time {
-      Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count()
-    }
-    val emb = Fixtures.src(spark, sfDir, "embeddings")
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
-    results("ann_topk") = time {
-      VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 20).collect()
-    }
-
-    // 6. storage-partitioned join: two 16-bucket PK tables joined on the
-    // bucket key, with vs without v2 bucketing — the with-SPJ plan has zero
-    // exchanges/sorts (asserted in SqlCatalogSpec); here the elimination
-    // shows up as a measured number
+    // storage-partitioned join tables are immutable across passes: only the
+    // SELECT is timed, so build them once
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.spark.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.warehouse", s"$tmp/warehouse")
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
@@ -97,16 +66,78 @@ object Bench {
         |  ON a.o_orderkey = b.o_orderkey
         |GROUP BY b.o_orderpriority""".stripMargin
     val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-    spark.conf.set(bucketingKey, "false")
-    results("spj_join_shuffle") = time { spark.sql(spjSql).collect() }
-    spark.conf.set(bucketingKey, "true")
-    results("spj_join") = time { spark.sql(spjSql).collect() }
-    spark.conf.unset(bucketingKey)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    /** One full timed pass. Write benches use a pass-private directory so
+      * every pass does identical cold-table work.
+      */
+    def pass(tag: String): collection.Map[String, Double] = {
+      val dir = s"$tmp/$tag"
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+      // 1. bulk append write (analog: TableWriterBenchmark)
+      val liTable = GraftTable.create(spark, s"$dir/li", lineitem.schema,
+        partitionKeys = Seq("l_returnflag"))
+      results("append_write") = time { liTable.append(lineitem) }
+
+      // 2. upsert of two overlapping batches into a PK table (analog: cluster q1)
+      val pk = GraftTable.create(spark, s"$dir/orders_pk", orders.schema,
+        primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "16"))
+      results("upsert") = time {
+        pk.upsert(orders)
+        pk.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+      }
+
+      // 3. full scan + filtered scan (analog: TableReadBenchmark + pruning)
+      results("full_scan") = time { liTable.toDF.count() }
+      results("filtered_scan") = time {
+        liTable.toDF
+          .filter(col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_quantity") < 10)
+          .agg(sum("l_extendedprice")).collect()
+      }
+
+      // 4. merge-on-read before vs after compaction
+      results("mor_read") = time { pk.toDF.count() }
+      results("compact") = time { pk.compact() }
+      results("compacted_read") = time { pk.toDF.count() }
+
+      // 5. pipeline ops at scale
+      results("minhash_dedup") = time {
+        Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count()
+      }
+      results("ann_topk") = time {
+        VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 20).collect()
+      }
+
+      // 6. storage-partitioned join with vs without v2 bucketing — the
+      // with-SPJ plan has zero exchanges/sorts (asserted in SqlCatalogSpec)
+      spark.conf.set(bucketingKey, "false")
+      results("spj_join_shuffle") = time { spark.sql(spjSql).collect() }
+      spark.conf.set(bucketingKey, "true")
+      results("spj_join") = time { spark.sql(spjSql).collect() }
+      spark.conf.unset(bucketingKey)
+      results
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    val warmup = pass("warmup")
+    val passes = (1 to SAMPLES).map(i => pass(s"s$i"))
+    val keys = warmup.keys.toSeq
+    val medians = keys.map(k => k -> median(passes.map(_(k))))
+
+    def fmtMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val samplesJson = keys.map { k =>
+      "\"" + k + "\":[" + passes.map(p => f"${p(k)}%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtMap(medians)},"samples":$samplesJson,"warmup":${fmtMap(warmup.toSeq)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

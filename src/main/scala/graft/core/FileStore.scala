@@ -290,7 +290,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       watermark: Option[Long] = None,
       changelog: Seq[ManifestEntry] = Nil,
       newIndexFiles: Seq[String] = Nil,
-      replaceIndexFiles: Boolean = false,
+      consumedIndexFiles: Seq[String] = Nil,
       maxRetries: Int = 20): CommitResult = {
     var attempt = 0
     while (true) {
@@ -358,11 +358,12 @@ class FileStore(val root: String, val hadoopConf: Configuration,
           math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L), commitIdentifier),
         changelogManifests =
           if (changelog.isEmpty) Nil else Seq(writeManifest(changelog)),
-        // replaceIndexFiles: an index consolidation swaps the delta list
-        // for its fold (single-writer, like dynamic-bucket assignment)
-        indexFiles =
-          if (replaceIndexFiles) newIndexFiles
-          else latest.map(_.indexFiles).getOrElse(Nil) ++ newIndexFiles)
+        // an index consolidation drops exactly the delta dirs its fold
+        // consumed and appends the fold; deltas committed concurrently
+        // (between the fold's read and this commit) survive in the list,
+        // so the consolidation race cannot silently lose index entries
+        indexFiles = latest.map(_.indexFiles).getOrElse(Nil)
+          .filterNot(consumedIndexFiles.toSet) ++ newIndexFiles)
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
         return CommitResult(snap, committed = true)
       }

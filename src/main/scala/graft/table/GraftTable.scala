@@ -818,9 +818,9 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       commitIdentifier: Long = -1L,
       changelog: Seq[ManifestEntry] = Nil,
       indexFiles: Seq[String] = Nil,
-      replaceIndexFiles: Boolean = false): Snapshot = {
+      consumedIndexFiles: Seq[String] = Nil): Snapshot = {
     val s = store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
-      changelog, indexFiles, replaceIndexFiles).snapshot
+      changelog, indexFiles, consumedIndexFiles).snapshot
     autoCreateTag(s)
     s
   }

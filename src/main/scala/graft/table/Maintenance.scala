@@ -146,7 +146,10 @@ trait MaintenanceOps { self: GraftTable =>
     * reclaimed by expiration + orphan cleanup. Without this, a table
     * written to for years accumulates one index dir per keyed commit and
     * every write re-opens thousands of tiny parquet footers.
-    * Single-writer, like dynamic-bucket assignment itself.
+    * Race-safe against concurrent keyed writes: the commit drops exactly
+    * the delta dirs this fold consumed (`consumedIndexFiles`), so an index
+    * delta committed between the fold's read and its commit survives in
+    * the snapshot list instead of being silently replaced away.
     */
   def compactIndexIfNeeded(): Option[Snapshot] = {
     if (!schema.dynamicBucket) return None
@@ -161,7 +164,7 @@ trait MaintenanceOps { self: GraftTable =>
     folded.repartition(math.max(1, schema.dynamicBucketAssigners))
       .write.parquet(new Path(store.rootPath, rel).toString)
     Some(commitFiles(Nil, CommitKind.COMPACT,
-      indexFiles = Seq(rel), replaceIndexFiles = true))
+      indexFiles = Seq(rel), consumedIndexFiles = dirs))
   }
 
   def maybeCompact(): Option[Snapshot] = {

@@ -279,6 +279,25 @@ class FeatureSpec extends SparkSpec {
     assert(t.lookup(Map("k" -> 10L)).map(_.getString(1)).contains("upd"))
   }
 
+  test("index fold commit drops only consumed deltas; concurrent deltas survive") {
+    // the consolidation race: a keyed write lands a new index delta BETWEEN
+    // the fold reading snap.indexFiles and the COMPACT commit. The commit
+    // must drop exactly the consumed dirs and keep the interloper — a
+    // wholesale replace would silently lose its assignments.
+    val t = GraftTable.create(spark, tmpTable(),
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("v", StringType))),
+      primaryKeys = Seq("k"))
+    t.commitFiles(Nil, graft.core.CommitKind.APPEND, indexFiles = Seq("index/d1"))
+    t.commitFiles(Nil, graft.core.CommitKind.APPEND, indexFiles = Seq("index/d2"))
+    val foldInput = t.store.latestSnapshot.get.indexFiles
+    assert(foldInput == Seq("index/d1", "index/d2"))
+    t.commitFiles(Nil, graft.core.CommitKind.APPEND, indexFiles = Seq("index/d3"))
+    t.commitFiles(Nil, graft.core.CommitKind.COMPACT,
+      indexFiles = Seq("index/fold"), consumedIndexFiles = foldInput)
+    assert(t.store.latestSnapshot.get.indexFiles == Seq("index/d3", "index/fold"))
+  }
+
   test("rbm32/rbm64 aggregators union bitmap metrics in both merge paths") {
     import spark.implicits._
     import graft.functions.{BitmapAgg, Bitmap64OrAgg}
