@@ -204,8 +204,15 @@ object Dedup {
     * clusters have tiny diameters (near-cliques), so convergence is a
     * handful of rounds even at corpus scale; each round is one join + one
     * aggregation on the (small) pair-graph node set, never the corpus.
+    *
+    * ONE Spark job per iteration: the previous label rides through the
+    * aggregation as an `old` column, the checkpoint is lazy, and the
+    * convergence count is the action that materializes it — so there is
+    * no separate compare join/job per round (at 10⁹ edges a second full
+    * job per round would double iteration cost).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    val idType = pairs.schema("id_a").dataType
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -215,14 +222,15 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // every node appears exactly once on the labels side, so max(old)
+      // recovers its previous label (edge-side rows contribute null)
       val next = edges.join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("label"))
-        .unionByName(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).isEmpty
-      labels = next
+        .select(col("src").as("id"), col("label"), lit(null).cast(idType).as("old"))
+        .unionByName(labels.select(col("id"), col("label"), col("label").as("old")))
+        .groupBy("id").agg(min("label").as("label"), max("old").as("old"))
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("label") =!= col("old")).count() == 0
+      labels = next.select("id", "label")
       iter += 1
     }
     require(converged, s"dup clustering did not converge in $maxIter rounds")

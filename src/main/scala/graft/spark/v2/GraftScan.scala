@@ -321,8 +321,29 @@ class GraftScan(
       // SnapshotReaderImpl's partition-sorted plan)
       val sortParts = schema.option("scan.plan-sort-partition", "false").toBoolean
       val groups = effectiveFiles.groupBy(_.partition).toSeq
-      val ordered = if (sortParts)
-        groups.sortBy(_._1.mkString(" ")) else groups
+      // order by TYPED partition values (reference's typed partition
+      // comparator): numeric/date components compare by value ("2" before
+      // "10"), nulls first, unparseable components fall back to the path
+      // string so the ordering is still total
+      lazy val partTypes = schema.partitionKeys.map(k => schema.fieldByName(k).sparkType)
+      def cmpComponent(dt: DataType, x: String, y: String): Int =
+        if (x == PartitionPathUtils.NullPartitionValue ||
+            y == PartitionPathUtils.NullPartitionValue) {
+          (x == PartitionPathUtils.NullPartitionValue)
+            .compareTo(y == PartitionPathUtils.NullPartitionValue) * -1
+        } else (StatsCodec.partitionComparable(dt, x),
+            StatsCodec.partitionComparable(dt, y)) match {
+          case (Some(a), Some(b)) => a.compareTo(b)
+          case _ => x.compareTo(y)
+        }
+      val ordered = if (sortParts) groups.sortWith { case ((a, _), (b, _)) =>
+        val it = partTypes.iterator.zip(a.iterator.zip(b.iterator))
+        var c = 0
+        while (c == 0 && it.hasNext) {
+          val (dt, (x, y)) = it.next(); c = cmpComponent(dt, x, y)
+        }
+        if (c == 0) a.size < b.size else c < 0
+      } else groups
       ordered.flatMap { case (_, fs) =>
         val packs = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[GraftFileInfo]]
         var cur = mutable.ArrayBuffer.empty[GraftFileInfo]

@@ -73,8 +73,11 @@ trait SystemTables { self: GraftTable =>
     val mDir = store.manifestDir.toString
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // cap fan-out by cluster width, not a literal: at 10⁵ manifest shards
+    // on a 1000-executor cluster the fold should use every core
     spark.createDataset(names.zipWithIndex)
-      .repartition(math.max(1, math.min(names.size, 32)))
+      .repartition(math.max(1,
+        math.min(names.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (name, ord) =>
         val p = new org.apache.hadoop.fs.Path(mDir, name)
         val fs = p.getFileSystem(serConf.value)
@@ -175,7 +178,8 @@ trait SystemTables { self: GraftTable =>
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val entries = spark.createDataset(pairs)
-      .repartition(math.max(1, math.min(pairs.size, 32)))
+      .repartition(math.max(1,
+        math.min(pairs.size, spark.sparkContext.defaultParallelism)))
       .flatMap { case (sid, name) =>
         val p = new org.apache.hadoop.fs.Path(mDir, name)
         val fs = p.getFileSystem(serConf.value)

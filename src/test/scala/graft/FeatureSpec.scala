@@ -433,6 +433,20 @@ class FeatureSpec extends SparkSpec {
     val order = parts.map(_.files.head.partition.mkString).toSeq
     assert(order == order.sorted, order.toString)
     assert(order == Seq("a", "b", "c"))
+
+    // numeric partitions order by VALUE, not path string ("2" before "10")
+    val ndf = Seq((10L, "x"), (2L, "y"), (1L, "z")).toDF("pt", "v")
+    val nt = GraftTable.create(spark, tmpTable(), ndf.schema,
+      partitionKeys = Seq("pt"),
+      options = Map("scan.plan-sort-partition" -> "true",
+        "source.split.target-size" -> "1b"))
+    nt.append(ndf)
+    val norder = new graft.spark.v2.GraftScan(
+        spark, nt, None, nt.schema.structType, Nil, None)
+      .planInputPartitions()
+      .map(_.asInstanceOf[graft.spark.v2.GraftInputPartition])
+      .map(_.files.head.partition.mkString).toSeq
+    assert(norder == Seq("1", "2", "10"), norder.toString)
   }
 
   test("$file_monitor lists per-snapshot file changes") {

@@ -82,7 +82,34 @@ class PipelineSpec extends SparkSpec {
     val pairs = ((10L to 15L).map(i => (i, i + 1)) ++
       Seq((20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L)))
       .toDF("id_a", "id_b")
-    val got = Dedup.dupClusters(pairs)
+    // each propagation iteration must be ONE Spark job (the convergence
+    // count doubles as the checkpoint-materializing action); the 7-node
+    // chain needs 7 iterations (6 to reach the far end + 1 to observe the
+    // fixpoint), plus 2 setup checkpoints = 9 jobs before the collect
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      // broadcast-exchange futures show up as their own (driver-side,
+      // tiny-data) jobs; only action jobs rooted in Dedup count — those
+      // are what a second compare-join per iteration would add to
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.stageInfos.exists(_.name.contains("Dedup.scala")))
+          jobs.incrementAndGet()
+    }
+    // AQE runs every shuffle stage as its own job, hiding the count of
+    // driver-side actions; with it off, one action = one job
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    val clustered = try {
+      val c = Dedup.dupClusters(pairs)
+      Thread.sleep(500) // listener bus is async; let job-start events drain
+      c
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    assert(jobs.get <= 9, s"expected <=9 jobs (1 per iteration), saw ${jobs.get}")
+    val got = clustered
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((10L to 16L).forall(got(_) == 10L), got.toString)
     assert((20L to 22L).forall(got(_) == 20L))
