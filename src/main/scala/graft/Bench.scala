@@ -137,7 +137,12 @@ object Bench {
       "\"" + k + "\":[" + passes.map(p => f"${p(k)}%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtMap(medians)},"samples":$samplesJson,"warmup":${fmtMap(warmup.toSeq)},"sf":"$sfDir"}""")
+    // Two lines: a detail record (per-key samples + warm-up) for humans, then
+    // the legacy single-line shape LAST so the harness's parser — which keyed
+    // on the round-2 structure and returned null once "samples" was inlined —
+    // finds exactly what it expects.
+    println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","medians":${fmtMap(medians)},"samples":$samplesJson,"warmup":${fmtMap(warmup.toSeq)},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtMap(medians)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1049,6 +1049,23 @@ object Fixtures {
       t
     }
 
+  /** Cross-partition PK table with `changelog-producer = lookup`: batch 2
+    * MOVES the %7 keys into partition 'X', and the write-time changelog
+    * must retract their OLD rows from their OLD partitions — the pre-image
+    * read the persisted global pk index bounds (GraftTable
+    * .crossPartitionPreImage).
+    */
+  def ordersCrossPartitionLookup(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_cross_lookup") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        partitionKeys = Seq("o_orderstatus"), primaryKeys = Seq("o_orderkey"),
+        options = Map("changelog-producer" -> "lookup"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir).withColumn("o_orderstatus", lit("X")))
+      t
+    }
+
   /** Schema evolution: append nation, add a column, rename one, append again
     * under the evolved schema — old files remap by field id at read.
     */

@@ -289,6 +289,10 @@ object SparkEntry {
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
     "q38_cross_partition" -> ((s, d) => Fixtures.ordersCrossPartition(s, d).toDF),
+    // cross-partition lookup changelog: the -U pre-images come from the OLD
+    // partitions, found through the persisted global pk index
+    "q100_cross_partition_lookup_changelog" -> ((s, d) =>
+      Fixtures.ordersCrossPartitionLookup(s, d).incremental(1, 2)),
     "q39_merge_sections" -> ((s, d) => Fixtures.ordersPkSections(s, d).toDF),
     "q51_partial_compact" -> ((s, d) => Fixtures.ordersPkPartialCompact(s, d).toDF),
     "q53_dynamic_bucket" -> ((s, d) => Fixtures.ordersPkDynamicBucket(s, d).toDF),
@@ -746,6 +750,14 @@ object SparkEntry {
         | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         | o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+    "q100_cross_partition_lookup_changelog" ->
+      """SELECT '-U' AS _row_kind, CAST(2 AS BIGINT) AS _sequence_number,
+        | o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT '+U', CAST(2 AS BIGINT), o_orderkey, o_custkey, 'X',
+        | o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
     "q39_merge_sections" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

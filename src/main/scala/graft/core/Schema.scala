@@ -113,6 +113,17 @@ case class TableSchema(
   def crossPartition: Boolean =
     isPrimaryKeyed && !partitionKeys.forall(primaryKeys.contains)
 
+  /** Persisted global pk→(partition, bucket) index for CROSS_PARTITION
+    * tables (reference: crosspartition/GlobalIndexAssigner.java:76 — there
+    * a RocksDB assigner bound to one writer; here a parquet index joined
+    * distributively). Bounds the `lookup`-changelog pre-image read to the
+    * partitions that ever held a touched key instead of every partition of
+    * each touched bucket. Maintained from the table's FIRST commit, so
+    * the flag is create-time only (see SchemaEvolution.setOption).
+    */
+  def globalIndexEnabled: Boolean =
+    crossPartition && option("cross-partition.index.enabled", "true").toBoolean
+
   /** Deletion-vector mode for PK tables (reference: CoreOptions
     * DELETION_VECTORS_ENABLED, "deletion-vectors.enabled"): upserts
     * MASK superseded rows in existing files via per-file bitmaps instead

@@ -580,7 +580,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val snap = commitFiles(
       files.map(ManifestEntry(ManifestEntry.ADD, _)) ++ dvMaskEntries(files),
       CommitKind.APPEND, commitIdentifier, changelog = lookupChangelog(files, seq),
-      indexFiles = indexDelta)
+      indexFiles = indexDelta ++ globalIndexDelta(files))
     postWriteCompact().getOrElse(snap)
   }
 
@@ -691,7 +691,9 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val oldFiles =
       if (schema.crossPartition) {
         val buckets = newFiles.map(_.bucket).toSet
-        live.filter(f => buckets.contains(f.bucket))
+        crossPartitionPreImage(newFiles,
+          live.filter(f => buckets.contains(f.bucket)),
+          store.latestSnapshot.map(_.indexFiles).getOrElse(Nil))
       } else {
         val groups = newFiles.map(f => (f.partition, f.bucket)).toSet
         live.filter(f => groups.contains((f.partition, f.bucket)))
@@ -705,6 +707,55 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       .select(schema.primaryKeys.map(col): _*)
     changelogDiff(mergedState(oldFiles), mergedState(oldFiles ++ newFiles), seq,
       Some(touchedKeys))
+  }
+
+  /** Bound a cross-partition changelog pre-image with the global pk index:
+    * join the commit's touched key hashes against the persisted index and
+    * keep only live files in (partition, bucket) groups that ever held a
+    * touched key — instead of every partition of every touched bucket, the
+    * one unbounded read shape in the write path at 100-TB partition counts
+    * (reference: GlobalIndexAssigner.java:76 bounds the same read with a
+    * RocksDB pk index). The driver collects O(touched groups) — group ids,
+    * never rows. Stale index entries (keys that moved, were deleted, or
+    * compacted away) only widen the set, never truncate it. Falls back to
+    * the full bucket set when the index is disabled or absent.
+    */
+  private[graft] def crossPartitionPreImage(newFiles: Seq[DataFileMeta],
+      bucketFiles: Seq[DataFileMeta], indexDirs: Seq[String]): Seq[DataFileMeta] = {
+    if (!schema.globalIndexEnabled || indexDirs.isEmpty || bucketFiles.isEmpty)
+      return bucketFiles
+    val touched = rawDF(newFiles, schema)
+      .select(xxhash64(schema.primaryKeys.map(col): _*).as("__kh")).distinct()
+    val idx = spark.read.parquet(
+      indexDirs.map(d => new Path(store.rootPath, d).toString): _*)
+    val groups = idx.join(touched, "__kh")
+      .select(col("__pt"), col(BucketCol)).distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    bucketFiles.filter(f =>
+      groups.contains((GraftTable.encodePartition(f.partition), f.bucket)))
+  }
+
+  /** Append a global-index delta covering the just-staged files: distinct
+    * (xxhash64(pk), partition, bucket) triples read back from the new
+    * files' key columns — one cheap columnar scan of the commit's own
+    * output, O(commit) not O(table). Called by EVERY commit that ADDs data
+    * files to a cross-partition table (upsert, PK overwrite, compaction
+    * rewrites), so the invariant "the index covers every live row" holds
+    * unconditionally and [[crossPartitionPreImage]] never misses a group.
+    */
+  private[graft] def globalIndexDelta(newFiles: Seq[DataFileMeta]): Seq[String] = {
+    if (!schema.globalIndexEnabled || newFiles.isEmpty) return Nil
+    val fileMap = spark.createDataFrame(newFiles.map(f =>
+      (f.path, GraftTable.encodePartition(f.partition), f.bucket)))
+      .toDF("__f", "__pt", BucketCol)
+    val delta = rawDF(newFiles, schema)
+      .select(xxhash64(schema.primaryKeys.map(col): _*).as("__kh"),
+        GraftTable.relDataPath.as("__f"))
+      .join(broadcast(fileMap), "__f")
+      .select(col("__kh"), col("__pt"), col(BucketCol)).distinct()
+    val rel = s"index/global-${UUID.randomUUID()}"
+    delta.write.parquet(new Path(store.rootPath, rel).toString)
+    Seq(rel)
   }
 
   /** Dynamic-bucket (`bucket = -1`) key routing: buckets grow with the data
@@ -804,7 +855,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     commitFiles(
       deleted.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         files.map(ManifestEntry(ManifestEntry.ADD, _)),
-      CommitKind.OVERWRITE)
+      CommitKind.OVERWRITE, indexFiles = globalIndexDelta(files))
   }
 
   /** TRUNCATE: new snapshot removing all files (reference:
@@ -1367,4 +1418,10 @@ object GraftTable {
     */
   def relDataPath: Column =
     concat(lit("data/"), substring_index(col("_metadata.file_path"), "/data/", -1))
+
+  /** Canonical string form of a partition-value tuple for global-index
+    * rows. Only ever compared against itself (never parsed back), so any
+    * injective separator works; \u0001 cannot appear in Hive-escaped values.
+    */
+  def encodePartition(values: Seq[String]): String = values.mkString("\u0001")
 }

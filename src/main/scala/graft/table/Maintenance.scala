@@ -152,16 +152,22 @@ trait MaintenanceOps { self: GraftTable =>
     * the snapshot list instead of being silently replaced away.
     */
   def compactIndexIfNeeded(): Option[Snapshot] = {
-    if (!schema.dynamicBucket) return None
+    if (!schema.dynamicBucket && !schema.globalIndexEnabled) return None
     val threshold =
       schema.option("dynamic-bucket.index-compact.threshold", "16").toInt
     val snap = store.latestSnapshot.getOrElse(return None)
     val dirs = snap.indexFiles
     if (dirs.size < threshold) return None
-    val folded = spark.read
+    val folded0 = spark.read
       .parquet(dirs.map(d => new Path(store.rootPath, d).toString): _*)
+    // the global pk index accumulates one (kh, partition, bucket) triple
+    // per re-upsert of a key at the same location — the fold dedups;
+    // dynamic-bucket entries are unique by construction (keys never move)
+    val folded = if (schema.globalIndexEnabled) folded0.distinct() else folded0
     val rel = s"index/fold-${java.util.UUID.randomUUID()}"
-    folded.repartition(math.max(1, schema.dynamicBucketAssigners))
+    folded.repartition(math.max(1,
+      if (schema.dynamicBucket) schema.dynamicBucketAssigners
+      else spark.sparkContext.defaultParallelism))
       .write.parquet(new Path(store.rootPath, rel).toString)
     Some(commitFiles(Nil, CommitKind.COMPACT,
       indexFiles = Seq(rel), consumedIndexFiles = dirs))
@@ -239,10 +245,14 @@ trait MaintenanceOps { self: GraftTable =>
       .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
       .sortWithinPartitions(sortCols: _*)
     val files = stageWrite(prepared, level = 1, seq = seq)
+    // merged rows can land in a (partition, bucket) combo no prior commit
+    // recorded for their key (partial-update can mix partition-column
+    // sources) — index the rewrite output so the global index keeps
+    // covering every live row
     commitFiles(
       touched.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         files.map(ManifestEntry(ManifestEntry.ADD, _)),
-      CommitKind.COMPACT)
+      CommitKind.COMPACT, indexFiles = globalIndexDelta(files))
   }
 
   /** Merge + rewrite ONLY the given (partition, bucket) groups as max-level
@@ -291,7 +301,7 @@ trait MaintenanceOps { self: GraftTable =>
       touched.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         files.map(ManifestEntry(ManifestEntry.ADD, _)),
       CommitKind.COMPACT,
-      changelog = changelog)
+      changelog = changelog, indexFiles = globalIndexDelta(files))
   }
 
   /** Record-level TTL filter on COMPACTION inputs (reference:

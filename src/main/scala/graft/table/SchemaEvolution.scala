@@ -73,6 +73,14 @@ trait SchemaEvolution { self: GraftTable =>
         store.latestSnapshot.isDefined)
       throw new UnsupportedOperationException(
         "cannot change bucket-key on a populated primary-key table")
+    // the global pk index is only trustworthy if every commit since the
+    // table's birth wrote its delta — toggling it on mid-life would leave
+    // unindexed history and silently truncate changelog pre-images
+    if (key == "cross-partition.index.enabled" &&
+        schema.option(key, "true") != value && store.latestSnapshot.isDefined)
+      throw new UnsupportedOperationException(
+        "cross-partition.index.enabled is create-time only: the index must " +
+          "cover every commit since table creation")
     // dv mode changes the physical contract of existing files (one row per
     // key, masks instead of versions) — only flippable while empty
     if (key == "deletion-vectors.enabled" && store.latestSnapshot.isDefined &&

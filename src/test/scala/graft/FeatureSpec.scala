@@ -141,6 +141,45 @@ class FeatureSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("cross-partition lookup changelog: global pk index bounds the pre-image " +
+      "to the touched keys' own partitions") {
+    // 8 partitions, ONE bucket: without the index the pre-image read would
+    // pull every partition's file of the touched bucket
+    val df1 = (1L to 40L).map(i => (i, s"p${i % 8}", i * 1.0))
+      .toDF("id", "pt", "amount")
+    val t = GraftTable.create(spark, tmpTable(), df1.schema,
+      partitionKeys = Seq("pt"), primaryKeys = Seq("id"),
+      options = Map("bucket" -> "1", "changelog-producer" -> "lookup"))
+    t.upsert(df1)
+    val snap1 = t.store.latestSnapshot.get
+    assert(snap1.indexFiles.nonEmpty, "cross-partition commit must write an index delta")
+    val live1 = t.store.liveFiles(snap1)
+    assert(live1.map(_.partition).distinct.size == 8)
+    // key 9 lives in p1; move it to p7 with a new amount
+    t.upsert(Seq((9L, "p7", 99.0)).toDF("id", "pt", "amount"))
+    val live2 = t.store.liveFiles(t.store.latestSnapshot.get)
+    val newFiles = {
+      val old = live1.map(_.path).toSet
+      live2.filterNot(f => old.contains(f.path))
+    }
+    // the selection lookupChangelog used: only the partition that ever held
+    // key 9 — p1 — not all 8 partitions of the bucket
+    val pre = t.crossPartitionPreImage(newFiles, live1, snap1.indexFiles)
+    assert(pre.nonEmpty && pre.forall(_.partition == Seq("p1")),
+      s"pre-image must be partition-bounded, got ${pre.map(_.partition).distinct}")
+    assert(live1.size > pre.size)
+    // and the changelog still retracts the OLD row from the OLD partition
+    val cl = t.incremental(1, 2)
+      .select("_row_kind", "id", "pt", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(cl.toSeq == Seq(("+U", 9L, "p7", 99.0), ("-U", 9L, "p1", 9.0)), cl.toSeq)
+    // disabling the index at CREATE falls back; flipping it later is refused
+    intercept[UnsupportedOperationException] {
+      t.setOption("cross-partition.index.enabled", "false")
+    }
+  }
+
   test("cross-partition upsert: a key moving partitions keeps one live version") {
     val df1 = Seq((1L, "2024-01", 10.0), (2L, "2024-01", 20.0), (3L, "2024-02", 30.0))
       .toDF("id", "month", "amount")
