@@ -20,9 +20,9 @@ import scala.collection.concurrent.TrieMap
   * Commits are optimistic (reference: paimon-core
   * org/apache/paimon/operation/FileStoreCommitImpl.java:219): write the new
   * snapshot to a temp file, atomically rename to `snapshot-<latest+1>`, retry
-  * on collision. Works on any filesystem with atomic rename (HDFS, local);
-  * object stores need a conditional-put shim (documented limitation, same as
-  * the reference).
+  * on collision. The atomicity primitive is the [[CommitStore]] seam:
+  * rename-based here (HDFS, local); object stores implement the same
+  * contract with a conditional PUT (see [[CommitStore]]'s scaladoc).
   */
 class FileStore(val root: String, val hadoopConf: Configuration,
     val branch: Option[String] = None) {
@@ -92,33 +92,16 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Write content to a temp file then rename; returns false if target exists. */
-  def writeAtomic(target: Path, s: String): Boolean = {
-    if (fs.exists(target)) return false
-    val tmp = new Path(target.getParent, s".${target.getName}.${UUID.randomUUID()}.tmp")
-    writeString(tmp, s)
-    val ok = try {
-      if (fs.getScheme == "file") {
-        // POSIX rename(2) silently REPLACES an existing destination, so two
-        // racing committers would both think they won and one snapshot
-        // would be lost (found by ConcurrencySpec). Hard-link creation is
-        // the atomic fail-if-exists primitive on a local filesystem.
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else {
-        // HDFS-like stores: rename refuses an existing destination
-        fs.rename(tmp, target)
-      }
-    } catch { case _: java.io.IOException => false }
-    fs.delete(tmp, false) // no-op when the rename path consumed it
-    ok
-  }
+  /** The commit-atomicity seam (SURVEY §7.5 risk #1): every exactly-once
+    * publish — snapshots, schemas, tags, branch forks — funnels through
+    * [[CommitStore.putIfAbsent]]. Swap for a conditional-put impl on object
+    * stores (contract documented on [[CommitStore]]).
+    */
+  val commitStore: CommitStore = new RenameCommitStore(() => fs)
+
+  /** Publish content at `target` exactly once; false if target exists. */
+  def writeAtomic(target: Path, s: String): Boolean =
+    commitStore.putIfAbsent(target, s)
 
   // ---------------- schemas ----------------
 
