@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Suites share one SparkSession (SparkSpec.session) and several tests
+// save/set/restore session confs around plan asserts — concurrent suites
+// in one JVM race on those confs (seen: SPJ's bucketing.enabled=true
+// leaking into SessionCatalogSpec's scans). Serialize suites.
+Test / parallelExecution := false

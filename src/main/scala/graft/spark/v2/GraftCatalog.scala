@@ -31,11 +31,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
-  private var warehouse: Path = _
-  private var user: String = "anonymous"
-  private var password: String = ""
-  private def spark: SparkSession = SparkSession.active
-  private def fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+  protected var warehouse: Path = _
+  protected var user: String = "anonymous"
+  protected var password: String = ""
+  protected def spark: SparkSession = SparkSession.active
+  protected def fs = warehouse.getFileSystem(spark.sessionState.newHadoopConf())
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -66,7 +66,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   def authenticateCurrentUser(): Unit = privileges.authenticate(user, password)
 
-  private def checked(priv: String, ident: Identifier): Unit = {
+  protected def checked(priv: String, ident: Identifier): Unit = {
     val p = privileges
     p.authenticate(user, password)
     p.check(user, priv, ident.namespace().mkString("."), ident.name())
@@ -76,10 +76,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def defaultNamespace(): Array[String] = Array("default")
 
-  private def nsPath(ns: Array[String]): Path =
+  protected def nsPath(ns: Array[String]): Path =
     ns.foldLeft(warehouse)((p, s) => new Path(p, s))
 
-  private def tablePath(ident: Identifier): Path =
+  protected def tablePath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), ident.name())
 
   // ---------------- namespaces ----------------

@@ -118,6 +118,13 @@ class GraftScan(
   // of the key. Table-partitioned tables are excluded: their clustering
   // would include the partition columns, which defeats pk-equijoin
   // compatibility.
+  // NOTE: Spark 4 registers this conf's DEFAULT as true, but an UNSET conf
+  // deliberately reads false here (opt-in): reporting KeyGroupedPartitioning
+  // unconditionally would cap every single-table PK scan at bucket-count
+  // tasks even when no join benefits. Tests/benchmarks that save-and-restore
+  // the conf turn the registered default into an explicit "true" — that
+  // explicit value is honored, which is why the session catalog must also
+  // resolve the bucket function (GraftSessionCatalog.loadFunction).
   private def spjEligible: Boolean =
     mergeRead && !schema.crossPartition && !schema.dynamicBucket &&
       schema.partitionKeys.isEmpty &&

@@ -121,4 +121,16 @@ class GraftSessionCatalog extends DelegatingCatalogExtension {
       case e: Throwable => super.dropTable(ident); throw e
     }
   }
+
+  // FunctionCatalog: scans of graft PK tables report a bucket(n, pk)
+  // KeyGroupedPartitioning whose function resolves through the TABLE'S
+  // catalog — without this override, Spark delegates to the metastore
+  // function registry, which rejects the transform's empty namespace and
+  // fails EVERY select on a bucketed graft table in spark_catalog once
+  // `spark.sql.sources.v2.bucketing.enabled` is on (the Spark 4 default).
+  // Everything that is not the graft bucket function still delegates.
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name == "bucket") GraftBucketFunction
+    else super.loadFunction(ident)
 }

@@ -13,6 +13,28 @@ class SessionCatalogSpec extends SparkSpec {
       classOf[graft.spark.v2.GraftSessionCatalog].getName)
   }
 
+  test("bucketed PK scans resolve the bucket function with explicit v2 " +
+      "bucketing on (the Spark 4 registered default)") {
+    // regression: with spark.sql.sources.v2.bucketing.enabled EXPLICITLY
+    // true (any conf save/restore turns the registered default into an
+    // explicit value), scans report bucket(n, pk) KeyGroupedPartitioning
+    // and the function must resolve through THIS catalog, not fall through
+    // to the metastore function registry (REQUIRES_SINGLE_PART_NAMESPACE)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val loc = tmpTable() + "-spjfn"
+      spark.sql(
+        s"""CREATE TABLE spark_catalog.default.gsc_spjfn (k BIGINT, v STRING) USING graft
+           |LOCATION '$loc'
+           |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+      spark.sql("INSERT INTO spark_catalog.default.gsc_spjfn VALUES (1, 'a'), (2, 'b')")
+      val rows = spark.sql("SELECT k, v FROM spark_catalog.default.gsc_spjfn ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "a"), (2L, "b")))
+      spark.sql("DROP TABLE spark_catalog.default.gsc_spjfn")
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("graft and non-graft tables coexist in spark_catalog") {
     val loc = tmpTable() + "-gsc"
     spark.sql(
