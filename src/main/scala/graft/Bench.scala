@@ -129,12 +129,22 @@ object Bench {
     val warmup = pass("warmup")
     val passes = (1 to SAMPLES).map(i => pass(s"s$i"))
     val keys = warmup.keys.toSeq
-    val medians = keys.map(k => k -> median(passes.map(_(k))))
+    // the host's contention spikes hit the longest-running keys hardest
+    // (observed 22x within-run spread on ann_topk/spj_join_shuffle): give
+    // the historically noisy keys 2 extra samples so one contended pair
+    // can no longer poison a median-of-3
+    val noisy = Set("minhash_dedup", "ann_topk", "spj_join_shuffle", "spj_join")
+    val extra = (1 to 2).map { i =>
+      val r = pass(s"x$i"); r.filter { case (k, _) => noisy(k) }
+    }
+    val samplesOf: String => Seq[Double] = k =>
+      passes.map(_(k)) ++ extra.flatMap(_.get(k))
+    val medians = keys.map(k => k -> median(samplesOf(k)))
 
     def fmtMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val samplesJson = keys.map { k =>
-      "\"" + k + "\":[" + passes.map(p => f"${p(k)}%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + samplesOf(k).map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     // Two lines: a detail record (per-key samples + warm-up) for humans, then
