@@ -293,6 +293,11 @@ object SparkEntry {
     // partitions, found through the persisted global pk index
     "q100_cross_partition_lookup_changelog" -> ((s, d) =>
       Fixtures.ordersCrossPartitionLookup(s, d).incremental(1, 2)),
+    // cross-partition point lookup: the global pk index prunes the scan to
+    // the key's own (partition, bucket) groups — key 42 moved to 'X', so
+    // both its old and new partition groups merge, nothing else
+    "q101_cross_partition_point_lookup" -> ((s, d) =>
+      Fixtures.ordersCrossPartition(s, d).toDF.filter(col("o_orderkey") === 42)),
     "q39_merge_sections" -> ((s, d) => Fixtures.ordersPkSections(s, d).toDF),
     "q51_partial_compact" -> ((s, d) => Fixtures.ordersPkPartialCompact(s, d).toDF),
     "q53_dynamic_bucket" -> ((s, d) => Fixtures.ordersPkDynamicBucket(s, d).toDF),
@@ -758,6 +763,10 @@ object SparkEntry {
         |SELECT '+U', CAST(2 AS BIGINT), o_orderkey, o_custkey, 'X',
         | o_totalprice * 2, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
+    "q101_cross_partition_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        | o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
 
     "q39_merge_sections" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

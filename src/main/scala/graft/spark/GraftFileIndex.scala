@@ -5,7 +5,7 @@ import graft.core._
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, Murmur3Hash}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, Murmur3Hash, XxHash64}
 import org.apache.spark.sql.execution.datasources.{DataSourceStrategy, FileIndex, PartitionDirectory}
 import org.apache.spark.sql.sources.{And => SAnd, EqualTo => SEqualTo, Filter, In => SIn}
 import org.apache.spark.sql.types._
@@ -78,6 +78,16 @@ class GraftFileIndex(
           .getOrElse(_ => true)
       case _ => _ => true
     }
+    // cross-partition point lookups prune to the key's indexed partitions
+    val xpKeep: DataFileMeta => Boolean = source match {
+      case Left(snap) =>
+        GraftFileIndex.crossPartitionGroups(spark, store, schema,
+            snap.indexFiles, dataPreds)
+          .map(gs => (f: DataFileMeta) =>
+            gs.contains((graft.table.GraftTable.encodePartition(f.partition), f.bucket)))
+          .getOrElse(_ => true)
+      case _ => _ => true
+    }
 
     // manifest-shard skipping: with a partition predicate, folded shards
     // whose recorded partition range can't match are never parsed
@@ -94,7 +104,7 @@ class GraftFileIndex(
     val selected = candidates.filter { f =>
       partPreds.forall(p =>
         Pruning.partitionMatches(p, partitionValueNames, typeOf, partitionOf(f))) &&
-      bucketKeep(f) && dynKeep(f) &&
+      bucketKeep(f) && dynKeep(f) && xpKeep(f) &&
       dataPreds.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
       GraftFileIndex.bloomMightMatch(store, schema, f, dataPreds)
     }
@@ -237,6 +247,47 @@ object GraftFileIndex {
         .filter(col("__kh") === lit(h))
         .select(GraftMeta.BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet // O(hash collisions) rows
+    }
+  }
+
+  /** xxhash64(seed 42) of a fully-pinned pk tuple — identical to the write
+    * path's `functions.xxhash64(pkCols)` and therefore to the key hash in
+    * the cross-partition GLOBAL index (GraftTable.globalIndexDelta). None
+    * when the filters don't pin every pk column with an equality.
+    */
+  def pkXxHashFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Long] = {
+    if (!schema.isPrimaryKeyed) return None
+    val pinned = pinnedEqs(filters)
+    if (!schema.primaryKeys.forall(pinned.contains)) return None
+    val lits = schema.primaryKeys.map { k =>
+      val dt = schema.fieldByName(k).sparkType
+      Literal.create(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(pinned(k)), dt)
+    }
+    Some(XxHash64(lits, 42L).eval(InternalRow.empty).asInstanceOf[Long])
+  }
+
+  /** (partition, bucket) groups a fully-pinned pk lookup can touch on a
+    * CROSS_PARTITION table, resolved from the snapshot's global pk index
+    * (every live row's location is indexed at the commit that added it —
+    * see GraftTable.globalIndexDelta). At 100 TB a cross-partition point
+    * lookup reads the index plus exactly the partitions that ever held the
+    * key, instead of every partition of the key's bucket. Stale entries
+    * only widen the set; Some(empty) = key provably absent.
+    * None = not a pinned lookup, index disabled, or no index yet.
+    */
+  def crossPartitionGroups(spark: SparkSession, store: FileStore,
+      schema: TableSchema, indexFiles: Seq[String],
+      filters: Seq[Filter]): Option[Set[(String, Int)]] = {
+    if (!schema.globalIndexEnabled || indexFiles.isEmpty) return None
+    import org.apache.spark.sql.functions.{col, lit}
+    pkXxHashFromFilters(schema, filters).map { h =>
+      spark.read
+        .parquet(indexFiles.map(d => new Path(store.rootPath, d).toString): _*)
+        .filter(col("__kh") === lit(h))
+        .select(col("__pt"), col(GraftMeta.BucketCol)).distinct()
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet // O(collisions)
     }
   }
 

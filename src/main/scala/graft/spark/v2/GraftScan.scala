@@ -277,6 +277,15 @@ class GraftScan(
               table.spark, table.store, schema, s.indexFiles, filters)
             .map(bs => (f: DataFileMeta) => bs.contains(f.bucket))
             .getOrElse(_ => true)
+        // cross-partition point lookups prune to the key's indexed
+        // partitions through the global pk index (key-determined, so legal
+        // pre-merge even though value/partition predicates are not)
+        val xpKeep: DataFileMeta => Boolean =
+          GraftFileIndex.crossPartitionGroups(
+              table.spark, table.store, schema, s.indexFiles, filters)
+            .map(gs => (f: DataFileMeta) =>
+              gs.contains((graft.table.GraftTable.encodePartition(f.partition), f.bucket)))
+            .getOrElse(_ => true)
         val candidates = table.store.liveFiles(s, meta => (meta.ptMin, meta.ptMax) match {
           case (Some(lo), Some(hi)) =>
             partFilters.forall(p => Pruning.shardMightMatch(p, partKeys, lo, hi))
@@ -284,7 +293,7 @@ class GraftScan(
         })
         val selected = candidates.filter { f =>
           partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
-          bucketKeep(f) && dynKeep(f) &&
+          bucketKeep(f) && dynKeep(f) && xpKeep(f) &&
           pruningFilters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
           GraftFileIndex.bloomMightMatch(table.store, schema, f, pruningFilters)
         }

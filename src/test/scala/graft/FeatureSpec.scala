@@ -180,6 +180,31 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("cross-partition point lookup prunes to the key's indexed partitions") {
+    val df1 = (1L to 40L).map(i => (i, s"p${i % 8}", i * 1.0))
+      .toDF("id", "pt", "amount")
+    val t = GraftTable.create(spark, tmpTable(), df1.schema,
+      partitionKeys = Seq("pt"), primaryKeys = Seq("id"),
+      options = Map("bucket" -> "1"))
+    t.upsert(df1)
+    val snap = t.store.latestSnapshot.get
+    // the global index maps the pinned key to exactly its one partition
+    val groups = graft.spark.GraftFileIndex.crossPartitionGroups(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 9L)))
+    assert(groups == Some(Set(("p1", 0))), groups)
+    // an absent key is provably absent — zero groups, zero files scanned
+    val none = graft.spark.GraftFileIndex.crossPartitionGroups(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 999L)))
+    assert(none == Some(Set.empty[(String, Int)]), none)
+    // and the lookup still answers correctly through the merged scan
+    val row = t.toDF.filter(col("id") === 9).collect()
+    assert(row.length == 1 && row(0).getString(1) == "p1" && row(0).getDouble(2) == 9.0)
+    // unpinned predicates keep the full scan
+    assert(t.toDF.filter(col("amount") > 35.0).count() == 5)
+  }
+
   test("cross-partition upsert: a key moving partitions keeps one live version") {
     val df1 = Seq((1L, "2024-01", 10.0), (2L, "2024-01", 20.0), (3L, "2024-02", 30.0))
       .toDF("id", "month", "amount")
