@@ -343,6 +343,38 @@ class FeatureSpec extends SparkSpec {
     assert(t.lookup(Map("k" -> 10L)).map(_.getString(1)).contains("upd"))
   }
 
+  test("global pk index deltas consolidate past the threshold, deduped") {
+    val t = GraftTable.create(spark, tmpTable(),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("pt", StringType), StructField("amount", DoubleType))),
+      partitionKeys = Seq("pt"), primaryKeys = Seq("id"),
+      options = Map("bucket" -> "1",
+        "dynamic-bucket.index-compact.threshold" -> "3"))
+    assert(t.schema.globalIndexEnabled)
+    // four keyed commits re-upserting overlapping keys at the SAME
+    // locations → four deltas with duplicate triples → folded + deduped
+    (0 until 4).foreach { i =>
+      t.upsert((1L to 20L).map(k => (k, s"p${k % 4}", k + i * 0.5))
+        .toDF("id", "pt", "amount"))
+    }
+    val snap = t.store.latestSnapshot.get
+    assert(snap.indexFiles.size <= 2,
+      s"global index deltas not consolidated: ${snap.indexFiles}")
+    // the fold dir holds ONE triple per (key, partition, bucket), not 3
+    val foldDirs = snap.indexFiles.filter(_.startsWith("index/fold-"))
+    assert(foldDirs.nonEmpty, s"no fold dir in ${snap.indexFiles}")
+    val folded = spark.read.parquet(foldDirs.map(d =>
+      new org.apache.hadoop.fs.Path(t.store.rootPath, d).toString): _*)
+    assert(folded.count() == folded.distinct().count())
+    // lookups still resolve through the folded index
+    val groups = graft.spark.GraftFileIndex.crossPartitionGroups(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 6L)))
+    assert(groups == Some(Set(("p2", 0))), groups)
+    assert(t.toDF.filter(col("id") === 6L).collect()
+      .map(_.getDouble(2)).toSeq == Seq(7.5))
+  }
+
   test("index fold commit drops only consumed deltas; concurrent deltas survive") {
     // the consolidation race: a keyed write lands a new index delta BETWEEN
     // the fold reading snap.indexFiles and the COMPACT commit. The commit
