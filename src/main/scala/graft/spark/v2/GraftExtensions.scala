@@ -276,6 +276,9 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       case "rescale" =>
         val s = table.rescaleBucket(args(1).toInt)
         s"rescaled to ${args(1)} buckets at snapshot ${s.id}"
+      case "rebuild_global_index" =>
+        val s = table.rebuildGlobalIndex()
+        s"rebuilt global pk index at snapshot ${s.id}"
       case "reset_consumer" =>
         val id = args(1)
         if (args.size > 2) {

@@ -173,6 +173,53 @@ trait MaintenanceOps { self: GraftTable =>
       indexFiles = Seq(rel), consumedIndexFiles = dirs))
   }
 
+  /** Rebuild the cross-partition global pk index from the CURRENT live
+    * file set: enable the flag if it was off (bypassing the SET guard —
+    * this procedure restores the coverage invariant the guard protects),
+    * scan every live file's key columns once (schema-id remap for files
+    * written under older schemas), and commit ONE folded index dir that
+    * REPLACES the whole index list. After this commit every new write
+    * appends its own delta, so pre-image bounding and point-lookup pruning
+    * become available on tables created before the index existed.
+    * Race-safe like the consolidation fold: a delta committed between the
+    * rebuild's read and its commit survives (`consumedIndexFiles`).
+    */
+  def rebuildGlobalIndex(): Snapshot = {
+    require(schema.crossPartition,
+      "the global pk index targets cross-partition tables")
+    if (!schema.globalIndexEnabled)
+      setOptionInternal("cross-partition.index.enabled", "true")
+    val snap = store.latestSnapshot.getOrElse(
+      return commitFiles(Nil, CommitKind.COMPACT))
+    val live = store.liveFiles(snap)
+    if (live.isEmpty)
+      return commitFiles(Nil, CommitKind.COMPACT,
+        consumedIndexFiles = snap.indexFiles)
+    val keyFrames = live.groupBy(_.schemaId).toSeq.sortBy(_._1).map {
+      case (sid, fs) =>
+        val from = if (sid == schema.id) schema else store.readSchema(sid)
+        val byId = from.fields.map(f => f.id -> f).toMap
+        val keySel = schema.primaryKeys.map { n =>
+          val cur = schema.fieldByName(n)
+          val oldF = byId.getOrElse(cur.id, throw new IllegalStateException(
+            s"key column $n (id ${cur.id}) missing from schema $sid"))
+          col(oldF.name).cast(cur.sparkType).as(n)
+        }
+        rawDF(fs, from).select(keySel :+ GraftTable.relDataPath.as("__f"): _*)
+    }
+    val fileMap = spark.createDataFrame(live.map(f =>
+      (f.path, GraftTable.encodePartition(f.partition), f.bucket)))
+      .toDF("__f", "__pt", graft.GraftMeta.BucketCol)
+    val delta = keyFrames.reduce(_.unionByName(_))
+      .select(xxhash64(schema.primaryKeys.map(col): _*).as("__kh"), col("__f"))
+      .join(broadcast(fileMap), "__f")
+      .select(col("__kh"), col("__pt"), col(graft.GraftMeta.BucketCol)).distinct()
+    val rel = s"index/fold-${java.util.UUID.randomUUID()}"
+    delta.write.parquet(new Path(store.rootPath, rel).toString)
+    commitFiles(Nil, CommitKind.COMPACT,
+      indexFiles = Seq(rel), consumedIndexFiles = snap.indexFiles)
+  }
+
   def maybeCompact(): Option[Snapshot] = {
     if (isPrimaryKeyed) {
       val groups = pickCompaction()

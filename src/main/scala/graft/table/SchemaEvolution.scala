@@ -79,8 +79,9 @@ trait SchemaEvolution { self: GraftTable =>
     if (key == "cross-partition.index.enabled" &&
         schema.option(key, "true") != value && store.latestSnapshot.isDefined)
       throw new UnsupportedOperationException(
-        "cross-partition.index.enabled is create-time only: the index must " +
-          "cover every commit since table creation")
+        "cross-partition.index.enabled cannot be toggled via SET: the index " +
+          "must cover every commit since it was enabled - use " +
+          "rebuildGlobalIndex() to enable it with full coverage")
     // dv mode changes the physical contract of existing files (one row per
     // key, masks instead of versions) — only flippable while empty
     if (key == "deletion-vectors.enabled" && store.latestSnapshot.isDefined &&
@@ -95,6 +96,14 @@ trait SchemaEvolution { self: GraftTable =>
 
   def removeOption(key: String): TableSchema =
     commitEvolved(s => s.copy(options = s.options - key))
+
+  /** Option flip that bypasses the SET immutability guards — only for
+    * procedures that restore the option's invariant themselves (e.g.
+    * [[Maintenance.rebuildGlobalIndex]] flips the flag and then writes an
+    * index covering every live row).
+    */
+  private[table] def setOptionInternal(key: String, value: String): TableSchema =
+    commitEvolved(s => s.copy(options = s.options + (key -> value)))
 
   /** Change the bucket count of a PK table by REWRITING it under the new
     * layout — one merged read of the pinned current snapshot, one

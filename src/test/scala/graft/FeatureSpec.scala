@@ -375,6 +375,44 @@ class FeatureSpec extends SparkSpec {
       .map(_.getDouble(2)).toSeq == Seq(7.5))
   }
 
+  test("rebuildGlobalIndex retrofits full coverage onto an index-less table") {
+    val df1 = (1L to 40L).map(i => (i, s"p${i % 8}", i * 1.0))
+      .toDF("id", "pt", "amount")
+    val t = GraftTable.create(spark, tmpTable(), df1.schema,
+      partitionKeys = Seq("pt"), primaryKeys = Seq("id"),
+      options = Map("bucket" -> "1", "cross-partition.index.enabled" -> "false"))
+    t.upsert(df1)
+    t.upsert(Seq((9L, "p7", 99.0)).toDF("id", "pt", "amount")) // key 9 moves
+    assert(t.store.latestSnapshot.get.indexFiles.isEmpty)
+    // SET cannot flip the flag on a populated table...
+    intercept[UnsupportedOperationException] {
+      t.setOption("cross-partition.index.enabled", "true")
+    }
+    // ...the rebuild procedure can: flag on + one fold covering every live row
+    t.rebuildGlobalIndex()
+    assert(t.schema.globalIndexEnabled)
+    val snap = t.store.latestSnapshot.get
+    assert(snap.indexFiles.size == 1, snap.indexFiles)
+    // the moved key resolves to BOTH its partitions (old holds the stale
+    // version the merge retracts), a stationary key to exactly one
+    val moved = graft.spark.GraftFileIndex.crossPartitionGroups(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 9L)))
+    assert(moved == Some(Set(("p1", 0), ("p7", 0))), moved)
+    val still = graft.spark.GraftFileIndex.crossPartitionGroups(
+      spark, t.store, t.schema, snap.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 10L)))
+    assert(still == Some(Set(("p2", 0))), still)
+    // lookups answer correctly and SUBSEQUENT writes append their own deltas
+    assert(t.toDF.filter(col("id") === 9).collect().map(_.getString(1)).toSeq == Seq("p7"))
+    t.upsert(Seq((41L, "p3", 41.0)).toDF("id", "pt", "amount"))
+    assert(t.store.latestSnapshot.get.indexFiles.size == 2)
+    val fresh = graft.spark.GraftFileIndex.crossPartitionGroups(
+      spark, t.store, t.schema, t.store.latestSnapshot.get.indexFiles,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 41L)))
+    assert(fresh == Some(Set(("p3", 0))), fresh)
+  }
+
   test("index fold commit drops only consumed deltas; concurrent deltas survive") {
     // the consolidation race: a keyed write lands a new index delta BETWEEN
     // the fold reading snap.indexFiles and the COMPACT commit. The commit
