@@ -922,6 +922,30 @@ object Fixtures {
       t
     }
 
+  /** Avro-format append table (engine-native avro FileFormat). */
+  def lineitemAvro(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_avro") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("file.format" -> "avro"))
+      t.append(df)
+      t
+    }
+
+  /** Avro-format PK table: same two-batch upsert chain as [[ordersPk]], so
+    * the MOR merge read runs over avro data files (seq/pos/kind columns and
+    * all). */
+  def ordersPkAvro(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_pk_avro") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        primaryKeys = Seq("o_orderkey"),
+        options = Map("file.format" -> "avro", "write-only" -> "true"))
+      t.upsert(df)
+      t.upsert(ordersBatch2(spark, sfDir))
+      t
+    }
+
   /** Partial-update table with a read-time default for the priority. */
   def ordersDefaults(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_defaults") { path =>

@@ -285,6 +285,9 @@ object SparkEntry {
     // ---- deletion vectors / formats / defaults / changelog ----
     "q34_dv_delete" -> ((s, d) => Fixtures.lineitemDv(s, d).toDF),
     "q35_orc_scan" -> ((s, d) => Fixtures.lineitemOrc(s, d).toDF),
+    "q102_avro_scan" -> ((s, d) => Fixtures.lineitemAvro(s, d).toDF),
+    // avro data files under the PK merge-on-read path
+    "q103_avro_pk_upsert" -> ((s, d) => Fixtures.ordersPkAvro(s, d).toDF),
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
@@ -737,6 +740,8 @@ object SparkEntry {
          |FROM ($mergedOrders)""".stripMargin,
     "q34_dv_delete" -> "SELECT * FROM lineitem WHERE NOT (l_quantity < 25)",
     "q35_orc_scan" -> "SELECT * FROM lineitem",
+    "q102_avro_scan" -> "SELECT * FROM lineitem",
+    "q103_avro_pk_upsert" -> mergedOrders,
     "q36_default_values" ->
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 3 = 0 THEN 'RUSH' ELSE 'NONE' END AS o_orderpriority

@@ -95,10 +95,11 @@ case class TableSchema(
     option("dynamic-bucket.assigner-parallelism", "8").toInt
   def defaultValueOf(field: String): Option[String] =
     options.get(TableSchema.defaultValueOpt(field))
-  /** Data file format: parquet (default) or orc (reference: paimon-format
-    * supports orc/parquet/avro; Spark ships no avro datasource here). */
+  /** Data file format: parquet (default), orc, or avro (reference:
+    * paimon-format supports orc/parquet/avro; avro here is the engine's own
+    * `FileFormat` over the avro-core jars — see GraftAvroFileFormat). */
   def fileFormat: String = option("file.format", "parquet") match {
-    case f @ ("parquet" | "orc") => f
+    case f @ ("parquet" | "orc" | "avro") => f
     case other => throw new IllegalArgumentException(s"unsupported file.format: $other")
   }
   def mergeEngine: String = option(TableSchema.MergeEngineOpt, "deduplicate")
@@ -166,16 +167,12 @@ case class TableSchema(
     * :174-530 — the combinations the reference rejects outright).
     */
   def validate(): Unit = {
-    // create-time format check with an actionable message — without it,
-    // `file.format=avro` would only fail deep in the first read/write
+    // create-time format check with an actionable message — without it, a
+    // typo'd `file.format` would only fail deep in the first read/write
     options.get("file.format").foreach {
-      case "parquet" | "orc" => ()
-      case "avro" => throw new IllegalArgumentException(
-        "file.format=avro is not supported in this build: the spark-avro " +
-          "datasource module is not on the classpath (offline environment; " +
-          "see README 'Limitations'). Use parquet (the default) or orc.")
+      case "parquet" | "orc" | "avro" => ()
       case other => throw new IllegalArgumentException(
-        s"unsupported file.format: $other (expected parquet or orc)")
+        s"unsupported file.format: $other (expected parquet, orc or avro)")
     }
     if (mergeEngine == "first-row") {
       val producer = option(TableSchema.ChangelogProducerOpt, "none")

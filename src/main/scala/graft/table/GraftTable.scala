@@ -963,7 +963,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val stagingName = s"tmp-staging-${UUID.randomUUID()}"
     val staging = new Path(store.rootPath, stagingName)
     val dirs = dirCols()
-    val writer0 = prepared.write.mode("overwrite").format(schema.fileFormat)
+    val writer0 = prepared.write.mode("overwrite").format(GraftTable.sourceNameOf(schema))
     // codec: per-LSM-level override first ("0:lz4,5:zstd" — fast codec for
     // short-lived L0 runs, tight codec for the long-lived compacted base;
     // reference: CoreOptions "file.compression.per.level"), else the
@@ -1086,7 +1086,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val staged = spark.read
       .schema(StructType(physicalDataSchema().fields)) // data cols only; dirs ignored
       .option("basePath", staging.toString)
-      .format(schema.fileFormat)
+      .format(GraftTable.sourceNameOf(schema))
       .load(staging.toString)
     val bloomAggs = blooms.zipWithIndex.map { case (f, i) =>
       org.apache.spark.sql.graft.SparkShims
@@ -1370,7 +1370,18 @@ object GraftTable {
   def fileFormatOf(s: TableSchema): org.apache.spark.sql.execution.datasources.FileFormat =
     s.fileFormat match {
       case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      case "avro" => new graft.formats.GraftAvroFileFormat
       case _ => new ParquetFileFormat
+    }
+
+  /** DataSource provider name for `DataFrameWriter.format` / reader
+    * `.format` — built-in names for parquet/orc, the engine's own
+    * `FileFormat` class for avro (no spark-avro module in this build).
+    */
+  def sourceNameOf(s: TableSchema): String =
+    s.fileFormat match {
+      case "avro" => classOf[graft.formats.GraftAvroFileFormat].getName
+      case f => f
     }
 
   /** Max stored length of string min/max stats. */

@@ -642,18 +642,17 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.count() == 20000)
   }
 
-  test("file.format=avro is rejected at create time with an actionable message") {
+  test("file.format accepts avro (round 9); unknown formats rejected at create time") {
+    // avro is a first-class format since round 9 (AvroFormatSpec covers it)
+    val t = GraftTable.create(spark, tmpTable(), sf("orders").schema,
+      options = Map("file.format" -> "avro"))
+    assert(t.schema.fileFormat == "avro")
+    // unknown formats are rejected, not silently mapped to parquet
     val e = intercept[IllegalArgumentException] {
-      GraftTable.create(spark, tmpTable(), sf("orders").schema,
-        options = Map("file.format" -> "avro"))
-    }
-    assert(e.getMessage.contains("spark-avro"), e.getMessage)
-    // unknown formats are rejected too, not silently mapped to parquet
-    val e2 = intercept[IllegalArgumentException] {
       GraftTable.create(spark, tmpTable(), sf("orders").schema,
         options = Map("file.format" -> "csv"))
     }
-    assert(e2.getMessage.contains("unsupported file.format"), e2.getMessage)
+    assert(e.getMessage.contains("unsupported file.format"), e.getMessage)
   }
 
   test("ORC footer-derived stats equal scan-derived stats") {
