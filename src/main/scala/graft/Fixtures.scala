@@ -922,6 +922,29 @@ object Fixtures {
       t
     }
 
+  /** Bucketed APPEND table (HASH_FIXED on a non-pk table): lineitem routed
+    * by hash(l_orderkey) % 8 — bucket pruning + SPJ joins on append facts. */
+  def lineitemAppendBucketed(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "lineitem_append_bucketed") { path =>
+      val df = src(spark, sfDir, "lineitem")
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("bucket-key" -> "l_orderkey", "bucket" -> "8"))
+      t.append(df)
+      t
+    }
+
+  /** Second bucketed append table on the same key/bucket spec, for the
+    * storage-partitioned append-fact join. */
+  def ordersAppendBucketed(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_append_bucketed") { path =>
+      val df = src(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val t = GraftTable.create(spark, path, df.schema,
+        options = Map("bucket-key" -> "o_orderkey", "bucket" -> "8"))
+      t.append(df)
+      t
+    }
+
   /** Avro-format append table (engine-native avro FileFormat). */
   def lineitemAvro(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "lineitem_avro") { path =>

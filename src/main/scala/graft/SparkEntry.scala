@@ -288,6 +288,18 @@ object SparkEntry {
     "q102_avro_scan" -> ((s, d) => Fixtures.lineitemAvro(s, d).toDF),
     // avro data files under the PK merge-on-read path
     "q103_avro_pk_upsert" -> ((s, d) => Fixtures.ordersPkAvro(s, d).toDF),
+    // bucketed APPEND table: hash(bucket-key) routing with a bucket-pruned
+    // key filter riding through the scan
+    "q104_append_bucketed" -> ((s, d) =>
+      Fixtures.lineitemAppendBucketed(s, d).toDF.filter(col("l_orderkey") % 5 === 0)),
+    // append-fact equijoin of two same-spec bucketed append tables
+    "q105_append_bucket_join" -> ((s, d) => {
+      val li = Fixtures.lineitemAppendBucketed(s, d).toDF
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("qty"))
+      val o = Fixtures.ordersAppendBucketed(s, d).toDF
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("qty"), col("o_totalprice"), col("o_orderpriority"))
+    }),
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
@@ -742,6 +754,11 @@ object SparkEntry {
     "q35_orc_scan" -> "SELECT * FROM lineitem",
     "q102_avro_scan" -> "SELECT * FROM lineitem",
     "q103_avro_pk_upsert" -> mergedOrders,
+    "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
+    "q105_append_bucket_join" ->
+      """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority
+        |FROM (SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY 1) li
+        |JOIN orders o ON li.l_orderkey = o.o_orderkey""".stripMargin,
     "q36_default_values" ->
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 3 = 0 THEN 'RUSH' ELSE 'NONE' END AS o_orderpriority

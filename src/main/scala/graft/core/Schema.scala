@@ -79,6 +79,21 @@ case class TableSchema(
     */
   def dynamicBucket: Boolean = isPrimaryKeyed && numBuckets == -1
 
+  /** Bucketed APPEND table — BucketMode.HASH_FIXED on a non-pk table
+    * (reference: AppendOnlyFileStore.java:67-69 — `bucket` + `bucket-key`
+    * on an append-only table): rows route by hash(bucket-key) % bucket,
+    * reads prune by bucket, and two tables bucketed on the same join key
+    * storage-partition-join with zero exchanges — the co-located-join
+    * layout for append FACT tables. Opt-in via an explicit `bucket-key`
+    * (without it an append table stays BUCKET_UNAWARE, bucket-0 only).
+    */
+  def appendBucketed: Boolean =
+    !isPrimaryKeyed && options.contains(TableSchema.BucketKeyOpt)
+
+  /** Tables whose physical layout has bucket directories (every PK table,
+    * plus bucketed append tables). */
+  def hasBucketDirs: Boolean = isPrimaryKeyed || appendBucketed
+
   /** Rows per dynamic bucket before the assigner opens a new one
     * (reference: CoreOptions "dynamic-bucket.target-row-num", default 2M).
     */
@@ -189,18 +204,31 @@ case class TableSchema(
         "sequence.field is not supported with cross-partition update")
     }
     options.get(TableSchema.BucketKeyOpt).foreach { _ =>
-      // reference: SchemaValidation — for pk tables the bucket key must be
-      // a subset of the primary key (every write/lookup/join path derives
-      // the bucket from values it is guaranteed to have)
-      require(isPrimaryKeyed,
-        "bucket-key requires a primary-key table in this build")
       require(bucketKeys.nonEmpty, "bucket-key must name at least one column")
-      val stray = bucketKeys.filterNot(primaryKeys.contains)
-      require(stray.isEmpty,
-        s"bucket-key must be a subset of the primary key; not in pk: ${stray.mkString(",")}")
-      require(!dynamicBucket,
-        "bucket-key is incompatible with dynamic buckets (bucket=-1): the " +
-          "durable index routes by full-pk hash")
+      val missing = bucketKeys.filterNot(n => fields.exists(_.name == n))
+      require(missing.isEmpty,
+        s"bucket-key columns not in schema: ${missing.mkString(",")}")
+      if (isPrimaryKeyed) {
+        // reference: SchemaValidation — for pk tables the bucket key must be
+        // a subset of the primary key (every write/lookup/join path derives
+        // the bucket from values it is guaranteed to have)
+        val stray = bucketKeys.filterNot(primaryKeys.contains)
+        require(stray.isEmpty,
+          s"bucket-key must be a subset of the primary key; not in pk: ${stray.mkString(",")}")
+        require(!dynamicBucket,
+          "bucket-key is incompatible with dynamic buckets (bucket=-1): the " +
+            "durable index routes by full-pk hash")
+      } else {
+        // bucketed append table (reference: BucketMode.HASH_FIXED on the
+        // append store; SchemaValidation keeps bucket keys disjoint from
+        // partition keys — a partition column is constant per directory,
+        // hashing it adds nothing and breaks cross-partition join layout)
+        require(numBuckets >= 1,
+          s"bucketed append table needs a fixed bucket count >= 1, got $numBuckets")
+        val inPt = bucketKeys.filter(partitionKeys.contains)
+        require(inPt.isEmpty,
+          s"bucket-key must not contain partition columns: ${inPt.mkString(",")}")
+      }
     }
     recordLevelExpire.foreach { case (tf, _) =>
       // reference: RecordLevelExpire.create — pk table, INT seconds field

@@ -114,14 +114,13 @@ class GraftFileIndex(
     }
   }
 
-  private def isPkTable = schema.isPrimaryKeyed
-
   /** Names of the partition-path columns in order (incl. synthetic bucket). */
   private def partitionValueNames: Seq[String] =
-    if (isPkTable) schema.partitionKeys :+ GraftMeta.BucketCol else schema.partitionKeys
+    if (schema.hasBucketDirs) schema.partitionKeys :+ GraftMeta.BucketCol
+    else schema.partitionKeys
 
   private def partitionOf(f: DataFileMeta): Seq[String] =
-    if (isPkTable) f.partition :+ f.bucket.toString else f.partition
+    if (schema.hasBucketDirs) f.partition :+ f.bucket.toString else f.partition
 
   private def translate(exprs: Seq[Expression]): Seq[Filter] =
     exprs.flatMap(e => org.apache.spark.sql.graft.SparkShims.translateFilter(e))
@@ -184,7 +183,7 @@ object GraftFileIndex {
     */
   def bucketPruner(store: FileStore, current: TableSchema,
       filters: Seq[Filter]): DataFileMeta => Boolean = {
-    if (!current.isPrimaryKeyed) return _ => true
+    if (!current.hasBucketDirs) return _ => true
     // no pk constraint in the filters → no bucket set under ANY bucket
     // count — skip the per-schemaId resolution (and its schema-file reads)
     if (bucketsFromFilters(current, filters).isEmpty) return _ => true
@@ -298,7 +297,7 @@ object GraftFileIndex {
     * None = no pk constraint (all buckets).
     */
   def bucketsFromFilters(schema: TableSchema, filters: Seq[Filter]): Option[Set[Int]] = {
-    if (!schema.isPrimaryKeyed) return None
+    if (!schema.hasBucketDirs) return None
     val n = schema.numBuckets
     // dynamic-bucket tables (n == -1) route by the durable hash index, not
     // a modulus — no static bucket pruning (partition/stats pruning still

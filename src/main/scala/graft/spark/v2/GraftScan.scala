@@ -125,8 +125,12 @@ class GraftScan(
   // the conf turn the registered default into an explicit "true" — that
   // explicit value is honored, which is why the session catalog must also
   // resolve the bucket function (GraftSessionCatalog.loadFunction).
+  // Bucketed APPEND tables qualify too (reference: HASH_FIXED on the
+  // append store): their files are hash-clustered by bucket(n, bucket-key)
+  // exactly like fixed-bucket PK tables, minus the merge.
   private def spjEligible: Boolean =
-    mergeRead && !schema.crossPartition && !schema.dynamicBucket &&
+    ((mergeRead && !schema.crossPartition && !schema.dynamicBucket) ||
+      schema.appendBucketed) &&
       schema.partitionKeys.isEmpty &&
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
 
@@ -336,7 +340,13 @@ class GraftScan(
       // (reference: CoreOptions "scan.plan-sort-partition",
       // SnapshotReaderImpl's partition-sorted plan)
       val sortParts = schema.option("scan.plan-sort-partition", "false").toBoolean
-      val groups = effectiveFiles.groupBy(_.partition).toSeq
+      // under SPJ, splits must also group by bucket so each split carries
+      // one partition key (spjEligible implies no table partitions, so the
+      // extra grouping is a no-op otherwise)
+      val spj = spjEligible
+      val groups = effectiveFiles.groupBy(f =>
+        (f.partition, if (spj) f.bucket else 0)).toSeq
+        .map { case ((pt, _), fs) => (pt, fs) }
       // order by TYPED partition values (reference's typed partition
       // comparator): numeric/date components compare by value ("2" before
       // "10"), nulls first, unparseable components fall back to the path
@@ -372,7 +382,11 @@ class GraftScan(
           cur += info(f); curBytes += w
         }
         if (cur.nonEmpty) packs += cur
-        packs.map(p => GraftInputPartition(p.toSeq, merge = false))
+        packs.map { p =>
+          val keyRow = if (spj)
+            new GenericInternalRow(Array[Any](p.head.bucket)) else null
+          GraftInputPartition(p.toSeq, merge = false, keyRow)
+        }
       }.toArray
     } else {
       // cross-partition keys share a bucket regardless of partition, so the

@@ -58,7 +58,7 @@ class GraftSparkTable(
         org.apache.spark.sql.types.LongType
       override def isNullable: Boolean = false
     }
-    if (table.isPrimaryKeyed) Array(filePath, rowIndex, bucket)
+    if (table.schema.hasBucketDirs) Array(filePath, rowIndex, bucket)
     else Array(filePath, rowIndex)
   }
 

@@ -44,14 +44,15 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     if (s.isPrimaryKeyed) StructType(data.fields :+ seqField :+ posField :+ kindField) else data
   }
 
-  /** Directory-encoded columns (partition keys, plus bucket for PK tables). */
+  /** Directory-encoded columns (partition keys, plus bucket for PK tables
+    * and bucketed append tables). */
   def partitionSchema(s: TableSchema = schema): StructType = {
     val pt = StructType(s.partitionKeys.map(k => s.fieldByName(k).toStructField))
-    if (s.isPrimaryKeyed) StructType(pt.fields :+ bucketField) else pt
+    if (s.hasBucketDirs) StructType(pt.fields :+ bucketField) else pt
   }
 
   private def dirCols(s: TableSchema = schema): Seq[String] =
-    if (s.isPrimaryKeyed) s.partitionKeys :+ BucketCol else s.partitionKeys
+    if (s.hasBucketDirs) s.partitionKeys :+ BucketCol else s.partitionKeys
 
   // ================= reads =================
 
@@ -209,6 +210,13 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   /** Field-id projection of a raw frame from one schema version to another,
     * preserving metadata columns.
     */
+  /** hash(bucket-key) % n routing column for bucketed append tables
+    * (reference: append-table HASH_FIXED RowKeyExtractor). Same Murmur3
+    * hash as the PK path, so read-side bucket pruning can mirror it.
+    */
+  private[table] def appendBucketExpr: Column =
+    pmod(hash(schema.bucketKeys.map(col): _*), lit(schema.numBuckets))
+
   private def alignRaw(df: DataFrame, from: TableSchema, to: TableSchema): DataFrame = {
     if (from.id == to.id) return df
     val byId = from.fields.map(f => f.id -> f).toMap
@@ -219,7 +227,9 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       }
     }
     val metaCols =
-      if (to.isPrimaryKeyed) Seq(col(SeqCol), col(PosCol), col(KindCol), col(BucketCol)) else Nil
+      if (to.isPrimaryKeyed) Seq(col(SeqCol), col(PosCol), col(KindCol), col(BucketCol))
+      else if (to.appendBucketed) Seq(col(BucketCol))
+      else Nil
     df.select(dataCols ++ metaCols: _*)
   }
 
@@ -457,7 +467,14 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     */
   def append(df: DataFrame, commitIdentifier: Long = -1L): Snapshot = {
     require(!isPrimaryKeyed, "use upsert() for primary-key tables")
-    val files = stageWrite(align(ComputedColumns(schema, df)), level = 0, seq = nextSeq)
+    // bucketed append: cluster fresh data on (partition, bucket) so each
+    // group is written by one task — same shape as the PK write path
+    val prepared = align(ComputedColumns(schema, df))
+    val routed =
+      if (!schema.appendBucketed) prepared
+      else prepared.withColumn(BucketCol, appendBucketExpr)
+        .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
+    val files = stageWrite(routed, level = 0, seq = nextSeq)
     val snap = commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)),
       CommitKind.APPEND, commitIdentifier)
     postWriteCompact().getOrElse(snap)
@@ -837,8 +854,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     // OVERWRITE commit replaces the old file set, so no merge history or
     // dv masks are needed for the replaced scope)
     val prepared =
-      if (!isPrimaryKeyed) align(df)
-      else pkStagePrep(
+      if (!isPrimaryKeyed) {
+        val a = align(df)
+        if (!schema.appendBucketed) a
+        else a.withColumn(BucketCol, appendBucketExpr)
+          .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
+      } else pkStagePrep(
         align(df).withColumn(KindCol, lit(KindInsert).cast(ByteType))
           .withColumn(SeqCol, lit(seq))
           .withColumn(PosCol, monotonically_increasing_id()))._1
@@ -963,7 +984,17 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val stagingName = s"tmp-staging-${UUID.randomUUID()}"
     val staging = new Path(store.rootPath, stagingName)
     val dirs = dirCols()
-    val writer0 = prepared.write.mode("overwrite").format(GraftTable.sourceNameOf(schema))
+    // bucketed append table: the bucket is a pure function of the row, so
+    // it is (re)computed for EVERY staged frame — a projection, never a
+    // shuffle, so callers keep their arranged layout (append/overwrite
+    // cluster on (partition, bucket); sort compaction keeps its z-order).
+    // Recomputing also re-routes a COW UPDATE that changed a bucket-key
+    // column instead of stranding the row in a stale bucket dir
+    // (reference: append-table HASH_FIXED routing via RowKeyExtractor).
+    val routed =
+      if (schema.appendBucketed) prepared.withColumn(BucketCol, appendBucketExpr)
+      else prepared
+    val writer0 = routed.write.mode("overwrite").format(GraftTable.sourceNameOf(schema))
     // codec: per-LSM-level override first ("0:lz4,5:zstd" — fast codec for
     // short-lived L0 runs, tight codec for the long-lived compacted base;
     // reference: CoreOptions "file.compression.per.level"), else the

@@ -5,7 +5,7 @@ import graft.core._
 import graft.functions.ZOrder
 import graft.merge.MergeEngines
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DateType, NumericType, StringType, TimestampNTZType, TimestampType}
 
@@ -459,8 +459,13 @@ trait MaintenanceOps { self: GraftTable =>
     val totalBytes = small.map(_.size).sum
     val target = math.max(1, (totalBytes / (smallFileThreshold * 2)).toInt)
     val df = rawUnion(small, schema).select(schema.fields.map(f => col(f.name)): _*)
+    // bucketed append tables compact per (partition, bucket) so the merged
+    // files keep the bucket layout (stageWrite re-derives the column)
     val prepared =
-      if (schema.partitionKeys.nonEmpty) df.repartition(schema.partitionKeys.map(col): _*)
+      if (schema.appendBucketed)
+        df.withColumn(graft.GraftMeta.BucketCol, appendBucketExpr)
+          .repartition((schema.partitionKeys :+ graft.GraftMeta.BucketCol).map(col): _*)
+      else if (schema.partitionKeys.nonEmpty) df.repartition(schema.partitionKeys.map(col): _*)
       else df.repartition(target)
     val files = stageWrite(prepared, level = GraftTable.MaxLevel,
       seq = store.latestSnapshotId.getOrElse(0L))
@@ -481,19 +486,21 @@ trait MaintenanceOps { self: GraftTable =>
     val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
     if (live.isEmpty) return commitFiles(Nil, CommitKind.COMPACT)
     val df = rawUnion(live, schema).select(schema.fields.map(f => col(f.name)): _*)
+    // bucketed append tables cluster WITHIN each bucket: bucket dirs are
+    // the join layout and must survive the rewrite, so the shuffle keys on
+    // (partition, bucket) and the sort key orders rows inside each bucket
+    def arranged(in: DataFrame, sortKeys: Seq[Column]): DataFrame =
+      if (schema.appendBucketed)
+        in.withColumn(graft.GraftMeta.BucketCol, appendBucketExpr)
+          .repartition((schema.partitionKeys :+ graft.GraftMeta.BucketCol).map(col): _*)
+          .sortWithinPartitions(sortKeys: _*)
+      else in.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+    def bySortValue(key: Column): DataFrame =
+      arranged(df.withColumn("__sc", key), Seq(col("__sc"))).drop("__sc")
     val sorted = strategy match {
-      case "order" =>
-        df.repartitionByRange(cols.map(col): _*).sortWithinPartitions(cols.map(col): _*)
-      case "zorder" =>
-        val z = ZOrder.zvalue(cols.map(col): _*)
-        df.withColumn("__z", z)
-          .repartitionByRange(col("__z")).sortWithinPartitions(col("__z"))
-          .drop("__z")
-      case "hilbert" =>
-        val h = graft.functions.Hilbert.hvalue(cols.map(col): _*)
-        df.withColumn("__h", h)
-          .repartitionByRange(col("__h")).sortWithinPartitions(col("__h"))
-          .drop("__h")
+      case "order" => arranged(df, cols.map(col))
+      case "zorder" => bySortValue(ZOrder.zvalue(cols.map(col): _*))
+      case "hilbert" => bySortValue(graft.functions.Hilbert.hvalue(cols.map(col): _*))
       case other => throw new IllegalArgumentException(s"unknown strategy $other")
     }
     val files = stageWrite(sorted, level = GraftTable.MaxLevel,
@@ -908,7 +915,8 @@ trait MaintenanceOps { self: GraftTable =>
 
   /** Expose dir columns for maintenance jobs. */
   private[table] def dirColsPublic: Seq[String] =
-    if (isPrimaryKeyed) schema.partitionKeys :+ BucketCol else schema.partitionKeys
+    if (schema.hasBucketDirs) schema.partitionKeys :+ BucketCol
+    else schema.partitionKeys
 }
 
 object Maintenance {

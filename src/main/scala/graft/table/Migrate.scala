@@ -48,6 +48,9 @@ object Migrate {
       t: GraftTable): GraftTable = {
     require(!t.isPrimaryKeyed, "migrate_file targets append tables " +
       "(a primary-key table needs bucketed, pk-sorted files)")
+    require(!t.schema.appendBucketed, "migrate_file targets UNBUCKETED " +
+      "append tables: adopted files are not hash-routed, so bucket pruning " +
+      "on the target would silently skip their rows")
     val src = spark.read.parquet(sourceDir)
     val missing = t.schema.fields.map(_.name).toSet -- src.schema.fieldNames.toSet
     require(missing.isEmpty, s"source lacks columns: ${missing.mkString(",")}")

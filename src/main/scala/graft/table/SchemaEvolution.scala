@@ -60,19 +60,21 @@ trait SchemaEvolution { self: GraftTable =>
     // lookups (reference: AbstractFileStoreTable.java:198 "Cannot change
     // bucket number through dynamic options. You might need to rescale
     // bucket."); rescaleBucket() rewrites the layout instead
-    if (key == TableSchema.BucketOpt && isPrimaryKeyed &&
+    if (key == TableSchema.BucketOpt && schema.hasBucketDirs &&
         schema.option(TableSchema.BucketOpt, "8") != value &&
         store.latestSnapshot.isDefined)
       throw new UnsupportedOperationException(
-        "cannot change bucket number on a populated primary-key table via " +
+        "cannot change bucket number on a populated bucketed table via " +
           "SET - use rescaleBucket() / CALL sys.rescale")
     // the bucket-key column set is baked into every existing file's bucket
-    // id the same way the bucket count is — immutable once populated
-    if (key == TableSchema.BucketKeyOpt && isPrimaryKeyed &&
+    // id the same way the bucket count is — immutable once populated (for
+    // append tables this also forbids ENABLING bucketing mid-life: old
+    // files all sit in bucket 0 and would be wrongly bucket-pruned)
+    if (key == TableSchema.BucketKeyOpt &&
         schema.options.get(key).getOrElse("") != value &&
         store.latestSnapshot.isDefined)
       throw new UnsupportedOperationException(
-        "cannot change bucket-key on a populated primary-key table")
+        "cannot change bucket-key on a populated table")
     // the global pk index is only trustworthy if every commit since the
     // table's birth wrote its delta — toggling it on mid-life would leave
     // unindexed history and silently truncate changelog pre-images
@@ -112,7 +114,8 @@ trait SchemaEvolution { self: GraftTable =>
     * INSERT OVERWRITE rewrite).
     */
   def rescaleBucket(n: Int): graft.core.Snapshot = {
-    require(isPrimaryKeyed, "rescale targets primary-key tables")
+    require(schema.hasBucketDirs,
+      "rescale targets bucketed tables (primary-key or bucketed append)")
     require(n >= 1, s"bucket count must be >= 1, got $n")
     val content = toDF // pins the CURRENT snapshot's file set
     val prevBucket = schema.option(TableSchema.BucketOpt, "8")
