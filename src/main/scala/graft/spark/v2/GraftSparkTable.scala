@@ -30,7 +30,7 @@ class GraftSparkTable(
       */
     acl: String => Unit = _ => ()) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete with TruncatableTable
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with SupportsPartitionManagement {
 
   override def name(): String = ident.toString
 
@@ -77,6 +77,80 @@ class GraftSparkTable(
 
   override def partitioning(): Array[Transform] =
     table.schema.partitionKeys.map(Expressions.identity).toArray
+
+  // ---------------- partition management (SHOW / DROP PARTITION) ----------
+  // Reference: PaimonPartitionManagement.scala:38 — list from the scan's
+  // partition values, drop via a metadata-only commit; create/replace/load
+  // are unsupported (partitions materialize with data, like the reference).
+
+  override def partitionSchema(): StructType =
+    StructType(table.schema.partitionKeys.map(k =>
+      table.schema.fieldByName(k).toStructField))
+
+  /** Distinct live partitions as (path strings, internal row). */
+  private def livePartitions(): Seq[(Seq[String], org.apache.spark.sql.catalyst.InternalRow)] = {
+    val ps = partitionSchema()
+    table.store.latestSnapshot.toSeq
+      .flatMap(s => table.store.liveFiles(s).map(_.partition)).distinct
+      .map { vs =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vs.zip(ps.fields).map { case (v, f) =>
+            graft.spark.GraftFileIndex.partitionValueToInternal(f.dataType, v)
+          }.toArray[Any])
+        (vs, row)
+      }
+  }
+
+  private def rowsEqual(a: org.apache.spark.sql.catalyst.InternalRow,
+      cols: Seq[Int], b: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val ps = partitionSchema()
+    cols.zipWithIndex.forall { case (ai, bi) =>
+      val dt = ps.fields(ai).dataType
+      java.util.Objects.equals(a.get(ai, dt), b.get(bi, dt))
+    }
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    require(names.length == ident.numFields,
+      s"${names.length} partition names but ${ident.numFields} values")
+    val idx = names.map(ps.fieldIndex).toSeq
+    livePartitions().collect {
+      case (_, row) if rowsEqual(row, idx, ident) => row
+    }.toArray
+  }
+
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    acl(graft.core.Privilege.Insert)
+    val ps = partitionSchema()
+    val all = (0 until ps.length).toSeq
+    val matched = livePartitions().collect {
+      case (vs, row) if rowsEqual(row, all, ident) => vs
+    }.toSet
+    if (matched.isEmpty) return false
+    val live = table.store.latestSnapshot.map(table.store.liveFiles).getOrElse(Nil)
+    table.commitFiles(
+      live.filter(f => matched.contains(f.partition))
+        .map(graft.core.ManifestEntry(graft.core.ManifestEntry.DELETE, _)),
+      graft.core.CommitKind.OVERWRITE)
+    true
+  }
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions materialize with data; CREATE PARTITION is not supported")
+
+  override def replacePartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("replace partition is not supported")
+
+  override def loadPartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    throw new UnsupportedOperationException("load partition is not supported")
 
   override def properties(): java.util.Map[String, String] = {
     val base = table.schema.options ++

@@ -622,4 +622,28 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cat.filter(col("key") === "warehouse").count() == 1)
   }
 
+  test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION") {
+    spark.sql(
+      """CREATE TABLE graft.db.pm_t (id BIGINT, v DOUBLE, flag STRING)
+        |USING graft PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.pm_t
+        |SELECT id, id * 1.0, CASE WHEN id % 3 = 0 THEN 'a'
+        |  WHEN id % 3 = 1 THEN 'b' ELSE 'c' END FROM range(90)""".stripMargin)
+    val parts = spark.sql("SHOW PARTITIONS graft.db.pm_t")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(parts == Seq("flag=a", "flag=b", "flag=c"))
+    // filtered listing
+    assert(spark.sql("SHOW PARTITIONS graft.db.pm_t PARTITION (flag='b')")
+      .collect().map(_.getString(0)).toSeq == Seq("flag=b"))
+    // metadata-only drop: files of the partition leave the live set
+    spark.sql("ALTER TABLE graft.db.pm_t DROP PARTITION (flag='b')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.pm_t").head().getLong(0) == 60)
+    assert(spark.sql("SHOW PARTITIONS graft.db.pm_t")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("flag=a", "flag=c"))
+    // dropping a non-existent partition is an analysis-time error
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.db.pm_t DROP PARTITION (flag='zzz')"))
+  }
+
 }
