@@ -128,6 +128,29 @@ class AppendBucketSpec extends SparkSpec {
     assert(t.toDF.filter(col("id") === 37L).count() == 1)
   }
 
+  test("scan reports pruning metrics on the DSv2 scan node") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-met-wh").toString
+    spark.conf.set("spark.sql.catalog.gmet", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmet.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmet.db")
+    spark.sql(
+      """CREATE TABLE gmet.db.m (id BIGINT, flag STRING) USING graft
+        |PARTITIONED BY (flag)""".stripMargin)
+    spark.sql("INSERT INTO gmet.db.m SELECT id, 'a' FROM range(50)")
+    spark.sql("INSERT INTO gmet.db.m SELECT id, 'b' FROM range(50)")
+    val df = spark.sql("SELECT * FROM gmet.db.m WHERE flag = 'a'")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    // partition pruning skipped the 'b' file; both driver metrics surface
+    assert(scan.metrics.contains("skippedTableFiles"))
+    assert(scan.metrics("skippedTableFiles").value >= 1,
+      s"expected skipped files, got ${scan.metrics("skippedTableFiles").value}")
+    assert(scan.metrics("resultedTableFiles").value >= 1)
+    assert(scan.metrics("numSplits").value >= 1)
+  }
+
   test("validation: partition overlap, missing columns, mid-life enable rejected") {
     val df = Seq((1L, "a", 1.0)).toDF("id", "pt", "v")
     intercept[IllegalArgumentException](GraftTable.create(spark, tmpTable(), df.schema,
