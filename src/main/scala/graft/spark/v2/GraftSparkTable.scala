@@ -139,6 +139,17 @@ class GraftSparkTable(
     true
   }
 
+  /** TRUNCATE TABLE t PARTITION (...): same metadata-only file drop as
+    * [[dropPartition]] — the partition concept itself only exists through
+    * its data here.
+    */
+  override def truncatePartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    if (!dropPartition(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    true
+  }
+
   override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
       properties: java.util.Map[String, String]): Unit =
     throw new UnsupportedOperationException(

@@ -644,6 +644,11 @@ class SqlCatalogSpec extends SparkSpec {
     // dropping a non-existent partition is an analysis-time error
     intercept[Exception](
       spark.sql("ALTER TABLE graft.db.pm_t DROP PARTITION (flag='zzz')"))
+    // TRUNCATE of one partition drops its data, keeps the others
+    spark.sql("TRUNCATE TABLE graft.db.pm_t PARTITION (flag='a')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.pm_t").head().getLong(0) == 30)
+    assert(spark.sql("SELECT DISTINCT flag FROM graft.db.pm_t")
+      .collect().map(_.getString(0)).toSeq == Seq("c"))
   }
 
 }
