@@ -46,7 +46,32 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
         new MergeSpec(m.sourceTable, m.mergeCondition, m.matchedActions,
           m.notMatchedActions, m.notMatchedBySourceActions,
           m.sourceTable.outputSet, m.targetTable.outputSet))
+    // dynamic INSERT OVERWRITE (spark.sql.sources.partitionOverwriteMode =
+    // dynamic): Spark has no V1 fallback for OverwritePartitionsDynamicExec,
+    // so — like the reference's PaimonDynamicPartitionOverwriteCommand.scala
+    // :42 — the logical node is replaced with an eager command driving the
+    // library's dynamic overwrite (replace exactly the partitions present
+    // in the new data, one OVERWRITE commit)
+    case o: OverwritePartitionsDynamic
+        if o.query.resolved && graftOf(o.table).isDefined =>
+      GraftDynamicOverwriteCommand(graftOf(o.table).get, o.query)
     case _ => plan
+  }
+}
+
+/** INSERT OVERWRITE under dynamic partition-overwrite mode on a Graft
+  * table. The resolved query already projects to the table schema (Spark's
+  * output resolution), so the command only materializes and hands off.
+  */
+case class GraftDynamicOverwriteCommand(
+    table: GraftTable,
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    table.overwrite(SparkShims.ofRows(spark, query), dynamic = true)
+    Nil
   }
 }
 

@@ -62,10 +62,11 @@ class GraftSparkTable(
     else Array(filePath, rowIndex)
   }
 
-  // no OVERWRITE_DYNAMIC: Spark's dynamic-partition-overwrite exec has no
-  // V1 fallback; dynamic overwrite is served by the library API
-  // (GraftTable.overwrite(dynamic = true)); SQL gets static INSERT
-  // OVERWRITE [PARTITION (...)] via OVERWRITE_BY_FILTER
+  // OVERWRITE_DYNAMIC admits the plan; Spark has no V1 fallback for its
+  // exec, so GraftRowLevelSqlRule swaps OverwritePartitionsDynamic for an
+  // eager command over GraftTable.overwrite(dynamic = true) (the
+  // reference's PaimonDynamicPartitionOverwriteCommand workaround). Static
+  // INSERT OVERWRITE [PARTITION (...)] rides OVERWRITE_BY_FILTER.
   override def capabilities(): JSet[TableCapability] = Set(
     TableCapability.BATCH_READ,
     TableCapability.MICRO_BATCH_READ,
@@ -73,6 +74,7 @@ class GraftSparkTable(
     TableCapability.V1_BATCH_WRITE,
     TableCapability.STREAMING_WRITE,
     TableCapability.OVERWRITE_BY_FILTER,
+    TableCapability.OVERWRITE_DYNAMIC,
     TableCapability.TRUNCATE).asJava
 
   override def partitioning(): Array[Transform] =

@@ -622,6 +622,31 @@ class SqlCatalogSpec extends SparkSpec {
     assert(cat.filter(col("key") === "warehouse").count() == 1)
   }
 
+  test("dynamic INSERT OVERWRITE replaces only the partitions in the new data") {
+    spark.sql(
+      """CREATE TABLE graft.db.dyn_t (id BIGINT, v DOUBLE, flag STRING)
+        |USING graft PARTITIONED BY (flag)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db.dyn_t
+        |SELECT id, 1.0, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+        |FROM range(40)""".stripMargin)
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // new data touches only 'a' → 'b' must survive untouched
+      spark.sql(
+        "INSERT OVERWRITE graft.db.dyn_t SELECT id, 9.0, 'a' FROM range(5)")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val byFlag = spark.sql(
+      "SELECT flag, count(*) AS c, sum(v) AS s FROM graft.db.dyn_t GROUP BY flag")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byFlag("a") == (5L, 45.0), s"partition a replaced: $byFlag")
+    assert(byFlag("b") == (20L, 20.0), s"partition b untouched: $byFlag")
+  }
+
   test("SHOW PARTITIONS and ALTER TABLE DROP PARTITION") {
     spark.sql(
       """CREATE TABLE graft.db.pm_t (id BIGINT, v DOUBLE, flag STRING)
