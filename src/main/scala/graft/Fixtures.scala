@@ -166,6 +166,22 @@ object Fixtures {
       t
     }
 
+  /** Per-LSM-level FILE FORMATS: avro L0 runs over a parquet compacted
+    * base; the final state mixes both formats in one live set, so the
+    * oracle row proves mixed-format merge reads. */
+  def ordersPerLevelFormat(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_per_level_format") { path =>
+      val df = src(spark, sfDir, "orders")
+      val t = GraftTable.create(spark, path, df.schema,
+        primaryKeys = Seq("o_orderkey"),
+        options = Map("bucket" -> "4", "write-only" -> "true",
+          "file.format.per.level" -> s"0:avro,${GraftTable.MaxLevel}:parquet"))
+      t.upsert(df)
+      t.compact() // base → parquet
+      t.upsert(ordersBatch2(spark, sfDir)) // fresh avro L0 on top
+      t
+    }
+
   /** rowkind.field applied through the BATCH upsert path (T9): a string op
     * column drives +I/+U/-D per row across two commits.
     */

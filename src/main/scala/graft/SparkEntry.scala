@@ -290,6 +290,8 @@ object SparkEntry {
     "q103_avro_pk_upsert" -> ((s, d) => Fixtures.ordersPkAvro(s, d).toDF),
     // bucketed APPEND table: hash(bucket-key) routing with a bucket-pruned
     // key filter riding through the scan
+    // per-level file formats: avro L0 merged over a parquet base
+    "q106_per_level_format" -> ((s, d) => Fixtures.ordersPerLevelFormat(s, d).toDF),
     "q104_append_bucketed" -> ((s, d) =>
       Fixtures.lineitemAppendBucketed(s, d).toDF.filter(col("l_orderkey") % 5 === 0)),
     // append-fact equijoin of two same-spec bucketed append tables
@@ -754,6 +756,7 @@ object SparkEntry {
     "q35_orc_scan" -> "SELECT * FROM lineitem",
     "q102_avro_scan" -> "SELECT * FROM lineitem",
     "q103_avro_pk_upsert" -> mergedOrders,
+    "q106_per_level_format" -> mergedOrders,
     "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
     "q105_append_bucket_join" ->
       """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority

@@ -117,6 +117,38 @@ case class TableSchema(
     case f @ ("parquet" | "orc" | "avro") => f
     case other => throw new IllegalArgumentException(s"unsupported file.format: $other")
   }
+  /** Per-LSM-level file format override, "0:avro,5:parquet" (reference:
+    * CoreOptions FILE_FORMAT_PER_LEVEL :144 — the classic LSM shape: a
+    * row-oriented format for short-lived L0 runs where write latency
+    * dominates, columnar for the long-lived compacted base where scans
+    * dominate). Levels not listed use [[fileFormat]].
+    */
+  def fileFormatPerLevel: Map[Int, String] =
+    options.get("file.format.per.level").map { spec =>
+      spec.split(',').iterator.map(_.split(':')).map {
+        case Array(l, f) => l.trim.toInt -> f.trim
+        case other => throw new IllegalArgumentException(
+          s"bad file.format.per.level entry: ${other.mkString(":")}")
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  def fileFormatForLevel(level: Int): String =
+    fileFormatPerLevel.getOrElse(level, fileFormat)
+
+  /** Stats-collection mode for a column (reference: CoreOptions
+    * METADATA_STATS_MODE :941-966 + per-field `fields.<name>.stats-mode`):
+    * `none` (no stats — the write never measures the column, manifests stay
+    * lean, scans never skip on it), `counts` (null count only), `full`
+    * (untruncated min/max — exact bounds for long keys), `truncate(N)`.
+    * Default truncate(64), this engine's historical string cap (the
+    * reference defaults to truncate(16)). Returns (mode, truncate length).
+    */
+  def statsMode(field: String): (String, Int) = {
+    val raw = options.getOrElse(s"fields.$field.stats-mode",
+      option("metadata.stats-mode", "truncate(64)"))
+    TableSchema.parseStatsMode(raw)
+  }
+
   def mergeEngine: String = option(TableSchema.MergeEngineOpt, "deduplicate")
   def sequenceField: Option[String] = options.get(TableSchema.SequenceFieldOpt)
   def isPrimaryKeyed: Boolean = primaryKeys.nonEmpty
@@ -189,6 +221,19 @@ case class TableSchema(
       case other => throw new IllegalArgumentException(
         s"unsupported file.format: $other (expected parquet, orc or avro)")
     }
+    fileFormatPerLevel.foreach { case (l, f) =>
+      require(l >= 0, s"file.format.per.level level must be >= 0, got $l")
+      require(f == "parquet" || f == "orc" || f == "avro",
+        s"unsupported file.format.per.level format: $f (expected parquet, orc or avro)")
+    }
+    // eager stats-mode parse: a typo must fail DDL, not the first write
+    options.get("metadata.stats-mode").foreach(TableSchema.parseStatsMode)
+    options.keys.filter(k => k.startsWith("fields.") && k.endsWith(".stats-mode"))
+      .foreach { k =>
+        val f = k.stripPrefix("fields.").stripSuffix(".stats-mode")
+        require(fields.exists(_.name == f), s"$k: no such field '$f'")
+        TableSchema.parseStatsMode(options(k))
+      }
     if (mergeEngine == "first-row") {
       val producer = option(TableSchema.ChangelogProducerOpt, "none")
       require(producer == "none" || producer == "lookup",
@@ -247,6 +292,9 @@ case class TableSchema(
   def validateDeletionVectors(): Unit = if (deletionVectors) {
     require(fileFormat == "parquet",
       "deletion-vectors.enabled needs parquet (dense row_index)")
+    require(fileFormatPerLevel.values.forall(_ == "parquet"),
+      "deletion-vectors.enabled needs parquet at every level " +
+        "(file.format.per.level must not introduce other formats)")
     require(mergeEngine == "deduplicate",
       s"deletion-vectors.enabled supports merge-engine=deduplicate, not $mergeEngine")
     require(sequenceField.isEmpty,
@@ -297,6 +345,21 @@ object TableSchema {
   /** Parse a duration option value: plain millis, or `<n><unit>` with unit
     * ms/s/m/h/d (e.g. "30m", "7d"), whitespace tolerated.
     */
+  private val TruncateMode = """truncate\((\d+)\)""".r
+
+  /** "none" | "counts" | "full" | "truncate(N)" → (mode, truncate length). */
+  def parseStatsMode(s: String): (String, Int) = s.trim match {
+    case "none" => ("none", 0)
+    case "counts" => ("counts", 0)
+    case "full" => ("full", 0)
+    case TruncateMode(n) =>
+      val len = n.toInt
+      require(len > 0, s"stats-mode truncate length must be > 0: $s")
+      ("truncate", len)
+    case other => throw new IllegalArgumentException(
+      s"unsupported stats-mode: $other (expected none, counts, full or truncate(N))")
+  }
+
   def parseDurationMillis(s: String): Long = {
     val t = s.trim.toLowerCase
     val m = "^(\\d+)\\s*(ms|s|m|h|d)?$".r

@@ -153,12 +153,15 @@ class GraftMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // reuse the batch reader machinery; seed the per-schema read plans with
-    // EVERY schema version, with and without a deletion vector, so any
-    // historic delta file in the stream decodes (the placeholder metas are
-    // never read — they only carry the plan keys)
-    val placeholders = (0L to store.latestSchemaId).flatMap(sid => Seq(
-      DataFileMeta("", 0, 0, Nil, 0, 0, 0, 0, sid, Map.empty),
-      DataFileMeta("", 0, 0, Nil, 0, 0, 0, 0, sid, Map.empty, dvPath = Some(""))))
+    // EVERY schema version, with and without a deletion vector, AND every
+    // file format (plan keys carry the extension-derived format since
+    // file.format.per.level), so any historic delta file in the stream
+    // decodes (the placeholder metas are never read — they only carry the
+    // plan keys)
+    val placeholders = (0L to store.latestSchemaId).flatMap(sid =>
+      Seq("p.parquet", "p.orc", "p.avro").flatMap(p => Seq(
+        DataFileMeta(p, 0, 0, Nil, 0, 0, 0, 0, sid, Map.empty),
+        DataFileMeta(p, 0, 0, Nil, 0, 0, 0, 0, sid, Map.empty, dvPath = Some("")))))
     new GraftScan(spark, table, None, requested, Nil, None,
       filesOverride = Some(placeholders)).createReaderFactory()
   }

@@ -491,16 +491,21 @@ class GraftScan(
           Seq(StructField(GraftSparkTable.RowIndexCol, LongType, nullable = false))
         else Nil))
 
-    // per-(schema-version, has-dv) read plans (field-id remap, reference:
-    // SchemaEvolutionUtil.createDataProjection:266). DV presence is part of
-    // the KEY: only DV'd files give up parquet filter pushdown (their row
-    // positions must stay dense); every DV-free file keeps row-group
-    // skipping even when it shares the scan with DV'd ones.
-    val planKeys = effectiveFiles.map(f => (f.schemaId, f.dvPath.isDefined)).distinct.sorted
+    // per-(schema-version, has-dv, file-format) read plans (field-id remap,
+    // reference: SchemaEvolutionUtil.createDataProjection:266). DV presence
+    // is part of the KEY: only DV'd files give up parquet filter pushdown
+    // (their row positions must stay dense); every DV-free file keeps
+    // row-group skipping even when it shares the scan with DV'd ones. The
+    // format is derived from each file's extension (None → the schema's
+    // format) so `file.format.per.level` mixes plan correctly.
+    val planKeys = effectiveFiles
+      .map(f => (f.schemaId, f.dvPath.isDefined, GraftTable.formatNameOfPath(f.path)))
+      .distinct.sorted
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val plans: Map[(Long, Boolean), SchemaReadPlan] = planKeys.map { case (sid, hasDv) =>
+    val plans: Map[(Long, Boolean, Option[String]), SchemaReadPlan] =
+      planKeys.map { case (sid, hasDv, fmtName) =>
       val fileSchema = if (sid == schema.id) schema else table.store.readSchema(sid)
-      val fmt = GraftTable.fileFormatOf(fileSchema)
+      val fmt = GraftTable.fileFormatFor(fmtName.getOrElse(fileSchema.fileFormat))
       val byId = fileSchema.fields.map(f => f.id -> f).toMap
       // what to read from files of this schema version, in rowSchema order
       val wanted = readNames.map { n =>
@@ -567,7 +572,7 @@ class GraftScan(
           s" readSchemaForFile=${readSchemaForFile.fieldNames.mkString(",")}" +
           s" align=${align.mkString(";")} rowSchema=${rowSchema.fieldNames.mkString(",")}")
       }
-      (sid, hasDv) -> SchemaReadPlan(readFunc, align, supportsBatch)
+      (sid, hasDv, fmtName) -> SchemaReadPlan(readFunc, align, supportsBatch)
     }.toMap
 
     val merger =
@@ -629,7 +634,7 @@ class GraftReaderFactory(
     tableRoot: String,
     partitionSchema: StructType,
     rowSchema: StructType,
-    plans: Map[(Long, Boolean), SchemaReadPlan],
+    plans: Map[(Long, Boolean, Option[String]), SchemaReadPlan],
     merger: Option[RowMerger],
     outIdx: Seq[Int],
     outSchema: StructType,
@@ -642,7 +647,8 @@ class GraftReaderFactory(
     val p = partition.asInstanceOf[GraftInputPartition]
 
     def rowsOf(f: GraftFileInfo): Iterator[InternalRow] = {
-      val plan = plans((f.schemaId, f.dvPath.isDefined))
+      val plan = plans((f.schemaId, f.dvPath.isDefined,
+        GraftTable.formatNameOfPath(f.path)))
       val ptRow = partitionRow(f)
       val pf = org.apache.spark.sql.graft.SparkShims.partitionedFile(
         ptRow, s"$tableRoot/${f.path}", 0, f.length)

@@ -60,23 +60,34 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * for PK tables). Pruning happens lazily in the FileIndex when Catalyst
     * pushes filters.
     */
-  def rawDF(files: Seq[DataFileMeta], s: TableSchema = schema): DataFrame =
-    spark.baseRelationToDataFrame(fsRelation(files, s))
+  def rawDF(files: Seq[DataFileMeta], s: TableSchema = schema): DataFrame = {
+    // `file.format.per.level` can mix formats within ONE schema version —
+    // each file self-describes via its extension, so group per format and
+    // union the relations (one group in the common uniform case)
+    val groups = files.groupBy(f =>
+      GraftTable.formatNameOfPath(f.path).getOrElse(s.fileFormat))
+    if (groups.size <= 1)
+      spark.baseRelationToDataFrame(
+        fsRelationFor(Right(files), s, groups.keys.headOption.getOrElse(s.fileFormat)))
+    else groups.toSeq.sortBy(_._1).map { case (fmt, fs) =>
+      spark.baseRelationToDataFrame(fsRelationFor(Right(fs), s, fmt))
+    }.reduce(_.unionByName(_))
+  }
 
-  /** The DSv1 `BaseRelation` beneath [[rawDF]] — pruning-aware parquet scan
-    * over the given live files. */
+  /** The DSv1 `BaseRelation` beneath [[rawDF]] — pruning-aware file scan
+    * over the given live files (callers must pass format-uniform files). */
   def fsRelation(files: Seq[DataFileMeta], s: TableSchema = schema): HadoopFsRelation =
-    fsRelationFor(Right(files), s)
+    fsRelationFor(Right(files), s, s.fileFormat)
 
   private def fsRelationFor(source: Either[Snapshot, Seq[DataFileMeta]],
-      s: TableSchema): HadoopFsRelation = {
+      s: TableSchema, fmtName: String): HadoopFsRelation = {
     val index = new GraftFileIndex(spark, store, s, source, partitionSchema(s))
     HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema(s),
       dataSchema = physicalDataSchema(s),
       bucketSpec = None,
-      fileFormat = GraftTable.fileFormatOf(s),
+      fileFormat = GraftTable.fileFormatFor(fmtName),
       options = Map.empty)(spark)
   }
 
@@ -90,7 +101,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val singleSchema =
       s.manifestMeta.nonEmpty && s.manifestMeta.forall(_.schemaIds.forall(_ == to.id))
     val noDvs = s.manifestMeta.nonEmpty && s.manifestMeta.forall(_.dvCount == 0)
-    if (singleSchema && noDvs) spark.baseRelationToDataFrame(fsRelationFor(Left(s), to))
+    // per-level formats mix file formats within the current schema, which
+    // the single-relation lazy path cannot express — fall back to the
+    // listed union (formats of OLDER schema versions are covered by the
+    // singleSchema check: their files fail it and take rawUnion anyway)
+    if (singleSchema && noDvs && to.fileFormatPerLevel.isEmpty)
+      spark.baseRelationToDataFrame(fsRelationFor(Left(s), to, to.fileFormat))
     else rawUnion(store.liveFiles(s), to)
   }
 
@@ -994,7 +1010,10 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val routed =
       if (schema.appendBucketed) prepared.withColumn(BucketCol, appendBucketExpr)
       else prepared
-    val writer0 = routed.write.mode("overwrite").format(GraftTable.sourceNameOf(schema))
+    // per-LSM-level format: row-oriented L0 runs, columnar compacted base
+    // (reference: CoreOptions FILE_FORMAT_PER_LEVEL)
+    val fmtName = schema.fileFormatForLevel(level)
+    val writer0 = routed.write.mode("overwrite").format(GraftTable.sourceNameFor(fmtName))
     // codec: per-LSM-level override first ("0:lz4,5:zstd" — fast codec for
     // short-lived L0 runs, tight codec for the long-lived compacted base;
     // reference: CoreOptions "file.compression.per.level"), else the
@@ -1013,14 +1032,18 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     finally store.fs.delete(staging, true)
   }
 
-  /** Columns we collect min/max/nullCount stats for. */
+  /** Columns we collect min/max/nullCount stats for — stat-typed columns
+    * minus those opted out via `stats-mode = none` (reference:
+    * NoneSimpleColStatsCollector — a wide table's payload columns skip
+    * measurement entirely, keeping manifests lean at 100 TB).
+    */
   private def statCols(s: TableSchema = schema): Seq[Field] =
     s.dataFields.filter { f =>
-      f.sparkType match {
+      (f.sparkType match {
         case _: NumericType | StringType | DateType | TimestampType |
              TimestampNTZType | BooleanType => true
         case _ => false
-      }
+      }) && s.statsMode(f.name)._1 != "none"
     }
 
   /** Columns with a bloom index sidecar (option `file-index.bloom.columns`,
@@ -1052,12 +1075,13 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     // footers carry min/max/nullCount already; the scan fallback covers orc,
     // bloom sidecar builds (which need the data anyway), and any footer with
     // absent/unknown statistics
+    val fmtName = schema.fileFormatForLevel(level)
     val perFile: Seq[StagedStats] =
       (if (blooms.nonEmpty) None // bloom sidecars need the data anyway
-       else if (schema.fileFormat == "parquet") footerStats(staging, cols)
-       else if (schema.fileFormat == "orc") orcFooterStats(staging, cols)
+       else if (fmtName == "parquet") footerStats(staging, cols)
+       else if (fmtName == "orc") orcFooterStats(staging, cols)
        else None)
-        .getOrElse(scanStats(staging, cols, blooms))
+        .getOrElse(scanStats(staging, cols, blooms, fmtName))
 
     val stagingName = staging.getName
     perFile.map { r =>
@@ -1075,14 +1099,19 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       val bucket = kv.get(BucketCol).map(_.toInt).getOrElse(0)
 
       val stats = cols.map { f =>
+        val (mode, tlen) = schema.statsMode(f.name)
         val mnRaw = r.mins.getOrElse(f.name, null)
         val mxRaw = r.maxs.getOrElse(f.name, null)
         val (mn, mx) = f.sparkType match {
+          case _ if mode == "counts" => (None, None) // null count only
+          case StringType if mode == "full" =>
+            (Option(mnRaw).map(_.toString), Option(mxRaw).map(_.toString))
           case StringType =>
-            (Option(mnRaw).map(_.toString).map(_.take(StatsStringCap)),
+            val cap = if (mode == "truncate") tlen else StatsStringCap
+            (Option(mnRaw).map(_.toString).map(_.take(cap)),
              Option(mxRaw).map(_.toString).flatMap { s =>
-               if (s.length <= StatsStringCap) Some(s)
-               else truncateUp(s.take(StatsStringCap)) // None → unbounded
+               if (s.length <= cap) Some(s)
+               else truncateUp(s.take(cap)) // None → unbounded
              })
           case dt => (StatsCodec.encode(dt, mnRaw), StatsCodec.encode(dt, mxRaw))
         }
@@ -1113,11 +1142,11 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 
   /** One aggregation pass over the staged files (the pre-footer path). */
   private def scanStats(staging: Path, cols: Seq[Field],
-      blooms: Seq[Field]): Seq[StagedStats] = {
+      blooms: Seq[Field], fmtName: String): Seq[StagedStats] = {
     val staged = spark.read
       .schema(StructType(physicalDataSchema().fields)) // data cols only; dirs ignored
       .option("basePath", staging.toString)
-      .format(GraftTable.sourceNameOf(schema))
+      .format(GraftTable.sourceNameFor(fmtName))
       .load(staging.toString)
     val bloomAggs = blooms.zipWithIndex.map { case (f, i) =>
       org.apache.spark.sql.graft.SparkShims
@@ -1131,8 +1160,14 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         // driver can tell "truncated" apart from "short", then store a
         // truncated-down min / truncated-UP max — valid outer bounds
         // (reference: SimpleStats truncation; storing subset min/max would
-        // silently prune files containing long matching strings)
-        case StringType => substring(c, 1, StatsStringCap + 1)
+        // silently prune files containing long matching strings).
+        // stats-mode=full collects the whole value (exact bounds)
+        case StringType if schema.statsMode(f.name)._1 != "full" =>
+          val cap = schema.statsMode(f.name) match {
+            case ("truncate", n) => n
+            case _ => StatsStringCap
+          }
+          substring(c, 1, cap + 1)
         case _ => c
       }
       Seq(min(statC).as(s"__mn$i"), max(statC).as(s"__mx$i"),
@@ -1397,23 +1432,41 @@ object GraftTable {
   /** Highest LSM level — fully-compacted files live here. */
   val MaxLevel = 5
 
-  /** File-format instance for a schema version's data files. */
-  def fileFormatOf(s: TableSchema): org.apache.spark.sql.execution.datasources.FileFormat =
-    s.fileFormat match {
+  /** File-format instance by name. */
+  def fileFormatFor(name: String): org.apache.spark.sql.execution.datasources.FileFormat =
+    name match {
       case "orc" => new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
       case "avro" => new graft.formats.GraftAvroFileFormat
       case _ => new ParquetFileFormat
     }
 
+  /** File-format instance for a schema version's data files. */
+  def fileFormatOf(s: TableSchema): org.apache.spark.sql.execution.datasources.FileFormat =
+    fileFormatFor(s.fileFormat)
+
   /** DataSource provider name for `DataFrameWriter.format` / reader
     * `.format` — built-in names for parquet/orc, the engine's own
     * `FileFormat` class for avro (no spark-avro module in this build).
     */
-  def sourceNameOf(s: TableSchema): String =
-    s.fileFormat match {
+  def sourceNameFor(format: String): String =
+    format match {
       case "avro" => classOf[graft.formats.GraftAvroFileFormat].getName
       case f => f
     }
+
+  def sourceNameOf(s: TableSchema): String = sourceNameFor(s.fileFormat)
+
+  /** Format of a data file from its extension (Spark writers always append
+    * one, including through compression suffixes like `.snappy.parquet`).
+    * None for unknown extensions — callers fall back to the file's SCHEMA
+    * format. This is what makes `file.format.per.level` mixes readable:
+    * each file self-describes its format.
+    */
+  def formatNameOfPath(path: String): Option[String] =
+    if (path.endsWith(".parquet")) Some("parquet")
+    else if (path.endsWith(".orc")) Some("orc")
+    else if (path.endsWith(".avro")) Some("avro")
+    else None
 
   /** Max stored length of string min/max stats. */
   val StatsStringCap = 64

@@ -139,6 +139,44 @@ class AvroFormatSpec extends SparkSpec {
     assert(t.toDF.filter(col("note") === "hello").count() == 10)
   }
 
+  test("file.format.per.level: avro L0 runs, parquet compacted base") {
+    val orders = sf("orders").limit(300).cache()
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("bucket" -> "2", "write-only" -> "true",
+        "file.format.per.level" -> s"0:avro,${GraftTable.MaxLevel}:parquet"))
+    t.upsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    val live0 = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(live0.forall(f => f.path.endsWith(".avro")), "L0 runs are avro")
+    // merge-on-read over avro L0 runs
+    assert(t.toDF.count() == 300)
+    t.compact()
+    val liveC = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(liveC.exists(f => f.path.endsWith(".parquet")),
+      s"compacted base is parquet: ${liveC.map(_.path.split('/').last)}")
+    assert(t.toDF.count() == 300)
+    // MIXED read: a fresh avro L0 run on top of the parquet base, through
+    // both the library MOR path and the DSv2 SQL path
+    t.upsert(orders.limit(10).withColumn("o_orderpriority", lit("X")))
+    val live2 = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(live2.exists(_.path.endsWith(".avro")) && live2.exists(_.path.endsWith(".parquet")),
+      "mixed avro+parquet live set")
+    assert(t.toDF.count() == 300)
+    assert(t.toDF.filter(col("o_orderpriority") === "X").count() == 10)
+    // expected content: %3 keys doubled by batch 2, except those the third
+    // upsert reset to their original price
+    val keys10 = orders.limit(10).select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val doubled = t.toDF
+      .filter(col("o_orderkey") % 3 === 0 && !col("o_orderkey").isin(keys10: _*))
+      .agg(sum("o_totalprice")).collect()(0).getDouble(0)
+    val exp = orders
+      .filter(col("o_orderkey") % 3 === 0 && !col("o_orderkey").isin(keys10: _*))
+      .agg(sum(col("o_totalprice") * 2)).collect()(0).getDouble(0)
+    assert(math.abs(doubled - exp) < 1e-6)
+  }
+
   test("SQL DDL with file.format=avro through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft-avrowh").toString
     spark.conf.set("spark.sql.catalog.gavro", classOf[graft.spark.v2.GraftCatalog].getName)

@@ -642,6 +642,45 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.count() == 20000)
   }
 
+  test("metadata.stats-mode: none/counts/full/truncate govern manifest stats") {
+    val rows = (1 to 50).map(i => (i.toLong, "verylongstringvalue%04d".format(i)))
+    import spark.implicits._
+    val df = rows.toDF("id", "s")
+
+    def firstStats(opts: Map[String, String]) = {
+      val t = GraftTable.create(spark, tmpTable(), df.schema, options = opts)
+      t.append(df.coalesce(1)) // one file → its stats cover all rows
+      (t, t.store.liveFiles(t.store.latestSnapshot.get).head.stats)
+    }
+
+    // none: the column is never measured
+    val (_, none) = firstStats(Map("metadata.stats-mode" -> "none"))
+    assert(none.isEmpty)
+    // counts: null count only
+    val (_, counts) = firstStats(Map("metadata.stats-mode" -> "counts"))
+    assert(counts("s").min.isEmpty && counts("s").max.isEmpty && counts("s").nullCount == 0)
+    // truncate(8): bounds stored short but OUTER (min prefix <= real min,
+    // max truncated UP past the real max)
+    val (t8, tr) = firstStats(Map("metadata.stats-mode" -> "truncate(8)"))
+    assert(tr("s").min.exists(_.length <= 8))
+    assert(tr("s").max.exists(m => m.length <= 8 && m > "verylongstringvalue0050".take(8)))
+    // full: exact untruncated bounds
+    val (_, full) = firstStats(Map("metadata.stats-mode" -> "full"))
+    assert(full("s").min.contains("verylongstringvalue0001"))
+    assert(full("s").max.contains("verylongstringvalue0050"))
+    // per-field override beats the table default
+    val (_, mixed) = firstStats(Map(
+      "metadata.stats-mode" -> "none", "fields.id.stats-mode" -> "full"))
+    assert(mixed.contains("id") && !mixed.contains("s"))
+    // truncated stats must stay SOUND: no false skip on a long-string match
+    assert(t8.toDF.filter(col("s") === "verylongstringvalue0042").count() == 1)
+    // typos fail DDL, not the first write
+    intercept[IllegalArgumentException](GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("metadata.stats-mode" -> "bogus")))
+    intercept[IllegalArgumentException](GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("fields.nope.stats-mode" -> "full")))
+  }
+
   test("file.format accepts avro (round 9); unknown formats rejected at create time") {
     // avro is a first-class format since round 9 (AvroFormatSpec covers it)
     val t = GraftTable.create(spark, tmpTable(), sf("orders").schema,
