@@ -910,8 +910,35 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val s = store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
       changelog, indexFiles, consumedIndexFiles).snapshot
     autoCreateTag(s)
+    notifyCommitCallbacks(s, entries)
     s
   }
+
+  /** Post-commit extension hook (reference: table/sink/CommitCallback.java
+    * :36 + CoreOptions "commit.callbacks") — e.g. registering new
+    * partitions with an external metastore. Invoked AFTER the durable
+    * commit; per the reference contract the callback must be idempotent
+    * (a crash between commit and callback means it may never fire, a retry
+    * may fire it twice) and its failure must not fail the already-durable
+    * write, so exceptions are logged and swallowed. Instances are cached
+    * per class name for the table's lifetime.
+    */
+  private lazy val commitCallbacks: Seq[graft.core.CommitCallback] =
+    schema.option("commit.callbacks", "").split(',').map(_.trim).filter(_.nonEmpty)
+      .toSeq.map { cls =>
+        Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[graft.core.CommitCallback]
+      }
+
+  private def notifyCommitCallbacks(s: Snapshot, entries: Seq[ManifestEntry]): Unit =
+    commitCallbacks.foreach { cb =>
+      try cb.call(this, s, entries)
+      catch {
+        case e if scala.util.control.NonFatal(e) =>
+          logWarning(s"commit callback ${cb.getClass.getName} failed " +
+            "(commit already durable)", e)
+      }
+    }
 
   /** Time-based automatic tags (reference: tag/TagAutoCreation.java,
     * CoreOptions 'tag.automatic-creation' = process-time | watermark,

@@ -642,6 +642,26 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.count() == 20000)
   }
 
+  test("commit.callbacks fire after every durable commit; failures never fail the write") {
+    TestCommitCallback.reset()
+    val orders = sf("orders").limit(100)
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("bucket" -> "2", "write-only" -> "true",
+        "commit.callbacks" ->
+          (classOf[TestCommitCallback].getName + ", " +
+            classOf[FailingCommitCallback].getName)))
+    t.upsert(orders)
+    t.upsert(orders.limit(10))
+    t.compact()
+    val calls = TestCommitCallback.calls.get()
+    assert(calls.size == 3, s"one callback per commit: $calls")
+    assert(calls.map(_._2) == Seq("APPEND", "APPEND", "COMPACT"))
+    assert(calls.forall(_._3 > 0), "entries visible to the callback")
+    // the failing callback threw on every commit, yet all writes succeeded
+    assert(t.toDF.count() == 100)
+  }
+
   test("metadata.stats-mode: none/counts/full/truncate govern manifest stats") {
     val rows = (1 to 50).map(i => (i.toLong, "verylongstringvalue%04d".format(i)))
     import spark.implicits._
@@ -933,4 +953,25 @@ class FeatureSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+}
+
+/** Records (snapshotId, commitKind, entryCount) per invocation. */
+class TestCommitCallback extends graft.core.CommitCallback {
+  override def call(table: GraftTable, snapshot: graft.core.Snapshot,
+      entries: Seq[graft.core.ManifestEntry]): Unit =
+    TestCommitCallback.calls.updateAndGet(_ :+
+      ((snapshot.id, snapshot.commitKind, entries.size)))
+}
+
+object TestCommitCallback {
+  val calls = new java.util.concurrent.atomic.AtomicReference[
+    Vector[(Long, String, Int)]](Vector.empty)
+  def reset(): Unit = calls.set(Vector.empty)
+}
+
+/** Always throws — proves a callback failure never fails the write. */
+class FailingCommitCallback extends graft.core.CommitCallback {
+  override def call(table: GraftTable, snapshot: graft.core.Snapshot,
+      entries: Seq[graft.core.ManifestEntry]): Unit =
+    throw new RuntimeException("boom (intentional test failure)")
 }
