@@ -142,6 +142,26 @@ object QuickStart {
       TextOps.repeatedWindows(docs, "doc_id", "text", n = 8).count())
     println(s"[pipeline] docs with PII-pattern hits: " +
       docs.filter(TextOps.piiCounts(col("text")).map(_._2).reduce(_ + _) > 0).count())
+
+    // ---- round-9 file-layout features: avro L0 over parquet base, and a
+    // bucketed APPEND table (HASH_FIXED without a primary key) ----
+    val plT = GraftTable.create(spark, s"$base/orders_pl", ords.schema,
+      primaryKeys = Seq("o_orderkey"),
+      options = Map("bucket" -> "2", "write-only" -> "true",
+        "file.format.per.level" -> s"0:avro,${GraftTable.MaxLevel}:parquet"))
+    plT.upsert(ords)
+    plT.compact()
+    plT.upsert(ords.limit(100))
+    val plFmts = plT.store.liveFiles(plT.store.latestSnapshot.get)
+      .map(_.path.split('.').last).distinct.sorted
+    println(s"[formats] per-level live set=${plFmts.mkString("+")} " +
+      s"rows=${plT.toDF.count()} (avro L0 merged over parquet base)")
+    val abT = GraftTable.create(spark, s"$base/orders_ab", ords.schema,
+      options = Map("bucket-key" -> "o_orderkey", "bucket" -> "4"))
+    abT.append(ords)
+    println(s"[formats] bucketed append: buckets=" +
+      abT.store.liveFiles(abT.store.latestSnapshot.get).map(_.bucket).distinct.size +
+      s" point-read rows=${abT.toDF.filter(col("o_orderkey") === 8).count()}")
     println("[done]")
     spark.stop()
   }
