@@ -811,6 +811,46 @@ object Fixtures {
     tbl
   }
 
+  /** Dynamic INSERT OVERWRITE through SQL: a partitioned catalog table
+    * loaded from lineitem, then partition 'R' replaced under
+    * partitionOverwriteMode=dynamic with its discounts zeroed — other
+    * partitions must survive untouched (q107 twin of the API-path q07).
+    */
+  def sqlDynamicOverwrite(spark: SparkSession, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val tbl = s"graft.db.li_dyn_$tag"
+    build(spark, sfDir, "sql_dynamic_overwrite") { _ =>
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", s"$base/warehouse")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           | l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+           | l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+           | l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+           | l_linestatus STRING, l_shipdate TIMESTAMP)
+           |USING graft PARTITIONED BY (l_returnflag)""".stripMargin)
+      src(spark, sfDir, "lineitem").createOrReplaceTempView(s"src_li_dyn_$tag")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM src_li_dyn_$tag")
+      val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.sql(
+          s"""INSERT OVERWRITE $tbl
+             |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+             |  l_extendedprice, 0.0 AS l_discount, l_tax, l_returnflag,
+             |  l_linestatus, l_shipdate
+             |FROM src_li_dyn_$tag WHERE l_returnflag = 'R'""".stripMargin)
+      } finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      GraftTable.load(spark, s"$base/warehouse/db/li_dyn_$tag")
+    }
+    tbl
+  }
+
   /** lineitem as a catalog append table partitioned by l_returnflag — the
     * fixture for metadata-only aggregate pushdown (COUNT/MIN/MAX answered
     * from manifests through the DSv2 SQL path). Returns the table name.

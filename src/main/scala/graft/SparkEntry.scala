@@ -292,6 +292,11 @@ object SparkEntry {
     // key filter riding through the scan
     // per-level file formats: avro L0 merged over a parquet base
     "q106_per_level_format" -> ((s, d) => Fixtures.ordersPerLevelFormat(s, d).toDF),
+    // dynamic INSERT OVERWRITE via SQL: partition R replaced, others kept
+    "q107_sql_dynamic_overwrite" -> ((s, d) => {
+      val t = Fixtures.sqlDynamicOverwrite(s, d)
+      s.sql(s"SELECT * FROM $t")
+    }),
     "q104_append_bucketed" -> ((s, d) =>
       Fixtures.lineitemAppendBucketed(s, d).toDF.filter(col("l_orderkey") % 5 === 0)),
     // append-fact equijoin of two same-spec bucketed append tables
@@ -757,6 +762,12 @@ object SparkEntry {
     "q102_avro_scan" -> "SELECT * FROM lineitem",
     "q103_avro_pk_upsert" -> mergedOrders,
     "q106_per_level_format" -> mergedOrders,
+    "q107_sql_dynamic_overwrite" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        | l_extendedprice,
+        | CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS l_discount,
+        | l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem""".stripMargin,
     "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
     "q105_append_bucket_join" ->
       """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority
