@@ -743,6 +743,26 @@ trait MaintenanceOps { self: GraftTable =>
     expireFiles.foreach(p => fs.delete(new Path(store.rootPath, p), false))
     expireManifests.foreach(m => fs.delete(new Path(store.manifestDir, m), false))
     expire.foreach(id => fs.delete(store.snapshotPath(id), false))
+    // opt-in (reference: CoreOptions "snapshot.expire.clean-empty-directories"
+    // + FileDeletionBase.tryDeleteEmptyDirectory:442): a dropped partition's
+    // now-empty partition/bucket dirs are removed bottom-up so object
+    // listings don't accumulate dead prefixes. Best-effort and race-safe:
+    // a non-empty delete simply fails (recursive = false) and is skipped —
+    // a concurrent writer re-creating the dir loses nothing.
+    if (schema.option("snapshot.expire.clean-empty-directories", "false").toBoolean) {
+      val dirs = expireFiles
+        .map(p => new Path(store.rootPath, p).getParent)
+        .filter(_.toString.startsWith(store.dataDir.toString)).distinct
+      // deepest first, then walk up to (but not including) the data root
+      dirs.sortBy(-_.depth).foreach { d =>
+        var cur = d
+        while (cur != null && cur != store.dataDir &&
+            (try fs.listStatus(cur).isEmpty catch { case _: Exception => false }) &&
+            (try fs.delete(cur, false) catch { case _: Exception => false })) {
+          cur = cur.getParent
+        }
+      }
+    }
     if (decoupled) expireChangelogs()
     expire
   }

@@ -642,6 +642,23 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.count() == 20000)
   }
 
+  test("snapshot.expire.clean-empty-directories removes dead partition dirs") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "pt")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      partitionKeys = Seq("pt"),
+      options = Map("snapshot.expire.clean-empty-directories" -> "true"))
+    t.append(df)
+    t.delete(col("pt") === "b") // metadata partition drop
+    t.append(Seq((4L, "a")).toDF("id", "pt")) // extra snapshot to expire past
+    val bDir = new org.apache.hadoop.fs.Path(t.store.dataDir, "pt=b")
+    assert(t.store.fs.exists(bDir), "dir still holds the expired-visible file")
+    t.expireSnapshots(retainLast = 1)
+    assert(!t.store.fs.exists(bDir), "empty partition dir cleaned after expiry")
+    // surviving partitions untouched
+    assert(t.toDF.count() == 3)
+    assert(t.store.fs.exists(new org.apache.hadoop.fs.Path(t.store.dataDir, "pt=a")))
+  }
+
   test("commit.callbacks fire after every durable commit; failures never fail the write") {
     TestCommitCallback.reset()
     val orders = sf("orders").limit(100)
