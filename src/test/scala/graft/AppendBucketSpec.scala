@@ -128,6 +128,37 @@ class AppendBucketSpec extends SparkSpec {
     assert(t.toDF.filter(col("id") === 37L).count() == 1)
   }
 
+  test("partitioned + bucketed append table: both pruning dimensions compose") {
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}", i * 2.0)).toDF("id", "grp", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      partitionKeys = Seq("grp"),
+      options = Map("bucket-key" -> "id", "bucket" -> "4"))
+    t.append(df)
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    // layout: grp=X/__bucket=N dirs
+    assert(live.forall(f => f.path.contains("grp=") && f.path.contains("__bucket=")))
+    assert(live.map(f => (f.partition, f.bucket)).distinct.size > 3)
+    assert(t.toDF.count() == 300)
+    // partition pruning alone, bucket pruning alone, and both together
+    assert(t.toDF.filter(col("grp") === "g1").count() == 100)
+    assert(t.toDF.filter(col("id") === 7L).count() == 1)
+    assert(t.toDF.filter(col("grp") === "g1" && col("id") === 7L).count() == 1)
+    assert(t.toDF.filter(col("grp") === "g1" && col("id") === 9L).count() == 0)
+    // bucket-level pruning is exact on the bucket-key equality
+    val pruned = graft.spark.GraftFileIndex.bucketsFromFilters(
+      t.schema, Seq(org.apache.spark.sql.sources.EqualTo("id", 7L)))
+    assert(pruned.exists(_.size == 1))
+    // compaction preserves both dimensions
+    t.append((1000L to 1001L).map(i => (i, "g0", 1.0)).toDF("id", "grp", "v"))
+    t.compactSmallFiles()
+    val liveC = t.store.liveFiles(t.store.latestSnapshot.get)
+    assert(liveC.forall(f => f.path.contains("grp=") && f.path.contains("__bucket=")))
+    assert(t.toDF.count() == 302)
+    // partition drop through SQL-style delete keeps the other partitions
+    t.delete(col("grp") === "g2")
+    assert(t.toDF.count() == 302 - 100)
+  }
+
   test("scan reports pruning metrics on the DSv2 scan node") {
     val wh = java.nio.file.Files.createTempDirectory("graft-met-wh").toString
     spark.conf.set("spark.sql.catalog.gmet", classOf[graft.spark.v2.GraftCatalog].getName)
