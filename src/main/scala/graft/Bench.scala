@@ -147,12 +147,14 @@ object Bench {
       "\"" + k + "\":[" + samplesOf(k).map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    // Two lines: a detail record (per-key samples + warm-up) for humans, then
-    // the legacy single-line shape LAST so the harness's parser — which keyed
-    // on the round-2 structure and returned null once "samples" was inlined —
-    // finds exactly what it expects.
-    println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","medians":${fmtMap(medians)},"samples":$samplesJson,"warmup":${fmtMap(warmup.toSeq)},"sf":"$sfDir"}""")
+    // The detail record (per-key samples + warm-up) goes to STDERR so that
+    // stdout carries exactly ONE JSON line for the harness. sbt's logger
+    // prefixes captured output with "[info] ", which defeats a line-wise
+    // json.loads — build.sbt forces `run / outputStrategy := StdoutOutput`
+    // so the forked JVM writes through unprefixed.
+    System.err.println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","medians":${fmtMap(medians)},"samples":$samplesJson,"warmup":${fmtMap(warmup.toSeq)},"sf":"$sfDir"}""")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmtMap(medians)},"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }
