@@ -275,6 +275,21 @@ case class TableSchema(
           s"bucket-key must not contain partition columns: ${inPt.mkString(",")}")
       }
     }
+    // commit.callbacks classes must resolve at DDL time: an unloadable
+    // class discovered only at first commit would surface AFTER the commit
+    // is durable, reading as a failed write that actually landed
+    options.get("commit.callbacks").foreach {
+      _.split(',').map(_.trim).filter(_.nonEmpty).foreach { cls =>
+        val c = try Class.forName(cls) catch {
+          case _: ClassNotFoundException => throw new IllegalArgumentException(
+            s"commit.callbacks: class not found: $cls")
+        }
+        require(classOf[graft.core.CommitCallback].isAssignableFrom(c),
+          s"commit.callbacks: $cls does not implement graft.core.CommitCallback")
+        require(c.getConstructors.exists(_.getParameterCount == 0),
+          s"commit.callbacks: $cls needs a public no-arg constructor")
+      }
+    }
     recordLevelExpire.foreach { case (tf, _) =>
       // reference: RecordLevelExpire.create — pk table, INT seconds field
       require(isPrimaryKeyed,

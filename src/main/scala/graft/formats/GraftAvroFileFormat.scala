@@ -150,11 +150,18 @@ class GraftAvroFileFormat extends FileFormat
     }
     val n = pos.length
     var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+    // Close at task completion too: early-terminated scans (LIMIT,
+    // short-circuited joins, task failures) never exhaust the iterator,
+    // and FileScanRDD only closes iterators that are Closeable. Same
+    // pattern as spark-avro's AvroFileFormat reader registration.
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[InternalRow] {
       override def hasNext: Boolean = {
         if (closed) return false
         val more = reader.hasNext && !reader.pastSync(end)
-        if (!more) { reader.close(); closed = true }
+        if (!more) closeOnce()
         more
       }
       override def next(): InternalRow = {

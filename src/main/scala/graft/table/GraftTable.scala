@@ -925,9 +925,19 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     */
   private lazy val commitCallbacks: Seq[graft.core.CommitCallback] =
     schema.option("commit.callbacks", "").split(',').map(_.trim).filter(_.nonEmpty)
-      .toSeq.map { cls =>
-        Class.forName(cls).getDeclaredConstructor().newInstance()
-          .asInstanceOf[graft.core.CommitCallback]
+      .toSeq.flatMap { cls =>
+        // class resolvability is checked at DDL time (TableSchema.validate),
+        // but a table created elsewhere (or a class dropped since) must not
+        // fail an already-durable commit: instantiation failures are
+        // logged and the callback skipped, same contract as call() failures
+        try Some(Class.forName(cls).getDeclaredConstructor().newInstance()
+          .asInstanceOf[graft.core.CommitCallback])
+        catch {
+          case e if scala.util.control.NonFatal(e) =>
+            logWarning(s"commit callback $cls could not be instantiated; " +
+              "skipping (commit already durable)", e)
+            None
+        }
       }
 
   private def notifyCommitCallbacks(s: Snapshot, entries: Seq[ManifestEntry]): Unit =

@@ -750,9 +750,19 @@ trait MaintenanceOps { self: GraftTable =>
     // a non-empty delete simply fails (recursive = false) and is skipped —
     // a concurrent writer re-creating the dir loses nothing.
     if (schema.option("snapshot.expire.clean-empty-directories", "false").toBoolean) {
+      // true ancestry walk, not a string-prefix test — ".../data" must not
+      // capture a sibling ".../data-old"
+      def underDataDir(p: Path): Boolean = {
+        var cur = p
+        while (cur != null) {
+          if (cur == store.dataDir) return true
+          cur = cur.getParent
+        }
+        false
+      }
       val dirs = expireFiles
         .map(p => new Path(store.rootPath, p).getParent)
-        .filter(_.toString.startsWith(store.dataDir.toString)).distinct
+        .filter(underDataDir).distinct
       // deepest first, then walk up to (but not including) the data root
       dirs.sortBy(-_.depth).foreach { d =>
         var cur = d

@@ -31,6 +31,16 @@ class AvroFormatSpec extends SparkSpec {
     assert(math.abs(sums - exp) < 1e-6)
   }
 
+  test("avro early-terminated scan (LIMIT) closes readers via task-completion listener") {
+    val li = sf("lineitem").limit(5000)
+    val t = GraftTable.create(spark, tmpTable(), li.schema,
+      options = Map("file.format" -> "avro"))
+    t.append(li.repartition(8)) // several files, none exhausted by LIMIT 3
+    assert(t.toDF.limit(3).collect().length == 3)
+    // the table stays fully readable afterwards (no handle poisoned)
+    assert(t.toDF.count() == 5000)
+  }
+
   test("avro pk table: upsert, MOR merge, compaction, delete") {
     val orders = sf("orders").limit(300).cache()
     val t = GraftTable.create(spark, tmpTable(), orders.schema,

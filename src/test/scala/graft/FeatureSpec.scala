@@ -679,6 +679,21 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.count() == 100)
   }
 
+  test("commit.callbacks: unresolvable class fails at CREATE, not after a durable commit") {
+    val orders = sf("orders").limit(10)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), orders.schema,
+        options = Map("commit.callbacks" -> "no.such.CallbackClazz"))
+    }
+    assert(e.getMessage.contains("no.such.CallbackClazz"))
+    // a resolvable class that is not a CommitCallback is rejected too
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), orders.schema,
+        options = Map("commit.callbacks" -> "java.lang.String"))
+    }
+    assert(e2.getMessage.contains("does not implement"))
+  }
+
   test("metadata.stats-mode: none/counts/full/truncate govern manifest stats") {
     val rows = (1 to 50).map(i => (i.toLong, "verylongstringvalue%04d".format(i)))
     import spark.implicits._
