@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, TextOps, VectorOps}
+import graft.pipeline.{Dedup, Multimodal, TextOps, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -306,6 +306,28 @@ object SparkEntry {
       val o = Fixtures.ordersAppendBucketed(s, d).toDF
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(col("o_orderkey"), col("qty"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+    // multimodal decode: render real PNGs whose dims/pixels are closed-form
+    // functions of doc_id, decode them through the REAL ImageIO kernel, and
+    // emit stats the oracle recomputes arithmetically — a hash mismatch on
+    // any row means the decode didn't actually read the pixels
+    "q108_multimodal_decode" -> ((s, d) => {
+      val base = Fixtures.src(s, d, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(40))).cast("int").as("w"),
+          (lit(8) + pmod(col("doc_id") * 7, lit(30))).cast("int").as("h"),
+          pmod(col("doc_id") * 31, lit(256)).cast("int").as("gray"))
+      val rendered = Multimodal.renderSolidPngs(base, "w", "h", "gray")
+      Multimodal.decodeImages(rendered, "content", embeddingDim = 4)
+        .select(
+          col("doc_id"),
+          col("image_info.width").cast("long").as("width"),
+          col("image_info.height").cast("long").as("height"),
+          col("image_info.channels").cast("long").as("channels"),
+          col("image_info.pixel_sum").as("pixel_sum"),
+          col("image_info.decoder").as("decoder"))
     }),
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
@@ -768,6 +790,15 @@ object SparkEntry {
         | CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END AS l_discount,
         | l_tax, l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem""".stripMargin,
+    "q108_multimodal_decode" ->
+      """SELECT doc_id,
+        | 8 + (doc_id % 40) AS width,
+        | 8 + ((doc_id * 7) % 30) AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | (8 + (doc_id % 40)) * (8 + ((doc_id * 7) % 30)) * 3 * ((doc_id * 31) % 256)
+        |   AS pixel_sum,
+        | 'imageio' AS decoder
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
     "q105_append_bucket_join" ->
       """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority

@@ -1,5 +1,9 @@
 package graft.pipeline
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -8,14 +12,17 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) columns for training-data pipelines:
   * media travels as opaque `binary` columns + typed metadata structs, and
   * per-item compute (decode, feature extraction, frame sampling) runs as
-  * BATCHED partition-local transforms — the Spark-side plumbing (schemas,
-  * batch shape, partitioning, fan-out) is real and tested.
+  * BATCHED partition-local transforms — no shuffle, no driver
+  * materialization, so the shape holds on a 100 TB corpus.
   *
-  * The actual codecs are STUBBED with deterministic content-hash fakes
-  * (`stubDecode*`): this environment ships no image/audio libraries, so the
-  * decode kernel is the single seam to swap for a real implementation
-  * (e.g. a JNI decoder or a Pandas-UDF worker); everything around it —
-  * batching, schema contracts, explode semantics — is production-shaped.
+  * The image decode kernel is REAL: `javax.imageio.ImageIO` (ships in the
+  * JDK) decodes PNG/JPEG/GIF/BMP to width/height/channels, exact pixel
+  * sums and a luminance-grid embedding. Bytes ImageIO cannot decode
+  * (unknown/broken formats, or genuinely exotic codecs) fall back to a
+  * deterministic content-hash pseudo-decode so the pipeline stays total —
+  * the `decoder` field records which path produced each row. Audio/video
+  * codecs are not in the JDK; frame sampling remains a byte-slice stand-in
+  * with the production fan-out shape.
   */
 object Multimodal {
 
@@ -29,6 +36,8 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
+    StructField("pixel_sum", LongType),     // sum of all band samples (exact)
+    StructField("decoder", StringType),     // imageio | fallback
     StructField("embedding", ArrayType(FloatType))))
 
   /** Attach media metadata derived from the binary content (codegen'd —
@@ -50,13 +59,63 @@ object Multimodal {
       .otherwise("unknown")
   }
 
-  /** STUB decode kernel: deterministic pseudo-image info + embedding from
-    * the content bytes. Replace this one function with a real decoder; the
-    * signature (bytes in, typed struct out, called once per item inside a
-    * batch) is the production contract.
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP): exact
+    * dimensions, channel count from the color model, the exact sum of all
+    * raster band samples, and a luminance-grid embedding (`embeddingDim`
+    * cells of mean 601-luma over an even spatial grid, normalized to
+    * [0,1]). Integer arithmetic throughout → bit-deterministic across
+    * JVMs. Returns null on undecodable bytes (caller falls back).
+    */
+  def decodeImageIO(content: Array[Byte], embeddingDim: Int): Row = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    // exact pixel sum across all bands + per-pixel luma accumulated into
+    // an embeddingDim-cell spatial grid
+    val gw = math.ceil(math.sqrt(embeddingDim.toDouble)).toInt.max(1)
+    val gh = ((embeddingDim + gw - 1) / gw).max(1)
+    val lumaSum = new Array[Long](gw * gh)
+    val lumaCnt = new Array[Long](gw * gh)
+    var pixelSum = 0L
+    val px = new Array[Int](bands)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * gh / h, gh - 1)
+      var x = 0
+      while (x < w) {
+        raster.getPixel(x, y, px)
+        var b = 0
+        var r = 0; var g = 0; var bl = 0
+        while (b < bands) { pixelSum += px(b); b += 1 }
+        if (bands >= 3) { r = px(0); g = px(1); bl = px(2) }
+        else { r = px(0); g = px(0); bl = px(0) } // gray / palette-expanded
+        // Rec.601 integer luma: for r=g=b this is exactly the gray value
+        val luma = (r * 299 + g * 587 + bl * 114) / 1000
+        val cell = cy * gw + math.min(x * gw / w, gw - 1)
+        lumaSum(cell) += luma
+        lumaCnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val emb = Array.tabulate(embeddingDim) { i =>
+      if (i < gw * gh && lumaCnt(i) > 0)
+        (lumaSum(i).toDouble / lumaCnt(i) / 255.0).toFloat
+      else 0f
+    }
+    Row(w, h, bands, pixelSum, "imageio", emb.toSeq)
+  }
+
+  /** Deterministic content-hash pseudo-decode — the fallback for bytes the
+    * JDK cannot decode, keeping the pipeline total over dirty corpora.
     */
   def stubDecodeImage(content: Array[Byte], embeddingDim: Int): Row = {
-    if (content == null) return Row(null, null, null, null)
+    if (content == null) return Row(null, null, null, null, null, null)
     var h = 1125899906842597L
     var i = 0
     while (i < math.min(content.length, 256)) { h = 31 * h + content(i); i += 1 }
@@ -64,12 +123,19 @@ object Multimodal {
     val w = 64 + math.floorMod(next(), 1024).toInt
     val ht = 64 + math.floorMod(next(), 1024).toInt
     val emb = Array.fill(embeddingDim)(math.floorMod(next(), 2000).toFloat / 1000f - 1f)
-    Row(w, ht, 3, emb.toSeq)
+    Row(w, ht, 3, null, "fallback", emb.toSeq)
+  }
+
+  /** Decode one item: real ImageIO first, deterministic fallback second. */
+  def decodeImage(content: Array[Byte], embeddingDim: Int): Row = {
+    if (content == null) return Row(null, null, null, null, null, null)
+    val real = decodeImageIO(content, embeddingDim)
+    if (real != null) real else stubDecodeImage(content, embeddingDim)
   }
 
   /** Batched partition-local image decode: groups each partition's rows
-    * into `batchSize` chunks (the shape a vectorized decoder / Pandas UDF
-    * worker expects), decodes per item, and appends an `image_info` struct.
+    * into `batchSize` chunks (the shape a vectorized decoder expects),
+    * decodes per item via ImageIO, and appends an `image_info` struct.
     * No shuffle — partitioning and row order are preserved.
     */
   def decodeImages(df: DataFrame, contentCol: String,
@@ -80,13 +146,49 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // batch boundary: a real decoder would process `batch` in one
-        // vectorized call; the stub decodes item-wise
+        // batch boundary: a vectorized decoder would process `batch` in
+        // one call; ImageIO decodes item-wise within the batch
         batch.map { r =>
-          val info = stubDecodeImage(r.getAs[Array[Byte]](contentIdx), embeddingDim)
+          val info = decodeImage(r.getAs[Array[Byte]](contentIdx), embeddingDim)
           Row.fromSeq(r.toSeq :+ info)
         }
       }
+    }(enc)
+  }
+
+  /** Encode a solid-gray RGB image as PNG bytes (ImageIO, lossless). The
+    * synthetic-fixture generator for pipeline tests/benchmarks: dimensions
+    * and pixel content are closed-form functions of the inputs, so decoded
+    * stats are verifiable by an external oracle without an image library
+    * (pixel_sum == w*h*3*gray for the decoded result).
+    */
+  def encodeSolidPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, width, height)
+    } finally g2.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Render a `content` PNG column from integer width/height/gray columns —
+    * partition-local, batched like the decode. Pairs with [[decodeImages]]
+    * for end-to-end encode→decode verification on synthetic corpora.
+    */
+  def renderSolidPngs(df: DataFrame, wCol: String, hCol: String,
+      grayCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val (wi, hi, gi) =
+      (df.schema.fieldIndex(wCol), df.schema.fieldIndex(hCol), df.schema.fieldIndex(grayCol))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = encodeSolidPng(r.getInt(wi), r.getInt(hi), r.getInt(gi))
+        Row.fromSeq(r.toSeq :+ bytes)
+      })
     }(enc)
   }
 
@@ -108,12 +210,48 @@ object Multimodal {
       .drop("frame")
   }
 
-  /** Resize as a metadata transform on decoded info (the stub keeps the
-    * embedding; a real implementation would re-decode at target size).
+  /** Real image resize: decode via ImageIO, scale with bilinear
+    * interpolation, re-encode as PNG. Rows whose bytes cannot be decoded
+    * pass through unchanged (same totality contract as [[decodeImages]]).
+    * Partition-local and batched; no shuffle.
+    */
+  def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int,
+      batchSize: Int = 64): DataFrame = {
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try ImageIO.read(new ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null) r
+        else {
+          val scaled = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+          val g2 = scaled.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w, h, null)
+          } finally g2.dispose()
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(scaled, "png", out)
+          Row.fromSeq(r.toSeq.updated(contentIdx, out.toByteArray))
+        }
+      })
+    }(enc)
+  }
+
+  /** Resize as a metadata transform on decoded info (no re-decode; see
+    * [[resizeImages]] for the pixel-level path).
     */
   def resizeInfo(df: DataFrame, infoCol: String, w: Int, h: Int): DataFrame =
     df.withColumn(infoCol, struct(
       lit(w).as("width"), lit(h).as("height"),
       col(s"$infoCol.channels").as("channels"),
+      col(s"$infoCol.pixel_sum").as("pixel_sum"),
+      col(s"$infoCol.decoder").as("decoder"),
       col(s"$infoCol.embedding").as("embedding")))
 }

@@ -32,10 +32,75 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("id").collect()
     val b = Multimodal.decodeImages(df, "content", embeddingDim = 8, batchSize = 2)
       .select("id", "image_info.width", "image_info.embedding").orderBy("id").collect()
-    assert(a.sameElements(b), "stub decode must be deterministic")
+    assert(a.sameElements(b), "decode must be deterministic")
     assert(a.forall(_.getSeq[Float](2).size == 8))
     // identical content → identical embedding; different content → different
     assert(a(0).getSeq[Float](2) != a(1).getSeq[Float](2))
+    // magic-byte fakes are not decodable images → fallback path, flagged
+    assert(decoded.select("image_info.decoder").collect()
+      .forall(_.getString(0) == "fallback"))
+  }
+
+  test("ImageIO decodes real PNG bytes: exact dims, channels, pixel sum, luma embedding") {
+    val bytes = Multimodal.encodeSolidPng(20, 10, 100)
+    val df = Seq((1L, bytes)).toDF("id", "content")
+    // the real encoder emits real magic bytes: the sniffer sees a png
+    assert(df.select(Multimodal.sniffFormat(col("content"))).collect()(0)
+      .getString(0) == "png")
+    val r = Multimodal.decodeImages(df, "content", embeddingDim = 4)
+      .select("image_info.*").collect()(0)
+    assert(r.getInt(0) == 20 && r.getInt(1) == 10)
+    assert(r.getInt(2) == 3, "TYPE_3BYTE_BGR decodes to 3 bands")
+    assert(r.getLong(3) == 20L * 10 * 3 * 100, "exact pixel sum of solid gray")
+    assert(r.getString(4) == "imageio")
+    val emb = r.getSeq[Float](5)
+    assert(emb.size == 4 && emb.forall(v => math.abs(v - 100f / 255f) < 1e-6),
+      s"solid gray 100 → uniform luma embedding, got $emb")
+  }
+
+  test("ImageIO decodes real JPEG and BMP bytes (dims exact)") {
+    val img = new java.awt.image.BufferedImage(33, 17,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (fmt <- Seq("jpeg", "bmp")) {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      val df = Seq((1L, out.toByteArray)).toDF("id", "content")
+      val r = Multimodal.decodeImages(df, "content")
+        .select("image_info.width", "image_info.height", "image_info.decoder")
+        .collect()(0)
+      assert((r.getInt(0), r.getInt(1), r.getString(2)) == ((33, 17, "imageio")), fmt)
+    }
+  }
+
+  test("renderSolidPngs → decodeImages round trip is closed-form verifiable") {
+    val base = spark.range(1, 21).select(
+      col("id"),
+      (lit(8) + pmod(col("id"), lit(40))).cast("int").as("w"),
+      (lit(8) + pmod(col("id") * 7, lit(30))).cast("int").as("h"),
+      pmod(col("id") * 31, lit(256)).cast("int").as("gray"))
+    val rendered = Multimodal.renderSolidPngs(base, "w", "h", "gray")
+    val decoded = Multimodal.decodeImages(rendered, "content", embeddingDim = 4)
+    val bad = decoded.filter(
+      col("image_info.decoder") =!= "imageio" ||
+        col("image_info.width") =!= col("w") ||
+        col("image_info.height") =!= col("h") ||
+        col("image_info.pixel_sum") =!=
+          col("w").cast("long") * col("h") * 3 * col("gray")).count()
+    assert(bad == 0, "every synthetic image decodes to its closed form")
+  }
+
+  test("resizeImages really rescales pixels (solid color survives bilinear resize)") {
+    val df = Seq((1L, Multimodal.encodeSolidPng(40, 40, 50))).toDF("id", "content")
+    val resized = Multimodal.resizeImages(df, "content", w = 8, h = 6)
+    val r = Multimodal.decodeImages(resized, "content")
+      .select("image_info.width", "image_info.height", "image_info.pixel_sum")
+      .collect()(0)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 6)
+    assert(r.getLong(2) == 8L * 6 * 3 * 50, "solid gray is invariant under resize")
+    // undecodable rows pass through unchanged
+    val junk = Seq((2L, Array[Byte](1, 2, 3))).toDF("id", "content")
+    assert(Multimodal.resizeImages(junk, "content", 8, 6)
+      .collect()(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
   }
 
   test("decoded embeddings flow into ANN search") {
