@@ -46,6 +46,22 @@ trait CommitStore {
   * think they won and one snapshot would be lost (found by
   * ConcurrencySpec); HDFS-like stores refuse the rename instead.
   */
+object CommitStore {
+  /** Select the impl by `graft.commit-store` in the Hadoop conf:
+    * `rename` (default) or `lock`. The seam point for object-store
+    * deployments — a conditional-PUT impl plugs in the same way.
+    */
+  def forConf(conf: org.apache.hadoop.conf.Configuration,
+      fsOf: () => FileSystem): CommitStore =
+    conf.get("graft.commit-store", "rename") match {
+      case "rename" => new RenameCommitStore(fsOf)
+      case "lock" => new LockFileCommitStore(fsOf,
+        conf.getLong("graft.commit-store.lock-ttl-ms", 10 * 60 * 1000L))
+      case other => throw new IllegalArgumentException(
+        s"unknown graft.commit-store: $other (expected rename or lock)")
+    }
+}
+
 class RenameCommitStore(fsOf: () => FileSystem) extends CommitStore {
   override def putIfAbsent(target: Path, content: String): Boolean = {
     val fs = fsOf()
@@ -70,5 +86,79 @@ class RenameCommitStore(fsOf: () => FileSystem) extends CommitStore {
     } catch { case _: java.io.IOException => false }
     fs.delete(tmp, false) // no-op when the rename path consumed it
     ok
+  }
+}
+
+/** Mutex-emulation [[CommitStore]] for stores WITHOUT an atomic
+  * fail-if-exists publish (the reference's catalog-lock strategy:
+  * `catalog.lock-enabled` backing FileSystemCatalog commits with an
+  * external lock, CatalogLock.java): a per-target lock object is created
+  * with an atomic create-exclusive primitive, and the existence-check +
+  * put of the real object happen under that mutex — so the put itself can
+  * be a plain overwrite-free write+rename without racing anybody.
+  *
+  * Lock objects carry their creation time; a lock older than `ttlMs`
+  * (a crashed committer) is broken once and acquisition retried. Losing
+  * the race for the LOCK is reported as losing the commit (`false`) —
+  * the caller's optimistic retry loop re-plans against the new latest
+  * snapshot, which is the same observable behavior as losing a
+  * conditional PUT.
+  */
+class LockFileCommitStore(fsOf: () => FileSystem,
+    ttlMs: Long = 10 * 60 * 1000L) extends CommitStore {
+
+  private def tryLock(fs: FileSystem, lock: Path): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        // RawLocalFileSystem.create(overwrite=false) is check-then-create
+        // (TOCTOU); POSIX CREATE_NEW is the real atomic primitive locally
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(lock.toUri.getPath),
+          String.valueOf(System.currentTimeMillis()).getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } else {
+        // HDFS-class create(overwrite=false) is atomic in the NameNode
+        val out = fs.create(lock, false)
+        try out.write(String.valueOf(System.currentTimeMillis())
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException => false
+    }
+
+  override def putIfAbsent(target: Path, content: String): Boolean = {
+    val fs = fsOf()
+    if (fs.exists(target)) return false
+    fs.mkdirs(target.getParent)
+    val lock = new Path(target.getParent, s".${target.getName}.lock")
+    var locked = tryLock(fs, lock)
+    if (!locked) {
+      // break a stale lock (crashed holder) exactly once, then re-race
+      val stale = try {
+        val st = fs.getFileStatus(lock)
+        System.currentTimeMillis() - st.getModificationTime > ttlMs
+      } catch { case _: java.io.IOException => false }
+      if (stale) {
+        fs.delete(lock, false)
+        locked = tryLock(fs, lock)
+      }
+    }
+    if (!locked) return false
+    try {
+      // under the mutex: nobody else writes `target`, so check + publish
+      // is race-free; write-then-rename keeps readers from seeing a
+      // partial object (rename may overwrite — we own the name)
+      if (fs.exists(target)) return false
+      val tmp = new Path(target.getParent, s".${target.getName}.${UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val ok = try fs.rename(tmp, target) catch { case _: java.io.IOException => false }
+      if (!ok) fs.delete(tmp, false)
+      ok
+    } finally fs.delete(lock, false)
   }
 }

@@ -97,7 +97,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     * [[CommitStore.putIfAbsent]]. Swap for a conditional-put impl on object
     * stores (contract documented on [[CommitStore]]).
     */
-  val commitStore: CommitStore = new RenameCommitStore(() => fs)
+  val commitStore: CommitStore = CommitStore.forConf(hadoopConf, () => fs)
 
   /** Publish content at `target` exactly once; false if target exists. */
   def writeAtomic(target: Path, s: String): Boolean =

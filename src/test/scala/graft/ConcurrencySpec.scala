@@ -12,7 +12,19 @@ import scala.util.Try
 class ConcurrencySpec extends SparkSpec {
   import spark.implicits._
 
-  test("8 racing appenders: every commit lands, no rows lost") {
+  /** Run `body` with the commit-atomicity impl pinned (both impls must
+    * satisfy the same CommitStore contract under contention).
+    */
+  private def withCommitStore[A](impl: String)(body: => A): A = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prev = hc.get("graft.commit-store")
+    hc.set("graft.commit-store", impl)
+    try body
+    finally if (prev == null) hc.unset("graft.commit-store") else hc.set("graft.commit-store", prev)
+  }
+
+  for (impl <- Seq("rename", "lock"))
+  test(s"8 racing appenders [$impl]: every commit lands, no rows lost")(withCommitStore(impl) {
     val df0 = Seq((0L, "seed")).toDF("k", "v")
     // write-only: this test asserts the exact snapshot-id sequence, which
     // writer-side auto-compaction would interleave with COMPACT commits
@@ -45,7 +57,7 @@ class ConcurrencySpec extends SparkSpec {
     val rows = t.toDF.collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows == (0 until writers).map(w => (w.toLong + 1, s"writer$w")).toSet,
       s"lost or duplicated rows: $rows")
-  }
+  })
 
   test("stale rewrite is rejected: deleting an already-deleted file conflicts") {
     import graft.core.ManifestEntry
@@ -64,7 +76,8 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.toDF.count() == 2)
   }
 
-  test("racing upserts to the same key: chain stays linear, one winner per seq") {
+  for (impl <- Seq("rename", "lock"))
+  test(s"racing upserts to the same key [$impl]: chain stays linear, one winner per seq")(withCommitStore(impl) {
     val df0 = Seq((1L, 0L)).toDF("k", "n")
     val t = GraftTable.create(spark, tmpTable(), df0.schema, primaryKeys = Seq("k"),
       options = Map("write-only" -> "true"))
@@ -91,5 +104,5 @@ class ConcurrencySpec extends SparkSpec {
     assert(merged.length == 1)
     val lastWriterVal = t.toDF(t.store.latestSnapshotId.get).collect()(0).getLong(1)
     assert(merged(0).getLong(1) == lastWriterVal)
-  }
+  })
 }
