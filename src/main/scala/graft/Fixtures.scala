@@ -299,6 +299,104 @@ object Fixtures {
       GraftTable.load(spark, path)
     }
 
+  /** Catalog bootstrap shared by fixtures that drive the DSv2 surface. */
+  private def ensureCatalog(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", s"$base/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+  }
+
+  /** DSv2 streaming from a mid-chain timestamp: the source table takes a
+    * full load plus two disjoint-key update commits with a captured
+    * timestamp between commit 1 and 2; a readStream with READER-side
+    * `scan.mode=from-timestamp` (through GraftMicroBatchStream) must
+    * replay exactly the two later deltas into the sink.
+    */
+  def ordersStreamFromTimestamp(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_stream_from_ts") { path =>
+      ensureCatalog(spark)
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"graft.db.stream_ts_$tag"
+      val orders = src(spark, sfDir, "orders")
+      orders.createOrReplaceTempView(s"src_stream_ts_$tag")
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           | o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+           |USING graft
+           |TBLPROPERTIES ('primary-key' = 'o_orderkey', 'write-only' = 'true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM src_stream_ts_$tag") // snap 1
+      Thread.sleep(50)
+      val betweenTs = System.currentTimeMillis()
+      Thread.sleep(50)
+      spark.sql( // snap 2: doubled prices on keys % 7 == 0
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+           |  o_orderdate, o_orderpriority
+           |FROM src_stream_ts_$tag WHERE o_orderkey % 7 = 0""".stripMargin)
+      spark.sql( // snap 3: RUSH priority on the DISJOINT key set % 7 == 1
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, 'RUSH'
+           |FROM src_stream_ts_$tag WHERE o_orderkey % 7 = 1""".stripMargin)
+      val q = spark.readStream
+        .option("scan.mode", "from-timestamp")
+        .option("scan.timestamp-millis", betweenTs.toString)
+        .table(tbl)
+        .writeStream.format("graft")
+        .option("path", path)
+        .option("primary-keys", "o_orderkey")
+        .option("checkpointLocation", path + "-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "AvailableNow stream did not terminate")
+      GraftTable.load(spark, path)
+    }
+
+  /** DSv2 streaming with `scan.mode=compacted-full`: full state of the
+    * latest COMPACT snapshot as the first batch, post-compaction deltas
+    * after (reference: CoreOptions.StartupMode COMPACTED_FULL).
+    */
+  def ordersStreamCompactedFull(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_stream_compacted_full") { path =>
+      ensureCatalog(spark)
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"graft.db.stream_cf_$tag"
+      val orders = src(spark, sfDir, "orders")
+      orders.createOrReplaceTempView(s"src_stream_cf_$tag")
+      spark.sql(
+        s"""CREATE TABLE $tbl (
+           | o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+           |USING graft
+           |TBLPROPERTIES ('primary-key' = 'o_orderkey', 'write-only' = 'true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM src_stream_cf_$tag") // snap 1
+      spark.sql( // snap 2: doubled prices on keys % 7 == 0
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+           |  o_orderdate, o_orderpriority
+           |FROM src_stream_cf_$tag WHERE o_orderkey % 7 = 0""".stripMargin)
+      val srcT = GraftTable.load(spark, s"$base/warehouse/db/stream_cf_$tag")
+      srcT.compact() // snap 3: the compacted-full anchor
+      spark.sql( // snap 4: post-compaction delta, disjoint key set
+        s"""INSERT INTO $tbl
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |  o_orderdate, 'RUSH'
+           |FROM src_stream_cf_$tag WHERE o_orderkey % 7 = 1""".stripMargin)
+      val q = spark.readStream
+        .option("scan.mode", "compacted-full")
+        .table(tbl)
+        .writeStream.format("graft")
+        .option("path", path)
+        .option("primary-keys", "o_orderkey")
+        .option("checkpointLocation", path + "-ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(120000), "AvailableNow stream did not terminate")
+      GraftTable.load(spark, path)
+    }
+
   /** Branch lifecycle under the oracle: a branch cut at snapshot 1
     * receives its own upsert; reading the branch must see snapshot-1 state
     * plus ONLY the branch commit (main's second upsert stays invisible).
@@ -1026,6 +1124,33 @@ object Fixtures {
     }
 
   /** Partial-update table with a read-time default for the priority. */
+  /** Nested schema evolution: even-key rows written under schema 0
+    * (info struct<price: float, st: string>), then rename st->status,
+    * widen price to double and add prio INSIDE the struct, then odd-key
+    * rows written under the evolved schema. The merged read must remap
+    * old files' nested fields by child field id.
+    */
+  def ordersNestedEvolution(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_nested_evolution") { path =>
+      val orders = src(spark, sfDir, "orders")
+      val v0 = orders.select(col("o_orderkey"), struct(
+        col("o_totalprice").cast(FloatType).as("price"),
+        col("o_orderstatus").as("st")).as("info"))
+      val t = GraftTable.create(spark, path, v0.schema)
+      t.append(v0.filter(col("o_orderkey") % 2 === 0))
+      t.renameColumn("info.st", "status")
+      t.updateColumnType("info.price", DoubleType)
+      t.addColumn("info.prio", StringType)
+      val v1 = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), struct(
+          // float->double through the same widening the old files take
+          col("o_totalprice").cast(FloatType).cast(DoubleType).as("price"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio")).as("info"))
+      t.append(v1)
+      t
+    }
+
   def ordersDefaults(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_defaults") { path =>
       val df = src(spark, sfDir, "orders")

@@ -183,6 +183,13 @@ object SparkEntry {
     "q71_stream_availablenow" -> ((s, d) =>
       Fixtures.ordersStreamRoundTrip(s, d).toDF
         .drop("_row_kind", "_sequence_number")),
+    // DSv2 streaming from a mid-chain timestamp: the sink holds exactly the
+    // two deltas committed after the captured timestamp (disjoint key sets)
+    "q110_stream_from_timestamp" -> ((s, d) =>
+      Fixtures.ordersStreamFromTimestamp(s, d).toDF),
+    // DSv2 streaming compacted-full: compacted state + post-compaction delta
+    "q111_stream_compacted_full" -> ((s, d) =>
+      Fixtures.ordersStreamCompactedFull(s, d).toDF),
     "q16_update" -> ((s, d) => Fixtures.ordersPkUpdated(s, d).toDF),
     "q17_merge_into" -> ((s, d) => Fixtures.ordersPkMerged(s, d).toDF),
     "q18_first_row" -> ((s, d) => Fixtures.ordersFirstRow(s, d).toDF),
@@ -329,6 +336,14 @@ object SparkEntry {
           col("image_info.pixel_sum").as("pixel_sum"),
           col("image_info.decoder").as("decoder"))
     }),
+    // nested-field schema evolution: old files' struct children remapped
+    // by child field id (rename follows, add null-fills, retype casts)
+    "q109_nested_evolution" -> ((s, d) =>
+      Fixtures.ordersNestedEvolution(s, d).toDF.select(
+        col("o_orderkey"),
+        col("info.price").as("price"),
+        col("info.status").as("status"),
+        col("info.prio").as("prio"))),
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
@@ -701,6 +716,22 @@ object SparkEntry {
       s"SELECT * FROM ($mergedOrders) WHERE o_orderstatus <> 'F'",
     "q71_stream_availablenow" ->
       s"SELECT * FROM ($mergedOrders) WHERE o_orderstatus <> 'F'",
+    "q110_stream_from_timestamp" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate,
+        | CASE WHEN o_orderkey % 7 = 1 THEN 'RUSH'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 7 <= 1""".stripMargin,
+    "q111_stream_compacted_full" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | o_orderdate,
+        | CASE WHEN o_orderkey % 7 = 1 THEN 'RUSH'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
     "q16_update" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus,
          | CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
@@ -799,6 +830,12 @@ object SparkEntry {
         |   AS pixel_sum,
         | 'imageio' AS decoder
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q109_nested_evolution" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
+        | o_orderstatus AS status,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio
+        |FROM orders""".stripMargin,
     "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
     "q105_append_bucket_join" ->
       """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority

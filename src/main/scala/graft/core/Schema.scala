@@ -7,11 +7,22 @@ import org.apache.spark.sql.types._
   * identity under schema evolution (reference: paimon-common
   * org/apache/paimon/types/DataField.java).
   */
-case class Field(id: Int, name: String, dataType: String, nullable: Boolean = true) {
-  def sparkType: DataType = DataType.fromDDL(dataType)
+case class Field(id: Int, name: String, dataType: String,
+    nullable: Boolean = true, nested: Seq[Field] = Nil) {
+  /** For struct fields with per-child ids (`nested` non-empty) the Spark
+    * type derives from the children — evolution rewrites children, and the
+    * type must follow; the `dataType` string is kept in sync for display.
+    * Flat fields (and structs created before nested ids existed) parse
+    * their DDL string.
+    */
+  def sparkType: DataType =
+    if (nested.nonEmpty) StructType(nested.map(_.toStructField))
+    else DataType.fromDDL(dataType)
   def toStructField: StructField =
     StructField(name, sparkType, nullable,
       new MetadataBuilder().putLong(Field.FieldIdKey, id.toLong).build())
+  /** This field + all nested descendants (id-uniqueness domain). */
+  def selfAndDescendants: Seq[Field] = this +: nested.flatMap(_.selfAndDescendants)
 }
 
 object Field {
@@ -328,12 +339,14 @@ case class TableSchema(
     val root = Json.obj()
     root.put("id", id)
     root.put("highestFieldId", highestFieldId)
-    val fs = root.putArray("fields")
-    fields.foreach { f =>
-      val fn = fs.addObject()
+    def writeFields(arr: com.fasterxml.jackson.databind.node.ArrayNode,
+        fs0: Seq[Field]): Unit = fs0.foreach { f =>
+      val fn = arr.addObject()
       fn.put("id", f.id); fn.put("name", f.name)
       fn.put("type", f.dataType); fn.put("nullable", f.nullable)
+      if (f.nested.nonEmpty) writeFields(fn.putArray("fields"), f.nested)
     }
+    writeFields(root.putArray("fields"), fields)
     val pk = root.putArray("primaryKeys"); primaryKeys.foreach(pk.add)
     val pt = root.putArray("partitionKeys"); partitionKeys.foreach(pt.add)
     val opt = root.putObject("options")
@@ -414,10 +427,12 @@ object TableSchema {
 
   def fromJson(s: String): TableSchema = {
     val n = Json.parse(s)
-    val fields = Json.elems(n.get("fields")).map { fn =>
+    def readFields(arr: JsonNode): Seq[Field] = Json.elems(arr).map { fn =>
       Field(fn.get("id").asInt(), fn.get("name").asText(),
-        fn.get("type").asText(), fn.get("nullable").asBoolean(true))
+        fn.get("type").asText(), fn.get("nullable").asBoolean(true),
+        if (fn.has("fields")) readFields(fn.get("fields")) else Nil)
     }
+    val fields = readFields(n.get("fields"))
     TableSchema(
       n.get("id").asLong(),
       fields,
@@ -427,17 +442,32 @@ object TableSchema {
       Json.fields(n.get("options")).map { case (k, v) => k -> v.asText() }.toMap)
   }
 
-  /** Build a schema-0 from a Spark StructType, assigning field ids 0..n-1. */
+  /** Build a schema-0 from a Spark StructType. Top-level fields keep ids
+    * 0..n-1 (stable vs pre-nested-id schemas); struct CHILDREN then get
+    * their own persistent ids n.. depth-first (reference: DataField nested
+    * RowTypes carry per-child field ids, the identity nested evolution
+    * remaps by — SchemaEvolutionUtil.createDataProjection handles nested
+    * projections the same way).
+    */
   def create(
       st: StructType,
       partitionKeys: Seq[String] = Nil,
       primaryKeys: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): TableSchema = {
+    var nextId = st.fields.length
+    def childFields(t: DataType): Seq[Field] = t match {
+      case s: StructType => s.fields.toSeq.map { c =>
+        val cid = nextId
+        nextId += 1
+        Field(cid, c.name, c.dataType.sql, c.nullable, childFields(c.dataType))
+      }
+      case _ => Nil
+    }
     val fields = st.fields.zipWithIndex.map { case (f, i) =>
-      Field(i, f.name, f.dataType.sql, f.nullable)
+      Field(i, f.name, f.dataType.sql, f.nullable, childFields(f.dataType))
     }.toSeq
     val unknown = (partitionKeys ++ primaryKeys).filterNot(st.fieldNames.contains)
     require(unknown.isEmpty, s"keys not in schema: ${unknown.mkString(",")}")
-    TableSchema(0L, fields, fields.size - 1, partitionKeys, primaryKeys, options)
+    TableSchema(0L, fields, nextId - 1, partitionKeys, primaryKeys, options)
   }
 }

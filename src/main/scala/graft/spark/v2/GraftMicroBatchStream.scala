@@ -24,7 +24,8 @@ case class GraftOffset(snapshotId: Long) extends Offset {
 class GraftMicroBatchStream(
     spark: SparkSession,
     table: GraftTable,
-    requested: StructType)
+    requested: StructType,
+    readOptions: Map[String, String] = Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -39,13 +40,14 @@ class GraftMicroBatchStream(
   // deterministic for the full-first modes (latest-full → 0,
   // from-snapshot-full → id - 1), so `from == startExclusive` re-detects
   // the first batch across checkpoint recovery
-  private val startExclusive: Long = table.streamingStartExclusive()
-  private val scanMode: String =
-    table.schema.option("scan.mode", "latest-full")
-  private val fullFirst: Boolean = table.streamingFullFirst()
+  private val startExclusive: Long = table.streamingStartExclusive(readOptions)
+  private val scanMode: String = readOptions.getOrElse("scan.mode",
+    table.schema.option("scan.mode", "latest-full"))
+  private val fullFirst: Boolean = table.streamingFullFirst(readOptions)
 
   private def maxRowsPerBatch: Option[Long] =
-    table.schema.options.get("read.max-rows-per-batch").map(_.toLong)
+    readOptions.get("read.max-rows-per-batch")
+      .orElse(table.schema.options.get("read.max-rows-per-batch")).map(_.toLong)
 
   override def initialOffset(): Offset = GraftOffset(startExclusive)
 
@@ -69,7 +71,8 @@ class GraftMicroBatchStream(
     // follow-up deltas replay individually; latest-full at the chain head.
     if (fullFirst && from == startExclusive && upper > from) {
       val end =
-        if (scanMode == "from-snapshot-full") math.min(startExclusive + 1, upper)
+        if (scanMode == "from-snapshot-full" || scanMode == "compacted-full")
+          math.min(startExclusive + 1, upper)
         else upper
       return GraftOffset(math.max(end, from))
     }
@@ -132,7 +135,8 @@ class GraftMicroBatchStream(
     // starts (never after the final AvailableNow batch), so this is the
     // crash-safe lower bound — it pins exactly the range being read, and
     // commit() advances it further whenever Spark does call it.
-    table.schema.options.get("consumer-id").foreach { id =>
+    readOptions.get("consumer-id")
+      .orElse(table.schema.options.get("consumer-id")).foreach { id =>
       store.writeConsumer(id, from + 1)
     }
     // full first batch: plan the snapshot's live files exactly as a batch
@@ -167,7 +171,8 @@ class GraftMicroBatchStream(
   }
 
   override def commit(end: Offset): Unit = {
-    table.schema.options.get("consumer-id").foreach { id =>
+    readOptions.get("consumer-id")
+      .orElse(table.schema.options.get("consumer-id")).foreach { id =>
       store.writeConsumer(id, end.asInstanceOf[GraftOffset].snapshotId + 1)
     }
   }

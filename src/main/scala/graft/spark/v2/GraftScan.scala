@@ -8,7 +8,7 @@ import graft.table.GraftTable
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, Expression, GenericInternalRow, Literal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, CreateNamedStruct, Expression, GenericInternalRow, GetStructField, If, IsNull, Literal, UnsafeProjection}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -30,7 +30,8 @@ import scala.collection.mutable
   * never shuffles the table (the DataFrame path's shuffle was the verdict's
   * #1 scale-killer).
   */
-class GraftScanBuilder(spark: SparkSession, table: GraftTable, snapshot: Option[Snapshot])
+class GraftScanBuilder(spark: SparkSession, table: GraftTable, snapshot: Option[Snapshot],
+    readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -82,7 +83,8 @@ class GraftScanBuilder(spark: SparkSession, table: GraftTable, snapshot: Option[
     case Some((aggSchema, rowsArr)) =>
       GraftLocalAggScan(aggSchema, rowsArr, table.location)
     case None =>
-      new GraftScan(spark, table, snapshot, requiredSchema, pushedFiltersArr.toSeq, limit)
+      new GraftScan(spark, table, snapshot, requiredSchema, pushedFiltersArr.toSeq, limit,
+        readOptions = readOptions)
   }
 }
 
@@ -93,7 +95,8 @@ class GraftScan(
     requested: StructType,
     filters: Seq[Filter],
     limit: Option[Int],
-    filesOverride: Option[Seq[DataFileMeta]] = None)
+    filesOverride: Option[Seq[DataFileMeta]] = None,
+    readOptions: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -195,7 +198,7 @@ class GraftScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(spark, table, requested)
+    new GraftMicroBatchStream(spark, table, requested, readOptions)
 
   /** Planning-time stats for Catalyst CBO (join reorder / broadcast
     * decisions — reference: PaimonStatistics.scala:35-50): size from pruned
@@ -258,11 +261,13 @@ class GraftScan(
   @volatile private var metricCandidateFiles = -1L
   @volatile private var metricPlannedSplits = -1L
 
+  // each metric is a TOP-LEVEL class with a zero-arg constructor: Spark
+  // re-instantiates CustomMetric classes reflectively on the driver to
+  // aggregate task values — an anonymous class fails that lookup and the
+  // metric silently never aggregates (logged SparkException per query)
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    GraftScan.sumMetric("numSplits", "number of planned splits"),
-    GraftScan.sumMetric("skippedTableFiles", "number of files skipped by pruning"),
-    GraftScan.sumMetric("resultedTableFiles", "number of files read"))
+    new NumSplitsMetric, new SkippedFilesMetric, new ResultedFilesMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
@@ -562,6 +567,8 @@ class GraftScan(
               val i = readSchemaForFile.fieldIndex(old.name)
               val ref = BoundReference(i, readSchemaForFile(i).dataType, nullable = true)
               if (readSchemaForFile(i).dataType == out.dataType) ref
+              else if (old.id >= 0)
+                GraftScan.alignFieldExpr(ref, old, schema.fieldByName(out.name))
               else Cast(ref, out.dataType, Some(java.util.TimeZone.getDefault.getID))
             case None => Literal.create(null, out.dataType)
           }
@@ -752,13 +759,36 @@ class GraftReaderFactory(
 }
 
 object GraftScan {
-  /** Sum-aggregated scan metric (driver-reported, shown on the scan node). */
-  private[v2] def sumMetric(n: String, desc: String)
-      : org.apache.spark.sql.connector.metric.CustomMetric =
-    new org.apache.spark.sql.connector.metric.CustomSumMetric {
-      override def name(): String = n
-      override def description(): String = desc
+  /** Nested-aware field-id remap expression: when both schema versions
+    * carry nested field ids for a struct column, project child-by-child —
+    * renamed children follow their id, added children null-fill, retyped
+    * children cast (reference: SchemaEvolutionUtil.createDataProjection
+    * :266 walks nested RowTypes by child id). A plain struct Cast is
+    * POSITIONAL and breaks the moment a nested field is added, so it is
+    * only the fallback for structs without nested ids.
+    */
+  private[v2] def alignFieldExpr(src: Expression, from: Field,
+      to: Field): Expression = {
+    if (from.nested.isEmpty || to.nested.isEmpty) {
+      if (src.dataType == to.sparkType) src
+      else Cast(src, to.sparkType, Some(java.util.TimeZone.getDefault.getID))
+    } else {
+      val byId = from.nested.zipWithIndex.map { case (c, i) => c.id -> (c, i) }.toMap
+      val children = to.nested.flatMap { tc =>
+        byId.get(tc.id) match {
+          case Some((fc, i)) =>
+            Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(tc.name),
+              StringType),
+              alignFieldExpr(GetStructField(src, i, Some(fc.name)), fc, tc))
+          case None =>
+            Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(tc.name),
+              StringType), Literal.create(null, tc.sparkType))
+        }
+      }
+      If(IsNull(src), Literal.create(null, to.sparkType),
+        CreateNamedStruct(children.toList))
     }
+  }
 
   /** Decode a StatsCodec-encoded ANALYZE bound to the Catalyst-internal
     * value Catalyst's ColumnStat expects (dates as epoch days, timestamps
@@ -781,4 +811,23 @@ object GraftScan {
       case _ => None
     } catch { case _: NumberFormatException => None }
   }
+}
+
+/** Sum-aggregated scan metrics (driver-reported, shown on the scan node).
+  * Top-level classes with zero-arg constructors because Spark's metric
+  * aggregation re-instantiates them reflectively by class name.
+  */
+class NumSplitsMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "numSplits"
+  override def description(): String = "number of planned splits"
+}
+
+class SkippedFilesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "skippedTableFiles"
+  override def description(): String = "number of files skipped by pruning"
+}
+
+class ResultedFilesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "resultedTableFiles"
+  override def description(): String = "number of files read"
 }

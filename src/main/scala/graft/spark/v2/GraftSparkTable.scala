@@ -185,7 +185,12 @@ class GraftSparkTable(
           case "compacted-full" => table.latestCompactSnapshot
         }.flatten)
     }
-    new GraftScanBuilder(spark, table, snap)
+    // read options flow through to the streaming source (scan.mode /
+    // scan.timestamp-millis / consumer-id / read.max-rows-per-batch) — a
+    // reader-side override of the table's own options, same precedence as
+    // the V1 GraftSource path
+    new GraftScanBuilder(spark, table, snap,
+      readOptions = options.asScala.toMap)
   }
 
   // ---------------- writes (V1 fallback, reference SparkWrite.scala:30) ----

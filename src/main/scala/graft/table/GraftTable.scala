@@ -233,12 +233,35 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   private[table] def appendBucketExpr: Column =
     pmod(hash(schema.bucketKeys.map(col): _*), lit(schema.numBuckets))
 
+  /** Field-id remap of one column, recursing into struct children when
+    * both schema versions carry nested field ids (reference:
+    * SchemaEvolutionUtil.createDataProjection:266 — nested RowTypes are
+    * projected by child id, so renames/adds/retypes INSIDE structs evolve
+    * like top-level columns). Structs without nested ids (pre-nested-id
+    * tables) fall back to a whole-column cast.
+    */
+  private def alignExpr(src: Column, from: graft.core.Field,
+      to: graft.core.Field): Column = {
+    if (from.nested.isEmpty || to.nested.isEmpty) return src.cast(to.sparkType)
+    val byId = from.nested.map(c => c.id -> c).toMap
+    val children = to.nested.map { tc =>
+      byId.get(tc.id) match {
+        case Some(fc) => alignExpr(src.getField(fc.name), fc, tc).as(tc.name)
+        case None => lit(null).cast(tc.sparkType).as(tc.name)
+      }
+    }
+    // struct(...) of a null row would yield a non-null struct of nulls —
+    // preserve top-level struct nullity explicitly
+    when(src.isNull, lit(null).cast(to.sparkType))
+      .otherwise(struct(children: _*))
+  }
+
   private def alignRaw(df: DataFrame, from: TableSchema, to: TableSchema): DataFrame = {
     if (from.id == to.id) return df
     val byId = from.fields.map(f => f.id -> f).toMap
     val dataCols = to.fields.map { f =>
       byId.get(f.id) match {
-        case Some(old) => col(old.name).cast(f.sparkType).as(f.name)
+        case Some(old) => alignExpr(col(old.name), old, f).as(f.name)
         case None => lit(null).cast(f.sparkType).as(f.name)
       }
     }
@@ -366,6 +389,11 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         val w = opt("scan.watermark").map(_.toLong).getOrElse(Long.MinValue)
         store.snapshotIds.find(id => store.readSnapshot(id).watermark.exists(_ >= w))
           .map(_ - 1).getOrElse(store.latestSnapshotId.getOrElse(0L))
+      case "compacted-full" =>
+        // full scan of the latest compaction's state first, deltas after it
+        // (reference: CoreOptions.StartupMode COMPACTED_FULL +
+        // StaticFromSnapshotStartingScanner over the compact snapshot)
+        latestCompactSnapshot.map(_.id - 1).getOrElse(0L)
       case _ => 0L // latest-full
     }
   }
@@ -381,7 +409,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   def streamingFullFirst(options: Map[String, String] = Map.empty): Boolean =
     options.get("scan.mode").orElse(schema.options.get("scan.mode"))
       .getOrElse("latest-full") match {
-      case "latest-full" | "from-snapshot-full" => true
+      case "latest-full" | "from-snapshot-full" | "compacted-full" => true
       case _ => false
     }
 

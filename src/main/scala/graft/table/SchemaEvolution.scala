@@ -18,40 +18,138 @@ trait SchemaEvolution { self: GraftTable =>
     next
   }
 
+  // ----- nested-path plumbing -------------------------------------------
+  // Column names may be dotted paths ("addr.city") addressing fields
+  // INSIDE struct columns — nested children carry their own persistent
+  // field ids (assigned at create / add time), so renames and retypes
+  // inside structs remap on read exactly like top-level evolution
+  // (reference: SchemaEvolutionUtil.createDataProjection:266 walks nested
+  // RowTypes by child field id).
+
+  /** Keep a struct field's display DDL in sync with its evolved children. */
+  private def refreshType(f: Field): Field =
+    if (f.nested.nonEmpty) f.copy(dataType = f.sparkType.sql) else f
+
+  /** Rewrite the struct field at `path` (all but the final segment must
+    * name evolvable structs — structs whose children have field ids).
+    */
+  private def rewriteParent(fields: Seq[Field], path: Seq[String],
+      op: Field => Field): Seq[Field] = {
+    require(fields.exists(_.name == path.head), s"no column ${path.head}")
+    fields.map { f =>
+      if (f.name != path.head) f
+      else if (path.tail.isEmpty) refreshType(op(f))
+      else {
+        require(f.nested.nonEmpty,
+          s"column ${f.name} is not an evolvable struct (no nested field ids; " +
+            "tables created before nested evolution keep struct columns opaque)")
+        refreshType(f.copy(nested = rewriteParent(f.nested, path.tail, op)))
+      }
+    }
+  }
+
+  /** A new field (possibly itself a struct) with fresh persistent ids for
+    * it and every descendant; returns the field and the next free id.
+    */
+  private def fieldWithIds(name: String, tpe: DataType, nullable: Boolean,
+      start: Int): (Field, Int) = tpe match {
+    case st: org.apache.spark.sql.types.StructType =>
+      var next = start + 1
+      val children = st.fields.toSeq.map { c =>
+        val (cf, n) = fieldWithIds(c.name, c.dataType, c.nullable, next)
+        next = n
+        cf
+      }
+      (Field(start, name, tpe.sql, nullable, children), next)
+    case _ => (Field(start, name, tpe.sql, nullable), start + 1)
+  }
+
+  private def splitPath(name: String): (Seq[String], String) = {
+    val parts = name.split('.').toSeq
+    (parts.init, parts.last)
+  }
+
   def addColumn(name: String, dataType: DataType, nullable: Boolean = true): TableSchema =
     commitEvolved { s =>
-      require(!s.fields.exists(_.name == name), s"column $name already exists")
-      val fid = s.highestFieldId + 1
-      s.copy(fields = s.fields :+ Field(fid, name, dataType.sql, nullable),
-        highestFieldId = fid)
+      val (parent, leaf) = splitPath(name)
+      if (parent.isEmpty) {
+        require(!s.fields.exists(_.name == name), s"column $name already exists")
+        val (f, next) = fieldWithIds(name, dataType, nullable, s.highestFieldId + 1)
+        s.copy(fields = s.fields :+ f, highestFieldId = next - 1)
+      } else {
+        var next = s.highestFieldId + 1
+        val fields = rewriteParent(s.fields, parent, { p =>
+          require(p.nested.nonEmpty,
+            s"column ${parent.mkString(".")} is not an evolvable struct")
+          require(!p.nested.exists(_.name == leaf),
+            s"column $name already exists")
+          val (f, n) = fieldWithIds(leaf, dataType, nullable, next)
+          next = n
+          p.copy(nested = p.nested :+ f)
+        })
+        s.copy(fields = fields, highestFieldId = next - 1)
+      }
     }
 
   def renameColumn(from: String, to: String): TableSchema =
     commitEvolved { s =>
-      require(s.fields.exists(_.name == from), s"no column $from")
-      require(!s.fields.exists(_.name == to), s"column $to already exists")
-      require(!s.partitionKeys.contains(from) && !s.primaryKeys.contains(from),
-        "cannot rename partition/primary key columns")
-      s.copy(fields = s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      val (parent, leaf) = splitPath(from)
+      require(!to.contains('.'), "rename target is a bare name")
+      if (parent.isEmpty) {
+        require(s.fields.exists(_.name == from), s"no column $from")
+        require(!s.fields.exists(_.name == to), s"column $to already exists")
+        require(!s.partitionKeys.contains(from) && !s.primaryKeys.contains(from),
+          "cannot rename partition/primary key columns")
+        s.copy(fields = s.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      } else {
+        s.copy(fields = rewriteParent(s.fields, parent, { p =>
+          require(p.nested.exists(_.name == leaf), s"no column $from")
+          require(!p.nested.exists(_.name == to),
+            s"column ${(parent :+ to).mkString(".")} already exists")
+          p.copy(nested = p.nested.map(c => if (c.name == leaf) c.copy(name = to) else c))
+        }))
+      }
     }
 
   def dropColumn(name: String): TableSchema =
     commitEvolved { s =>
-      require(s.fields.exists(_.name == name), s"no column $name")
-      require(!s.partitionKeys.contains(name) && !s.primaryKeys.contains(name),
-        "cannot drop partition/primary key columns")
-      require(s.fields.size > 1, "cannot drop the last column")
-      s.copy(fields = s.fields.filterNot(_.name == name))
+      val (parent, leaf) = splitPath(name)
+      if (parent.isEmpty) {
+        require(s.fields.exists(_.name == name), s"no column $name")
+        require(!s.partitionKeys.contains(name) && !s.primaryKeys.contains(name),
+          "cannot drop partition/primary key columns")
+        require(s.fields.size > 1, "cannot drop the last column")
+        s.copy(fields = s.fields.filterNot(_.name == name))
+      } else {
+        s.copy(fields = rewriteParent(s.fields, parent, { p =>
+          require(p.nested.exists(_.name == leaf), s"no column $name")
+          require(p.nested.size > 1, s"cannot drop the last field of ${parent.mkString(".")}")
+          p.copy(nested = p.nested.filterNot(_.name == leaf))
+        }))
+      }
     }
 
-  /** Widen/retype a column; reads cast old files to the new type. */
+  /** Widen/retype a column (top-level or nested path); reads cast old
+    * files to the new type.
+    */
   def updateColumnType(name: String, dataType: DataType): TableSchema =
     commitEvolved { s =>
-      require(s.fields.exists(_.name == name), s"no column $name")
-      require(!s.partitionKeys.contains(name) && !s.primaryKeys.contains(name),
-        "cannot retype partition/primary key columns")
-      s.copy(fields = s.fields.map(f =>
-        if (f.name == name) f.copy(dataType = dataType.sql) else f))
+      val (parent, leaf) = splitPath(name)
+      if (parent.isEmpty) {
+        require(s.fields.exists(_.name == name), s"no column $name")
+        require(!s.partitionKeys.contains(name) && !s.primaryKeys.contains(name),
+          "cannot retype partition/primary key columns")
+        // a whole-column retype replaces any nested field ids: the new type
+        // is authoritative (re-adding ids would need a fresh allocation)
+        s.copy(fields = s.fields.map(f =>
+          if (f.name == name) f.copy(dataType = dataType.sql, nested = Nil) else f))
+      } else {
+        s.copy(fields = rewriteParent(s.fields, parent, { p =>
+          require(p.nested.exists(_.name == leaf), s"no column $name")
+          p.copy(nested = p.nested.map(c =>
+            if (c.name == leaf) c.copy(dataType = dataType.sql, nested = Nil) else c))
+        }))
+      }
     }
 
   def setOption(key: String, value: String): TableSchema = {

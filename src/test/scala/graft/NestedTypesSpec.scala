@@ -45,6 +45,70 @@ class NestedTypesSpec extends SparkSpec {
     assert(after.map(_.getStruct(1).getString(0)).toSeq == Seq("alice2", "bob"))
   }
 
+  test("nested evolution: add/rename/retype INSIDE a struct remap old files by field id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ("alice", 30, 1.5f)),
+      (2L, ("bob", 25, 2.5f))).toDF("id", "person")
+      .select(col("id"), col("person").cast("struct<name:string,age:int,score:float>"))
+    val t = GraftTable.create(spark, tmpTable(), df.schema)
+    t.append(df) // file under schema 0
+    // evolve INSIDE person: rename name->full_name, widen score to double,
+    // add a nested field, drop age
+    t.renameColumn("person.name", "full_name")
+    t.updateColumnType("person.score", org.apache.spark.sql.types.DoubleType)
+    t.addColumn("person.city", org.apache.spark.sql.types.StringType)
+    t.dropColumn("person.age")
+    val df2 = Seq((3L, ("carol", 3.5d, "berlin")))
+      .toDF("id", "person")
+      .select(col("id"),
+        col("person").cast("struct<full_name:string,score:double,city:string>"))
+    t.append(df2) // file under schema 4
+    val rows = t.toDF
+      .select("id", "person.full_name", "person.score", "person.city")
+      .orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alice", "bob", "carol"),
+      "renamed nested field follows its id into old files")
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5d, 2.5d, 3.5d),
+      "retyped nested field casts old files")
+    assert(rows.map(r => Option(r.getString(3))).toSeq ==
+      Seq(None, None, Some("berlin")),
+      "added nested field null-fills old files")
+    // dropped nested field is gone from the read schema
+    assert(!t.toDF.select("person.*").columns.contains("age"))
+    // old fully-null struct handling: a null struct stays null post-remap
+    val df3 = Seq((4L, null.asInstanceOf[(String, Double, String)]))
+      .toDF("id", "person")
+      .select(col("id"),
+        col("person").cast("struct<full_name:string,score:double,city:string>"))
+    t.append(df3)
+    val nulls = t.toDF.filter(col("id") === 4).select("person").collect()
+    assert(nulls(0).isNullAt(0), "null struct survives remap as null")
+  }
+
+  test("nested evolution in a PK table: MOR merge across schema versions") {
+    import spark.implicits._
+    val df = Seq((1L, ("alice", 30)), (2L, ("bob", 25))).toDF("id", "person")
+      .select(col("id"), col("person").cast("struct<name:string,age:int>"))
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("id"), options = Map("bucket" -> "2", "write-only" -> "true"))
+    t.upsert(df)
+    t.renameColumn("person.name", "nick")
+    t.addColumn("person.vip", org.apache.spark.sql.types.BooleanType)
+    val up = Seq((2L, ("bobby", 26, true))).toDF("id", "person")
+      .select(col("id"), col("person").cast("struct<nick:string,age:int,vip:boolean>"))
+    t.upsert(up) // L0 under the new schema merges over old-schema base
+    val rows = t.toDF.select("id", "person.nick", "person.age", "person.vip")
+      .orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alice", "bobby"))
+    assert(rows.map(_.getInt(2)).toSeq == Seq(30, 26))
+    assert(rows.map(r => Option(r.get(3))).toSeq == Seq(None, Some(true)))
+    // compaction rewrites everything under the latest schema; still correct
+    t.compact()
+    val after = t.toDF.select("id", "person.nick", "person.vip").orderBy("id").collect()
+    assert(after.map(_.getString(1)).toSeq == Seq("alice", "bobby"))
+  }
+
   test("row-level delete works on a table with nested columns") {
     import spark.implicits._
     val df = (1L to 10L).map(i => (i, (s"u$i", i.toInt), Seq(i.toInt)))

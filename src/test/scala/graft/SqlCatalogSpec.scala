@@ -676,4 +676,33 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("c"))
   }
 
+  test("nested evolution reads through the DSv2 scan: rename/add inside a struct") {
+    spark.sql(
+      """CREATE TABLE graft.db.nested_ev (
+        | id BIGINT, person STRUCT<name: STRING, age: INT>)
+        |USING graft""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.db.nested_ev VALUES (1, named_struct('name','alice','age',30))")
+    // evolve via the table API (nested DDL through SQL is follow-up work)
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/nested_ev")
+    t.renameColumn("person.name", "nick")
+    t.addColumn("person.vip", org.apache.spark.sql.types.BooleanType)
+    spark.sql("REFRESH TABLE graft.db.nested_ev")
+    spark.sql(
+      "INSERT INTO graft.db.nested_ev VALUES " +
+        "(2, named_struct('nick','bob','age',25,'vip',true))")
+    val rows = spark.sql(
+      """SELECT id, person.nick, person.age, person.vip
+        |FROM graft.db.nested_ev ORDER BY id""".stripMargin).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alice", "bob"),
+      "old file's renamed nested field follows its id through GraftScan")
+    assert(rows.map(_.getInt(2)).toSeq == Seq(30, 25))
+    assert(rows.map(r => Option(r.get(3))).toSeq == Seq(None, Some(true)),
+      "added nested field null-fills the old file")
+    // nested-field filter over the evolved read still answers correctly
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.nested_ev WHERE person.nick = 'alice'")
+      .head().getLong(0) == 1)
+  }
+
 }

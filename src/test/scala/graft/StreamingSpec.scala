@@ -324,6 +324,56 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"), (4L, "d")))
   }
 
+  test("v2 streaming: reader-side scan.mode=from-timestamp and compacted-full") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.gs2", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gs2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs2.db")
+    spark.sql(
+      """CREATE TABLE gs2.db.sm (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'write-only' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO gs2.db.sm VALUES (1, 'a'), (2, 'b')") // snap 1
+    Thread.sleep(30)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO gs2.db.sm VALUES (3, 'c')")           // snap 2
+    spark.sql("INSERT INTO gs2.db.sm VALUES (2, 'b2')")          // snap 3
+
+    // reader-side from-timestamp through the DSv2 MicroBatchStream: only
+    // snapshots committed after betweenTs stream out (no TBLPROPERTIES)
+    val q = spark.readStream
+      .option("scan.mode", "from-timestamp")
+      .option("scan.timestamp-millis", betweenTs.toString)
+      .table("gs2.db.sm")
+      .writeStream.format("memory").queryName("v2_ts_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(q.awaitTermination(60000))
+    val got = spark.table("v2_ts_out").orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "b2"), (3L, "c")),
+      s"deltas after the timestamp only, got $got")
+
+    // compacted-full: full state of the latest COMPACT snapshot first,
+    // deltas after it
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/sm")
+    t.compact()                                                  // snap 4
+    spark.sql("INSERT INTO gs2.db.sm VALUES (4, 'd')")           // snap 5
+    val q2 = spark.readStream
+      .option("scan.mode", "compacted-full")
+      .table("gs2.db.sm")
+      .writeStream.format("memory").queryName("v2_cf_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(q2.awaitTermination(60000))
+    val got2 = spark.table("v2_cf_out").orderBy("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got2 == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")),
+      s"compacted state + post-compaction delta, got $got2")
+  }
+
   test("streaming start modes: from-timestamp and from-watermark") {
     val path = tmpTable()
     val df1 = Seq((1L, 100L, "a")).toDF("k", "ts", "v")
