@@ -344,6 +344,27 @@ object SparkEntry {
         col("info.price").as("price"),
         col("info.status").as("status"),
         col("info.prio").as("prio"))),
+    // audio decode: render real square-wave WAVs whose peak/RMS are
+    // closed-form functions of doc_id, decode through the REAL JavaSound
+    // kernel — exact 16-bit PCM stats the oracle recomputes arithmetically
+    "q112_audio_decode" -> ((s, d) => {
+      val base = Fixtures.src(s, d, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          (lit(800) + pmod(col("doc_id"), lit(10)) * 80).cast("int").as("frames_in"),
+          (lit(1000) + pmod(col("doc_id") * 13, lit(50)) * 100).cast("int").as("amp"))
+      Multimodal.decodeAudios(
+        Multimodal.renderSquareWavs(base, "frames_in", "amp"), "content")
+        .select(
+          col("doc_id"),
+          col("audio_info.sample_rate").cast("long").as("sample_rate"),
+          col("audio_info.channels").cast("long").as("channels"),
+          col("audio_info.frames").as("frames"),
+          col("audio_info.peak").cast("long").as("peak"),
+          col("audio_info.rms").as("rms"),
+          col("audio_info.decoder").as("decoder"))
+    }),
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
@@ -836,6 +857,15 @@ object SparkEntry {
         | o_orderstatus AS status,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio
         |FROM orders""".stripMargin,
+    "q112_audio_decode" ->
+      """SELECT doc_id,
+        | CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | 800 + (doc_id % 10) * 80 AS frames,
+        | 1000 + ((doc_id * 13) % 50) * 100 AS peak,
+        | CAST(1000 + ((doc_id * 13) % 50) * 100 AS DOUBLE) AS rms,
+        | 'javasound' AS decoder
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
     "q105_append_bucket_join" ->
       """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority

@@ -192,6 +192,118 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------- audio (real, javax.sound.sampled) ----------------
+
+  val AudioInfoSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("frames", LongType),
+    StructField("peak", IntegerType),        // max |sample| across channels
+    StructField("rms", DoubleType),          // root-mean-square amplitude
+    StructField("decoder", StringType)))     // javasound | fallback
+
+  /** Real audio decode via the JDK's javax.sound.sampled: WAV/AIFF/AU
+    * PCM streams decode to rate/channels/frame count plus exact peak and
+    * RMS amplitude over the 16-bit samples. Returns null on undecodable
+    * bytes (caller falls back to a metadata-only row).
+    */
+  def decodeAudioJavaSound(content: Array[Byte]): Row = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(content))
+      catch { case _: Exception => return null }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) return null // PCM16 is the contract
+      val channels = fmt.getChannels
+      val frames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      val le = !fmt.isBigEndian
+      var peak = 0
+      var sumSq = 0.0
+      var i = 0
+      val n = bytes.length / 2
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sumSq += s.toDouble * s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+      Row(fmt.getSampleRate.toInt, channels, frames, peak, rms, "javasound")
+    } catch { case _: Exception => null }
+    finally in.close()
+  }
+
+  /** Decode one audio item: real JavaSound first, size-only fallback. */
+  def decodeAudio(content: Array[Byte]): Row = {
+    if (content == null) return Row(null, null, null, null, null, null)
+    val real = decodeAudioJavaSound(content)
+    if (real != null) real
+    else Row(null, null, null, null, null, "fallback")
+  }
+
+  /** Batched partition-local audio decode, appending an `audio_info`
+    * struct — same no-shuffle contract as [[decodeImages]].
+    */
+  def decodeAudios(df: DataFrame, contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("audio_info", AudioInfoSchema))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ decodeAudio(r.getAs[Array[Byte]](contentIdx)))
+      })
+    }(enc)
+  }
+
+  /** Encode a 16-bit mono PCM square wave as WAV bytes: every sample is
+    * ±amplitude (50% duty, `period` samples per cycle), so the decoded
+    * peak AND RMS are exactly `amplitude` — closed-form verifiable by an
+    * external oracle with no audio library.
+    */
+  def encodeSquareWav(sampleRate: Int, frames: Int, amplitude: Int,
+      period: Int = 16): Array[Byte] = {
+    require(amplitude >= 0 && amplitude <= Short.MaxValue, s"amplitude $amplitude")
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val s = (if ((i / (period / 2)) % 2 == 0) amplitude else -amplitude).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Render a `content` WAV column from integer frames/amplitude columns —
+    * partition-local, pairs with [[decodeAudios]] for end-to-end
+    * encode→decode verification on synthetic corpora.
+    */
+  def renderSquareWavs(df: DataFrame, framesCol: String, ampCol: String,
+      sampleRate: Int = 8000, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val (fi, ai) = (df.schema.fieldIndex(framesCol), df.schema.fieldIndex(ampCol))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = encodeSquareWav(sampleRate, r.getInt(fi), r.getInt(ai))
+        Row.fromSeq(r.toSeq :+ bytes)
+      })
+    }(enc)
+  }
+
   /** STUB video frame sampler: every-nth-frame metadata (deterministic
     * frame count from content length). Fan-out: one row per sampled frame
     * via explode — the real sampler only changes what `frame_bytes` holds.

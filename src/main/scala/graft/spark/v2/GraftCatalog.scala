@@ -207,19 +207,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     checked(graft.core.Privilege.AlterTable, ident)
     val t = GraftTable.load(spark, tablePath(ident).toString)
+    // TableChange fieldNames() are PATHS: ("person","city") addresses a
+    // field inside a struct — joined to the dotted form the evolution API
+    // takes (nested children carry their own field ids; SchemaEvolution)
     changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1, "nested add not supported")
-        t.addColumn(a.fieldNames()(0), a.dataType(), a.isNullable)
+        t.addColumn(a.fieldNames().mkString("."), a.dataType(), a.isNullable)
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1, "nested rename not supported")
-        t.renameColumn(r.fieldNames()(0), r.newName())
+        t.renameColumn(r.fieldNames().mkString("."), r.newName())
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1, "nested drop not supported")
-        t.dropColumn(d.fieldNames()(0))
+        t.dropColumn(d.fieldNames().mkString("."))
       case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames().length == 1, "nested retype not supported")
-        t.updateColumnType(u.fieldNames()(0), u.newDataType())
+        t.updateColumnType(u.fieldNames().mkString("."), u.newDataType())
       case p: TableChange.SetProperty => t.setOption(p.property(), p.value())
       case p: TableChange.RemoveProperty => t.removeOption(p.property())
       case other => throw new UnsupportedOperationException(s"ALTER: $other")

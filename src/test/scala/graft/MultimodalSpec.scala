@@ -103,6 +103,39 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("JavaSound decodes real WAV bytes: rate, frames, exact peak and RMS") {
+    val bytes = Multimodal.encodeSquareWav(sampleRate = 8000, frames = 1234, amplitude = 3000)
+    val df = Seq((1L, bytes)).toDF("id", "content")
+    assert(df.select(Multimodal.sniffFormat(col("content"))).collect()(0)
+      .getString(0) == "wav", "RIFF magic from the real encoder")
+    val r = Multimodal.decodeAudios(df, "content").select("audio_info.*").collect()(0)
+    assert(r.getInt(0) == 8000 && r.getInt(1) == 1)
+    assert(r.getLong(2) == 1234L, "frame count")
+    assert(r.getInt(3) == 3000, "square wave peak is the amplitude")
+    assert(r.getDouble(4) == 3000.0, "square wave RMS is EXACTLY the amplitude")
+    assert(r.getString(5) == "javasound")
+    // undecodable bytes fall back, flagged
+    val junk = Seq((2L, Array[Byte](9, 9, 9, 9))).toDF("id", "content")
+    assert(Multimodal.decodeAudios(junk, "content")
+      .select("audio_info.decoder").collect()(0).getString(0) == "fallback")
+  }
+
+  test("renderSquareWavs → decodeAudios round trip is closed-form verifiable") {
+    val base = spark.range(1, 21).select(
+      col("id"),
+      (lit(800) + pmod(col("id"), lit(10)) * 80).cast("int").as("frames"),
+      (lit(1000) + pmod(col("id") * 13, lit(50)) * 100).cast("int").as("amp"))
+    val decoded = Multimodal.decodeAudios(
+      Multimodal.renderSquareWavs(base, "frames", "amp"), "content")
+    val bad = decoded.filter(
+      col("audio_info.decoder") =!= "javasound" ||
+        col("audio_info.frames") =!= col("frames").cast("long") ||
+        col("audio_info.peak") =!= col("amp") ||
+        col("audio_info.rms") =!= col("amp").cast("double") ||
+        col("audio_info.sample_rate") =!= 8000).count()
+    assert(bad == 0, "every synthetic WAV decodes to its closed form")
+  }
+
   test("decoded embeddings flow into ANN search") {
     val decoded = Multimodal.decodeImages(fakeMedia, "content", embeddingDim = 8)
       .select(col("id"), col("image_info.embedding").as("embedding"))

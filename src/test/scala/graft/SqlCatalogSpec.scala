@@ -683,10 +683,10 @@ class SqlCatalogSpec extends SparkSpec {
         |USING graft""".stripMargin)
     spark.sql(
       "INSERT INTO graft.db.nested_ev VALUES (1, named_struct('name','alice','age',30))")
-    // evolve via the table API (nested DDL through SQL is follow-up work)
-    val t = graft.table.GraftTable.load(spark, s"$wh/db/nested_ev")
-    t.renameColumn("person.name", "nick")
-    t.addColumn("person.vip", org.apache.spark.sql.types.BooleanType)
+    // evolve through SQL DDL: TableChange field paths reach the nested
+    // evolution API (ALTER COLUMN paths are dotted in Spark SQL)
+    spark.sql("ALTER TABLE graft.db.nested_ev RENAME COLUMN person.name TO nick")
+    spark.sql("ALTER TABLE graft.db.nested_ev ADD COLUMN person.vip BOOLEAN")
     spark.sql("REFRESH TABLE graft.db.nested_ev")
     spark.sql(
       "INSERT INTO graft.db.nested_ev VALUES " +
