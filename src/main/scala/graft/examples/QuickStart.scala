@@ -162,6 +162,28 @@ object QuickStart {
     println(s"[formats] bucketed append: buckets=" +
       abT.store.liveFiles(abT.store.latestSnapshot.get).map(_.bucket).distinct.size +
       s" point-read rows=${abT.toDF.filter(col("o_orderkey") === 8).count()}")
+    // ---- round-10: REAL multimodal decode kernels (JDK ImageIO +
+    // JavaSound) over synthetic media with closed-form stats ----
+    val media = spark.range(1, 6).select(
+      col("id"),
+      (lit(8) + col("id")).cast("int").as("w"),
+      (lit(8) + col("id") * 2).cast("int").as("h"),
+      (col("id") * 40).cast("int").as("gray"),
+      (lit(800) + col("id") * 80).cast("int").as("frames"),
+      (col("id") * 500).cast("int").as("amp"))
+    val img = graft.pipeline.Multimodal.decodeImages(
+      graft.pipeline.Multimodal.renderSolidPngs(media, "w", "h", "gray"), "content")
+    val imgOk = img.filter(col("image_info.decoder") === "imageio" &&
+      col("image_info.pixel_sum") ===
+        col("w").cast("long") * col("h") * 3 * col("gray")).count()
+    val wav = graft.pipeline.Multimodal.decodeAudios(
+      graft.pipeline.Multimodal.renderSquareWavs(media.drop("content"),
+        "frames", "amp"), "content")
+    val wavOk = wav.filter(col("audio_info.decoder") === "javasound" &&
+      col("audio_info.rms") === col("amp").cast("double")).count()
+    println(s"[multimodal] png decode exact=$imgOk/5 wav decode exact=$wavOk/5 " +
+      "(ImageIO pixel sums + JavaSound RMS, closed-form verified)")
+
     println("[done]")
     spark.stop()
   }

@@ -86,6 +86,29 @@ class NestedTypesSpec extends SparkSpec {
     assert(nulls(0).isNullAt(0), "null struct survives remap as null")
   }
 
+  test("nested evolution recurses: add/rename two levels deep (struct in struct)") {
+    import spark.implicits._
+    val df = Seq((1L, (("alice", 30), "x")))
+      .toDF("id", "outer")
+      .select(col("id"), col("outer")
+        .cast("struct<person:struct<name:string,age:int>,tag:string>"))
+    val t = GraftTable.create(spark, tmpTable(), df.schema)
+    t.append(df)
+    t.renameColumn("outer.person.name", "nick")
+    t.addColumn("outer.person.city", org.apache.spark.sql.types.StringType)
+    val df2 = Seq((2L, (("bob", 25, "berlin"), "y")))
+      .toDF("id", "outer")
+      .select(col("id"), col("outer")
+        .cast("struct<person:struct<nick:string,age:int,city:string>,tag:string>"))
+    t.append(df2)
+    val rows = t.toDF
+      .select("id", "outer.person.nick", "outer.person.city", "outer.tag")
+      .orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alice", "bob"))
+    assert(rows.map(r => Option(r.getString(2))).toSeq == Seq(None, Some("berlin")))
+    assert(rows.map(_.getString(3)).toSeq == Seq("x", "y"))
+  }
+
   test("nested evolution in a PK table: MOR merge across schema versions") {
     import spark.implicits._
     val df = Seq((1L, ("alice", 30)), (2L, ("bob", 25))).toDF("id", "person")
