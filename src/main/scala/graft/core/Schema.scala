@@ -8,7 +8,8 @@ import org.apache.spark.sql.types._
   * org/apache/paimon/types/DataField.java).
   */
 case class Field(id: Int, name: String, dataType: String,
-    nullable: Boolean = true, nested: Seq[Field] = Nil) {
+    nullable: Boolean = true, nested: Seq[Field] = Nil,
+    comment: Option[String] = None) {
   /** For struct fields with per-child ids (`nested` non-empty) the Spark
     * type derives from the children — evolution rewrites children, and the
     * type must follow; the `dataType` string is kept in sync for display.
@@ -18,9 +19,11 @@ case class Field(id: Int, name: String, dataType: String,
   def sparkType: DataType =
     if (nested.nonEmpty) StructType(nested.map(_.toStructField))
     else DataType.fromDDL(dataType)
-  def toStructField: StructField =
-    StructField(name, sparkType, nullable,
+  def toStructField: StructField = {
+    val f = StructField(name, sparkType, nullable,
       new MetadataBuilder().putLong(Field.FieldIdKey, id.toLong).build())
+    comment.map(f.withComment).getOrElse(f)
+  }
   /** This field + all nested descendants (id-uniqueness domain). */
   def selfAndDescendants: Seq[Field] = this +: nested.flatMap(_.selfAndDescendants)
 }
@@ -344,6 +347,7 @@ case class TableSchema(
       val fn = arr.addObject()
       fn.put("id", f.id); fn.put("name", f.name)
       fn.put("type", f.dataType); fn.put("nullable", f.nullable)
+      f.comment.foreach(fn.put("comment", _))
       if (f.nested.nonEmpty) writeFields(fn.putArray("fields"), f.nested)
     }
     writeFields(root.putArray("fields"), fields)
@@ -430,7 +434,8 @@ object TableSchema {
     def readFields(arr: JsonNode): Seq[Field] = Json.elems(arr).map { fn =>
       Field(fn.get("id").asInt(), fn.get("name").asText(),
         fn.get("type").asText(), fn.get("nullable").asBoolean(true),
-        if (fn.has("fields")) readFields(fn.get("fields")) else Nil)
+        if (fn.has("fields")) readFields(fn.get("fields")) else Nil,
+        if (fn.has("comment")) Some(fn.get("comment").asText()) else None)
     }
     val fields = readFields(n.get("fields"))
     TableSchema(
@@ -464,7 +469,8 @@ object TableSchema {
       case _ => Nil
     }
     val fields = st.fields.zipWithIndex.map { case (f, i) =>
-      Field(i, f.name, f.dataType.sql, f.nullable, childFields(f.dataType))
+      Field(i, f.name, f.dataType.sql, f.nullable, childFields(f.dataType),
+        f.getComment())
     }.toSeq
     val unknown = (partitionKeys ++ primaryKeys).filterNot(st.fieldNames.contains)
     require(unknown.isEmpty, s"keys not in schema: ${unknown.mkString(",")}")

@@ -210,15 +210,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // TableChange fieldNames() are PATHS: ("person","city") addresses a
     // field inside a struct — joined to the dotted form the evolution API
     // takes (nested children carry their own field ids; SchemaEvolution)
+    // ColumnPosition anchors are bare sibling names (same parent as the
+    // moved column) — exactly what moveColumn takes
+    def moveTo(path: String, pos: TableChange.ColumnPosition): Unit = pos match {
+      case _: TableChange.First => t.moveColumn(path, None)
+      case after: TableChange.After => t.moveColumn(path, Some(after.column()))
+      case _ => ()
+    }
     changes.foreach {
       case a: TableChange.AddColumn =>
-        t.addColumn(a.fieldNames().mkString("."), a.dataType(), a.isNullable)
+        val path = a.fieldNames().mkString(".")
+        t.addColumn(path, a.dataType(), a.isNullable)
+        Option(a.position()).foreach(moveTo(path, _))
       case r: TableChange.RenameColumn =>
         t.renameColumn(r.fieldNames().mkString("."), r.newName())
       case d: TableChange.DeleteColumn =>
         t.dropColumn(d.fieldNames().mkString("."))
       case u: TableChange.UpdateColumnType =>
         t.updateColumnType(u.fieldNames().mkString("."), u.newDataType())
+      case n: TableChange.UpdateColumnNullability =>
+        t.updateColumnNullability(n.fieldNames().mkString("."), n.nullable())
+      case c: TableChange.UpdateColumnComment =>
+        t.updateColumnComment(c.fieldNames().mkString("."),
+          Option(c.newComment()).filter(_.nonEmpty))
+      case p: TableChange.UpdateColumnPosition =>
+        moveTo(p.fieldNames().mkString("."), p.position())
       case p: TableChange.SetProperty => t.setOption(p.property(), p.value())
       case p: TableChange.RemoveProperty => t.removeOption(p.property())
       case other => throw new UnsupportedOperationException(s"ALTER: $other")

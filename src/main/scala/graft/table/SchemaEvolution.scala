@@ -152,6 +152,64 @@ trait SchemaEvolution { self: GraftTable =>
       }
     }
 
+  /** Update one field (top-level or nested path) in place. */
+  private def updateField(s: TableSchema, name: String,
+      op: Field => Field): Seq[Field] = {
+    val (parent, leaf) = splitPath(name)
+    if (parent.isEmpty) {
+      require(s.fields.exists(_.name == name), s"no column $name")
+      s.fields.map(f => if (f.name == name) op(f) else f)
+    } else rewriteParent(s.fields, parent, { p =>
+      require(p.nested.exists(_.name == leaf), s"no column $name")
+      p.copy(nested = p.nested.map(c => if (c.name == leaf) op(c) else c))
+    })
+  }
+
+  /** Set/clear a column comment (reference: SchemaChange
+    * .updateColumnComment — SchemaChange.java:118).
+    */
+  def updateColumnComment(name: String, comment: Option[String]): TableSchema =
+    commitEvolved(s => s.copy(fields = updateField(s, name, _.copy(comment = comment))))
+
+  /** Change a column's nullability (reference: SchemaChange
+    * .updateColumnNullability — SchemaChange.java:113). Primary-key and
+    * partition columns must stay required; tightening to NOT NULL is
+    * enforced on future writes (existing files are not rescanned, same
+    * contract as the reference).
+    */
+  def updateColumnNullability(name: String, nullable: Boolean): TableSchema =
+    commitEvolved { s =>
+      if (nullable)
+        require(!s.primaryKeys.contains(name) && !s.partitionKeys.contains(name),
+          s"cannot make key column $name nullable")
+      s.copy(fields = updateField(s, name, _.copy(nullable = nullable)))
+    }
+
+  /** Reorder a column to FIRST or AFTER another sibling (reference:
+    * SchemaChange.Move — SchemaChange.java:215; read remap is by field id,
+    * so declared order is pure presentation and old files are unaffected).
+    * Both columns must share a parent (top-level, or the same struct).
+    */
+  def moveColumn(name: String, afterOrFirst: Option[String]): TableSchema =
+    commitEvolved { s =>
+      def reorder(siblings: Seq[Field], leaf: String): Seq[Field] = {
+        val moving = siblings.find(_.name == leaf)
+          .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+        val rest = siblings.filterNot(_.name == leaf)
+        afterOrFirst match {
+          case None => moving +: rest
+          case Some(anchor) =>
+            require(rest.exists(_.name == anchor),
+              s"AFTER column $anchor not found beside $name")
+            rest.flatMap(f => if (f.name == anchor) Seq(f, moving) else Seq(f))
+        }
+      }
+      val (parent, leaf) = splitPath(name)
+      if (parent.isEmpty) s.copy(fields = reorder(s.fields, leaf))
+      else s.copy(fields = rewriteParent(s.fields, parent,
+        p => p.copy(nested = reorder(p.nested, leaf))))
+    }
+
   def setOption(key: String, value: String): TableSchema = {
     // bucket count determines the physical layout of every existing PK
     // file — flipping it via SET would break bucket pruning and point

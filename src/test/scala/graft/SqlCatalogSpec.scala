@@ -676,6 +676,38 @@ class SqlCatalogSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("c"))
   }
 
+  test("ALTER COLUMN comment / nullability / position (SchemaChange algebra)") {
+    spark.sql(
+      """CREATE TABLE graft.db.alg (a BIGINT NOT NULL, b STRING, c DOUBLE,
+        | s STRUCT<x: INT, y: INT>) USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.db.alg VALUES " +
+      "(1, 'one', 1.5, named_struct('x', 1, 'y', 2))")
+    // comment
+    spark.sql("ALTER TABLE graft.db.alg ALTER COLUMN b COMMENT 'label col'")
+    // position: move c first, then b after c; and x after y INSIDE the struct
+    spark.sql("ALTER TABLE graft.db.alg ALTER COLUMN c FIRST")
+    spark.sql("ALTER TABLE graft.db.alg ALTER COLUMN b AFTER c")
+    spark.sql("ALTER TABLE graft.db.alg ALTER COLUMN s.x AFTER y")
+    // nullability relax (SQL forbids the tightening direction at analysis)
+    spark.sql("ALTER TABLE graft.db.alg ALTER COLUMN a DROP NOT NULL")
+    spark.sql("REFRESH TABLE graft.db.alg")
+    val schema = spark.table("graft.db.alg").schema
+    assert(schema("a").nullable, "DROP NOT NULL relaxed the column")
+    assert(schema.fieldNames.toSeq == Seq("c", "b", "a", "s"),
+      s"declared order follows the moves: ${schema.fieldNames.toSeq}")
+    assert(schema("b").getComment().contains("label col"))
+    assert(schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("y", "x"), "nested move reorders struct children")
+    // data written before the moves still reads correctly (remap by id)
+    val r = spark.sql("SELECT a, b, c, s.x, s.y FROM graft.db.alg").collect()(0)
+    assert((r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3), r.getInt(4)) ==
+      ((1L, "one", 1.5, 1, 2)))
+    // comments survive the schema round trip in DESCRIBE
+    val desc = spark.sql("DESCRIBE TABLE graft.db.alg")
+      .collect().map(r2 => (r2.getString(0), r2.getString(2))).toMap
+    assert(desc.get("b").contains("label col"))
+  }
+
   test("nested evolution reads through the DSv2 scan: rename/add inside a struct") {
     spark.sql(
       """CREATE TABLE graft.db.nested_ev (
