@@ -187,6 +187,22 @@ class AvroFormatSpec extends SparkSpec {
     assert(math.abs(doubled - exp) < 1e-6)
   }
 
+  test("avro nested evolution: struct children remap by field id across versions") {
+    import spark.implicits._
+    val df = Seq((1L, ("alice", 30))).toDF("id", "person")
+      .select(col("id"), col("person").cast("struct<name:string,age:int>"))
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      options = Map("file.format" -> "avro"))
+    t.append(df)
+    t.renameColumn("person.name", "nick")
+    t.addColumn("person.vip", BooleanType)
+    t.append(Seq((2L, ("bob", 25, true))).toDF("id", "person")
+      .select(col("id"), col("person").cast("struct<nick:string,age:int,vip:boolean>")))
+    val rows = t.toDF.select("id", "person.nick", "person.vip").orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alice", "bob"))
+    assert(rows.map(r => Option(r.get(2))).toSeq == Seq(None, Some(true)))
+  }
+
   test("SQL DDL with file.format=avro through the catalog") {
     val wh = java.nio.file.Files.createTempDirectory("graft-avrowh").toString
     spark.conf.set("spark.sql.catalog.gavro", classOf[graft.spark.v2.GraftCatalog].getName)
