@@ -1151,6 +1151,17 @@ object Fixtures {
       t
     }
 
+  /** Opaque-binary media column stored in a graft append table (the
+    * multimodal storage convention: bytes + typed metadata travel the
+    * table format; q108 decodes AFTER the round trip).
+    */
+  def mediaTable(spark: SparkSession, sfDir: String, rendered: DataFrame): DataFrame =
+    build(spark, sfDir, "media_png") { path =>
+      val t = GraftTable.create(spark, path, rendered.schema)
+      t.append(rendered)
+      t
+    }.toDF
+
   def ordersDefaults(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "orders_defaults") { path =>
       val df = src(spark, sfDir, "orders")

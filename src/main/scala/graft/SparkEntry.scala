@@ -327,7 +327,10 @@ object SparkEntry {
           (lit(8) + pmod(col("doc_id") * 7, lit(30))).cast("int").as("h"),
           pmod(col("doc_id") * 31, lit(256)).cast("int").as("gray"))
       val rendered = Multimodal.renderSolidPngs(base, "w", "h", "gray")
-      Multimodal.decodeImages(rendered, "content", embeddingDim = 4)
+      // round-trip the binary media column through a graft table: the
+      // decoded stats prove the bytes survive the table format intact
+      val stored = Fixtures.mediaTable(s, d, rendered)
+      Multimodal.decodeImages(stored, "content", embeddingDim = 4)
         .select(
           col("doc_id"),
           col("image_info.width").cast("long").as("width"),
