@@ -487,23 +487,51 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     */
   def writeWithSchemaMerge(df: DataFrame): Snapshot = {
     val ladder = Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
-    df.schema.fields.foreach { in =>
-      schema.fields.find(_.name == in.name) match {
-        case None => addColumn(in.name, in.dataType)
+    // recursive merge (reference: SchemaMergingUtils.mergeSchemas:41 merges
+    // nested RowTypes too): unknown fields are ADDED at their path, safe
+    // numeric widenings applied, narrower input cast on write
+    def mergeAt(path: Seq[String], current: Seq[graft.core.Field],
+        incoming: Seq[StructField]): Unit = incoming.foreach { in =>
+      val p = (path :+ in.name).mkString(".")
+      current.find(_.name == in.name) match {
+        case None => addColumn(p, in.dataType)
         case Some(cur) if cur.sparkType == in.dataType => ()
-        case Some(cur) =>
-          val (ci, ii) = (ladder.indexOf(cur.sparkType), ladder.indexOf(in.dataType))
-          if (ci >= 0 && ii > ci) updateColumnType(in.name, in.dataType)
-          else if (ci >= 0 && ii >= 0) () // narrower input: cast on write
-          else throw new IllegalArgumentException(
-            s"cannot merge ${in.name}: ${cur.dataType} vs ${in.dataType}")
+        case Some(cur) => (cur.sparkType, in.dataType) match {
+          case (_: StructType, inSt: StructType) if cur.nested.nonEmpty =>
+            mergeAt(path :+ in.name, cur.nested, inSt.fields.toSeq)
+          case (curT, inT) =>
+            val (ci, ii) = (ladder.indexOf(curT), ladder.indexOf(inT))
+            if (ci >= 0 && ii > ci) updateColumnType(p, inT)
+            else if (ci >= 0 && ii >= 0) () // narrower input: cast on write
+            else throw new IllegalArgumentException(
+              s"cannot merge $p: ${cur.dataType} vs $inT")
+        }
       }
     }
-    val filled = schema.fields.foldLeft(df) { (acc, f) =>
-      if (acc.columns.contains(f.name)) acc
-      else acc.withColumn(f.name, lit(null).cast(f.sparkType))
+    mergeAt(Nil, schema.fields, df.schema.fields.toSeq)
+    // null-fill absent top-level columns, then rebuild each struct column
+    // child-by-child so absent NESTED fields null-fill too (a whole-column
+    // positional cast cannot add members)
+    val cols = schema.fields.map { f =>
+      if (!df.columns.contains(f.name)) lit(null).cast(f.sparkType).as(f.name)
+      else if (f.nested.isEmpty) col(f.name)
+      else {
+        val inType = df.schema(f.name).dataType.asInstanceOf[StructType]
+        // child present in input → take it; absent → null
+        def conformIn(src: Column, cur: graft.core.Field, inT: StructType): Column =
+          when(src.isNull, lit(null).cast(cur.sparkType)).otherwise(struct(
+            cur.nested.map { c =>
+              if (!inT.fieldNames.contains(c.name)) lit(null).cast(c.sparkType).as(c.name)
+              else (c.nested, inT(c.name).dataType) match {
+                case (n, st: StructType) if n.nonEmpty =>
+                  conformIn(src.getField(c.name), c, st).as(c.name)
+                case _ => src.getField(c.name).cast(c.sparkType).as(c.name)
+              }
+            }: _*))
+        conformIn(col(f.name), f, inType).as(f.name)
+      }
     }
-    write(filled)
+    write(df.select(cols: _*))
   }
 
   /** Append-table write (reference: append/AppendOnlyWriter.java:62 — here

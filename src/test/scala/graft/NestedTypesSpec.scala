@@ -132,6 +132,38 @@ class NestedTypesSpec extends SparkSpec {
     assert(after.map(_.getString(1)).toSeq == Seq("alice", "bobby"))
   }
 
+  test("schema-merge write merges NESTED structs: add + widen inside a struct") {
+    import spark.implicits._
+    val df = Seq((1L, ("alice", 30))).toDF("id", "person")
+      .select(col("id"), col("person").cast("struct<name:string,age:int>"))
+    val t = GraftTable.create(spark, tmpTable(), df.schema)
+    t.append(df)
+    // incoming batch: person gains a child (city), age widens to long, and
+    // a new top-level column appears
+    val df2 = Seq((2L, ("bob", 25L, "berlin"), 0.5))
+      .toDF("id", "person", "score")
+      .select(col("id"),
+        col("person").cast("struct<name:string,age:bigint,city:string>"),
+        col("score"))
+    t.writeWithSchemaMerge(df2)
+    val got = t.toDF
+      .select("id", "person.name", "person.age", "person.city", "score")
+      .orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("alice", "bob"))
+    assert(got.map(_.getLong(2)).toSeq == Seq(30L, 25L), "nested age widened")
+    assert(got.map(r => Option(r.getString(3))).toSeq == Seq(None, Some("berlin")))
+    assert(got.map(r => Option(r.get(4))).toSeq == Seq(None, Some(0.5)))
+    // a batch shaped like the ORIGINAL schema still merges (absent nested
+    // child null-fills on write)
+    t.writeWithSchemaMerge(Seq((3L, ("carol", 40)))
+      .toDF("id", "person")
+      .select(col("id"), col("person").cast("struct<name:string,age:int>")))
+    val carol = t.toDF.filter(col("id") === 3)
+      .select("person.name", "person.age", "person.city").collect()(0)
+    assert(carol.getString(0) == "carol" && carol.getLong(1) == 40L &&
+      carol.isNullAt(2))
+  }
+
   test("row-level delete works on a table with nested columns") {
     import spark.implicits._
     val df = (1L to 10L).map(i => (i, (s"u$i", i.toInt), Seq(i.toInt)))
