@@ -706,6 +706,14 @@ class SqlCatalogSpec extends SparkSpec {
     val desc = spark.sql("DESCRIBE TABLE graft.db.alg")
       .collect().map(r2 => (r2.getString(0), r2.getString(2))).toMap
     assert(desc.get("b").contains("label col"))
+    // ADD COLUMN with a position lands in place (top-level and nested)
+    spark.sql("ALTER TABLE graft.db.alg ADD COLUMN d STRING AFTER c")
+    spark.sql("ALTER TABLE graft.db.alg ADD COLUMN s.z INT FIRST")
+    spark.sql("REFRESH TABLE graft.db.alg")
+    val after = spark.table("graft.db.alg").schema
+    assert(after.fieldNames.toSeq == Seq("c", "d", "b", "a", "s"))
+    assert(after("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("z", "y", "x"))
   }
 
   test("nested evolution reads through the DSv2 scan: rename/add inside a struct") {
