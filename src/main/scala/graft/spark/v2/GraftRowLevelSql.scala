@@ -114,13 +114,16 @@ case class GraftUpdateCommand(
         case _ => false
       }
     }
-    val sets = real.map { a =>
-      val name = a.key match {
-        case k: AttributeReference => k.name
-        case other => other.sql
-      }
-      name -> byName(a.value)
-    }.toMap
+    // nested assignment keys (SET person.age = ...) arrive as
+    // GetStructField chains — emit the dotted path; RowLevelOps folds it
+    // into a whole-root struct rebuild
+    def keyName(e: Expression): String = e match {
+      case k: AttributeReference => k.name
+      case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+        keyName(g.child) + "." + g.extractFieldName
+      case other => other.sql
+    }
+    val sets = real.map(a => keyName(a.key) -> byName(a.value)).toMap
     table.update(condition.map(byName)
       .getOrElse(org.apache.spark.sql.functions.lit(true)), sets)
     Nil
@@ -147,11 +150,13 @@ case class GraftMergeCommand(
 
   private def setsOf(assignments: Seq[Assignment]) =
     assignments.map { a =>
-      val name = a.key match {
+      def keyName(e: Expression): String = e match {
         case k: AttributeReference => k.name
+        case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+          keyName(g.child) + "." + g.extractFieldName
         case other => other.sql
       }
-      name -> fix(a.value)
+      keyName(a.key) -> fix(a.value)
     }.toMap
 
   override def run(spark: SparkSession): Seq[Row] = {

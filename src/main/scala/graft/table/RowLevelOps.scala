@@ -78,8 +78,14 @@ trait RowLevelOps { self: GraftTable =>
     commitFiles(entries, CommitKind.COMPACT)
   }
 
-  /** UPDATE t SET assignments WHERE cond. */
-  def update(cond: Column, assignments: Map[String, Column]): Snapshot = {
+  /** UPDATE t SET assignments WHERE cond. Keys may be dotted paths
+    * addressing struct members (`person.age`) — a nested assignment
+    * rebuilds the root struct member-by-member, leaving unaddressed
+    * members untouched (reference: row-level UPDATE supports nested
+    * column assignment through MergeInto's updated-fields projection).
+    */
+  def update(cond: Column, rawAssignments: Map[String, Column]): Snapshot = {
+    val assignments = RowLevelOps.foldNestedAssignments(schema, rawAssignments)
     val bad = assignments.keySet -- schema.fields.map(_.name).toSet
     require(bad.isEmpty, s"unknown columns: ${bad.mkString(",")}")
     require(!assignments.keySet.exists(schema.primaryKeys.contains),
@@ -194,6 +200,69 @@ trait RowLevelOps { self: GraftTable =>
   }
 }
 
+object RowLevelOps {
+  /** Fold dotted assignment paths into whole-root-column struct rebuilds:
+    * `person.age -> v` becomes `person -> struct(person.name, v AS age)`,
+    * recursing for deeper paths. A null root struct stays null (its
+    * members cannot be addressed).
+    */
+  private[table] def foldNestedAssignments(schema: graft.core.TableSchema,
+      assignments: Map[String, Column]): Map[String, Column] =
+    foldNestedAssignmentsWith(schema, assignments, col(_))
+
+  /** As [[foldNestedAssignments]] but reading unaddressed members from a
+    * caller-chosen source column (e.g. the aliased target side of a MERGE
+    * join, `col("t.person")`).
+    */
+  private[table] def foldNestedAssignmentsWith(schema: graft.core.TableSchema,
+      assignments: Map[String, Column], srcOf: String => Column): Map[String, Column] = {
+    import org.apache.spark.sql.types.StructType
+    val (nested, flat) = assignments.partition(_._1.contains('.'))
+    if (nested.isEmpty) return assignments
+    val rebuilt = nested.groupBy(_._1.split('.').head).map { case (root, as) =>
+      val f = schema.fields.find(_.name == root).getOrElse(
+        throw new IllegalArgumentException(s"unknown columns: $root"))
+      val st = f.sparkType match {
+        case s: StructType => s
+        case other => throw new IllegalArgumentException(
+          s"$root is $other, not a struct — cannot assign ${as.keys.mkString(",")}")
+      }
+      val paths = as.map { case (k, v) => k.split('.').toList.tail -> v }
+      def build(src: Column, t: StructType, ps: Map[List[String], Column]): Column =
+        struct(t.fields.toSeq.map { c =>
+          ps.get(List(c.name)) match {
+            case Some(v) => v.cast(c.dataType).as(c.name)
+            case None =>
+              val deeper = ps.collect {
+                case (h :: rest, v) if h == c.name && rest.nonEmpty => rest -> v
+              }
+              if (deeper.isEmpty) src.getField(c.name).as(c.name)
+              else c.dataType match {
+                case cst: StructType => build(src.getField(c.name), cst, deeper).as(c.name)
+                case other => throw new IllegalArgumentException(
+                  s"$root.${c.name} is $other, not a struct")
+              }
+          }
+        }: _*)
+      val unknown = paths.keys.filterNot(p => resolvable(st, p))
+      require(unknown.isEmpty,
+        s"unknown columns: ${unknown.map(p => (root :: p).mkString(".")).mkString(",")}")
+      root -> when(srcOf(root).isNull, lit(null).cast(f.sparkType))
+        .otherwise(build(srcOf(root), st, paths))
+    }
+    flat ++ rebuilt
+  }
+
+  private def resolvable(st: org.apache.spark.sql.types.StructType,
+      path: List[String]): Boolean = path match {
+    case Nil => false
+    case h :: Nil => st.fieldNames.contains(h)
+    case h :: rest => st.find(_.name == h).map(_.dataType).collect {
+      case s: org.apache.spark.sql.types.StructType => resolvable(s, rest)
+    }.getOrElse(false)
+  }
+}
+
 /** MERGE INTO t USING s ON cond WHEN MATCHED ... WHEN NOT MATCHED ...
   * (reference: MergeIntoPaimonTable.scala:41-149 — constructChangedRows:83
   * joins source to target and tags each row with its action; we do the same
@@ -210,8 +279,11 @@ class MergeIntoBuilder(table: GraftTable, source: DataFrame, on: Column) {
   private def tgtCols = table.schema.fields.map(_.name)
 
   def whenMatchedUpdate(set: Map[String, Column], cond: Option[Column] = None): this.type = {
-    clauses :+= Clause("matched_update", cond, set); this
+    clauses :+= Clause("matched_update", cond, foldTargetNested(set)); this
   }
+  // nested set keys (person.age) rebuild the TARGET side's struct
+  private def foldTargetNested(set: Map[String, Column]): Map[String, Column] =
+    RowLevelOps.foldNestedAssignmentsWith(table.schema, set, r => col(s"t.$r"))
   /** UPDATE SET * — every target column from the like-named source column. */
   def whenMatchedUpdateAll(cond: Option[Column] = None): this.type =
     whenMatchedUpdate(tgtCols.map(c => c -> col(s"s.$c")).toMap, cond)
@@ -228,7 +300,7 @@ class MergeIntoBuilder(table: GraftTable, source: DataFrame, on: Column) {
     clauses :+= Clause("nms_delete", cond, Map.empty); this
   }
   def whenNotMatchedBySourceUpdate(set: Map[String, Column], cond: Option[Column] = None): this.type = {
-    clauses :+= Clause("nms_update", cond, set); this
+    clauses :+= Clause("nms_update", cond, foldTargetNested(set)); this
   }
 
   def execute(): graft.core.Snapshot = {

@@ -716,6 +716,38 @@ class SqlCatalogSpec extends SparkSpec {
       .fieldNames.toSeq == Seq("z", "y", "x"))
   }
 
+  test("row-level SQL over nested fields: UPDATE SET s.x, DELETE WHERE s.y") {
+    spark.sql(
+      """CREATE TABLE graft.db.nested_rls (
+        | id BIGINT, person STRUCT<name: STRING, age: INT>)
+        |USING graft TBLPROPERTIES ('primary-key' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.nested_rls VALUES " +
+      "(1, named_struct('name','alice','age',30))," +
+      "(2, named_struct('name','bob','age',25))," +
+      "(3, named_struct('name','carol','age',70))")
+    // nested assignment: only the addressed member changes
+    spark.sql("UPDATE graft.db.nested_rls SET person.age = 31 WHERE person.name = 'alice'")
+    val r = spark.sql(
+      "SELECT person.name, person.age FROM graft.db.nested_rls ORDER BY id").collect()
+    assert(r.map(x => (x.getString(0), x.getInt(1))).toSeq ==
+      Seq(("alice", 31), ("bob", 25), ("carol", 70)))
+    // nested predicate delete
+    spark.sql("DELETE FROM graft.db.nested_rls WHERE person.age > 60")
+    assert(spark.sql("SELECT count(*) FROM graft.db.nested_rls").head().getLong(0) == 2)
+    // MERGE with a NESTED set key: only the addressed member changes
+    spark.sql("CREATE TABLE graft.db.nested_src (id BIGINT, age INT) USING graft")
+    spark.sql("INSERT INTO graft.db.nested_src VALUES (2, 26), (4, 40)")
+    spark.sql(
+      """MERGE INTO graft.db.nested_rls t USING graft.db.nested_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.person.age = s.age
+        |WHEN NOT MATCHED THEN INSERT (id, person) VALUES
+        |  (s.id, named_struct('name', 'new', 'age', s.age))""".stripMargin)
+    val m = spark.sql(
+      "SELECT id, person.name, person.age FROM graft.db.nested_rls ORDER BY id").collect()
+    assert(m.map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSeq ==
+      Seq((1L, "alice", 31), (2L, "bob", 26), (4L, "new", 40)))
+  }
+
   test("nested evolution reads through the DSv2 scan: rename/add inside a struct") {
     spark.sql(
       """CREATE TABLE graft.db.nested_ev (
