@@ -192,6 +192,50 @@ object Multimodal {
     }(enc)
   }
 
+  val ImageDimsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType)))
+
+  /** HEADER-ONLY dimension probe: ImageReader.getWidth/getHeight read the
+    * image header without decoding pixel data — the cheap first pass for
+    * dimension/aspect filtering over a huge corpus (decode only what
+    * survives). Returns null info for unrecognized bytes.
+    */
+  def probeImageDims(content: Array[Byte]): Row = {
+    if (content == null) return Row(null, null, null)
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (iis == null) return Row(null, null, null)
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Row(null, null, null)
+      val r = readers.next()
+      r.setInput(iis, true, true)
+      try Row(r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+      catch { case _: Exception => Row(null, null, null) }
+      finally r.dispose()
+    } finally iis.close()
+  }
+
+  /** Batched partition-local header probe appending `image_dims` — no
+    * pixel decode, no shuffle. Pair with a dims filter, then run
+    * [[decodeImages]] only on the survivors.
+    */
+  def probeImages(df: DataFrame, contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("image_dims", ImageDimsSchema))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ probeImageDims(r.getAs[Array[Byte]](contentIdx)))
+      })
+    }(enc)
+  }
+
   // ---------------- audio (real, javax.sound.sampled) ----------------
 
   val AudioInfoSchema: StructType = StructType(Seq(

@@ -103,6 +103,31 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("header-only dimension probe: exact dims without pixel decode") {
+    val base = spark.range(1, 11).select(
+      col("id"),
+      (lit(8) + pmod(col("id"), lit(40))).cast("int").as("w"),
+      (lit(8) + pmod(col("id") * 7, lit(30))).cast("int").as("h"),
+      lit(128).as("gray"))
+    val probed = Multimodal.probeImages(
+      Multimodal.renderSolidPngs(base, "w", "h", "gray"), "content")
+    val bad = probed.filter(
+      col("image_dims.width") =!= col("w") ||
+        col("image_dims.height") =!= col("h") ||
+        col("image_dims.format") =!= "png").count()
+    assert(bad == 0, "header probe reads exact dims for every image")
+    // junk bytes probe to nulls, pipeline stays total
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "content")
+    val j = Multimodal.probeImages(junk, "content").select("image_dims.*").collect()(0)
+    assert(j.isNullAt(0) && j.isNullAt(2))
+    // probe → filter → decode: the decode pass sees only the survivors
+    val survivors = probed.filter(col("image_dims.width") > 30)
+    val n = survivors.count()
+    val decoded = Multimodal.decodeImages(survivors, "content")
+    assert(decoded.count() == n &&
+      decoded.filter(col("image_info.decoder") === "imageio").count() == n)
+  }
+
   test("JavaSound decodes real WAV bytes: rate, frames, exact peak and RMS") {
     val bytes = Multimodal.encodeSquareWav(sampleRate = 8000, frames = 1234, amplitude = 3000)
     val df = Seq((1L, bytes)).toDF("id", "content")
