@@ -368,6 +368,26 @@ object SparkEntry {
           col("audio_info.rms").as("rms"),
           col("audio_info.decoder").as("decoder"))
     }),
+    // MJPEG video frame extraction: synthesize per-doc 4-frame videos whose
+    // frame dimensions are closed-form, split REAL JPEG frames by marker
+    // scan, and verify each frame's dims via the header probe
+    "q113_mjpeg_frames" -> ((s, d) => {
+      val base = Fixtures.src(s, d, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(3)), k => struct(
+            (lit(16) + k * 2).cast("int").as("w"),
+            lit(9).as("h"), lit(128).as("gray"))).as("frames"))
+      val vids = Multimodal.renderMjpegs(base, "frames")
+      val fr = Multimodal.sampleMjpegFrames(vids.drop("frames"), "content")
+      Multimodal.probeImages(
+        fr.withColumnRenamed("frame_bytes", "fb"), "fb")
+        .select(
+          col("doc_id"),
+          col("frame_index").cast("long").as("frame_index"),
+          col("image_dims.width").cast("long").as("width"),
+          col("image_dims.height").cast("long").as("height"))
+    }),
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
@@ -869,6 +889,11 @@ object SparkEntry {
         | CAST(1000 + ((doc_id * 13) % 50) * 100 AS DOUBLE) AS rms,
         | 'javasound' AS decoder
         |FROM documents WHERE doc_id < 200""".stripMargin,
+    "q113_mjpeg_frames" ->
+      """SELECT doc_id, CAST(f.k AS BIGINT) AS frame_index,
+        | CAST(16 + f.k * 2 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height
+        |FROM documents, (VALUES (0),(1),(2),(3)) AS f(k)
+        |WHERE doc_id < 60""".stripMargin,
     "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
     "q105_append_bucket_join" ->
       """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority

@@ -348,9 +348,98 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB video frame sampler: every-nth-frame metadata (deterministic
-    * frame count from content length). Fan-out: one row per sampled frame
-    * via explode — the real sampler only changes what `frame_bytes` holds.
+  // ---------------- video (MJPEG real; other containers stubbed) -------
+
+  /** Encode one solid-gray JPEG frame (dims are exact post-encode; pixel
+    * values are lossy — verify dims via [[probeImageDims]], not sums).
+    */
+  def encodeSolidJpeg(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, width, height)
+    } finally g2.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpeg", out)
+    out.toByteArray
+  }
+
+  /** Render a `content` MJPEG column from an ARRAY<STRUCT<w,h,gray>>
+    * frame-spec column (one JPEG per element, concatenated) —
+    * partition-local; pairs with [[sampleMjpegFrames]] for end-to-end
+    * frame-extraction verification on synthetic videos.
+    */
+  def renderMjpegs(df: DataFrame, framesCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val framesIdx = df.schema.fieldIndex(framesCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val frames = r.getSeq[Row](framesIdx)
+        val out = new ByteArrayOutputStream()
+        frames.foreach(f => out.write(encodeSolidJpeg(
+          f.getInt(0), f.getInt(1), f.getInt(2))))
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
+      })
+    }(enc)
+  }
+
+  /** Split an MJPEG stream (concatenated JPEGs — the one video format
+    * decodable with zero external codecs) into its frames by scanning
+    * SOI/EOI markers. JPEG byte-stuffing guarantees 0xFFD9 inside
+    * entropy-coded data never occurs (0xFF is always followed by 0x00
+    * there), so marker spans are frame boundaries. Embedded EXIF
+    * thumbnails (a nested JPEG inside APP1) are out of scope.
+    */
+  def splitMjpegFrames(content: Array[Byte]): Seq[Array[Byte]] = {
+    if (content == null) return Nil
+    val frames = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i < content.length - 1) {
+      if ((content(i) & 0xff) == 0xff) {
+        val m = content(i + 1) & 0xff
+        if (m == 0xd8 && start < 0) start = i
+        else if (m == 0xd9 && start >= 0) {
+          frames += java.util.Arrays.copyOfRange(content, start, i + 2)
+          start = -1
+          i += 1
+        }
+      }
+      i += 1
+    }
+    frames.result()
+  }
+
+  /** REAL video frame sampling for MJPEG content: one row per every-nth
+    * frame, `frame_bytes` holding a complete decodable JPEG (feed straight
+    * into [[decodeImages]]/[[probeImages]]). Partition-local flatMap — one
+    * task per video slab, no shuffle. Non-MJPEG bytes yield zero rows (use
+    * [[sampleFrames]]' byte-slice stub for opaque containers).
+    */
+  def sampleMjpegFrames(df: DataFrame, contentCol: String,
+      everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        splitMjpegFrames(r.getAs[Array[Byte]](contentIdx)).zipWithIndex
+          .collect { case (bytes, idx) if idx % everyNth == 0 =>
+            Row.fromSeq(r.toSeq ++ Seq(idx, bytes))
+          }
+      }
+    }(enc)
+  }
+
+  /** STUB video frame sampler for opaque containers (MP4 etc. need codecs
+    * the JDK doesn't ship): every-nth-frame metadata with a byte-slice
+    * payload. MJPEG content has the REAL path: [[sampleMjpegFrames]].
     */
   def sampleFrames(df: DataFrame, contentCol: String, everyNth: Int = 30): DataFrame = {
     val frameCount = (length(col(contentCol)) / 1000 + 1).cast(IntegerType)

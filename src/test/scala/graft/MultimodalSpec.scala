@@ -170,6 +170,34 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head.getLong(0) == 1L, "nearest neighbor of a vector is itself")
   }
 
+  test("MJPEG frame sampling extracts REAL decodable JPEG frames") {
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    // a 6-frame MJPEG "video": frame k is (10+k) x 7
+    val mjpeg = (0 until 6).map(k => jpeg(10 + k, 7))
+      .reduce(_ ++ _)
+    val video = Seq((1L, mjpeg)).toDF("vid", "content")
+    val frames = Multimodal.sampleMjpegFrames(video, "content", everyNth = 2)
+    val idx = frames.select("frame_index").collect().map(_.getInt(0)).toSeq
+    assert(idx == Seq(0, 2, 4), "every 2nd frame sampled")
+    // each sampled frame is a complete JPEG: decode dims via the probe
+    val dims = Multimodal.probeImages(
+      frames.withColumnRenamed("frame_bytes", "fb"), "fb")
+      .select("frame_index", "image_dims.width", "image_dims.height")
+      .orderBy("frame_index").collect()
+    assert(dims.map(r => (r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((10, 7), (12, 7), (14, 7)),
+      "sampled frames decode to their own dimensions")
+    // non-MJPEG bytes yield zero frames (pipeline total, no throw)
+    assert(Multimodal.sampleMjpegFrames(
+      Seq((2L, Array[Byte](1, 2, 3))).toDF("vid", "content"), "content").count() == 0)
+  }
+
   test("frame sampling fans out deterministically") {
     val video = Seq((1L, Array.tabulate(3000)(_.toByte))).toDF("id", "content")
     val frames = Multimodal.sampleFrames(video, "content", everyNth = 1)
