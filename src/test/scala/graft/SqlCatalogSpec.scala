@@ -748,6 +748,27 @@ class SqlCatalogSpec extends SparkSpec {
       Seq((1L, "alice", 31), (2L, "bob", 26), (4L, "new", 40)))
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT through the catalog") {
+    sf("orders").limit(50).createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE graft.db.ctas_t USING graft
+        |TBLPROPERTIES ('primary-key' = 'o_orderkey')
+        |AS SELECT o_orderkey, o_totalprice FROM ctas_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas_t").head().getLong(0) == 50)
+    // PK semantics took: an upsert of the same keys keeps count at 50
+    spark.sql(
+      "INSERT INTO graft.db.ctas_t SELECT o_orderkey, o_totalprice * 2 FROM ctas_src")
+    assert(spark.sql("SELECT count(*) FROM graft.db.ctas_t").head().getLong(0) == 50)
+    // RTAS: new schema + new content replace the old table
+    spark.sql(
+      """REPLACE TABLE graft.db.ctas_t USING graft
+        |AS SELECT o_orderkey, o_orderpriority FROM ctas_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    val after = spark.table("graft.db.ctas_t")
+    assert(after.schema.fieldNames.toSeq == Seq("o_orderkey", "o_orderpriority"))
+    assert(after.count() == sf("orders").limit(50)
+      .filter(col("o_orderkey") % 2 === 0).count())
+  }
+
   test("nested evolution reads through the DSv2 scan: rename/add inside a struct") {
     spark.sql(
       """CREATE TABLE graft.db.nested_ev (
