@@ -251,6 +251,22 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
           case Some(s) => s"expired partitions at snapshot ${s.id}"
           case None => "no partitions expired"
         }
+      // CALL sys.mark_partition_done('db.t' [, 'k1=v1,k2=v2', ...]) —
+      // explicit partitions, or none → partitions idle past
+      // partition.idle-time-to-done (reference: MarkPartitionDoneAction)
+      case "mark_partition_done" =>
+        val specs = args.drop(1).map { s =>
+          val kv = s.split(',').map { seg =>
+            val i = seg.indexOf('=')
+            require(i > 0, s"bad partition spec: $seg (expected k=v)")
+            seg.take(i).trim -> seg.drop(i + 1).trim
+          }.toMap
+          table.schema.partitionKeys.map(k => kv.getOrElse(k,
+            throw new IllegalArgumentException(s"partition spec '$s' missing key $k")))
+        }
+        val marked = table.markPartitionsDone(specs)
+        s"marked ${marked.size} partitions done: " +
+          marked.take(5).map(_.mkString("/")).mkString(", ")
       case "repair" =>
         // consistency audit: every live manifest entry must point at an
         // existing file of the recorded size (reference procedure `repair`

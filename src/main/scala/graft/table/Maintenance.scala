@@ -562,6 +562,79 @@ trait MaintenanceOps { self: GraftTable =>
     }
   }
 
+  // ---------------- partition mark-done ----------------
+
+  /** Mark partitions "done" for downstream schedulers (reference:
+    * flink/sink/partition/PartitionMarkDone.java:127 +
+    * SuccessFileMarkDoneAction.java:43 — `partition.mark-done-action`,
+    * default `success-file`): write/refresh a `_SUCCESS` JSON marker
+    * ({creationTime, modificationTime}) in each partition's directory.
+    * Explicit specs mark exactly those partitions (the
+    * `mark_partition_done` procedure / MarkPartitionDoneAction); with no
+    * specs, partitions idle longer than `partition.idle-time-to-done`
+    * are marked (the PartitionMarkDoneTrigger idle rule, evaluated from
+    * snapshot commit times — O(snapshots + manifest entries) metadata,
+    * no data scan). Returns the marked partitions.
+    */
+  def markPartitionsDone(partitions: Seq[Seq[String]] = Nil): Seq[Seq[String]] = {
+    require(schema.partitionKeys.nonEmpty, "mark-done needs a partitioned table")
+    val action = schema.option("partition.mark-done-action", "success-file")
+    require(action == "success-file",
+      s"unsupported partition.mark-done-action: $action (success-file is " +
+        "supported; metastore-backed actions need an external registry)")
+    val targets = if (partitions.nonEmpty) partitions else idleDonePartitions()
+    val fs = store.fs
+    targets.map { pt =>
+      val rel = schema.partitionKeys.zip(pt).map { case (k, v) =>
+        s"$k=${PartitionPathUtils.escape(v)}"
+      }.mkString("/")
+      val success = new Path(new Path(store.dataDir, rel), "_SUCCESS")
+      val now = System.currentTimeMillis()
+      val creation =
+        if (!fs.exists(success)) now
+        else try {
+          val in = fs.open(success)
+          val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+            finally in.close()
+          Json.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .get("creationTime").asLong(now)
+        } catch { case scala.util.control.NonFatal(_) => now }
+      val node = Json.obj()
+      node.put("creationTime", creation)
+      node.put("modificationTime", now)
+      fs.mkdirs(success.getParent)
+      val out = fs.create(success, true)
+      try out.write(Json.write(node).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      pt
+    }
+  }
+
+  /** Live partitions whose LAST write (max commit time of snapshots whose
+    * delta touched them) is older than `partition.idle-time-to-done`.
+    */
+  private def idleDonePartitions(): Seq[Seq[String]] = {
+    val idleMs = schema.options.get("partition.idle-time-to-done")
+      .map(Maintenance.parseDurationMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        "pass explicit partitions or set 'partition.idle-time-to-done'"))
+    val cutoff = System.currentTimeMillis() - idleMs
+    val lastWrite = scala.collection.mutable.Map.empty[Seq[String], Long]
+    store.snapshotIds.foreach { id =>
+      val s = store.readSnapshot(id)
+      s.deltaManifests.flatMap(store.readManifest).foreach { e =>
+        if (e.kind == ManifestEntry.ADD)
+          lastWrite(e.file.partition) =
+            math.max(lastWrite.getOrElse(e.file.partition, 0L), s.timestampMs)
+      }
+    }
+    val live = store.latestSnapshot.map(store.liveFiles).getOrElse(Nil)
+      .map(_.partition).distinct.toSet
+    lastWrite.collect {
+      case (pt, t) if live.contains(pt) && t < cutoff => pt
+    }.toSeq
+  }
+
   // ---------------- ANALYZE (column statistics for CBO) ----------------
 
   /** Compute per-column NDV / null count / bounds / lengths in ONE
@@ -893,6 +966,8 @@ trait MaintenanceOps { self: GraftTable =>
         val st = it.next()
         val p = st.getPath.toUri.getPath
         if (st.isFile && st.getModificationTime < cutoff &&
+            // partition mark-done markers are intentionally unreferenced
+            st.getPath.getName != "_SUCCESS" &&
             !referenced.contains(p) &&
             !referencedIdxDirs.exists(d => p.startsWith(d + "/"))) {
           fs.delete(st.getPath, false)

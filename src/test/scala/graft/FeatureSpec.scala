@@ -642,6 +642,40 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.count() == 20000)
   }
 
+  test("partition mark-done: _SUCCESS markers, explicit + idle-based") {
+    val orders = sf("orders").limit(200)
+    val t = GraftTable.create(spark, tmpTable(), orders.schema,
+      partitionKeys = Seq("o_orderstatus"))
+    t.append(orders)
+    // explicit mark via the procedure surface
+    val marked = t.markPartitionsDone(Seq(Seq("O")))
+    assert(marked == Seq(Seq("O")))
+    val success = new org.apache.hadoop.fs.Path(
+      t.store.dataDir, "o_orderstatus=O/_SUCCESS")
+    assert(t.store.fs.exists(success))
+    val json1 = graft.core.Json.parse(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(t.store.fs.open(success))))
+    val created = json1.get("creationTime").asLong()
+    assert(created > 0 && json1.get("modificationTime").asLong() >= created)
+    // re-marking refreshes modificationTime, keeps creationTime
+    Thread.sleep(10)
+    t.markPartitionsDone(Seq(Seq("O")))
+    val json2 = graft.core.Json.parse(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(t.store.fs.open(success))))
+    assert(json2.get("creationTime").asLong() == created)
+    assert(json2.get("modificationTime").asLong() > json1.get("modificationTime").asLong())
+    // idle-based: with a zero idle threshold every live partition is done
+    t.setOption("partition.idle-time-to-done", "0 ms")
+    Thread.sleep(10)
+    val idle = t.markPartitionsDone()
+    val expect = orders.select("o_orderstatus").distinct().collect()
+      .map(r => Seq(r.getString(0))).toSet
+    assert(idle.toSet == expect, s"all live partitions idle: $idle")
+    // unpartitioned tables reject mark-done
+    val flat = GraftTable.create(spark, tmpTable(), orders.schema)
+    intercept[IllegalArgumentException](flat.markPartitionsDone(Seq(Seq("x"))))
+  }
+
   test("snapshot.expire.clean-empty-directories removes dead partition dirs") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "pt")
     val t = GraftTable.create(spark, tmpTable(), df.schema,

@@ -116,6 +116,18 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft.db.proc_t").collect()(0).getLong(0) == 2)
     val r3 = spark.sql("CALL graft.sys.expire_snapshots('db.proc_t', 1)").collect()
     assert(r3.head.getString(0).contains("expired"))
+
+    // mark_partition_done with an explicit partition spec
+    spark.sql(
+      """CREATE TABLE graft.db.proc_pt (k BIGINT, flag STRING) USING graft
+        |PARTITIONED BY (flag)""".stripMargin)
+    spark.sql("INSERT INTO graft.db.proc_pt VALUES (1, 'a'), (2, 'b')")
+    val r4 = spark.sql(
+      "CALL graft.sys.mark_partition_done('db.proc_pt', 'flag=a')").collect()
+    assert(r4.head.getString(0).contains("marked 1 partitions done"))
+    val wh2 = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$wh2/db/proc_pt/data/flag=a/_SUCCESS")))
   }
 
   test("compacted-full scan mode and reset_consumer procedure") {
