@@ -178,6 +178,23 @@ class GraftSparkTable(
     val snap = snapshot.orElse {
       Option(options.get("scan.snapshot-id")).map(id => table.store.readSnapshot(id.toLong))
         .orElse(Option(options.get("scan.tag-name")).map(table.store.readTag))
+        // batch time travel by commit time: the latest snapshot at or
+        // before the instant — millis (scan.timestamp-millis) or a
+        // datetime string (scan.timestamp, reference: CoreOptions
+        // SCAN_TIMESTAMP "yyyy-MM-dd HH:mm:ss")
+        .orElse(Option(options.get("scan.timestamp-millis")).map(_.toLong)
+          .orElse(Option(options.get("scan.timestamp"))
+            .map(GraftSparkTable.parseScanTimestamp))
+          .map { ts =>
+            table.store.snapshotIds
+              .filter(id => table.store.readSnapshot(id).timestampMs <= ts)
+              .maxOption.map(table.store.readSnapshot)
+              // falling through to "latest" here would silently read data
+              // newer than the requested instant (reference: TimeTravelUtil
+              // throws when nothing is at-or-before the timestamp)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no snapshot earlier than or equal to timestamp $ts"))
+          })
         .orElse(Option(options.get("scan.mode")).collect {
           // content as of the latest full compaction (reference:
           // CoreOptions.StartupMode COMPACTED_FULL); falls back to latest
@@ -185,6 +202,9 @@ class GraftSparkTable(
           case "compacted-full" => table.latestCompactSnapshot
         }.flatten)
     }
+    // (incremental-between / incremental-between-timestamp are served by
+    // the graft_incremental TVF and the Scala API — a DSv2 read option
+    // would wrap a derived frame in a scan, the wrong shape)
     // read options flow through to the streaming source (scan.mode /
     // scan.timestamp-millis / consumer-id / read.max-rows-per-batch) — a
     // reader-side override of the table's own options, same precedence as
@@ -221,8 +241,14 @@ class GraftSparkTable(
         override def toInsertableRelation: InsertableRelation = (data, _) => {
           if (sys.env.contains("GRAFT_DEBUG_SCAN"))
             println(s"[write-debug] mode=$mode filters=${overwriteFilters.mkString(";")}")
+          // whole-table INSERT OVERWRITE arrives as truncate() (Spark turns
+          // an AlwaysTrue delete filter into SupportsTruncate); the
+          // dynamic-partition-overwrite table option applies there
+          def dynByOption = table.schema.partitionKeys.nonEmpty &&
+            table.schema.option("dynamic-partition-overwrite", "false").toBoolean
           mode match {
             case "append" => table.write(data)
+            case "truncate" if dynByOption => table.overwrite(data, dynamic = true)
             case "truncate" => table.overwrite(data)
             case "dynamic" => table.overwrite(data, dynamic = true)
             case "overwrite" =>
@@ -239,6 +265,13 @@ class GraftSparkTable(
                 staticEq(f).isDefined || f.isInstanceOf[AlwaysTrue])
               if (allStatic && static.nonEmpty)
                 table.overwrite(data, staticPartition = static)
+              // table-level opt-in (reference: CoreOptions
+              // "dynamic-partition-overwrite", the reference's DEFAULT
+              // behavior). Off by default here — the Spark-idiomatic
+              // control is spark.sql.sources.partitionOverwriteMode, and
+              // the established oracle rows encode Spark's static
+              // semantics.
+              else if (dynByOption) table.overwrite(data, dynamic = true)
               else table.overwrite(data)
           }
         }
@@ -289,4 +322,20 @@ class GraftSparkTable(
 object GraftSparkTable {
   val FilePathCol = "__file_path"
   val RowIndexCol = "__row_index"
+
+  /** Parse the `scan.timestamp` datetime string (reference: CoreOptions
+    * SCAN_TIMESTAMP, "yyyy-MM-dd HH:mm:ss" in UTC; a date-only string
+    * means midnight).
+    */
+  private[v2] def parseScanTimestamp(s: String): Long = {
+    val t = s.trim
+    val f = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd[ HH:mm:ss]")
+    try java.time.LocalDateTime.parse(t, f)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDate.parse(t).atStartOfDay()
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
 }

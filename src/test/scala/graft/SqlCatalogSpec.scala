@@ -760,6 +760,34 @@ class SqlCatalogSpec extends SparkSpec {
       Seq((1L, "alice", 31), (2L, "bob", 26), (4L, "new", 40)))
   }
 
+  test("scan.timestamp time travel and table-level dynamic-partition-overwrite") {
+    spark.sql(
+      """CREATE TABLE graft.db.tt (k BIGINT, flag STRING) USING graft
+        |PARTITIONED BY (flag)
+        |TBLPROPERTIES ('dynamic-partition-overwrite' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.tt VALUES (1, 'a'), (2, 'b')")
+    // scan.timestamp is second-granular — put a full second between commits
+    Thread.sleep(1100)
+    val betweenTs = System.currentTimeMillis()
+    Thread.sleep(50)
+    spark.sql("INSERT INTO graft.db.tt VALUES (3, 'a')")
+    // time travel by datetime string (UTC) and by millis
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    assert(spark.read.option("scan.timestamp", fmt.format(
+      java.time.Instant.ofEpochMilli(betweenTs))).table("graft.db.tt")
+      .count() == 2, "datetime-string time travel sees only snapshot 1")
+    assert(spark.read.option("scan.timestamp-millis", betweenTs.toString)
+      .table("graft.db.tt").count() == 2)
+    // table-level dynamic overwrite: whole-table INSERT OVERWRITE replaces
+    // only the partitions present in the new data (flag=a), keeps flag=b
+    spark.sql("INSERT OVERWRITE graft.db.tt VALUES (9, 'a')")
+    val rows = spark.sql("SELECT k, flag FROM graft.db.tt ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "b"), (9L, "a")),
+      s"flag=a replaced, flag=b untouched: $rows")
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT through the catalog") {
     sf("orders").limit(50).createOrReplaceTempView("ctas_src")
     spark.sql(
