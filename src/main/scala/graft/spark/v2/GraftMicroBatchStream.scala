@@ -49,7 +49,23 @@ class GraftMicroBatchStream(
     readOptions.get("read.max-rows-per-batch")
       .orElse(table.schema.options.get("read.max-rows-per-batch")).map(_.toLong)
 
-  override def initialOffset(): Offset = GraftOffset(startExclusive)
+  // A registered consumer RESUMES: a new query (fresh checkpoint) with the
+  // same consumer-id continues from the durable progress instead of
+  // replaying per scan mode (reference: consumer-id streaming semantics;
+  // `consumer.ignore-progress` opts back into a from-scratch read). An
+  // existing checkpoint always wins — Spark passes its own offset then.
+  override def initialOffset(): Offset = {
+    val ignore = readOptions.get("consumer.ignore-progress")
+      .orElse(table.schema.options.get("consumer.ignore-progress"))
+      .exists(_.toBoolean)
+    val resumed =
+      if (ignore) None
+      else readOptions.get("consumer-id")
+        .orElse(table.schema.options.get("consumer-id"))
+        .flatMap(store.readConsumer)
+        .map(next => math.max(next - 1, startExclusive))
+    GraftOffset(resumed.getOrElse(startExclusive))
+  }
 
   override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
 
@@ -65,6 +81,16 @@ class GraftMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftOffset].snapshotId
+    // `start` is the end of the last batch whose processing completed
+    // (Spark plans the next batch only after running the previous one, and
+    // AvailableNow probes once more before terminating) — advance the
+    // durable consumer to it so a FRESH query with the same consumer-id
+    // resumes after the final batch too, which commit() alone never covers
+    // (Spark doesn't call commit after the last AvailableNow batch).
+    if (from > startExclusive)
+      readOptions.get("consumer-id")
+        .orElse(table.schema.options.get("consumer-id"))
+        .foreach(id => store.writeConsumer(id, from + 1))
     val upper = availableNowBound.orElse(store.latestSnapshotId).getOrElse(from)
     // the full first batch is ONE whole-table scan: row admission does not
     // apply to it. from-snapshot-full ends it at the named snapshot so

@@ -374,6 +374,43 @@ class StreamingSpec extends SparkSpec {
       s"compacted state + post-compaction delta, got $got2")
   }
 
+  test("consumer-id resume: a fresh query continues from durable progress") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.gs3", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gs3.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs3.db")
+    spark.sql(
+      """CREATE TABLE gs3.db.cr (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'write-only' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO gs3.db.cr VALUES (1, 'a'), (2, 'b')")
+
+    def drain(query: String, ckpt: String, ignoreProgress: Boolean = false): Seq[Long] = {
+      var r = spark.readStream.option("consumer-id", "app7")
+      if (ignoreProgress) r = r.option("consumer.ignore-progress", "true")
+      val q = r.table("gs3.db.cr")
+        .writeStream.format("memory").queryName(query)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      assert(q.awaitTermination(60000))
+      spark.table(query).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    }
+
+    // first query: full drain; the final AvailableNow probe advances the
+    // durable consumer past the last processed batch
+    assert(drain("cr_out1", tmpTable() + "-ck1") == Seq(1L, 2L))
+    val t = graft.table.GraftTable.load(spark, s"$wh/db/cr")
+    assert(t.store.readConsumer("app7").contains(2L),
+      s"consumer advanced past the processed batch: ${t.store.readConsumer("app7")}")
+    spark.sql("INSERT INTO gs3.db.cr VALUES (3, 'c')")
+    // NEW query, NEW checkpoint, same consumer: only the new commit streams
+    assert(drain("cr_out2", tmpTable() + "-ck2") == Seq(3L),
+      "resumed from durable consumer progress, not a full replay")
+    // ignore-progress opts back into the scan mode's from-scratch read
+    assert(drain("cr_out3", tmpTable() + "-ck3", ignoreProgress = true) ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("streaming start modes: from-timestamp and from-watermark") {
     val path = tmpTable()
     val df1 = Seq((1L, 100L, "a")).toDF("k", "ts", "v")
