@@ -79,6 +79,21 @@ class GraftMicroBatchStream(
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
+  // bounded streaming (reference: CoreOptions SCAN_BOUNDED_WATERMARK +
+  // BoundedChecker): reading ends when a snapshot with a LARGER watermark
+  // is encountered — admissible ids are capped just below it. Under
+  // AvailableNow the query then terminates; under open-ended triggers the
+  // source idles at the cap (a Spark source cannot self-terminate).
+  private val boundedWatermark: Option[Long] =
+    readOptions.get("scan.bounded.watermark")
+      .orElse(table.schema.options.get("scan.bounded.watermark")).map(_.toLong)
+
+  private def boundedCap: Option[Long] = boundedWatermark.map { w =>
+    store.snapshotIds
+      .find(id => store.readSnapshot(id).watermark.exists(_ > w))
+      .map(_ - 1).getOrElse(store.latestSnapshotId.getOrElse(0L))
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftOffset].snapshotId
     // `start` is the end of the last batch whose processing completed
@@ -91,7 +106,8 @@ class GraftMicroBatchStream(
       readOptions.get("consumer-id")
         .orElse(table.schema.options.get("consumer-id"))
         .foreach(id => store.writeConsumer(id, from + 1))
-    val upper = availableNowBound.orElse(store.latestSnapshotId).getOrElse(from)
+    val unbounded = availableNowBound.orElse(store.latestSnapshotId).getOrElse(from)
+    val upper = boundedCap.map(math.min(_, unbounded)).getOrElse(unbounded)
     // the full first batch is ONE whole-table scan: row admission does not
     // apply to it. from-snapshot-full ends it at the named snapshot so
     // follow-up deltas replay individually; latest-full at the chain head.

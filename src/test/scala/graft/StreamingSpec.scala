@@ -411,6 +411,31 @@ class StreamingSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("scan.bounded.watermark caps the stream below the first larger-watermark snapshot") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    spark.conf.set("spark.sql.catalog.gs4", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gs4.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gs4.db")
+    spark.sql(
+      """CREATE TABLE gs4.db.bw (k BIGINT, ts BIGINT) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'write-only' = 'true',
+        |  'watermark.column' = 'ts')""".stripMargin)
+    spark.sql("INSERT INTO gs4.db.bw VALUES (1, 100)") // snap 1, wm 100
+    spark.sql("INSERT INTO gs4.db.bw VALUES (2, 300)") // snap 2, wm 300
+    spark.sql("INSERT INTO gs4.db.bw VALUES (3, 700)") // snap 3, wm 700
+    val q = spark.readStream
+      .option("scan.bounded.watermark", "400")
+      .table("gs4.db.bw")
+      .writeStream.format("memory").queryName("bw_out")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpTable() + "-ckpt")
+      .start()
+    assert(q.awaitTermination(60000))
+    val got = spark.table("bw_out").select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L),
+      s"the wm-700 snapshot is past the bound and never emitted: $got")
+  }
+
   test("streaming start modes: from-timestamp and from-watermark") {
     val path = tmpTable()
     val df1 = Seq((1L, 100L, "a")).toDF("k", "ts", "v")
