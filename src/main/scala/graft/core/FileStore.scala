@@ -274,12 +274,19 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       changelog: Seq[ManifestEntry] = Nil,
       newIndexFiles: Seq[String] = Nil,
       consumedIndexFiles: Seq[String] = Nil,
-      maxRetries: Int = 20): CommitResult = {
+      maxRetries: Int = 20,
+      commitUser: String = ""): CommitResult = {
     var attempt = 0
     while (true) {
       val latest = latestSnapshot
+      // exactly-once replay check, scoped PER COMMIT USER (reference:
+      // FileStoreCommitImpl.filterCommitted:202-207 keyed by commitUser):
+      // independent streaming writers have independent epoch sequences
+      def maxIdOf(sn: Snapshot): Long =
+        if (commitUser.isEmpty) sn.maxCommitIdentifier
+        else sn.maxCommitIdentifiers.getOrElse(commitUser, -1L)
       if (commitIdentifier >= 0 &&
-          latest.exists(_.maxCommitIdentifier >= commitIdentifier)) {
+          latest.exists(maxIdOf(_) >= commitIdentifier)) {
         return CommitResult(latest.get, committed = false)
       }
       val nextId = latest.map(_.id + 1).getOrElse(1L)
@@ -338,7 +345,14 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         timestampMs = System.currentTimeMillis(),
         manifestMeta = meta,
         maxCommitIdentifier =
-          math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L), commitIdentifier),
+          math.max(latest.map(_.maxCommitIdentifier).getOrElse(-1L),
+            if (commitUser.isEmpty) commitIdentifier else -1L),
+        maxCommitIdentifiers = {
+          val prev = latest.map(_.maxCommitIdentifiers).getOrElse(Map.empty)
+          if (commitUser.isEmpty || commitIdentifier < 0) prev
+          else prev + (commitUser ->
+            math.max(prev.getOrElse(commitUser, -1L), commitIdentifier))
+        },
         changelogManifests =
           if (changelog.isEmpty) Nil else Seq(writeManifest(changelog)),
         // an index consolidation drops exactly the delta dirs its fold

@@ -93,6 +93,14 @@ case class Snapshot(
       * reference: FileStoreCommitImpl.filterCommitted:202-207).
       */
     maxCommitIdentifier: Long = -1L,
+    /** Per-commit-user high-water identifiers — the exactly-once replay
+      * check is scoped to the WRITER (reference: filterCommitted walks the
+      * chain per commitUser, Snapshot.commitUser): two independent
+      * streaming queries have independent epoch sequences, so a global
+      * max would wrongly skip one writer's batches. The legacy scalar
+      * above is the "" (anonymous) user's entry, kept for old snapshots.
+      */
+    maxCommitIdentifiers: Map[String, Long] = Map.empty,
     /** Manifests of changelog files this commit produced (reference:
       * Snapshot.changelogManifestList — the full-compaction producer's
       * -U/+U/-D stream, Snapshot.java:103-176).
@@ -116,6 +124,10 @@ case class Snapshot(
     watermark.foreach(w => n.put("watermark", w))
     n.put("timestampMs", timestampMs)
     n.put("maxCommitIdentifier", maxCommitIdentifier)
+    if (maxCommitIdentifiers.nonEmpty) {
+      val mu = n.putObject("maxCommitIdentifiers")
+      maxCommitIdentifiers.toSeq.sortBy(_._1).foreach { case (u, v) => mu.put(u, v) }
+    }
     if (changelogManifests.nonEmpty) {
       val cm = n.putArray("changelogManifests"); changelogManifests.foreach(cm.add)
     }
@@ -166,6 +178,9 @@ object Snapshot {
       n.get("timestampMs").asLong(),
       meta,
       Json.optLong(n, "maxCommitIdentifier").getOrElse(-1L),
+      Option(n.get("maxCommitIdentifiers")).map(mu =>
+        Json.fields(mu).map { case (k, v) => k -> v.asLong() }.toMap)
+        .getOrElse(Map.empty),
       Option(n.get("changelogManifests"))
         .map(a => Json.elems(a).map(_.asText())).getOrElse(Nil),
       Option(n.get("indexFiles"))

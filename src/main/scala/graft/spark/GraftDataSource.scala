@@ -231,7 +231,11 @@ class GraftSink(spark: SparkSession, path: String,
     // rebind over the SAME physical rows — no re-analysis, no second read
     // of the micro-batch source
     val fresh = org.apache.spark.sql.graft.SparkShims.rebindMicroBatch(data)
-    if (table.isPrimaryKeyed) table.upsert(fresh, commitIdentifier = batchId)
-    else table.append(fresh, commitIdentifier = batchId)
+    // per-writer exactly-once scope: the checkpoint location is stable for
+    // a query's lifetime and distinct across queries (Snapshot.commitUser)
+    val user = options.getOrElse("checkpointLocation", "")
+    if (table.isPrimaryKeyed)
+      table.upsert(fresh, commitIdentifier = batchId, commitUser = user)
+    else table.append(fresh, commitIdentifier = batchId, commitUser = user)
   }
 }

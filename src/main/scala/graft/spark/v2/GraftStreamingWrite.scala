@@ -49,8 +49,12 @@ class GraftStreamingWrite(
       val files = messages.collect { case m: GraftStagedFile => m.path }
       if (files.nonEmpty) {
         val df = spark.read.schema(dataSchema).parquet(files.toIndexedSeq: _*)
-        if (table.isPrimaryKeyed) table.upsert(df, commitIdentifier = epochId)
-        else table.append(df, commitIdentifier = epochId)
+        // exactly-once is scoped per WRITER: the query id is the commit
+        // user, so two streaming queries with overlapping epoch sequences
+        // never skip each other's batches (reference: Snapshot.commitUser)
+        if (table.isPrimaryKeyed)
+          table.upsert(df, commitIdentifier = epochId, commitUser = queryId)
+        else table.append(df, commitIdentifier = epochId, commitUser = queryId)
       }
     } finally {
       if (fs.exists(dir)) fs.delete(dir, true)

@@ -537,7 +537,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
   /** Append-table write (reference: append/AppendOnlyWriter.java:62 — here
     * Spark's parquet writer is the rolling writer; the commit registers files).
     */
-  def append(df: DataFrame, commitIdentifier: Long = -1L): Snapshot = {
+  def append(df: DataFrame, commitIdentifier: Long = -1L,
+      commitUser: String = ""): Snapshot = {
     require(!isPrimaryKeyed, "use upsert() for primary-key tables")
     // bucketed append: cluster fresh data on (partition, bucket) so each
     // group is written by one task — same shape as the PK write path
@@ -548,7 +549,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         .repartition((schema.partitionKeys :+ BucketCol).map(col): _*)
     val files = stageWrite(routed, level = 0, seq = nextSeq)
     val snap = commitFiles(files.map(ManifestEntry(ManifestEntry.ADD, _)),
-      CommitKind.APPEND, commitIdentifier)
+      CommitKind.APPEND, commitIdentifier, commitUser = commitUser)
     postWriteCompact().getOrElse(snap)
   }
 
@@ -628,7 +629,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     *              defaults to +I.
     */
   def upsert(df: DataFrame, kinds: Option[Column] = None,
-      commitIdentifier: Long = -1L): Snapshot = {
+      commitIdentifier: Long = -1L, commitUser: String = ""): Snapshot = {
     require(isPrimaryKeyed, "upsert requires primary keys")
     val seq = nextSeq
     val pkCols = schema.primaryKeys.map(col)
@@ -668,7 +669,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val files = stageWrite(shuffled, level = 0, seq = seq)
     val snap = commitFiles(
       files.map(ManifestEntry(ManifestEntry.ADD, _)) ++ dvMaskEntries(files),
-      CommitKind.APPEND, commitIdentifier, changelog = lookupChangelog(files, seq),
+      CommitKind.APPEND, commitIdentifier, commitUser = commitUser,
+      changelog = lookupChangelog(files, seq),
       indexFiles = indexDelta ++ globalIndexDelta(files))
     postWriteCompact().getOrElse(snap)
   }
@@ -960,11 +962,14 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 
   def commitFiles(entries: Seq[ManifestEntry], kind: String,
       commitIdentifier: Long = -1L,
+      commitUser: String = "",
       changelog: Seq[ManifestEntry] = Nil,
       indexFiles: Seq[String] = Nil,
       consumedIndexFiles: Seq[String] = Nil): Snapshot = {
     val s = store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
-      changelog, indexFiles, consumedIndexFiles).snapshot
+      changelog = changelog, newIndexFiles = indexFiles,
+      consumedIndexFiles = consumedIndexFiles,
+      commitUser = commitUser).snapshot
     autoCreateTag(s)
     notifyCommitCallbacks(s, entries)
     s

@@ -38,8 +38,9 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq ==
       Seq((1L, 2L, 20.0), (2L, 3L, 7.0)),
       "sequence field must win over arrival order")
-    // exactly-once: both batches committed once each (ids 0 and 1)
-    assert(t.store.latestSnapshot.get.maxCommitIdentifier == 1L)
+    // exactly-once: both batches committed once each (ids 0 and 1),
+    // tracked under this writer's commit-user entry
+    assert(t.store.latestSnapshot.get.maxCommitIdentifiers.values.max == 1L)
     assert(t.store.snapshotIds.size == 2)
   }
 
@@ -96,7 +97,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((1L, 1.0), (2L, 22.0), (3L, 3.0)), s"got $got")
     val t = GraftTable.load(spark, s"$wh/db/sw")
-    assert(t.store.latestSnapshot.get.maxCommitIdentifier == 1L,
+    assert(t.store.latestSnapshot.get.maxCommitIdentifiers.values.max == 1L,
       "each epoch commits exactly once")
     // staging fully cleaned up
     val leftovers = new java.io.File(s"$wh/db/sw").listFiles()
@@ -372,6 +373,34 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got2 == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")),
       s"compacted state + post-compaction delta, got $got2")
+  }
+
+  test("two independent streaming writers: overlapping epoch ids never skip batches") {
+    import spark.implicits._
+    val sink = tmpTable()
+    def streamIn(rows: Seq[(Long, String)], ckpt: String): Unit = {
+      val srcPath = tmpTable()
+      val src = GraftTable.create(spark, srcPath,
+        rows.toDF("k", "v").schema, options = Map("write-only" -> "true"))
+      src.append(rows.toDF("k", "v"))
+      val q = spark.readStream.format("graft").option("path", srcPath).load()
+        .drop("_row_kind", "_sequence_number")
+        .writeStream.format("graft")
+        .option("path", sink)
+        .option("primary-keys", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+    }
+    // both queries start at batchId 0 — per-writer exactly-once scope
+    // (commitUser) must keep them independent
+    streamIn(Seq((1L, "a"), (2L, "b")), tmpTable() + "-ckA")
+    streamIn(Seq((3L, "c")), tmpTable() + "-ckB")
+    val got = GraftTable.load(spark, sink).toDF
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L),
+      s"the second writer's batch 0 must not be skipped: $got")
   }
 
   test("consumer-id resume: a fresh query continues from durable progress") {
