@@ -339,6 +339,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         deltaManifests = Seq(deltaName),
         commitKind = commitKind,
         commitIdentifier = commitIdentifier,
+        commitUser = commitUser,
         totalRecordCount = prevTotal + addRows - delRows,
         // watermarks are monotone and carry forward across commits
         watermark = (watermark.toSeq ++ latest.flatMap(_.watermark).toSeq).maxOption,

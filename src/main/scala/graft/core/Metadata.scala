@@ -84,6 +84,11 @@ case class Snapshot(
     deltaManifests: Seq[String],
     commitKind: String,
     commitIdentifier: Long,
+    /** Writer identity of THIS commit (streaming query id / sink
+      * checkpoint; "" for ad-hoc batch writes). Reference:
+      * Snapshot.commitUser.
+      */
+    commitUser: String = "",
     totalRecordCount: Long,
     watermark: Option[Long],
     timestampMs: Long,
@@ -120,6 +125,7 @@ case class Snapshot(
     val dm = n.putArray("deltaManifests"); deltaManifests.foreach(dm.add)
     n.put("commitKind", commitKind)
     n.put("commitIdentifier", commitIdentifier)
+    if (commitUser.nonEmpty) n.put("commitUser", commitUser)
     n.put("totalRecordCount", totalRecordCount)
     watermark.foreach(w => n.put("watermark", w))
     n.put("timestampMs", timestampMs)
@@ -173,6 +179,7 @@ object Snapshot {
       Json.elems(n.get("deltaManifests")).map(_.asText()),
       n.get("commitKind").asText(),
       n.get("commitIdentifier").asLong(),
+      Option(n.get("commitUser")).map(_.asText()).getOrElse(""),
       n.get("totalRecordCount").asLong(),
       Json.optLong(n, "watermark"),
       n.get("timestampMs").asLong(),

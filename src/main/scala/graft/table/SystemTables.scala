@@ -38,11 +38,13 @@ trait SystemTables { self: GraftTable =>
   private def snapshotsTable: DataFrame = {
     val st = StructType(Seq(
       StructField("snapshot_id", LongType), StructField("schema_id", LongType),
+      StructField("commit_user", StringType),
       StructField("commit_kind", StringType), StructField("commit_identifier", LongType),
       StructField("total_record_count", LongType), StructField("watermark", LongType),
       StructField("commit_time", TimestampType)))
     local(st, store.snapshotIds.map(store.readSnapshot).map(s =>
-      Row(s.id, s.schemaId, s.commitKind, s.commitIdentifier, s.totalRecordCount,
+      Row(s.id, s.schemaId, s.commitUser, s.commitKind, s.commitIdentifier,
+        s.totalRecordCount,
         s.watermark.map(Long.box).orNull, new java.sql.Timestamp(s.timestampMs))))
   }
 

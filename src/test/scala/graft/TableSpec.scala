@@ -16,8 +16,10 @@ class TableSpec extends SparkSpec {
     assert(ManifestCodec.entriesFromJson(ManifestCodec.entriesToJson(entries)) == entries)
     val mm = ManifestMeta("m1", 4, 99, addOnly = true, Seq(0L),
       Some(Seq("A")), Some(Seq("R")))
-    val sn = Snapshot(3, 0, Seq("m1", "m2"), Seq("m2"), "APPEND", 7, 100, Some(5L), 123L,
-      Seq(mm), 7L)
+    val sn = Snapshot(3, 0, Seq("m1", "m2"), Seq("m2"), "APPEND", 7,
+      commitUser = "writer-a", totalRecordCount = 100, watermark = Some(5L),
+      timestampMs = 123L, manifestMeta = Seq(mm), maxCommitIdentifier = 7L,
+      maxCommitIdentifiers = Map("writer-a" -> 7L))
     assert(Snapshot.fromJson(sn.toJson) == sn)
   }
 
