@@ -1123,7 +1123,22 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         }
       }
       .orElse(schema.options.get("file.compression"))
-    val writer = codec.fold(writer0)(c => writer0.option("compression", c))
+    val writer1 = codec.fold(writer0)(c => writer0.option("compression", c))
+    // zstd effort and row-group/stripe sizing knobs (reference: CoreOptions
+    // "file.compression.zstd-level", "file.block-size") map onto the
+    // format writers' own options — block size is THE write-side lever for
+    // scan parallelism granularity at 100 TB
+    val writer = Seq(
+      schema.options.get("file.compression.zstd-level").map(l => (w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =>
+        w.option("parquet.compression.codec.zstd.level", l)),
+      schema.options.get("file.block-size").map(b => (w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) => {
+        val bytes = TableSchema.parseBytes(b).toString
+        fmtName match {
+          case "parquet" => w.option("parquet.block.size", bytes)
+          case "orc" => w.option("orc.stripe.size", bytes)
+          case _ => w // avro sync interval is row-oriented; default stands
+        }
+      })).flatten.foldLeft(writer1)((w, f) => f(w))
     (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).save(staging.toString)
 
     try collectStatsAndMove(staging, level, seq)

@@ -642,6 +642,23 @@ class FeatureSpec extends SparkSpec {
     assert(t.toDF.count() == 20000)
   }
 
+  test("file.block-size governs parquet row-group count (write-side scan granularity)") {
+    val li = sf("lineitem").limit(20000)
+    def rowGroups(opts: Map[String, String]): Int = {
+      val t = GraftTable.create(spark, tmpTable(), li.schema, options = opts)
+      t.append(li.coalesce(1))
+      val f = t.store.liveFiles(t.store.latestSnapshot.get).head
+      val p = new org.apache.hadoop.fs.Path(t.store.rootPath, f.path)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        spark.sessionState.newHadoopConf(), p)
+      footer.getBlocks.size()
+    }
+    val small = rowGroups(Map("file.block-size" -> "64kb"))
+    val big = rowGroups(Map("file.block-size" -> "128mb"))
+    assert(big == 1, s"one huge row group at 128mb, got $big")
+    assert(small > big, s"64kb blocks split into multiple row groups, got $small")
+  }
+
   test("partition mark-done: _SUCCESS markers, explicit + idle-based") {
     val orders = sf("orders").limit(200)
     val t = GraftTable.create(spark, tmpTable(), orders.schema,
