@@ -26,6 +26,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // executors have no display; Graphics2D raster ops only need headless
+  // AWT, but set it explicitly so a misconfigured cluster JVM can't throw
+  // HeadlessException from a task
+  if (System.getProperty("java.awt.headless") == null)
+    System.setProperty("java.awt.headless", "true")
+
   /** Schema convention for an opaque media column + sidecar metadata. */
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),  // image | audio | video
