@@ -36,6 +36,7 @@ class GraftMicroBatchStream(
 
   private val store = table.store
   private var availableNowBound: Option[Long] = None
+  @volatile private var lastConsumerAdvance: Long = Long.MinValue
 
   // deterministic for the full-first modes (latest-full → 0,
   // from-snapshot-full → id - 1), so `from == startExclusive` re-detects
@@ -102,10 +103,13 @@ class GraftMicroBatchStream(
     // durable consumer to it so a FRESH query with the same consumer-id
     // resumes after the final batch too, which commit() alone never covers
     // (Spark doesn't call commit after the last AvailableNow batch).
-    if (from > startExclusive)
+    if (from > startExclusive && from > lastConsumerAdvance) {
       readOptions.get("consumer-id")
         .orElse(table.schema.options.get("consumer-id"))
         .foreach(id => store.writeConsumer(id, from + 1))
+      lastConsumerAdvance = from // an idle stream must not rewrite the
+                                 // consumer object on every trigger
+    }
     val unbounded = availableNowBound.orElse(store.latestSnapshotId).getOrElse(from)
     val upper = boundedCap.map(math.min(_, unbounded)).getOrElse(unbounded)
     // the full first batch is ONE whole-table scan: row admission does not
