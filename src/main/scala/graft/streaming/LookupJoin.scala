@@ -41,13 +41,21 @@ object LookupJoin {
     * pushdown run through the same DSv2 scan as catalog reads.
     */
   def fresh(stream: DataFrame, spark: SparkSession, dimPath: String,
-      keys: Seq[String], joinType: String = "left"): DataFrame =
-    stream.join(broadcast(dimFrame(spark, dimPath)), keys, joinType)
+      keys: Seq[String], joinType: String = "left",
+      broadcastDim: Boolean = true): DataFrame = {
+    val dim = dimFrame(spark, dimPath)
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys, joinType)
+  }
 
-  /** Snapshot-pinned lookup join: dimension content as of join build. */
+  /** Snapshot-pinned lookup join: dimension content as of join build.
+    * `broadcastDim = false` for dimensions too large to broadcast — Spark
+    * then shuffles the (typically small) micro-batch side instead.
+    */
   def pinned(stream: DataFrame, dim: GraftTable, keys: Seq[String],
-      joinType: String = "left"): DataFrame =
-    stream.join(broadcast(dim.toDF), keys, joinType)
+      joinType: String = "left", broadcastDim: Boolean = true): DataFrame = {
+    val d = dim.toDF
+    stream.join(if (broadcastDim) broadcast(d) else d, keys, joinType)
+  }
 
   /** Batch frame over the table's DSv2 relation with NO pinned snapshot:
     * snapshot resolution happens at scan-build time, so each micro-batch
