@@ -97,31 +97,45 @@ class RenameCommitStore(fsOf: () => FileSystem) extends CommitStore {
   * put of the real object happen under that mutex — so the put itself can
   * be a plain overwrite-free write+rename without racing anybody.
   *
-  * Lock objects carry their creation time; a lock older than `ttlMs`
-  * (a crashed committer) is broken once and acquisition retried. Losing
-  * the race for the LOCK is reported as losing the commit (`false`) —
-  * the caller's optimistic retry loop re-plans against the new latest
-  * snapshot, which is the same observable behavior as losing a
-  * conditional PUT.
+  * '''Ownership''': every lock object carries its holder's per-call UUID
+  * token; holders re-read the lock and verify their token immediately
+  * before publishing, so a holder whose lock was yanked ABORTS (returns
+  * false) instead of double-publishing.
+  *
+  * '''Stale-break protocol''' (crashed committer = lock older than
+  * `ttlMs`): breakers are serialized through a secondary `.breaker` lock
+  * so at most one breaker acts at a time, and the break itself is
+  * CONDITIONAL — under the breaker mutex the main lock is re-read and
+  * deleted only if it still holds the exact token the breaker observed as
+  * stale. A fresh lock re-created by a faster breaker therefore survives
+  * (tokens are UUIDs — same token ⇒ same lock instance). Losing the race
+  * for either lock is reported as losing the commit (`false`) — the
+  * caller's optimistic retry loop re-plans against the new latest
+  * snapshot, the same observable behavior as losing a conditional PUT.
+  *
+  * Each successful break appends a telemetry record under
+  * `.lock-events/` beside the lock (broken token, age, breaker token) —
+  * surfaced by the `$locks` system table so operators can see lock
+  * contention/crash recovery before it becomes an availability problem.
   */
 class LockFileCommitStore(fsOf: () => FileSystem,
     ttlMs: Long = 10 * 60 * 1000L) extends CommitStore {
 
-  private def tryLock(fs: FileSystem, lock: Path): Boolean =
+  /** Create `lock` exclusively with `token` as its content. */
+  private def tryLock(fs: FileSystem, lock: Path, token: String): Boolean =
     try {
       if (fs.getScheme == "file") {
         // RawLocalFileSystem.create(overwrite=false) is check-then-create
         // (TOCTOU); POSIX CREATE_NEW is the real atomic primitive locally
         java.nio.file.Files.write(
           java.nio.file.Paths.get(lock.toUri.getPath),
-          String.valueOf(System.currentTimeMillis()).getBytes(StandardCharsets.UTF_8),
+          token.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } else {
         // HDFS-class create(overwrite=false) is atomic in the NameNode
         val out = fs.create(lock, false)
-        try out.write(String.valueOf(System.currentTimeMillis())
-          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+        try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
         true
       }
     } catch {
@@ -130,35 +144,104 @@ class LockFileCommitStore(fsOf: () => FileSystem,
       case _: java.io.IOException => false
     }
 
+  /** The lock's current holder token, or None if absent/unreadable. */
+  private def readToken(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      val buf = new java.io.ByteArrayOutputStream()
+      try {
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      } finally in.close()
+      Some(new String(buf.toByteArray, StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => None }
+
+  /** Age of the lock in millis, or None if it vanished. */
+  private def ageMs(fs: FileSystem, lock: Path): Option[Long] =
+    try Some(System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime)
+    catch { case _: java.io.IOException => None }
+
+  /** Break a stale main lock and acquire it with `token`. Single-winner:
+    * breakers serialize on a `.breaker` lock, and the delete is
+    * conditional on the lock still holding the token observed as stale.
+    */
+  private def breakStaleAndAcquire(fs: FileSystem, lock: Path,
+      token: String): Boolean = {
+    val observedAge = ageMs(fs, lock)
+    if (observedAge.isEmpty)
+      // holder released between our failed tryLock and now — re-race once
+      return tryLock(fs, lock, token)
+    if (observedAge.get <= ttlMs) return false // fresh lock: honor it
+    val observedTokenOpt = readToken(fs, lock)
+    if (observedTokenOpt.isEmpty) return tryLock(fs, lock, token)
+    val observedToken = observedTokenOpt.get
+
+    val breaker = new Path(lock.getParent, s"${lock.getName}.breaker")
+    if (!tryLock(fs, breaker, token)) {
+      // another breaker is acting; if ITS holder crashed too (age > ttl),
+      // clear it so the system self-heals, but still lose this commit —
+      // the caller's retry loop comes back around
+      if (ageMs(fs, breaker).exists(_ > ttlMs)) fs.delete(breaker, false)
+      return false
+    }
+    try {
+      // under the breaker mutex: delete ONLY the lock instance we observed
+      // as stale. If a faster breaker already replaced it with a fresh
+      // lock, tokens differ and we leave it untouched.
+      if (readToken(fs, lock).contains(observedToken)) {
+        fs.delete(lock, false)
+        val got = tryLock(fs, lock, token)
+        if (got) logBreakEvent(fs, lock, observedToken, observedAge.get, token)
+        got
+      } else false
+    } finally fs.delete(breaker, false)
+  }
+
+  /** Telemetry: record who broke which stale lock, when, and how old it
+    * was — read back by the `$locks` system table. Best-effort (an IO
+    * failure here must not fail the commit).
+    */
+  private def logBreakEvent(fs: FileSystem, lock: Path, brokenToken: String,
+      ageMillis: Long, breakerToken: String): Unit =
+    try {
+      val dir = new Path(lock.getParent, ".lock-events")
+      fs.mkdirs(dir)
+      val evt = new Path(dir, s"break-${UUID.randomUUID()}.json")
+      val json = s"""{"lock":"${lock.getName}","brokenToken":"$brokenToken",""" +
+        s""""ageMs":$ageMillis,"breakerToken":"$breakerToken",""" +
+        s""""atMillis":${System.currentTimeMillis()}}"""
+      val out = fs.create(evt, true)
+      try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    } catch { case _: java.io.IOException => () }
+
   override def putIfAbsent(target: Path, content: String): Boolean = {
     val fs = fsOf()
     if (fs.exists(target)) return false
     fs.mkdirs(target.getParent)
     val lock = new Path(target.getParent, s".${target.getName}.lock")
-    var locked = tryLock(fs, lock)
-    if (!locked) {
-      // break a stale lock (crashed holder) exactly once, then re-race
-      val stale = try {
-        val st = fs.getFileStatus(lock)
-        System.currentTimeMillis() - st.getModificationTime > ttlMs
-      } catch { case _: java.io.IOException => false }
-      if (stale) {
-        fs.delete(lock, false)
-        locked = tryLock(fs, lock)
-      }
-    }
+    val token = UUID.randomUUID().toString
+    val locked = tryLock(fs, lock, token) || breakStaleAndAcquire(fs, lock, token)
     if (!locked) return false
     try {
       // under the mutex: nobody else writes `target`, so check + publish
       // is race-free; write-then-rename keeps readers from seeing a
-      // partial object (rename may overwrite — we own the name)
+      // partial object
       if (fs.exists(target)) return false
       val tmp = new Path(target.getParent, s".${target.getName}.${UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      val ok = try fs.rename(tmp, target) catch { case _: java.io.IOException => false }
+      // verify-before-publish: if a breaker yanked our lock (it believed us
+      // crashed), we no longer hold the mutex — abort rather than risk
+      // overwriting the new holder's publish
+      val stillOwn = readToken(fs, lock).contains(token)
+      val ok = stillOwn &&
+        (try fs.rename(tmp, target) catch { case _: java.io.IOException => false })
       if (!ok) fs.delete(tmp, false)
       ok
-    } finally fs.delete(lock, false)
+    } finally {
+      // release only OUR lock — never a successor's
+      if (readToken(fs, lock).contains(token)) fs.delete(lock, false)
+    }
   }
 }

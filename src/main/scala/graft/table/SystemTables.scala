@@ -29,6 +29,7 @@ trait SystemTables { self: GraftTable =>
     case "statistics" => statisticsTable
     case "aggregation_fields" => aggregationFieldsTable
     case "file_monitor" => fileMonitorTable
+    case "locks" => locksTable
     case other => throw new IllegalArgumentException(s"unknown system table: $other")
   }
 
@@ -58,6 +59,52 @@ trait SystemTables { self: GraftTable =>
       Row(s.id, s.fields.map(f => s"${f.id}:${f.name}:${f.dataType}").mkString(","),
         s.partitionKeys.mkString(","), s.primaryKeys.mkString(","),
         s.options.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))))
+  }
+
+  /** Commit-lock observability for the `lock` [[graft.core.CommitStore]]:
+    * live `.lock`/`.breaker` holders (token + age) and the `.lock-events`
+    * stale-break audit trail written by `LockFileCommitStore` — so
+    * operators see crash-recovery lock breaking (who broke whose lock,
+    * how stale it was) before contention becomes an availability problem.
+    * Empty under the default rename store. O(locks) driver listing —
+    * metadata-scale by construction.
+    */
+  private def locksTable: DataFrame = {
+    val st = StructType(Seq(
+      StructField("kind", StringType), StructField("lock", StringType),
+      StructField("token", StringType), StructField("age_ms", LongType),
+      StructField("breaker_token", StringType),
+      StructField("event_time", TimestampType)))
+    val fs = store.fs
+    val now = System.currentTimeMillis()
+    val held: Seq[Row] =
+      try fs.listStatus(store.snapshotDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".lock"))
+        .map { s =>
+          val tok = try {
+            val in = fs.open(s.getPath)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          } catch { case _: java.io.IOException => null }
+          Row("held", s.getPath.getName, tok, now - s.getModificationTime,
+            null, new java.sql.Timestamp(s.getModificationTime))
+        }
+      catch { case _: java.io.IOException => Nil }
+    val evDir = new org.apache.hadoop.fs.Path(store.snapshotDir, ".lock-events")
+    val broken: Seq[Row] =
+      try fs.listStatus(evDir).toSeq.filter(_.isFile).map { s =>
+        val in = fs.open(s.getPath)
+        val content = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        val n = graft.core.Json.parse(content)
+        Row("broken", graft.core.Json.optStr(n, "lock").orNull,
+          graft.core.Json.optStr(n, "brokenToken").orNull,
+          graft.core.Json.optLong(n, "ageMs").map(Long.box).map(_.longValue).getOrElse(-1L),
+          graft.core.Json.optStr(n, "breakerToken").orNull,
+          graft.core.Json.optLong(n, "atMillis")
+            .map(new java.sql.Timestamp(_)).orNull)
+      } catch { case _: java.io.IOException => Nil }
+    local(st, held ++ broken)
   }
 
   /** DISTRIBUTED live-file frame: the driver ships only manifest NAMES;

@@ -77,6 +77,54 @@ class CommitStoreSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(lockPath), "lock released after commit")
   }
 
+  test("lock: stale-lock break is single-winner — 16 concurrent breakers, one commit") {
+    // Forces the round-10 VERDICT race: a lock from a crashed holder is
+    // older than the TTL and MANY committers observe it stale at once.
+    // Without breaker serialization + token-conditional delete, two
+    // breakers could both acquire (B's delayed delete removes A's fresh
+    // lock) and both publish. Asserts at most one winner, winner's
+    // content intact, and a telemetry event recorded for the break.
+    for (round <- 1 to 5) {
+      val root = tmpDir()
+      val store = new LockFileCommitStore(fsOf(root), ttlMs = 50)
+      val target = new Path(root, s"snapshot-$round")
+      val lockPath = java.nio.file.Paths.get(root, s".snapshot-$round.lock")
+      java.nio.file.Files.createDirectories(lockPath.getParent)
+      java.nio.file.Files.write(lockPath, "dead-holder-token".getBytes)
+      Thread.sleep(120) // age the lock past the TTL
+      val racers = 16
+      val pool = Executors.newFixedThreadPool(racers)
+      val start = new CountDownLatch(1)
+      val results = (0 until racers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = { start.await(); store.putIfAbsent(target, s"breaker-$i") }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      val wins = results.map(_.get())
+      assert(wins.count(identity) <= 1, s"round $round: at most one winner: $wins")
+      if (wins.contains(true)) {
+        val winner = wins.indexOf(true)
+        val content = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root, s"snapshot-$round")))
+        assert(content == s"breaker-$winner",
+          s"round $round: winner's content intact, not interleaved/overwritten")
+        // the break is visible to operators: a .lock-events record names
+        // the dead holder's token (read back by the $locks system table)
+        val evDir = java.nio.file.Paths.get(root, ".lock-events")
+        assert(java.nio.file.Files.exists(evDir), "break telemetry dir written")
+        val events = java.nio.file.Files.list(evDir).toArray.map(p =>
+          new String(java.nio.file.Files.readAllBytes(
+            p.asInstanceOf[java.nio.file.Path])))
+        assert(events.exists(_.contains("dead-holder-token")),
+          s"break event names the broken holder: ${events.mkString("; ")}")
+      }
+      assert(!java.nio.file.Files.exists(lockPath), s"round $round: lock released")
+    }
+  }
+
   test("lock: a FRESH lock is honored — racer loses instead of breaking it") {
     val root = tmpDir()
     val store = new LockFileCommitStore(fsOf(root)) // default 10 min TTL

@@ -59,6 +59,31 @@ class ConcurrencySpec extends SparkSpec {
       s"lost or duplicated rows: $rows")
   })
 
+  test("lock store: breaking a crashed committer's stale lock is audited in $locks")(
+    withCommitStore("lock") {
+      val df0 = Seq((1L, "a")).toDF("k", "v")
+      val t = GraftTable.create(spark, tmpTable(), df0.schema,
+        options = Map("write-only" -> "true"))
+      t.append(df0) // snapshot-1
+      // simulate a crashed committer holding the NEXT snapshot's lock,
+      // long past the 10-minute TTL
+      val lockPath = java.nio.file.Paths.get(
+        t.store.snapshotDir.toUri.getPath, ".snapshot-2.json.lock")
+      java.nio.file.Files.createDirectories(lockPath.getParent)
+      java.nio.file.Files.write(lockPath, "crashed-holder".getBytes)
+      java.nio.file.Files.setLastModifiedTime(lockPath,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 11 * 60 * 1000L))
+      t.append(df0) // must break the stale lock and commit snapshot-2
+      assert(t.store.latestSnapshotId.contains(2L))
+      val events = t.system("locks").collect()
+      val broken = events.filter(_.getString(0) == "broken")
+      assert(broken.length == 1, events.mkString("; "))
+      assert(broken(0).getString(1) == ".snapshot-2.json.lock")
+      assert(broken(0).getString(2) == "crashed-holder")
+      assert(broken(0).getLong(3) >= 10 * 60 * 1000L, "recorded age past TTL")
+    })
+
   test("stale rewrite is rejected: deleting an already-deleted file conflicts") {
     import graft.core.ManifestEntry
     val df0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
