@@ -158,23 +158,23 @@ object SparkEntry {
     // hll_sketch / theta_sketch field aggregators: sketches unioned across
     // two commits; estimates checked against the exact distinct counts
     // (hll within 5%, theta exact below its k) — the oracle pins the
-    // booleans, the estimate itself is engine-specific. The estimate UDFs
-    // run on the O(keys) post-aggregation frame, never the raw corpus.
+    // booleans, the estimate itself is engine-specific. The estimates are
+    // native Catalyst expressions (SketchEstimates) evaluated on the
+    // O(keys) post-aggregation frame, never the raw corpus.
     // bucket-key narrowed to a pk subset: merged read filtered on just the
     // bucket key (prunes to one bucket; correctness of routing + merge)
     "q92_bucket_key" -> ((s, d) =>
       Fixtures.ordersBucketKeyed(s, d).toDF
         .filter(col("o_custkey").isin(37L, 38L))),
     "q91_sketch_agg" -> ((s, d) => {
-      val hllEst = udf((b: Array[Byte]) => graft.functions.Sketches.hllEstimate(b))
-      val thetaEst = udf((b: Array[Byte]) => graft.functions.Sketches.thetaEstimate(b))
+      import graft.functions.SketchEstimates.{hllEstimate, thetaEstimate}
       val exact = Fixtures.src(s, d, "events").groupBy("user_id")
         .agg(countDistinct(col("event_id")).as("exact"))
       Fixtures.eventsSketched(s, d).toDF.join(exact, "user_id")
         .select(col("user_id"),
-          (abs(hllEst(col("uniq_hll")) - col("exact")) <= col("exact") * 0.05)
+          (abs(hllEstimate(col("uniq_hll")) - col("exact")) <= col("exact") * 0.05)
             .as("hll_ok"),
-          (thetaEst(col("uniq_theta")) === col("exact").cast("double"))
+          (thetaEstimate(col("uniq_theta")) === col("exact").cast("double"))
             .as("theta_exact"))
     }),
     "q15_delete" -> ((s, d) => Fixtures.ordersPkDeleted(s, d).toDF),

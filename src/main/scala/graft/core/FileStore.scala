@@ -281,10 +281,18 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       val latest = latestSnapshot
       // exactly-once replay check, scoped PER COMMIT USER (reference:
       // FileStoreCommitImpl.filterCommitted:202-207 keyed by commitUser):
-      // independent streaming writers have independent epoch sequences
+      // independent streaming writers have independent epoch sequences.
+      // Legacy compat: snapshots written before per-user scoping recorded
+      // progress only in the scalar maxCommitIdentifier. When the per-user
+      // map is entirely EMPTY (pure legacy chain) fall back to the scalar —
+      // a streaming query restarting across the upgrade must not re-commit
+      // its replayed last epoch. Once any scoped commit exists the map is
+      // authoritative: a user missing from a non-empty map is a genuinely
+      // NEW writer and starts from -1 (the round-10 multi-writer fix).
       def maxIdOf(sn: Snapshot): Long =
         if (commitUser.isEmpty) sn.maxCommitIdentifier
-        else sn.maxCommitIdentifiers.getOrElse(commitUser, -1L)
+        else sn.maxCommitIdentifiers.getOrElse(commitUser,
+          if (sn.maxCommitIdentifiers.isEmpty) sn.maxCommitIdentifier else -1L)
       if (commitIdentifier >= 0 &&
           latest.exists(maxIdOf(_) >= commitIdentifier)) {
         return CommitResult(latest.get, committed = false)
@@ -376,25 +384,11 @@ class FileStore(val root: String, val hadoopConf: Configuration,
   val dvDir = new Path(rootPath, "dv")
 
   /** Persist a deletion bitmap; returns the path relative to the table root. */
-  def writeDv(bitmap: org.roaringbitmap.RoaringBitmap): String = {
-    bitmap.runOptimize()
-    val buf = java.nio.ByteBuffer.allocate(bitmap.serializedSizeInBytes())
-    bitmap.serialize(buf)
-    val name = s"dv/dv-${UUID.randomUUID()}.bin"
-    val p = new Path(rootPath, name)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.write(buf.array(), 0, buf.position()) finally out.close()
-    name
-  }
+  def writeDv(bitmap: org.roaringbitmap.RoaringBitmap): String =
+    FileStore.writeDvAt(root, hadoopConf, bitmap)
 
-  def readDv(relPath: String): org.roaringbitmap.RoaringBitmap = {
-    val in = fs.open(new Path(rootPath, relPath))
-    val bytes = try in.readAllBytes() finally in.close()
-    val bm = new org.roaringbitmap.RoaringBitmap()
-    bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
-    bm
-  }
+  def readDv(relPath: String): org.roaringbitmap.RoaringBitmap =
+    FileStore.readDvAt(root, hadoopConf, relPath)
 
   // ---------------- bloom index sidecars ----------------
 
@@ -512,4 +506,39 @@ class FileStore(val root: String, val hadoopConf: Configuration,
 
   def deleteConsumer(id: String): Unit =
     fs.delete(new Path(consumerDir, s"consumer-$id.json"), false)
+}
+
+/** Location-addressed DV sidecar IO, callable from EXECUTOR tasks: the
+  * per-file bitmap fold already runs distributed, so the sidecar bytes are
+  * written where they are produced and only `(path, dvPath, cardinality)`
+  * tuples travel to the driver — at 10⁵ touched files per epoch the driver
+  * no longer serializes 10⁵ small writes (reference: task-side
+  * IndexFileHandler writes DV index files within the writer, not the
+  * committer).
+  */
+object FileStore {
+  def writeDvAt(root: String, conf: Configuration,
+      bitmap: org.roaringbitmap.RoaringBitmap): String = {
+    bitmap.runOptimize()
+    val buf = java.nio.ByteBuffer.allocate(bitmap.serializedSizeInBytes())
+    bitmap.serialize(buf)
+    val name = s"dv/dv-${UUID.randomUUID()}.bin"
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val p = new Path(rootPath, name)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(buf.array(), 0, buf.position()) finally out.close()
+    name
+  }
+
+  def readDvAt(root: String, conf: Configuration,
+      relPath: String): org.roaringbitmap.RoaringBitmap = {
+    val rootPath = new Path(root)
+    val in = rootPath.getFileSystem(conf).open(new Path(rootPath, relPath))
+    val bytes = try in.readAllBytes() finally in.close()
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+    bm
+  }
 }

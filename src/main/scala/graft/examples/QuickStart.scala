@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   * {{{ sbt "runMain graft.examples.QuickStart" }}}
   */
 object QuickStart {
+  /** Two concatenated real JPEGs — a minimal MJPEG stream. */
+  private def tinyMjpeg(): Array[Byte] =
+    (0 until 2).flatMap { i =>
+      val img = new java.awt.image.BufferedImage(6 + i, 4,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray.toSeq
+    }.toArray
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -183,6 +193,20 @@ object QuickStart {
       col("audio_info.rms") === col("amp").cast("double")).count()
     println(s"[multimodal] png decode exact=$imgOk/5 wav decode exact=$wavOk/5 " +
       "(ImageIO pixel sums + JavaSound RMS, closed-form verified)")
+    // ---- video routing pattern: sampleFrames flags every row with its
+    // decoder provenance; at 100 TB, divert the stubbed opaque containers
+    // (MP4/H.264 — no JDK codec) to an external decode service and keep
+    // the REAL mjpeg frames in-engine ----
+    val vids = spark.range(1, 4).select(col("id"),
+      // id=1 gets an MJPEG payload (two real JPEGs), others opaque bytes
+      when(col("id") === 1, lit(QuickStart.tinyMjpeg()))
+        .otherwise(lit(Array.tabulate(2048)(i => (i % 97 + 3).toByte)))
+        .as("content"))
+    val sampled = graft.pipeline.Multimodal.sampleFrames(vids, "content", everyNth = 1)
+    val real = sampled.filter(col("decoder") === "mjpeg")
+    val toExternal = sampled.filter(col("decoder") === "stub-slice")
+    println(s"[multimodal] video routing: in-engine mjpeg frames=${real.count()} " +
+      s"routed-to-external stub rows=${toExternal.count()}")
 
     println("[done]")
     spark.stop()

@@ -200,3 +200,66 @@ private object ExpressionEncoders {
   val longArray: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }
+
+/** Cardinality estimate of a serialized sketch blob as a native Catalyst
+  * expression — scalar companions to the sketch aggregators above, keeping
+  * the repo's no-UDF discipline (a `udf()` deserializes through Scala
+  * reflection encoders per row; these evaluate inside whole-stage codegen
+  * via a static call on the already-materialized bytes).
+  */
+case class HllEstimate(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hll_estimate needs binary, got ${other.sql}")
+    }
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "hll_estimate"
+  override def nullSafeEval(input: Any): Any =
+    Sketches.hllEstimate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.hllEstimate($c)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): HllEstimate =
+    copy(child = newChild)
+}
+
+case class ThetaEstimate(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"theta_estimate needs binary, got ${other.sql}")
+    }
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "theta_estimate"
+  override def nullSafeEval(input: Any): Any =
+    Sketches.thetaEstimate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.thetaEstimate($c)")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): ThetaEstimate =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the estimate expressions. */
+object SketchEstimates {
+  import org.apache.spark.sql.graft.SparkShims
+  def hllEstimate(c: Column): Column =
+    SparkShims.column(HllEstimate(SparkShims.expr(c)))
+  def thetaEstimate(c: Column): Column =
+    SparkShims.column(ThetaEstimate(SparkShims.expr(c)))
+}

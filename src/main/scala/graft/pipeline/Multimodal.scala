@@ -320,6 +320,9 @@ object Multimodal {
   def encodeSquareWav(sampleRate: Int, frames: Int, amplitude: Int,
       period: Int = 16): Array[Byte] = {
     require(amplitude >= 0 && amplitude <= Short.MaxValue, s"amplitude $amplitude")
+    // odd periods skew the duty cycle off 50% (breaking peak==RMS==amplitude)
+    // and period=1 divides by zero in the half-period index below
+    require(period >= 2 && period % 2 == 0, s"period $period must be even and >= 2")
     val pcm = new Array[Byte](frames * 2)
     var i = 0
     while (i < frames) {
@@ -443,22 +446,48 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB video frame sampler for opaque containers (MP4 etc. need codecs
-    * the JDK doesn't ship): every-nth-frame metadata with a byte-slice
-    * payload. MJPEG content has the REAL path: [[sampleMjpegFrames]].
+  /** Video frame sampler with EXPLICIT per-row decoder provenance. MJPEG
+    * content (SOI-marker prefix) takes the REAL path — every-nth complete
+    * JPEG via [[splitMjpegFrames]], `decoder = "mjpeg"`. Opaque containers
+    * (MP4/H.264 etc. need codecs the JDK does not ship) get the documented
+    * byte-slice STUB, flagged `decoder = "stub-slice"` — so a 100-TB
+    * pipeline can `filter($"decoder" === "stub-slice")` and route those
+    * rows to an external decode service instead of silently training on
+    * slice bytes (the routing pattern is shown in examples/QuickStart).
     */
   def sampleFrames(df: DataFrame, contentCol: String, everyNth: Int = 30): DataFrame = {
-    val frameCount = (length(col(contentCol)) / 1000 + 1).cast(IntegerType)
-    val frames = transform(
-      sequence(lit(0), greatest(floor(frameCount / everyNth).cast(IntegerType) - 1, lit(0))),
-      i => struct(
-        (i * everyNth).as("frame_index"),
-        // stub frame payload: a content slice standing in for a decoded frame
-        substring(col(contentCol), i * everyNth + 1, lit(256)).as("frame_bytes")))
-    df.withColumn("frame", explode(frames))
-      .withColumn("frame_index", col("frame.frame_index"))
-      .withColumn("frame_bytes", col("frame.frame_bytes"))
-      .drop("frame")
+    require(everyNth >= 1)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType),
+      StructField("decoder", StringType, nullable = false)))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        if (bytes == null) Nil
+        else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+            (bytes(1) & 0xff) == 0xd8) {
+          splitMjpegFrames(bytes).zipWithIndex
+            .collect { case (fb, idx) if idx % everyNth == 0 =>
+              Row.fromSeq(r.toSeq ++ Seq(idx, fb, "mjpeg"))
+            }
+        } else {
+          // stub: every-nth-frame metadata with a content slice standing in
+          // for the decoded frame; one frame per ~1000 bytes of container
+          val frameCount = bytes.length / 1000 + 1
+          val n = math.max(frameCount / everyNth, 1)
+          (0 until n).map { i =>
+            val idx = i * everyNth
+            val start = math.min(idx, bytes.length)
+            val slice = java.util.Arrays.copyOfRange(bytes, start,
+              math.min(start + 256, bytes.length))
+            Row.fromSeq(r.toSeq ++ Seq(idx, slice, "stub-slice"))
+          }
+        }
+      }
+    }(enc)
   }
 
   /** Real image resize: decode via ImageIO, scale with bilinear

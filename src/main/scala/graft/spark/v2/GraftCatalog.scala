@@ -211,34 +211,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // field inside a struct — joined to the dotted form the evolution API
     // takes (nested children carry their own field ids; SchemaEvolution)
     // ColumnPosition anchors are bare sibling names (same parent as the
-    // moved column) — exactly what moveColumn takes
-    def moveTo(path: String, pos: TableChange.ColumnPosition): Unit = pos match {
-      case _: TableChange.First => t.moveColumn(path, None)
-      case after: TableChange.After => t.moveColumn(path, Some(after.column()))
-      case _ => ()
-    }
-    changes.foreach {
+    // moved column) — exactly what moveColumnT takes.
+    // The whole TableChange batch folds into ONE schema commit (reference:
+    // SchemaManager.commitChanges applies the SchemaChange list atomically)
+    // so a failure partway through a multi-change ALTER alters nothing.
+    import graft.core.TableSchema
+    def moveT(path: String,
+        pos: TableChange.ColumnPosition): Seq[TableSchema => TableSchema] =
+      pos match {
+        case _: TableChange.First => Seq(t.moveColumnT(path, None))
+        case after: TableChange.After => Seq(t.moveColumnT(path, Some(after.column())))
+        case _ => Nil
+      }
+    val ops: Seq[TableSchema => TableSchema] = changes.toSeq.flatMap {
       case a: TableChange.AddColumn =>
         val path = a.fieldNames().mkString(".")
-        t.addColumn(path, a.dataType(), a.isNullable)
-        Option(a.position()).foreach(moveTo(path, _))
+        t.addColumnT(path, a.dataType(), a.isNullable) +:
+          Option(a.position()).toSeq.flatMap(moveT(path, _))
       case r: TableChange.RenameColumn =>
-        t.renameColumn(r.fieldNames().mkString("."), r.newName())
+        Seq(t.renameColumnT(r.fieldNames().mkString("."), r.newName()))
       case d: TableChange.DeleteColumn =>
-        t.dropColumn(d.fieldNames().mkString("."))
+        Seq(t.dropColumnT(d.fieldNames().mkString(".")))
       case u: TableChange.UpdateColumnType =>
-        t.updateColumnType(u.fieldNames().mkString("."), u.newDataType())
+        Seq(t.updateColumnTypeT(u.fieldNames().mkString("."), u.newDataType()))
       case n: TableChange.UpdateColumnNullability =>
-        t.updateColumnNullability(n.fieldNames().mkString("."), n.nullable())
+        Seq(t.updateColumnNullabilityT(n.fieldNames().mkString("."), n.nullable()))
       case c: TableChange.UpdateColumnComment =>
-        t.updateColumnComment(c.fieldNames().mkString("."),
-          Option(c.newComment()).filter(_.nonEmpty))
+        Seq(t.updateColumnCommentT(c.fieldNames().mkString("."),
+          Option(c.newComment()).filter(_.nonEmpty)))
       case p: TableChange.UpdateColumnPosition =>
-        moveTo(p.fieldNames().mkString("."), p.position())
-      case p: TableChange.SetProperty => t.setOption(p.property(), p.value())
-      case p: TableChange.RemoveProperty => t.removeOption(p.property())
+        moveT(p.fieldNames().mkString("."), p.position())
+      case p: TableChange.SetProperty => Seq(t.setOptionT(p.property(), p.value()))
+      case p: TableChange.RemoveProperty => Seq(t.removeOptionT(p.property()))
       case other => throw new UnsupportedOperationException(s"ALTER: $other")
     }
+    if (ops.nonEmpty) t.evolveBatch(ops)
     new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident)
   }
 

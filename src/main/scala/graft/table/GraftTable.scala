@@ -705,6 +705,54 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       .sortWithinPartitions(sortCols: _*), indexDelta)
   }
 
+  /** Fold per-file row-position hits into DV sidecars ON THE EXECUTORS and
+    * return the manifest delta. `hits` must have columns `__f` (path
+    * relative to the data dir) and `__bm` (serialized bitmap from
+    * [[graft.functions.BitmapAgg]]). Sidecar bytes are written inside the
+    * aggregation's own tasks — enforced by a TaskContext guard — and the
+    * driver collects only O(files) `(path, dvPath, cardinality)` tuples,
+    * never bitmap bytes: an epoch touching 10⁵ files does 10⁵ parallel
+    * task-side writes, not a driver-serial loop (reference: task-side
+    * IndexFileHandler writes DV index files in the writer, not the
+    * committer). A file's existing DV ORs in executor-side; fully
+    * superseded files emit a bare DELETE without writing a sidecar.
+    */
+  private[table] def dvSidecarEntries(hits: DataFrame,
+      files: Map[String, DataFileMeta]): Seq[ManifestEntry] = {
+    import spark.implicits._
+    val rootStr = store.root
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // O(files) metadata to tasks: just (dvPath, rowCount) per touched path
+    val fileMeta = spark.sparkContext.broadcast(
+      files.view.mapValues(f => (f.dvPath, f.rowCount)).toMap)
+    val written = hits.select(col("__f"), col("__bm"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        require(org.apache.spark.TaskContext.get() != null,
+          "dv sidecars must be written executor-side, inside a task")
+        it.map { case (path, bytes) =>
+          val bm = graft.functions.BitmapAgg.deserialize(bytes)
+          val (dvOpt, rowCount) = fileMeta.value(path)
+          dvOpt.foreach(p => bm.or(FileStore.readDvAt(rootStr, serConf.value, p)))
+          val card = bm.getLongCardinality
+          val dvPath = if (card >= rowCount) null
+            else FileStore.writeDvAt(rootStr, serConf.value, bm)
+          (path, dvPath, card)
+        }
+      }
+      .collect() // O(files) small tuples — commit metadata only
+    written.toSeq.flatMap { case (path, dvPath, card) =>
+      val f = files(path)
+      if (dvPath == null)
+        Seq(ManifestEntry(ManifestEntry.DELETE, f)) // fully superseded → drop
+      else
+        Seq(ManifestEntry(ManifestEntry.DELETE, f),
+          ManifestEntry(ManifestEntry.ADD,
+            f.copy(dvPath = Some(dvPath), dvCount = card)))
+    }
+  }
+
   /** Deletion-vector upsert masks: every key in the freshly staged L0 files
     * supersedes its copy in OLDER live files, which gets marked in that
     * file's bitmap instead of waiting for merge-on-read (reference:
@@ -751,20 +799,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     val hits = oldPositions
       .join(newKeys, keyCols)
       .groupBy("__f").agg(graft.functions.BitmapAgg.collect(col("__i")).as("__bm"))
-      .collect()
-    if (hits.isEmpty) return Nil
-    val byPath = old.map(f => f.path -> f).toMap
-    hits.toSeq.flatMap { r =>
-      val f = byPath(r.getString(0))
-      val bm = graft.functions.BitmapAgg.deserialize(r.getAs[Array[Byte]](1))
-      f.dvPath.foreach(p => bm.or(store.readDv(p)))
-      if (bm.getLongCardinality >= f.rowCount)
-        Seq(ManifestEntry(ManifestEntry.DELETE, f)) // fully superseded → drop
-      else
-        Seq(ManifestEntry(ManifestEntry.DELETE, f),
-          ManifestEntry(ManifestEntry.ADD,
-            f.copy(dvPath = Some(store.writeDv(bm)), dvCount = bm.getLongCardinality)))
-    }
+    dvSidecarEntries(hits, old.map(f => f.path -> f).toMap)
   }
 
   /** `changelog-producer = lookup`: per-COMMIT -U/+U/-D/+I changelog by

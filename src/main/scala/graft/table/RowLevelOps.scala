@@ -52,27 +52,15 @@ trait RowLevelOps { self: GraftTable =>
     if (snapOpt.isEmpty) return commitFiles(Nil, CommitKind.APPEND)
     val live = store.liveFiles(snapOpt.get)
     // rawUnion applies existing DVs, so already-deleted rows never re-match.
-    // Positions fold into per-file RoaringBitmap blobs ON THE EXECUTORS —
-    // the driver collects O(files) bitmap bytes, never O(matched rows).
+    // Positions fold into per-file RoaringBitmap blobs AND sidecars are
+    // written ON THE EXECUTORS — the driver collects O(files) small
+    // (path, dvPath, count) tuples, never bitmap bytes or matched rows.
     val hits = rawUnion(live, schema).filter(cond)
       .select(GraftTable.relDataPath.as("__f"),
         col("_metadata.row_index").cast("long").as("__i"))
       .groupBy("__f").agg(graft.functions.BitmapAgg.collect(col("__i")).as("__bm"))
-      .collect()
-    if (hits.isEmpty) return snapOpt.get
-    val byPath = live.map(f => f.path -> f).toMap
-    val entries = hits.toSeq.flatMap { r =>
-      val f = byPath(r.getString(0))
-      val bm = graft.functions.BitmapAgg.deserialize(r.getAs[Array[Byte]](1))
-      f.dvPath.foreach(p => bm.or(store.readDv(p)))
-      if (bm.getLongCardinality >= f.rowCount)
-        Seq(ManifestEntry(ManifestEntry.DELETE, f)) // fully deleted → drop file
-      else {
-        val nw = f.copy(dvPath = Some(store.writeDv(bm)),
-          dvCount = bm.getLongCardinality)
-        Seq(ManifestEntry(ManifestEntry.DELETE, f), ManifestEntry(ManifestEntry.ADD, nw))
-      }
-    }
+    val entries = dvSidecarEntries(hits, live.map(f => f.path -> f).toMap)
+    if (entries.isEmpty) return snapOpt.get
     // COMPACT kind: a DV rewrite reorganizes existing rows — input-producer
     // delta scans must not re-emit the re-ADDed file's survivors as +I
     commitFiles(entries, CommitKind.COMPACT)
@@ -219,6 +207,12 @@ object RowLevelOps {
     import org.apache.spark.sql.types.StructType
     val (nested, flat) = assignments.partition(_._1.contains('.'))
     if (nested.isEmpty) return assignments
+    // assigning a whole struct AND one of its members in the same statement
+    // is ambiguous (which wins?) — SQL engines reject it; so do we
+    val conflicting = nested.keySet.map(_.split('.').head) & flat.keySet
+    require(conflicting.isEmpty,
+      s"conflicting assignments: ${conflicting.toSeq.sorted.mkString(",")} " +
+        "assigned both as a whole and via nested member paths")
     val rebuilt = nested.groupBy(_._1.split('.').head).map { case (root, as) =>
       val f = schema.fields.find(_.name == root).getOrElse(
         throw new IllegalArgumentException(s"unknown columns: $root"))

@@ -18,6 +18,16 @@ trait SchemaEvolution { self: GraftTable =>
     next
   }
 
+  /** Apply a BATCH of schema changes as one schema version — all-or-nothing
+    * (reference: SchemaManager.commitChanges:76,179 folds the whole
+    * SchemaChange list into a single committed TableSchema, so a failure
+    * partway through a multi-change ALTER never leaves the table partially
+    * altered). Each op is a pure `TableSchema => TableSchema` transform
+    * (the `*T` forms of the single-change methods below).
+    */
+  def evolveBatch(ops: Seq[TableSchema => TableSchema]): TableSchema =
+    commitEvolved(s => ops.foldLeft(s)((acc, op) => op(acc)))
+
   // ----- nested-path plumbing -------------------------------------------
   // Column names may be dotted paths ("addr.city") addressing fields
   // INSIDE struct columns — nested children carry their own persistent
@@ -70,7 +80,10 @@ trait SchemaEvolution { self: GraftTable =>
   }
 
   def addColumn(name: String, dataType: DataType, nullable: Boolean = true): TableSchema =
-    commitEvolved { s =>
+    commitEvolved(addColumnT(name, dataType, nullable))
+
+  private[graft] def addColumnT(name: String, dataType: DataType,
+      nullable: Boolean = true): TableSchema => TableSchema = { s =>
       val (parent, leaf) = splitPath(name)
       if (parent.isEmpty) {
         require(!s.fields.exists(_.name == name), s"column $name already exists")
@@ -92,7 +105,10 @@ trait SchemaEvolution { self: GraftTable =>
     }
 
   def renameColumn(from: String, to: String): TableSchema =
-    commitEvolved { s =>
+    commitEvolved(renameColumnT(from, to))
+
+  private[graft] def renameColumnT(from: String,
+      to: String): TableSchema => TableSchema = { s =>
       val (parent, leaf) = splitPath(from)
       require(!to.contains('.'), "rename target is a bare name")
       if (parent.isEmpty) {
@@ -112,7 +128,9 @@ trait SchemaEvolution { self: GraftTable =>
     }
 
   def dropColumn(name: String): TableSchema =
-    commitEvolved { s =>
+    commitEvolved(dropColumnT(name))
+
+  private[graft] def dropColumnT(name: String): TableSchema => TableSchema = { s =>
       val (parent, leaf) = splitPath(name)
       if (parent.isEmpty) {
         require(s.fields.exists(_.name == name), s"no column $name")
@@ -133,7 +151,10 @@ trait SchemaEvolution { self: GraftTable =>
     * files to the new type.
     */
   def updateColumnType(name: String, dataType: DataType): TableSchema =
-    commitEvolved { s =>
+    commitEvolved(updateColumnTypeT(name, dataType))
+
+  private[graft] def updateColumnTypeT(name: String,
+      dataType: DataType): TableSchema => TableSchema = { s =>
       val (parent, leaf) = splitPath(name)
       if (parent.isEmpty) {
         require(s.fields.exists(_.name == name), s"no column $name")
@@ -169,7 +190,11 @@ trait SchemaEvolution { self: GraftTable =>
     * .updateColumnComment — SchemaChange.java:118).
     */
   def updateColumnComment(name: String, comment: Option[String]): TableSchema =
-    commitEvolved(s => s.copy(fields = updateField(s, name, _.copy(comment = comment))))
+    commitEvolved(updateColumnCommentT(name, comment))
+
+  private[graft] def updateColumnCommentT(name: String,
+      comment: Option[String]): TableSchema => TableSchema =
+    s => s.copy(fields = updateField(s, name, _.copy(comment = comment)))
 
   /** Change a column's nullability (reference: SchemaChange
     * .updateColumnNullability — SchemaChange.java:113). Primary-key and
@@ -178,7 +203,10 @@ trait SchemaEvolution { self: GraftTable =>
     * contract as the reference).
     */
   def updateColumnNullability(name: String, nullable: Boolean): TableSchema =
-    commitEvolved { s =>
+    commitEvolved(updateColumnNullabilityT(name, nullable))
+
+  private[graft] def updateColumnNullabilityT(name: String,
+      nullable: Boolean): TableSchema => TableSchema = { s =>
       if (nullable)
         require(!s.primaryKeys.contains(name) && !s.partitionKeys.contains(name),
           s"cannot make key column $name nullable")
@@ -191,7 +219,10 @@ trait SchemaEvolution { self: GraftTable =>
     * Both columns must share a parent (top-level, or the same struct).
     */
   def moveColumn(name: String, afterOrFirst: Option[String]): TableSchema =
-    commitEvolved { s =>
+    commitEvolved(moveColumnT(name, afterOrFirst))
+
+  private[graft] def moveColumnT(name: String,
+      afterOrFirst: Option[String]): TableSchema => TableSchema = { s =>
       def reorder(siblings: Seq[Field], leaf: String): Seq[Field] = {
         val moving = siblings.find(_.name == leaf)
           .getOrElse(throw new IllegalArgumentException(s"no column $name"))
@@ -210,14 +241,18 @@ trait SchemaEvolution { self: GraftTable =>
         p => p.copy(nested = reorder(p.nested, leaf))))
     }
 
-  def setOption(key: String, value: String): TableSchema = {
+  def setOption(key: String, value: String): TableSchema =
+    commitEvolved(setOptionT(key, value))
+
+  private[graft] def setOptionT(key: String,
+      value: String): TableSchema => TableSchema = { s =>
     // bucket count determines the physical layout of every existing PK
     // file — flipping it via SET would break bucket pruning and point
     // lookups (reference: AbstractFileStoreTable.java:198 "Cannot change
     // bucket number through dynamic options. You might need to rescale
     // bucket."); rescaleBucket() rewrites the layout instead
-    if (key == TableSchema.BucketOpt && schema.hasBucketDirs &&
-        schema.option(TableSchema.BucketOpt, "8") != value &&
+    if (key == TableSchema.BucketOpt && s.hasBucketDirs &&
+        s.option(TableSchema.BucketOpt, "8") != value &&
         store.latestSnapshot.isDefined)
       throw new UnsupportedOperationException(
         "cannot change bucket number on a populated bucketed table via " +
@@ -227,7 +262,7 @@ trait SchemaEvolution { self: GraftTable =>
     // append tables this also forbids ENABLING bucketing mid-life: old
     // files all sit in bucket 0 and would be wrongly bucket-pruned)
     if (key == TableSchema.BucketKeyOpt &&
-        schema.options.get(key).getOrElse("") != value &&
+        s.options.get(key).getOrElse("") != value &&
         store.latestSnapshot.isDefined)
       throw new UnsupportedOperationException(
         "cannot change bucket-key on a populated table")
@@ -235,7 +270,7 @@ trait SchemaEvolution { self: GraftTable =>
     // table's birth wrote its delta — toggling it on mid-life would leave
     // unindexed history and silently truncate changelog pre-images
     if (key == "cross-partition.index.enabled" &&
-        schema.option(key, "true") != value && store.latestSnapshot.isDefined)
+        s.option(key, "true") != value && store.latestSnapshot.isDefined)
       throw new UnsupportedOperationException(
         "cross-partition.index.enabled cannot be toggled via SET: the index " +
           "must cover every commit since it was enabled - use " +
@@ -243,17 +278,21 @@ trait SchemaEvolution { self: GraftTable =>
     // dv mode changes the physical contract of existing files (one row per
     // key, masks instead of versions) — only flippable while empty
     if (key == "deletion-vectors.enabled" && store.latestSnapshot.isDefined &&
-        schema.option(key, "false") != value)
+        s.option(key, "false") != value)
       throw new UnsupportedOperationException(
         "cannot toggle deletion-vectors.enabled on a populated table")
-    // validate a PREVIEW before committing — a rejected combination must
-    // not leave a persisted schema version behind
-    schema.copy(options = schema.options + (key -> value)).validate()
-    commitEvolved(s => s.copy(options = s.options + (key -> value)))
+    // validate BEFORE the schema version is committed — a rejected
+    // combination must not leave a persisted schema version behind
+    val next = s.copy(options = s.options + (key -> value))
+    next.validate()
+    next
   }
 
   def removeOption(key: String): TableSchema =
-    commitEvolved(s => s.copy(options = s.options - key))
+    commitEvolved(removeOptionT(key))
+
+  private[graft] def removeOptionT(key: String): TableSchema => TableSchema =
+    s => s.copy(options = s.options - key)
 
   /** Option flip that bypasses the SET immutability guards — only for
     * procedures that restore the option's invariant themselves (e.g.

@@ -40,6 +40,30 @@ class DvTableSpec extends SparkSpec {
     assert(spark.table(ident).count() == mor.toDF.count())
   }
 
+  test("dv sidecars are produced by executor tasks, driver sees only metadata") {
+    // dvSidecarEntries guards with require(TaskContext.get != null), so a
+    // refactor back to a driver-side write loop fails EVERY dv test. This
+    // test pins the observable contract: sidecar files land under dv/ with
+    // one file per masked data file, and the manifest delta references them.
+    val orders = sf("orders")
+    val t = dvTable()
+    t.upsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 5 === 0)) // masks prior files
+    val live = t.store.liveFiles(t.store.latestSnapshot.get)
+    val masked = live.filter(_.dvPath.isDefined)
+    assert(masked.nonEmpty, "expected masked files")
+    val dvDirFiles = t.store.fs.listStatus(
+      new org.apache.hadoop.fs.Path(t.store.rootPath, "dv"))
+      .map(_.getPath.getName).toSet
+    masked.foreach { f =>
+      assert(dvDirFiles.contains(f.dvPath.get.stripPrefix("dv/")),
+        s"sidecar ${f.dvPath.get} missing on disk")
+      assert(f.dvCount > 0 && f.dvCount < f.rowCount)
+    }
+    // masks are correct: merged count unaffected by double-application
+    assert(t.toDF.count() == orders.count())
+  }
+
   test("intra-batch duplicates collapse to the last version before staging") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmpTable(),

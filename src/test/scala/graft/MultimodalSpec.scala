@@ -198,11 +198,34 @@ class MultimodalSpec extends SparkSpec {
       Seq((2L, Array[Byte](1, 2, 3))).toDF("vid", "content"), "content").count() == 0)
   }
 
-  test("frame sampling fans out deterministically") {
-    val video = Seq((1L, Array.tabulate(3000)(_.toByte))).toDF("id", "content")
+  test("frame sampling fans out deterministically and flags stubbed rows") {
+    // an opaque container (no JPEG SOI prefix): stub path, flagged
+    val video = Seq((1L, Array.tabulate(3000)(i => (i % 100 + 3).toByte)))
+      .toDF("id", "content")
     val frames = Multimodal.sampleFrames(video, "content", everyNth = 1)
     assert(frames.count() == 4) // 3000/1000 + 1 = 4 frames
     val idx = frames.select("frame_index").collect().map(_.getInt(0)).toSeq
     assert(idx == Seq(0, 1, 2, 3))
+    // every stub row carries the routing flag — a pipeline can divert
+    // decoder='stub-slice' rows to an external decode service
+    assert(frames.select("decoder").collect().forall(_.getString(0) == "stub-slice"))
+  }
+
+  test("sampleFrames routes MJPEG content to the REAL decode path") {
+    val realJpegs = (0 until 3).map { i =>
+      val img = new java.awt.image.BufferedImage(8 + i, 5,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val mjpeg = realJpegs.flatten.toArray
+    val df = Seq((7L, mjpeg)).toDF("id", "content")
+    val frames = Multimodal.sampleFrames(df, "content", everyNth = 1)
+    val rows = frames.select("frame_index", "decoder").orderBy("frame_index")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(1) == "mjpeg"),
+      "MJPEG content must not be stubbed")
   }
 }

@@ -94,6 +94,24 @@ class SqlCatalogSpec extends SparkSpec {
       .forall(_.getString(1) != "nat"))
   }
 
+  test("multi-change ALTER is atomic: one schema version; failure alters nothing") {
+    spark.sql("CREATE TABLE graft.db.atomic_alter (k INT, a STRING) USING graft")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    def schemaId = graft.table.GraftTable.load(spark, s"$wh/db/atomic_alter").schema.id
+    val before = schemaId
+    // two changes in one statement -> exactly ONE new schema version
+    spark.sql("ALTER TABLE graft.db.atomic_alter ADD COLUMNS (b INT, c STRING)")
+    assert(schemaId == before + 1, "batch of adds = one schema commit")
+    // a batch whose SECOND change fails must not apply its first change
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.atomic_alter ADD COLUMNS (d INT, b STRING)")
+    } // b already exists
+    assert(schemaId == before + 1, "failed batch committed nothing")
+    assert(!spark.table("graft.db.atomic_alter").columns.contains("d"),
+      "first change of the failed batch must not leak")
+    spark.sql("DROP TABLE graft.db.atomic_alter")
+  }
+
   test("CALL procedures: compact, tags, branches, rollback through SQL") {
     spark.sql(
       """CREATE TABLE graft.db.proc_t (k BIGINT, v STRING) USING graft
@@ -758,6 +776,14 @@ class SqlCatalogSpec extends SparkSpec {
       "SELECT id, person.name, person.age FROM graft.db.nested_rls ORDER BY id").collect()
     assert(m.map(x => (x.getLong(0), x.getString(1), x.getInt(2))).toSeq ==
       Seq((1L, "alice", 31), (2L, "bob", 26), (4L, "new", 40)))
+    // assigning a whole struct AND one of its members is ambiguous → error,
+    // never a silent overwrite of one by the other
+    val ex = intercept[Exception] {
+      spark.sql("UPDATE graft.db.nested_rls SET person = " +
+        "named_struct('name','x','age',1), person.age = 2 WHERE id = 1")
+    }
+    assert(ex.getMessage.toLowerCase.contains("conflict") ||
+      ex.getMessage.toLowerCase.contains("person"), ex.getMessage)
   }
 
   test("scan.timestamp time travel and table-level dynamic-partition-overwrite") {
