@@ -272,6 +272,39 @@ object Fixtures {
       t
     }
 
+  /** PK table populated ONLY through [[graft.cdc.JsonCdcIngest]] batches —
+    * the schema-evolving CDC ingest path (reference: paimon-flink-cdc sync
+    * actions). Batch 0 inserts every order as a flat JSON frame; batch 1 is
+    * a CDC batch with +U (totalprice doubled for keys %7) and -D (keys %11,
+    * unless also %7) AND a NEW `channel` column appearing mid-stream, which
+    * the ingest auto-adds via recursive schema merge (older rows null-fill).
+    * Batch 1 is applied TWICE with the same (commitUser, batchId) — the
+    * replayed epoch must be skipped by the exactly-once check, which the
+    * oracle verifies by value (a double-applied epoch cannot hash-match).
+    */
+  def ordersCdcIngested(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "orders_cdc_ingest") { path =>
+      import graft.cdc.JsonCdcIngest
+      val o = src(spark, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val b0 = o.select(to_json(struct(col("*"), lit("+I").as("op"))).as("v"))
+      val b1 = o.filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 0)
+        .select(to_json(struct(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          concat(lit("ch-"), col("o_orderkey") % 3).as("channel"),
+          when(col("o_orderkey") % 7 === 0, lit("+U")).otherwise(lit("-D"))
+            .as("op"))).as("v"))
+      def apply(df: DataFrame, id: Long): Unit = JsonCdcIngest.applyBatch(
+        spark, df, path, Seq("o_orderkey"), JsonCdcIngest.Envelope.Flat, "op",
+        Map("bucket" -> "4"), "cdc-fixture", id)
+      apply(b0, 0)
+      apply(b1, 1)
+      apply(b1, 1) // restart replay of the last epoch: must be a no-op
+      GraftTable.load(spark, path)
+    }
+
   /** Streaming round trip under the batch oracle: the full changelog of
     * [[ordersPkDeleted]] (two upserts + a PK -D delete) is streamed out
     * with Trigger.AvailableNow through the graft SOURCE and applied by the

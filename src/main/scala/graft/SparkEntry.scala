@@ -388,6 +388,10 @@ object SparkEntry {
           col("image_dims.width").cast("long").as("width"),
           col("image_dims.height").cast("long").as("height"))
     }),
+    // schema-evolving JSON CDC ingest (S14 in Spark form): inserts, then a
+    // CDC batch with updates/deletes and a NEW column appearing mid-stream,
+    // with the last epoch replayed (exactly-once) — final state oracled
+    "q114_cdc_ingest" -> ((s, d) => Fixtures.ordersCdcIngested(s, d).toDF),
     "q36_default_values" -> ((s, d) => Fixtures.ordersDefaults(s, d).toDF),
     "q37_compaction_changelog" -> ((s, d) =>
       Fixtures.ordersChangelog(s, d).incremental(3, 4)),
@@ -894,6 +898,14 @@ object SparkEntry {
         | CAST(16 + f.k * 2 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height
         |FROM documents, (VALUES (0),(1),(2),(3)) AS f(k)
         |WHERE doc_id < 60""".stripMargin,
+    "q114_cdc_ingest" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |      ELSE o_totalprice END AS o_totalprice,
+        | CASE WHEN o_orderkey % 7 = 0 THEN 'ch-' || CAST(o_orderkey % 3 AS VARCHAR)
+        |      ELSE NULL END AS channel
+        |FROM orders
+        |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)""".stripMargin,
     "q104_append_bucketed" -> "SELECT * FROM lineitem WHERE l_orderkey % 5 = 0",
     "q105_append_bucket_join" ->
       """SELECT o.o_orderkey, li.qty, o.o_totalprice, o.o_orderpriority

@@ -1,0 +1,156 @@
+package graft.cdc
+
+import graft.GraftMeta._
+import graft.core.FileStore
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Schema-evolving CDC ingestion from JSON change streams — the Spark-
+  * idiomatic equivalent of the reference's CDC sync actions (paimon-flink-cdc
+  * `RichCdcSinkBuilder.java` / `MySqlSyncTableAction`, whose contract is:
+  * apply +I/+U/-D change rows to a PK table AND absorb upstream schema
+  * drift — new columns appearing mid-stream — without redeploying).
+  *
+  * Spark-first shape: a Structured Streaming `foreachBatch` loop. Each
+  * micro-batch
+  *
+  *  1. infers the batch's OWN schema from the JSON frames (`spark.read
+  *     .json` — so a column that first appears mid-stream is simply there),
+  *  1. normalizes the envelope to flat data columns + an op column
+  *     ([[Envelope.Flat]]: `{"id":1,"op":"+U",...}`; [[Envelope.Debezium]]:
+  *     `{"op":"c|r|u|d","before":{...},"after":{...}}`),
+  *  1. evolves the table via the recursive schema merge
+  *     ([[GraftTable.conformWithSchemaMerge]] — new columns `addColumn`ed,
+  *     safe numeric widenings applied, absent columns null-filled), and
+  *  1. upserts with the op column driving row kinds and
+  *     `(commitUser, batchId)` as the exactly-once identifier — a batch
+  *     replayed after restart (same checkpoint → same batchId) is skipped
+  *     by the snapshot chain's replay check, so restarts never duplicate.
+  *
+  * Why `foreachBatch` and not the DSv2 streaming sink: a DSv2 sink's schema
+  * is fixed when the query STARTS, so mid-stream column drift would force a
+  * restart per schema change (the StreamingSpec recipe). `foreachBatch`
+  * re-infers per batch — drift lands in the same running query, which is
+  * the reference's headline CDC capability.
+  *
+  * Scale shape: inference reads each JSON batch once (executor-side);
+  * normalization and the upsert are the ordinary distributed write path
+  * (partition+bucket shuffle, sorted L0 runs). Nothing corpus-sized touches
+  * the driver — schema inference returns a StructType, data never collects.
+  */
+object JsonCdcIngest {
+
+  sealed trait Envelope
+  object Envelope {
+    /** Flat frames: data fields at top level + an op field carrying
+      * +I / -U / +U / -D (Kafka-topic-with-op-column shape).
+      */
+    case object Flat extends Envelope
+    /** Debezium envelopes: `op` in c/r/u/d, row images under
+      * `before`/`after` (c/r/u read `after`, d reads `before`).
+      */
+    case object Debezium extends Envelope
+  }
+
+  /** Start the ingest over `frames` — a streaming DataFrame with one STRING
+    * column of JSON documents (e.g. Kafka's `value` cast to string). The
+    * table at `path` is created on the first non-empty batch (with
+    * `tableOptions`, e.g. bucket count or changelog-producer) and evolved
+    * automatically afterwards.
+    */
+  def start(
+      spark: SparkSession,
+      frames: DataFrame,
+      path: String,
+      primaryKeys: Seq[String],
+      checkpoint: String,
+      envelope: Envelope = Envelope.Flat,
+      opField: String = "op",
+      tableOptions: Map[String, String] = Map.empty,
+      commitUser: String = "json-cdc-ingest",
+      trigger: Trigger = Trigger.ProcessingTime(100)): StreamingQuery = {
+    require(frames.columns.length == 1, "frames must have exactly one JSON string column")
+    val valueCol = frames.columns.head
+    frames.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, batch.select(col(valueCol).cast("string")), path,
+          primaryKeys, envelope, opField, tableOptions, commitUser, batchId)
+      }
+      .start()
+  }
+
+  /** Apply one micro-batch of JSON frames (also the deterministic
+    * replay-testing entry: identical (commitUser, batchId) re-application
+    * is a no-op).
+    */
+  private[graft] def applyBatch(
+      spark: SparkSession,
+      jsonCol: DataFrame,
+      path: String,
+      primaryKeys: Seq[String],
+      envelope: Envelope,
+      opField: String,
+      tableOptions: Map[String, String],
+      commitUser: String,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    val parsed = spark.read.json(jsonCol.as[String])
+    if (parsed.isEmpty) return
+    val OpCol = "__cdc_op"
+    val data = envelope match {
+      case Envelope.Flat =>
+        require(parsed.columns.contains(opField),
+          s"flat CDC frames need an '$opField' field; saw ${parsed.columns.mkString(",")}")
+        parsed.withColumnRenamed(opField, OpCol)
+      case Envelope.Debezium =>
+        // d reads the before-image; c/r/u read after. Each image side is
+        // handled independently: a batch where one side is ALWAYS null
+        // infers that column as string (or omits it), which is simply
+        // "no rows from that side" — not a type error. Tombstone frames
+        // (no applicable image) drop.
+        import org.apache.spark.sql.types.StructType
+        def image(name: String, rowFilter: org.apache.spark.sql.Column,
+            kind: org.apache.spark.sql.Column) =
+          if (!parsed.columns.contains(name)) None
+          else parsed.schema(name).dataType match {
+            case _: StructType => Some(parsed
+              .filter(rowFilter && col(name).isNotNull)
+              .select(col(s"$name.*"), kind.as(OpCol))) // kind reads `op` pre-projection
+            case _ => None
+          }
+        val ups = image("after", col("op") =!= "d",
+          when(col("op") === "u", lit("+U")).otherwise(lit("+I"))) // c and r → +I
+        val dels = image("before", col("op") === "d", lit("-D"))
+        (ups, dels) match {
+          case (Some(u), Some(d)) => u.unionByName(d, allowMissingColumns = true)
+          case (Some(u), None) => u
+          case (None, Some(d)) => d
+          case (None, None) => return
+        }
+    }
+    val hc = spark.sessionState.newHadoopConf()
+    val t =
+      if (new FileStore(path, hc).schemaExists) GraftTable.load(spark, path)
+      else GraftTable.create(spark, path,
+        org.apache.spark.sql.types.StructType(
+          data.schema.fields.filterNot(_.name == OpCol)),
+        primaryKeys = primaryKeys, options = tableOptions)
+    val conformed = t.conformWithSchemaMerge(data, carryCols = Seq(OpCol))
+    val kinds = {
+      val c = col(OpCol)
+      when(c === "+I", lit(KindInsert))
+        .when(c === "-U", lit(KindUpdateBefore))
+        .when(c === "+U", lit(KindUpdateAfter))
+        .when(c === "-D", lit(KindDelete))
+        .otherwise(raise_error(concat(
+          lit(s"CDC op must be one of +I/-U/+U/-D, found: "),
+          coalesce(c, lit("null")))))
+    }
+    t.upsert(conformed, kinds = Some(kinds),
+      commitIdentifier = batchId, commitUser = commitUser)
+  }
+}

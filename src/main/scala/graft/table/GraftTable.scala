@@ -485,7 +485,17 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * under the evolved schema with absent columns null-filled (reference:
     * SchemaMergingUtils.mergeSchemas:41 + the `write.merge-schema` option).
     */
-  def writeWithSchemaMerge(df: DataFrame): Snapshot = {
+  def writeWithSchemaMerge(df: DataFrame): Snapshot =
+    write(conformWithSchemaMerge(df))
+
+  /** The schema-merge half of [[writeWithSchemaMerge]]: evolve the table to
+    * absorb `df`'s unknown columns / safe widenings, and return `df`
+    * conformed to the evolved schema. `carryCols` pass through untouched
+    * WITHOUT joining the table schema — e.g. a CDC op column that routes
+    * row kinds but must not be persisted (graft.cdc.JsonCdcIngest).
+    */
+  def conformWithSchemaMerge(df: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val ladder = Seq(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
     // recursive merge (reference: SchemaMergingUtils.mergeSchemas:41 merges
     // nested RowTypes too): unknown fields are ADDED at their path, safe
@@ -508,7 +518,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         }
       }
     }
-    mergeAt(Nil, schema.fields, df.schema.fields.toSeq)
+    mergeAt(Nil, schema.fields,
+      df.schema.fields.toSeq.filterNot(f => carryCols.contains(f.name)))
     // null-fill absent top-level columns, then rebuild each struct column
     // child-by-child so absent NESTED fields null-fill too (a whole-column
     // positional cast cannot add members)
@@ -531,7 +542,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
         conformIn(col(f.name), f, inType).as(f.name)
       }
     }
-    write(df.select(cols: _*))
+    df.select(cols ++ carryCols.map(col): _*)
   }
 
   /** Append-table write (reference: append/AppendOnlyWriter.java:62 — here
