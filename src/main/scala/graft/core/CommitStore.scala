@@ -191,9 +191,10 @@ class LockFileCommitStore(fsOf: () => FileSystem,
       // lock, tokens differ and we leave it untouched.
       if (readToken(fs, lock).contains(observedToken)) {
         fs.delete(lock, false)
-        val got = tryLock(fs, lock, token)
-        if (got) logBreakEvent(fs, lock, observedToken, observedAge.get, token)
-        got
+        // the BREAK is the delete — audit it even if this breaker then
+        // loses the re-acquire race to a fresh committer
+        logBreakEvent(fs, lock, observedToken, observedAge.get, token)
+        tryLock(fs, lock, token)
       } else false
     } finally fs.delete(breaker, false)
   }
