@@ -18,6 +18,15 @@ import org.apache.spark.sql.SparkSession
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val docsPath = args(0)
+    // optional second arg: comma-list of ops (minhash,jaccard,clusters).
+    // jaccard (exact PPJoin) is EXPECTED to be excluded at extreme
+    // replication factors: with a fixed vocabulary, per-token posting
+    // lists grow linearly with corpus, so exact prefix-join candidates
+    // grow ~quadratically — that is inherent to guaranteed-recall exact
+    // joins, and the LSH path is the at-scale substitute (BASELINE.md
+    // §scaling records the measured blow-up).
+    val ops = (if (args.length > 1) args(1) else "minhash,jaccard,clusters")
+      .split(',').map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,13 +40,30 @@ object ScaleStress {
       val t0 = System.nanoTime(); val out = f
       ((System.nanoTime() - t0) / 1e9, out)
     }
-    val (tMinhash, pairs) =
-      time(Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count())
-    val (tJaccard, _) =
-      time(Dedup.jaccardJoin(docs, "doc_id", "text", threshold = 0.7).count())
-    val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
-    val (tClusters, clusters) = time(Dedup.dupClusters(pairDf).count())
-    println(f"""{"metric":"scale_stress","docs":$n,"minhash_dedup":$tMinhash%.3f,"jaccard_join":$tJaccard%.3f,"dup_clusters":$tClusters%.3f,"pairs":$pairs,"clustered_ids":$clusters,"path":"$docsPath"}""")
+    // per-op lines print as each finishes, so a later op's failure (e.g.
+    // a deliberately-run quadratic jaccard filling the disk) cannot lose
+    // the earlier measurements
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (ops("minhash")) {
+      val (t, pairs) =
+        time(Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count())
+      results += "minhash_dedup" -> t
+      println(f"""{"op":"minhash_dedup","sec":$t%.3f,"pairs":$pairs,"docs":$n}""")
+    }
+    if (ops("jaccard")) {
+      val (t, _) =
+        time(Dedup.jaccardJoin(docs, "doc_id", "text", threshold = 0.7).count())
+      results += "jaccard_join" -> t
+      println(f"""{"op":"jaccard_join","sec":$t%.3f,"docs":$n}""")
+    }
+    if (ops("clusters")) {
+      val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+      val (t, clusters) = time(Dedup.dupClusters(pairDf).count())
+      results += "dup_clusters" -> t
+      println(f"""{"op":"dup_clusters","sec":$t%.3f,"clustered_ids":$clusters,"docs":$n}""")
+    }
+    val kv = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    println(s"""{"metric":"scale_stress","docs":$n,$kv,"path":"$docsPath"}""")
     spark.stop()
   }
 }

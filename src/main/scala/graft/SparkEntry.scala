@@ -388,6 +388,23 @@ object SparkEntry {
           col("image_dims.width").cast("long").as("width"),
           col("image_dims.height").cast("long").as("height"))
     }),
+    // remote KV lookup service (J4): ordersPk served over HTTP, a batched
+    // probe set resolved through ONE bucket-pruned job + key cache; the
+    // returned row JSON re-frames under the table schema and must
+    // hash-match the oracle's merged rows for the same keys
+    "q115_remote_lookup" -> ((s, d) => {
+      val t = Fixtures.ordersPk(s, d)
+      val srv = new graft.service.LookupServer(t).start()
+      try {
+        val keys = Fixtures.src(s, d, "orders").select("o_orderkey")
+          .filter(col("o_orderkey") % 500 === 0)
+          .collect().map(_.getLong(0)).toSeq // O(probe set), ~120 keys
+        val found = graft.service.LookupClient.lookupBatch(srv.endpoint,
+          keys.map(k => Map("o_orderkey" -> k)))
+        import s.implicits._
+        s.read.schema(t.toDF.schema).json(s.createDataset(found))
+      } finally srv.stop()
+    }),
     // schema-evolving JSON CDC ingest (S14 in Spark form): inserts, then a
     // CDC batch with updates/deletes and a NEW column appearing mid-stream,
     // with the last epoch replayed (exactly-once) — final state oracled
@@ -898,6 +915,8 @@ object SparkEntry {
         | CAST(16 + f.k * 2 AS BIGINT) AS width, CAST(9 AS BIGINT) AS height
         |FROM documents, (VALUES (0),(1),(2),(3)) AS f(k)
         |WHERE doc_id < 60""".stripMargin,
+    "q115_remote_lookup" ->
+      s"SELECT * FROM ($mergedOrders) WHERE o_orderkey % 500 = 0",
     "q114_cdc_ingest" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

@@ -98,3 +98,98 @@ object MinHashSignature {
     z ^ (z >>> 31)
   }
 }
+
+/** Compact per-slot digest of a minhash signature: the LOW BYTE of each
+  * slot, packed as BINARY — 64 bytes instead of 520 for a 64-slot
+  * signature. Byte agreement estimates slot agreement (hence Jaccard) with
+  * a +1/256·(1−J) inflation from accidental low-byte collisions —
+  * negligible against the 5σ cutoff margin the candidate prefilter uses.
+  * Carried through the LSH band explode so candidate pairs can be
+  * est-filtered BEFORE the heavyweight shingle-set verify joins (the stage
+  * that turns quadratic when a templated corpus densifies band buckets).
+  */
+case class MinHashSigBytes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig_bytes needs array<bigint>, got ${other.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "minhash_sig_bytes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Byte](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = arr.getLong(i).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+        |byte[] $out = new byte[$arr.numElements()];
+        |for (int $i = 0; $i < $out.length; $i++) {
+        |  $out[$i] = (byte) $arr.getLong($i);
+        |}
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigBytes =
+    copy(child = newChild)
+}
+
+/** Count of equal bytes at equal positions in two BINARY digests (shorter
+  * length governs) — the codegen'd kernel of the candidate-pair
+  * signature-agreement prefilter.
+  */
+case class ByteAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_agreement needs (binary, binary), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "byte_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var c = 0
+    var i = 0
+    while (i < n) { if (x(i) == y(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+        |int $n = java.lang.Math.min($a.length, $b.length);
+        |int $c = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a[$i] == $b[$i]) $c++;
+        |}
+        |${ev.value} = $c;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ByteAgreement = copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.service.{LookupClient, LookupServer}
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+
+/** The remote KV lookup service (J4; reference: paimon-service
+  * KvQueryServer/KvQueryClient) — batched probes over HTTP, one
+  * bucket-pruned Spark job per miss batch, key-level LRU with negative
+  * caching.
+  */
+class LookupServiceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pkTable(): GraftTable = {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (500L, "x", 99.5)).toDF("k", "v", "p")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "4"))
+    t.upsert(df)
+    t.upsert(Seq((2L, "b2", 21.0)).toDF("k", "v", "p")) // MOR state serves
+    t
+  }
+
+  test("single + batch probes over HTTP; merged (MOR) state; misses absent") {
+    val t = pkTable()
+    val srv = new LookupServer(t).start()
+    try {
+      val health = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"${srv.endpoint}/health")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() == 200 && health.body().contains("\"k\""))
+
+      val hit = LookupClient.lookup(srv.endpoint, Map("k" -> 2L))
+      assert(hit.isDefined && hit.get.contains("\"b2\""),
+        s"lookup serves the MERGED row: $hit")
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 999L)).isEmpty)
+
+      val batch = LookupClient.lookupBatch(srv.endpoint,
+        Seq(Map("k" -> 1L), Map("k" -> 3L), Map("k" -> 777L)))
+      assert(batch.size == 2, s"two hits, one miss: $batch")
+      assert(batch.exists(_.contains("\"a\"")) && batch.exists(_.contains("\"c\"")))
+    } finally srv.stop()
+  }
+
+  test("cache: repeat probes run no new Spark job; negative results cached too") {
+    val t = pkTable()
+    val srv = new LookupServer(t).start()
+    try {
+      LookupClient.lookupBatch(srv.endpoint,
+        Seq(Map("k" -> 1L), Map("k" -> 2L), Map("k" -> 777L)))
+      val after1 = srv.jobsRun
+      assert(after1 == 1L, "one batch of misses = ONE Spark job")
+      // all three keys (incl. the absent one) now served from cache
+      LookupClient.lookupBatch(srv.endpoint,
+        Seq(Map("k" -> 1L), Map("k" -> 2L), Map("k" -> 777L)))
+      assert(srv.jobsRun == after1, "repeat probes touch no Spark job")
+      // a genuinely new key triggers exactly one more
+      LookupClient.lookup(srv.endpoint, Map("k" -> 3L))
+      assert(srv.jobsRun == after1 + 1)
+    } finally srv.stop()
+  }
+
+  test("composite primary keys probe as AND-of-equalities") {
+    val df = Seq(("us", 1L, "aa"), ("us", 2L, "ab"), ("eu", 1L, "ba"))
+      .toDF("region", "id", "v")
+    val t = GraftTable.create(spark, tmpTable(), df.schema,
+      primaryKeys = Seq("region", "id"))
+    t.upsert(df)
+    val srv = new LookupServer(t).start()
+    try {
+      val hit = LookupClient.lookup(srv.endpoint, Map("region" -> "eu", "id" -> 1L))
+      assert(hit.isDefined && hit.get.contains("\"ba\""), s"got $hit")
+      assert(LookupClient.lookup(srv.endpoint,
+        Map("region" -> "eu", "id" -> 2L)).isEmpty)
+    } finally srv.stop()
+  }
+}
