@@ -150,6 +150,12 @@ class GraftSource(spark: SparkSession, path: String,
     */
   private val startExclusive: Long = table.streamingStartExclusive(options)
 
+  // source lineage: job → table read edge, once per query run
+  graft.core.Lineage.record(table.store.fs, table.store.rootPath, "source",
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("unknown"),
+    table.store.latestSnapshotId.getOrElse(-1L))
+
   override def schema: StructType = GraftSource.schemaFor(table)
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
@@ -234,8 +240,14 @@ class GraftSink(spark: SparkSession, path: String,
     // per-writer exactly-once scope: the checkpoint location is stable for
     // a query's lifetime and distinct across queries (Snapshot.commitUser)
     val user = options.getOrElse("checkpointLocation", "")
-    if (table.isPrimaryKeyed)
-      table.upsert(fresh, commitIdentifier = batchId, commitUser = user)
-    else table.append(fresh, commitIdentifier = batchId, commitUser = user)
+    val snap =
+      if (table.isPrimaryKeyed)
+        table.upsert(fresh, commitIdentifier = batchId, commitUser = user)
+      else table.append(fresh, commitIdentifier = batchId, commitUser = user)
+    // sink lineage: job → table edge per committed epoch ($sink_lineage)
+    graft.core.Lineage.record(table.store.fs, table.store.rootPath, "sink",
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+        .getOrElse(user),
+      snap.id, batchId)
   }
 }

@@ -38,6 +38,14 @@ class GraftMicroBatchStream(
   private var availableNowBound: Option[Long] = None
   @volatile private var lastConsumerAdvance: Long = Long.MinValue
 
+  // source lineage: job → table read edge, recorded once per stream
+  // instantiation (one per query run; the stream-execution thread carries
+  // the query id as a local property). Read back by $source_lineage.
+  graft.core.Lineage.record(store.fs, store.rootPath, "source",
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse("unknown"),
+    store.latestSnapshotId.getOrElse(-1L))
+
   // deterministic for the full-first modes (latest-full → 0,
   // from-snapshot-full → id - 1), so `from == startExclusive` re-detects
   // the first batch across checkpoint recovery

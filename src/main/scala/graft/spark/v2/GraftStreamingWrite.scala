@@ -52,9 +52,14 @@ class GraftStreamingWrite(
         // exactly-once is scoped per WRITER: the query id is the commit
         // user, so two streaming queries with overlapping epoch sequences
         // never skip each other's batches (reference: Snapshot.commitUser)
-        if (table.isPrimaryKeyed)
-          table.upsert(df, commitIdentifier = epochId, commitUser = queryId)
-        else table.append(df, commitIdentifier = epochId, commitUser = queryId)
+        val snap =
+          if (table.isPrimaryKeyed)
+            table.upsert(df, commitIdentifier = epochId, commitUser = queryId)
+          else table.append(df, commitIdentifier = epochId, commitUser = queryId)
+        // sink lineage: job → table edge per committed epoch, read back by
+        // the $sink_lineage system table (reference: SinkTableLineage)
+        graft.core.Lineage.record(fs, new Path(tablePath), "sink", queryId,
+          snap.id, epochId)
       }
     } finally {
       if (fs.exists(dir)) fs.delete(dir, true)

@@ -816,6 +816,10 @@ trait MaintenanceOps { self: GraftTable =>
     expireFiles.foreach(p => fs.delete(new Path(store.rootPath, p), false))
     expireManifests.foreach(m => fs.delete(new Path(store.manifestDir, m), false))
     expire.foreach(id => fs.delete(store.snapshotPath(id), false))
+    // lineage records follow the retention horizon (each source job keeps
+    // its latest registration; see Lineage.prune)
+    retain.headOption.foreach(earliest =>
+      graft.core.Lineage.prune(fs, store.rootPath, earliest))
     // opt-in (reference: CoreOptions "snapshot.expire.clean-empty-directories"
     // + FileDeletionBase.tryDeleteEmptyDirectory:442): a dropped partition's
     // now-empty partition/bucket dirs are removed bottom-up so object

@@ -30,7 +30,27 @@ trait SystemTables { self: GraftTable =>
     case "aggregation_fields" => aggregationFieldsTable
     case "file_monitor" => fileMonitorTable
     case "locks" => locksTable
+    case "source_lineage" => lineageTable("source")
+    case "sink_lineage" => lineageTable("sink")
     case other => throw new IllegalArgumentException(s"unknown system table: $other")
+  }
+
+  /** Streaming lineage edges recorded by the graft source/sinks
+    * (reference: table/system/SourceTableLineageTable.java and
+    * SinkTableLineageTable.java — there fed by a Flink lineage meta
+    * store; here the Spark streaming paths record directly, see
+    * [[graft.core.Lineage]]). `job` is the streaming query id; sink rows
+    * carry the committed epoch (barrier) and resulting snapshot, source
+    * rows the snapshot the run registered at. O(records) driver listing,
+    * pruned along the snapshot retention horizon.
+    */
+  private def lineageTable(kind: String): DataFrame = {
+    val st = StructType(Seq(
+      StructField("job", StringType), StructField("snapshot_id", LongType),
+      StructField("barrier_id", LongType),
+      StructField("create_time", TimestampType)))
+    local(st, graft.core.Lineage.list(store.fs, store.rootPath, kind).map(r =>
+      Row(r.job, r.snapshotId, r.barrierId, new java.sql.Timestamp(r.atMillis))))
   }
 
   private def local(schema: StructType, rows: Seq[Row]): DataFrame =
@@ -350,15 +370,44 @@ object CatalogSystemTables {
   import org.apache.spark.sql.SparkSession
   import org.apache.hadoop.fs.Path
 
-  val Names: Set[String] = Set("all_table_options", "catalog_options")
+  val Names: Set[String] = Set("all_table_options", "catalog_options",
+    "source_table_lineage", "sink_table_lineage")
 
   def apply(spark: SparkSession, warehouse: String, name: String): DataFrame =
     name match {
       case "all_table_options" => allTableOptions(spark, warehouse)
       case "catalog_options" => catalogOptions(spark, warehouse)
+      case "source_table_lineage" => tableLineage(spark, warehouse, "source")
+      case "sink_table_lineage" => tableLineage(spark, warehouse, "sink")
       case other => throw new IllegalArgumentException(
         s"unknown catalog system table: $other")
     }
+
+  /** Catalog-wide lineage: every table's source/sink edges under the
+    * warehouse, with database/table columns (reference:
+    * sys.source_table_lineage / sys.sink_table_lineage). O(tables +
+    * records) driver listing — metadata-scale.
+    */
+  def tableLineage(spark: SparkSession, warehouse: String,
+      kind: String): DataFrame = {
+    val st = StructType(Seq(
+      StructField("database_name", StringType), StructField("table_name", StringType),
+      StructField("job", StringType), StructField("snapshot_id", LongType),
+      StructField("barrier_id", LongType),
+      StructField("create_time", TimestampType)))
+    val wh = new Path(warehouse)
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows =
+      if (!fs.exists(wh)) Nil
+      else for {
+        db <- fs.listStatus(wh).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+        td <- fs.listStatus(db).toSeq.filter(_.isDirectory).map(_.getPath).sortBy(_.getName)
+        if GraftTable.exists(spark, td.toString)
+        r <- graft.core.Lineage.list(fs, td, kind)
+      } yield Row(db.getName, td.getName, r.job, r.snapshotId, r.barrierId,
+        new java.sql.Timestamp(r.atMillis))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), st)
+  }
 
   /** One row per (database, table, option key): the declared options of
     * every graft table under the warehouse. Metadata-scale — O(tables) —
