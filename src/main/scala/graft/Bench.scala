@@ -103,6 +103,21 @@ object Bench {
       results("compact") = time { pk.compact() }
       results("compacted_read") = time { pk.toDF.count() }
 
+      // 4b. remote KV lookup service (paimon-service analog): a cold
+      // server over the compacted PK table answers a 2000-key probe set
+      // in 4 batches — times the batched bucket-pruned miss path + HTTP
+      // round trips; repeat probes would be cache-speed (LookupServiceSpec)
+      results("remote_lookup") = time {
+        val srv = new graft.service.LookupServer(pk).start()
+        try {
+          (0 until 4).foreach { b =>
+            val keys = (0 until 500).map(i =>
+              Map[String, Any]("o_orderkey" -> (b * 500L + i + 1)))
+            graft.service.LookupClient.lookupBatch(srv.endpoint, keys)
+          }
+        } finally srv.stop()
+      }
+
       // 5. pipeline ops at scale
       results("minhash_dedup") = time {
         Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count()

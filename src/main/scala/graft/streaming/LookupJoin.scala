@@ -68,4 +68,40 @@ object LookupJoin {
       new GraftSparkTable(spark, table, ident), None, Some(ident))
     SparkShims.ofRows(spark, rel)
   }
+
+  /** REMOTE lookup join (reference: the paimon-flink lookup join's remote
+    * service mode — `RemoteTableQuery` probing paimon-service instead of
+    * loading dim files locally): each partition of the PROBE side batches
+    * its distinct keys into HTTP probes against a
+    * [[graft.service.LookupServer]] and the returned rows join back —
+    * no dim broadcast, no per-batch dim scan; the server's key cache
+    * makes hot-key streams memory-speed and its misses fold into
+    * bucket-pruned jobs server-side.
+    *
+    * `df` is a BATCH frame — inside a streaming query, apply per
+    * micro-batch via `foreachBatch` (the natural probe batching unit).
+    * `dimSchema` is the dimension's full schema (e.g.
+    * `GraftTable.load(...).toDF.schema` captured at wiring time).
+    */
+  def remote(df: DataFrame, endpoint: String, keys: Seq[String],
+      dimSchema: org.apache.spark.sql.types.StructType,
+      joinType: String = "left", probeBatchSize: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyIdx = keys.indices
+    val probeKeys = df.select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+    val foundJson = probeKeys.mapPartitions { rows =>
+      rows.grouped(probeBatchSize).flatMap { chunk =>
+        val probes = chunk.flatMap { r =>
+          val vals = keyIdx.map(i => keys(i) -> r.get(i))
+          if (vals.exists(_._2 == null)) None else Some(vals.toMap)
+        }
+        if (probes.isEmpty) Iterator.empty
+        else graft.service.LookupClient.lookupBatch(endpoint, probes).iterator
+      }
+    }
+    val dim = spark.read.schema(dimSchema).json(foundJson)
+    df.join(dim, keys, joinType)
+  }
 }

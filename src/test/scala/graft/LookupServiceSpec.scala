@@ -62,6 +62,59 @@ class LookupServiceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("remote lookup join: probe-side partitions batch to the service; hot keys cached") {
+    val t = pkTable()
+    val srv = new LookupServer(t).start()
+    try {
+      val dimSchema = t.toDF.schema
+      val probes = Seq(1L, 2L, 2L, 999L, 3L).toDF("k")
+      val joined = graft.streaming.LookupJoin.remote(
+        probes, srv.endpoint, Seq("k"), dimSchema)
+      val rows = joined.orderBy("k").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).orNull))
+      assert(rows.toSeq == Seq((1L, "a"), (2L, "b2"), (2L, "b2"), (3L, "c"),
+        (999L, null)), s"left-join semantics with MERGED dim rows: ${rows.toSeq}")
+      val after1 = srv.jobsRun
+      // identical probe set again: every key (incl. the miss) is cached —
+      // the service runs NO new Spark job
+      graft.streaming.LookupJoin.remote(
+        probes, srv.endpoint, Seq("k"), dimSchema).collect()
+      assert(srv.jobsRun == after1, "hot keys served from the service cache")
+    } finally srv.stop()
+  }
+
+  test("remote lookup join enriches a stream via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val t = pkTable()
+    val srv = new LookupServer(t).start()
+    try {
+      val dimSchema = t.toDF.schema
+      val input = MemoryStream[Long]
+      val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      val q = input.toDF().toDF("k").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val enriched = graft.streaming.LookupJoin.remote(
+            batch, srv.endpoint, Seq("k"), dimSchema)
+          sink.synchronized {
+            sink ++= enriched.collect().map(r =>
+              (r.getLong(0), Option(r.getString(1)).orNull))
+          }
+          ()
+        }
+        .option("checkpointLocation", tmpTable() + "-ckpt")
+        .start()
+      try {
+        input.addData(1L, 500L)
+        q.processAllAvailable()
+        input.addData(2L, 42L)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(sink.toSet == Set((1L, "a"), (500L, "x"), (2L, "b2"), (42L, null)),
+        s"got ${sink.toSet}")
+    } finally srv.stop()
+  }
+
   test("composite primary keys probe as AND-of-equalities") {
     val df = Seq(("us", 1L, "aa"), ("us", 2L, "ab"), ("eu", 1L, "ba"))
       .toDF("region", "id", "v")

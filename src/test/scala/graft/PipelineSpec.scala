@@ -51,6 +51,59 @@ class PipelineSpec extends SparkSpec {
     assert(verified.count() == 200L * 199 / 2)
   }
 
+  test("sig-agreement prefilter: digests match signatures; no true pair lost near t") {
+    import org.apache.spark.sql.graft.SparkShims
+    // expression parity: MinHashSigBytes = low byte of each slot,
+    // ByteAgreement = positional equality count (eval + codegen path both
+    // exercised via a real projection)
+    val sigDf = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("id", "text")
+      .select(col("id"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text")), 64).as("sig"))
+    val withSb = sigDf.select(col("id"), col("sig"),
+      SparkShims.column(graft.functions.MinHashSigBytes(
+        SparkShims.expr(col("sig")))).as("sb"))
+    val rows = withSb.orderBy("id").collect()
+    rows.foreach { r =>
+      val sig = r.getSeq[Long](1)
+      val sb = r.getAs[Array[Byte]](2)
+      assert(sb.toSeq == sig.map(_.toByte), "digest = low byte per slot")
+    }
+    val agree = withSb.as("a").crossJoin(withSb.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(SparkShims.column(graft.functions.ByteAgreement(
+        SparkShims.expr(col("a.sb")), SparkShims.expr(col("b.sb")))))
+      .collect()(0).getInt(0)
+    val expected = rows(0).getSeq[Long](1).zip(rows(1).getSeq[Long](1))
+      .count { case (x, y) => x.toByte == y.toByte }
+    assert(agree == expected, s"codegen'd agreement $agree vs $expected")
+
+    // the prefilter must be INVISIBLE in results: verified pairs from the
+    // prefiltered pipeline == exact-verifying the UNFILTERED candidate
+    // set, on a corpus whose pair similarities straddle the threshold
+    // (LSH's own banding recall is a separate, pre-existing property)
+    val words = (0 until 60).map(i => s"w$i")
+    val docs = (0 until 40).map(i => (i.toLong, words.slice(i, i + 15).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    def setOf(t: String): Set[String] = {
+      val toks = t.split(" ")
+      (0 to toks.length - 3).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val byId = docs.toMap
+    for (thr <- Seq(0.5, 0.7)) {
+      val unfilteredVerified = Dedup.lshCandidatePairs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) =>
+          val (sa, sb) = (setOf(byId(a)), setOf(byId(b)))
+          sa.intersect(sb).size.toDouble / sa.union(sb).size >= thr
+        }.toSet
+      val prefiltered = Dedup.nearDupPairs(df, "doc_id", "text", thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefiltered == unfilteredVerified,
+        s"threshold $thr: prefiltered ${prefiltered.size} vs unfiltered-verified ${unfilteredVerified.size}")
+    }
+  }
+
   test("prefix-filter jaccard join equals brute force (guaranteed recall)") {
     // overlapping word sequences: doc i shares a sliding window with i+1,
     // giving a spectrum of pairwise jaccards around any threshold
