@@ -147,6 +147,49 @@ object QuickStart {
         s"(kept=${cdcT.toDF.select("name").collect().map(_.getString(0)).mkString(",")})")
     }
 
+    // ---- round-11: schema-EVOLVING CDC ingest job — the op column routes
+    // row kinds and a column appearing MID-STREAM auto-adds to the table
+    // in the same running query (graft.cdc.JsonCdcIngest) ----
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val frames = MemoryStream[String]
+      val q2 = graft.cdc.JsonCdcIngest.start(spark, frames.toDF(),
+        s"$base/cdc2", primaryKeys = Seq("id"),
+        checkpoint = s"$base/cdc2-ckpt")
+      try {
+        frames.addData("""{"id":1,"name":"ann","op":"+I"}""",
+          """{"id":2,"name":"bob","op":"+I"}""")
+        q2.processAllAvailable()
+        frames.addData( // `email` did not exist until this batch
+          """{"id":2,"name":"bo","email":"b@x","op":"+U"}""",
+          """{"id":1,"name":"ann","op":"-D"}""")
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val evolved = GraftTable.load(spark, s"$base/cdc2")
+      println(s"[cdc] schema-evolving ingest: cols=" +
+        evolved.schema.fields.map(_.name).mkString(",") +
+        s" rows=${evolved.toDF.count()} " +
+        s"(email added mid-stream, no restart)")
+    }
+
+    // ---- round-11: remote KV lookup service + remote lookup join ----
+    {
+      val srv = new graft.service.LookupServer(pkT).start()
+      try {
+        val one = graft.service.LookupClient.lookup(srv.endpoint,
+          Map(pkT.schema.primaryKeys.head -> 8L))
+        import spark.implicits._
+        val probes = Seq(4L, 8L, 9999999L).toDF(pkT.schema.primaryKeys.head)
+        val joined = graft.streaming.LookupJoin.remote(
+          probes, srv.endpoint, pkT.schema.primaryKeys, pkT.toDF.schema)
+        println(s"[service] remote lookup hit=${one.isDefined} " +
+          s"join rows=${joined.count()} server jobs=${srv.jobsRun} " +
+          "(batched bucket-pruned probes + key cache)")
+      } finally srv.stop()
+    }
+
     // ---- repeated-span + PII scrub pipeline ops ----
     println(s"[pipeline] repeated 8-token spans: " +
       TextOps.repeatedWindows(docs, "doc_id", "text", n = 8).count())
