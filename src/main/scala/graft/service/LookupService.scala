@@ -38,9 +38,17 @@ class LookupServer(table: GraftTable, host: String = "127.0.0.1",
   private val pks = table.schema.primaryKeys
   private val pkFields = pks.map(table.schema.fieldByName)
 
+  // the server serves a PINNED snapshot so cached and freshly-scanned
+  // values are COHERENT (a per-probe latest-snapshot read would mix
+  // cache-era rows with newer ones). `refresh()` advances the pin and
+  // clears the cache — the reference's periodic lookup refresh, under
+  // the operator's control.
+  @volatile private var pinnedDf = table.toDF // resolves the snapshot eagerly
+  def refresh(): Unit = { pinnedDf = table.toDF; cache.clear() }
+
   /** Spark jobs run so far — observability + lets tests assert cache hits. */
-  @volatile private var jobsRunCount = 0L
-  def jobsRun: Long = jobsRunCount
+  private val jobsRunCount = new java.util.concurrent.atomic.AtomicLong()
+  def jobsRun: Long = jobsRunCount.get()
 
   // key-level LRU (access-order); values are the row's JSON, or None for
   // a proven-absent key (negative caching — absent probes are the common
@@ -109,8 +117,8 @@ class LookupServer(table: GraftTable, host: String = "127.0.0.1",
         else misses.map(k => pks.zip(k).zip(pkFields).map { case ((c, v), f) =>
           col(c) === lit(v).cast(f.sparkType)
         }.reduce(_ && _)).reduce(_ || _)
-      jobsRunCount += 1
-      val df = table.toDF
+      jobsRunCount.incrementAndGet()
+      val df = pinnedDf
       val rows = df
         .select(to_json(struct(df.columns.map(col): _*)).as("__j") +:
           pks.map(col): _*)
@@ -123,10 +131,23 @@ class LookupServer(table: GraftTable, host: String = "127.0.0.1",
     distinctKeys.flatMap(k => cache.get(cacheKey(k)))
   }
 
-  def start(): LookupServer = { server.setExecutor(null); server.start(); this }
+  def start(): LookupServer = {
+    // a real pool, not the calling thread: concurrent probes from many
+    // stream partitions must not serialize through one HTTP handler
+    // (cache misses racing on the same key run idempotent duplicate jobs
+    // at worst — the LRU is a synchronized map)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start(); this
+  }
   def port: Int = server.getAddress.getPort
   def endpoint: String = s"http://$host:$port"
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    server.getExecutor match {
+      case p: java.util.concurrent.ExecutorService => p.shutdown()
+      case _ => ()
+    }
+  }
 }
 
 /** Client side (reference: paimon-service `KvQueryClient.java`): batch

@@ -80,6 +80,28 @@ class CdcIngestSpec extends SparkSpec {
     assert(t.toDF.filter(col("id") === 9).count() == 0)
   }
 
+  test("mid-stream numeric widening: int-looking column later carries doubles") {
+    // JSON inference types the first batch's `score` as BIGINT; the second
+    // batch carries a fractional value → the schema merge widens the
+    // TABLE column to DOUBLE and earlier rows read back widened
+    implicit val sql = spark.sqlContext
+    val path = tmpTable()
+    val input = MemoryStream[String]
+    val q = JsonCdcIngest.start(spark, input.toDF(), path,
+      primaryKeys = Seq("id"), checkpoint = path + "-ckpt")
+    try {
+      input.addData("""{"id":1,"score":10,"op":"+I"}""")
+      q.processAllAvailable()
+      input.addData("""{"id":2,"score":2.5,"op":"+I"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = GraftTable.load(spark, path)
+    assert(t.schema.fieldByName("score").sparkType ==
+      org.apache.spark.sql.types.DoubleType, t.schema.fields.mkString(","))
+    val rows = t.toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 2.5)), rows.mkString(";"))
+  }
+
   test("debezium envelopes: c/r/u/d route through before/after images") {
     implicit val sql = spark.sqlContext
     val path = tmpTable()

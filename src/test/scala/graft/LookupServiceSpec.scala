@@ -115,6 +115,24 @@ class LookupServiceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("server serves a PINNED snapshot; refresh() advances it and clears the cache") {
+    val t = pkTable()
+    val srv = new LookupServer(t).start()
+    try {
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 1L)).get.contains("\"a\""))
+      // a write AFTER server start: pinned view keeps serving the old row —
+      // cached and freshly-scanned keys stay coherent with each other
+      t.upsert(Seq((1L, "a2", 11.0), (3L, "c2", 31.0)).toDF("k", "v", "p"))
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 1L)).get.contains("\"a\""),
+        "cached key: pinned-era value")
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 3L)).get.contains("\"c\""),
+        "fresh scan also reads the PINNED snapshot, not latest")
+      srv.refresh()
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 1L)).get.contains("\"a2\""))
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 3L)).get.contains("\"c2\""))
+    } finally srv.stop()
+  }
+
   test("composite primary keys probe as AND-of-equalities") {
     val df = Seq(("us", 1L, "aa"), ("us", 2L, "ab"), ("eu", 1L, "ba"))
       .toDF("region", "id", "v")
