@@ -125,11 +125,33 @@ object JsonCdcIngest {
         val ups = image("after", col("op") =!= "d",
           when(col("op") === "u", lit("+U")).otherwise(lit("+I"))) // c and r → +I
         val dels = image("before", col("op") === "d", lit("-D"))
-        (ups, dels) match {
-          case (Some(u), Some(d)) => u.unionByName(d, allowMissingColumns = true)
-          case (Some(u), None) => u
-          case (None, Some(d)) => d
-          case (None, None) => return
+        // key-changing updates: an upstream UPDATE that rewrites a pk
+        // column must ALSO delete the before image, or the stale old-PK row
+        // stays live (the reference CDC sync applies delete+insert for key
+        // changes). Only applicable when the batch's before images carry
+        // the pk columns (Debezium before images always do).
+        val keyDels = {
+          import org.apache.spark.sql.types.StructType
+          val bothStructs =
+            parsed.columns.contains("before") && parsed.columns.contains("after") &&
+              (parsed.schema("before").dataType match {
+                case s: StructType => primaryKeys.forall(s.fieldNames.contains)
+                case _ => false
+              }) &&
+              parsed.schema("after").dataType.isInstanceOf[StructType]
+          if (!bothStructs) None
+          else {
+            val pkEqual = primaryKeys
+              .map(p => col(s"before.$p") <=> col(s"after.$p")).reduce(_ && _)
+            Some(parsed
+              .filter(col("op") === "u" && col("before").isNotNull &&
+                col("after").isNotNull && !pkEqual)
+              .select(col("before.*"), lit("-D").as(OpCol)))
+          }
+        }
+        Seq(ups, keyDels, dels).flatten match {
+          case Nil => return
+          case parts => parts.reduce(_.unionByName(_, allowMissingColumns = true))
         }
     }
     val hc = spark.sessionState.newHadoopConf()

@@ -117,6 +117,17 @@ class RenameCommitStore(fsOf: () => FileSystem) extends CommitStore {
   * `.lock-events/` beside the lock (broken token, age, breaker token) —
   * surfaced by the `$locks` system table so operators can see lock
   * contention/crash recovery before it becomes an availability problem.
+  *
+  * '''Residual lease window (lease-without-fencing limit)''': the
+  * verify-before-publish re-read closes the practical race, but between
+  * `stillOwn`'s re-read and the publishing `rename` there is an
+  * unavoidable window in which a holder stalled LONGER than `ttlMs`
+  * (GC pause, NFS hang) can be broken and overwritten — plain
+  * filesystems offer no storage-side fencing token to close it. Size
+  * `ttlMs` ≫ the longest plausible holder stall (the 10-min default
+  * assumes single-digit-minute worst-case pauses; raise it on storage
+  * with minute-scale hiccups). The default rename-based store is
+  * unaffected — prefer it wherever rename is atomic.
   */
 class LockFileCommitStore(fsOf: () => FileSystem,
     ttlMs: Long = 10 * 60 * 1000L) extends CommitStore {

@@ -289,6 +289,15 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       // its replayed last epoch. Once any scoped commit exists the map is
       // authoritative: a user missing from a non-empty map is a genuinely
       // NEW writer and starts from -1 (the round-10 multi-writer fix).
+      // UPGRADE CONSTRAINT (accepted, documented): the legacy scalar is
+      // anonymous — it cannot be attributed to a commitUser, so it cannot
+      // seed the per-user map without risking a new writer skipping its
+      // early epochs (the exact round-10 bug). Consequence: if TWO
+      // pre-upgrade streaming writers shared one legacy chain, the first
+      // to restart post-upgrade claims the scalar's protection and the
+      // second may re-commit ONE replayed epoch. Restart pre-upgrade
+      // writers one at a time (or with fresh checkpoints) across the
+      // upgrade; post-upgrade writers are fully independent.
       def maxIdOf(sn: Snapshot): Long =
         if (commitUser.isEmpty) sn.maxCommitIdentifier
         else sn.maxCommitIdentifiers.getOrElse(commitUser,

@@ -184,10 +184,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    checkCreateTable(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    doCreateTable(ident, schema, partitions, properties)
+  }
+
+  protected def checkCreateTable(ident: Identifier): Unit = {
     val p = privileges
     p.authenticate(user, password)
     p.check(user, graft.core.Privilege.CreateTable, ident.namespace().mkString("."))
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+  }
+
+  /** Create without the registry duplicate check — subclasses whose
+    * registry commit IS the atomic duplicate check (HMS) register first and
+    * then call this (`GraftTable.create`'s schema-exists require remains
+    * the filesystem backstop).
+    */
+  protected def doCreateTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val props = properties.asScala.toMap
     val partitionKeys = partitions.toSeq.map { t =>
       if (t.name() == "identity" && t.references().length == 1)

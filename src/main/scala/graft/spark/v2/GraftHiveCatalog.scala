@@ -131,21 +131,28 @@ class GraftHiveCatalog extends GraftCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // super creates the graft table dir (existence routed through the
-    // overridden tableExists); the HMS record is the registry commit —
-    // HMS rejects a duplicate (db, name) atomically
-    val t = super.createTable(ident, schema, partitions, properties)
+    checkCreateTable(ident)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace().toSeq)
     if (!hms(_.getAllDatabases).asScala.contains(db(ident.namespace())))
       hms(_.createDatabase(new Database(db(ident.namespace()), "graft database",
         nsPath(ident.namespace()).toString, new util.HashMap[String, String]())))
+    // HMS record FIRST — it is the atomic duplicate check for (db, name).
+    // Creating the data dir before registering let a losing racer leave
+    // (or overwrite) schema files at the winner's tablePath.
     try hms(_.createTable(hmsRecord(ident, schema)))
     catch {
       case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
     }
-    t
+    try doCreateTable(ident, schema, partitions, properties)
+    catch {
+      case e: Throwable =>
+        // don't leave a registered name with no table behind it
+        try hms(_.dropTable(db(ident.namespace()), ident.name(), false, true))
+        catch { case _: Exception => () }
+        throw e
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

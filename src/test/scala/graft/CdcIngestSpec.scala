@@ -123,4 +123,28 @@ class CdcIngestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == Seq((2L, "upd")), rows.mkString(";"))
   }
+
+  test("debezium: a pk-changing update deletes the before image (no stale old-PK row)") {
+    implicit val sql = spark.sqlContext
+    val path = tmpTable()
+    val input = MemoryStream[String]
+    val q = JsonCdcIngest.start(spark, input.toDF(), path,
+      primaryKeys = Seq("id"), checkpoint = path + "-ckpt",
+      envelope = JsonCdcIngest.Envelope.Debezium)
+    try {
+      input.addData(
+        """{"op":"c","before":null,"after":{"id":1,"v":"one"}}""",
+        """{"op":"c","before":null,"after":{"id":2,"v":"two"}}""")
+      q.processAllAvailable()
+      input.addData(
+        // upstream UPDATE rewrote the pk 1 → 5: row 1 must NOT stay live
+        """{"op":"u","before":{"id":1,"v":"one"},"after":{"id":5,"v":"one-moved"}}""",
+        // same-pk update: before image must NOT be deleted
+        """{"op":"u","before":{"id":2,"v":"two"},"after":{"id":2,"v":"two-upd"}}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = GraftTable.load(spark, path).toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2L, "two-upd"), (5L, "one-moved")), rows.mkString(";"))
+  }
 }

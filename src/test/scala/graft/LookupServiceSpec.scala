@@ -133,6 +133,56 @@ class LookupServiceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("batch larger than the cache answers correctly (cache is write-through only)") {
+    val t = pkTable()
+    // eviction pressure: 4 distinct probes, room for only 2 — entries CAN
+    // be evicted between put and response assembly; the response must come
+    // from the batch's own resolution, never read back from the LRU
+    val srv = new LookupServer(t, maxCachedKeys = 2).start()
+    try {
+      val batch = LookupClient.lookupBatch(srv.endpoint,
+        Seq(Map("k" -> 1L), Map("k" -> 2L), Map("k" -> 3L), Map("k" -> 500L)))
+      assert(batch.size == 4, s"all four hits despite eviction pressure: $batch")
+      assert(batch.exists(_.contains("\"a\"")) && batch.exists(_.contains("\"b2\"")) &&
+        batch.exists(_.contains("\"c\"")) && batch.exists(_.contains("\"x\"")))
+    } finally srv.stop()
+  }
+
+  test("decimal pk: probe-value rendering canonicalizes through the column type") {
+    // DecimalType renders with scale ("5.00") while a JSON probe arrives as
+    // 5 — cache keys must canonicalize through the pk's Spark type or an
+    // existing row is reported absent AND negatively cached
+    val df = Seq((BigDecimal("5.00"), "five"), (BigDecimal("7.25"), "seven"))
+      .toDF("k", "v").select(col("k").cast("decimal(10,2)").as("k"), col("v"))
+    val t = GraftTable.create(spark, tmpTable(), df.schema, primaryKeys = Seq("k"))
+    t.upsert(df)
+    val srv = new LookupServer(t).start()
+    try {
+      val hit = LookupClient.lookup(srv.endpoint, Map("k" -> 5L))
+      assert(hit.isDefined && hit.get.contains("\"five\""),
+        s"integer-rendered probe finds the decimal row: $hit")
+      val hit2 = LookupClient.lookup(srv.endpoint, Map("k" -> "7.25"))
+      assert(hit2.isDefined && hit2.get.contains("\"seven\""), s"got $hit2")
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 6L)).isEmpty)
+    } finally srv.stop()
+  }
+
+  test("auto-refresh: a newer snapshot becomes visible without calling refresh()") {
+    val t = pkTable()
+    val srv = new LookupServer(t, refreshIntervalMs = 50L).start()
+    try {
+      assert(LookupClient.lookup(srv.endpoint, Map("k" -> 1L)).get.contains("\"a\""))
+      t.upsert(Seq((1L, "a2", 11.0)).toDF("k", "v", "p"))
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var v = LookupClient.lookup(srv.endpoint, Map("k" -> 1L)).get
+      while (!v.contains("\"a2\"") && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        v = LookupClient.lookup(srv.endpoint, Map("k" -> 1L)).get
+      }
+      assert(v.contains("\"a2\""), s"poller re-pins and clears the cache: $v")
+    } finally srv.stop()
+  }
+
   test("composite primary keys probe as AND-of-equalities") {
     val df = Seq(("us", 1L, "aa"), ("us", 2L, "ab"), ("eu", 1L, "ba"))
       .toDF("region", "id", "v")
