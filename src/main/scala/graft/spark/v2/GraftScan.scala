@@ -579,7 +579,15 @@ class GraftScan(
           s" readSchemaForFile=${readSchemaForFile.fieldNames.mkString(",")}" +
           s" align=${align.mkString(";")} rowSchema=${rowSchema.fieldNames.mkString(",")}")
       }
-      (sid, hasDv, fmtName) -> SchemaReadPlan(readFunc, align, supportsBatch)
+      // identity align = the batch's columns (readSchemaForFile ++
+      // partitionSchema) already ARE rowSchema, position for position —
+      // the precondition for handing the ColumnarBatch through untouched
+      val identityAlign = align.size == inSchema.size &&
+        align.zipWithIndex.forall {
+          case (BoundReference(j, _, _), i) => j == i
+          case _ => false
+        }
+      (sid, hasDv, fmtName) -> SchemaReadPlan(readFunc, align, supportsBatch, identityAlign)
     }.toMap
 
     val merger =
@@ -605,10 +613,22 @@ class GraftScan(
           case None => ref
         }
       })
+    // COLUMNAR handoff (scan-level, all-or-nothing — Spark rejects a scan
+    // mixing row and columnar partitions): raw append splits whose every
+    // plan is vectorized AND an identity align pass the parquet/ORC
+    // ColumnarBatch straight through to Catalyst's columnar pipeline,
+    // skipping the per-row flatten + UnsafeProjection tax on the hottest
+    // path (full/filtered scans of append tables). Anything needing
+    // per-row work — merge, DV masks, kind tombstones, evolution remaps,
+    // defaults, metadata columns — falls back to the row path.
+    val columnar = !mergeRead && dropKindIdx.isEmpty && defaultsExprs.isEmpty &&
+      !wantsFilePath && !wantsRowIndex &&
+      plans.nonEmpty && plans.values.forall(p => p.batched && p.identityAlign) &&
+      effectiveFiles.forall(_.dvPath.isEmpty)
     new GraftReaderFactory(table.location, partitionSchema, rowSchema,
       plans, merger, outIdx, requested, defaultsExprs,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-      dropKindIdx)
+      dropKindIdx, columnar)
   }
 
   private def seqGroupCols: Seq[String] = schema.options.keys.collect {
@@ -621,7 +641,8 @@ class GraftScan(
 case class SchemaReadPlan(
     readFunc: PartitionedFile => Iterator[InternalRow],
     align: Seq[Expression],
-    batched: Boolean) extends Serializable
+    batched: Boolean,
+    identityAlign: Boolean = false) extends Serializable
 
 case class GraftFileInfo(
     path: String, length: Long, partition: Seq[String], bucket: Int,
@@ -647,8 +668,45 @@ class GraftReaderFactory(
     outSchema: StructType,
     defaultsExprs: Option[Seq[Expression]],
     conf: org.apache.spark.util.SerializableConfiguration,
-    dropKindIdx: Option[Int] = None)
+    dropKindIdx: Option[Int] = None,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  // scan-level, not per-partition: Spark requires every partition of a
+  // scan to agree (mixed row/columnar readers fail the physical plan)
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  /** Vectorized pass-through: the format reader's ColumnarBatch (columns =
+    * readSchemaForFile ++ partitionSchema = rowSchema, by the identityAlign
+    * precondition) flows to Catalyst's columnar pipeline as-is; a requested
+    * column order differing from rowSchema is a zero-copy column-vector
+    * permutation. The per-row flatten + UnsafeProjection of the row path —
+    * a pure CPU constant-factor tax at 100 TB — never runs.
+    */
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val identityOut = outIdx == rowSchema.indices
+    val batches: Iterator[ColumnarBatch] = p.files.iterator.flatMap { f =>
+      val plan = plans((f.schemaId, f.dvPath.isDefined,
+        GraftTable.formatNameOfPath(f.path)))
+      val pf = org.apache.spark.sql.graft.SparkShims.partitionedFile(
+        partitionRow(f), s"$tableRoot/${f.path}", 0, f.length)
+      plan.readFunc(pf).asInstanceOf[Iterator[AnyRef]].map {
+        case b: ColumnarBatch =>
+          if (identityOut) b
+          else new ColumnarBatch(outIdx.map(b.column).toArray, b.numRows())
+        case other => throw new IllegalStateException(
+          s"columnar scan expected ColumnarBatch, got ${other.getClass}")
+      }
+    }
+    new PartitionReader[ColumnarBatch] {
+      private var current: ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { current = batches.next(); true } else false
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = () // file readers close via the task-completion listener
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Columnar DSv2 handoff: raw append scans pass the format reader's
+  * ColumnarBatch straight to Catalyst's columnar pipeline (no per-row
+  * flatten + UnsafeProjection); anything needing per-row work (merge, DVs,
+  * evolution remaps, metadata columns) falls back to the row path.
+  */
+class ColumnarScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = java.nio.file.Files.createTempDirectory("graft-cs-wh").toString
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gcs", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcs.db")
+  }
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    def find(p: SparkPlan): Option[BatchScanExec] = p match {
+      case b: BatchScanExec => Some(b)
+      case other => other.children.view.flatMap(find).headOption
+    }
+    find(df.queryExecution.executedPlan)
+      .getOrElse(fail(s"no BatchScanExec in\n${df.queryExecution.executedPlan}"))
+  }
+
+  test("raw append scan reports COLUMNAR; results identical to source") {
+    spark.sql(
+      """CREATE TABLE gcs.db.li (
+        | l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE,
+        | l_returnflag STRING) USING graft""".stripMargin)
+    sf("lineitem").select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      .createOrReplaceTempView("cs_src")
+    spark.sql("INSERT INTO gcs.db.li SELECT * FROM cs_src")
+
+    val scan = spark.table("gcs.db.li").select("l_orderkey", "l_quantity")
+    assert(scanOf(scan).supportsColumnar,
+      s"append scan must hand batches through:\n${scan.queryExecution.executedPlan}")
+    // requested order differing from the read layout is a vector permutation
+    val permuted = spark.table("gcs.db.li").select("l_quantity", "l_orderkey")
+    assert(scanOf(permuted).supportsColumnar)
+
+    val got = scan.agg(sum("l_quantity"), count("*")).collect().head
+    val want = sf("lineitem").select($"l_quantity".cast("double"))
+      .agg(sum("l_quantity"), count("*")).collect().head
+    assert(got == want, s"$got vs $want")
+    assert(permuted.collect().length == want.getLong(1))
+
+    // filtered: predicate pushdown composes with the columnar handoff
+    val filtered = spark.table("gcs.db.li")
+      .filter($"l_returnflag" === "R").select("l_orderkey")
+    assert(scanOf(filtered).supportsColumnar)
+    assert(filtered.count() ==
+      sf("lineitem").filter($"l_returnflag" === "R").count())
+  }
+
+  test("partitioned append table: partition-value vectors keep the scan columnar") {
+    spark.sql(
+      """CREATE TABLE gcs.db.lip (
+        | l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag STRING)
+        |USING graft PARTITIONED BY (l_returnflag)""".stripMargin)
+    spark.sql("INSERT INTO gcs.db.lip SELECT l_orderkey, l_quantity, l_returnflag FROM cs_src")
+    val scan = spark.table("gcs.db.lip").filter($"l_returnflag" === "A")
+    assert(scanOf(scan).supportsColumnar,
+      s"partition constants are constant vectors:\n${scan.queryExecution.executedPlan}")
+    val got = scan.agg(sum("l_quantity")).collect().head.getDouble(0)
+    val want = sf("lineitem").filter($"l_returnflag" === "A")
+      .agg(sum($"l_quantity".cast("double"))).collect().head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+  }
+
+  test("row-path fallbacks: MOR merge, DV mode, metadata columns, evolved schema") {
+    // pk table (MOR) — merge is per-row work
+    spark.sql(
+      """CREATE TABLE gcs.db.pk (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO gcs.db.pk VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gcs.db.pk VALUES (2, 'b2')")
+    assert(!scanOf(spark.table("gcs.db.pk")).supportsColumnar, "MOR stays row-based")
+    assert(spark.table("gcs.db.pk").orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b2"))
+
+    // dv-mode pk table — kind-tombstone filter is per-row work
+    spark.sql(
+      """CREATE TABLE gcs.db.dv (k BIGINT, v STRING) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2',
+        | 'deletion-vectors.enabled' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO gcs.db.dv VALUES (1, 'a'), (2, 'b')")
+    assert(!scanOf(spark.table("gcs.db.dv")).supportsColumnar, "DV stays row-based")
+
+    // metadata column — appended per row by the reader
+    val withPath = spark.sql("SELECT l_orderkey, __file_path FROM gcs.db.li")
+    assert(!scanOf(withPath).supportsColumnar, "__file_path stays row-based")
+    assert(withPath.select("__file_path").distinct().count() >= 1)
+
+    // schema evolution: pre-evolution files need the field-id remap align
+    spark.sql("CREATE TABLE gcs.db.ev (id BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO gcs.db.ev VALUES (1, 'x')")
+    spark.sql("ALTER TABLE gcs.db.ev RENAME COLUMN v TO w")
+    spark.sql("ALTER TABLE gcs.db.ev ADD COLUMN extra INT")
+    spark.sql("INSERT INTO gcs.db.ev VALUES (2, 'y', 7)")
+    val evScan = spark.table("gcs.db.ev")
+    assert(!scanOf(evScan).supportsColumnar, "pre-evolution files need the row align")
+    assert(evScan.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("columnar scan composes with limit pushdown and column pruning") {
+    assert(spark.table("gcs.db.li").select("l_orderkey").limit(5).collect().length == 5)
+    val plan = scanOf(spark.table("gcs.db.li").select("l_orderkey"))
+    assert(plan.schema.fieldNames.toSeq == Seq("l_orderkey"), "pruned to one column")
+    assert(plan.supportsColumnar)
+  }
+}
