@@ -133,6 +133,16 @@ object Fixtures {
       t
     }
 
+  /** MinHash signature index over the corpus split of documents
+    * (doc_id % 10 != 0) — the persisted half of the incremental
+    * cross-corpus dedup path ([[graft.pipeline.Dedup.buildSigIndex]]).
+    */
+  def docSigIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "doc_sig_index") { path =>
+      val corpus = src(spark, sfDir, "documents").filter(col("doc_id") % 10 =!= 0)
+      graft.pipeline.Dedup.buildSigIndex(corpus, "doc_id", "text", path)
+    }
+
   /** lineitem under explicit split sizing + partition-sorted planning: many
     * small files whose splits are capped by open-file-cost. The options are
     * read-side only — the scan must return exactly the table.

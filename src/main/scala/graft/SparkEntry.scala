@@ -518,6 +518,17 @@ object SparkEntry {
     "q46_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Fixtures.src(s, d, "documents"), "doc_id", "text",
         maxHamming = 3, md5Basis = true).select("id_a", "id_b")),
+    // incremental cross-corpus dedup: tonight's batch (doc_id % 10 == 0)
+    // signatures ONLY itself and band-joins against the PERSISTED corpus
+    // signature index — the corpus text is read for candidate verify only
+    "q116_incremental_neardup" -> ((s, d) => {
+      val docs = Fixtures.src(s, d, "documents")
+      Dedup.nearDupPairsAgainst(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        Fixtures.docSigIndex(s, d), docs.filter(col("doc_id") % 10 =!= 0),
+        threshold = 0.7)
+        .select("new_id", "corpus_id")
+    }),
     "q47_dedup_keep" -> ((s, d) => {
       val docs = Fixtures.src(s, d, "documents")
       val drops = Dedup.dropIds(
@@ -692,6 +703,19 @@ object SparkEntry {
       |  CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b FROM p WHERE j >= 0.7""".stripMargin
+
+  // cross pairs only: new batch (doc_id % 10 = 0) × corpus (rest) — the
+  // engine finds these through the persisted signature index
+  private val incrementalPairsSql =
+    """WITH toks AS (SELECT doc_id,
+      |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-2, 1)+1),
+      |  i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s FROM toks),
+      |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |  CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      |SELECT new_id, corpus_id FROM p WHERE j >= 0.7""".stripMargin
 
   // min-reachable-id clustering over the exact jaccard>=0.7 pair graph
   private val dupClustersSql =
@@ -1127,6 +1151,7 @@ object SparkEntry {
     "q44_quality_score" -> qualitySql,
     "q45_minhash_neardup" -> jaccardPairsSql,
     "q59_jaccard_join" -> jaccardPairsSql,
+    "q116_incremental_neardup" -> incrementalPairsSql,
     "q61_dup_clusters" -> dupClustersSql,
     "q47_dedup_keep" ->
       s"""SELECT doc_id FROM documents

@@ -82,24 +82,31 @@ object Dedup {
           graft.functions.MinHashSignature(
             org.apache.spark.sql.graft.SparkShims.expr(col("hs")), numHashes)).as("sig")))
 
-  /** Candidate pairs (idA < idB) from a [[sigFrame]]: band buckets are
-    * codegen'd `hash` over signature slices; candidates are a bucket-local
-    * self-join of the (id, band, bucket) rows. A degenerate bucket
-    * (thousands of identical docs) produces its inherently-quadratic pairs
-    * across distributed join tasks (AQE skew-join splits hot buckets)
-    * instead of expanding structs in a single row.
-    *
+  /** One (id, band, bucket) row per document per band: band buckets are
+    * codegen'd `hash` over signature slices — shared by the self-join
+    * candidate path and the cross-corpus index path (identical hashing, so
+    * fresh signatures and index-stored signatures bucket compatibly).
     */
-  private def candidatesFrom(sigsMat: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandRows(sigsMat: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(s => element_at(col("sig"), s + 1))
       struct(lit(b).as("band"), hash(slots: _*).cast("long").as("bucket"))
     }
-    val bandRows = sigsMat.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+    sigsMat.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    bandRows.as("a").join(bandRows.as("b"),
+  }
+
+  /** Candidate pairs (idA < idB) from a [[sigFrame]]: candidates are a
+    * bucket-local self-join of the [[bandRows]]. A degenerate bucket
+    * (thousands of identical docs) produces its inherently-quadratic pairs
+    * across distributed join tasks (AQE skew-join splits hot buckets)
+    * instead of expanding structs in a single row.
+    */
+  private def candidatesFrom(sigsMat: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = bandRows(sigsMat, numHashes, bands)
+    rows.as("a").join(rows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -316,6 +323,101 @@ object Dedup {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ================= incremental / cross-corpus dedup =================
+  // The highest-frequency production shape is NOT a corpus self-join but
+  // "dedup tonight's crawl batch against the existing corpus". Persist the
+  // corpus's minhash signatures ONCE as a graft PK table (id → sig,
+  // ~8·numHashes bytes per doc — ~1000× smaller than the text); each new
+  // batch then signatures ONLY ITSELF and band-joins against the index.
+  // The corpus text is never re-shingled — it is read only for the
+  // candidate ids that survive the prefilter, through an AQE-sized join.
+  // The index being a PK table makes maintenance incremental too:
+  // upserting a batch's signatures after ingest keeps it current, and a
+  // re-crawled doc id simply replaces its signature.
+
+  /** Create a persisted signature index for `df` at `path`: a graft PK
+    * table (id → sig) bucketed by id, with the minhash parameters pinned in
+    * the table options so every future batch hashes compatibly.
+    */
+  def buildSigIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 64, bands: Int = 16, buckets: Int = 8): graft.table.GraftTable = {
+    val sigs = sigFrame(df, idCol, textCol, numHashes)
+    val t = graft.table.GraftTable.create(df.sparkSession, path, sigs.schema,
+      primaryKeys = Seq("id"),
+      options = Map("bucket" -> buckets.toString,
+        "dedup.num-hashes" -> numHashes.toString, "dedup.bands" -> bands.toString))
+    t.upsert(sigs)
+    t
+  }
+
+  /** Fold a new batch's signatures into the index (upsert: a re-ingested
+    * doc id replaces its signature). Call after the batch itself has been
+    * deduped and admitted to the corpus.
+    */
+  def appendToSigIndex(index: graft.table.GraftTable, df: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val numHashes = index.schema.option("dedup.num-hashes", "64").toInt
+    index.upsert(sigFrame(df, idCol, textCol, numHashes))
+  }
+
+  /** Near-dup pairs of `newDf` AGAINST the indexed corpus: signatures are
+    * computed for the new batch ONLY; the corpus side is the (id, sig)
+    * index scan — banded into buckets by projection, never re-shingled.
+    * `corpus` supplies document text for exact-Jaccard verification of the
+    * surviving candidates (read via candidate-id joins — at 100 TB that is
+    * an AQE broadcast of the candidate ids, not a corpus scan with text).
+    * Returns (new_id, corpus_id, jaccard_sim), threshold-filtered.
+    */
+  def nearDupPairsAgainst(newDf: DataFrame, idCol: String, textCol: String,
+      index: graft.table.GraftTable, corpus: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val numHashes = index.schema.option("dedup.num-hashes", "64").toInt
+    val bands = index.schema.option("dedup.bands", "16").toInt
+    val newSigs = PipelineUtil.pin(sigFrame(newDf, idCol, textCol, numHashes))
+    val corpusSigs = PipelineUtil.pin(index.toDF.select(col("id"), col("sig")))
+    // band-bucket join, new × corpus: the new side is the small one — AQE
+    // broadcast-converts it, so the corpus index scan is never shuffled.
+    // A doc present in both sides under the same id is itself, not a dup.
+    val cands = bandRows(newSigs, numHashes, bands).as("n")
+      .join(bandRows(corpusSigs, numHashes, bands).as("c"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket") &&
+          col("n.id") =!= col("c.id"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    // signature-agreement prefilter (same estimator as the self-join path;
+    // digests derive from stored sigs — no text touched)
+    val cutoff = math.max(0.0,
+      threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    def digests(sigs: DataFrame) = sigs.select(col("id"),
+      org.apache.spark.sql.graft.SparkShims.column(graft.functions.MinHashSigBytes(
+        org.apache.spark.sql.graft.SparkShims.expr(col("sig")))).as("sb"))
+    val agree = org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.ByteAgreement(
+        org.apache.spark.sql.graft.SparkShims.expr(col("sb_a")),
+        org.apache.spark.sql.graft.SparkShims.expr(col("sb_b"))))
+    val filtered = PipelineUtil.pin(cands
+      .join(digests(newSigs).toDF("new_id", "sb_a"), "new_id")
+      .join(digests(corpusSigs).toDF("corpus_id", "sb_b"), "corpus_id")
+      .filter(agree.cast("double") / numHashes >= cutoff)
+      .select(col("new_id"), col("corpus_id")))
+    // exact verify: shingle sets for CANDIDATE docs only, per side
+    def candSets(src: DataFrame, ids: DataFrame) =
+      PipelineUtil.pin(
+        spread(src.select(col(idCol).as("id"), col(textCol).as("text")))
+          .join(ids, "id")
+          .select(col("id"), shingleHashes(col("text")).as("hs")))
+    val newSets = candSets(newDf,
+      filtered.select(col("new_id").as("id")).distinct())
+    val corpusSets = candSets(corpus,
+      filtered.select(col("corpus_id").as("id")).distinct())
+    filtered
+      .join(newSets.toDF("new_id", "hs_a"), "new_id")
+      .join(corpusSets.toDF("corpus_id", "hs_b"), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        round(jaccard(col("hs_a"), col("hs_b")), 6).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
 
   /** SimHash near-dup candidate pairs, blocked on two-block combinations of
     * 5 sketch blocks (13/13/13/13/12 bits): a pair within Hamming distance 3

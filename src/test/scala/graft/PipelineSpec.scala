@@ -129,6 +129,64 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental cross-corpus dedup: batch vs persisted signature index") {
+    // corpus: 20 docs on a sliding-window spectrum; new batch: near-copies
+    // of corpus docs 3 and 11 (one word changed), one exact copy of 7, and
+    // one unrelated doc
+    val words = (0 until 60).map(i => s"w$i")
+    val corpusDocs = (0 until 20).map(i =>
+      ((i + 100).toLong, words.slice(2 * i, 2 * i + 14).mkString(" ")))
+    val newDocs = Seq(
+      (1L, words.slice(6, 20).updated(3, "CHANGED").mkString(" ")),   // ~ corpus 103
+      (2L, words.slice(22, 36).updated(9, "ALTERED").mkString(" ")),  // ~ corpus 111
+      (3L, words.slice(14, 28).mkString(" ")),                        // == corpus 107
+      (4L, (200 until 214).map(i => s"z$i").mkString(" ")))           // unrelated
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val batch = newDocs.toDF("doc_id", "text")
+
+    val index = Dedup.buildSigIndex(corpus, "doc_id", "text", tmpTable())
+    val got = Dedup.nearDupPairsAgainst(batch, "doc_id", "text", index, corpus,
+      threshold = 0.6)
+
+    // brute-force cross oracle
+    def setOf(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      (0 to math.max(toks.length - 3, 0)).map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val brute = (for {
+      (n, tn) <- newDocs; (c, tc) <- corpusDocs
+      sn = setOf(tn); sc = setOf(tc)
+      j = sn.intersect(sc).size.toDouble / sn.union(sc).size
+      if j >= 0.6
+    } yield (n, c)).toSet
+    assert(brute.nonEmpty && brute.exists(_._1 == 3L), s"fixture sanity: $brute")
+    val gotPairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == brute, s"got $gotPairs want $brute")
+
+    // scale-shape proof the corpus is NOT re-signatured: rewrite corpus doc
+    // 119's text to an exact copy of batch doc 4 AFTER the index build —
+    // candidates come from the STORED signatures (119's stale sig cannot
+    // band-collide with doc 4), so the pair must not appear, even though
+    // its true Jaccard is now 1.0
+    val poisoned = corpusDocs.map { case (id, t) =>
+      if (id == 119L) (id, newDocs(3)._2) else (id, t)
+    }.toDF("doc_id", "text")
+    val viaIndex = Dedup.nearDupPairsAgainst(batch, "doc_id", "text", index,
+      poisoned, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!viaIndex.contains((4L, 119L)),
+      s"corpus signatures must come from the index, not recomputation: $viaIndex")
+
+    // incremental maintenance: admit the batch, then a re-run of a batch
+    // doc against the grown index finds it as an exact dup
+    Dedup.appendToSigIndex(index, batch, "doc_id", "text")
+    val again = Dedup.nearDupPairsAgainst(
+      Seq((99L, newDocs(3)._2)).toDF("doc_id", "text"), "doc_id", "text",
+      index, corpus.unionByName(batch), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == Set((99L, 4L)), s"upserted batch sig is live in the index: $again")
+  }
+
   test("dup clustering: min-reachable label over chains and separate cliques") {
     // chain 10-11-...-16 (diameter 6, needs several propagation rounds),
     // clique 20-21-22, isolated pair 30-31
