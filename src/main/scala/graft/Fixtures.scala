@@ -887,6 +887,25 @@ object Fixtures {
     (corpus, q)
   }
 
+  /** KNN-join recall fixture: 5 query vectors (embeddings 1–5) and a
+    * corpus of all embeddings plus, per query, 20 deterministic
+    * near-copies (qv + 0.05·v over embeddings 21–40, ids 100000·qid +
+    * vec_id) — each query's true top-21 (its own corpus copy + the 20
+    * planted copies, cos ≈ 0.999 ≫ the 0.44 natural max) is separable, so
+    * the exact brute-force per-query ranking is a full-recall oracle for
+    * the LSH-bucketed join.
+    */
+  def knnRecallCorpus(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val e = src(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qs = e.filter(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val synth = qs.crossJoin(e.filter(col("vec_id").between(21, 40)))
+      .select((col("query_id") * 100000 + col("vec_id")).as("vec_id"),
+        zip_with(col("qv"), col("v"), (a, b) => a + lit(0.05) * b).as("v"))
+    (qs, e.unionByName(synth))
+  }
+
   /** The recall corpus persisted as a partition-per-cluster IVF index. */
   def annIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "ann_ivf_index") { path =>

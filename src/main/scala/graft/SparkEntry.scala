@@ -582,6 +582,14 @@ object SparkEntry {
       val (_, q) = annRecallCorpus(s, d)
       VectorOps.ivfIndexTopK(Fixtures.annIvfIndex(s, d), q, 20, nProbe = 4)
     }),
+    "q117_knn_join" -> ((s, d) => {
+      // batch-query ANN: top-20 per query through the (table, bucket)-local
+      // LSH join; the separable fixture makes the exact per-query ranking a
+      // full-recall oracle (see Fixtures.knnRecallCorpus)
+      val (qs, corpus) = Fixtures.knnRecallCorpus(s, d)
+      VectorOps.knnJoin(qs, "query_id", "qv", corpus, "vec_id", "v", 20)
+        .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
+    }),
     "q50_embed_sim_pairs" -> ((s, d) => {
       // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
       // (LSH-independent), so every qualifying pair must be recalled
@@ -682,6 +690,24 @@ object SparkEntry {
     s"""$annCorpusCte
        |SELECT vec_id, ROUND(LIST_COSINE_SIMILARITY(v, (SELECT qv FROM q)), 6) AS cosine_sim
        |FROM corpus ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin
+
+  // per-query exact brute-force top-20 over the knn fixture (ranking on
+  // the ROUNDED cosine + corpus_id tiebreak, identical to the engine)
+  private val knnJoinOracle =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5),
+      |synth AS (SELECT 100000 * q.query_id + e.vec_id AS vec_id,
+      |  list_transform(range(1, 65), i -> q.qv[i] + 0.05 * e.v[i]) AS v
+      |  FROM e CROSS JOIN qs q WHERE e.vec_id BETWEEN 21 AND 40),
+      |corpus AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM synth),
+      |scored AS (SELECT q.query_id, c.vec_id AS corpus_id,
+      |  ROUND(LIST_COSINE_SIMILARITY(q.qv, c.v), 6) AS cosine_sim
+      |  FROM qs q CROSS JOIN corpus c),
+      |ranked AS (SELECT query_id, corpus_id, cosine_sim,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, corpus_id) AS knn_rank FROM scored)
+      |SELECT query_id, corpus_id, cosine_sim, knn_rank
+      |FROM ranked WHERE knn_rank <= 20""".stripMargin
 
   private val embedPairsOracle =
     s"""$annCorpusCte
@@ -1163,6 +1189,7 @@ object SparkEntry {
     "q46_simhash_pairs" -> simhashOracle,
     "q49_ann_lsh_topk" -> annLshOracle,
     "q56_ann_ivf_topk" -> annLshOracle,
+    "q117_knn_join" -> knnJoinOracle,
     "q60_ann_ivf_index" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle
   )

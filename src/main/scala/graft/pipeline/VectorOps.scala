@@ -118,6 +118,61 @@ object VectorOps {
       .limit(k)
   }
 
+  /** KNN JOIN — top-k cosine neighbors in `corpus` for EVERY row of
+    * `queries` (batch-query ANN; the vector analog of a lookup join, and
+    * the primitive behind semantic dedup / batch retrieval where
+    * [[cosineTopK]]'s single query vector doesn't apply).
+    *
+    * Shape: both sides key into the same `numTables` × `planesPerTable`
+    * sign-LSH family ([[tableFamily]] — shared constants, so buckets are
+    * compatible); candidates are the (table, bucket)-equijoin of the two
+    * key sets — |tables| × bucket-local, NEVER all-pairs. Candidates are
+    * ranked by exact cosine and cut to k per query with a window over
+    * query_id. Like every LSH path here, recall is tuned by adding tables;
+    * precision is exact.
+    *
+    * Scale: the keyed frames carry (id, table, bucket) only — vectors
+    * rejoin for CANDIDATE pairs through AQE-sized joins (the candidate set
+    * broadcast-converts when small, and the corpus is never shuffled). The
+    * window shuffles candidate rows only, partitioned by query — O(queries
+    * × bucket-mates), not O(corpus). A query colliding with nothing yields
+    * no rows (ANN semantics — add tables or planes to tighten).
+    */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, cIdCol: String, cVecCol: String, k: Int,
+      numTables: Int = 8, planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
+    val tables = tableFamily(numTables, planesPerTable, dim)
+    val q = PipelineUtil.pin(PipelineUtil.spread(
+      queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("qv"))))
+    val c = PipelineUtil.pin(PipelineUtil.spread(
+      corpus.select(col(cIdCol).as("corpus_id"),
+        col(cVecCol).cast("array<double>").as("cv"))))
+    def keys(idName: String, vecName: String, df: DataFrame) = {
+      val v = checkedVec(col(vecName), dim)
+      val ks = tables.zipWithIndex.map { case (pls, t) =>
+        struct(lit(t).as("t"), lshBucket(v, pls).as("bucket"))
+      }
+      df.select(col(idName), explode(array(ks: _*)).as("tb"))
+        .select(col(idName), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    }
+    val cands = keys("query_id", "qv", q).as("a")
+      .join(keys("corpus_id", "cv", c).as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket"))
+      .select(col("query_id"), col("corpus_id"))
+      .distinct()
+    val scored = cands
+      .join(q, "query_id")
+      .join(c, "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("corpus_id"))
+    scored.withColumn("knn_rank", row_number().over(w).cast("long"))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** Nearest-centroid assignment by cosine: index of the max similarity in
     * the per-centroid similarity array (`array_position` returns the FIRST
     * occurrence, so ties break to the smaller index, deterministically).

@@ -288,6 +288,44 @@ class PipelineSpec extends SparkSpec {
     assert(exact.map(_._1).toSet == cluster.map(_._1).toSet)
   }
 
+  test("knn join: per-query top-k equals brute force on separable groups; no all-pairs join") {
+    // 5 groups of 8 vectors in 8 dims: group members are near-copies of a
+    // one-hot base (cos ≈ 0.999 in-group, ≈ 0.05 cross-group), so each
+    // query's true top-3 is in-group and the LSH join must recover it
+    val dim = 8
+    def vec(g: Int, j: Int): Seq[Double] =
+      (0 until dim).map(d =>
+        (if (d == g) 1.0 else 0.0) + 0.03 * math.sin(1.0 + g * 17 + j * 3 + d))
+    val corpusRows = for (g <- 0 until 5; j <- 0 until 8)
+      yield ((g * 100 + j).toLong, vec(g, j))
+    val queryRows = Seq(0, 2, 4).map(g => (g.toLong, vec(g, 99)))
+    val corpus = corpusRows.toDF("vec_id", "v")
+    val queries = queryRows.toDF("query_id", "qv")
+
+    val got = VectorOps.knnJoin(queries, "query_id", "qv", corpus, "vec_id", "v",
+      k = 3, numTables = 8, planesPerTable = 4, dim = dim)
+
+    // no all-pairs shapes anywhere in the physical plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn join must stay bucket-local:\n$plan")
+
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(if (n == 0) 0.0 else d / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = queryRows.flatMap { case (qid, qv) =>
+      corpusRows.map { case (cid, cv) => (qid, cid, cos(qv, cv)) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(3)
+        .zipWithIndex.map { case ((q, c, s), i) => (q, c, s, (i + 1).toLong) }
+    }.toSet
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(gotRows == brute, s"got $gotRows\nwant $brute")
+  }
+
   test("IVF top-k equals brute force on a separable fixture; probes prune the scan") {
     val dim = 16
     def noise(i: Int, d: Int): Float = ((i * 31 + d * 7) % 11 - 5) / 100.0f
