@@ -48,8 +48,9 @@ trait CommitStore {
   */
 object CommitStore {
   /** Select the impl by `graft.commit-store` in the Hadoop conf:
-    * `rename` (default) or `lock`. The seam point for object-store
-    * deployments — a conditional-PUT impl plugs in the same way.
+    * `rename` (default), `lock`, or `conditional-put` (object stores; the
+    * client class comes from `graft.commit-store.put-client`, defaulting
+    * to the local CREATE_NEW-backed emulation).
     */
   def forConf(conf: org.apache.hadoop.conf.Configuration,
       fsOf: () => FileSystem): CommitStore =
@@ -57,9 +58,68 @@ object CommitStore {
       case "rename" => new RenameCommitStore(fsOf)
       case "lock" => new LockFileCommitStore(fsOf,
         conf.getLong("graft.commit-store.lock-ttl-ms", 10 * 60 * 1000L))
+      case "conditional-put" =>
+        val clientCls = conf.get("graft.commit-store.put-client",
+          classOf[LocalConditionalPutClient].getName)
+        new ConditionalPutCommitStore(Class.forName(clientCls)
+          .getDeclaredConstructor().newInstance()
+          .asInstanceOf[ConditionalPutClient])
       case other => throw new IllegalArgumentException(
-        s"unknown graft.commit-store: $other (expected rename or lock)")
+        s"unknown graft.commit-store: $other (expected rename, lock, or conditional-put)")
     }
+}
+
+/** Storage SPI for object stores with conditional writes: ONE call
+  * publishes the complete object iff nothing exists at `target`. S3 maps
+  * this to `PUT` + `If-None-Match: *` (412 → false), GCS to
+  * `x-goog-if-generation-match: 0`, ABFS to an ETag precondition — the
+  * store's server side provides the exclusive+atomic+durable contract, so
+  * the commit store is a one-line adapter (this is the reference's
+  * object-store FileIO shape). Implementations must be no-arg
+  * constructible (selected by class name via
+  * `graft.commit-store.put-client`).
+  */
+trait ConditionalPutClient {
+  /** Publish `content` at `target` iff absent; false on precondition
+    * failure. `target` is the full URI/path string of the object.
+    */
+  def putIfAbsent(target: String, content: Array[Byte]): Boolean
+}
+
+/** [[CommitStore]] over a [[ConditionalPutClient]]: the entire contract is
+  * the store's single conditional-put primitive — no rename, no lock
+  * object, no existence pre-check (the precondition IS the check; a
+  * pre-check would just widen the race for no benefit and cost a round
+  * trip per commit).
+  */
+class ConditionalPutCommitStore(client: ConditionalPutClient) extends CommitStore {
+  override def putIfAbsent(target: Path, content: String): Boolean =
+    client.putIfAbsent(target.toString,
+      content.getBytes(StandardCharsets.UTF_8))
+}
+
+/** Local emulation of S3-class conditional-put semantics, standing in for
+  * the store's server-side atomicity so the seam is provable under races
+  * without an object store: the object body is staged fully, then
+  * published with hard-link creation (atomic fail-if-exists — readers see
+  * absent, then complete, exactly the conditional-PUT observable
+  * behavior). Works cross-process, not just cross-thread.
+  */
+class LocalConditionalPutClient extends ConditionalPutClient {
+  override def putIfAbsent(target: String, content: Array[Byte]): Boolean = {
+    val uri = java.net.URI.create(target)
+    val p = java.nio.file.Paths.get(
+      if (uri.getScheme == null) target else uri.getPath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".${p.getFileName}.${UUID.randomUUID()}.cput")
+    java.nio.file.Files.write(tmp, content)
+    try {
+      java.nio.file.Files.createLink(p, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
 }
 
 class RenameCommitStore(fsOf: () => FileSystem) extends CommitStore {

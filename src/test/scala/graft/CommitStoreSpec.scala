@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{CommitStore, LockFileCommitStore, RenameCommitStore}
+import graft.core.{CommitStore, ConditionalPutCommitStore, LocalConditionalPutClient, LockFileCommitStore, RenameCommitStore}
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -23,7 +23,9 @@ class CommitStoreSpec extends AnyFunSuite {
 
   for ((name, mk) <- Seq(
     "rename" -> ((r: String) => new RenameCommitStore(fsOf(r)): CommitStore),
-    "lock" -> ((r: String) => new LockFileCommitStore(fsOf(r)): CommitStore))) {
+    "lock" -> ((r: String) => new LockFileCommitStore(fsOf(r)): CommitStore),
+    "conditional-put" -> ((_: String) =>
+      new ConditionalPutCommitStore(new LocalConditionalPutClient): CommitStore))) {
 
     test(s"$name: 16 racers for one target -> exactly one winner, content intact") {
       val root = tmpDir()

@@ -23,7 +23,7 @@ class ConcurrencySpec extends SparkSpec {
     finally if (prev == null) hc.unset("graft.commit-store") else hc.set("graft.commit-store", prev)
   }
 
-  for (impl <- Seq("rename", "lock"))
+  for (impl <- Seq("rename", "lock", "conditional-put"))
   test(s"8 racing appenders [$impl]: every commit lands, no rows lost")(withCommitStore(impl) {
     val df0 = Seq((0L, "seed")).toDF("k", "v")
     // write-only: this test asserts the exact snapshot-id sequence, which
@@ -101,7 +101,7 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.toDF.count() == 2)
   }
 
-  for (impl <- Seq("rename", "lock"))
+  for (impl <- Seq("rename", "lock", "conditional-put"))
   test(s"racing upserts to the same key [$impl]: chain stays linear, one winner per seq")(withCommitStore(impl) {
     val df0 = Seq((1L, 0L)).toDF("k", "n")
     val t = GraftTable.create(spark, tmpTable(), df0.schema, primaryKeys = Seq("k"),
