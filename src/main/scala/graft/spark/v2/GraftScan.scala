@@ -208,8 +208,49 @@ class GraftScan(
     * join side below the broadcast threshold.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = prunedFiles.map(_.size).sum
-    private val rows = prunedFiles.map(_.liveRowCount).sum
+    private val sumLive = prunedFiles.map(_.liveRowCount).sum
+    // POST-MERGE row estimate for PK tables: summing liveRowCount over
+    // un-merged runs double-counts every updated key, so a hot PK table
+    // reports up to runs× its true cardinality — enough to push a
+    // broadcastable join side over the threshold. Rows in key-DISJOINT
+    // sections (IntervalSections) add exactly; within an overlapping
+    // section the merged count lies in [max file, sum] — estimate
+    // max + α·rest, with α=0.2 when the section has a fully-compacted
+    // base (overlapping L0 rows are then mostly updates of existing keys)
+    // and α=0.5 otherwise (unknown update/insert split). A current-
+    // snapshot ANALYZE rowCount (exact post-merge) overrides the
+    // heuristic on unfiltered scans.
+    private val rows: Long =
+      if (!mergeRead) sumLive
+      else {
+        val analyzed =
+          if (filters.nonEmpty || filesOverride.isDefined) None
+          else table.store.readColStats()
+            .filter(st => snapshot.orElse(table.store.latestSnapshot)
+              .exists(_.id == st.snapshotId))
+            .map(_.rowCount)
+        analyzed.getOrElse {
+          val grouped =
+            if (schema.crossPartition) prunedFiles.groupBy(f => (Seq.empty[String], f.bucket))
+            else prunedFiles.groupBy(f => (f.partition, f.bucket))
+          grouped.values.map { fs =>
+            IntervalSections.of(schema, fs).map { sec =>
+              val counts = sec.map(_.liveRowCount)
+              val mx = counts.max
+              val alpha =
+                if (sec.exists(_.level >= GraftTable.MaxLevel)) 0.2 else 0.5
+              mx + math.round(alpha * (counts.sum - mx))
+            }.sum
+          }.sum
+        }
+      }
+    // scale bytes by the same post-merge ratio: Spark's broadcast decision
+    // reads sizeInBytes, and the merged read emits est/sum of the raw rows
+    private val bytes = {
+      val raw = prunedFiles.map(_.size).sum
+      if (!mergeRead || sumLive == 0) raw
+      else math.round(raw * (rows.toDouble / sumLive))
+    }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(bytes, 1L))
     override def numRows(): java.util.OptionalLong =
