@@ -590,6 +590,18 @@ object SparkEntry {
       VectorOps.knnJoin(qs, "query_id", "qv", corpus, "vec_id", "v", 20)
         .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
     }),
+    "q118_sql_pipeline_ann" -> ((s, d) => {
+      // SQL-ONLY user path: the brute-force ANN top-20 re-expressed in pure
+      // SQL through the injected pipeline functions (graft_cosine)
+      Fixtures.src(s, d, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql(
+        """WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+          |           FROM emb_sql WHERE vec_id = 0)
+          |SELECT vec_id,
+          |  ROUND(graft_cosine(CAST(embedding AS ARRAY<DOUBLE>), qv), 6) AS cosine_sim
+          |FROM emb_sql CROSS JOIN q WHERE vec_id <> 0
+          |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin)
+    }),
     "q50_embed_sim_pairs" -> ((s, d) => {
       // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
       // (LSH-independent), so every qualifying pair must be recalled
@@ -1190,6 +1202,7 @@ object SparkEntry {
     "q49_ann_lsh_topk" -> annLshOracle,
     "q56_ann_ivf_topk" -> annLshOracle,
     "q117_knn_join" -> knnJoinOracle,
+    "q118_sql_pipeline_ann" -> annBruteOracle,
     "q60_ann_ivf_index" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle
   )

@@ -85,6 +85,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else GraftTable.load(spark, str(args(0))).system(name)
         org.apache.spark.sql.graft.SparkShims.analyzed(df)
       }))
+    // ---- pipeline primitives for SQL-only users ----
+    // Each builder returns the SAME Catalyst expression tree the Scala API
+    // composes (codegen'd end to end, single source of truth) — which is
+    // why these are session-extension functions rather than black-box V2
+    // ScalarFunctions: a V2 function's produceResult cannot expand into a
+    // composed expression tree, so it would be a second, row-at-a-time
+    // implementation of the same math.
+    def injectColumnFn(name: String, usage: String, minArgs: Int, maxArgs: Int)(
+        build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name, usage),
+        (args: Seq[Expression]) => {
+          require(args.length >= minArgs && args.length <= maxArgs,
+            s"$name: $usage")
+          org.apache.spark.sql.graft.SparkShims.realExpr(
+            build(args.map(org.apache.spark.sql.graft.SparkShims.column)))
+        }))
+    def intLit(e: org.apache.spark.sql.Column): Int =
+      org.apache.spark.sql.graft.SparkShims.realExpr(e)
+        .eval(null).asInstanceOf[Number].intValue
+    injectColumnFn("graft_shingles",
+      "graft_shingles(text[, n]): distinct word n-gram shingles", 1, 2) { as =>
+      graft.pipeline.Dedup.shingles(as.head,
+        if (as.size > 1) intLit(as(1)) else 3)
+    }
+    injectColumnFn("graft_shingle_hashes",
+      "graft_shingle_hashes(text): distinct 64-bit shingle hashes", 1, 1) { as =>
+      graft.pipeline.Dedup.shingleHashes(as.head)
+    }
+    injectColumnFn("graft_minhash_sig",
+      "graft_minhash_sig(text[, numHashes]): minhash signature array", 1, 2) { as =>
+      graft.pipeline.Dedup.minhashSignature(
+        graft.pipeline.Dedup.shingles(as.head),
+        if (as.size > 1) intLit(as(1)) else 64)
+    }
+    injectColumnFn("graft_simhash",
+      "graft_simhash(text): 64-bit simhash sketch", 1, 1) { as =>
+      graft.pipeline.Dedup.simhashFromHashes(
+        graft.pipeline.Dedup.tokenHashes(as.head))
+    }
+    injectColumnFn("graft_jaccard",
+      "graft_jaccard(setA, setB): exact Jaccard similarity of two arrays", 2, 2) { as =>
+      graft.pipeline.Dedup.jaccard(as.head, as(1))
+    }
+    injectColumnFn("graft_cosine",
+      "graft_cosine(vecA, vecB): cosine similarity of two numeric arrays", 2, 2) { as =>
+      graft.pipeline.VectorOps.cosine(as.head, as(1))
+    }
+    injectColumnFn("graft_hamming",
+      "graft_hamming(a, b): Hamming distance of two 64-bit sketches", 2, 2) { as =>
+      graft.pipeline.Dedup.hamming(as.head, as(1))
+    }
   }
 }
 

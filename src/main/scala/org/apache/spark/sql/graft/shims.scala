@@ -19,6 +19,16 @@ object SparkShims {
   def expr(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** FULLY-CONVERTED Catalyst expression of a Column (recursive ColumnNode
+    * → Expression conversion). `expr` returns a lazy ColumnNodeExpression
+    * wrapper that only Dataset API boundaries convert — inside a
+    * FunctionRegistry builder (SQL function registration) the wrapper
+    * would survive to codegen and fail as Unevaluable; this runs the
+    * converter eagerly instead.
+    */
+  def realExpr(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** DataFrame over an analyzed/resolvable logical plan. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -233,6 +233,41 @@ class SqlCatalogSpec extends SparkSpec {
     assert(scan2.planInputPartitions().length == all)
   }
 
+  test("pipeline primitives reach SQL-only users through injected functions") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"),
+        (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text").createOrReplaceTempView("fn_docs")
+
+    // exact jaccard over shingle hashes — near-dup docs 1,2 qualify, 3 not
+    val pairs = spark.sql(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(graft_jaccard(graft_shingle_hashes(a.text),
+        |                      graft_shingle_hashes(b.text)), 6) AS j
+        |FROM fn_docs a JOIN fn_docs b ON a.doc_id < b.doc_id
+        |WHERE graft_jaccard(graft_shingle_hashes(a.text),
+        |                    graft_shingle_hashes(b.text)) >= 0.5""".stripMargin).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)), pairs.mkString(";"))
+
+    // signature + sketch functions agree with the Scala-API expressions
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(text, 16) AS sig, graft_simhash(text) AS sk
+        |FROM fn_docs""".stripMargin)
+    val viaApi = spark.table("fn_docs").select(col("doc_id"),
+      graft.pipeline.Dedup.minhashSignature(
+        graft.pipeline.Dedup.shingles(col("text")), 16).as("sig"),
+      graft.pipeline.Dedup.simhashFromHashes(
+        graft.pipeline.Dedup.tokenHashes(col("text"))).as("sk"))
+    assert(viaSql.exceptAll(viaApi).count() == 0 && viaApi.exceptAll(viaSql).count() == 0)
+
+    // hamming of identical sketches is 0; cosine of a vector with itself 1
+    val h = spark.sql(
+      "SELECT graft_hamming(graft_simhash('a b c'), graft_simhash('a b c')) AS h, " +
+        "ROUND(graft_cosine(ARRAY(1.0D, 2.0D), ARRAY(1.0D, 2.0D)), 6) AS c").collect()(0)
+    assert(h.getInt(0) == 0 && h.getDouble(1) == 1.0)
+  }
+
   test("metadata columns: __file_path on raw scans, __bucket on merged reads") {
     spark.sql("CREATE TABLE graft.db.meta_t (k BIGINT, v STRING) USING graft")
     spark.sql("INSERT INTO graft.db.meta_t VALUES (1, 'a')")
