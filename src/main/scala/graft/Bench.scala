@@ -60,6 +60,10 @@ object Bench {
       """CREATE TABLE graft.db.spj_dim (o_orderkey BIGINT, o_orderpriority STRING)
         |USING graft TBLPROPERTIES ('primary-key' = 'o_orderkey', 'bucket' = '16')""".stripMargin)
     spark.sql("INSERT INTO graft.db.spj_dim SELECT o_orderkey, o_orderpriority FROM bench_orders_src")
+    // the signature index is the PERSISTED artifact of incremental dedup —
+    // built once (not timed): the bench times the per-batch work
+    val sigIndex = Dedup.buildSigIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", s"$tmp/sig_index")
     val spjSql =
       """SELECT b.o_orderpriority, SUM(a.o_totalprice) AS s, COUNT(*) AS c
         |FROM graft.db.spj_fact a JOIN graft.db.spj_dim b
@@ -124,6 +128,22 @@ object Bench {
       }
       results("ann_topk") = time {
         VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 20).collect()
+      }
+      // 5b. incremental dedup: tonight's batch (10% of docs) against the
+      // PERSISTED corpus signature index — times batch signaturing + the
+      // band join + candidate verify, never a corpus re-signature
+      results("incr_dedup") = time {
+        Dedup.nearDupPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          sigIndex, docs.filter(col("doc_id") % 10 =!= 0),
+          threshold = 0.7).count()
+      }
+      // 5c. batch-query ANN: top-10 neighbors for 50 query vectors through
+      // the (table, bucket)-local LSH join
+      results("knn_join") = time {
+        VectorOps.knnJoin(
+          emb.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", emb, "vec_id", "embedding", 10).count()
       }
 
       // 6. storage-partitioned join with vs without v2 bucketing — the

@@ -56,6 +56,39 @@ object ScaleStress {
       results += "jaccard_join" -> t
       println(f"""{"op":"jaccard_join","sec":$t%.3f,"docs":$n}""")
     }
+    if (ops("incr")) {
+      // incremental cross-corpus dedup: corpus = 90% of docs (signature
+      // index built OUTSIDE the timed window — it is the persisted
+      // artifact), batch = 10%. The timed work should scale with
+      // batch + index-scan size, NOT corpus text size.
+      import org.apache.spark.sql.functions.col
+      val idx = Dedup.buildSigIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft-scale-idx").toString + "/t")
+      val (t, pairs) = time(Dedup.nearDupPairsAgainst(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        idx, docs.filter(col("doc_id") % 10 =!= 0), threshold = 0.7).count())
+      results += "incr_dedup" -> t
+      println(f"""{"op":"incr_dedup","sec":$t%.3f,"pairs":$pairs,"docs":$n}""")
+    }
+    if (ops("knn")) {
+      // batch-query ANN over synthetic embeddings derived from doc hashes
+      // (documents parquet has no vectors; this keeps the stress
+      // self-contained): 1%% of rows become queries
+      import org.apache.spark.sql.functions._
+      val dim = 16
+      val vecs = docs.select(col("doc_id"),
+        array((0 until dim).map(i =>
+          (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000)).cast("double") / 1000.0) - 1.0): _*)
+          .as("v"))
+      val qs = vecs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("v"))
+      val (t, rows) = time(graft.pipeline.VectorOps.knnJoin(
+        qs, "qid", "v", vecs, "doc_id", "v", 10,
+        numTables = 4, planesPerTable = 12, dim = dim).count())
+      results += "knn_join" -> t
+      println(f"""{"op":"knn_join","sec":$t%.3f,"rows":$rows,"docs":$n}""")
+    }
     if (ops("clusters")) {
       val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
       val (t, clusters) = time(Dedup.dupClusters(pairDf).count())
