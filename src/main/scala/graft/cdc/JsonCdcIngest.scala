@@ -130,6 +130,17 @@ object JsonCdcIngest {
         // stays live (the reference CDC sync applies delete+insert for key
         // changes). Only applicable when the batch's before images carry
         // the pk columns (Debezium before images always do).
+        //
+        // Within-batch ordering: the unioned -D rows land AFTER the image
+        // branches (union partition order), so a synthetic delete would
+        // win against a same-batch re-insert of the recycled old pk
+        // regardless of event order. Event positions disambiguate: emit
+        // the -D only when NO LATER event in the batch re-creates that pk
+        // (anti-join on after-image pks with a greater position) — then
+        // "u(1→5) then c(1)" keeps the new row 1, and "c(1) then u(1→5)"
+        // still deletes it. Positions use monotonically_increasing_id
+        // captured on the parsed frame (source order per partition — the
+        // same guarantee the write path's PosCol relies on).
         val keyDels = {
           import org.apache.spark.sql.types.StructType
           val bothStructs =
@@ -138,15 +149,29 @@ object JsonCdcIngest {
                 case s: StructType => primaryKeys.forall(s.fieldNames.contains)
                 case _ => false
               }) &&
-              parsed.schema("after").dataType.isInstanceOf[StructType]
+              (parsed.schema("after").dataType match {
+                case s: StructType => primaryKeys.forall(s.fieldNames.contains)
+                case _ => false
+              })
           if (!bothStructs) None
           else {
+            val events = parsed.withColumn("__evt_pos", monotonically_increasing_id())
             val pkEqual = primaryKeys
               .map(p => col(s"before.$p") <=> col(s"after.$p")).reduce(_ && _)
-            Some(parsed
+            val moved = events
               .filter(col("op") === "u" && col("before").isNotNull &&
                 col("after").isNotNull && !pkEqual)
-              .select(col("before.*"), lit("-D").as(OpCol)))
+              .select(col("before.*"), col("__evt_pos"))
+            val afterKeys = events
+              .filter(col("op") =!= "d" && col("after").isNotNull)
+              .select(primaryKeys.map(p => col(s"after.$p").as(s"__ak_$p")) :+
+                col("__evt_pos").as("__after_pos"): _*)
+            val laterRecreate = primaryKeys
+              .map(p => col(p) <=> col(s"__ak_$p")).reduce(_ && _) &&
+              col("__after_pos") > col("__evt_pos")
+            Some(moved.join(afterKeys, laterRecreate, "left_anti")
+              .drop("__evt_pos")
+              .withColumn(OpCol, lit("-D")))
           }
         }
         Seq(ups, keyDels, dels).flatten match {

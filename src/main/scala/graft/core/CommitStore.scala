@@ -109,11 +109,13 @@ class LocalConditionalPutClient extends ConditionalPutClient {
   override def putIfAbsent(target: String, content: Array[Byte]): Boolean = {
     val uri = java.net.URI.create(target)
     val p = java.nio.file.Paths.get(
-      if (uri.getScheme == null) target else uri.getPath)
+      if (uri.getScheme == null) target else uri.getPath).toAbsolutePath
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s".${p.getFileName}.${UUID.randomUUID()}.cput")
-    java.nio.file.Files.write(tmp, content)
+    // the staged write sits INSIDE the cleanup scope: a failed write
+    // (disk full) must not leak a partial .cput file per attempt
     try {
+      java.nio.file.Files.write(tmp, content)
       java.nio.file.Files.createLink(p, tmp)
       true
     } catch {

@@ -132,19 +132,43 @@ object Dedup {
     */
   private def estFiltered(cands: DataFrame, sigsMat: DataFrame,
       numHashes: Int, cutoff: Double): DataFrame = {
-    val sb = PipelineUtil.pin(sigsMat.select(col("id"),
+    val sb = digestFrame(sigsMat)
+    estFiltered2(cands, "id_a", "id_b", sb, sb, numHashes, cutoff)
+  }
+
+  /** 1-byte-per-slot signature digests of a sig frame (pinned — both join
+    * sides of the prefilter share one computation).
+    */
+  private def digestFrame(sigs: DataFrame): DataFrame =
+    PipelineUtil.pin(sigs.select(col("id"),
       org.apache.spark.sql.graft.SparkShims.column(graft.functions.MinHashSigBytes(
         org.apache.spark.sql.graft.SparkShims.expr(col("sig")))).as("sb")))
+
+  /** Two-sided prefilter core: join candidate pairs (keyed by `leftCol`,
+    * `rightCol`) to per-side digest frames and keep pairs whose byte
+    * agreement clears `cutoff` — shared by the self-join and the
+    * cross-corpus paths so the estimator can never silently diverge.
+    */
+  private def estFiltered2(cands: DataFrame, leftCol: String, rightCol: String,
+      sbLeft: DataFrame, sbRight: DataFrame,
+      numHashes: Int, cutoff: Double): DataFrame = {
     val agree = org.apache.spark.sql.graft.SparkShims.column(
       graft.functions.ByteAgreement(
         org.apache.spark.sql.graft.SparkShims.expr(col("sb_a")),
         org.apache.spark.sql.graft.SparkShims.expr(col("sb_b"))))
     cands
-      .join(sb.toDF("id_a", "sb_a"), "id_a")
-      .join(sb.toDF("id_b", "sb_b"), "id_b")
+      .join(sbLeft.toDF(leftCol, "sb_a"), leftCol)
+      .join(sbRight.toDF(rightCol, "sb_b"), rightCol)
       .filter(agree.cast("double") / numHashes >= cutoff)
-      .select(col("id_a"), col("id_b"))
+      .select(col(leftCol), col(rightCol))
   }
+
+  /** Prefilter cutoff: t − 5σ of the slot-agreement estimator — may only
+    * drop a true pair on a ~3e-7 binomial tail.
+    */
+  private def estCutoff(threshold: Double, numHashes: Int): Double =
+    math.max(0.0,
+      threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
 
   /** Candidate near-dup pairs (idA < idB) via MinHash + banded LSH; see
     * [[sigFrame]] and [[candidatesFrom]] for the scale shape.
@@ -173,10 +197,7 @@ object Dedup {
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val sigs = sigFrame(df, idCol, textCol, numHashes)
-    // conservative est cutoff: t − 5σ of the slot-agreement estimator —
-    // the prefilter may only drop a true pair on a ~3e-7 binomial tail
-    val cutoff = math.max(0.0,
-      threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
+    val cutoff = estCutoff(threshold, numHashes)
     // lazy pins: cands feeds both the id-set derivation and the final
     // verify join, sets feeds both sides of it — pin each so it computes
     // once, but WITHOUT eager barriers (stages overlap inside one job)
@@ -374,7 +395,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val numHashes = index.schema.option("dedup.num-hashes", "64").toInt
     val bands = index.schema.option("dedup.bands", "16").toInt
-    val newSigs = PipelineUtil.pin(sigFrame(newDf, idCol, textCol, numHashes))
+    val newSigs = sigFrame(newDf, idCol, textCol, numHashes) // already pinned
     val corpusSigs = PipelineUtil.pin(index.toDF.select(col("id"), col("sig")))
     // band-bucket join, new × corpus: the new side is the small one — AQE
     // broadcast-converts it, so the corpus index scan is never shuffled.
@@ -385,22 +406,12 @@ object Dedup {
           col("n.id") =!= col("c.id"))
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
-    // signature-agreement prefilter (same estimator as the self-join path;
-    // digests derive from stored sigs — no text touched)
-    val cutoff = math.max(0.0,
-      threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes))
-    def digests(sigs: DataFrame) = sigs.select(col("id"),
-      org.apache.spark.sql.graft.SparkShims.column(graft.functions.MinHashSigBytes(
-        org.apache.spark.sql.graft.SparkShims.expr(col("sig")))).as("sb"))
-    val agree = org.apache.spark.sql.graft.SparkShims.column(
-      graft.functions.ByteAgreement(
-        org.apache.spark.sql.graft.SparkShims.expr(col("sb_a")),
-        org.apache.spark.sql.graft.SparkShims.expr(col("sb_b"))))
-    val filtered = PipelineUtil.pin(cands
-      .join(digests(newSigs).toDF("new_id", "sb_a"), "new_id")
-      .join(digests(corpusSigs).toDF("corpus_id", "sb_b"), "corpus_id")
-      .filter(agree.cast("double") / numHashes >= cutoff)
-      .select(col("new_id"), col("corpus_id")))
+    // signature-agreement prefilter (the SAME estimator/cutoff as the
+    // self-join path via estFiltered2; digests derive from stored sigs —
+    // no text touched)
+    val filtered = PipelineUtil.pin(estFiltered2(cands, "new_id", "corpus_id",
+      digestFrame(newSigs), digestFrame(corpusSigs),
+      numHashes, estCutoff(threshold, numHashes)))
     // exact verify: shingle sets for CANDIDATE docs only, per side
     def candSets(src: DataFrame, ids: DataFrame) =
       PipelineUtil.pin(

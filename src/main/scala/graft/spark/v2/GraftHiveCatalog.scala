@@ -139,7 +139,13 @@ class GraftHiveCatalog extends GraftCatalog {
         nsPath(ident.namespace()).toString, new util.HashMap[String, String]())))
     // HMS record FIRST — it is the atomic duplicate check for (db, name).
     // Creating the data dir before registering let a losing racer leave
-    // (or overwrite) schema files at the winner's tablePath.
+    // (or overwrite) schema files at the winner's tablePath. Crash-window
+    // trade-off (documented): a process dying BETWEEN the HMS register
+    // and doCreateTable leaves a registered name with no schema files —
+    // visible as a loadTable failure until `DROP TABLE` clears it. The
+    // files-first order's crash window instead leaves invisible orphan
+    // schema files that a later create at the same path trips over with
+    // no name to drop; a visible, droppable name is the recoverable half.
     try hms(_.createTable(hmsRecord(ident, schema)))
     catch {
       case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException =>

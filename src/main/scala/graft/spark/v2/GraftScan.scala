@@ -215,11 +215,14 @@ class GraftScan(
     // broadcastable join side over the threshold. Rows in key-DISJOINT
     // sections (IntervalSections) add exactly; within an overlapping
     // section the merged count lies in [max file, sum] — estimate
-    // max + α·rest, with α=0.2 when the section has a fully-compacted
-    // base (overlapping L0 rows are then mostly updates of existing keys)
-    // and α=0.5 otherwise (unknown update/insert split). A current-
-    // snapshot ANALYZE rowCount (exact post-merge) overrides the
-    // heuristic on unfiltered scans.
+    // max + α·rest. α=0.2 only when the section has a fully-compacted
+    // base AND the overlapping rows are at most ~2× it (churn shape:
+    // mostly updates of existing keys); beyond that the table is
+    // growth-dominated and α=0.5 bounds the worst-case (all-inserts)
+    // underestimate near 2× — underestimates are the dangerous
+    // direction, since they can broadcast an oversized dim.
+    // A current-snapshot ANALYZE rowCount (exact post-merge) overrides
+    // the heuristic on unfiltered scans.
     private val rows: Long =
       if (!mergeRead) sumLive
       else {
@@ -237,9 +240,11 @@ class GraftScan(
             IntervalSections.of(schema, fs).map { sec =>
               val counts = sec.map(_.liveRowCount)
               val mx = counts.max
+              val rest = counts.sum - mx
               val alpha =
-                if (sec.exists(_.level >= GraftTable.MaxLevel)) 0.2 else 0.5
-              mx + math.round(alpha * (counts.sum - mx))
+                if (sec.exists(_.level >= GraftTable.MaxLevel) && rest <= 2 * mx) 0.2
+                else 0.5
+              mx + math.round(alpha * rest)
             }.sum
           }.sum
         }

@@ -147,4 +147,35 @@ class CdcIngestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSeq == Seq((2L, "two-upd"), (5L, "one-moved")), rows.mkString(";"))
   }
+
+  test("debezium: old pk recycled in the SAME batch — event order decides") {
+    implicit val sql = spark.sqlContext
+    val path = tmpTable()
+    val input = MemoryStream[String]
+    val q = JsonCdcIngest.start(spark, input.toDF(), path,
+      primaryKeys = Seq("id"), checkpoint = path + "-ckpt",
+      envelope = JsonCdcIngest.Envelope.Debezium)
+    try {
+      input.addData(
+        """{"op":"c","before":null,"after":{"id":1,"v":"orig"}}""",
+        """{"op":"c","before":null,"after":{"id":10,"v":"other"}}""")
+      q.processAllAvailable()
+      // u(1->5) THEN c(1): the re-created id=1 must survive the key-change
+      // delete of the before image
+      input.addData(
+        """{"op":"u","before":{"id":1,"v":"orig"},"after":{"id":5,"v":"moved"}}""",
+        """{"op":"c","before":null,"after":{"id":1,"v":"recycled"}}""")
+      q.processAllAvailable()
+      // c(2) THEN u(2->6) in one batch: id=2 existed only transiently and
+      // must end DELETED even though the batch also inserted it
+      input.addData(
+        """{"op":"c","before":null,"after":{"id":2,"v":"transient"}}""",
+        """{"op":"u","before":{"id":2,"v":"transient"},"after":{"id":6,"v":"settled"}}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = GraftTable.load(spark, path).toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "recycled"), (5L, "moved"), (6L, "settled"),
+      (10L, "other")), rows.mkString(";"))
+  }
 }
