@@ -507,6 +507,23 @@ class GraftScan(
     }
   }
 
+  /** READ-OPTIMIZED detection: a merge-read scan whose every bucket section
+    * is a single fully-compacted file plans only raw splits — no merge can
+    * occur, max-level files carry no -D tombstones (full compaction drops
+    * deletes and rewrites kinds to +I), and every row IS its key's final
+    * state. Such a scan drops the merge machinery columns, regains FULL
+    * parquet filter pushdown (a value predicate cannot lose a newer
+    * version — there is none), and qualifies for the columnar handoff:
+    * the "read-optimized table" fast path of a compacted lakehouse.
+    */
+  private lazy val allRawMergeScan: Boolean = mergeRead && {
+    val grouped =
+      if (schema.crossPartition) effectiveFiles.groupBy(f => (Seq.empty[String], f.bucket))
+      else effectiveFiles.groupBy(f => (f.partition, f.bucket))
+    grouped.values.forall(fs => IntervalSections.of(schema, fs).forall(sec =>
+      sec.size == 1 && sec.head.level >= GraftTable.MaxLevel))
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     val partitionSchema = table.partitionSchema(schema)
     val wantsFilePath = requested.fieldNames.contains(GraftSparkTable.FilePathCol)
@@ -514,16 +531,17 @@ class GraftScan(
     require(!((wantsFilePath || wantsRowIndex) && mergeRead),
       s"${GraftSparkTable.FilePathCol}/${GraftSparkTable.RowIndexCol} are defined on raw " +
         "scans only (a merged row spans several files); use the files system table instead")
+    val effectiveMerge = mergeRead && !allRawMergeScan
     // columns the reader must materialize: requested data cols, plus merge
-    // machinery columns for PK tables
+    // machinery columns for PK tables (none for an all-raw compacted scan)
     val neededNames: Seq[String] = {
       val base = requested.fieldNames.toSeq
         .filterNot(n => n == GraftSparkTable.FilePathCol || n == GraftSparkTable.RowIndexCol)
-      if (mergeRead) {
+      if (effectiveMerge) {
         val meta = Seq(GraftMeta.SeqCol, GraftMeta.PosCol, GraftMeta.KindCol)
         (base ++ schema.primaryKeys ++ schema.sequenceField.toSeq ++
           seqGroupCols ++ meta).distinct
-      } else if (isPk) (base :+ GraftMeta.KindCol).distinct // dv: -D tombstone filter
+      } else if (isPk && !mergeRead) (base :+ GraftMeta.KindCol).distinct // dv: -D tombstone filter
       else base
     }
     val dirNames = partitionSchema.fieldNames.toSet
@@ -575,7 +593,10 @@ class GraftScan(
       // row position — no filter pushdown
       val safeFilters =
         if (hasDv || wantsRowIndex || sid != schema.id) Nil
-        else if (isPk) filters.filter(f => f.references.forall(r =>
+        // all-raw compacted scans push EVERY filter: with no merge, a
+        // value predicate cannot drop a row that a newer version would
+        // have superseded — the row IS the final state
+        else if (isPk && !allRawMergeScan) filters.filter(f => f.references.forall(r =>
           schema.primaryKeys.contains(r) || dirNames.contains(r)))
         else filters
       val supportsBatch = fmt.supportBatch(spark,
@@ -637,7 +658,7 @@ class GraftScan(
     }.toMap
 
     val merger =
-      if (mergeRead) Some(new RowMerger(schema, rowSchema, requested.fieldNames.toSeq))
+      if (effectiveMerge) Some(new RowMerger(schema, rowSchema, requested.fieldNames.toSeq))
       else None
     // dv-mode raw reads drop -D tombstones by the kind byte
     val dropKindIdx: Option[Int] =
@@ -667,7 +688,7 @@ class GraftScan(
     // path (full/filtered scans of append tables). Anything needing
     // per-row work — merge, DV masks, kind tombstones, evolution remaps,
     // defaults, metadata columns — falls back to the row path.
-    val columnar = !mergeRead && dropKindIdx.isEmpty && defaultsExprs.isEmpty &&
+    val columnar = !effectiveMerge && dropKindIdx.isEmpty && defaultsExprs.isEmpty &&
       !wantsFilePath && !wantsRowIndex &&
       plans.nonEmpty && plans.values.forall(p => p.batched && p.identityAlign) &&
       effectiveFiles.forall(_.dvPath.isEmpty)

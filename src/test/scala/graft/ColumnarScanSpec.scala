@@ -112,6 +112,35 @@ class ColumnarScanSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
   }
 
+  test("READ-OPTIMIZED pk table: fully-compacted scan goes columnar with full pushdown") {
+    spark.sql(
+      """CREATE TABLE gcs.db.ro (k BIGINT, grp STRING, v DOUBLE) USING graft
+        |TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2',
+        | 'write-only' = 'true')""".stripMargin)
+    val t = graft.table.GraftTable.load(spark, wh + "/db/ro")
+    t.upsert((0L until 500L).map(k => (k, s"g${k % 3}", k * 1.0)).toDF("k", "grp", "v"))
+    t.upsert((0L until 100L).map(k => (k * 5, s"g${k % 3}", -1.0)).toDF("k", "grp", "v"))
+    t.upsert((200L until 260L).map(k => (k, "gX", 0.0)).toDF("k", "grp", "v"))
+    // pre-compaction: merge splits -> row path
+    assert(!scanOf(spark.table("gcs.db.ro")).supportsColumnar)
+    val want = spark.table("gcs.db.ro").orderBy("k").collect().toSeq
+    t.compact()
+    // post-compaction: every bucket is one max-level file -> columnar,
+    // and VALUE predicates reach the file scan (no newer version exists)
+    val ro = spark.table("gcs.db.ro")
+    assert(scanOf(ro).supportsColumnar,
+      s"fully-compacted pk scan must go columnar:\n${ro.queryExecution.executedPlan}")
+    assert(ro.orderBy("k").collect().toSeq == want, "same rows as the merged read")
+    val filtered = ro.filter($"v" < 0.0)
+    assert(scanOf(filtered).supportsColumnar)
+    assert(filtered.count() == want.count(_.getDouble(2) < 0.0))
+    // a fresh L0 run flips the scan back to the merged row path
+    t.upsert(Seq((3L, "gZ", 9.9)).toDF("k", "grp", "v"))
+    val again = spark.table("gcs.db.ro")
+    assert(!scanOf(again).supportsColumnar, "post-compaction churn must merge again")
+    assert(again.filter($"k" === 3L).collect().head.getString(1) == "gZ")
+  }
+
   test("columnar scan composes with limit pushdown and column pruning") {
     assert(spark.table("gcs.db.li").select("l_orderkey").limit(5).collect().length == 5)
     val plan = scanOf(spark.table("gcs.db.li").select("l_orderkey"))
