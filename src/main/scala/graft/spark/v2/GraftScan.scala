@@ -103,6 +103,34 @@ class GraftScan(
 
   private val schema = table.schema
   private def isPk = schema.isPrimaryKeyed
+
+  /** EFFECTIVE output schema: Spark's nested schema pruning may request a
+    * struct with a SUBSET of children (`person.vip` → person<nick,vip>).
+    * We honor child pruning only where the field models per-child ids
+    * (direct struct children, recursively); any other pruned shape
+    * (array/map-of-struct pruning) falls back to the FULL declared type.
+    * `readSchema()` reports exactly this schema — i.e. exactly what the
+    * scan emits — so Spark projects the narrower shape on top instead of
+    * mis-binding ordinals against rows wider than it was promised (a
+    * silently-corrupting off-by-ordinal: `person.vip` would read `age`).
+    */
+  private val effective: StructType = StructType(requested.fields.map { rf =>
+    schema.fields.find(_.name == rf.name) match {
+      case Some(tf) =>
+        StructField(rf.name, GraftScan.pruneFieldTo(tf, rf.dataType).sparkType,
+          rf.nullable)
+      case None => rf // metadata columns (__file_path, __row_index)
+    }
+  })
+
+  /** The (possibly child-pruned) CURRENT-schema target field for an output
+    * column — alignment and file-read schemas derive from this.
+    */
+  private def targetFieldOf(n: String): Field = {
+    val tf = schema.fieldByName(n)
+    effective.fields.find(_.name == n)
+      .map(ef => GraftScan.pruneFieldTo(tf, ef.dataType)).getOrElse(tf)
+  }
   // deletion-vector tables scan RAW (append-style): superseded rows are
   // masked by per-file bitmaps, so no k-way merge is needed and value
   // predicates may prune files (a mask, unlike a newer version in another
@@ -192,7 +220,7 @@ class GraftScan(
   private def effectiveFiles: Seq[DataFileMeta] =
     runtimeSelected.getOrElse(prunedFiles)
 
-  override def readSchema(): StructType = requested
+  override def readSchema(): StructType = effective
 
   override def toBatch: Batch = this
 
@@ -550,9 +578,16 @@ class GraftScan(
       .filter(n => physical.fieldNames.contains(n))
 
     // uniform executor row layout: read cols ++ partition cols
-    // (+ the per-file path appended by the reader when requested)
+    // (+ the per-file path appended by the reader when requested).
+    // Columns in the effective output carry their (possibly child-pruned)
+    // target type; merge-machinery extras keep the physical type.
     val rowSchema = StructType(
-      readNames.map(n => physical(physical.fieldIndex(n))) ++ partitionSchema.fields ++
+      readNames.map { n =>
+        val base = physical(physical.fieldIndex(n))
+        if (effective.fieldNames.contains(n) && schema.fields.exists(_.name == n))
+          base.copy(dataType = targetFieldOf(n).sparkType)
+        else base
+      } ++ partitionSchema.fields ++
         (if (wantsFilePath)
           Seq(StructField(GraftSparkTable.FilePathCol, StringType, nullable = false))
         else Nil) ++
@@ -581,9 +616,15 @@ class GraftScan(
         if (n == GraftMeta.SeqCol || n == GraftMeta.PosCol || n == GraftMeta.KindCol)
           Some(Field(-1, n, physical(physical.fieldIndex(n)).dataType.sql,
             nullable = false))
-        else byId.get(schema.fieldByName(n).id) match {
-          case Some(old) if !dirNames.contains(old.name) => Some(old)
-          case _ => None
+        else {
+          val target = targetFieldOf(n)
+          byId.get(target.id) match {
+            // the file-side field prunes to the target's child-id set, so
+            // parquet materializes only the requested nested columns
+            case Some(old) if !dirNames.contains(old.name) =>
+              Some(GraftScan.pruneByTargetIds(old, target))
+            case _ => None
+          }
         }
       }
       val readSchemaForFile = StructType(wanted.flatten.map(f =>
@@ -635,7 +676,7 @@ class GraftScan(
               val ref = BoundReference(i, readSchemaForFile(i).dataType, nullable = true)
               if (readSchemaForFile(i).dataType == out.dataType) ref
               else if (old.id >= 0)
-                GraftScan.alignFieldExpr(ref, old, schema.fieldByName(out.name))
+                GraftScan.alignFieldExpr(ref, old, targetFieldOf(out.name))
               else Cast(ref, out.dataType, Some(java.util.TimeZone.getDefault.getID))
             case None => Literal.create(null, out.dataType)
           }
@@ -669,7 +710,7 @@ class GraftScan(
     // DefaultValueAssigner.java:48)
     val defaultsExprs: Option[Seq[Expression]] =
       if (!requested.fieldNames.exists(n => schema.defaultValueOf(n).isDefined)) None
-      else Some(requested.fields.toSeq.zipWithIndex.map { case (f, i) =>
+      else Some(effective.fields.toSeq.zipWithIndex.map { case (f, i) =>
         val ref = BoundReference(i, f.dataType, nullable = true)
         schema.defaultValueOf(f.name) match {
           case Some(d) =>
@@ -693,7 +734,7 @@ class GraftScan(
       plans.nonEmpty && plans.values.forall(p => p.batched && p.identityAlign) &&
       effectiveFiles.forall(_.dvPath.isEmpty)
     new GraftReaderFactory(table.location, partitionSchema, rowSchema,
-      plans, merger, outIdx, requested, defaultsExprs,
+      plans, merger, outIdx, effective, defaultsExprs,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf),
       dropKindIdx, columnar)
   }
@@ -884,6 +925,33 @@ class GraftReaderFactory(
 }
 
 object GraftScan {
+  /** Restrict a table field to a nested-pruned requested type: children
+    * are intersected BY NAME with the requested struct (recursively),
+    * keeping their ids — the alignment target when Spark's SchemaPruning
+    * asks for a subset of struct children. Shapes the field can't model
+    * child-wise (flat fields, legacy structs without nested ids,
+    * array/map-of-struct pruning) return the field unchanged — the caller
+    * then reports (and emits) the full type.
+    */
+  private[v2] def pruneFieldTo(f: Field, requestedType: DataType): Field =
+    requestedType match {
+      case st: StructType if f.nested.nonEmpty =>
+        val byName = f.nested.map(c => c.name -> c).toMap
+        f.copy(nested = st.fields.toSeq.flatMap(rf =>
+          byName.get(rf.name).map(pruneFieldTo(_, rf.dataType))))
+      case _ => f
+    }
+
+  /** Restrict an OLD-schema file field to the children whose ids survive
+    * in the (pruned) current target — the file-side read schema, so
+    * parquet materializes only the requested nested columns.
+    */
+  private[v2] def pruneByTargetIds(old: Field, target: Field): Field =
+    if (target.nested.isEmpty || old.nested.isEmpty) old
+    else old.copy(nested = old.nested.flatMap { c =>
+      target.nested.find(_.id == c.id).map(tc => pruneByTargetIds(c, tc))
+    })
+
   /** Nested-aware field-id remap expression: when both schema versions
     * carry nested field ids for a struct column, project child-by-child —
     * renamed children follow their id, added children null-fill, retyped

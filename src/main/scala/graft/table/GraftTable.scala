@@ -175,17 +175,54 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 
   def toDF(snapshot: Option[Snapshot]): DataFrame = snapshot match {
     case None => emptyDF
+    case Some(s) if schema.isPrimaryKeyed =>
+      // PK (and DV) tables read through the DSv2 relation: the merge runs
+      // as the scan's executor-side k-way fold per bucket section — ZERO
+      // table shuffle — with bucket/stats pruning via filter pushdown,
+      // the read-optimized columnar handoff for fully-compacted state,
+      // DV bitmaps applied executor-side, and CBO statistics. The
+      // DataFrame group-merge this replaced shuffled the WHOLE table on
+      // every Scala-API read; it remains the compaction rewrite engine
+      // (MergeEngines.mergeRaw), and MergePathEquivalenceSpec keeps the
+      // two folds bit-identical through toDFDataFrameMerge.
+      dsv2DF(s)
     case Some(s) =>
-      val sch = schema
-      val raw = rawSnapshot(s, sch)
-      applyDefaults(
-        // deletion-vector tables read RAW: DVs already masked superseded
-        // rows in rawSnapshot; only L0 delete tombstones remain to filter
-        if (sch.deletionVectors)
-          raw.filter(col(KindCol) =!= lit(KindDelete))
-            .select(sch.fields.map(f => col(f.name)): _*)
-        else if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
-        else raw.select(sch.fields.map(f => col(f.name)): _*))
+      // append tables keep the v1 lazy FileSourceScan relation — already
+      // vectorized and GraftFileIndex-pruned, with schema-evolution /
+      // per-level-format unions riding the same code
+      applyDefaults(rawSnapshot(s, schema)
+        .select(schema.fields.map(f => col(f.name)): _*))
+  }
+
+  /** DSv2 relation over a pinned snapshot (the catalog read path, usable
+    * without a registered catalog entry).
+    */
+  private def dsv2DF(s: Snapshot): DataFrame = {
+    val tbl = new graft.spark.v2.GraftSparkTable(spark, this,
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], new Path(store.root).getName), Some(s))
+    org.apache.spark.sql.graft.SparkShims.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(tbl, None, None))
+  }
+
+  /** The legacy DataFrame-fold read of a PK/DV snapshot (group-merge /
+    * tombstone filter over [[rawSnapshot]]) — kept as the equivalence
+    * baseline for the compaction rewrite engine, which still folds with
+    * [[MergeEngines]]: MergePathEquivalenceSpec asserts this path and the
+    * DSv2 row-merge read stay bit-identical.
+    */
+  private[graft] def toDFDataFrameMerge(s: Snapshot): DataFrame = {
+    val sch = schema
+    val raw = rawSnapshot(s, sch)
+    applyDefaults(
+      // deletion-vector tables read RAW: DVs already masked superseded
+      // rows in rawSnapshot; only L0 delete tombstones remain to filter
+      if (sch.deletionVectors)
+        raw.filter(col(KindCol) =!= lit(KindDelete))
+          .select(sch.fields.map(f => col(f.name)): _*)
+      else if (sch.isPrimaryKeyed) MergeEngines.merge(sch, raw, BucketCol)
+      else raw.select(sch.fields.map(f => col(f.name)): _*))
   }
 
   /** Fill configured per-field default values for NULLs at read (reference:

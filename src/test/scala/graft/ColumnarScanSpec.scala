@@ -141,6 +141,40 @@ class ColumnarScanSpec extends SparkSpec {
     assert(again.filter($"k" === 3L).collect().head.getString(1) == "gZ")
   }
 
+  test("NESTED schema pruning: the scan emits the pruned struct, values stay aligned") {
+    spark.sql(
+      """CREATE TABLE gcs.db.nested (id BIGINT,
+        | person STRUCT<name: STRING, age: INT, vip: BOOLEAN>) USING graft
+        |TBLPROPERTIES ('primary-key' = 'id', 'bucket' = '2',
+        | 'write-only' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO gcs.db.nested VALUES " +
+      "(1, named_struct('name', 'alice', 'age', 30, 'vip', CAST(NULL AS BOOLEAN)))," +
+      "(2, named_struct('name', 'bob', 'age', 25, 'vip', true))")
+    // select a child SUBSET: the scan's read schema must be the pruned
+    // struct (not the full one with downstream ordinals mis-bound — the
+    // silent-corruption shape where person.vip would read person.age)
+    val pruned = spark.table("gcs.db.nested").select($"id", $"person.vip", $"person.name")
+    val scanSchema = scanOf(pruned).schema
+    val personType = scanSchema("person").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(personType.fieldNames.toSet == Set("vip", "name"),
+      s"scan must emit the pruned struct, got ${personType.catalogString}")
+    assert(pruned.orderBy("id").collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), r.getString(2))).toSeq ==
+      Seq((1L, None, "alice"), (2L, Some(true), "bob")))
+
+    // same through nested EVOLUTION: old-schema files remap to the pruned
+    // target by child id
+    spark.sql("ALTER TABLE gcs.db.nested RENAME COLUMN person.name TO nick")
+    spark.sql("ALTER TABLE gcs.db.nested ADD COLUMN person.score DOUBLE")
+    spark.sql("INSERT INTO gcs.db.nested VALUES " +
+      "(3, named_struct('nick', 'carol', 'age', 41, 'vip', false, 'score', 9.5))")
+    val evolved = spark.table("gcs.db.nested").select($"id", $"person.score", $"person.nick")
+    assert(evolved.orderBy("id").collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), r.getString(2))).toSeq ==
+      Seq((1L, None, "alice"), (2L, None, "bob"), (3L, Some(9.5), "carol")))
+  }
+
   test("columnar scan composes with limit pushdown and column pruning") {
     assert(spark.table("gcs.db.li").select("l_orderkey").limit(5).collect().length == 5)
     val plan = scanOf(spark.table("gcs.db.li").select("l_orderkey"))

@@ -101,7 +101,10 @@ class MergePathEquivalenceSpec extends SparkSpec {
         else None
         t.upsert(df, kinds = kinds)
       }
-      def viaDf = canon(t.toDF.collect())
+      // the DataFrame group-merge fold (the compaction rewrite engine)
+      // vs the DSv2 row-merge read — toDF itself now routes to the
+      // latter, so the equivalence baseline calls the fold directly
+      def viaDf = canon(t.toDFDataFrameMerge(t.store.latestSnapshot.get).collect())
       def viaRows = canon(spark.table(s"geq.db.$name").collect())
       assert(viaDf == viaRows,
         s"scenario $scenario (${opts.toSeq.sorted.mkString(",")}) diverged pre-compaction")
