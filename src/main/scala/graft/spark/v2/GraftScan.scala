@@ -114,11 +114,14 @@ class GraftScan(
     * mis-binding ordinals against rows wider than it was promised (a
     * silently-corrupting off-by-ordinal: `person.vip` would read `age`).
     */
+  private val targetFields: Map[String, Field] = requested.fields.flatMap { rf =>
+    schema.fields.find(_.name == rf.name)
+      .map(tf => rf.name -> GraftScan.pruneFieldTo(tf, rf.dataType))
+  }.toMap
+
   private val effective: StructType = StructType(requested.fields.map { rf =>
-    schema.fields.find(_.name == rf.name) match {
-      case Some(tf) =>
-        StructField(rf.name, GraftScan.pruneFieldTo(tf, rf.dataType).sparkType,
-          rf.nullable)
+    targetFields.get(rf.name) match {
+      case Some(t) => StructField(rf.name, t.sparkType, rf.nullable)
       case None => rf // metadata columns (__file_path, __row_index)
     }
   })
@@ -126,11 +129,8 @@ class GraftScan(
   /** The (possibly child-pruned) CURRENT-schema target field for an output
     * column — alignment and file-read schemas derive from this.
     */
-  private def targetFieldOf(n: String): Field = {
-    val tf = schema.fieldByName(n)
-    effective.fields.find(_.name == n)
-      .map(ef => GraftScan.pruneFieldTo(tf, ef.dataType)).getOrElse(tf)
-  }
+  private def targetFieldOf(n: String): Field =
+    targetFields.getOrElse(n, schema.fieldByName(n))
   // deletion-vector tables scan RAW (append-style): superseded rows are
   // masked by per-file bitmaps, so no k-way merge is needed and value
   // predicates may prune files (a mask, unlike a newer version in another
@@ -261,19 +261,14 @@ class GraftScan(
               .exists(_.id == st.snapshotId))
             .map(_.rowCount)
         analyzed.getOrElse {
-          val grouped =
-            if (schema.crossPartition) prunedFiles.groupBy(f => (Seq.empty[String], f.bucket))
-            else prunedFiles.groupBy(f => (f.partition, f.bucket))
-          grouped.values.map { fs =>
-            IntervalSections.of(schema, fs).map { sec =>
-              val counts = sec.map(_.liveRowCount)
-              val mx = counts.max
-              val rest = counts.sum - mx
-              val alpha =
-                if (sec.exists(_.level >= GraftTable.MaxLevel) && rest <= 2 * mx) 0.2
-                else 0.5
-              mx + math.round(alpha * rest)
-            }.sum
+          mergeSections(prunedFiles).map { sec =>
+            val counts = sec.map(_.liveRowCount)
+            val mx = counts.max
+            val rest = counts.sum - mx
+            val alpha =
+              if (sec.exists(_.level >= GraftTable.MaxLevel) && rest <= 2 * mx) 0.2
+              else 0.5
+            mx + math.round(alpha * rest)
           }.sum
         }
       }
@@ -513,26 +508,36 @@ class GraftScan(
         }
       }.toArray
     } else {
-      // cross-partition keys share a bucket regardless of partition, so the
-      // merge split must span the bucket's partitions
-      val grouped =
-        if (schema.crossPartition) effectiveFiles.groupBy(f => (Seq.empty[String], f.bucket))
-        else effectiveFiles.groupBy(f => (f.partition, f.bucket))
-      grouped.flatMap { case (_, fs) =>
-        // interval partitioning: key-disjoint file groups within the bucket
-        // become INDEPENDENT merge splits, so a hot bucket with many
-        // non-overlapping runs parallelizes instead of merging in one task
-        // (reference: MergeTreeSplitGenerator.splitForBatch:69,
-        // IntervalPartition.partition():67)
-        IntervalSections.of(schema, fs).map { sec =>
-          // a single fully-compacted file needs no merge → vectorized raw read
-          val raw = sec.size == 1 && sec.head.level >= GraftTable.MaxLevel
-          val keyRow = if (spjEligible)
-            new GenericInternalRow(Array[Any](sec.head.bucket)) else null
-          GraftInputPartition(sec.map(info), merge = !raw, keyRow)
-        }
+      // interval partitioning: key-disjoint file groups within the bucket
+      // become INDEPENDENT merge splits, so a hot bucket with many
+      // non-overlapping runs parallelizes instead of merging in one task
+      // (reference: MergeTreeSplitGenerator.splitForBatch:69,
+      // IntervalPartition.partition():67). Computed FRESH per planning
+      // cycle — runtime (DPP) filtering can shrink effectiveFiles between
+      // calls, so sections must not be cached here.
+      mergeSections(effectiveFiles).map { sec =>
+        // a single fully-compacted file needs no merge → vectorized raw read
+        val raw = sec.size == 1 && sec.head.level >= GraftTable.MaxLevel
+        val keyRow = if (spjEligible)
+          new GenericInternalRow(Array[Any](sec.head.bucket)) else null
+        GraftInputPartition(sec.map(info), merge = !raw, keyRow)
       }.toArray
     }
+  }
+
+  /** Key-disjoint merge sections of `files`, per (partition-or-∅, bucket)
+    * group — the shared decomposition behind merge-split planning, the
+    * all-raw (read-optimized) check, and the post-merge row estimate.
+    * Deliberately NOT cached: callers sit on both sides of the runtime-
+    * filtering boundary, and a section set captured pre-DPP must not leak
+    * into post-DPP planning (shrinking the file set only drops or shrinks
+    * sections, so the pre-DPP all-raw/estimate uses stay conservative).
+    */
+  private def mergeSections(files: Seq[DataFileMeta]): Seq[Seq[DataFileMeta]] = {
+    val grouped =
+      if (schema.crossPartition) files.groupBy(f => (Seq.empty[String], f.bucket))
+      else files.groupBy(f => (f.partition, f.bucket))
+    grouped.values.toSeq.flatMap(fs => IntervalSections.of(schema, fs))
   }
 
   /** READ-OPTIMIZED detection: a merge-read scan whose every bucket section
@@ -544,13 +549,9 @@ class GraftScan(
     * version — there is none), and qualifies for the columnar handoff:
     * the "read-optimized table" fast path of a compacted lakehouse.
     */
-  private lazy val allRawMergeScan: Boolean = mergeRead && {
-    val grouped =
-      if (schema.crossPartition) effectiveFiles.groupBy(f => (Seq.empty[String], f.bucket))
-      else effectiveFiles.groupBy(f => (f.partition, f.bucket))
-    grouped.values.forall(fs => IntervalSections.of(schema, fs).forall(sec =>
-      sec.size == 1 && sec.head.level >= GraftTable.MaxLevel))
-  }
+  private lazy val allRawMergeScan: Boolean = mergeRead &&
+    mergeSections(effectiveFiles).forall(sec =>
+      sec.size == 1 && sec.head.level >= GraftTable.MaxLevel)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val partitionSchema = table.partitionSchema(schema)
@@ -734,7 +735,7 @@ class GraftScan(
       plans.nonEmpty && plans.values.forall(p => p.batched && p.identityAlign) &&
       effectiveFiles.forall(_.dvPath.isEmpty)
     new GraftReaderFactory(table.location, partitionSchema, rowSchema,
-      plans, merger, outIdx, effective, defaultsExprs,
+      plans, merger, outIdx, defaultsExprs,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf),
       dropKindIdx, columnar)
   }
@@ -773,7 +774,6 @@ class GraftReaderFactory(
     plans: Map[(Long, Boolean, Option[String]), SchemaReadPlan],
     merger: Option[RowMerger],
     outIdx: Seq[Int],
-    outSchema: StructType,
     defaultsExprs: Option[Seq[Expression]],
     conf: org.apache.spark.util.SerializableConfiguration,
     dropKindIdx: Option[Int] = None,
