@@ -139,4 +139,110 @@ class NestedEvolutionPropertySpec extends SparkSpec {
       assert(t.schema.id > 0, "ops committed schema versions")
     }
   }
+
+  test("PK tables: random nested evolution + child-subset selects match the model") {
+    // the DSv2 merge-read leg of the same contract, plus NESTED SCHEMA
+    // PRUNING: after every op a random child subset is selected (the shape
+    // that silently mis-bound ordinals before round 12's fix — person.vip
+    // reading person.age) and compared against the id-keyed model; periodic
+    // compaction also pushes the read through the read-optimized columnar
+    // path with pruned structs
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(7, 99)) {
+      val rnd = new Random(seed)
+      val df0 = spark.createDataFrame(
+        java.util.List.of[Row](),
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("person", StructType(Seq(
+            StructField("c0", IntegerType),
+            StructField("c1", IntegerType),
+            StructField("c2", IntegerType)))))))
+      val t = GraftTable.create(spark, tmpTable(), df0.schema,
+        primaryKeys = Seq("id"), options = Map("bucket" -> "2", "write-only" -> "true"))
+      var children = Vector(Child(2, "c0", "int"), Child(3, "c1", "int"), Child(4, "c2", "int"))
+      var nameCounter = 3
+      var nextRowId = 0L
+      val model = mutable.LinkedHashMap.empty[Long, Map[Int, Int]]
+
+      def upsertBatch(): Unit = {
+        val rows = (1 to 3).map { _ =>
+          // half the rows REVISIT an existing id (merge across versions)
+          val id = if (nextRowId > 0 && rnd.nextBoolean())
+            rnd.nextLong(nextRowId)
+          else { nextRowId += 1; nextRowId - 1 }
+          val vals = children.map(c => c.id -> rnd.nextInt(1000)).toMap
+          model(id) = vals
+          Row(id, Row(children.map[Any] { c =>
+            if (c.tpe == "long") java.lang.Long.valueOf(vals(c.id).toLong)
+            else java.lang.Integer.valueOf(vals(c.id))
+          }: _*))
+        }.groupBy(_.getLong(0)).values.map(_.last).toSeq // one version per id per batch
+        val schema = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("person", StructType(children.map(c =>
+            StructField(c.name, if (c.tpe == "long") LongType else IntegerType))))))
+        t.upsert(spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema))
+      }
+
+      def check(): Unit = {
+        val got = t.toDF.collect().map { r =>
+          val s = r.getStruct(1)
+          r.getLong(0) -> children.zipWithIndex.map { case (c, i) =>
+            if (s == null || s.isNullAt(i)) None
+            else if (c.tpe == "long") Some(s.getLong(i)) else Some(s.getInt(i).toLong)
+          }.toSeq
+        }.toMap
+        val want = model.map { case (id, vals) =>
+          id -> children.map(c => vals.get(c.id).map(_.toLong)).toSeq
+        }.toMap
+        assert(got == want, s"seed=$seed FULL read diverged: children=$children")
+        // nested pruning: a random child subset through person.<name> paths
+        val subset = rnd.shuffle(children).take(1 + rnd.nextInt(children.size))
+        val cols = col("id") +: subset.map(c => col(s"person.${c.name}").as(c.name))
+        val gotSub = t.toDF.select(cols: _*).collect().map { r =>
+          r.getLong(0) -> subset.zipWithIndex.map { case (c, i) =>
+            if (r.isNullAt(i + 1)) None
+            else if (c.tpe == "long") Some(r.getLong(i + 1))
+            else Some(r.getInt(i + 1).toLong)
+          }.toSeq
+        }.toMap
+        val wantSub = model.map { case (id, vals) =>
+          id -> subset.map(c => vals.get(c.id).map(_.toLong)).toSeq
+        }.toMap
+        assert(gotSub == wantSub,
+          s"seed=$seed PRUNED read (${subset.map(_.name)}) diverged from model")
+      }
+
+      upsertBatch()
+      for (step <- 1 to 12) {
+        rnd.nextInt(7) match {
+          case 0 =>
+            val i = rnd.nextInt(children.size)
+            nameCounter += 1
+            val nn = s"c$nameCounter"
+            t.renameColumn(s"person.${children(i).name}", nn)
+            children = children.updated(i, children(i).copy(name = nn))
+          case 1 =>
+            nameCounter += 1
+            val nn = s"c$nameCounter"
+            val before = t.schema.highestFieldId
+            t.addColumn(s"person.$nn", IntegerType)
+            children = children :+ Child(before + 1, nn, "int")
+          case 2 =>
+            val ints = children.filter(_.tpe == "int")
+            if (ints.nonEmpty) {
+              val c = ints(rnd.nextInt(ints.size))
+              t.updateColumnType(s"person.${c.name}", LongType)
+              children = children.map(x => if (x.id == c.id) x.copy(tpe = "long") else x)
+            }
+          case 3 => t.compact() // read-optimized columnar leg
+          case _ => upsertBatch()
+        }
+        check()
+      }
+    }
+  }
 }
