@@ -635,10 +635,16 @@ class GraftScan(
       // row position — no filter pushdown
       val safeFilters =
         if (hasDv || wantsRowIndex || sid != schema.id) Nil
-        // all-raw compacted scans push EVERY filter: with no merge, a
-        // value predicate cannot drop a row that a newer version would
-        // have superseded — the row IS the final state
-        else if (isPk && !allRawMergeScan) filters.filter(f => f.references.forall(r =>
+        // full pushdown applies wherever no newer version can be lost:
+        //  - non-PK scans (trivially),
+        //  - all-raw compacted scans (no merge — the row IS the final
+        //    state),
+        //  - DV-free files of a deletion-vector table (a superseded row
+        //    is always masked in ITS OWN file's bitmap, so a DV-free file
+        //    holds only live rows and -D tombstones, which the kind
+        //    filter drops either way).
+        // Only genuinely-merging scans restrict to key/partition filters.
+        else if (mergeRead && !allRawMergeScan) filters.filter(f => f.references.forall(r =>
           schema.primaryKeys.contains(r) || dirNames.contains(r)))
         else filters
       val supportsBatch = fmt.supportBatch(spark,

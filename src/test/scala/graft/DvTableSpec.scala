@@ -40,6 +40,27 @@ class DvTableSpec extends SparkSpec {
     assert(spark.table(ident).count() == mor.toDF.count())
   }
 
+  test("dv table: VALUE predicates push to dv-free files without losing versions") {
+    val orders = sf("orders").cache()
+    val dv = dvTable()
+    dv.upsert(orders)
+    // rewrite a slice so old versions exist (masked in THEIR files) and
+    // the new rows live in a dv-free L0 file
+    dv.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", lit(-1.0)))
+    dv.delete(col("o_orderkey") % 13 === 0)
+    // value filter straddles old and new versions: only the REWRITTEN
+    // rows match, and none of the superseded ones resurrect
+    val neg = dv.toDF.filter(col("o_totalprice") < 0)
+    val want = orders.filter(col("o_orderkey") % 7 === 0 &&
+      col("o_orderkey") % 13 =!= 0).count()
+    assert(neg.count() == want, s"got ${neg.count()} want $want")
+    // and the complement: no rewritten key's OLD price may survive
+    val oldPrices = dv.toDF.filter(col("o_orderkey") % 7 === 0 &&
+      col("o_totalprice") > 0).count()
+    assert(oldPrices == 0, s"superseded versions resurrected: $oldPrices")
+  }
+
   test("dv sidecars are produced by executor tasks, driver sees only metadata") {
     // dvSidecarEntries guards with require(TaskContext.get != null), so a
     // refactor back to a driver-side write loop fails EVERY dv test. This
