@@ -906,6 +906,16 @@ object Fixtures {
     (qs, e.unionByName(synth))
   }
 
+  /** The KNN recall corpus persisted as a partition-per-cluster IVF index
+    * (batch-query retrieval against the persisted index, q119).
+    */
+  def knnIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "knn_ivf_index") { path =>
+      val (_, corpus) = knnRecallCorpus(spark, sfDir)
+      graft.pipeline.VectorOps.buildIvfIndex(corpus, "vec_id", "v", path,
+        numCentroids = 16)
+    }
+
   /** The recall corpus persisted as a partition-per-cluster IVF index. */
   def annIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "ann_ivf_index") { path =>

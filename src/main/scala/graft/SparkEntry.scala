@@ -602,6 +602,16 @@ object SparkEntry {
           |FROM emb_sql CROSS JOIN q WHERE vec_id <> 0
           |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin)
     }),
+    "q119_knn_join_ivf" -> ((s, d) => {
+      // batch-query ANN against the PERSISTED IVF index: each query routes
+      // to its nProbe cells; runtime partition filtering prunes the corpus
+      // scan to the probed cells. Same exact-ranking oracle as q117 — the
+      // separable fixture makes IVF recall total.
+      val (qs, _) = Fixtures.knnRecallCorpus(s, d)
+      VectorOps.knnJoinIvf(qs, "query_id", "qv",
+        Fixtures.knnIvfIndex(s, d), 20)
+        .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
+    }),
     "q50_embed_sim_pairs" -> ((s, d) => {
       // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
       // (LSH-independent), so every qualifying pair must be recalled
@@ -1203,6 +1213,7 @@ object SparkEntry {
     "q56_ann_ivf_topk" -> annLshOracle,
     "q117_knn_join" -> knnJoinOracle,
     "q118_sql_pipeline_ann" -> annBruteOracle,
+    "q119_knn_join_ivf" -> knnJoinOracle,
     "q60_ann_ivf_index" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle
   )

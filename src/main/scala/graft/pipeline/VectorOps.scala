@@ -291,6 +291,48 @@ object VectorOps {
       .limit(k)
   }
 
+  /** KNN JOIN against a PERSISTED IVF index: every query row is routed to
+    * its `nProbe` nearest centroid cells by a pure projection (centroids
+    * are plan-time literals from the index's table options), then joined
+    * to the index ON THE PARTITION COLUMN — the small probe side
+    * broadcasts and Spark's runtime (join-driven) partition filtering
+    * prunes the corpus scan to exactly the cells any query probes.
+    * Exact cosine ranks candidates; a window cuts to k per query. This is
+    * the batch analog of [[ivfIndexTopK]] — "retrieve top-k for tonight's
+    * whole query set against the 100-TB corpus index" reads
+    * |probed cells| / numCentroids of the data, never all of it.
+    */
+  def knnJoinIvf(queries: DataFrame, qIdCol: String, qVecCol: String,
+      index: graft.table.GraftTable, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents: Seq[Seq[Double]] = index.schema.option("ivf.centroids", "")
+      .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
+    val idCol = index.schema.option("ivf.id-col", "id")
+    val vecCol = index.schema.option("ivf.vec-col", "vec")
+    val q = PipelineUtil.pin(PipelineUtil.spread(
+      queries.select(col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("qv"))))
+    // per-query nProbe cells: similarity structs sort ascending by (sim,
+    // cell), so the LAST nProbe entries are the nearest cells — ties break
+    // to the smaller cell id, deterministically
+    val simStructs = cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("qv"), array(c.map(lit): _*)).as("s"),
+        lit(i).as("ivf_cluster"))
+    }
+    val probes = q
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(array(simStructs: _*)),
+          lit(cents.size - nProbe + 1), lit(nProbe))).as("p"))
+      .select(col("query_id"), col("qv"), col("p.ivf_cluster").as("ivf_cluster"))
+    probes.join(index.toDF, "ivf_cluster")
+      .select(col("query_id"), col(idCol).as("corpus_id"),
+        round(cosine(col("qv"), col(vecCol).cast("array<double>")), 6)
+          .as("cosine_sim"))
+      .withColumn("knn_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("corpus_id"))).cast("long"))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** Embedding near-dup pairs: banded multi-table LSH candidates (union
     * over tables, deduplicated) verified by exact cosine ≥ threshold. The
     * join is (table, bucket)-local — |tables| × Σ (bucket size choose 2),

@@ -326,6 +326,45 @@ class PipelineSpec extends SparkSpec {
     assert(gotRows == brute, s"got $gotRows\nwant $brute")
   }
 
+  test("knn join vs persisted IVF index: per-query top-k exact on separable groups") {
+    // same 5-group fixture as the LSH knn join; the index partitions the
+    // corpus by coarse cell and each query probes its nearest cells
+    val dim = 8
+    def vec(g: Int, j: Int): Seq[Double] =
+      (0 until dim).map(d =>
+        (if (d == g) 1.0 else 0.0) + 0.03 * math.sin(1.0 + g * 17 + j * 3 + d))
+    val corpusRows = for (g <- 0 until 5; j <- 0 until 8)
+      yield ((g * 100 + j).toLong, vec(g, j))
+    val queryRows = Seq(0, 2, 4).map(g => (g.toLong, vec(g, 99)))
+    val corpus = corpusRows.toDF("vec_id", "v")
+    val queries = queryRows.toDF("query_id", "qv")
+    val index = VectorOps.buildIvfIndex(corpus, "vec_id", "v", tmpTable(),
+      numCentroids = 5)
+
+    val got = VectorOps.knnJoinIvf(queries, "query_id", "qv", index, k = 3,
+      nProbe = 2)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(if (n == 0) 0.0 else d / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = queryRows.flatMap { case (qid, qv) =>
+      corpusRows.map { case (cid, cv) => (qid, cid, cos(qv, cv)) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(3)
+        .zipWithIndex.map { case ((q, c, s), i) => (q, c, s, (i + 1).toLong) }
+    }.toSet
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(gotRows == brute, s"got $gotRows\nwant $brute")
+    // scale shape: the corpus side joins on the PARTITION column with a
+    // broadcastable probe side — runtime partition filtering applies (the
+    // plan carries dynamicpruning on ivf_cluster), so only probed cells
+    // are read at 100 TB
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_cluster"), s"join must key on the partition column:\n$plan")
+  }
+
   test("IVF top-k equals brute force on a separable fixture; probes prune the scan") {
     val dim = 16
     def noise(i: Int, d: Int): Float = ((i * 31 + d * 7) % 11 - 5) / 100.0f
