@@ -377,9 +377,11 @@ object Dedup {
     * deduped and admitted to the corpus.
     */
   def appendToSigIndex(index: graft.table.GraftTable, df: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String, commitIdentifier: Long = -1L,
+      commitUser: String = ""): Unit = {
     val numHashes = index.schema.option("dedup.num-hashes", "64").toInt
-    index.upsert(sigFrame(df, idCol, textCol, numHashes))
+    index.upsert(sigFrame(df, idCol, textCol, numHashes),
+      commitIdentifier = commitIdentifier, commitUser = commitUser)
   }
 
   /** Near-dup pairs of `newDf` AGAINST the indexed corpus: signatures are
