@@ -143,6 +143,26 @@ object Fixtures {
       graft.pipeline.Dedup.buildSigIndex(corpus, "doc_id", "text", path)
     }
 
+  /** Corpus table + signature index DEDICATED to the streaming dedup
+    * ingest query (q120 appends to both — keep them off the shared doc
+    * fixtures). Corpus = documents with doc_id % 10 != 0.
+    */
+  def streamDedupCorpus(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "stream_dedup_corpus") { path =>
+      val corpus = src(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val t = GraftTable.create(spark, path, corpus.schema)
+      t.append(corpus)
+      t
+    }
+
+  def streamDedupIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "stream_dedup_index") { path =>
+      val corpus = src(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 =!= 0)
+      graft.pipeline.Dedup.buildSigIndex(corpus, "doc_id", "text", path)
+    }
+
   /** lineitem under explicit split sizing + partition-sorted planning: many
     * small files whose splits are capped by open-file-cost. The options are
     * read-side only — the scan must return exactly the table.

@@ -529,6 +529,18 @@ object SparkEntry {
         threshold = 0.7)
         .select("new_id", "corpus_id")
     }),
+    "q120_stream_dedup_ingest" -> ((s, d) => {
+      // the FULL ingest-with-dedup pipeline as one batch: exact intra-batch
+      // dedup, LSH intra-batch near-dup (larger id drops), LSH vs the
+      // persisted corpus signature index (corpus wins), survivors appended
+      // exactly-once. Result = the corpus table after the batch.
+      val docs = Fixtures.src(s, d, "documents")
+      val corpus = Fixtures.streamDedupCorpus(s, d)
+      graft.streaming.StreamingDedup.processBatch(
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        0L, "doc_id", "text", corpus, Fixtures.streamDedupIndex(s, d))
+      corpus.toDF.select("doc_id")
+    }),
     "q47_dedup_keep" -> ((s, d) => {
       val docs = Fixtures.src(s, d, "documents")
       val drops = Dedup.dropIds(
@@ -764,6 +776,34 @@ object SparkEntry {
       |  CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE) / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
       |SELECT new_id, corpus_id FROM p WHERE j >= 0.7""".stripMargin
+
+  // the full ingest-with-dedup pipeline, replayed in SQL: exact intra-batch
+  // dedup (min id per text), intra-batch near-dup (exact jaccard >= 0.7,
+  // larger id drops), then vs-corpus near-dup (corpus wins); final corpus =
+  // original corpus ∪ admitted
+  private val streamDedupSql =
+    """WITH toks AS (SELECT doc_id,
+      |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-2, 1)+1),
+      |  i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s FROM toks),
+      |exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+      |  WHERE doc_id % 10 = 0 GROUP BY text),
+      |ip AS (SELECT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE a.doc_id IN (SELECT doc_id FROM exact_keep)
+      |    AND b.doc_id IN (SELECT doc_id FROM exact_keep)
+      |    AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+      |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7),
+      |intra_keep AS (SELECT doc_id FROM exact_keep
+      |  WHERE doc_id NOT IN (SELECT id_b FROM ip)),
+      |cp AS (SELECT a.doc_id AS new_id FROM sh a JOIN sh b ON b.doc_id % 10 <> 0
+      |  WHERE a.doc_id IN (SELECT doc_id FROM intra_keep)
+      |    AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+      |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7)
+      |SELECT doc_id FROM documents WHERE doc_id % 10 <> 0
+      |UNION ALL
+      |SELECT doc_id FROM intra_keep
+      |  WHERE doc_id NOT IN (SELECT new_id FROM cp)""".stripMargin
 
   // min-reachable-id clustering over the exact jaccard>=0.7 pair graph
   private val dupClustersSql =
@@ -1200,6 +1240,7 @@ object SparkEntry {
     "q45_minhash_neardup" -> jaccardPairsSql,
     "q59_jaccard_join" -> jaccardPairsSql,
     "q116_incremental_neardup" -> incrementalPairsSql,
+    "q120_stream_dedup_ingest" -> streamDedupSql,
     "q61_dup_clusters" -> dupClustersSql,
     "q47_dedup_keep" ->
       s"""SELECT doc_id FROM documents
