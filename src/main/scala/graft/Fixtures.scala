@@ -936,6 +936,23 @@ object Fixtures {
         numCentroids = 16)
     }
 
+  /** The KNN recall corpus as an IVF index built INCREMENTALLY: trained
+    * and built on a corpus split, the rest folded in by
+    * [[graft.pipeline.VectorOps.appendToIvfIndex]] (q121 — appended
+    * vectors must route to the same cells the build would have put them
+    * in, keeping retrieval exact on the separable fixture).
+    */
+  def knnIvfIndexIncremental(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "knn_ivf_index_incr") { path =>
+      val (_, corpus) = knnRecallCorpus(spark, sfDir)
+      val t = graft.pipeline.VectorOps.buildIvfIndex(
+        corpus.filter(col("vec_id") % 3 =!= 0), "vec_id", "v", path,
+        numCentroids = 16)
+      graft.pipeline.VectorOps.appendToIvfIndex(
+        t, corpus.filter(col("vec_id") % 3 === 0), "vec_id", "v")
+      t
+    }
+
   /** The recall corpus persisted as a partition-per-cluster IVF index. */
   def annIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "ann_ivf_index") { path =>

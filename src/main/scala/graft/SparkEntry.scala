@@ -624,6 +624,15 @@ object SparkEntry {
         Fixtures.knnIvfIndex(s, d), 20)
         .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
     }),
+    "q121_knn_join_ivf_append" -> ((s, d) => {
+      // same retrieval as q119, but the index was built on 2/3 of the
+      // corpus and the rest APPENDED via appendToIvfIndex — incremental
+      // index maintenance must not change what retrieval returns
+      val (qs, _) = Fixtures.knnRecallCorpus(s, d)
+      VectorOps.knnJoinIvf(qs, "query_id", "qv",
+        Fixtures.knnIvfIndexIncremental(s, d), 20)
+        .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
+    }),
     "q50_embed_sim_pairs" -> ((s, d) => {
       // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
       // (LSH-independent), so every qualifying pair must be recalled
@@ -1255,6 +1264,7 @@ object SparkEntry {
     "q117_knn_join" -> knnJoinOracle,
     "q118_sql_pipeline_ann" -> annBruteOracle,
     "q119_knn_join_ivf" -> knnJoinOracle,
+    "q121_knn_join_ivf_append" -> knnJoinOracle,
     "q60_ann_ivf_index" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle
   )

@@ -270,15 +270,43 @@ object VectorOps {
     t
   }
 
+  /** The trained centroids + column names pinned in a persisted IVF
+    * index's table options.
+    */
+  private def ivfMeta(index: graft.table.GraftTable)
+      : (Seq[Seq[Double]], String, String) =
+    (index.schema.option("ivf.centroids", "")
+       .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble)),
+     index.schema.option("ivf.id-col", "id"),
+     index.schema.option("ivf.vec-col", "vec"))
+
+  /** Fold a new batch of vectors into a persisted IVF index: assignment is
+    * a deterministic projection on the STORED centroids, so appends route
+    * to the same cells as the original build — one partitioned append, no
+    * retraining, no corpus read (the vector analog of
+    * [[Dedup.appendToSigIndex]]). `commitIdentifier`/`commitUser` give
+    * streaming `foreachBatch` ingest the same exactly-once replay filter
+    * as the graft sink. Cells drift as the corpus grows; rebuild (or
+    * re-cluster offline) when cell-size skew degrades probe cost.
+    */
+  def appendToIvfIndex(index: graft.table.GraftTable, df: DataFrame,
+      idCol: String, vecCol: String, commitIdentifier: Long = -1L,
+      commitUser: String = ""): Unit = {
+    val (cents, storedId, storedVec) = ivfMeta(index)
+    val assigned = PipelineUtil.spread(
+      df.select(col(idCol).as(storedId), col(vecCol).as(storedVec)))
+      .withColumn("ivf_cluster",
+        ivfAssign(col(storedVec).cast("array<double>"), cents))
+    index.append(assigned, commitIdentifier = commitIdentifier,
+      commitUser = commitUser)
+  }
+
   /** Top-k cosine query against a persisted IVF index: probes the nProbe
     * cells nearest the query via a partition-pruned scan.
     */
   def ivfIndexTopK(index: graft.table.GraftTable, query: Seq[Double], k: Int,
       nProbe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = index.schema.option("ivf.centroids", "")
-      .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
-    val idCol = index.schema.option("ivf.id-col", "id")
-    val vecCol = index.schema.option("ivf.vec-col", "vec")
+    val (cents, idCol, vecCol) = ivfMeta(index)
     val probes = cents.zipWithIndex.map { case (c, i) =>
       val (dot, nc, nq) = (c.zip(query).map { case (a, b) => a * b }.sum,
         math.sqrt(c.map(x => x * x).sum), math.sqrt(query.map(x => x * x).sum))
@@ -304,10 +332,7 @@ object VectorOps {
     */
   def knnJoinIvf(queries: DataFrame, qIdCol: String, qVecCol: String,
       index: graft.table.GraftTable, k: Int, nProbe: Int = 4): DataFrame = {
-    val cents: Seq[Seq[Double]] = index.schema.option("ivf.centroids", "")
-      .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
-    val idCol = index.schema.option("ivf.id-col", "id")
-    val vecCol = index.schema.option("ivf.vec-col", "vec")
+    val (cents, idCol, vecCol) = ivfMeta(index)
     val q = PipelineUtil.pin(PipelineUtil.spread(
       queries.select(col(qIdCol).as("query_id"),
         col(qVecCol).cast("array<double>").as("qv"))))

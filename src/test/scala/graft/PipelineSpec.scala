@@ -365,6 +365,34 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("ivf_cluster"), s"join must key on the partition column:\n$plan")
   }
 
+  test("appendToIvfIndex routes new vectors to the build's cells; replay is exactly-once") {
+    val dim = 8
+    def vec(g: Int, j: Int): Seq[Double] =
+      (0 until dim).map(d =>
+        (if (d == g) 1.0 else 0.0) + 0.03 * math.sin(1.0 + g * 17 + j * 3 + d))
+    val all = for (g <- 0 until 4; j <- 0 until 6)
+      yield ((g * 100 + j).toLong, vec(g, j))
+    val (initial, extra) = all.partition { case (id, _) => id % 2 == 0 }
+    val index = VectorOps.buildIvfIndex(initial.toDF("vec_id", "v"),
+      "vec_id", "v", tmpTable(), numCentroids = 4)
+    VectorOps.appendToIvfIndex(index, extra.toDF("vec_id", "v"), "vec_id", "v",
+      commitIdentifier = 0L, commitUser = "ivf-ingest")
+    // appended rows landed in the SAME cell the build assignment gives:
+    // rebuilding the assignment from the stored centroids matches the
+    // partition value of every row, built or appended
+    assert(index.toDF.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      all.map(_._1).toSet)
+    val cents: Seq[Seq[Double]] = index.schema.option("ivf.centroids", "")
+      .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
+    val mismatched = index.toDF.filter(col("ivf_cluster") =!=
+      VectorOps.ivfAssign(col("v").cast("array<double>"), cents)).count()
+    assert(mismatched == 0)
+    // replayed batch is filtered, not duplicated
+    VectorOps.appendToIvfIndex(index, extra.toDF("vec_id", "v"), "vec_id", "v",
+      commitIdentifier = 0L, commitUser = "ivf-ingest")
+    assert(index.toDF.count() == all.size)
+  }
+
   test("IVF top-k equals brute force on a separable fixture; probes prune the scan") {
     val dim = 16
     def noise(i: Int, d: Int): Float = ((i * 31 + d * 7) % 11 - 5) / 100.0f
