@@ -89,6 +89,29 @@ object ScaleStress {
       results += "knn_join" -> t
       println(f"""{"op":"knn_join","sec":$t%.3f,"rows":$rows,"docs":$n}""")
     }
+    if (ops("knnivf")) {
+      // the same batch-query retrieval against a PERSISTED IVF index
+      // (q119/q121 shape). The index build is outside the timed window —
+      // it is the persisted artifact; the timed join should scale with
+      // |queries| × probed-cell data, i.e. nProbe/C of the corpus, so
+      // doubling C at 4× corpus holds per-query cost ~flat.
+      import org.apache.spark.sql.functions._
+      val dim = 16
+      val vecs = docs.select(col("doc_id"),
+        array((0 until dim).map(i =>
+          (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000)).cast("double") / 1000.0) - 1.0): _*)
+          .as("v"))
+      val c = math.max(16, math.sqrt(n.toDouble).toInt / 4)
+      val idx = graft.pipeline.VectorOps.buildIvfIndex(vecs, "doc_id", "v",
+        java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/t",
+        numCentroids = c)
+      val qs = vecs.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("v"))
+      val (t, rows) = time(graft.pipeline.VectorOps.knnJoinIvf(
+        qs, "qid", "v", idx, 10).count())
+      results += "knn_join_ivf" -> t
+      println(f"""{"op":"knn_join_ivf","sec":$t%.3f,"rows":$rows,"centroids":$c,"docs":$n}""")
+    }
     if (ops("clusters")) {
       val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
       val (t, clusters) = time(Dedup.dupClusters(pairDf).count())

@@ -169,16 +169,29 @@ object VectorOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
-    scored.withColumn("knn_rank", row_number().over(w).cast("long"))
+    // filter the raw row_number (InferWindowGroupLimit → map-side per-query
+    // top-k before the window shuffle), cast for the output schema after
+    scored.withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
+      .withColumn("knn_rank", col("knn_rank").cast("long"))
   }
+
+  /** The centroid set as ONE literal array-of-arrays datum. Keeping the
+    * centroids in data rather than expression code matters at scale: per
+    * centroid expressions would put C × dim literal nodes into codegen
+    * (certain method-size blowup / interpreted fallback past a few dozen
+    * centroids, impossible at the C ≈ 10k a 100-TB corpus wants), while a
+    * single literal + `transform` loops over them with O(1) generated code.
+    */
+  private def centroidsLit(centroids: Seq[Seq[Double]]): Column =
+    array(centroids.map(c => array(c.map(lit): _*)): _*)
 
   /** Nearest-centroid assignment by cosine: index of the max similarity in
     * the per-centroid similarity array (`array_position` returns the FIRST
     * occurrence, so ties break to the smaller index, deterministically).
     */
   def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val sims = array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+    val sims = transform(centroidsLit(centroids), c => cosine(vec, c))
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
@@ -338,24 +351,29 @@ object VectorOps {
         col(qVecCol).cast("array<double>").as("qv"))))
     // per-query nProbe cells: similarity structs sort ascending by (sim,
     // cell), so the LAST nProbe entries are the nearest cells — ties break
-    // to the smaller cell id, deterministically
-    val simStructs = cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("qv"), array(c.map(lit): _*)).as("s"),
-        lit(i).as("ivf_cluster"))
-    }
+    // to the smaller cell id, deterministically. The centroids travel as
+    // one literal datum (see [[centroidsLit]]) so generated code stays
+    // O(1) in C.
+    val simStructs = transform(centroidsLit(cents),
+      (c, i) => struct(cosine(col("qv"), c).as("s"),
+        i.cast("int").as("ivf_cluster")))
     val probes = q
       .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(array(simStructs: _*)),
+        explode(slice(array_sort(simStructs),
           lit(cents.size - nProbe + 1), lit(nProbe))).as("p"))
       .select(col("query_id"), col("qv"), col("p.ivf_cluster").as("ivf_cluster"))
+    // rank filter directly over the un-cast row_number so Spark's
+    // InferWindowGroupLimit inserts map-side per-query top-k BEFORE the
+    // window shuffle; cast for the output schema afterwards
     probes.join(index.toDF, "ivf_cluster")
       .select(col("query_id"), col(idCol).as("corpus_id"),
         round(cosine(col("qv"), col(vecCol).cast("array<double>")), 6)
           .as("cosine_sim"))
       .withColumn("knn_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("cosine_sim").desc, col("corpus_id"))).cast("long"))
+          .orderBy(col("cosine_sim").desc, col("corpus_id"))))
       .filter(col("knn_rank") <= k)
+      .withColumn("knn_rank", col("knn_rank").cast("long"))
   }
 
   /** Embedding near-dup pairs: banded multi-table LSH candidates (union

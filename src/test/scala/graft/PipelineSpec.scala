@@ -363,6 +363,9 @@ class PipelineSpec extends SparkSpec {
     // are read at 100 TB
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("ivf_cluster"), s"join must key on the partition column:\n$plan")
+    // the rank filter must become a map-side per-query group limit — at
+    // scale this caps the window shuffle at k rows per query per task
+    assert(plan.contains("WindowGroupLimit"), s"rank<=k must push as WindowGroupLimit:\n$plan")
   }
 
   test("appendToIvfIndex routes new vectors to the build's cells; replay is exactly-once") {
