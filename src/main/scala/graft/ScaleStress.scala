@@ -102,15 +102,19 @@ object ScaleStress {
           (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000)).cast("double") / 1000.0) - 1.0): _*)
           .as("v"))
       val c = math.max(16, math.sqrt(n.toDouble).toInt / 4)
-      val idx = graft.pipeline.VectorOps.buildIvfIndex(vecs, "doc_id", "v",
-        java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/t",
-        numCentroids = c)
+      var idx: graft.table.GraftTable = null
+      val (buildT, _) = time {
+        idx = graft.pipeline.VectorOps.buildIvfIndex(vecs, "doc_id", "v",
+          java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/t",
+          numCentroids = c)
+        0L
+      }
       val qs = vecs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("qid"), col("v"))
       val (t, rows) = time(graft.pipeline.VectorOps.knnJoinIvf(
         qs, "qid", "v", idx, 10).count())
       results += "knn_join_ivf" -> t
-      println(f"""{"op":"knn_join_ivf","sec":$t%.3f,"rows":$rows,"centroids":$c,"docs":$n}""")
+      println(f"""{"op":"knn_join_ivf","sec":$t%.3f,"build_sec":$buildT%.3f,"rows":$rows,"centroids":$c,"docs":$n}""")
     }
     if (ops("clusters")) {
       val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)

@@ -25,6 +25,14 @@ object VectorOps {
     when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** Cosine with the norm product supplied by the caller — the SAME
+    * expression tree as [[cosine]] (bit-identical results) with the norm
+    * folds hoisted out. Use in pair joins where each side's norm can be
+    * computed once per row instead of once per pair.
+    */
+  private def cosinePrenormed(a: Column, b: Column, d: Column): Column =
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+
   /** Exact top-k by cosine similarity to one query vector. The plan is a
     * single scan + TakeOrderedAndProject — no shuffle of the corpus, the
     * per-partition top-k folds into a driver-side merge of k·partitions
@@ -142,12 +150,17 @@ object VectorOps {
       corpus: DataFrame, cIdCol: String, cVecCol: String, k: Int,
       numTables: Int = 8, planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
     val tables = tableFamily(numTables, planesPerTable, dim)
+    // norms ride the pinned frames — computed once per ROW here; the
+    // verify join below then does one dot per candidate PAIR instead of
+    // re-folding both norms per pair (a corpus row averages many pairs)
     val q = PipelineUtil.pin(PipelineUtil.spread(
       queries.select(col(qIdCol).as("query_id"),
-        col(qVecCol).cast("array<double>").as("qv"))))
+        col(qVecCol).cast("array<double>").as("qv")))
+      .withColumn("nq", norm(col("qv"))))
     val c = PipelineUtil.pin(PipelineUtil.spread(
       corpus.select(col(cIdCol).as("corpus_id"),
-        col(cVecCol).cast("array<double>").as("cv"))))
+        col(cVecCol).cast("array<double>").as("cv")))
+      .withColumn("nv", norm(col("cv"))))
     def keys(idName: String, vecName: String, df: DataFrame) = {
       val v = checkedVec(col(vecName), dim)
       val ks = tables.zipWithIndex.map { case (pls, t) =>
@@ -165,7 +178,8 @@ object VectorOps {
       .join(q, "query_id")
       .join(c, "corpus_id")
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cosine_sim"))
+        round(cosinePrenormed(col("qv"), col("cv"),
+          col("nq") * col("nv")), 6).as("cosine_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine_sim").desc, col("corpus_id"))
@@ -189,10 +203,21 @@ object VectorOps {
   /** Nearest-centroid assignment by cosine: index of the max similarity in
     * the per-centroid similarity array (`array_position` returns the FIRST
     * occurrence, so ties break to the smaller index, deterministically).
+    *
+    * Computed as argmax of dot(v, c/|c|): normalizing the centroids ONCE
+    * driver-side drops both norm folds from the per-row loop (|v| scales
+    * every candidate equally, so the argmax — and its first-occurrence
+    * tie-break — is unchanged), leaving C pure dot products per row. On
+    * the build path this loop runs rows × C times — it is the dominant
+    * index-build cost.
     */
   def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val sims = transform(centroidsLit(centroids), c => cosine(vec, c))
-    (array_position(sims, array_max(sims)) - 1).cast("int")
+    val normed = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val dots = transform(centroidsLit(normed), c => dot(vec, c))
+    (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
   /** IVF coarse quantizer training: deterministic seeding (the
@@ -271,14 +296,34 @@ object VectorOps {
       numCentroids: Int = 16, iterations: Int = 1): graft.table.GraftTable = {
     val spreadDf = PipelineUtil.spread(df)
     val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
+    // cluster the write by the partition column: without this every write
+    // task emits a file into every probed cell dir (tasks × C small files
+    // + a stats pass each — the actual build bottleneck measured at 500k
+    // rows / C=176); with it each cell is one task's contiguous write. At
+    // corpus scales where one cell exceeds a task, salt the key instead.
     val assigned = spreadDf.select(col(idCol), col(vecCol))
       .withColumn("ivf_cluster", ivfAssign(col(vecCol).cast("array<double>"), cents))
+      .repartition(col("ivf_cluster"))
     val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
       .mkString(";")
+    // probe-scan split sizing: an IVF index is read with QUERY-side fan-out
+    // (every byte of a probed cell is scored once per query probing it), so
+    // scan parallelism must track the CLUSTER, not the byte count — the
+    // 128 MB default bin-packs a small-but-hot index into a handful of
+    // splits and serializes the scoring. Size splits so the whole index
+    // spreads over ~8× the session's cores, clamped to [4 MB, 128 MB]
+    // (at a 100-TB corpus the cap restores the normal split size).
+    val approxBytes =
+      spreadDf.count() * (cents.headOption.map(_.size).getOrElse(16) * 8L + 24L)
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val targetBytes = math.min(128L << 20,
+      math.max(4L << 20, approxBytes / math.max(1, 8 * cores)))
     val t = graft.table.GraftTable.create(df.sparkSession, path, assigned.schema,
       partitionKeys = Seq("ivf_cluster"),
       options = Map("ivf.centroids" -> serialized, "ivf.vec-col" -> vecCol,
-        "ivf.id-col" -> idCol))
+        "ivf.id-col" -> idCol,
+        "source.split.target-size" -> targetBytes.toString,
+        "source.split.open-file-cost" -> math.max(256L << 10, targetBytes / 8).toString))
     t.append(assigned)
     t
   }
@@ -310,6 +355,7 @@ object VectorOps {
       df.select(col(idCol).as(storedId), col(vecCol).as(storedVec)))
       .withColumn("ivf_cluster",
         ivfAssign(col(storedVec).cast("array<double>"), cents))
+      .repartition(col("ivf_cluster")) // one task per touched cell dir
     index.append(assigned, commitIdentifier = commitIdentifier,
       commitUser = commitUser)
   }
@@ -348,7 +394,8 @@ object VectorOps {
     val (cents, idCol, vecCol) = ivfMeta(index)
     val q = PipelineUtil.pin(PipelineUtil.spread(
       queries.select(col(qIdCol).as("query_id"),
-        col(qVecCol).cast("array<double>").as("qv"))))
+        col(qVecCol).cast("array<double>").as("qv"))
+        .withColumn("nq", norm(col("qv")))))
     // per-query nProbe cells: similarity structs sort ascending by (sim,
     // cell), so the LAST nProbe entries are the nearest cells — ties break
     // to the smaller cell id, deterministically. The centroids travel as
@@ -358,17 +405,25 @@ object VectorOps {
       (c, i) => struct(cosine(col("qv"), c).as("s"),
         i.cast("int").as("ivf_cluster")))
     val probes = q
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qv"), col("nq"),
         explode(slice(array_sort(simStructs),
           lit(cents.size - nProbe + 1), lit(nProbe))).as("p"))
-      .select(col("query_id"), col("qv"), col("p.ivf_cluster").as("ivf_cluster"))
+      .select(col("query_id"), col("qv"), col("nq"),
+        col("p.ivf_cluster").as("ivf_cluster"))
+    // corpus-row norms fold ONCE per scanned row, below the join — the
+    // per-candidate work above is a single dot product (a probed cell's
+    // row is scored once per query probing it)
+    val corpus = index.toDF
+      .select(col("ivf_cluster"), col(idCol),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("nv", norm(col("cv")))
     // rank filter directly over the un-cast row_number so Spark's
     // InferWindowGroupLimit inserts map-side per-query top-k BEFORE the
     // window shuffle; cast for the output schema afterwards
-    probes.join(index.toDF, "ivf_cluster")
+    probes.join(corpus, "ivf_cluster")
       .select(col("query_id"), col(idCol).as("corpus_id"),
-        round(cosine(col("qv"), col(vecCol).cast("array<double>")), 6)
-          .as("cosine_sim"))
+        round(cosinePrenormed(col("qv"), col("cv"),
+          col("nq") * col("nv")), 6).as("cosine_sim"))
       .withColumn("knn_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cosine_sim").desc, col("corpus_id"))))
