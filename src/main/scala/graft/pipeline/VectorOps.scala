@@ -211,12 +211,19 @@ object VectorOps {
     * the build path this loop runs rows × C times — it is the dominant
     * index-build cost.
     */
-  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val normed = centroids.map { c =>
+  /** Centroids scaled to unit norm (zero centroids kept as-is): against a
+    * FIXED probe vector v, dot(v, c/|c|) orders cells identically to
+    * cosine(v, c) — |v| scales every cell equally — so assignment and
+    * probe routing can use plain dots.
+    */
+  private def normedCents(centroids: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0) c else c.map(_ / n)
     }
-    val dots = transform(centroidsLit(normed), c => dot(vec, c))
+
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dots = transform(centroidsLit(normedCents(centroids)), c => dot(vec, c))
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
@@ -306,25 +313,29 @@ object VectorOps {
       .repartition(col("ivf_cluster"))
     val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
       .mkString(";")
+    val t = graft.table.GraftTable.create(df.sparkSession, path, assigned.schema,
+      partitionKeys = Seq("ivf_cluster"),
+      options = Map("ivf.centroids" -> serialized, "ivf.vec-col" -> vecCol,
+        "ivf.id-col" -> idCol))
+    t.append(assigned)
     // probe-scan split sizing: an IVF index is read with QUERY-side fan-out
     // (every byte of a probed cell is scored once per query probing it), so
     // scan parallelism must track the CLUSTER, not the byte count — the
     // 128 MB default bin-packs a small-but-hot index into a handful of
     // splits and serializes the scoring. Size splits so the whole index
     // spreads over ~8× the session's cores, clamped to [4 MB, 128 MB]
-    // (at a 100-TB corpus the cap restores the normal split size).
-    val approxBytes =
-      spreadDf.count() * (cents.headOption.map(_.size).getOrElse(16) * 8L + 24L)
+    // (at a 100-TB corpus the cap restores the normal split size). The
+    // byte count is EXACT and free — summed from the just-committed file
+    // metadata, no extra pass over the input.
+    val bytes = t.store.latestSnapshot
+      .map(s => t.store.liveFiles(s).map(_.size).sum).getOrElse(0L)
     val cores = df.sparkSession.sparkContext.defaultParallelism
     val targetBytes = math.min(128L << 20,
-      math.max(4L << 20, approxBytes / math.max(1, 8 * cores)))
-    val t = graft.table.GraftTable.create(df.sparkSession, path, assigned.schema,
-      partitionKeys = Seq("ivf_cluster"),
-      options = Map("ivf.centroids" -> serialized, "ivf.vec-col" -> vecCol,
-        "ivf.id-col" -> idCol,
-        "source.split.target-size" -> targetBytes.toString,
-        "source.split.open-file-cost" -> math.max(256L << 10, targetBytes / 8).toString))
-    t.append(assigned)
+      math.max(4L << 20, bytes / math.max(1, 8 * cores)))
+    t.evolveBatch(Seq(
+      t.setOptionT("source.split.target-size", targetBytes.toString),
+      t.setOptionT("source.split.open-file-cost",
+        math.max(256L << 10, targetBytes / 8).toString)))
     t
   }
 
@@ -392,28 +403,41 @@ object VectorOps {
   def knnJoinIvf(queries: DataFrame, qIdCol: String, qVecCol: String,
       index: graft.table.GraftTable, k: Int, nProbe: Int = 4): DataFrame = {
     val (cents, idCol, vecCol) = ivfMeta(index)
+    val dim = cents.headOption.map(_.size).getOrElse(0)
     val q = PipelineUtil.pin(PipelineUtil.spread(
       queries.select(col(qIdCol).as("query_id"),
-        col(qVecCol).cast("array<double>").as("qv"))
+        checkedVec(col(qVecCol), dim).cast("array<double>").as("qv"))
         .withColumn("nq", norm(col("qv")))))
-    // per-query nProbe cells: similarity structs sort ascending by (sim,
-    // cell), so the LAST nProbe entries are the nearest cells — ties break
-    // to the smaller cell id, deterministically. The centroids travel as
-    // one literal datum (see [[centroidsLit]]) so generated code stays
-    // O(1) in C.
-    val simStructs = transform(centroidsLit(cents),
-      (c, i) => struct(cosine(col("qv"), c).as("s"),
+    // per-query nProbe cells: structs of (-dot(qv, ĉ), cell) sort
+    // ascending, so the FIRST nProbe entries are the nearest cells and
+    // similarity ties break to the SMALLER cell id — same ordering and
+    // tie-break as ivfIndexTopK (normalized-centroid dots order cells
+    // like cosine; see [[normedCents]]). The centroids travel as one
+    // literal datum (see [[centroidsLit]]) so generated code stays O(1)
+    // in C, and routing is C dot folds per query, not 3C.
+    val simStructs = transform(centroidsLit(normedCents(cents)),
+      (c, i) => struct((-dot(col("qv"), c)).as("s"),
         i.cast("int").as("ivf_cluster")))
     val probes = q
       .select(col("query_id"), col("qv"), col("nq"),
         explode(slice(array_sort(simStructs),
-          lit(cents.size - nProbe + 1), lit(nProbe))).as("p"))
+          lit(1), lit(math.min(nProbe, cents.size)))).as("p"))
       .select(col("query_id"), col("qv"), col("nq"),
         col("p.ivf_cluster").as("ivf_cluster"))
+    // EXPLICIT partition pruning: the distinct probed-cell set is tiny
+    // (≤ C values) and known before the corpus is touched, so collect it
+    // and push a static IN filter into the scan — the scan then reads
+    // ONLY probed cells. Deterministic and always-on, unlike dynamic
+    // partition pruning, which Spark only inserts when the build side has
+    // a selective predicate (an exploded probe frame has none — measured:
+    // without this the join full-scanned the index).
+    val probedCells: Seq[Int] = probes.select("ivf_cluster").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
     // corpus-row norms fold ONCE per scanned row, below the join — the
     // per-candidate work above is a single dot product (a probed cell's
     // row is scored once per query probing it)
     val corpus = index.toDF
+      .filter(col("ivf_cluster").isin(probedCells.map(c => c: Any): _*))
       .select(col("ivf_cluster"), col(idCol),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("nv", norm(col("cv")))

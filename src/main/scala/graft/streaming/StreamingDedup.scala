@@ -58,36 +58,34 @@ object StreamingDedup {
       textCol: String, corpus: GraftTable, index: GraftTable,
       threshold: Double = 0.7, commitUser: String = "streaming-dedup")
       : BatchResult = {
-    val spark = batch.sparkSession
     val in = batch.persist()
+    val cached = scala.collection.mutable.ListBuffer[DataFrame](in)
+    def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
     try {
       val inputN = in.count()
 
-      // 1. exact intra-batch: one survivor per md5(text), smallest id —
-      // a deterministic aggregation, no window sort of the whole batch
-      val exact = in
-        .withColumn("__fp", md5(col(textCol).cast("string")))
-        .withColumn("__rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
-            .orderBy(col(idCol))))
-        .filter(col("__rk") === 1).drop("__fp", "__rk")
-        .persist()
+      // 1. exact intra-batch: one survivor per fingerprint, smallest id —
+      // a min_by AGGREGATION (map-side partial, no per-group sort buffer)
+      val exact = keep(in
+        .groupBy(md5(col(textCol).cast("string")).as("__fp"))
+        .agg(min_by(struct(in.columns.map(col): _*), col(idCol)).as("__row"))
+        .select(in.columns.map(c => col(s"__row.$c")): _*))
       val exactN = exact.count()
 
       // 2. near-dup intra-batch: larger id of every verified pair drops
       val intraPairs = Dedup.nearDupPairs(exact, idCol, textCol, threshold)
-      val intraSurvivors = exact.join(
+      val intraSurvivors = keep(exact.join(
         Dedup.dropIds(intraPairs).withColumnRenamed("drop_id", idCol),
-        Seq(idCol), "left_anti").persist()
+        Seq(idCol), "left_anti"))
       val intraN = intraSurvivors.count()
 
       // 3. against the corpus: ANY verified pair drops the new doc (the
       // corpus copy wins — it is already served downstream)
       val corpusPairs = Dedup.nearDupPairsAgainst(intraSurvivors, idCol,
         textCol, index, corpus.toDF, threshold)
-      val admitted = intraSurvivors.join(
+      val admitted = keep(intraSurvivors.join(
         corpusPairs.select(col("new_id").as(idCol)).distinct(),
-        Seq(idCol), "left_anti").persist()
+        Seq(idCol), "left_anti"))
       val admittedN = admitted.count()
 
       // 4. exactly-once writes: distinct commitUsers give the two tables
@@ -98,11 +96,10 @@ object StreamingDedup {
       Dedup.appendToSigIndex(index, admitted, idCol, textCol,
         commitIdentifier = batchId, commitUser = s"$commitUser-index")
 
-      admitted.unpersist(); intraSurvivors.unpersist(); exact.unpersist()
       BatchResult(batchId, inputN, admittedN,
         droppedExact = inputN - exactN, droppedIntra = exactN - intraN,
         droppedCorpus = intraN - admittedN)
-    } finally in.unpersist()
+    } finally cached.foreach(_.unpersist()) // failed batches leak no blocks
   }
 
   /** Attach the pipeline to a streaming frame of documents. Results of

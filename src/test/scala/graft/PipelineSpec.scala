@@ -362,10 +362,28 @@ class PipelineSpec extends SparkSpec {
     // plan carries dynamicpruning on ivf_cluster), so only probed cells
     // are read at 100 TB
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("ivf_cluster"), s"join must key on the partition column:\n$plan")
+    // the index scan must carry a STATIC partition IN-filter of the probed
+    // cells — without it the whole 100-TB index is scanned regardless of
+    // probes (dynamic pruning does NOT fire here: the probe side has no
+    // selective predicate)
+    assert("(?i)partitionfilters:.*ivf_cluster#\\d+ in \\(".r
+      .findFirstIn(plan).isDefined,
+      s"index scan must be pruned to the probed cells:\n$plan")
     // the rank filter must become a map-side per-query group limit — at
     // scale this caps the window shuffle at k rows per query per task
     assert(plan.contains("WindowGroupLimit"), s"rank<=k must push as WindowGroupLimit:\n$plan")
+  }
+
+  test("knnJoinIvf clamps nProbe past the cell count (tiny index, default nProbe)") {
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(0.9, 0.1))).toDF("vec_id", "v")
+    val index = VectorOps.buildIvfIndex(corpus, "vec_id", "v", tmpTable(),
+      numCentroids = 2)
+    val got = VectorOps.knnJoinIvf( // default nProbe=4 > cells — must probe all
+      Seq((7L, Seq(1.0, 0.05))).toDF("query_id", "qv"), "query_id", "qv",
+      index, k = 3)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L), got.toString) // full recall, no slice error
   }
 
   test("appendToIvfIndex routes new vectors to the build's cells; replay is exactly-once") {
