@@ -101,6 +101,31 @@ object QuickStart {
     println("[pipeline] ANN top-3 via partition-pruned IVF index:")
     VectorOps.ivfIndexTopK(ivf, qv, 3, nProbe = 2).show(false)
 
+    // batch-query retrieval against the SAME persisted index (explicitly
+    // pruned to the probed cells), then fold a fresh vector batch in with
+    // the stored centroids — no retraining
+    val knnQs = emb.filter(col("vec_id").between(1, 3))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val knnRows = VectorOps.knnJoinIvf(knnQs, "query_id", "qv", ivf, 3).count()
+    VectorOps.appendToIvfIndex(ivf,
+      emb.filter(col("vec_id") === 0).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", commitIdentifier = 0L, commitUser = "qs-ivf")
+    println(s"[pipeline] knn join vs ivf index rows=$knnRows " +
+      s"index rows after incremental append=${ivf.toDF.count()}")
+
+    // streaming dedup-on-ingest, one batch: corpus + sig index maintained
+    // exactly-once under commitIdentifier = batchId
+    val sdCorpusDf = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val sdCorpus = GraftTable.create(spark, s"$base/sd_corpus", sdCorpusDf.schema)
+    sdCorpus.append(sdCorpusDf)
+    val sdIndex = Dedup.buildSigIndex(sdCorpusDf, "doc_id", "text", s"$base/sd_index")
+    val sdRes = graft.streaming.StreamingDedup.processBatch(
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+      0L, "doc_id", "text", sdCorpus, sdIndex)
+    println(s"[pipeline] streaming dedup ingest: admitted=${sdRes.admitted}/" +
+      s"${sdRes.input} (exact=${sdRes.droppedExact} intra=${sdRes.droppedIntra} " +
+      s"corpus=${sdRes.droppedCorpus}) corpus rows=${sdCorpus.toDF.count()}")
+
     // ---- deletion-vector mode: merge-free PK reads ----
     val ords = graft.Fixtures.src(spark, sfDir, "orders")
     val dvT = GraftTable.create(spark, s"$base/orders_dv", ords.schema,
