@@ -64,6 +64,10 @@ object Bench {
     // built once (not timed): the bench times the per-batch work
     val sigIndex = Dedup.buildSigIndex(
       docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", s"$tmp/sig_index")
+    // the persisted IVF index likewise: build untimed, bench the retrieval
+    val ivfIndex = VectorOps.buildIvfIndex(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      s"$tmp/ivf_index", numCentroids = 16)
     val spjSql =
       """SELECT b.o_orderpriority, SUM(a.o_totalprice) AS s, COUNT(*) AS c
         |FROM graft.db.spj_fact a JOIN graft.db.spj_dim b
@@ -144,6 +148,13 @@ object Bench {
         VectorOps.knnJoin(
           emb.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
           "qid", "embedding", emb, "vec_id", "embedding", 10).count()
+      }
+      // 5d. the same batch retrieval against the PERSISTED IVF index:
+      // probe routing + explicitly pruned cell scan + windowed top-k
+      results("knn_join_ivf") = time {
+        VectorOps.knnJoinIvf(
+          emb.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", ivfIndex, 10).count()
       }
 
       // 6. storage-partitioned join with vs without v2 bucketing — the

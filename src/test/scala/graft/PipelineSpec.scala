@@ -374,6 +374,38 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"rank<=k must push as WindowGroupLimit:\n$plan")
   }
 
+  test("property: knnJoinIvf with nProbe=C equals exact brute force on random vectors") {
+    // with every cell probed, IVF recall is total by construction — the
+    // result must match per-query exact top-k on ARBITRARY (non-separable)
+    // data: catches probe-selection, pruning, ranking and tie-break bugs
+    val rnd = new scala.util.Random(42)
+    val dim = 6
+    val corpusRows = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val queryRows = (0 until 10).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val (initial, extra) = corpusRows.partition { case (id, _) => id % 3 != 0 }
+    val index = VectorOps.buildIvfIndex(initial.toDF("vec_id", "v"),
+      "vec_id", "v", tmpTable(), numCentroids = 7)
+    VectorOps.appendToIvfIndex(index, extra.toDF("vec_id", "v"), "vec_id", "v")
+    val k = 5
+    val got = VectorOps.knnJoinIvf(queryRows.toDF("query_id", "qv"),
+      "query_id", "qv", index, k, nProbe = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(if (n == 0) 0.0 else d / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = queryRows.flatMap { case (qid, qv) =>
+      corpusRows.map { case (cid, cv) => (qid, cid, cos(qv, cv)) }
+        .sortBy { case (_, cid, s) => (-s, cid) }.take(k)
+        .zipWithIndex.map { case ((q, c, s), i) => (q, c, s, (i + 1).toLong) }
+    }.toSet
+    assert(got == want, s"diff=${(got diff want) ++ (want diff got)}")
+  }
+
   test("knnJoinIvf clamps nProbe past the cell count (tiny index, default nProbe)") {
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
       (3L, Seq(0.9, 0.1))).toDF("vec_id", "v")
