@@ -102,6 +102,35 @@ object StreamingDedup {
     } finally cached.foreach(_.unpersist()) // failed batches leak no blocks
   }
 
+  /** Bootstrap / catch-up driver: run a LARGE historical frame through
+    * the same dedup pipeline in `batches` deterministic chunks
+    * (hash(id) % batches — stable across reruns), sequentially, each
+    * under `commitIdentifier = startBatchId + chunk`. Use to build the
+    * corpus + index from history with the SAME semantics the stream then
+    * continues with (earlier chunks win ties, exactly like earlier
+    * micro-batches).
+    *
+    * Resume-safety: rerunning after a crash re-executes every chunk, but
+    * chunks whose commits already landed are replay-filtered by both
+    * tables, and the crashed chunk recomputes its survivor set against
+    * the exact index state it saw the first time (later chunks never ran)
+    * — state converges. Note the REPORTED stats of already-committed
+    * chunks can differ on replay (their decisions recompute against a
+    * more advanced index); the table state cannot.
+    */
+  def backfill(docs: DataFrame, idCol: String, textCol: String,
+      corpus: GraftTable, index: GraftTable, batches: Int,
+      threshold: Double = 0.7, commitUser: String = "backfill-dedup",
+      startBatchId: Long = 0L): Seq[BatchResult] = {
+    require(batches > 0, s"batches must be positive: $batches")
+    (0 until batches).map { b =>
+      processBatch(
+        docs.filter(pmod(xxhash64(col(idCol)), lit(batches)) === b),
+        startBatchId + b, idCol, textCol, corpus, index, threshold,
+        commitUser)
+    }
+  }
+
   /** Attach the pipeline to a streaming frame of documents. Results of
     * each batch go to `onBatch` (default: a log line). Exactly-once across
     * restarts comes from `commitIdentifier = batchId` + the checkpointed

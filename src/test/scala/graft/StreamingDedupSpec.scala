@@ -78,6 +78,36 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.toDF.count() == 5)
   }
 
+  test("backfill: chunked bootstrap dedups across chunks and reruns converge") {
+    val (corpus, index) = mkCorpusAndIndex()
+    // 8 docs: 402 exact-dups 401, 403 near-dups 401, 404 near-dups corpus
+    // doc 2, rest unique — chunk assignment is hash-based, so dups may
+    // land in the same or different chunks; either way exactly one
+    // representative of the 401-family and nothing near the corpus wins
+    val docs = Seq(
+      (401L, text(40)), (402L, text(40)), (403L, text(40, perturb = 11)),
+      (404L, text(2, perturb = 4)), (405L, text(41)), (406L, text(42)),
+      (407L, text(43)), (408L, text(44))).toDF("doc_id", "body")
+    val res = StreamingDedup.backfill(docs, "doc_id", "body",
+      corpus, index, batches = 3)
+    assert(res.map(_.batchId) == Seq(0L, 1L, 2L))
+    assert(res.map(_.input).sum == 8)
+    val afterIds = corpusIds(corpus)
+    // exactly one of the 401-family survives (the smallest id in the
+    // EARLIEST chunk containing one — chunk order is authoritative), 404
+    // dropped vs corpus, all four unique docs admitted
+    assert(afterIds.count(Seq(401L, 402L, 403L).contains) == 1, afterIds.toString)
+    assert(!afterIds.contains(404L), afterIds.toString)
+    assert(Seq(405L, 406L, 407L, 408L).forall(afterIds.contains), afterIds.toString)
+    assert(index.toDF.count() == afterIds.size)
+
+    // full rerun (crash-recovery path): every chunk replay-filters — the
+    // table state must not change
+    StreamingDedup.backfill(docs, "doc_id", "body", corpus, index, batches = 3)
+    assert(corpusIds(corpus) == afterIds)
+    assert(index.toDF.count() == afterIds.size)
+  }
+
   test("streaming wrapper dedups across micro-batches") {
     implicit val sql = spark.sqlContext
     val (corpus, index) = mkCorpusAndIndex()
