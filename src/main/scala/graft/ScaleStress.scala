@@ -36,7 +36,7 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(docsPath)
     val n = docs.count()
-    def time(f: => Long): (Double, Long) = {
+    def time[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val out = f
       ((System.nanoTime() - t0) / 1e9, out)
     }
@@ -102,13 +102,10 @@ object ScaleStress {
           (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000)).cast("double") / 1000.0) - 1.0): _*)
           .as("v"))
       val c = math.max(16, math.sqrt(n.toDouble).toInt / 4)
-      var idx: graft.table.GraftTable = null
-      val (buildT, _) = time {
-        idx = graft.pipeline.VectorOps.buildIvfIndex(vecs, "doc_id", "v",
+      val (buildT, idx) = time(
+        graft.pipeline.VectorOps.buildIvfIndex(vecs, "doc_id", "v",
           java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/t",
-          numCentroids = c)
-        0L
-      }
+          numCentroids = c))
       val qs = vecs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("qid"), col("v"))
       val (t, rows) = time(graft.pipeline.VectorOps.knnJoinIvf(

@@ -20,15 +20,14 @@ object VectorOps {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosinePrenormed(a, b, norm(a) * norm(b))
 
-  /** Cosine with the norm product supplied by the caller — the SAME
-    * expression tree as [[cosine]] (bit-identical results) with the norm
-    * folds hoisted out. Use in pair joins where each side's norm can be
-    * computed once per row instead of once per pair.
+  /** Cosine with the norm product supplied by the caller — [[cosine]]
+    * delegates here, so the expression tree (and thus the result) is
+    * bit-identical whether norms are inline or hoisted. Use in pair joins
+    * where each side's norm can be computed once per row instead of once
+    * per pair.
     */
   private def cosinePrenormed(a: Column, b: Column, d: Column): Column =
     when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
@@ -200,17 +199,6 @@ object VectorOps {
   private def centroidsLit(centroids: Seq[Seq[Double]]): Column =
     array(centroids.map(c => array(c.map(lit): _*)): _*)
 
-  /** Nearest-centroid assignment by cosine: index of the max similarity in
-    * the per-centroid similarity array (`array_position` returns the FIRST
-    * occurrence, so ties break to the smaller index, deterministically).
-    *
-    * Computed as argmax of dot(v, c/|c|): normalizing the centroids ONCE
-    * driver-side drops both norm folds from the per-row loop (|v| scales
-    * every candidate equally, so the argmax — and its first-occurrence
-    * tie-break — is unchanged), leaving C pure dot products per row. On
-    * the build path this loop runs rows × C times — it is the dominant
-    * index-build cost.
-    */
   /** Centroids scaled to unit norm (zero centroids kept as-is): against a
     * FIXED probe vector v, dot(v, c/|c|) orders cells identically to
     * cosine(v, c) — |v| scales every cell equally — so assignment and
@@ -222,6 +210,25 @@ object VectorOps {
       if (n == 0) c else c.map(_ / n)
     }
 
+  /** Nearest-centroid assignment by cosine: index of the max similarity in
+    * the per-centroid similarity array (`array_position` returns the FIRST
+    * occurrence, so ties break to the smaller index, deterministically).
+    *
+    * Computed as argmax of dot(v, c/|c|): normalizing the centroids ONCE
+    * driver-side drops both norm folds from the per-row loop (|v| scales
+    * every candidate equally, so the argmax — and its first-occurrence
+    * tie-break — is unchanged up to floating point), leaving C pure dot
+    * products per row. On the build path this loop runs rows × C times —
+    * it is the dominant index-build cost.
+    *
+    * Cross-version caveat: mathematical, not bit-level, equivalence —
+    * a vector sitting on an EXACT floating-point tie between two cells
+    * could route differently than under a previous code version's
+    * arithmetic. Within one version, build, append and probe all share
+    * this function, which is what correctness relies on; for indexes
+    * persisted across versions, near-boundary vectors are the reason
+    * nProbe > 1 is the default.
+    */
   def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val dots = transform(centroidsLit(normedCents(centroids)), c => dot(vec, c))
     (array_position(dots, array_max(dots)) - 1).cast("int")
@@ -402,6 +409,7 @@ object VectorOps {
     */
   def knnJoinIvf(queries: DataFrame, qIdCol: String, qVecCol: String,
       index: graft.table.GraftTable, k: Int, nProbe: Int = 4): DataFrame = {
+    require(k > 0 && nProbe > 0, s"k and nProbe must be positive: k=$k nProbe=$nProbe")
     val (cents, idCol, vecCol) = ivfMeta(index)
     val dim = cents.headOption.map(_.size).getOrElse(0)
     val q = PipelineUtil.pin(PipelineUtil.spread(
@@ -418,12 +426,14 @@ object VectorOps {
     val simStructs = transform(centroidsLit(normedCents(cents)),
       (c, i) => struct((-dot(col("qv"), c)).as("s"),
         i.cast("int").as("ivf_cluster")))
-    val probes = q
+    // pinned: the routing projection feeds BOTH the probed-cell collect
+    // below and the final join — without the pin it would run twice
+    val probes = PipelineUtil.pin(q
       .select(col("query_id"), col("qv"), col("nq"),
         explode(slice(array_sort(simStructs),
           lit(1), lit(math.min(nProbe, cents.size)))).as("p"))
       .select(col("query_id"), col("qv"), col("nq"),
-        col("p.ivf_cluster").as("ivf_cluster"))
+        col("p.ivf_cluster").as("ivf_cluster")))
     // EXPLICIT partition pruning: the distinct probed-cell set is tiny
     // (≤ C values) and known before the corpus is touched, so collect it
     // and push a static IN filter into the scan — the scan then reads

@@ -65,11 +65,17 @@ object StreamingDedup {
       val inputN = in.count()
 
       // 1. exact intra-batch: one survivor per fingerprint, smallest id —
-      // a min_by AGGREGATION (map-side partial, no per-group sort buffer)
+      // a min_by AGGREGATION (map-side partial, no per-group sort buffer).
+      // The ordering key is (id IS NULL, id): min_by ignores rows whose
+      // ordering value is null, so a bare null id would make a whole
+      // group vanish into a null struct — the isNull prefix keeps the
+      // ordering non-null (null-id rows sort last) while getField keeps
+      // column names with dots resolvable.
       val exact = keep(in
         .groupBy(md5(col(textCol).cast("string")).as("__fp"))
-        .agg(min_by(struct(in.columns.map(col): _*), col(idCol)).as("__row"))
-        .select(in.columns.map(c => col(s"__row.$c")): _*))
+        .agg(min_by(struct(in.columns.map(col): _*),
+          struct(col(idCol).isNull.as("n"), col(idCol).as("i"))).as("__row"))
+        .select(in.columns.map(c => col("__row").getField(c).as(c)): _*))
       val exactN = exact.count()
 
       // 2. near-dup intra-batch: larger id of every verified pair drops
@@ -123,6 +129,18 @@ object StreamingDedup {
       threshold: Double = 0.7, commitUser: String = "backfill-dedup",
       startBatchId: Long = 0L): Seq[BatchResult] = {
     require(batches > 0, s"batches must be positive: $batches")
+    // a resumed backfill MUST reuse the original modulus: chunk contents
+    // are hash(id) % batches but the replay filter keys on the chunk ID —
+    // retrying with a different `batches` would replay-filter chunks whose
+    // contents changed, silently losing documents. Pin the modulus on the
+    // index the first time and hard-stop mismatched retries.
+    val modKey = s"backfill.batches.$commitUser"
+    index.schema.options.get(modKey) match {
+      case Some(prev) => require(prev.toInt == batches,
+        s"backfill '$commitUser' started with batches=$prev — resume with " +
+          s"the same value (got $batches), or use a fresh commitUser")
+      case None => index.setOption(modKey, batches.toString)
+    }
     (0 until batches).map { b =>
       processBatch(
         docs.filter(pmod(xxhash64(col(idCol)), lit(batches)) === b),

@@ -357,10 +357,6 @@ class PipelineSpec extends SparkSpec {
     val gotRows = got.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(gotRows == brute, s"got $gotRows\nwant $brute")
-    // scale shape: the corpus side joins on the PARTITION column with a
-    // broadcastable probe side — runtime partition filtering applies (the
-    // plan carries dynamicpruning on ivf_cluster), so only probed cells
-    // are read at 100 TB
     val plan = got.queryExecution.executedPlan.toString
     // the index scan must carry a STATIC partition IN-filter of the probed
     // cells — without it the whole 100-TB index is scanned regardless of

@@ -108,6 +108,19 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.toDF.count() == afterIds.size)
   }
 
+  test("backfill refuses to resume with a different modulus") {
+    val (corpus, index) = mkCorpusAndIndex()
+    val docs = Seq((501L, text(50)), (502L, text(51))).toDF("doc_id", "body")
+    StreamingDedup.backfill(docs, "doc_id", "body", corpus, index, batches = 2)
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.backfill(docs, "doc_id", "body", corpus, index, batches = 4)
+    }
+    assert(e.getMessage.contains("batches=2"), e.getMessage)
+    // same modulus resumes fine (pure replay)
+    StreamingDedup.backfill(docs, "doc_id", "body", corpus, index, batches = 2)
+    assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 501L, 502L))
+  }
+
   test("streaming wrapper dedups across micro-batches") {
     implicit val sql = spark.sqlContext
     val (corpus, index) = mkCorpusAndIndex()
