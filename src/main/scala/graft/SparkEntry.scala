@@ -633,6 +633,15 @@ object SparkEntry {
         Fixtures.knnIvfIndexIncremental(s, d), 20)
         .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
     }),
+    "q122_embed_neardup_vs_index" -> ((s, d) => {
+      // semantic dedup of a new batch against the PERSISTED corpus index:
+      // probe nProbe cells per vector, exact-cosine verify, threshold cut.
+      // Same separable fixture as q119 — every qualifying pair shares its
+      // probed cell, so the approximate op recalls the exact oracle.
+      val (qs, _) = Fixtures.knnRecallCorpus(s, d)
+      VectorOps.embedNearDupAgainst(qs, "query_id", "qv",
+        Fixtures.knnIvfIndex(s, d), threshold = 0.95)
+    }),
     "q50_embed_sim_pairs" -> ((s, d) => {
       // same separable fixture; oracle is exact ALL-PAIRS cosine ≥ 0.95
       // (LSH-independent), so every qualifying pair must be recalled
@@ -1265,6 +1274,18 @@ object SparkEntry {
     "q118_sql_pipeline_ann" -> annBruteOracle,
     "q119_knn_join_ivf" -> knnJoinOracle,
     "q121_knn_join_ivf_append" -> knnJoinOracle,
+    "q122_embed_neardup_vs_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5),
+        |synth AS (SELECT 100000 * q.query_id + e.vec_id AS vec_id,
+        |  list_transform(range(1, 65), i -> q.qv[i] + 0.05 * e.v[i]) AS v
+        |  FROM e CROSS JOIN qs q WHERE e.vec_id BETWEEN 21 AND 40),
+        |corpus AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM synth)
+        |SELECT q.query_id AS new_id, c.vec_id AS corpus_id,
+        |  ROUND(LIST_COSINE_SIMILARITY(q.qv, c.v), 6) AS cosine_sim
+        |FROM qs q CROSS JOIN corpus c
+        |WHERE q.query_id <> c.vec_id
+        |  AND ROUND(LIST_COSINE_SIMILARITY(q.qv, c.v), 6) >= 0.95""".stripMargin,
     "q60_ann_ivf_index" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle
   )

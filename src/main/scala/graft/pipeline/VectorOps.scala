@@ -409,7 +409,49 @@ object VectorOps {
     */
   def knnJoinIvf(queries: DataFrame, qIdCol: String, qVecCol: String,
       index: graft.table.GraftTable, k: Int, nProbe: Int = 4): DataFrame = {
-    require(k > 0 && nProbe > 0, s"k and nProbe must be positive: k=$k nProbe=$nProbe")
+    require(k > 0, s"k must be positive: $k")
+    // rank filter directly over the un-cast row_number so Spark's
+    // InferWindowGroupLimit inserts map-side per-query top-k BEFORE the
+    // window shuffle; cast for the output schema afterwards
+    ivfCandidates(queries, qIdCol, qVecCol, index, nProbe)
+      .withColumn("knn_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine_sim").desc, col("corpus_id"))))
+      .filter(col("knn_rank") <= k)
+      .withColumn("knn_rank", col("knn_rank").cast("long"))
+  }
+
+  /** Embedding near-dup pairs of `newDf` AGAINST a persisted IVF index —
+    * the embedding-space analog of [[Dedup.nearDupPairsAgainst]] ("drop
+    * new items that semantically duplicate the corpus"): each new vector
+    * probes its `nProbe` nearest cells, scores exact cosine against ONLY
+    * those cells' rows, and pairs at/above `threshold` (on the rounded
+    * similarity) are reported. A row whose id equals the corpus id is
+    * itself (a re-ingest), not a dup, and is excluded — mirroring the
+    * text path.
+    *
+    * Approximate by design: a qualifying pair in an unprobed cell is
+    * missed. At near-dup thresholds (≥ ~0.9) the two vectors are nearly
+    * colinear, so they share a nearest cell unless they straddle a cell
+    * boundary — `nProbe` is the recall lever, exactly as in retrieval.
+    */
+  def embedNearDupAgainst(newDf: DataFrame, idCol: String, vecCol: String,
+      index: graft.table.GraftTable, threshold: Double,
+      nProbe: Int = 4): DataFrame =
+    ivfCandidates(newDf, idCol, vecCol, index, nProbe)
+      .filter(col("cosine_sim") >= threshold &&
+        col("query_id") =!= col("corpus_id"))
+      .select(col("query_id").as("new_id"), col("corpus_id"),
+        col("cosine_sim"))
+
+  /** Shared probe stage of the persisted-IVF query ops: route each query
+    * row to its nProbe cells, prune the index scan to the probed cells,
+    * and exact-score candidates — returns (query_id, corpus_id,
+    * cosine_sim) with one row per (query, probed-cell row).
+    */
+  private def ivfCandidates(queries: DataFrame, qIdCol: String,
+      qVecCol: String, index: graft.table.GraftTable, nProbe: Int): DataFrame = {
+    require(nProbe > 0, s"nProbe must be positive: $nProbe")
     val (cents, idCol, vecCol) = ivfMeta(index)
     val dim = cents.headOption.map(_.size).getOrElse(0)
     val q = PipelineUtil.pin(PipelineUtil.spread(
@@ -451,18 +493,10 @@ object VectorOps {
       .select(col("ivf_cluster"), col(idCol),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("nv", norm(col("cv")))
-    // rank filter directly over the un-cast row_number so Spark's
-    // InferWindowGroupLimit inserts map-side per-query top-k BEFORE the
-    // window shuffle; cast for the output schema afterwards
     probes.join(corpus, "ivf_cluster")
       .select(col("query_id"), col(idCol).as("corpus_id"),
         round(cosinePrenormed(col("qv"), col("cv"),
           col("nq") * col("nv")), 6).as("cosine_sim"))
-      .withColumn("knn_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("cosine_sim").desc, col("corpus_id"))))
-      .filter(col("knn_rank") <= k)
-      .withColumn("knn_rank", col("knn_rank").cast("long"))
   }
 
   /** Embedding near-dup pairs: banded multi-table LSH candidates (union

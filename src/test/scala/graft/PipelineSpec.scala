@@ -402,6 +402,31 @@ class PipelineSpec extends SparkSpec {
     assert(got == want, s"diff=${(got diff want) ++ (want diff got)}")
   }
 
+  test("embedNearDupAgainst: finds threshold pairs vs the index, excludes self-ids") {
+    val dim = 8
+    def vec(g: Int, j: Int): Seq[Double] =
+      (0 until dim).map(d =>
+        (if (d == g) 1.0 else 0.0) + 0.01 * math.sin(1.0 + g * 17 + j * 3 + d))
+    // corpus: 4 tight groups of 5; batch: one near-dup of group 2, one
+    // orthogonal new vector, and a RE-INGEST of corpus id 100 (self)
+    val corpusRows = for (g <- 0 until 4; j <- 0 until 5)
+      yield ((g * 100 + j).toLong, vec(g, j))
+    val index = VectorOps.buildIvfIndex(corpusRows.toDF("vec_id", "v"),
+      "vec_id", "v", tmpTable(), numCentroids = 4)
+    val batch = Seq(
+      (900L, vec(2, 77)),                                // near-dups group 2
+      (901L, (0 until dim).map(d => if (d == 7) -1.0 else 0.0)), // novel
+      (100L, vec(1, 0))).toDF("vec_id", "v")             // re-ingest of id 100
+    val got = VectorOps.embedNearDupAgainst(batch, "vec_id", "v", index,
+      threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 900 pairs with all of group 2; 901 pairs with nothing; 100 pairs
+    // with the REST of group 1 but not itself
+    assert(got.filter(_._1 == 900L).map(_._2) == (0 until 5).map(j => 200L + j).toSet, got.toString)
+    assert(!got.exists(_._1 == 901L), got.toString)
+    assert(got.filter(_._1 == 100L).map(_._2) == Set(101L, 102L, 103L, 104L), got.toString)
+  }
+
   test("knnJoinIvf clamps nProbe past the cell count (tiny index, default nProbe)") {
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
       (3L, Seq(0.9, 0.1))).toDF("vec_id", "v")
