@@ -106,6 +106,13 @@ object Bench {
           .agg(sum("l_extendedprice")).collect()
       }
 
+      // 3b. z-order sort compaction of the full lineitem table: rewrites
+      // every row through the codegen'd curve key — the maintenance hot
+      // loop when re-clustering at 100 TB
+      results("sort_compact") = time {
+        liTable.sortCompact(Seq("l_orderkey", "l_partkey"), "zorder")
+      }
+
       // 4. merge-on-read before vs after compaction
       results("mor_read") = time { pk.toDF.count() }
       results("compact") = time { pk.compact() }

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Hilbert-curve index of up to 4 columns, the third clustering strategy of
@@ -16,10 +17,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (shared [[Lanes]] projection), then mapped through Skilling's
   * axes-to-transpose algorithm (John Skilling, "Programming the Hilbert
   * curve", AIP Conf. Proc. 707 (2004) — public domain) and bit-interleaved
-  * into one Long (n·16 ≤ 64 bits). Runs only in maintenance jobs, off the
-  * query hot path, so an interpreted eval is fine.
+  * into one Long (n·16 ≤ 64 bits). Sort compaction rewrites every row of a
+  * table through this key, so [[doGenCode]] keeps it inside whole-stage
+  * codegen: lanes are projected inline ([[Lanes.laneGen]]) and the transpose
+  * runs through the static [[Hilbert.index]] forwarder (branchy loop — not
+  * worth inlining, but JIT-hot). The interpreted [[eval]] remains for
+  * fallback paths.
   */
-case class HilbertValue(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class HilbertValue(children: Seq[Expression]) extends Expression {
   require(children.nonEmpty && children.size <= 4, "hilbert_value takes 1-4 columns")
 
   override def dataType: DataType = LongType
@@ -33,6 +38,28 @@ case class HilbertValue(children: Seq[Expression]) extends Expression with Codeg
       j += 1
     }
     Hilbert.index(coords, 16)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val coords = ctx.freshName("coords")
+    val laneVars = children.indices.map(j => ctx.freshName(s"lane$j"))
+    val laneCode = children.lazyZip(evals).lazyZip(laneVars).map { (c, e, lane) =>
+      Lanes.laneGen(ctx, c.dataType, e, lane)
+    }.mkString("\n")
+    val fill = laneVars.zipWithIndex
+      .map { case (lane, j) => s"$coords[$j] = $lane;" }
+      .mkString("\n")
+    val childCode = evals.map(_.code.toString).mkString("\n")
+    ev.copy(
+      code = code"""
+        $childCode
+        $laneCode
+        long[] $coords = new long[${children.size}];
+        $fill
+        long ${ev.value} = graft.functions.Hilbert.index($coords, 16);
+      """,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
