@@ -307,23 +307,43 @@ object VectorOps {
     * centroids).
     */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
-      numCentroids: Int = 16, iterations: Int = 1): graft.table.GraftTable = {
+      numCentroids: Int = 16, iterations: Int = 1,
+      maxCellRows: Long = 0L): graft.table.GraftTable = {
     val spreadDf = PipelineUtil.spread(df)
     val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
     // cluster the write by the partition column: without this every write
     // task emits a file into every probed cell dir (tasks × C small files
     // + a stats pass each — the actual build bottleneck measured at 500k
-    // rows / C=176); with it each cell is one task's contiguous write. At
-    // corpus scales where one cell exceeds a task, salt the key instead.
-    val assigned = spreadDf.select(col(idCol), col(vecCol))
+    // rows / C=176); with it each cell is one task's contiguous write.
+    val clustered = spreadDf.select(col(idCol), col(vecCol))
       .withColumn("ivf_cluster", ivfAssign(col(vecCol).cast("array<double>"), cents))
-      .repartition(col("ivf_cluster"))
+    // HOT-CELL SALTING: a skewed corpus can put a large fraction of rows in
+    // one cell, making that cell a single straggler write task (and later a
+    // straggler compaction unit) no matter how many executors exist. Count
+    // rows per cell (one column-pruned agg, C rows to the driver) and give
+    // any cell over the threshold `ceil(n/threshold)` salted sub-partitions
+    // (`ivf_salt`, assigned per row by id hash — deterministic, so
+    // re-ingests of the same id land on the same salt). Reads never filter
+    // on the salt: pruning on `ivf_cluster` alone already skips every salt
+    // directory of unprobed cells, so probe cost is unchanged — the salt
+    // only bounds per-task/per-partition volume. The reference solves the
+    // same problem for PK buckets with bucket rescale (reference:
+    // paimon-spark procedure/RescaleProcedure.java); this is that idea at
+    // the vector-index layer, with [[rebalanceIndex]] as the drift repair.
+    val counts = clustered.groupBy("ivf_cluster").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val threshold = cellThreshold(maxCellRows, counts.values.sum, cents.size)
+    val salts = saltPlan(counts, threshold)
+    val assigned = clustered
+      .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(idCol), salts))
+      .repartition(col("ivf_cluster"), col("ivf_salt"))
     val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
       .mkString(";")
     val t = graft.table.GraftTable.create(df.sparkSession, path, assigned.schema,
-      partitionKeys = Seq("ivf_cluster"),
+      partitionKeys = Seq("ivf_cluster", "ivf_salt"),
       options = Map("ivf.centroids" -> serialized, "ivf.vec-col" -> vecCol,
-        "ivf.id-col" -> idCol))
+        "ivf.id-col" -> idCol, "ivf.salts" -> serializeSalts(salts),
+        "ivf.max-cell-rows" -> maxCellRows.toString))
     t.append(assigned)
     // probe-scan split sizing: an IVF index is read with QUERY-side fan-out
     // (every byte of a probed cell is scored once per query probing it), so
@@ -346,15 +366,57 @@ object VectorOps {
     t
   }
 
+  /** Effective per-cell row ceiling: explicit when given, else twice the
+    * balanced mean cell size (a cell at 2x mean is where one write/compact
+    * task starts lagging the fleet).
+    */
+  private def cellThreshold(maxCellRows: Long, total: Long, numCells: Int): Long =
+    if (maxCellRows > 0) maxCellRows
+    else math.max(1L, 2L * total / math.max(1, numCells))
+
+  /** Cells needing >1 salt, with their salt counts (capped so a single
+    * pathological cell cannot explode the partition count).
+    */
+  private def saltPlan(counts: Map[Int, Long], threshold: Long): Map[Int, Int] =
+    counts.collect { case (cell, n) if n > threshold =>
+      cell -> math.min(4096L, (n + threshold - 1) / threshold).toInt
+    }
+
+  /** Per-row salt: id-hash modulo the cell's salt count (1 — i.e. salt 0 —
+    * for unsalted cells). The salted-cell map travels as one literal datum.
+    */
+  private def saltExpr(cluster: Column, id: Column, salts: Map[Int, Int]): Column =
+    if (salts.isEmpty) lit(0)
+    else pmod(hash(id), coalesce(element_at(typedLit(salts), cluster), lit(1)))
+
+  private def serializeSalts(salts: Map[Int, Int]): String =
+    salts.toSeq.sorted.map { case (c, n) => s"$c:$n" }.mkString(";")
+
+  private def parseSalts(s: String): Map[Int, Int] =
+    if (s.isEmpty) Map.empty
+    else s.split(';').map { e =>
+      val Array(c, n) = e.split(':'); c.toInt -> n.toInt
+    }.toMap
+
   /** The trained centroids + column names pinned in a persisted IVF
-    * index's table options.
+    * index's table options. Fails fast with a descriptive error on a table
+    * that is not an IVF index (an index built with different parameters
+    * must never be silently queried with defaults).
     */
   private def ivfMeta(index: graft.table.GraftTable)
-      : (Seq[Seq[Double]], String, String) =
-    (index.schema.option("ivf.centroids", "")
-       .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble)),
+      : (Seq[Seq[Double]], String, String) = {
+    val raw = index.schema.option("ivf.centroids", "")
+    require(raw.nonEmpty,
+      s"table at ${index.location} is not an IVF index: missing 'ivf.centroids' " +
+        "table option (build one with VectorOps.buildIvfIndex)")
+    (raw.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble)),
      index.schema.option("ivf.id-col", "id"),
      index.schema.option("ivf.vec-col", "vec"))
+  }
+
+  /** The persisted salt plan of an index ([[buildIvfIndex]] salting). */
+  private def ivfSalts(index: graft.table.GraftTable): Map[Int, Int] =
+    parseSalts(index.schema.option("ivf.salts", ""))
 
   /** Fold a new batch of vectors into a persisted IVF index: assignment is
     * a deterministic projection on the STORED centroids, so appends route
@@ -369,13 +431,61 @@ object VectorOps {
       idCol: String, vecCol: String, commitIdentifier: Long = -1L,
       commitUser: String = ""): Unit = {
     val (cents, storedId, storedVec) = ivfMeta(index)
+    val salts = ivfSalts(index)
     val assigned = PipelineUtil.spread(
       df.select(col(idCol).as(storedId), col(vecCol).as(storedVec)))
       .withColumn("ivf_cluster",
         ivfAssign(col(storedVec).cast("array<double>"), cents))
-      .repartition(col("ivf_cluster")) // one task per touched cell dir
+      .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(storedId), salts))
+      .repartition(col("ivf_cluster"), col("ivf_salt")) // one task per touched dir
     index.append(assigned, commitIdentifier = commitIdentifier,
       commitUser = commitUser)
+  }
+
+  /** Re-balance a persisted IVF index whose cells have drifted hot: per-cell
+    * live row counts come FREE from commit metadata (no data read), cells
+    * whose count demands a different salt fan-out than the stored plan are
+    * rewritten — a partition-pruned read of JUST that cell, re-salted by id
+    * hash, committed as a static-partition OVERWRITE (atomic per cell; reads
+    * at any point see either the old or the new sub-partitioning, both
+    * correct since queries never filter on the salt). Cells within plan are
+    * untouched. Returns (cell, oldSalts, newSalts) for each rewritten cell.
+    *
+    * This is the drift-repair half of hot-cell handling ([[buildIvfIndex]]
+    * salts at build time); centroid drift — cells whose CONTENT no longer
+    * matches the stored centroids — still requires a rebuild, which this
+    * deliberately does not do (retraining changes assignment and thus
+    * retrieval results; re-salting never does).
+    */
+  def rebalanceIndex(index: graft.table.GraftTable,
+      maxCellRows: Long = 0L): Seq[(Int, Int, Int)] = {
+    val (_, storedId, _) = ivfMeta(index)
+    val stored = ivfSalts(index)
+    val live = index.store.latestSnapshot
+      .map(s => index.store.liveFiles(s)).getOrElse(Nil)
+    val counts: Map[Int, Long] = live.groupBy(_.partition.head.toInt)
+      .view.mapValues(_.map(_.liveRowCount).sum).toMap
+    val explicitMax = if (maxCellRows > 0) maxCellRows
+      else index.schema.option("ivf.max-cell-rows", "0").toLong
+    val threshold =
+      cellThreshold(explicitMax, counts.values.sum, counts.size max 1)
+    val desired = saltPlan(counts, threshold)
+    val drifted = (stored.keySet ++ desired.keySet).toSeq.sorted
+      .map(c => (c, stored.getOrElse(c, 1), desired.getOrElse(c, 1)))
+      .filter { case (_, o, n) => o != n }
+    drifted.foreach { case (cell, _, n) =>
+      val cellDf = index.toDF
+        .filter(col("ivf_cluster") === cell)
+        .drop("ivf_salt")
+        .withColumn("ivf_salt",
+          saltExpr(col("ivf_cluster"), col(storedId), Map(cell -> n)))
+        .repartition(col("ivf_cluster"), col("ivf_salt"))
+      index.overwrite(cellDf, staticPartition = Map("ivf_cluster" -> cell.toString))
+    }
+    if (drifted.nonEmpty)
+      index.evolveBatch(Seq(
+        index.setOptionT("ivf.salts", serializeSalts(desired))))
+    drifted
   }
 
   /** Top-k cosine query against a persisted IVF index: probes the nProbe

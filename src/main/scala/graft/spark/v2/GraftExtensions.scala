@@ -349,6 +349,16 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
       case "rebuild_global_index" =>
         val s = table.rebuildGlobalIndex()
         s"rebuilt global pk index at snapshot ${s.id}"
+      case "rebalance_index" =>
+        // IVF hot-cell drift repair (the vector-layer analog of `rescale`):
+        // re-salts cells whose live row counts have outgrown (or shrunk
+        // below) the stored salt plan; optional 2nd arg overrides the
+        // per-cell row ceiling
+        val maxRows = if (args.size > 1) args(1).toLong else 0L
+        val moved = graft.pipeline.VectorOps.rebalanceIndex(table, maxRows)
+        if (moved.isEmpty) "rebalance_index: all cells within plan"
+        else "rebalanced cells " + moved
+          .map { case (c, o, n) => s"$c($o->$n salts)" }.mkString(", ")
       case "reset_consumer" =>
         val id = args(1)
         if (args.size > 2) {
