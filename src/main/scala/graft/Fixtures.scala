@@ -163,6 +163,70 @@ object Fixtures {
       graft.pipeline.Dedup.buildSigIndex(corpus, "doc_id", "text", path)
     }
 
+  // ---- text+embedding ingest (q123): own tables — processBatch mutates them
+
+  /** Corpus docs (doc_id % 10 != 0) with their embeddings as
+    * `array<double>` — documents and embeddings are 1:1 by id.
+    */
+  def semanticDedupCorpusDf(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    src(spark, sfDir, "documents").filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text")
+      .join(src(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")), Seq("doc_id"))
+
+  def semanticDedupCorpus(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "semantic_dedup_corpus") { path =>
+      val corpus = semanticDedupCorpusDf(spark, sfDir).select("doc_id", "text")
+      val t = GraftTable.create(spark, path, corpus.schema)
+      t.append(corpus)
+      t
+    }
+
+  def semanticDedupSigIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "semantic_dedup_sig_index") { path =>
+      graft.pipeline.Dedup.buildSigIndex(
+        semanticDedupCorpusDf(spark, sfDir), "doc_id", "text", path)
+    }
+
+  def semanticDedupIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "semantic_dedup_ivf_index") { path =>
+      graft.pipeline.VectorOps.buildIvfIndex(
+        semanticDedupCorpusDf(spark, sfDir).select("doc_id", "v"),
+        "doc_id", "v", path, numCentroids = 16)
+    }
+
+  /** Tonight's batch for the text+embedding ingest: the held-out docs
+    * (doc_id % 10 == 0) with their embeddings, PLUS planted SEMANTIC
+    * duplicates whose texts share no shingles (so the text stages cannot
+    * catch them) but whose vectors are exactly colinear with an existing
+    * one (cosine 1.0 — and colinear vectors share every LSH bucket and IVF
+    * cell, so recall of the planted pair is structural, not probabilistic):
+    *  - corpus twins: base doc_id % 50 == 1 (all in the corpus), new id =
+    *    base + 1000, v = 1.01 × base v → dropped by the vs-corpus
+    *    semantic check;
+    *  - intra-batch twins: base doc_id % 100 == 0 (all in the batch), new
+    *    id = base + 5000, v = 1.02 × base v → the larger id of the pair
+    *    drops in the intra-batch semantic check.
+    */
+  def semanticDedupBatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    val emb = src(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("doc_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val natural = src(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      .join(emb, Seq("doc_id"))
+    val corpusTwins = emb.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 1000).as("doc_id"),
+        concat(lit("twin "), col("doc_id").cast("string")).as("text"),
+        transform(col("v"), x => x * 1.01).as("v"))
+    val intraTwins = emb.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(lit("pairtwin "), col("doc_id").cast("string")).as("text"),
+        transform(col("v"), x => x * 1.02).as("v"))
+    natural.unionByName(corpusTwins).unionByName(intraTwins)
+  }
+
   /** lineitem under explicit split sizing + partition-sorted planning: many
     * small files whose splits are capped by open-file-cost. The options are
     * read-side only — the scan must return exactly the table.

@@ -541,6 +541,23 @@ object SparkEntry {
         0L, "doc_id", "text", corpus, Fixtures.streamDedupIndex(s, d))
       corpus.toDF.select("doc_id")
     }),
+    "q123_semantic_dedup_ingest" -> ((s, d) => {
+      // the ingest pipeline WITH the semantic stage: text checks as q120,
+      // then embedding near-dup within the batch (planted colinear
+      // intra-batch twins drop) and against the corpus's persisted IVF
+      // index (planted corpus twins drop — their texts share no shingles,
+      // so only the vector stage can catch them). Survivors land in the
+      // corpus AND the IVF index under one batch commit; the result joins
+      // the two tables' id sets, so any divergence breaks the row count.
+      val corpus = Fixtures.semanticDedupCorpus(s, d)
+      val ivf = Fixtures.semanticDedupIvfIndex(s, d)
+      graft.streaming.StreamingDedup.processBatch(
+        Fixtures.semanticDedupBatch(s, d), 0L, "doc_id", "text",
+        corpus, Fixtures.semanticDedupSigIndex(s, d),
+        embed = Some(graft.streaming.StreamingDedup.EmbedStage("v", ivf)))
+      corpus.toDF.select("doc_id")
+        .join(ivf.toDF.select("doc_id"), Seq("doc_id"))
+    }),
     "q47_dedup_keep" -> ((s, d) => {
       val docs = Fixtures.src(s, d, "documents")
       val drops = Dedup.dropIds(
@@ -822,6 +839,69 @@ object SparkEntry {
       |UNION ALL
       |SELECT doc_id FROM intra_keep
       |  WHERE doc_id NOT IN (SELECT new_id FROM cp)""".stripMargin
+
+  // q123: the full text+embedding ingest pipeline, replayed in SQL. The
+  // batch (doc_id % 10 = 0 plus the planted colinear twins, see
+  // Fixtures.semanticDedupBatch) runs exact dedup → re-ingest drop →
+  // intra-batch exact-jaccard near-dup → vs-corpus near-dup → intra-batch
+  // embedding near-dup (cosine >= 0.95, larger id drops) → vs-corpus
+  // embedding near-dup; final corpus = original corpus ∪ admitted. Exact
+  // cosine is a faithful oracle for the engine's LSH/IVF stages because
+  // the only pairs above 0.95 are the planted colinear twins (max natural
+  // pair cosine is ~0.51) and colinear vectors share every LSH bucket and
+  // IVF cell — recall is structural, not probabilistic.
+  private val semanticDedupSql =
+    """WITH e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |corpus AS (SELECT d.doc_id, d.text, e.v FROM documents d
+      |  JOIN e USING (doc_id) WHERE d.doc_id % 10 <> 0),
+      |batch AS (
+      |  SELECT d.doc_id, d.text, e.v FROM documents d JOIN e USING (doc_id)
+      |  WHERE d.doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000, 'twin ' || CAST(doc_id AS VARCHAR),
+      |    LIST_TRANSFORM(v, x -> x * 1.01) FROM e WHERE doc_id % 50 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 5000, 'pairtwin ' || CAST(doc_id AS VARCHAR),
+      |    LIST_TRANSFORM(v, x -> x * 1.02) FROM e WHERE doc_id % 100 = 0),
+      |bsh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |    RANGE(1, GREATEST(LEN(t)-2, 1)+1), i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id,
+      |    STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |    FROM batch)),
+      |csh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+      |    RANGE(1, GREATEST(LEN(t)-2, 1)+1), i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s
+      |  FROM (SELECT doc_id,
+      |    STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      |    FROM corpus)),
+      |exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM batch GROUP BY text),
+      |fresh AS (SELECT doc_id FROM exact_keep
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM corpus)),
+      |ip AS (SELECT b.doc_id AS id_b FROM bsh a JOIN bsh b ON a.doc_id < b.doc_id
+      |  WHERE a.doc_id IN (SELECT doc_id FROM fresh)
+      |    AND b.doc_id IN (SELECT doc_id FROM fresh)
+      |    AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+      |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7),
+      |intra_keep AS (SELECT doc_id FROM fresh
+      |  WHERE doc_id NOT IN (SELECT id_b FROM ip)),
+      |cp AS (SELECT a.doc_id FROM bsh a JOIN csh b ON a.doc_id <> b.doc_id
+      |  WHERE a.doc_id IN (SELECT doc_id FROM intra_keep)
+      |    AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+      |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7),
+      |text_adm AS (SELECT doc_id FROM intra_keep
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cp)),
+      |si AS (SELECT b.doc_id FROM batch a JOIN batch b ON a.doc_id < b.doc_id
+      |  WHERE a.doc_id IN (SELECT doc_id FROM text_adm)
+      |    AND b.doc_id IN (SELECT doc_id FROM text_adm)
+      |    AND ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= 0.95),
+      |sem1 AS (SELECT doc_id FROM text_adm
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM si)),
+      |sc AS (SELECT a.doc_id FROM batch a JOIN corpus c ON a.doc_id <> c.doc_id
+      |  WHERE a.doc_id IN (SELECT doc_id FROM sem1)
+      |    AND ROUND(LIST_COSINE_SIMILARITY(a.v, c.v), 6) >= 0.95)
+      |SELECT doc_id FROM corpus
+      |UNION ALL
+      |SELECT doc_id FROM sem1 WHERE doc_id NOT IN (SELECT doc_id FROM sc)""".stripMargin
 
   // min-reachable-id clustering over the exact jaccard>=0.7 pair graph
   private val dupClustersSql =
@@ -1259,6 +1339,7 @@ object SparkEntry {
     "q59_jaccard_join" -> jaccardPairsSql,
     "q116_incremental_neardup" -> incrementalPairsSql,
     "q120_stream_dedup_ingest" -> streamDedupSql,
+    "q123_semantic_dedup_ingest" -> semanticDedupSql,
     "q61_dup_clusters" -> dupClustersSql,
     "q47_dedup_keep" ->
       s"""SELECT doc_id FROM documents

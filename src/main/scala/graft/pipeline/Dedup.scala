@@ -372,6 +372,19 @@ object Dedup {
     t
   }
 
+  /** The (numHashes, bands) a signature index was built with. Fails fast
+    * on a table without the options: hashing a batch with DEFAULT
+    * parameters against an index built with different ones would band
+    * incompatible signatures and silently miss every duplicate.
+    */
+  private def sigMeta(index: graft.table.GraftTable): (Int, Int) = {
+    val nh = index.schema.option("dedup.num-hashes", "")
+    require(nh.nonEmpty,
+      s"table at ${index.location} is not a signature index: missing " +
+        "'dedup.num-hashes' table option (build one with Dedup.buildSigIndex)")
+    (nh.toInt, index.schema.option("dedup.bands", "16").toInt)
+  }
+
   /** Fold a new batch's signatures into the index (upsert: a re-ingested
     * doc id replaces its signature). Call after the batch itself has been
     * deduped and admitted to the corpus.
@@ -379,7 +392,7 @@ object Dedup {
   def appendToSigIndex(index: graft.table.GraftTable, df: DataFrame,
       idCol: String, textCol: String, commitIdentifier: Long = -1L,
       commitUser: String = ""): Unit = {
-    val numHashes = index.schema.option("dedup.num-hashes", "64").toInt
+    val (numHashes, _) = sigMeta(index)
     index.upsert(sigFrame(df, idCol, textCol, numHashes),
       commitIdentifier = commitIdentifier, commitUser = commitUser)
   }
@@ -395,8 +408,7 @@ object Dedup {
   def nearDupPairsAgainst(newDf: DataFrame, idCol: String, textCol: String,
       index: graft.table.GraftTable, corpus: DataFrame,
       threshold: Double = 0.7): DataFrame = {
-    val numHashes = index.schema.option("dedup.num-hashes", "64").toInt
-    val bands = index.schema.option("dedup.bands", "16").toInt
+    val (numHashes, bands) = sigMeta(index)
     val newSigs = sigFrame(newDf, idCol, textCol, numHashes) // already pinned
     val corpusSigs = PipelineUtil.pin(index.toDF.select(col("id"), col("sig")))
     // band-bucket join, new × corpus: the new side is the small one — AQE

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, VectorOps}
 import graft.table.GraftTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -14,25 +14,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Each micro-batch of incoming documents is
   *  1. exact-deduplicated within itself (one survivor per text
-  *     fingerprint, smallest id wins — deterministic),
+  *     fingerprint, smallest id wins — deterministic), and stripped of
+  *     ids the corpus already serves (re-crawls — the corpus copy wins),
   *  2. near-dup-deduplicated within itself (MinHash LSH pairs, the larger
   *     id of every verified pair drops),
   *  3. near-dup-checked AGAINST the persisted signature index of the
   *     corpus ([[Dedup.nearDupPairsAgainst]] — the corpus text is never
-  *     re-shingled; only its tiny (id, sig) index is banded), and
-  *  4. the survivors are appended to the corpus table and their
-  *     signatures upserted into the index, both under
+  *     re-shingled; only its tiny (id, sig) index is banded), optionally
+  *     followed by the SEMANTIC stage ([[EmbedStage]]: embedding near-dup
+  *     within the batch and against the corpus's IVF index), and
+  *  4. the survivors are appended to the corpus table, their vectors to
+  *     the IVF index (when the semantic stage is on), and their
+  *     signatures upserted into the signature index — each under
   *     `commitIdentifier = batchId` — graft's per-commitUser exactly-once
   *     filter makes a replayed batch a no-op on whichever table already
   *     committed it.
   *
-  * Crash-recovery correctness: the two writes are not atomic together, but
-  * the dedup decision is a deterministic function of (batch, index
-  * snapshot). If a failure lands between the corpus commit and the index
-  * commit, the restarted batch recomputes the SAME survivor set (the index
-  * has not advanced), the corpus append is filtered as already-committed,
-  * and only the index upsert lands — converging to the committed state
-  * rather than duplicating or losing documents.
+  * Crash-recovery correctness: the writes are not atomic together, but the
+  * dedup decision is a deterministic function of (batch, index snapshots),
+  * and the signature index — the one the re-ingest check (1b) keys on —
+  * commits LAST. A failure anywhere earlier leaves the sig index
+  * unchanged, so the restarted batch recomputes the SAME survivor set
+  * (batch vectors already in the IVF index cannot re-drop survivors:
+  * same-id pairs are excluded, and any cross-id embedding near-dups were
+  * already dropped intra-batch), already-committed tables replay-filter
+  * their appends, and only the missing commits land — converging to the
+  * committed state rather than duplicating or losing documents.
   *
   * Scale shape: per batch the corpus participates only through (a) its
   * signature index scan (band projections, no text) and (b) candidate-id
@@ -47,16 +54,34 @@ object StreamingDedup {
     * the streaming wrapper.
     */
   case class BatchResult(batchId: Long, input: Long, admitted: Long,
-      droppedExact: Long, droppedIntra: Long, droppedCorpus: Long)
+      droppedExact: Long, droppedIntra: Long, droppedCorpus: Long,
+      droppedReingest: Long = 0L, droppedEmbedIntra: Long = 0L,
+      droppedEmbedCorpus: Long = 0L)
+
+  /** Optional SEMANTIC stage of the ingest pipeline: after the text checks,
+    * survivors are embedding-near-dup-checked within the batch
+    * ([[VectorOps.nearDupPairs]]) and against the corpus's persisted IVF
+    * index ([[VectorOps.embedNearDupAgainst]] — probes `nProbe` cells per
+    * vector, never scans the corpus), and the vectors of admitted docs are
+    * folded into that index ([[VectorOps.appendToIvfIndex]]) under the same
+    * exactly-once batch commit. This catches paraphrases/translations whose
+    * shingle sets share nothing — the dedup layer token-level LSH cannot
+    * see.
+    */
+  case class EmbedStage(vecCol: String, ivfIndex: GraftTable,
+      threshold: Double = 0.95, nProbe: Int = 4)
 
   /** Run one batch of the ingest-with-dedup pipeline (the `foreachBatch`
     * body; callable directly for batch backfills). `corpus` must contain
     * `idCol` and `textCol`; survivors are appended with the batch's full
-    * column set projected to the corpus schema.
+    * column set projected to the corpus schema. With `embed` set, the batch
+    * must also carry `embed.vecCol` and the semantic stage runs between the
+    * text checks and the commits.
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, corpus: GraftTable, index: GraftTable,
-      threshold: Double = 0.7, commitUser: String = "streaming-dedup")
+      threshold: Double = 0.7, commitUser: String = "streaming-dedup",
+      embed: Option[EmbedStage] = None)
       : BatchResult = {
     val in = batch.persist()
     val cached = scala.collection.mutable.ListBuffer[DataFrame](in)
@@ -78,9 +103,22 @@ object StreamingDedup {
         .select(in.columns.map(c => col("__row").getField(c).as(c)): _*))
       val exactN = exact.count()
 
+      // 1b. drop ids the corpus already serves (a re-crawl of a known id):
+      // nearDupPairsAgainst excludes same-id pairs (a doc is not a dup of
+      // itself), so without this an identical re-ingest would be admitted
+      // and duplicate the corpus row while the index upsert replaced the
+      // signature — corpus and index diverging. Shape: the batch's id set
+      // broadcasts into a semi-join against the index's id column (one
+      // column-pruned index scan, no corpus shuffle), and the resulting
+      // hit set (≤ batch-sized) broadcasts back into the anti-join.
+      val knownIds = keep(index.toDF.select(col("id").as(idCol))
+        .join(broadcast(exact.select(col(idCol))), Seq(idCol), "left_semi"))
+      val fresh = keep(exact.join(broadcast(knownIds), Seq(idCol), "left_anti"))
+      val freshN = fresh.count()
+
       // 2. near-dup intra-batch: larger id of every verified pair drops
-      val intraPairs = Dedup.nearDupPairs(exact, idCol, textCol, threshold)
-      val intraSurvivors = keep(exact.join(
+      val intraPairs = Dedup.nearDupPairs(fresh, idCol, textCol, threshold)
+      val intraSurvivors = keep(fresh.join(
         Dedup.dropIds(intraPairs).withColumnRenamed("drop_id", idCol),
         Seq(idCol), "left_anti"))
       val intraN = intraSurvivors.count()
@@ -89,22 +127,56 @@ object StreamingDedup {
       // corpus copy wins — it is already served downstream)
       val corpusPairs = Dedup.nearDupPairsAgainst(intraSurvivors, idCol,
         textCol, index, corpus.toDF, threshold)
-      val admitted = keep(intraSurvivors.join(
+      val textAdmitted = keep(intraSurvivors.join(
         corpusPairs.select(col("new_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti"))
+      val textAdmittedN = textAdmitted.count()
+
+      // 3b/3c. semantic stage: embedding near-dup within the batch, then
+      // against the corpus's IVF index — catches rephrasings the shingle
+      // LSH cannot (distinct token sets, same meaning)
+      val (admitted, embedIntraN) = embed match {
+        case None => (textAdmitted, textAdmittedN)
+        case Some(e) =>
+          val embedPairs =
+            VectorOps.nearDupPairs(textAdmitted, idCol, e.vecCol, e.threshold)
+          val s1 = keep(textAdmitted.join(
+            Dedup.dropIds(embedPairs).withColumnRenamed("drop_id", idCol),
+            Seq(idCol), "left_anti"))
+          val s1N = s1.count()
+          val vsCorpus = VectorOps.embedNearDupAgainst(
+            s1, idCol, e.vecCol, e.ivfIndex, e.threshold, e.nProbe)
+          (keep(s1.join(vsCorpus.select(col("new_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")), s1N)
+      }
       val admittedN = admitted.count()
 
-      // 4. exactly-once writes: distinct commitUsers give the two tables
-      // independent replay filters keyed by the same batchId
+      // 4. exactly-once writes: distinct commitUsers give the tables
+      // independent replay filters keyed by the same batchId. ORDER
+      // MATTERS for crash convergence: the SIGNATURE index commits LAST
+      // because the re-ingest check (1b) keys on it — a replay after a
+      // crash anywhere earlier sees the sig index unchanged, recomputes
+      // the identical survivor set, and the already-committed tables
+      // filter their replays; once the sig commit lands, a replay of the
+      // whole batch drops everything at 1b, and every append is a no-op
+      // on content. Either way the three tables converge.
       val corpusCols = corpus.schema.fields.map(f => col(f.name))
       corpus.append(admitted.select(corpusCols: _*),
         commitIdentifier = batchId, commitUser = s"$commitUser-corpus")
+      embed.foreach { e =>
+        VectorOps.appendToIvfIndex(e.ivfIndex,
+          admitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
+          commitIdentifier = batchId, commitUser = s"$commitUser-ivf")
+      }
       Dedup.appendToSigIndex(index, admitted, idCol, textCol,
         commitIdentifier = batchId, commitUser = s"$commitUser-index")
 
       BatchResult(batchId, inputN, admittedN,
-        droppedExact = inputN - exactN, droppedIntra = exactN - intraN,
-        droppedCorpus = intraN - admittedN)
+        droppedExact = inputN - exactN, droppedIntra = freshN - intraN,
+        droppedCorpus = intraN - textAdmittedN,
+        droppedReingest = exactN - freshN,
+        droppedEmbedIntra = textAdmittedN - embedIntraN,
+        droppedEmbedCorpus = embedIntraN - admittedN)
     } finally cached.foreach(_.unpersist()) // failed batches leak no blocks
   }
 
@@ -127,7 +199,8 @@ object StreamingDedup {
   def backfill(docs: DataFrame, idCol: String, textCol: String,
       corpus: GraftTable, index: GraftTable, batches: Int,
       threshold: Double = 0.7, commitUser: String = "backfill-dedup",
-      startBatchId: Long = 0L): Seq[BatchResult] = {
+      startBatchId: Long = 0L, embed: Option[EmbedStage] = None)
+      : Seq[BatchResult] = {
     require(batches > 0, s"batches must be positive: $batches")
     // a resumed backfill MUST reuse the original modulus: chunk contents
     // are hash(id) % batches but the replay filter keys on the chunk ID —
@@ -145,7 +218,7 @@ object StreamingDedup {
       processBatch(
         docs.filter(pmod(xxhash64(col(idCol)), lit(batches)) === b),
         startBatchId + b, idCol, textCol, corpus, index, threshold,
-        commitUser)
+        commitUser, embed)
     }
   }
 
@@ -157,12 +230,13 @@ object StreamingDedup {
   def start(docs: DataFrame, idCol: String, textCol: String,
       corpus: GraftTable, index: GraftTable, checkpointDir: String,
       threshold: Double = 0.7, commitUser: String = "streaming-dedup",
-      onBatch: BatchResult => Unit = r => ()): StreamingQuery =
+      onBatch: BatchResult => Unit = r => (),
+      embed: Option[EmbedStage] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onBatch(processBatch(batch, batchId, idCol, textCol, corpus, index,
-          threshold, commitUser))
+          threshold, commitUser, embed))
       }
       .start()
 }

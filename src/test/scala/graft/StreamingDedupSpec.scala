@@ -54,6 +54,108 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.toDF.count() == 6)
   }
 
+  test("re-ingest of an existing corpus id is dropped, not duplicated") {
+    val (corpus, index) = mkCorpusAndIndex()
+    // doc 1 is ALREADY in the corpus (a re-crawl): same-id pairs are
+    // excluded from near-dup, so only the explicit re-ingest check can
+    // stop it from appending a duplicate row while the index upsert
+    // replaces the signature — corpus and index diverging
+    val b = Seq((1L, text(1)), (601L, text(60))).toDF("doc_id", "body")
+    val r = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index)
+    assert(r.droppedReingest == 1 && r.admitted == 1, r.toString)
+    assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 601L)) // 1 NOT duplicated
+    assert(index.toDF.count() == 4)
+  }
+
+  /** 64-dim deterministic pseudo-random unit-scale vector seeded by `g`;
+    * independent seeds land near-orthogonal (|cos| ≲ 0.4 ≪ 0.95), while
+    * `scale`d copies of one seed are exactly colinear (cos = 1.0).
+    */
+  private def vec(g: Int, scale: Double = 1.0): Array[Double] = {
+    val rnd = new scala.util.Random(g)
+    Array.fill(64)((rnd.nextDouble() - 0.5) * scale)
+  }
+
+  test("semantic stage: embedding near-dups drop intra-batch and vs corpus") {
+    val corpusDf = Seq(
+      (1L, text(1), vec(1)), (2L, text(2), vec(2)), (3L, text(3), vec(3)))
+      .toDF("doc_id", "body", "v")
+    val corpus = GraftTable.create(spark, tmpTable(),
+      corpusDf.select("doc_id", "body").schema)
+    corpus.append(corpusDf.select("doc_id", "body"))
+    val index = Dedup.buildSigIndex(corpusDf, "doc_id", "body", tmpTable())
+    val ivf = graft.pipeline.VectorOps.buildIvfIndex(
+      corpusDf.select("doc_id", "v"), "doc_id", "v", tmpTable(),
+      numCentroids = 2)
+
+    // 701: DIFFERENT text but vector colinear with corpus doc 2 — only the
+    // semantic vs-corpus check can catch it; 702/703: distinct texts,
+    // colinear vectors (intra pair — larger id 703 drops); 704 clean
+    val b = Seq(
+      (701L, text(70), vec(2, scale = 1.01)),
+      (702L, text(71), vec(7)), (703L, text(72), vec(7, scale = 1.02)),
+      (704L, text(73), vec(8))).toDF("doc_id", "body", "v")
+    val r = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)))
+    assert(r.droppedEmbedIntra == 1 && r.droppedEmbedCorpus == 1 &&
+      r.admitted == 2, r.toString)
+    assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 702L, 704L))
+    // all three tables advanced together: sig index and IVF index carry
+    // exactly the admitted ids
+    assert(index.toDF.count() == 5)
+    assert(ivf.toDF.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 702L, 704L))
+
+    // batch 2: 705 colinear with 702 — admitted LAST batch, so it must be
+    // caught through the UPDATED IVF index
+    val b2 = Seq((705L, text(74), vec(7, scale = 0.99))).toDF("doc_id", "body", "v")
+    val r2 = StreamingDedup.processBatch(b2, 1L, "doc_id", "body",
+      corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)))
+    assert(r2.droppedEmbedCorpus == 1 && r2.admitted == 0, r2.toString)
+    assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 702L, 704L))
+  }
+
+  test("semantic-stage partial-commit recovery converges (sig index last)") {
+    val corpusDf = Seq((1L, text(1), vec(1))).toDF("doc_id", "body", "v")
+    val corpus = GraftTable.create(spark, tmpTable(),
+      corpusDf.select("doc_id", "body").schema)
+    corpus.append(corpusDf.select("doc_id", "body"))
+    val index = Dedup.buildSigIndex(corpusDf, "doc_id", "body", tmpTable())
+    val ivf = graft.pipeline.VectorOps.buildIvfIndex(
+      corpusDf.select("doc_id", "v"), "doc_id", "v", tmpTable(),
+      numCentroids = 1)
+    val b = Seq((801L, text(80), vec(9))).toDF("doc_id", "body", "v")
+
+    // crash AFTER corpus and ivf commits, BEFORE the sig-index commit:
+    // pre-commit both under the batch's identifiers
+    corpus.append(b.select("doc_id", "body"), commitIdentifier = 0L,
+      commitUser = "streaming-dedup-corpus")
+    graft.pipeline.VectorOps.appendToIvfIndex(ivf,
+      b.select("doc_id", "v"), "doc_id", "v",
+      commitIdentifier = 0L, commitUser = "streaming-dedup-ivf")
+    assert(index.toDF.count() == 1) // sig index did NOT advance
+
+    // replay: 801's vector is ALREADY in the IVF index, but same-id pairs
+    // are excluded, so the survivor set is unchanged; corpus+ivf appends
+    // replay-filter, the sig upsert lands — all three converge
+    val r = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)))
+    assert(r.admitted == 1, r.toString)
+    assert(corpusIds(corpus) == Seq(1L, 801L))
+    assert(ivf.toDF.count() == 2)
+    assert(index.toDF.count() == 2)
+
+    // full replay of the SAME batchId: everything drops at the re-ingest
+    // check (801 is now in the sig index) — state unchanged
+    val r2 = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)))
+    assert(r2.admitted == 0 && r2.droppedReingest == 1, r2.toString)
+    assert(corpusIds(corpus) == Seq(1L, 801L))
+    assert(ivf.toDF.count() == 2)
+    assert(index.toDF.count() == 2)
+  }
+
   test("replay and partial-commit recovery converge exactly-once") {
     val (corpus, index) = mkCorpusAndIndex()
     val b1 = Seq((201L, text(20)), (202L, text(21))).toDF("doc_id", "body")
