@@ -155,7 +155,16 @@ object JsonCdcIngest {
               })
           if (!bothStructs) None
           else {
-            val events = parsed.withColumn("__evt_pos", monotonically_increasing_id())
+            // pinned: __evt_pos feeds BOTH the moved and afterKeys branches
+            // of the anti-join below — without the pin each branch would
+            // recompute positions from an independent replan of the source,
+            // and a non-deterministic or repartitioned upstream could
+            // disagree between branches and mis-decide the later-recreate
+            // check. The lazy local checkpoint makes both branches read the
+            // SAME materialized positions.
+            val events = parsed
+              .withColumn("__evt_pos", monotonically_increasing_id())
+              .localCheckpoint(false)
             val pkEqual = primaryKeys
               .map(p => col(s"before.$p") <=> col(s"after.$p")).reduce(_ && _)
             val moved = events

@@ -15,7 +15,11 @@ private[pipeline] object PipelineUtil {
     */
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < (want + 1) / 2) df.repartition(want) else df
+    // partition count from the frame's OWN (cached) QueryExecution:
+    // `df.rdd` would wrap the plan in DeserializeToObject and plan the
+    // whole query a second time just to count partitions
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts < (want + 1) / 2) df.repartition(want) else df
   }
 
   /** Pin a frame for multiple downstream consumers WITHOUT a serializing

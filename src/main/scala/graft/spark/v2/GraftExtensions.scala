@@ -104,9 +104,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.graft.SparkShims.realExpr(
             build(args.map(org.apache.spark.sql.graft.SparkShims.column)))
         }))
-    def intLit(e: org.apache.spark.sql.Column): Int =
-      org.apache.spark.sql.graft.SparkShims.realExpr(e)
-        .eval(null).asInstanceOf[Number].intValue
+    def intLit(e: org.apache.spark.sql.Column): Int = {
+      val expr = org.apache.spark.sql.graft.SparkShims.realExpr(e)
+      // eval(null) on a non-foldable arg (e.g. a column reference) throws
+      // an unbound-attribute error from deep inside codegen — turn it into
+      // a clear analysis-time message instead
+      require(expr.foldable,
+        s"parameter must be an integer literal, got: ${expr.sql}")
+      expr.eval(null).asInstanceOf[Number].intValue
+    }
     injectColumnFn("graft_shingles",
       "graft_shingles(text[, n]): distinct word n-gram shingles", 1, 2) { as =>
       graft.pipeline.Dedup.shingles(as.head,

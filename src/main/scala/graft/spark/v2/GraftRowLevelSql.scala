@@ -38,10 +38,11 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
       GraftUpdateCommand(graftOf(target).get, assignments, condition)
     case m: MergeIntoTable
         if m.resolved && graftOf(m.targetTable).isDefined =>
-      if (m.withSchemaEvolution)
-        throw new UnsupportedOperationException(
-          "MERGE INTO ... WITH SCHEMA EVOLUTION is not supported on graft tables; " +
-            "ALTER TABLE first, then MERGE")
+      // WITH SCHEMA EVOLUTION needs no handling here: the analyzer already
+      // evolved the target (AUTOMATIC_SCHEMA_EVOLUTION capability →
+      // ResolveMergeIntoSchemaEvolution → GraftCatalog.alterTable) before
+      // this post-hoc rule sees the resolved plan, so target/source refs
+      // below bind against the evolved schema.
       GraftMergeCommand(graftOf(m.targetTable).get,
         new MergeSpec(m.sourceTable, m.mergeCondition, m.matchedActions,
           m.notMatchedActions, m.notMatchedBySourceActions,

@@ -245,10 +245,12 @@ class GraftScan(
     // section the merged count lies in [max file, sum] — estimate
     // max + α·rest. α=0.2 only when the section has a fully-compacted
     // base AND the overlapping rows are at most ~2× it (churn shape:
-    // mostly updates of existing keys); beyond that the table is
-    // growth-dominated and α=0.5 bounds the worst-case (all-inserts)
-    // underestimate near 2× — underestimates are the dangerous
-    // direction, since they can broadcast an oversized dim.
+    // mostly updates of existing keys); with a base but growth-dominated,
+    // α=0.5 splits the difference; with NO compacted base at all the
+    // overlap is typically insert-dominated (fresh L0 runs), so α=1
+    // (plain sum) — underestimates are the dangerous direction, since
+    // they can broadcast an oversized dim into executor OOM, while an
+    // overestimate merely costs a shuffle.
     // A current-snapshot ANALYZE rowCount (exact post-merge) overrides
     // the heuristic on unfiltered scans.
     private val rows: Long =
@@ -266,7 +268,8 @@ class GraftScan(
             val mx = counts.max
             val rest = counts.sum - mx
             val alpha =
-              if (sec.exists(_.level >= GraftTable.MaxLevel) && rest <= 2 * mx) 0.2
+              if (!sec.exists(_.level >= GraftTable.MaxLevel)) 1.0
+              else if (rest <= 2 * mx) 0.2
               else 0.5
             mx + math.round(alpha * rest)
           }.sum

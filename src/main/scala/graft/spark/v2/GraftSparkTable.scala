@@ -75,7 +75,13 @@ class GraftSparkTable(
     TableCapability.STREAMING_WRITE,
     TableCapability.OVERWRITE_BY_FILTER,
     TableCapability.OVERWRITE_DYNAMIC,
-    TableCapability.TRUNCATE).asJava
+    TableCapability.TRUNCATE,
+    // MERGE INTO ... WITH SCHEMA EVOLUTION: Spark's analyzer
+    // (ResolveMergeIntoSchemaEvolution) diffs source vs target schemas,
+    // applies the AddColumn/UpdateColumnType changes through
+    // GraftCatalog.alterTable (one atomic schema commit), and reloads the
+    // relation — the merge then runs against the evolved table
+    TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def partitioning(): Array[Transform] =
     table.schema.partitionKeys.map(Expressions.identity).toArray

@@ -175,7 +175,15 @@ trait RowLevelOps { self: GraftTable =>
       .select(col("_metadata.file_path")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedPaths.isEmpty) return snapOpt.get
-    val touched = live.filter(f => touchedPaths.exists(p => p.endsWith("/" + f.path)))
+    // index the scanned paths by base name before matching — suffix-scanning
+    // every touched path per live file is O(live × touched) driver string
+    // work, ~10¹⁰ ops at 10⁵ files. Names are near-unique (job-UUID'd), so
+    // each live file checks ~1 candidate; the endsWith keeps correctness if
+    // two directories ever hold the same name.
+    def base(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val byName = touchedPaths.groupBy(base)
+    val touched = live.filter(f => byName.getOrElse(base(f.path), Set.empty)
+      .exists(p => p.endsWith("/" + f.path)))
     val rewritten = transform(rawUnion(touched, schema))
       .select(schema.fields.map(f => col(f.name)): _*)
     val newFiles = stageWrite(rewritten, level = 0, seq = store.latestSnapshotId.getOrElse(0L) + 1)

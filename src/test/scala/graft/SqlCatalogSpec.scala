@@ -214,6 +214,47 @@ class SqlCatalogSpec extends SparkSpec {
     assert(app == Seq((1L, 1.0), (2L, 0.0)))
   }
 
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION adds source columns mid-merge") {
+    spark.sql(
+      """CREATE TABLE graft.db.mse (k BIGINT, v STRING)
+        |USING graft TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db.mse VALUES (1, 'a'), (2, 'b')")
+
+    // source carries an extra top-level column AND a nested struct the
+    // target lacks — the analyzer must evolve the table through
+    // GraftCatalog.alterTable before the merge binds
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(2 AS BIGINT), 'B', 'b@x.io', named_struct('city', 'ber', 'zip', 10)),
+        |  (CAST(3 AS BIGINT), 'C', 'c@x.io', named_struct('city', 'par', 'zip', 75))
+        |  AS v(k, v, email, addr)""".stripMargin)
+      .createOrReplaceTempView("mse_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.db.mse t
+        |USING mse_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val out = spark.sql(
+      "SELECT k, v, email, addr.city, addr.zip FROM graft.db.mse ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)).getOrElse("-"),
+        Option(r.getString(3)).getOrElse("-"),
+        if (r.isNullAt(4)) -1 else r.getInt(4))).toSeq
+    // pre-existing row 1 reads NULL for the evolved columns; 2 updated in
+    // place with the new columns; 3 inserted with them
+    assert(out == Seq(
+      (1L, "a", "-", "-", -1),
+      (2L, "B", "b@x.io", "ber", 10),
+      (3L, "C", "c@x.io", "par", 75)), out.toString)
+
+    // the evolution is a real schema commit: plain INSERT now takes 4 cols
+    spark.sql("INSERT INTO graft.db.mse VALUES " +
+      "(4, 'd', 'd@x.io', named_struct('city', 'rom', 'zip', 1))")
+    assert(spark.sql("SELECT count(*) FROM graft.db.mse WHERE addr.zip = 1")
+      .collect()(0).getLong(0) == 1)
+  }
+
   test("runtime filtering: a join-driven partition filter re-prunes the scan") {
     val li = sf("lineitem")
     val t = graft.table.GraftTable.create(spark, tmpTable(), li.schema,
