@@ -164,6 +164,29 @@ object Bench {
           "qid", "embedding", ivfIndex, 10).count()
       }
 
+      // 5e. the FULL text+embedding ingest pipeline for one batch (10% of
+      // the embedded docs) against a pass-private corpus: exact → re-ingest
+      // → intra/vs-corpus text LSH → intra/vs-corpus embedding near-dup →
+      // three exactly-once commits (corpus, IVF, sig index). Corpus and
+      // index builds are untimed — the bench times the per-batch work,
+      // which is what repeats at ingest time.
+      val embDocs = docs.join(
+        emb.select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v")), Seq("doc_id"))
+      val semCorpusDf = embDocs.filter(col("doc_id") % 10 =!= 0)
+      val semCorpus = GraftTable.create(spark, s"$dir/sem_corpus",
+        semCorpusDf.select("doc_id", "text").schema)
+      semCorpus.append(semCorpusDf.select("doc_id", "text"))
+      val semSig = Dedup.buildSigIndex(semCorpusDf, "doc_id", "text", s"$dir/sem_sig")
+      val semIvf = VectorOps.buildIvfIndex(semCorpusDf.select("doc_id", "v"),
+        "doc_id", "v", s"$dir/sem_ivf", numCentroids = 16)
+      val semBatch = embDocs.filter(col("doc_id") % 10 === 0)
+      results("semantic_ingest") = time {
+        graft.streaming.StreamingDedup.processBatch(semBatch, 0L,
+          "doc_id", "text", semCorpus, semSig,
+          embed = Some(graft.streaming.StreamingDedup.EmbedStage("v", semIvf)))
+      }
+
       // 6. storage-partitioned join with vs without v2 bucketing — the
       // with-SPJ plan has zero exchanges/sorts (asserted in SqlCatalogSpec)
       spark.conf.set(bucketingKey, "false")

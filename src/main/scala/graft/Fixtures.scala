@@ -1017,6 +1017,23 @@ object Fixtures {
       t
     }
 
+  /** The KNN recall corpus as a SCALAR-QUANTIZED (SQ8) IVF index, built on
+    * 2/3 of the corpus with the rest appended through the stored affine
+    * params (q124 — quantized retrieval + exact rerank must return the
+    * brute-force ranking on the separable fixture, and incremental SQ
+    * appends must not change it).
+    */
+  def knnIvfSqIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "knn_ivf_sq_index") { path =>
+      val (_, corpus) = knnRecallCorpus(spark, sfDir)
+      val t = graft.pipeline.VectorOps.buildIvfSqIndex(
+        corpus.filter(col("vec_id") % 3 =!= 0), "vec_id", "v", path,
+        numCentroids = 16)
+      graft.pipeline.VectorOps.appendToIvfSqIndex(
+        t, corpus.filter(col("vec_id") % 3 === 0), "vec_id", "v")
+      t
+    }
+
   /** The recall corpus persisted as a partition-per-cluster IVF index. */
   def annIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "ann_ivf_index") { path =>

@@ -650,6 +650,17 @@ object SparkEntry {
         Fixtures.knnIvfIndexIncremental(s, d), 20)
         .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
     }),
+    "q124_knn_join_ivf_sq" -> ((s, d) => {
+      // same retrieval as q119 against the SCALAR-QUANTIZED index (8-bit
+      // codes scored in codegen, top rerank·k per query reranked exactly
+      // against the full-precision corpus — FAISS IVF-SQ8 + refine). The
+      // separable fixture's margins dwarf the quantization error, so the
+      // exact brute-force oracle is full-recall here too.
+      val (qs, corpus) = Fixtures.knnRecallCorpus(s, d)
+      VectorOps.knnJoinIvfSq(qs, "query_id", "qv",
+        Fixtures.knnIvfSqIndex(s, d), corpus, "vec_id", "v", 20)
+        .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
+    }),
     "q122_embed_neardup_vs_index" -> ((s, d) => {
       // semantic dedup of a new batch against the PERSISTED corpus index:
       // probe nProbe cells per vector, exact-cosine verify, threshold cut.
@@ -1355,6 +1366,7 @@ object SparkEntry {
     "q118_sql_pipeline_ann" -> annBruteOracle,
     "q119_knn_join_ivf" -> knnJoinOracle,
     "q121_knn_join_ivf_append" -> knnJoinOracle,
+    "q124_knn_join_ivf_sq" -> knnJoinOracle,
     "q122_embed_neardup_vs_index" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5),

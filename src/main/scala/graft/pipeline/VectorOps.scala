@@ -317,19 +317,30 @@ object VectorOps {
     // rows / C=176); with it each cell is one task's contiguous write.
     val clustered = spreadDf.select(col(idCol), col(vecCol))
       .withColumn("ivf_cluster", ivfAssign(col(vecCol).cast("array<double>"), cents))
-    // HOT-CELL SALTING: a skewed corpus can put a large fraction of rows in
-    // one cell, making that cell a single straggler write task (and later a
-    // straggler compaction unit) no matter how many executors exist. Count
-    // rows per cell (one column-pruned agg, C rows to the driver) and give
-    // any cell over the threshold `ceil(n/threshold)` salted sub-partitions
-    // (`ivf_salt`, assigned per row by id hash — deterministic, so
-    // re-ingests of the same id land on the same salt). Reads never filter
-    // on the salt: pruning on `ivf_cluster` alone already skips every salt
-    // directory of unprobed cells, so probe cost is unchanged — the salt
-    // only bounds per-task/per-partition volume. The reference solves the
-    // same problem for PK buckets with bucket rescale (reference:
-    // paimon-spark procedure/RescaleProcedure.java); this is that idea at
-    // the vector-index layer, with [[rebalanceIndex]] as the drift repair.
+    commitIvfTable(clustered, idCol, cents, path, maxCellRows,
+      Map("ivf.vec-col" -> vecCol))
+  }
+
+  /** Shared commit tail of the IVF index builders: hot-cell salting, the
+    * partitioned write, option pinning, and probe-scan split sizing.
+    *
+    * HOT-CELL SALTING: a skewed corpus can put a large fraction of rows in
+    * one cell, making that cell a single straggler write task (and later a
+    * straggler compaction unit) no matter how many executors exist. Count
+    * rows per cell (one column-pruned agg, C rows to the driver) and give
+    * any cell over the threshold `ceil(n/threshold)` salted sub-partitions
+    * (`ivf_salt`, assigned per row by id hash — deterministic, so
+    * re-ingests of the same id land on the same salt). Reads never filter
+    * on the salt: pruning on `ivf_cluster` alone already skips every salt
+    * directory of unprobed cells, so probe cost is unchanged — the salt
+    * only bounds per-task/per-partition volume. The reference solves the
+    * same problem for PK buckets with bucket rescale (reference:
+    * paimon-spark procedure/RescaleProcedure.java); this is that idea at
+    * the vector-index layer, with [[rebalanceIndex]] as the drift repair.
+    */
+  private def commitIvfTable(clustered: DataFrame, idCol: String,
+      cents: Seq[Seq[Double]], path: String, maxCellRows: Long,
+      extraOptions: Map[String, String]): graft.table.GraftTable = {
     val counts = clustered.groupBy("ivf_cluster").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val threshold = cellThreshold(maxCellRows, counts.values.sum, cents.size)
@@ -339,11 +350,12 @@ object VectorOps {
       .repartition(col("ivf_cluster"), col("ivf_salt"))
     val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
       .mkString(";")
-    val t = graft.table.GraftTable.create(df.sparkSession, path, assigned.schema,
+    val t = graft.table.GraftTable.create(
+      clustered.sparkSession, path, assigned.schema,
       partitionKeys = Seq("ivf_cluster", "ivf_salt"),
-      options = Map("ivf.centroids" -> serialized, "ivf.vec-col" -> vecCol,
+      options = Map("ivf.centroids" -> serialized,
         "ivf.id-col" -> idCol, "ivf.salts" -> serializeSalts(salts),
-        "ivf.max-cell-rows" -> maxCellRows.toString))
+        "ivf.max-cell-rows" -> maxCellRows.toString) ++ extraOptions)
     t.append(assigned)
     // probe-scan split sizing: an IVF index is read with QUERY-side fan-out
     // (every byte of a probed cell is scored once per query probing it), so
@@ -356,7 +368,7 @@ object VectorOps {
     // metadata, no extra pass over the input.
     val bytes = t.store.latestSnapshot
       .map(s => t.store.liveFiles(s).map(_.size).sum).getOrElse(0L)
-    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val cores = clustered.sparkSession.sparkContext.defaultParallelism
     val targetBytes = math.min(128L << 20,
       math.max(4L << 20, bytes / math.max(1, 8 * cores)))
     t.evolveBatch(Seq(
@@ -647,5 +659,188 @@ object VectorOps {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- SQ8
+
+  /** Per-dim affine SQ8 params trained on the corpus: (vmin, vdiff) with
+    * code = round((v − vmin) / vdiff) ∈ [0, 255]. One shuffle of (dim, x)
+    * pairs with map-side combine (partitions × dim rows reach the reduce)
+    * — a build-time cost, like centroid training.
+    */
+  private def sqTrain(df: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val stats = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect().sortBy(_.getInt(0))
+    require(stats.nonEmpty, "cannot train SQ8 on an empty corpus")
+    val vmin = stats.map(_.getDouble(1)).toSeq
+    val vdiff = stats.map { r =>
+      val d = r.getDouble(2) - r.getDouble(1)
+      if (d == 0.0) 1.0 else d / 255.0 // constant dim: every code is 0
+    }.toSeq
+    (vmin, vdiff)
+  }
+
+  /** Codegen'd SQ8 encoder: per-dim affine code, clamped so vectors
+    * OUTSIDE the trained range (later appends) stay valid. The params
+    * travel as single literal datums (see [[centroidsLit]] for why). */
+  private def sqEncode(v: Column, vmin: Seq[Double], vdiff: Seq[Double]): Column =
+    zip_with(
+      zip_with(v, typedlit(vmin), (x, mn) => x - mn),
+      typedlit(vdiff),
+      (num, dv) => least(greatest(round(num / dv), lit(0.0)), lit(255.0))
+        .cast("smallint"))
+
+  /** The SQ8 affine params pinned in a quantized index's table options. */
+  private def sqMeta(index: graft.table.GraftTable): (Seq[Double], Seq[Double]) = {
+    val mn = index.schema.option("ivf.sq.vmin", "")
+    require(mn.nonEmpty,
+      s"table at ${index.location} is not an SQ8 IVF index: missing " +
+        "'ivf.sq.vmin' table option (build one with VectorOps.buildIvfSqIndex)")
+    (mn.split(',').toSeq.map(_.toDouble),
+     index.schema.option("ivf.sq.vdiff", "").split(',').toSeq.map(_.toDouble))
+  }
+
+  /** Build a SCALAR-QUANTIZED (SQ8) IVF index: the cell layout (and
+    * hot-cell salting) of [[buildIvfIndex]], but rows store an 8-bit
+    * affine code of the vector (`array<smallint>`, 2 B/dim on disk vs
+    * 8 B/dim float64 — probe scans read a quarter of the bytes; at a
+    * 100-TB raw-vector corpus that difference IS the retrieval cost)
+    * plus the EXACT row norm. Retrieval ([[knnJoinIvfSq]]) scores
+    * approximate dots from the codes in codegen and reranks the top
+    * `rerank × k` candidates per query exactly against the caller's
+    * full-precision corpus — the FAISS IVF-SQ8 + refine architecture
+    * (Jégou et al., PQ/IVFADC line of work; public literature), expressed
+    * as partition-pruned Spark scans.
+    *
+    * The affine params (per-dim min / (max−min)/255) train on the build
+    * corpus and ride the table options; appended vectors quantize with
+    * the SAME stored params ([[appendToIvfSqIndex]]) so codes stay
+    * comparable (out-of-range values clamp — retrain/rebuild when the
+    * distribution drifts far enough to matter, exactly like centroids).
+    */
+  def buildIvfSqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 16, iterations: Int = 1,
+      maxCellRows: Long = 0L): graft.table.GraftTable = {
+    val spreadDf = PipelineUtil.spread(df)
+    val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
+    val (vmin, vdiff) = sqTrain(spreadDf, vecCol)
+    val v = col(vecCol).cast("array<double>")
+    val clustered = spreadDf.select(col(idCol),
+      sqEncode(v, vmin, vdiff).as("sq_code"),
+      norm(v).as("sq_norm"),
+      ivfAssign(v, cents).as("ivf_cluster"))
+    commitIvfTable(clustered, idCol, cents, path, maxCellRows,
+      Map("ivf.sq.vmin" -> vmin.mkString(","),
+        "ivf.sq.vdiff" -> vdiff.mkString(",")))
+  }
+
+  /** Fold a new batch into a persisted SQ8 index: quantize with the STORED
+    * affine params, route by the STORED centroids — one partitioned
+    * append, the quantized twin of [[appendToIvfIndex]]. */
+  def appendToIvfSqIndex(index: graft.table.GraftTable, df: DataFrame,
+      idCol: String, vecCol: String, commitIdentifier: Long = -1L,
+      commitUser: String = ""): Unit = {
+    val (cents, storedId, _) = ivfMeta(index)
+    val (vmin, vdiff) = sqMeta(index)
+    val salts = ivfSalts(index)
+    val v = col(vecCol).cast("array<double>")
+    val assigned = PipelineUtil.spread(df)
+      .select(col(idCol).as(storedId),
+        sqEncode(v, vmin, vdiff).as("sq_code"),
+        norm(v).as("sq_norm"),
+        ivfAssign(v, cents).as("ivf_cluster"))
+      .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(storedId), salts))
+      .repartition(col("ivf_cluster"), col("ivf_salt"))
+    index.append(assigned, commitIdentifier = commitIdentifier,
+      commitUser = commitUser)
+  }
+
+  /** KNN JOIN against a persisted SQ8 IVF index, with exact rerank:
+    *
+    *  1. route each query to its `nProbe` cells (stored-centroid dots,
+    *     exactly [[knnJoinIvf]]'s routing) and prune the index scan to the
+    *     probed cells with a static partition IN-filter;
+    *  2. score APPROXIMATE cosine from the 8-bit codes in codegen —
+    *     dot(q, decode(code)) = dot(q, vmin) + Σ q[d]·vdiff[d]·code[d],
+    *     so per candidate it is ONE fused multiply-add fold over the code
+    *     (the q·vmin base and the q·vdiff scaled query are per-QUERY
+    *     projections), divided by the stored EXACT row norm;
+    *  3. keep the top `rerank × k` candidates per query (map-side window
+    *     group limit), then rerank ONLY those exactly against the
+    *     caller's full-precision corpus (the candidate set ends in a
+    *     shuffle, so AQE broadcast-converts the rerank join when small).
+    *
+    * Scale shape: the probed-cell scan reads 2 B/dim codes instead of
+    * 8 B/dim doubles; full-precision vectors are read for Q·rerank·k
+    * candidate rows only. Output matches [[knnJoinIvf]]:
+    * (query_id, corpus_id, cosine_sim, knn_rank).
+    */
+  def knnJoinIvfSq(queries: DataFrame, qIdCol: String, qVecCol: String,
+      index: graft.table.GraftTable, corpus: DataFrame, cIdCol: String,
+      cVecCol: String, k: Int, nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(rerank > 0, s"rerank must be positive: $rerank")
+    val (cents, idCol, _) = ivfMeta(index)
+    val (vmin, vdiff) = sqMeta(index)
+    val dim = cents.headOption.map(_.size).getOrElse(0)
+    val q = PipelineUtil.pin(PipelineUtil.spread(
+      queries.select(col(qIdCol).as("query_id"),
+        checkedVec(col(qVecCol), dim).cast("array<double>").as("qv")))
+      .withColumn("nq", norm(col("qv")))
+      // per-QUERY pieces of the decoded dot: base = dot(qv, vmin) and the
+      // vdiff-scaled query — both single projections over literal datums
+      .withColumn("b0", aggregate(
+        zip_with(col("qv"), typedlit(vmin), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("sqv", zip_with(col("qv"), typedlit(vdiff), (a, b) => a * b)))
+    // probe routing + explicit probed-cell pruning — same shape (and
+    // rationale) as [[ivfCandidates]]; carried columns differ, so the two
+    // stay separate code paths
+    val simStructs = transform(centroidsLit(normedCents(cents)),
+      (c, i) => struct((-dot(col("qv"), c)).as("s"),
+        i.cast("int").as("ivf_cluster")))
+    val probes = PipelineUtil.pin(q
+      .select(col("query_id"), col("nq"), col("b0"), col("sqv"),
+        explode(slice(array_sort(simStructs),
+          lit(1), lit(math.min(nProbe, cents.size)))).as("p"))
+      .select(col("query_id"), col("nq"), col("b0"), col("sqv"),
+        col("p.ivf_cluster").as("ivf_cluster")))
+    val probedCells: Seq[Int] = probes.select("ivf_cluster").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val codes = index.toDF
+      .filter(col("ivf_cluster").isin(probedCells.map(c => c: Any): _*))
+      .select(col("ivf_cluster"), col(idCol).as("corpus_id"),
+        col("sq_code"), col("sq_norm"))
+    val approxDot = col("b0") + aggregate(
+      zip_with(col("sqv"), col("sq_code"), (s, c) => s * c),
+      lit(0.0), (acc, x) => acc + x)
+    val denom = col("nq") * col("sq_norm")
+    val approx = probes.join(codes, "ivf_cluster")
+      .select(col("query_id"), col("corpus_id"),
+        when(denom === 0.0, 0.0).otherwise(approxDot / denom).as("approx_sim"))
+    // raw row_number filtered pre-cast → InferWindowGroupLimit cuts to
+    // rerank·k per query map-side, before the window shuffle
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_sim").desc, col("corpus_id"))
+    val cands = approx.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= rerank * k)
+      .select("query_id", "corpus_id")
+    val c = PipelineUtil.pin(PipelineUtil.spread(
+      corpus.select(col(cIdCol).as("corpus_id"),
+        col(cVecCol).cast("array<double>").as("cv")))
+      .withColumn("nv", norm(col("cv"))))
+    val exact = cands
+      .join(q.select(col("query_id"), col("qv"), col("nq")), "query_id")
+      .join(c, "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosinePrenormed(col("qv"), col("cv"),
+          col("nq") * col("nv")), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine_sim").desc, col("corpus_id"))
+    exact.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .withColumn("knn_rank", col("knn_rank").cast("long"))
   }
 }
