@@ -483,6 +483,11 @@ object SparkEntry {
     }),
     "q68_repeated_spans" -> ((s, d) =>
       TextOps.repeatedWindows(Fixtures.src(s, d, "documents"), "doc_id", "text", n = 8)),
+    "q125_chunk_tokens" -> ((s, d) =>
+      // context-length chunking for training/RAG prep: 40-token windows
+      // with 8-token overlap — one codegen'd projection, no shuffle
+      TextOps.chunkTokens(Fixtures.src(s, d, "documents"), "doc_id", "text",
+        size = 40, overlap = 8)),
     "q40_text_stats" -> ((s, d) =>
       Fixtures.src(s, d, "documents").select(
         col("doc_id"),
@@ -1324,6 +1329,18 @@ object SparkEntry {
         |c AS (SELECT win, COUNT(*) AS occurrences FROM flat GROUP BY win)
         |SELECT f.doc_id, f.start, c.occurrences FROM flat f JOIN c USING (win)
         |WHERE c.occurrences >= 2""".stripMargin,
+    "q125_chunk_tokens" ->
+      """WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  CASE WHEN LEN(t) <= 40 THEN 1
+        |       ELSE 1 + CAST(CEIL((LEN(t) - 40) / 32.0) AS INT) END AS nc FROM toks)
+        |SELECT doc_id, u.chunk_idx, u.chunk_text, u.n_tokens FROM (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(nc), i -> STRUCT_PACK(
+        |    chunk_idx := CAST(i AS INTEGER),
+        |    chunk_text := ARRAY_TO_STRING(t[i*32+1 : i*32+40], ' '),
+        |    n_tokens := CAST(LEN(t[i*32+1 : i*32+40]) AS INTEGER)))) AS u
+        |  FROM c)""".stripMargin,
     "q40_text_stats" ->
       s"""SELECT doc_id,
          | CAST($wordCountSql AS BIGINT) AS word_count,

@@ -265,6 +265,38 @@ object TextOps {
       name -> size(regexp_extract_all(text, lit(re), lit(0)))
     }
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * context-length chunker of a training/RAG prep pipeline. Chunk i
+    * covers whitespace tokens [i·step, i·step + size) with
+    * step = size − overlap; the final chunk is the remainder (never
+    * empty, never duplicated: starts are 0, step, … up to the last index
+    * that still begins new content). A doc with ≤ size tokens yields
+    * exactly one chunk of itself.
+    *
+    * Scale shape: one codegen'd projection + posexplode — no shuffle, no
+    * UDF; output rows carry (id, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0, s"size must be positive: $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size): $overlap vs size=$size")
+    val step = size - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    // number of chunks: 1 + ceil(max(n - size, 0) / step) — integer form
+    // the `size` param shadows functions.size — qualify the array length
+    val n = org.apache.spark.sql.functions.size(col("__t"))
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(lit(1) + ((n - size + step - 1) / step).cast("int"))
+    df.select(col(idCol), toks.as("__t"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("__t"), i * step + 1, lit(size))))))
+      .toDF(idCol, "chunk_idx", "chunk_text")
+      .withColumn("n_tokens",
+        org.apache.spark.sql.functions.size(split(col("chunk_text"), "\\s+")))
+  }
+
   def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minOccurrences: Int = 2): DataFrame = {
     val src = PipelineUtil.spread(df.select(col(idCol).as("doc_id"), col(textCol).as("text")))

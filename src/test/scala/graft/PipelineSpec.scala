@@ -639,4 +639,32 @@ class PipelineSpec extends SparkSpec {
     assert(s(3L) == 0.0)
     assert(s(1L) > s(2L) && s(2L) > 0.0, s"scores: $s")
   }
+
+  test("chunkTokens: overlap windows, exact boundaries, short docs, validation") {
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(10)),   // <= size: one chunk of itself
+      (2L, mk(12)),   // size exactly: one chunk
+      (3L, mk(13)),   // one token past: two chunks, second is the tail
+      (4L, mk(28))    // 12,12,12 windows at step 8: starts 0,8,16
+    ).toDF("id", "text")
+    val out = TextOps.chunkTokens(docs, "id", "text", size = 12, overlap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.count(_._1 == 1L) == 1 && out.find(_._1 == 1L).get._3 == mk(10))
+    assert(out.count(_._1 == 2L) == 1 && out.find(_._1 == 2L).get._4 == 12)
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.length == 2 && d3(1)._3 == (9 to 13).map(i => s"t$i").mkString(" "), d3.toSeq.toString)
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.length == 3 && d4.forall(_._4 == 12), d4.toSeq.toString)
+    assert(d4(1)._3.startsWith("t9 ") && d4(2)._3.startsWith("t17 "), d4.toSeq.toString)
+    // every token of every doc is covered by at least one chunk
+    val covered = d4.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 28).map(i => s"t$i").toSet)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs, "id", "text", size = 8, overlap = 8)
+    }
+  }
 }
