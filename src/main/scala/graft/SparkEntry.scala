@@ -192,6 +192,37 @@ object SparkEntry {
       Fixtures.ordersStreamCompactedFull(s, d).toDF),
     "q16_update" -> ((s, d) => Fixtures.ordersPkUpdated(s, d).toDF),
     "q17_merge_into" -> ((s, d) => Fixtures.ordersPkMerged(s, d).toDF),
+    "q126_delta_protocol_dml" -> ((s, d) => {
+      // UPDATE + MERGE + subquery DELETE through Spark's NATIVE row-level
+      // protocol (SupportsRowLevelOperations/SupportsDelta, table option
+      // rowlevel.v2): the analyzer plans WriteDelta, executors stage
+      // op-tagged rows, the driver commits one LSM upsert. The subquery
+      // DELETE is only expressible on this path.
+      s.conf.set("spark.sql.catalog.graft_dml",
+        classOf[graft.spark.v2.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_dml.warehouse",
+        java.nio.file.Files.createTempDirectory("graft-dml-wh").toString)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dml.db")
+      Fixtures.src(s, d, "orders").createOrReplaceTempView("q126_orders_src")
+      s.sql("""CREATE TABLE graft_dml.db.orders_v2 (
+        | o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+        | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+        |USING graft TBLPROPERTIES (
+        | 'primary-key' = 'o_orderkey', 'bucket' = '4',
+        | 'rowlevel.v2' = 'true')""".stripMargin)
+      s.sql("INSERT INTO graft_dml.db.orders_v2 SELECT * FROM q126_orders_src")
+      s.sql("""UPDATE graft_dml.db.orders_v2
+        |SET o_totalprice = o_totalprice + 10.0
+        |WHERE o_orderstatus = 'O'""".stripMargin)
+      s.sql("""MERGE INTO graft_dml.db.orders_v2 t
+        |USING (SELECT o_orderkey FROM q126_orders_src WHERE o_orderkey % 5 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = 0.0""".stripMargin)
+      s.sql("""DELETE FROM graft_dml.db.orders_v2 WHERE o_orderkey IN
+        |(SELECT o_orderkey FROM graft_dml.db.orders_v2
+        | WHERE o_orderkey % 7 = 0 AND o_totalprice > 0)""".stripMargin)
+      s.sql("SELECT * FROM graft_dml.db.orders_v2")
+    }),
     "q18_first_row" -> ((s, d) => Fixtures.ordersFirstRow(s, d).toDF),
     "q19_partial_update" -> ((s, d) => Fixtures.ordersPartialUpdate(s, d).toDF),
     "q20_agg_engine" -> ((s, d) =>
@@ -1028,6 +1059,16 @@ object SparkEntry {
          | CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
          | o_orderdate, o_orderpriority
          |FROM ($mergedOrders)""".stripMargin,
+    "q126_delta_protocol_dml" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders),
+        |merged AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority FROM base)
+        |SELECT * FROM merged
+        |WHERE NOT (o_orderkey % 7 = 0 AND o_totalprice > 0)""".stripMargin,
     "q17_merge_into" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         | CASE WHEN o_orderkey % 5 = 0 THEN 0.0

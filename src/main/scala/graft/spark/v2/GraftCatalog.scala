@@ -148,7 +148,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident,
+    GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident,
       acl = priv => checked(priv, ident))
   }
 
@@ -167,7 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           throw new IllegalArgumentException(s"branch $version has no snapshot"))
       case None => t.store.readTag(version) // fall through for the error message
     }
-    new GraftSparkTable(spark, t, ident, Some(snap))
+    GraftSparkTable(spark, t, ident, Some(snap))
   }
 
   /** Time travel: SELECT ... TIMESTAMP AS OF — latest snapshot at or before. */
@@ -179,7 +179,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .filter(_.timestampMs <= tsMs).map(_.id).maxOption
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot at or before ${new java.sql.Timestamp(tsMs)}"))
-    new GraftSparkTable(spark, t, ident, Some(t.store.readSnapshot(id)))
+    GraftSparkTable(spark, t, ident, Some(t.store.readSnapshot(id)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -215,7 +215,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
     val t = GraftTable.create(spark, tablePath(ident).toString, schema,
       partitionKeys, primaryKeys, props -- reserved -- reserved.map(_.toLowerCase))
-    new GraftSparkTable(spark, t, ident)
+    GraftSparkTable(spark, t, ident)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -260,7 +260,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case other => throw new UnsupportedOperationException(s"ALTER: $other")
     }
     if (ops.nonEmpty) t.evolveBatch(ops)
-    new GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident)
+    GraftSparkTable(spark, GraftTable.load(spark, tablePath(ident).toString), ident)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

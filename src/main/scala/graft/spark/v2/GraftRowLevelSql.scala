@@ -28,6 +28,19 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
 
   private def graftOf(plan: LogicalPlan): Option[GraftTable] =
     plan.collectFirst {
+      // delta-protocol tables ('rowlevel.v2') are EXCLUDED: Spark's own
+      // row-level rewrites (RewriteUpdateTable / RewriteMergeIntoTable)
+      // plan those natively — this rule must not shadow them
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] &&
+          !r.table.isInstanceOf[
+            org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations] =>
+        r.table.asInstanceOf[GraftSparkTable].table
+    }
+
+  /** Like [[graftOf]] but INCLUDING delta-protocol tables — for plan nodes
+    * Spark has no native handler for (dynamic partition overwrite). */
+  private def graftAnyOf(plan: LogicalPlan): Option[GraftTable] =
+    plan.collectFirst {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSparkTable] =>
         r.table.asInstanceOf[GraftSparkTable].table
     }
@@ -54,8 +67,8 @@ case class GraftRowLevelSqlRule(session: SparkSession) extends Rule[LogicalPlan]
     // library's dynamic overwrite (replace exactly the partitions present
     // in the new data, one OVERWRITE commit)
     case o: OverwritePartitionsDynamic
-        if o.query.resolved && graftOf(o.table).isDefined =>
-      GraftDynamicOverwriteCommand(graftOf(o.table).get, o.query)
+        if o.query.resolved && graftAnyOf(o.table).isDefined =>
+      GraftDynamicOverwriteCommand(graftAnyOf(o.table).get, o.query)
     case _ => plan
   }
 }

@@ -45,7 +45,7 @@ class GraftSessionCatalog extends DelegatingCatalogExtension {
       // metastore entry but cannot lay the table down — materialize the
       // graft layout from that entry on first access
       if (!GraftTable.exists(spark, loc)) materialize(t, loc)
-      new GraftSparkTable(spark, GraftTable.load(spark, loc), ident)
+      GraftSparkTable(spark, GraftTable.load(spark, loc), ident)
     } else t
   }
 
@@ -88,7 +88,7 @@ class GraftSessionCatalog extends DelegatingCatalogExtension {
         case Some(id) => gt.store.readSnapshot(id)
         case None => gt.store.readTag(version)
       }
-      new GraftSparkTable(spark, gt, ident, Some(snap))
+      GraftSparkTable(spark, gt, ident, Some(snap))
     } else super.loadTable(ident, version)
   }
 
@@ -116,7 +116,7 @@ class GraftSessionCatalog extends DelegatingCatalogExtension {
         TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
       val t = GraftTable.create(spark, loc, schema, partitionKeys, primaryKeys,
         props -- reserved -- reserved.map(_.toLowerCase))
-      new GraftSparkTable(spark, t, ident)
+      GraftSparkTable(spark, t, ident)
     } catch {
       case e: Throwable => super.dropTable(ident); throw e
     }

@@ -329,6 +329,20 @@ object GraftSparkTable {
   val FilePathCol = "__file_path"
   val RowIndexCol = "__row_index"
 
+  /** Catalog-facing constructor: a primary-keyed table with
+    * `'rowlevel.v2' = 'true'` binds DELETE/UPDATE/MERGE through Spark's
+    * native delta protocol ([[GraftDeltaSparkTable]]); every other table
+    * keeps the analysis-rule path. The flag is a table property so the
+    * choice is durable and visible in DESCRIBE, not session-dependent.
+    */
+  def apply(spark: SparkSession, table: GraftTable, ident: Identifier,
+      snapshot: Option[Snapshot] = None,
+      acl: String => Unit = _ => ()): GraftSparkTable =
+    if (table.isPrimaryKeyed &&
+        table.schema.option("rowlevel.v2", "false").toBoolean)
+      new GraftDeltaSparkTable(spark, table, ident, snapshot, acl)
+    else new GraftSparkTable(spark, table, ident, snapshot, acl)
+
   /** Parse the `scan.timestamp` datetime string (reference: CoreOptions
     * SCAN_TIMESTAMP, "yyyy-MM-dd HH:mm:ss" in UTC; a date-only string
     * means midnight).

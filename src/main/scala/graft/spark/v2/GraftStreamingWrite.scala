@@ -76,7 +76,7 @@ class GraftStreamingWrite(
   }
 }
 
-private case class GraftStagedFile(path: String) extends WriterCommitMessage
+private[v2] case class GraftStagedFile(path: String) extends WriterCommitMessage
 
 private class GraftStreamWriterFactory(
     stagingRoot: String,
@@ -87,7 +87,7 @@ private class GraftStreamWriterFactory(
       epochId: Long): DataWriter[InternalRow] = {
     val file = new Path(
       s"$stagingRoot/epoch-$epochId/part-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet")
-    new GraftStreamDataWriter(file, dataSchema, conf.value)
+    new GraftStagedParquetWriter(file, dataSchema, conf.value)
   }
 }
 
@@ -95,7 +95,7 @@ private class GraftStreamWriterFactory(
   * a synthetic task attempt, so the staged files match what
   * `spark.read.parquet` expects bit-for-bit.
   */
-private class GraftStreamDataWriter(
+private[v2] class GraftStagedParquetWriter(
     file: Path,
     dataSchema: StructType,
     baseConf: Configuration) extends DataWriter[InternalRow] {
