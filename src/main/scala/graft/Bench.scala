@@ -68,6 +68,10 @@ object Bench {
     val ivfIndex = VectorOps.buildIvfIndex(
       emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       s"$tmp/ivf_index", numCentroids = 16)
+    // and its scalar-quantized twin (8-bit codes + exact rerank)
+    val ivfSqIndex = VectorOps.buildIvfSqIndex(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      s"$tmp/ivf_sq_index", numCentroids = 16)
     val spjSql =
       """SELECT b.o_orderpriority, SUM(a.o_totalprice) AS s, COUNT(*) AS c
         |FROM graft.db.spj_fact a JOIN graft.db.spj_dim b
@@ -162,6 +166,17 @@ object Bench {
         VectorOps.knnJoinIvf(
           emb.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
           "qid", "embedding", ivfIndex, 10).count()
+      }
+
+      // 5d'. the same retrieval against the SQ8 index: quantized approx
+      // scoring over the probed cells + exact rerank of rerank·k
+      // candidates — the scan-bytes saving shows at corpus scale, the key
+      // here guards that the extra rerank join costs ~nothing
+      results("knn_join_ivf_sq") = time {
+        VectorOps.knnJoinIvfSq(
+          emb.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", ivfSqIndex,
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 10).count()
       }
 
       // 5e. the FULL text+embedding ingest pipeline for one batch (10% of

@@ -514,6 +514,10 @@ object SparkEntry {
     }),
     "q68_repeated_spans" -> ((s, d) =>
       TextOps.repeatedWindows(Fixtures.src(s, d, "documents"), "doc_id", "text", n = 8)),
+    "q127_repetition_stats" -> ((s, d) =>
+      // Gopher-style repetition quality filters (dup line/word fractions
+      // per-row; n-gram fractions via map-side-combined gram counts)
+      TextOps.repetitionStats(Fixtures.src(s, d, "documents"), "doc_id", "text")),
     "q125_chunk_tokens" -> ((s, d) =>
       // context-length chunking for training/RAG prep: 40-token windows
       // with 8-token overlap — one codegen'd projection, no shuffle
@@ -1370,6 +1374,28 @@ object SparkEntry {
         |c AS (SELECT win, COUNT(*) AS occurrences FROM flat GROUP BY win)
         |SELECT f.doc_id, f.start, c.occurrences FROM flat f JOIN c USING (win)
         |WHERE c.occurrences >= 2""".stripMargin,
+    "q127_repetition_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  LIST_FILTER(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS w,
+        |  STRING_SPLIT(text, chr(10)) AS lines FROM documents),
+        |flat AS (SELECT doc_id, LEN(w) AS n_words, LEN(LIST_DISTINCT(w)) AS nd_words,
+        |  LEN(lines) AS n_lines, LEN(LIST_DISTINCT(lines)) AS nd_lines, w FROM t),
+        |bg AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w)-1, 0)+1),
+        |    i -> ARRAY_TO_STRING(w[i:i+1], ' '))) AS g FROM flat) GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, MAX(c) AS max_bg FROM bg GROUP BY 1),
+        |tg AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+        |  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w)-2, 0)+1),
+        |    i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g FROM flat) GROUP BY 1, 2),
+        |tga AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tg,
+        |  SUM(c) AS tot_tg FROM tg GROUP BY 1)
+        |SELECT f.doc_id,
+        |  ROUND(CASE WHEN n_lines > 0 THEN (n_lines - nd_lines)::DOUBLE / n_lines ELSE 0 END, 6) AS dup_line_frac,
+        |  ROUND(CASE WHEN n_words > 0 THEN (n_words - nd_words)::DOUBLE / n_words ELSE 0 END, 6) AS dup_word_frac,
+        |  ROUND(CASE WHEN n_words > 0 THEN COALESCE(max_bg, 0) * 2.0 / n_words ELSE 0 END, 6) AS top_bigram_frac,
+        |  ROUND(CASE WHEN COALESCE(tot_tg, 0) > 0 THEN COALESCE(dup_tg, 0)::DOUBLE / tot_tg ELSE 0 END, 6) AS dup_trigram_frac
+        |FROM flat f LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)""".stripMargin,
     "q125_chunk_tokens" ->
       """WITH toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
         |  FROM documents),

@@ -265,6 +265,60 @@ object TextOps {
       name -> size(regexp_extract_all(text, lit(re), lit(0)))
     }
 
+  /** Per-document repetition statistics — the Gopher-style repetition
+    * filters (Rae et al. 2021, "Scaling Language Models", App. A: documents
+    * dominated by repeated lines/n-grams are low-quality training data):
+    *
+    *  - `dup_line_frac`:    1 − distinct lines / lines
+    *  - `dup_word_frac`:    1 − distinct words / words
+    *  - `top_bigram_frac`:  words covered by the most frequent bigram / words
+    *  - `dup_trigram_frac`: trigram occurrences whose gram repeats / trigrams
+    *
+    * Scale shape: the line/word fractions are pure per-row codegen
+    * (array_distinct — no shuffle). The n-gram fractions need per-doc gram
+    * counts, which for unbounded doc lengths is the word-count shape:
+    * explode → map-side-combined count on (doc, gram) → per-doc agg — two
+    * shuffles, never a per-row O(n²) fold.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = PipelineUtil.spread(
+      df.select(col(idCol).as("__id"), col(textCol).as("__text")))
+    val toks = filter(
+      split(trim(regexp_replace(lower(col("__text")), "[^a-z0-9]+", " ")), " "),
+      t => t =!= "")
+    def grams(n: Int) = transform(
+      // m tokens → m-n+1 grams at starts 0..m-n; explicitly empty below n
+      // tokens (sequence(0, negative) would count DOWN, not produce [])
+      when(size(col("__t")) >= n, sequence(lit(0), size(col("__t")) - n))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(col("__t"), i + 1, lit(n))))
+    val base = PipelineUtil.pin(src.select(col("__id"), toks.as("__t"),
+      split(col("__text"), "\n").as("__lines")))
+    val flat = base.select(col("__id"),
+      size(col("__t")).as("n_words"),
+      size(array_distinct(col("__t"))).as("nd_words"),
+      size(col("__lines")).as("n_lines"),
+      size(array_distinct(col("__lines"))).as("nd_lines"))
+    def gramAgg(n: Int, maxName: String, dupName: String, totName: String) =
+      base.select(col("__id"), explode(grams(n)).as("g"))
+        .groupBy("__id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("__id").agg(
+          max(col("c")).as(maxName),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as(dupName),
+          sum(col("c")).as(totName))
+    val bg = gramAgg(2, "max_bg", "dup_bg", "tot_bg")
+    val tg = gramAgg(3, "max_tg", "dup_tg", "tot_tg")
+    def frac(num: Column, den: Column) =
+      round(when(den > 0, num.cast("double") / den).otherwise(0.0), 6)
+    flat.join(bg, Seq("__id"), "left").join(tg, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        frac(col("n_lines") - col("nd_lines"), col("n_lines")).as("dup_line_frac"),
+        frac(col("n_words") - col("nd_words"), col("n_words")).as("dup_word_frac"),
+        frac(coalesce(col("max_bg"), lit(0L)) * 2, col("n_words")).as("top_bigram_frac"),
+        frac(coalesce(col("dup_tg"), lit(0L)),
+          coalesce(col("tot_tg"), lit(0L))).as("dup_trigram_frac"))
+  }
+
   /** Split documents into fixed-size token windows with overlap — the
     * context-length chunker of a training/RAG prep pipeline. Chunk i
     * covers whitespace tokens [i·step, i·step + size) with

@@ -640,6 +640,28 @@ class PipelineSpec extends SparkSpec {
     assert(s(1L) > s(2L) && s(2L) > 0.0, s"scores: $s")
   }
 
+  test("repetitionStats: clean doc near zero, degenerate repeats near one") {
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // all distinct
+      (2L, Seq.fill(10)("spam ham").mkString(" ")),          // one repeated bigram*
+      (3L, "x\nx\nx\ny"),                                    // 4 lines, 2 distinct
+      (4L, "solo")                                           // no bigrams/trigrams
+    ).toDF("id", "text")
+    val m = TextOps.repetitionStats(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (l1, w1, b1, t1) = m(1L)
+    assert(l1 == 0.0 && w1 == 0.0 && t1 == 0.0, m(1L).toString)
+    assert(b1 == math.rint(2.0 / 8 * 1e6) / 1e6, m(1L).toString) // every bigram unique: 2/n
+    val (_, w2, b2, t2) = m(2L)
+    // 20 tokens alternating spam/ham: 18 dup words, "spam ham" bigram 10x
+    assert(w2 == 0.9 && b2 == 1.0 && t2 == 1.0, m(2L).toString)
+    assert(m(3L)._1 == 0.5, m(3L).toString) // (4-2)/4 lines
+    assert(m(4L) == ((0.0, 0.0, 0.0, 0.0)), m(4L).toString)
+  }
+
   test("chunkTokens: overlap windows, exact boundaries, short docs, validation") {
     import graft.pipeline.TextOps
     import spark.implicits._
