@@ -12,9 +12,9 @@ class DeltaProtocolSpec extends SparkSpec {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    spark.conf.set("spark.sql.catalog.graft", classOf[graft.spark.v2.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    spark.conf.set("spark.sql.catalog.graft_dp", classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_dp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_dp.db")
   }
 
   private var n = 0
@@ -24,27 +24,27 @@ class DeltaProtocolSpec extends SparkSpec {
     val name = freshName()
     val props = if (flag) ", 'rowlevel.v2' = 'true'" else ""
     spark.sql(
-      s"""CREATE TABLE graft.db.$name (k BIGINT, status STRING, price DOUBLE)
+      s"""CREATE TABLE graft_dp.db.$name (k BIGINT, status STRING, price DOUBLE)
          |USING graft TBLPROPERTIES ('primary-key' = 'k', 'bucket' = '2'$props)""".stripMargin)
-    spark.sql(s"INSERT INTO graft.db.$name VALUES " +
+    spark.sql(s"INSERT INTO graft_dp.db.$name VALUES " +
       "(1, 'O', 10.0), (2, 'F', 20.0), (3, 'O', 30.0), (4, 'F', 40.0)")
     name
   }
 
   private def dml(name: String): Unit = {
-    spark.sql(s"UPDATE graft.db.$name SET price = price * 2 WHERE status = 'O'")
+    spark.sql(s"UPDATE graft_dp.db.$name SET price = price * 2 WHERE status = 'O'")
     spark.sql("SELECT * FROM VALUES (CAST(2 AS BIGINT), 'X', 0.0), " +
       "(CAST(9 AS BIGINT), 'N', 90.0) AS v(k, status, price)")
       .createOrReplaceTempView(s"${name}_src")
     spark.sql(
-      s"""MERGE INTO graft.db.$name t USING ${name}_src s ON t.k = s.k
+      s"""MERGE INTO graft_dp.db.$name t USING ${name}_src s ON t.k = s.k
          |WHEN MATCHED AND s.status = 'X' THEN UPDATE SET status = s.status, price = s.price
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    spark.sql(s"DELETE FROM graft.db.$name WHERE price >= 80.0")
+    spark.sql(s"DELETE FROM graft_dp.db.$name WHERE price >= 80.0")
   }
 
   private def snap(name: String): Seq[(Long, String, Double)] =
-    spark.sql(s"SELECT k, status, price FROM graft.db.$name ORDER BY k")
+    spark.sql(s"SELECT k, status, price FROM graft_dp.db.$name ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
 
   test("delta protocol results match the analysis-rule path exactly") {
@@ -63,14 +63,14 @@ class DeltaProtocolSpec extends SparkSpec {
     // supported it; the delta protocol plans it as a WriteDelta join,
     // which is a real capability the flag ADDS
     val flagged = mkTable(flag = true)
-    spark.sql(s"DELETE FROM graft.db.$flagged WHERE k IN " +
-      s"(SELECT k FROM graft.db.$flagged WHERE price >= 30.0)")
+    spark.sql(s"DELETE FROM graft_dp.db.$flagged WHERE k IN " +
+      s"(SELECT k FROM graft_dp.db.$flagged WHERE price >= 30.0)")
     assert(snap(flagged).map(_._1) == Seq(1L, 2L), snap(flagged).toString)
 
     val plain = mkTable(flag = false)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(s"DELETE FROM graft.db.$plain WHERE k IN " +
-        s"(SELECT k FROM graft.db.$plain WHERE price >= 30.0)")
+      spark.sql(s"DELETE FROM graft_dp.db.$plain WHERE k IN " +
+        s"(SELECT k FROM graft_dp.db.$plain WHERE price >= 30.0)")
     }
     assert(e.getMessage.toLowerCase.contains("subquery"), e.getMessage)
   }
@@ -81,7 +81,7 @@ class DeltaProtocolSpec extends SparkSpec {
     def planOf(sql: String): String =
       spark.sessionState.executePlan(spark.sessionState.sqlParser.parsePlan(sql))
         .analyzed.toString
-    val up = s"UPDATE graft.db.%s SET price = 0.0 WHERE status = 'O'"
+    val up = s"UPDATE graft_dp.db.%s SET price = 0.0 WHERE status = 'O'"
     val pf = planOf(up.format(flagged))
     assert(pf.contains("WriteDelta"), s"expected WriteDelta in:\n$pf")
     val pp = planOf(up.format(plain))
@@ -93,7 +93,7 @@ class DeltaProtocolSpec extends SparkSpec {
     // a plain predicate DELETE must NOT rewrite to WriteDelta (Spark's
     // OptimizeMetadataOnlyDeleteFromTable converts it back because
     // canDeleteWhere accepts the filters) — cheap deletes stay cheap
-    spark.sql(s"DELETE FROM graft.db.$flagged WHERE k = 4")
+    spark.sql(s"DELETE FROM graft_dp.db.$flagged WHERE k = 4")
     assert(snap(flagged).map(_._1) == Seq(1L, 2L, 3L))
   }
 }
