@@ -113,6 +113,24 @@ object QuickStart {
     println(s"[pipeline] knn join vs ivf index rows=$knnRows " +
       s"index rows after incremental append=${ivf.toDF.count()}")
 
+    // scalar-quantized (SQ8) index: 8-bit codes + exact rerank must return
+    // the same ids as the full-precision path on this corpus (same build
+    // input + the deterministic centroid training → identical routing, so
+    // any divergence would be a quantization-recall bug)
+    val sq = VectorOps.buildIvfSqIndex(
+      emb.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", s"$base/ivf_sq_index", numCentroids = 8)
+    VectorOps.appendToIvfSqIndex(sq,
+      emb.filter(col("vec_id") === 0).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    val sqIds = VectorOps.knnJoinIvfSq(knnQs, "query_id", "qv", sq,
+        emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 3)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullIds = VectorOps.knnJoinIvf(knnQs, "query_id", "qv", ivf, 3)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[pipeline] sq8 index retrieval parity=${sqIds == fullIds} " +
+      s"(${sqIds.size} pairs, quantized probe + exact rerank)")
+
     // streaming dedup-on-ingest, one batch: corpus + sig index maintained
     // exactly-once under commitIdentifier = batchId
     val sdCorpusDf = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
@@ -275,6 +293,23 @@ object QuickStart {
     val toExternal = sampled.filter(col("decoder") === "stub-slice")
     println(s"[multimodal] video routing: in-engine mjpeg frames=${real.count()} " +
       s"routed-to-external stub rows=${toExternal.count()}")
+
+    // ---- native DSv2 row-level ops ('rowlevel.v2'): Spark plans
+    // UPDATE/MERGE/subquery-DELETE as WriteDelta; one LSM upsert commits ----
+    spark.conf.set("spark.sql.catalog.graft_qs",
+      classOf[graft.spark.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_qs.warehouse", s"$base/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_qs.db")
+    spark.sql("""CREATE TABLE graft_qs.db.rl (k BIGINT, v DOUBLE) USING graft
+      |TBLPROPERTIES ('primary-key'='k','bucket'='2','rowlevel.v2'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft_qs.db.rl VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("UPDATE graft_qs.db.rl SET v = v * 10 WHERE k >= 2")
+    spark.sql("DELETE FROM graft_qs.db.rl WHERE k IN " +
+      "(SELECT k FROM graft_qs.db.rl WHERE v >= 30.0)") // subquery → WriteDelta
+    val rlPlan = spark.sessionState.executePlan(spark.sessionState.sqlParser
+      .parsePlan("UPDATE graft_qs.db.rl SET v = 0 WHERE k = 1")).analyzed.toString
+    println(s"[sql] delta-protocol dml rows=${spark.table("graft_qs.db.rl").count()} " +
+      s"writeDelta=${rlPlan.contains("WriteDelta")}")
 
     println("[done]")
     spark.stop()
