@@ -1222,7 +1222,16 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
           case _ => w // avro sync interval is row-oriented; default stands
         }
       })).flatten.foldLeft(writer1)((w, f) => f(w))
-    (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).save(staging.toString)
+    // planned-write MUST be off for this save: V1Writes' empty2null wrapper
+    // on string partition columns defeats its ordering check, and the
+    // replacement partition-cols-only sort UNSORTS the pk order inside
+    // files once it spills — fatal for the merge read's sorted-run
+    // assumption (caught by the 10x-scale oracle sweep; see
+    // SparkShims.withPlannedWriteDisabled). Thread-scoped, so concurrent
+    // queries are untouched.
+    org.apache.spark.sql.graft.SparkShims.withPlannedWriteDisabled {
+      (if (dirs.nonEmpty) writer.partitionBy(dirs: _*) else writer).save(staging.toString)
+    }
 
     try collectStatsAndMove(staging, level, seq)
     finally store.fs.delete(staging, true)

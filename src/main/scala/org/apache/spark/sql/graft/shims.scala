@@ -93,4 +93,27 @@ object SparkShims {
       partitionValues,
       org.apache.spark.paths.SparkPath.fromPathString(path),
       start, length, Array.empty, 0L, length)
+
+  /** Run `f` with Spark's planned-write optimization disabled on THIS
+    * thread (a cloned SQLConf via the thread-local override — concurrent
+    * queries on other threads keep their settings).
+    *
+    * Why: `V1Writes` wraps STRING partition columns in `empty2null(...)`,
+    * so its ordering check can never match a pre-arranged frame sorted by
+    * the raw partition column — it then inserts a partition-columns-only
+    * sort whose spill merge does not preserve the existing order of
+    * equal-key rows. For an LSM staging write that silently UNSORTS the
+    * primary-key order inside data files once the sorter spills (observed
+    * at the 6M-row sweep: ~360-row sorted chunks interleaved), and the
+    * merge read's k-way heap then resurrects stale versions. With the
+    * planned write off, FileFormatWriter's physical ordering check sees
+    * the real child ordering (partition cols are a prefix of our
+    * (dirs, pk, seq) sort) and writes the rows as arranged.
+    */
+  def withPlannedWriteDisabled[T](f: => T): T = {
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get.clone()
+    sqlConf.setConf(
+      org.apache.spark.sql.internal.SQLConf.PLANNED_WRITE_ENABLED, false)
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(sqlConf)(f)
+  }
 }
