@@ -514,6 +514,24 @@ object SparkEntry {
     }),
     "q68_repeated_spans" -> ((s, d) =>
       TextOps.repeatedWindows(Fixtures.src(s, d, "documents"), "doc_id", "text", n = 8)),
+    "q128_stratified_sample" -> ((s, d) =>
+      // deterministic data mixing: per-language keep rates via an
+      // md5-threshold on the id — reproducible across engines and
+      // monotone under rate increases (raising a rate only ADDS docs)
+      TextOps.stratifiedSample(Fixtures.src(s, d, "documents"),
+        "doc_id", "lang", Map("en" -> 0.8, "de" -> 0.5), defaultRate = 0.1)
+        .select("doc_id", "lang")),
+    "q129_keep_best_per_cluster" -> ((s, d) => {
+      // curation keep-one: of each near-dup cluster, keep the HIGHEST
+      // quality-scored copy (ties break to the smaller id); singletons
+      // keep themselves
+      val docs = Fixtures.src(s, d, "documents")
+      Dedup.keepBestPerCluster(
+        docs.withColumn("q", TextOps.qualityScore(col("text"))),
+        "doc_id", col("q"),
+        Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7))
+        .select("doc_id")
+    }),
     "q127_repetition_stats" -> ((s, d) =>
       // Gopher-style repetition quality filters (dup line/word fractions
       // per-row; n-gram fractions via map-side-combined gram counts)
@@ -1374,6 +1392,33 @@ object SparkEntry {
         |c AS (SELECT win, COUNT(*) AS occurrences FROM flat GROUP BY win)
         |SELECT f.doc_id, f.start, c.occurrences FROM flat f JOIN c USING (win)
         |WHERE c.occurrences >= 2""".stripMargin,
+    "q128_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        |      / 4294967296.0
+        |    < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 ELSE 0.1 END""".stripMargin,
+    "q129_keep_best_per_cluster" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id,
+         |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+         |  FROM documents),
+         |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-2, 1)+1),
+         |  i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s FROM toks),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+         |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |reach AS (SELECT id, id AS label FROM n
+         |  UNION SELECT e.src, reach.label FROM e JOIN reach ON e.dst = reach.id),
+         |clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY id),
+         |q AS ($qualitySql),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS cl, q.quality
+         |  FROM documents d LEFT JOIN clusters c USING (doc_id) JOIN q USING (doc_id))
+         |SELECT doc_id FROM (SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY cl ORDER BY quality DESC, doc_id) AS rk
+         |  FROM lab) WHERE rk = 1""".stripMargin,
     "q127_repetition_stats" ->
       """WITH t AS (SELECT doc_id,
         |  LIST_FILTER(STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' '),

@@ -312,6 +312,31 @@ object Dedup {
   def dropIds(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("drop_id")).distinct()
 
+  /** Keep-one per near-dup cluster by QUALITY rather than smallest id: the
+    * curation pattern "of each duplicate family, train on the best copy".
+    * Clusters come from [[dupClusters]] over the pair graph; each document
+    * joins its cluster label (docs in no pair are their own singleton
+    * cluster), and the top row per cluster by (`scoreCol` desc, id asc —
+    * the deterministic tiebreak) survives with all its columns.
+    *
+    * Scale shape: label propagation rides the pair graph (O(dups), not
+    * O(corpus)); the label join broadcasts when the dup set is small; the
+    * per-cluster argmax is a map-side window group limit.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, scoreCol: Column,
+      pairs: DataFrame): DataFrame = {
+    val labels = dupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_rep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__cluster")
+      .orderBy(scoreCol.desc, col(idCol))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("__cluster", coalesce(col("cluster_rep"), col(idCol)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("cluster_rep", "__cluster", "__rk")
+  }
+
   /** 64-bit SimHash of a pre-materialized token-hash array column: per bit
     * position, sign of the sum of (+1/-1) token-hash bits (Charikar
     * sketch). Static per-bit expressions — whole-stage codegen, no shuffle.

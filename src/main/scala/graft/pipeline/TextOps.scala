@@ -108,6 +108,29 @@ object TextOps {
     (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("long") % nBuckets).cast("int")
 
+  /** Deterministic per-stratum sampling — the DATA-MIXING primitive of a
+    * training pipeline: each stratum (source, language, quality tier, …)
+    * keeps the given fraction of its documents, selected by an
+    * engine-independent md5 threshold on the id, so the mix is
+    * reproducible forever (same doc in or out across runs, engines, and
+    * row order — the sampling analog of [[splitBucket]]) and REFRESHABLE:
+    * raising a stratum's rate only ADDS documents, never swaps the ones
+    * already trained on. Strata missing from `rates` keep `defaultRate`.
+    * Pure codegen projection + filter — no shuffle, no RNG.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1]: $r"))
+    // md5-derived uniform in [0, 1): 8 hex chars = 32 bits
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minHits` distinct word n-grams with ANY benchmark document — the
     * standard eval-contamination filter of a training-data pipeline

@@ -640,6 +640,41 @@ class PipelineSpec extends SparkSpec {
     assert(s(1L) > s(2L) && s(2L) > 0.0, s"scores: $s")
   }
 
+  test("stratifiedSample: per-stratum rates, monotone refresh, determinism") {
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+      .toDF("id", "lang")
+    def ids(rates: Map[String, Double]) =
+      TextOps.stratifiedSample(docs, "id", "lang", rates)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(Map("en" -> 0.5, "de" -> 0.2))
+    // rates roughly respected (md5 uniformity at n≈667/stratum: ±10%)
+    val en = a.count(_ % 3 == 0)
+    assert(math.abs(en - 333) < 67, s"en kept $en of 667 at rate 0.5")
+    assert(!a.exists(_ % 3 == 2), "zh has default rate 0") // zh dropped
+    // monotone refresh: raising a rate only ADDS documents
+    val b = ids(Map("en" -> 0.8, "de" -> 0.2))
+    assert(a.subsetOf(b), "raising en's rate must not swap kept documents")
+    // deterministic: same rates → identical set
+    assert(ids(Map("en" -> 0.5, "de" -> 0.2)) == a)
+  }
+
+  test("keepBestPerCluster keeps the highest-scored copy, not the smallest id") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 0.25), (2L, 0.75), (3L, 0.75), // cluster {1,2,3}: 2 wins (tie 2<3)
+      (4L, 0.5),                          // singleton: survives
+      (5L, 1.0), (6L, 0.0)                // cluster {5,6}: 5 wins
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, "id", col("score"), pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), kept.toString)
+  }
+
   test("repetitionStats: clean doc near zero, degenerate repeats near one") {
     import graft.pipeline.TextOps
     import spark.implicits._
