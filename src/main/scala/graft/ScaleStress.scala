@@ -113,6 +113,36 @@ object ScaleStress {
       results += "knn_join_ivf" -> t
       println(f"""{"op":"knn_join_ivf","sec":$t%.3f,"build_sec":$buildT%.3f,"rows":$rows,"centroids":$c,"docs":$n}""")
     }
+    if (ops("semantic")) {
+      // the FULL text+embedding ingest batch (StreamingDedup + EmbedStage,
+      // the q123 pipeline): corpus = 90% of docs with synthetic embeddings,
+      // batch = 10%. Corpus + both persisted indexes build OUTSIDE the
+      // timed window — the timed work is the per-batch path, which should
+      // scale with batch size + index-scan size, NOT corpus text size.
+      import org.apache.spark.sql.functions._
+      val dim = 16
+      val embDocs = docs.select(col("doc_id"), col("text"),
+        array((0 until dim).map(i =>
+          (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000)).cast("double") / 1000.0) - 1.0): _*)
+          .as("v"))
+      val corpusDf = embDocs.filter(col("doc_id") % 10 =!= 0)
+      val base = java.nio.file.Files.createTempDirectory("graft-scale-sem").toString
+      val corpus = graft.table.GraftTable.create(spark, s"$base/corpus",
+        corpusDf.select("doc_id", "text").schema)
+      corpus.append(corpusDf.select("doc_id", "text"))
+      val sig = Dedup.buildSigIndex(corpusDf, "doc_id", "text", s"$base/sig")
+      val c = math.max(16, math.sqrt(n.toDouble).toInt / 4)
+      val ivf = graft.pipeline.VectorOps.buildIvfIndex(
+        corpusDf.select("doc_id", "v"), "doc_id", "v", s"$base/ivf",
+        numCentroids = c)
+      val (t, res) = time(graft.streaming.StreamingDedup.processBatch(
+        embDocs.filter(col("doc_id") % 10 === 0), 0L, "doc_id", "text",
+        corpus, sig,
+        embed = Some(graft.streaming.StreamingDedup.EmbedStage("v", ivf,
+          threshold = 0.995))))
+      results += "semantic_ingest" -> t
+      println(f"""{"op":"semantic_ingest","sec":$t%.3f,"admitted":${res.admitted},"input":${res.input},"centroids":$c,"docs":$n}""")
+    }
     if (ops("clusters")) {
       val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
       val (t, clusters) = time(Dedup.dupClusters(pairDf).count())

@@ -426,6 +426,13 @@ object VectorOps {
      index.schema.option("ivf.vec-col", "vec"))
   }
 
+  /** Vector dimensionality a persisted IVF index was trained on (from its
+    * stored centroids) — lets callers parameterize batch-side ops (LSH
+    * plane families, checked casts) without re-stating the dimension.
+    */
+  def ivfIndexDim(index: graft.table.GraftTable): Int =
+    ivfMeta(index)._1.headOption.map(_.size).getOrElse(0)
+
   /** The persisted salt plan of an index ([[buildIvfIndex]] salting). */
   private def ivfSalts(index: graft.table.GraftTable): Map[Int, Int] =
     parseSalts(index.schema.option("ivf.salts", ""))

@@ -138,8 +138,11 @@ object StreamingDedup {
       val (admitted, embedIntraN) = embed match {
         case None => (textAdmitted, textAdmittedN)
         case Some(e) =>
-          val embedPairs =
-            VectorOps.nearDupPairs(textAdmitted, idCol, e.vecCol, e.threshold)
+          // the LSH plane family must match the batch's true dimensionality
+          // — taken from the IVF index's stored centroids, the one
+          // authoritative record of what this corpus embeds as
+          val embedPairs = VectorOps.nearDupPairs(textAdmitted, idCol,
+            e.vecCol, e.threshold, dim = VectorOps.ivfIndexDim(e.ivfIndex))
           val s1 = keep(textAdmitted.join(
             Dedup.dropIds(embedPairs).withColumnRenamed("drop_id", idCol),
             Seq(idCol), "left_anti"))
