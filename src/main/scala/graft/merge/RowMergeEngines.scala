@@ -374,7 +374,23 @@ class RowMerger(schema: TableSchema, rowSchema: StructType, output: Seq[String])
 class SortMergeRows(merger: RowMerger, inputs: Seq[Iterator[InternalRow]])
     extends Iterator[InternalRow] {
 
-  private case class Head(var row: InternalRow, it: Iterator[InternalRow])
+  private case class Head(var row: InternalRow, it: Iterator[InternalRow]) {
+    /** Advance this run, FAILING LOUDLY on an out-of-order row: an
+      * unsorted run makes the heap merge silently miss key matches and
+      * resurrect stale versions — at scale that is corruption with no
+      * symptom (a planned-write regression produced exactly this before
+      * the staging write pinned its ordering; see WriteOrderSpec). One
+      * extra key compare per row, dwarfed by the heap's own O(log k).
+      */
+    def advanceChecked(): Unit = {
+      val prev = row
+      row = it.next()
+      require(merger.compareKeys(row, prev) >= 0,
+        "merge input run is not key-sorted: a data file was written out of " +
+          "key order (staging-write ordering regression?) — refusing to " +
+          "merge, stale row versions would silently survive")
+    }
+  }
 
   private implicit val headOrd: Ordering[Head] =
     (a: Head, b: Head) => -merger.compareKeys(a.row, b.row) // min-heap
@@ -394,14 +410,14 @@ class SortMergeRows(merger: RowMerger, inputs: Seq[Iterator[InternalRow]])
       group.clear()
       val first = heap.dequeue()
       group += first.row
-      if (first.it.hasNext) { first.row = first.it.next(); heap.enqueue(first) }
+      if (first.it.hasNext) { first.advanceChecked(); heap.enqueue(first) }
       // pull every further row with the same key
       var same = true
       while (same && heap.nonEmpty) {
         if (merger.compareKeys(heap.head.row, group.head) == 0) {
           val h = heap.dequeue()
           group += h.row
-          if (h.it.hasNext) { h.row = h.it.next(); heap.enqueue(h) }
+          if (h.it.hasNext) { h.advanceChecked(); heap.enqueue(h) }
         } else same = false
       }
       merger.merge(group).foreach(nextRow = _)
