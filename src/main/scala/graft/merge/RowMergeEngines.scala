@@ -388,7 +388,9 @@ class SortMergeRows(merger: RowMerger, inputs: Seq[Iterator[InternalRow]])
       require(merger.compareKeys(row, prev) >= 0,
         "merge input run is not key-sorted: a data file was written out of " +
           "key order (staging-write ordering regression?) — refusing to " +
-          "merge, stale row versions would silently survive")
+          "merge, stale row versions would silently survive. Repair: run " +
+          "full compaction (CALL sys.compact) — it merges through the " +
+          "order-insensitive DataFrame path and rewrites sorted files")
     }
   }
 
