@@ -141,7 +141,8 @@ object ScaleStress {
         embed = Some(graft.streaming.StreamingDedup.EmbedStage("v", ivf,
           threshold = 0.995))))
       results += "semantic_ingest" -> t
-      println(f"""{"op":"semantic_ingest","sec":$t%.3f,"admitted":${res.admitted},"input":${res.input},"centroids":$c,"docs":$n}""")
+      val stages = res.stageSecs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+      println(f"""{"op":"semantic_ingest","sec":$t%.3f,"admitted":${res.admitted},"input":${res.input},"centroids":$c,"docs":$n,"stages":{$stages}}""")
     }
     if (ops("clusters")) {
       val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)

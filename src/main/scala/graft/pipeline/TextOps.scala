@@ -353,26 +353,37 @@ object TextOps {
     * Scale shape: one codegen'd projection + posexplode — no shuffle, no
     * UDF; output rows carry (id, chunk_idx, chunk_text, n_tokens).
     */
-  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-      size: Int, overlap: Int = 0): DataFrame = {
+  /** The chunk texts of one document as an `array<string>` column — the
+    * scalar core of [[chunkTokens]], also exposed to SQL-only users as
+    * `graft_chunks(text, size, overlap)` (explode it yourself). Pure
+    * codegen over one tokens array.
+    */
+  def chunkArray(text: Column, size: Int, overlap: Int = 0): Column = {
     require(size > 0, s"size must be positive: $size")
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size): $overlap vs size=$size")
     val step = size - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
-    // number of chunks: 1 + ceil(max(n - size, 0) / step) — integer form
-    // the `size` param shadows functions.size — qualify the array length
-    val n = org.apache.spark.sql.functions.size(col("__t"))
-    val nChunks = when(n <= size, lit(1))
-      .otherwise(lit(1) + ((n - size + step - 1) / step).cast("int"))
-    df.select(col(idCol), toks.as("__t"))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => concat_ws(" ", slice(col("__t"), i * step + 1, lit(size))))))
+    def chunksOf(toks: Column): Column = {
+      // number of chunks: 1 + ceil(max(n - size, 0) / step) — integer form
+      // the `size` param shadows functions.size — qualify the array length
+      val n = org.apache.spark.sql.functions.size(toks)
+      val nChunks = when(n <= size, lit(1))
+        .otherwise(lit(1) + ((n - size + step - 1) / step).cast("int"))
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * step + 1, lit(size))))
+    }
+    // bind the token array once via a higher-order function so the split
+    // does not re-evaluate per chunk
+    transform(array(split(trim(text), "\\s+")), t => chunksOf(t)).getItem(0)
+  }
+
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int = 0): DataFrame =
+    df.select(col(idCol),
+        posexplode(chunkArray(col(textCol), size, overlap)))
       .toDF(idCol, "chunk_idx", "chunk_text")
       .withColumn("n_tokens",
         org.apache.spark.sql.functions.size(split(col("chunk_text"), "\\s+")))
-  }
 
   def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minOccurrences: Int = 2): DataFrame = {

@@ -638,12 +638,33 @@ object VectorOps {
     * cosine verification re-reads vectors for CANDIDATE ids only, through
     * an AQE-sized join that broadcast-converts when the candidate set is
     * small.
+    *
+    * `numTables = 0` / `planesPerTable = 0` (the defaults) AUTO-SCALE the
+    * family with the input size: planes = clamp(8..16, log2(n/32)) keeps
+    * expected bucket occupancy ~32 rows, and tables = planes compensates
+    * the per-table recall the extra planes cost. A FIXED plane count
+    * densifies quadratically as the corpus grows (measured: 50k vectors
+    * at 8 planes produced ~40M candidate pairs and a 105 s verify;
+    * auto-scaled, ~12× fewer candidates at BETTER multi-table recall).
+    * Verification is exact-cosine either way, so precision never moves,
+    * and planted colinear pairs share EVERY bucket at any plane count —
+    * only near-threshold non-colinear recall trades off, in the
+    * documented 1-(1-(1-θ/π)^p)^t way.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, numTables: Int = 8, planesPerTable: Int = 8,
+      threshold: Double = 0.95, numTables: Int = 0, planesPerTable: Int = 0,
       dim: Int = 64): DataFrame = {
-    val tables = tableFamily(numTables, planesPerTable, dim)
-    val src = PipelineUtil.spread(df.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val src0 = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else {
+        val n = math.max(1L, src0.count())
+        math.min(16, math.max(8,
+          math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
+      }
+    val nTables = if (numTables > 0) numTables else math.max(8, planes)
+    val tables = tableFamily(nTables, planes, dim)
+    val src = PipelineUtil.spread(src0)
     val v = checkedVec(col("v"), dim)
     val keys = tables.zipWithIndex.map { case (pls, t) =>
       struct(lit(t).as("t"), lshBucket(v, pls).as("bucket"))

@@ -145,6 +145,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_hamming(a, b): Hamming distance of two 64-bit sketches", 2, 2) { as =>
       graft.pipeline.Dedup.hamming(as.head, as(1))
     }
+    injectColumnFn("graft_chunks",
+      "graft_chunks(text, size[, overlap]): fixed-size token windows with " +
+        "overlap as array<string> — explode for one row per chunk", 2, 3) { as =>
+      graft.pipeline.TextOps.chunkArray(as.head, intLit(as(1)),
+        if (as.size > 2) intLit(as(2)) else 0)
+    }
   }
 }
 

@@ -56,7 +56,26 @@ object StreamingDedup {
   case class BatchResult(batchId: Long, input: Long, admitted: Long,
       droppedExact: Long, droppedIntra: Long, droppedCorpus: Long,
       droppedReingest: Long = 0L, droppedEmbedIntra: Long = 0L,
-      droppedEmbedCorpus: Long = 0L)
+      droppedEmbedCorpus: Long = 0L,
+      /** Wall seconds per stage (the stage counts are the barriers, so
+        * attribution is exact) — the per-batch profile that says which
+        * stage to scale next. Excluded from equality so exact-match test
+        * assertions stay stable.
+        */
+      stageSecs: Map[String, Double] = Map.empty) {
+    override def equals(o: Any): Boolean = o match {
+      case b: BatchResult =>
+        (batchId, input, admitted, droppedExact, droppedIntra, droppedCorpus,
+          droppedReingest, droppedEmbedIntra, droppedEmbedCorpus) ==
+        ((b.batchId, b.input, b.admitted, b.droppedExact, b.droppedIntra,
+          b.droppedCorpus, b.droppedReingest, b.droppedEmbedIntra,
+          b.droppedEmbedCorpus))
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (batchId, input, admitted, droppedExact, droppedIntra, droppedCorpus,
+        droppedReingest, droppedEmbedIntra, droppedEmbedCorpus).hashCode()
+  }
 
   /** Optional SEMANTIC stage of the ingest pipeline: after the text checks,
     * survivors are embedding-near-dup-checked within the batch
@@ -86,8 +105,13 @@ object StreamingDedup {
     val in = batch.persist()
     val cached = scala.collection.mutable.ListBuffer[DataFrame](in)
     def keep(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    val stageSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[A](stage: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val out = f
+      stageSecs(stage) = (System.nanoTime() - t0) / 1e9; out
+    }
     try {
-      val inputN = in.count()
+      val inputN = timed("input")(in.count())
 
       // 1. exact intra-batch: one survivor per fingerprint, smallest id —
       // a min_by AGGREGATION (map-side partial, no per-group sort buffer).
@@ -101,7 +125,7 @@ object StreamingDedup {
         .agg(min_by(struct(in.columns.map(col): _*),
           struct(col(idCol).isNull.as("n"), col(idCol).as("i"))).as("__row"))
         .select(in.columns.map(c => col("__row").getField(c).as(c)): _*))
-      val exactN = exact.count()
+      val exactN = timed("exact")(exact.count())
 
       // 1b. drop ids the corpus already serves (a re-crawl of a known id):
       // nearDupPairsAgainst excludes same-id pairs (a doc is not a dup of
@@ -114,14 +138,14 @@ object StreamingDedup {
       val knownIds = keep(index.toDF.select(col("id").as(idCol))
         .join(broadcast(exact.select(col(idCol))), Seq(idCol), "left_semi"))
       val fresh = keep(exact.join(broadcast(knownIds), Seq(idCol), "left_anti"))
-      val freshN = fresh.count()
+      val freshN = timed("reingest")(fresh.count())
 
       // 2. near-dup intra-batch: larger id of every verified pair drops
       val intraPairs = Dedup.nearDupPairs(fresh, idCol, textCol, threshold)
       val intraSurvivors = keep(fresh.join(
         Dedup.dropIds(intraPairs).withColumnRenamed("drop_id", idCol),
         Seq(idCol), "left_anti"))
-      val intraN = intraSurvivors.count()
+      val intraN = timed("text_intra")(intraSurvivors.count())
 
       // 3. against the corpus: ANY verified pair drops the new doc (the
       // corpus copy wins — it is already served downstream)
@@ -130,7 +154,7 @@ object StreamingDedup {
       val textAdmitted = keep(intraSurvivors.join(
         corpusPairs.select(col("new_id").as(idCol)).distinct(),
         Seq(idCol), "left_anti"))
-      val textAdmittedN = textAdmitted.count()
+      val textAdmittedN = timed("text_corpus")(textAdmitted.count())
 
       // 3b/3c. semantic stage: embedding near-dup within the batch, then
       // against the corpus's IVF index — catches rephrasings the shingle
@@ -146,13 +170,13 @@ object StreamingDedup {
           val s1 = keep(textAdmitted.join(
             Dedup.dropIds(embedPairs).withColumnRenamed("drop_id", idCol),
             Seq(idCol), "left_anti"))
-          val s1N = s1.count()
+          val s1N = timed("embed_intra")(s1.count())
           val vsCorpus = VectorOps.embedNearDupAgainst(
             s1, idCol, e.vecCol, e.ivfIndex, e.threshold, e.nProbe)
           (keep(s1.join(vsCorpus.select(col("new_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")), s1N)
       }
-      val admittedN = admitted.count()
+      val admittedN = timed("embed_corpus")(admitted.count())
 
       // 4. exactly-once writes: distinct commitUsers give the tables
       // independent replay filters keyed by the same batchId. ORDER
@@ -164,22 +188,25 @@ object StreamingDedup {
       // whole batch drops everything at 1b, and every append is a no-op
       // on content. Either way the three tables converge.
       val corpusCols = corpus.schema.fields.map(f => col(f.name))
-      corpus.append(admitted.select(corpusCols: _*),
-        commitIdentifier = batchId, commitUser = s"$commitUser-corpus")
-      embed.foreach { e =>
-        VectorOps.appendToIvfIndex(e.ivfIndex,
-          admitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
-          commitIdentifier = batchId, commitUser = s"$commitUser-ivf")
+      timed("commits") {
+        corpus.append(admitted.select(corpusCols: _*),
+          commitIdentifier = batchId, commitUser = s"$commitUser-corpus")
+        embed.foreach { e =>
+          VectorOps.appendToIvfIndex(e.ivfIndex,
+            admitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
+            commitIdentifier = batchId, commitUser = s"$commitUser-ivf")
+        }
+        Dedup.appendToSigIndex(index, admitted, idCol, textCol,
+          commitIdentifier = batchId, commitUser = s"$commitUser-index")
       }
-      Dedup.appendToSigIndex(index, admitted, idCol, textCol,
-        commitIdentifier = batchId, commitUser = s"$commitUser-index")
 
       BatchResult(batchId, inputN, admittedN,
         droppedExact = inputN - exactN, droppedIntra = freshN - intraN,
         droppedCorpus = intraN - textAdmittedN,
         droppedReingest = exactN - freshN,
         droppedEmbedIntra = textAdmittedN - embedIntraN,
-        droppedEmbedCorpus = embedIntraN - admittedN)
+        droppedEmbedCorpus = embedIntraN - admittedN,
+        stageSecs = stageSecs.toMap)
     } finally cached.foreach(_.unpersist()) // failed batches leak no blocks
   }
 

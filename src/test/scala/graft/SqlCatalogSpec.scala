@@ -307,6 +307,21 @@ class SqlCatalogSpec extends SparkSpec {
       "SELECT graft_hamming(graft_simhash('a b c'), graft_simhash('a b c')) AS h, " +
         "ROUND(graft_cosine(ARRAY(1.0D, 2.0D), ARRAY(1.0D, 2.0D)), 6) AS c").collect()(0)
     assert(h.getInt(0) == 0 && h.getDouble(1) == 1.0)
+
+    // context chunking: SQL fn equals the Scala API (and validates args)
+    val sqlChunks = spark.sql(
+      """SELECT doc_id, posexplode(graft_chunks(text, 4, 1))
+        |FROM fn_docs""".stripMargin).toDF("doc_id", "chunk_idx", "chunk_text")
+    val apiChunks = graft.pipeline.TextOps.chunkTokens(
+      spark.table("fn_docs"), "doc_id", "text", size = 4, overlap = 1)
+      .drop("n_tokens")
+    assert(sqlChunks.exceptAll(apiChunks).count() == 0 &&
+      apiChunks.exceptAll(sqlChunks).count() == 0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_chunks(text, n_ish, 1) FROM " +
+        "(SELECT 'a b' AS text, 4 AS n_ish)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
 
   test("metadata columns: __file_path on raw scans, __bucket on merged reads") {
