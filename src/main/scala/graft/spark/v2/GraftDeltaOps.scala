@@ -191,8 +191,13 @@ class GraftDeltaDataWriter(
     primaryKeys: Seq[String],
     conf: SerializableConfiguration) extends DeltaWriter[InternalRow] {
 
-  private val stagedSchema = StructType(tableSchema.fields :+
-    StructField(GraftDeltaBatchWrite.OpCol, StringType, nullable = false))
+  // Non-pk fields are forced nullable: delete() stages key-only rows whose
+  // non-key values are null (never read — the merge engine drops by key), and
+  // a NOT NULL table column would otherwise become a parquet REQUIRED field
+  // that the record writer refuses to leave unset.
+  private val stagedSchema = StructType(tableSchema.fields.map { f =>
+    if (primaryKeys.contains(f.name)) f else f.copy(nullable = true)
+  } :+ StructField(GraftDeltaBatchWrite.OpCol, StringType, nullable = false))
   private val writer = new GraftStagedParquetWriter(file, stagedSchema, conf.value)
   private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
   private val insertTag = tag("I")

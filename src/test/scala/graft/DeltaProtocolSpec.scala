@@ -88,6 +88,31 @@ class DeltaProtocolSpec extends SparkSpec {
     assert(pp.contains("GraftUpdateCommand"), s"expected GraftUpdateCommand in:\n$pp")
   }
 
+  test("delta deletes succeed on tables with NOT NULL non-pk columns") {
+    // delete() stages key-only rows (non-key values null); the staged schema
+    // must relax NOT NULL on non-pk fields or the parquet writer throws on
+    // the unset REQUIRED field
+    val name = freshName()
+    spark.sql(
+      s"""CREATE TABLE graft_dp.db.$name
+         |(k BIGINT, status STRING NOT NULL, price DOUBLE NOT NULL)
+         |USING graft TBLPROPERTIES
+         |('primary-key' = 'k', 'bucket' = '2', 'rowlevel.v2' = 'true')""".stripMargin)
+    spark.sql(s"INSERT INTO graft_dp.db.$name VALUES " +
+      "(1, 'O', 10.0), (2, 'F', 20.0), (3, 'O', 30.0)")
+    // subquery DELETE cannot fall back to the metadata path — it must stage
+    // delete rows through the delta writer
+    spark.sql(s"DELETE FROM graft_dp.db.$name WHERE k IN " +
+      s"(SELECT k FROM graft_dp.db.$name WHERE price >= 20.0)")
+    assert(snap(name) == Seq((1L, "O", 10.0)), snap(name).toString)
+    // MERGE delete action takes the same staged-row path
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k").createOrReplaceTempView(s"${name}_del")
+    spark.sql(
+      s"""MERGE INTO graft_dp.db.$name t USING ${name}_del s ON t.k = s.k
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(snap(name).isEmpty, snap(name).toString)
+  }
+
   test("deletes with pushable predicates still take the metadata path on flagged tables") {
     val flagged = mkTable(flag = true)
     // a plain predicate DELETE must NOT rewrite to WriteDelta (Spark's
