@@ -325,9 +325,14 @@ object VectorOps {
       dim: Int): Column =
     array(tableFamily(tables, planes, dim).map(pls => lshBucket(v, pls)): _*)
 
+  /** `lshSidecar = false` builds the pre-sidecar index layout (no
+    * `lsh_buckets` column, `ivf.lsh.tables = 0`) — kept for migration
+    * fixtures and compatibility tests of [[rebuildLshSidecar]]; production
+    * builds always want the sidecar.
+    */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
       numCentroids: Int = 16, iterations: Int = 1,
-      maxCellRows: Long = 0L): graft.table.GraftTable = {
+      maxCellRows: Long = 0L, lshSidecar: Boolean = true): graft.table.GraftTable = {
     val spreadDf = PipelineUtil.spread(df)
     val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
     val dim = cents.headOption.map(_.size).getOrElse(0)
@@ -337,15 +342,19 @@ object VectorOps {
     // measured difference at a 50k-batch × 450k-corpus probe is ~0.5G
     // cosine folds vs ~400k candidates. Family size rides the options so
     // appends and queries band compatibly.
-    val (lshT, lshP) = autoFamilySize(spreadDf.count())
+    val (lshT, lshP) =
+      if (lshSidecar) autoFamilySize(spreadDf.count()) else (0, 0)
     val v = col(vecCol).cast("array<double>")
     // cluster the write by the partition column: without this every write
     // task emits a file into every probed cell dir (tasks × C small files
     // + a stats pass each — the actual build bottleneck measured at 500k
     // rows / C=176); with it each cell is one task's contiguous write.
-    val clustered = spreadDf.select(col(idCol), col(vecCol),
-      lshBucketArray(v, lshT, lshP, dim).as("lsh_buckets"),
-      ivfAssign(v, cents).as("ivf_cluster"))
+    val sidecarCols =
+      if (lshT > 0) Seq(lshBucketArray(v, lshT, lshP, dim).as("lsh_buckets"))
+      else Nil
+    val clustered = spreadDf.select(
+      Seq(col(idCol), col(vecCol)) ++ sidecarCols :+
+        ivfAssign(v, cents).as("ivf_cluster"): _*)
     commitIvfTable(clustered, idCol, cents, path, maxCellRows,
       Map("ivf.vec-col" -> vecCol,
         "ivf.lsh.tables" -> lshT.toString, "ivf.lsh.planes" -> lshP.toString))
@@ -371,41 +380,47 @@ object VectorOps {
   private def commitIvfTable(clustered: DataFrame, idCol: String,
       cents: Seq[Seq[Double]], path: String, maxCellRows: Long,
       extraOptions: Map[String, String]): graft.table.GraftTable = {
-    val counts = clustered.groupBy("ivf_cluster").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val threshold = cellThreshold(maxCellRows, counts.values.sum, cents.size)
-    val salts = saltPlan(counts, threshold)
-    val assigned = clustered
-      .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(idCol), salts))
-      .repartition(col("ivf_cluster"), col("ivf_salt"))
-    val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
-      .mkString(";")
-    val t = graft.table.GraftTable.create(
-      clustered.sparkSession, path, assigned.schema,
-      partitionKeys = Seq("ivf_cluster", "ivf_salt"),
-      options = Map("ivf.centroids" -> serialized,
-        "ivf.id-col" -> idCol, "ivf.salts" -> serializeSalts(salts),
-        "ivf.max-cell-rows" -> maxCellRows.toString) ++ extraOptions)
-    t.append(assigned)
-    // probe-scan split sizing: an IVF index is read with QUERY-side fan-out
-    // (every byte of a probed cell is scored once per query probing it), so
-    // scan parallelism must track the CLUSTER, not the byte count — the
-    // 128 MB default bin-packs a small-but-hot index into a handful of
-    // splits and serializes the scoring. Size splits so the whole index
-    // spreads over ~8× the session's cores, clamped to [4 MB, 128 MB]
-    // (at a 100-TB corpus the cap restores the normal split size). The
-    // byte count is EXACT and free — summed from the just-committed file
-    // metadata, no extra pass over the input.
-    val bytes = t.store.latestSnapshot
-      .map(s => t.store.liveFiles(s).map(_.size).sum).getOrElse(0L)
-    val cores = clustered.sparkSession.sparkContext.defaultParallelism
-    val targetBytes = math.min(128L << 20,
-      math.max(4L << 20, bytes / math.max(1, 8 * cores)))
-    t.evolveBatch(Seq(
-      t.setOptionT("source.split.target-size", targetBytes.toString),
-      t.setOptionT("source.split.open-file-cost",
-        math.max(256L << 10, targetBytes / 8).toString)))
-    t
+    // materialized twice (per-cell count collect, then the partitioned
+    // write) — persist so centroid assignment, sidecar projections and SQ8
+    // encoding compute once over the corpus at build time
+    clustered.persist()
+    try {
+      val counts = clustered.groupBy("ivf_cluster").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val threshold = cellThreshold(maxCellRows, counts.values.sum, cents.size)
+      val salts = saltPlan(counts, threshold)
+      val assigned = clustered
+        .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(idCol), salts))
+        .repartition(col("ivf_cluster"), col("ivf_salt"))
+      val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
+        .mkString(";")
+      val t = graft.table.GraftTable.create(
+        clustered.sparkSession, path, assigned.schema,
+        partitionKeys = Seq("ivf_cluster", "ivf_salt"),
+        options = Map("ivf.centroids" -> serialized,
+          "ivf.id-col" -> idCol, "ivf.salts" -> serializeSalts(salts),
+          "ivf.max-cell-rows" -> maxCellRows.toString) ++ extraOptions)
+      t.append(assigned)
+      // probe-scan split sizing: an IVF index is read with QUERY-side fan-out
+      // (every byte of a probed cell is scored once per query probing it), so
+      // scan parallelism must track the CLUSTER, not the byte count — the
+      // 128 MB default bin-packs a small-but-hot index into a handful of
+      // splits and serializes the scoring. Size splits so the whole index
+      // spreads over ~8× the session's cores, clamped to [4 MB, 128 MB]
+      // (at a 100-TB corpus the cap restores the normal split size). The
+      // byte count is EXACT and free — summed from the just-committed file
+      // metadata, no extra pass over the input.
+      val bytes = t.store.latestSnapshot
+        .map(s => t.store.liveFiles(s).map(_.size).sum).getOrElse(0L)
+      val cores = clustered.sparkSession.sparkContext.defaultParallelism
+      val targetBytes = math.min(128L << 20,
+        math.max(4L << 20, bytes / math.max(1, 8 * cores)))
+      t.evolveBatch(Seq(
+        t.setOptionT("source.split.target-size", targetBytes.toString),
+        t.setOptionT("source.split.open-file-cost",
+          math.max(256L << 10, targetBytes / 8).toString)))
+      t
+    } finally clustered.unpersist()
   }
 
   /** Effective per-cell row ceiling: explicit when given, else twice the
@@ -519,7 +534,7 @@ object VectorOps {
     */
   def rebalanceIndex(index: graft.table.GraftTable,
       maxCellRows: Long = 0L): Seq[(Int, Int, Int)] = {
-    val (_, storedId, _) = ivfMeta(index)
+    val (cents, storedId, _) = ivfMeta(index)
     val stored = ivfSalts(index)
     val live = index.store.latestSnapshot
       .map(s => index.store.liveFiles(s)).getOrElse(Nil)
@@ -527,8 +542,11 @@ object VectorOps {
       .view.mapValues(_.map(_.liveRowCount).sum).toMap
     val explicitMax = if (maxCellRows > 0) maxCellRows
       else index.schema.option("ivf.max-cell-rows", "0").toLong
+    // default ceiling over ALL trained centroids — the same denominator
+    // the build used; counts.size (cells with live files) would shrink
+    // with empty cells and make build/rebalance drift judgments disagree
     val threshold =
-      cellThreshold(explicitMax, counts.values.sum, counts.size max 1)
+      cellThreshold(explicitMax, counts.values.sum, cents.size max 1)
     val desired = saltPlan(counts, threshold)
     val drifted = (stored.keySet ++ desired.keySet).toSeq.sorted
       .map(c => (c, stored.getOrElse(c, 1), desired.getOrElse(c, 1)))
@@ -583,7 +601,7 @@ object VectorOps {
     // rank filter directly over the un-cast row_number so Spark's
     // InferWindowGroupLimit inserts map-side per-query top-k BEFORE the
     // window shuffle; cast for the output schema afterwards
-    ivfCandidates(queries, qIdCol, qVecCol, index, nProbe)
+    ivfCandidates(queries, qIdCol, qVecCol, index, nProbe, index.toDF)
       .withColumn("knn_rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("cosine_sim").desc, col("corpus_id"))))
@@ -604,15 +622,23 @@ object VectorOps {
     * missed. At near-dup thresholds (≥ ~0.9) the two vectors are nearly
     * colinear, so they share a nearest cell unless they straddle a cell
     * boundary — `nProbe` is the recall lever, exactly as in retrieval.
+    *
+    * `view` optionally pins WHICH index state to band against (a
+    * time-travel frame of `index`); defaults to the latest snapshot.
+    * Crash-replaying ingest pipelines use it to exclude a batch's own
+    * already-committed vectors ([[graft.streaming.StreamingDedup]]) —
+    * banding a batch against itself can drop BOTH rows of a
+    * near-threshold pair and shrink the survivor set on replay.
     */
   def embedNearDupAgainst(newDf: DataFrame, idCol: String, vecCol: String,
       index: graft.table.GraftTable, threshold: Double,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, view: Option[DataFrame] = None): DataFrame = {
     val lshT = index.schema.option("ivf.lsh.tables", "0").toInt
+    val idxDf = view.getOrElse(index.toDF)
     val candidates =
-      if (lshT == 0) ivfCandidates(newDf, idCol, vecCol, index, nProbe)
+      if (lshT == 0) ivfCandidates(newDf, idCol, vecCol, index, nProbe, idxDf)
       else lshCellCandidates(newDf, idCol, vecCol, index, nProbe, lshT,
-        index.schema.option("ivf.lsh.planes", "8").toInt)
+        index.schema.option("ivf.lsh.planes", "8").toInt, idxDf)
     candidates
       .filter(col("cosine_sim") >= threshold &&
         col("query_id") =!= col("corpus_id"))
@@ -635,7 +661,7 @@ object VectorOps {
     */
   private def lshCellCandidates(newDf: DataFrame, qIdCol: String,
       qVecCol: String, index: graft.table.GraftTable, nProbe: Int,
-      lshTables: Int, lshPlanes: Int): DataFrame = {
+      lshTables: Int, lshPlanes: Int, idxDf: DataFrame): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive: $nProbe")
     val (cents, idCol, vecCol) = ivfMeta(index)
     val dim = cents.headOption.map(_.size).getOrElse(0)
@@ -660,7 +686,7 @@ object VectorOps {
       .collect().map(_.getInt(0)).sorted.toSeq
     // corpus side: (cell, id, table, bucket) from the SIDEcar — the scan
     // never touches vectors; pruned to the probed cells
-    val corpusKeys = index.toDF
+    val corpusKeys = idxDf
       .filter(col("ivf_cluster").isin(probedCells.map(c => c: Any): _*))
       .select(col("ivf_cluster"), col(idCol).as("corpus_id"),
         posexplode(col("lsh_buckets")).as(Seq("t", "b")))
@@ -669,7 +695,7 @@ object VectorOps {
     // exact verify for candidates only: query vectors from the pinned q,
     // corpus vectors via a cell-pruned scan joined on the candidate ids
     // (ends in a distinct-shuffle, so AQE broadcast-converts when small)
-    val corpusVecs = index.toDF
+    val corpusVecs = idxDf
       .filter(col("ivf_cluster").isin(probedCells.map(c => c: Any): _*))
       .select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("cv"))
@@ -688,7 +714,8 @@ object VectorOps {
     * cosine_sim) with one row per (query, probed-cell row).
     */
   private def ivfCandidates(queries: DataFrame, qIdCol: String,
-      qVecCol: String, index: graft.table.GraftTable, nProbe: Int): DataFrame = {
+      qVecCol: String, index: graft.table.GraftTable, nProbe: Int,
+      idxDf: DataFrame): DataFrame = {
     require(nProbe > 0, s"nProbe must be positive: $nProbe")
     val (cents, idCol, vecCol) = ivfMeta(index)
     val dim = cents.headOption.map(_.size).getOrElse(0)
@@ -726,7 +753,7 @@ object VectorOps {
     // corpus-row norms fold ONCE per scanned row, below the join — the
     // per-candidate work above is a single dot product (a probed cell's
     // row is scored once per query probing it)
-    val corpus = index.toDF
+    val corpus = idxDf
       .filter(col("ivf_cluster").isin(probedCells.map(c => c: Any): _*))
       .select(col("ivf_cluster"), col(idCol),
         col(vecCol).cast("array<double>").as("cv"))

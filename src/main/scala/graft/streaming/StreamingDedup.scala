@@ -34,12 +34,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * dedup decision is a deterministic function of (batch, index snapshots),
   * and the signature index — the one the re-ingest check (1b) keys on —
   * commits LAST. A failure anywhere earlier leaves the sig index
-  * unchanged, so the restarted batch recomputes the SAME survivor set
-  * (batch vectors already in the IVF index cannot re-drop survivors:
-  * same-id pairs are excluded, and any cross-id embedding near-dups were
-  * already dropped intra-batch), already-committed tables replay-filter
-  * their appends, and only the missing commits land — converging to the
-  * committed state rather than duplicating or losing documents.
+  * unchanged, so the restarted batch recomputes the SAME survivor set —
+  * the semantic vs-corpus check explicitly bands against the IVF state
+  * BEFORE this batch's own commit ([[preBatchView]]), so batch vectors a
+  * crashed run already appended cannot re-drop survivors — already-
+  * committed tables replay-filter their appends, and only the missing
+  * commits land: converging to the committed state rather than
+  * duplicating or losing documents.
   *
   * Scale shape: per batch the corpus participates only through (a) its
   * signature index scan (band projections, no text) and (b) candidate-id
@@ -89,6 +90,43 @@ object StreamingDedup {
     */
   case class EmbedStage(vecCol: String, ivfIndex: GraftTable,
       threshold: Double = 0.95, nProbe: Int = 4)
+
+  /** Replay-stable view of an index for this batch's vs-corpus checks: if
+    * a PRIOR (crashed) run of this very batch already committed into the
+    * index — a snapshot with this batch's (commitUser, commitIdentifier)
+    * exists in the chain — band against the state BEFORE that commit.
+    * Without this, a replay sees the batch's own vectors in the index, and
+    * a near-threshold cross-id pair missed by the intra-batch LSH but
+    * caught by the index's banding drops BOTH rows: the survivor set
+    * shrinks below what the first run committed, the sig index then
+    * permanently lacks signatures for corpus-committed rows, and future
+    * duplicates of them are admitted. Banding against the pre-batch state
+    * makes the replayed decision a function of the SAME inputs the first
+    * run saw, so the survivor set is identical and every replayed commit
+    * is a clean no-op.
+    *
+    * Returns None (read latest) when the batch never committed — the
+    * common, non-replay case costs one snapshot-chain scan, no data read.
+    * If the predecessor snapshot has been EXPIRED (snapshot retention
+    * shorter than the replay window — an operational misconfiguration),
+    * the oldest retained pre-batch snapshot is used: an older view can
+    * only under-approximate the corpus, admitting a doc the corpus check
+    * would have dropped (bounded recall loss) — never dropping a
+    * committed survivor.
+    */
+  private def preBatchView(index: GraftTable, user: String,
+      batchId: Long): Option[DataFrame] = {
+    val store = index.store
+    val ids = store.snapshotIds
+    ids.reverse.iterator.map(store.readSnapshot)
+      .find(s => s.commitUser == user && s.commitIdentifier == batchId)
+      .map { s =>
+        ids.filter(_ < s.id).maxOption match {
+          case Some(prev) => index.toDF(prev)
+          case None => index.toDF(None) // batch commit was snapshot 1
+        }
+      }
+  }
 
   /** Run one batch of the ingest-with-dedup pipeline (the `foreachBatch`
     * body; callable directly for batch backfills). `corpus` must contain
@@ -172,7 +210,8 @@ object StreamingDedup {
             Seq(idCol), "left_anti"))
           val s1N = timed("embed_intra")(s1.count())
           val vsCorpus = VectorOps.embedNearDupAgainst(
-            s1, idCol, e.vecCol, e.ivfIndex, e.threshold, e.nProbe)
+            s1, idCol, e.vecCol, e.ivfIndex, e.threshold, e.nProbe,
+            view = preBatchView(e.ivfIndex, s"$commitUser-ivf", batchId))
           (keep(s1.join(vsCorpus.select(col("new_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")), s1N)
       }

@@ -156,6 +156,79 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.toDF.count() == 2)
   }
 
+  /** Two 64-dim vectors at cosine exactly `cos`: u, and cos·u + sin·w for
+    * a w orthonormal to u — seeded, deterministic.
+    */
+  private def anglePair(seed: Int, cos: Double): (Array[Double], Array[Double]) = {
+    val rnd = new scala.util.Random(seed)
+    val u0 = Array.fill(64)(rnd.nextDouble() - 0.5)
+    val w0 = Array.fill(64)(rnd.nextDouble() - 0.5)
+    val nu = math.sqrt(u0.map(x => x * x).sum)
+    val u = u0.map(_ / nu)
+    val duw = u.zip(w0).map { case (a, b) => a * b }.sum
+    val w1 = w0.zip(u).map { case (b, a) => b - duw * a }
+    val nw = math.sqrt(w1.map(x => x * x).sum)
+    val w = w1.map(_ / nw)
+    val s = math.sqrt(1 - cos * cos)
+    (u, u.zip(w).map { case (a, b) => cos * a + s * b })
+  }
+
+  test("crash-replay does not band the batch against its own IVF commit") {
+    // seed 143 gives a pair at cosine 0.9505 — at/above the 0.95 embed
+    // threshold but non-colinear, and (searched offline, asserted below)
+    // MISSED by the intra-batch auto-scaled LSH family. If a crashed run
+    // already appended the batch to the IVF index, a replay whose
+    // vs-corpus check sees the batch's own vectors would catch the pair
+    // through the index and drop BOTH rows — shrinking the survivor set
+    // below what the corpus already committed, permanently losing their
+    // sig-index entries. preBatchView pins the check to the pre-batch
+    // index state, making the replayed decision identical to the first.
+    val (va, vb) = anglePair(143, 0.9505)
+    val corpusDf = Seq((1L, text(1), vec(1))).toDF("doc_id", "body", "v")
+    val corpus = GraftTable.create(spark, tmpTable(),
+      corpusDf.select("doc_id", "body").schema)
+    corpus.append(corpusDf.select("doc_id", "body"))
+    val index = Dedup.buildSigIndex(corpusDf, "doc_id", "body", tmpTable())
+    // pre-sidecar index: the vs-corpus check exact-scores whole probed
+    // cells, so any at-threshold pair visible in the index is caught
+    // deterministically — the sharpest version of the hazard
+    val ivf = graft.pipeline.VectorOps.buildIvfIndex(
+      corpusDf.select("doc_id", "v"), "doc_id", "v", tmpTable(),
+      numCentroids = 1, lshSidecar = false)
+    val b = Seq((901L, text(90), va), (902L, text(91), vb))
+      .toDF("doc_id", "body", "v")
+
+    // premise 1: the intra-batch embedding LSH misses the pair — the
+    // first run admits BOTH docs
+    assert(graft.pipeline.VectorOps.nearDupPairs(
+      b.select("doc_id", "v"), "doc_id", "v", 0.95, dim = 64).count() == 0)
+
+    // simulate the first run: both admitted, corpus + IVF committed,
+    // crash BEFORE the sig-index commit
+    corpus.append(b.select("doc_id", "body"), commitIdentifier = 0L,
+      commitUser = "streaming-dedup-corpus")
+    graft.pipeline.VectorOps.appendToIvfIndex(ivf,
+      b.select("doc_id", "v"), "doc_id", "v",
+      commitIdentifier = 0L, commitUser = "streaming-dedup-ivf")
+    assert(index.toDF.count() == 1) // sig index did NOT advance
+
+    // premise 2: banding against the LATEST index state now catches the
+    // pair both ways — the un-pinned replay would drop both rows
+    assert(graft.pipeline.VectorOps.embedNearDupAgainst(
+      b.select("doc_id", "v"), "doc_id", "v", ivf, 0.95).count() == 2)
+
+    // replay: the vs-corpus check reads the index BEFORE this batch's
+    // commit, so the survivor set matches the first run; corpus + IVF
+    // appends replay-filter and the sig commit lands — converged
+    val r = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)))
+    assert(r.admitted == 2 && r.droppedEmbedCorpus == 0, r.toString)
+    assert(corpusIds(corpus) == Seq(1L, 901L, 902L))
+    assert(ivf.toDF.count() == 3)
+    assert(index.toDF.count() == 3) // both signatures present — no future
+                                    // duplicate admission
+  }
+
   test("replay and partial-commit recovery converge exactly-once") {
     val (corpus, index) = mkCorpusAndIndex()
     val b1 = Seq((201L, text(20)), (202L, text(21))).toDF("doc_id", "body")
