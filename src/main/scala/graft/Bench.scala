@@ -196,10 +196,13 @@ object Bench {
       val semIvf = VectorOps.buildIvfIndex(semCorpusDf.select("doc_id", "v"),
         "doc_id", "v", s"$dir/sem_ivf", numCentroids = 16)
       val semBatch = embDocs.filter(col("doc_id") % 10 === 0)
+      // production mode (trackCounts=false, the r14 default for ingest
+      // loops): stage-count barriers off, corpus+IVF commits concurrent
       results("semantic_ingest") = time {
         graft.streaming.StreamingDedup.processBatch(semBatch, 0L,
           "doc_id", "text", semCorpus, semSig,
-          embed = Some(graft.streaming.StreamingDedup.EmbedStage("v", semIvf)))
+          embed = Some(graft.streaming.StreamingDedup.EmbedStage("v", semIvf)),
+          trackCounts = false)
       }
 
       // 6. storage-partitioned join with vs without v2 bucketing — the

@@ -113,12 +113,15 @@ object ScaleStress {
       results += "knn_join_ivf" -> t
       println(f"""{"op":"knn_join_ivf","sec":$t%.3f,"build_sec":$buildT%.3f,"rows":$rows,"centroids":$c,"docs":$n}""")
     }
-    if (ops("semantic")) {
-      // the FULL text+embedding ingest batch (StreamingDedup + EmbedStage,
-      // the q123 pipeline): corpus = 90% of docs with synthetic embeddings,
-      // batch = 10%. Corpus + both persisted indexes build OUTSIDE the
-      // timed window — the timed work is the per-batch path, which should
-      // scale with batch size + index-scan size, NOT corpus text size.
+    // the FULL text+embedding ingest batch (StreamingDedup + EmbedStage,
+    // the q123 pipeline): corpus = 90% of docs with synthetic embeddings,
+    // batch = 10%. Corpus + both persisted indexes build OUTSIDE the
+    // timed window — the timed work is the per-batch path, which should
+    // scale with batch size + index-scan size, NOT corpus text size.
+    // `semantic` = tracked mode (per-stage attribution via the count
+    // barriers); `semantic_prod` = production mode (trackCounts=false,
+    // pipeline fused into the commits) on its OWN fresh corpus/indexes.
+    def semanticRun(label: String, trackCounts: Boolean): Unit = {
       import org.apache.spark.sql.functions._
       val dim = 16
       val embDocs = docs.select(col("doc_id"), col("text"),
@@ -139,11 +142,15 @@ object ScaleStress {
         embDocs.filter(col("doc_id") % 10 === 0), 0L, "doc_id", "text",
         corpus, sig,
         embed = Some(graft.streaming.StreamingDedup.EmbedStage("v", ivf,
-          threshold = 0.995))))
-      results += "semantic_ingest" -> t
+          threshold = 0.995)),
+        trackCounts = trackCounts))
+      results += label -> t
       val stages = res.stageSecs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
-      println(f"""{"op":"semantic_ingest","sec":$t%.3f,"admitted":${res.admitted},"input":${res.input},"centroids":$c,"docs":$n,"stages":{$stages}}""")
+      println(f"""{"op":"$label","sec":$t%.3f,"admitted":${res.admitted},"input":${res.input},"centroids":$c,"docs":$n,"stages":{$stages}}""")
     }
+    if (ops("semantic")) semanticRun("semantic_ingest", trackCounts = true)
+    if (ops("semantic_prod"))
+      semanticRun("semantic_ingest_prod", trackCounts = false)
     if (ops("clusters")) {
       val pairDf = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
       val (t, clusters) = time(Dedup.dupClusters(pairDf).count())

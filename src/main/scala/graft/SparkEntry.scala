@@ -532,6 +532,27 @@ object SparkEntry {
         Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7))
         .select("doc_id")
     }),
+    "q130_image_dhash_dedup" -> ((s, d) => {
+      // perceptual image near-dup: block-pattern PNGs seeded doc_id % 40,
+      // one tier kept original, one bilinear-downscaled, one jpeg
+      // re-encoded — dHash + Hamming pigeonhole pairs each pattern's
+      // three byte-level-distinct copies, nothing across patterns
+      val base = Fixtures.src(s, d, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          lit(90).as("w"), lit(80).as("h"),
+          pmod(col("doc_id"), lit(40)).cast("long").as("seed"))
+      val imgs = Multimodal.renderBlockPngs(base, "w", "h", "seed")
+        .select("doc_id", "content")
+      val all = imgs.filter(col("doc_id") < 40)
+        .unionByName(Multimodal.resizeImages(
+          imgs.filter(col("doc_id") >= 40 && col("doc_id") < 80),
+          "content", 45, 40))
+        .unionByName(Multimodal.transcodeImages(
+          imgs.filter(col("doc_id") >= 80), "content", "jpeg"))
+      Multimodal.dHashPairs(all, "doc_id", "content")
+        .select(col("id_a"), col("id_b"))
+    }),
     "q127_repetition_stats" -> ((s, d) =>
       // Gopher-style repetition quality filters (dup line/word fractions
       // per-row; n-gram fractions via map-side-combined gram counts)
@@ -1397,6 +1418,15 @@ object SparkEntry {
         |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |      / 4294967296.0
         |    < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 ELSE 0.1 END""".stripMargin,
+    // q130: the dHash is exactly preserved by the fixture's construction
+    // (adjacent grid cells >=16 gray levels apart survive bilinear
+    // resampling and jpeg quantization), so the pairs are exactly the
+    // within-pattern (doc_id % 40) groups
+    "q130_image_dhash_dedup" ->
+      """WITH g AS (SELECT doc_id, doc_id % 40 AS s FROM documents
+        |           WHERE doc_id < 120)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id""".stripMargin,
     "q129_keep_best_per_cluster" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id,
          |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t

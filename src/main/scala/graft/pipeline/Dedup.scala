@@ -422,6 +422,31 @@ object Dedup {
       commitIdentifier = commitIdentifier, commitUser = commitUser)
   }
 
+  /** Expire signature-index entries whose id is NO LONGER in the corpus
+    * (takedown/GDPR propagation — reference analog: `-D` rows flowing
+    * through the deduplicate merge engine,
+    * DeduplicateMergeFunction.java:31). `liveIds` is the corpus's id
+    * column (one-column frame); every index row without a live id gets a
+    * `-D` upsert — a distributed anti-join on the PK, O(index) scan and
+    * O(expired) write, never a collect. Returns the number expired.
+    *
+    * Without this, a deleted corpus doc's stale signature (a) permanently
+    * blocks the SAME doc from re-ingesting (the re-ingest guard keys on
+    * index ids) and (b) makes vs-corpus text verification silently drop
+    * candidates whose corpus text is gone.
+    */
+  def expireFromSigIndex(index: graft.table.GraftTable,
+      liveIds: DataFrame): Long = {
+    val live = liveIds.select(col(liveIds.columns.head).as("id"))
+    val expired = index.toDF.join(live, Seq("id"), "left_anti").persist()
+    try {
+      val n = expired.count()
+      if (n > 0) index.upsert(expired,
+        kinds = Some(lit(graft.GraftMeta.KindDelete)))
+      n
+    } finally expired.unpersist()
+  }
+
   /** Near-dup pairs of `newDf` AGAINST the indexed corpus: signatures are
     * computed for the new batch ONLY; the corpus side is the (id, sig)
     * index scan — banded into buckets by projection, never re-shingled.
@@ -489,10 +514,28 @@ object Dedup {
     // simhashFromHashes references the array 64× (once per bit) and
     // inlining the md5/xxhash tokenization into each would re-tokenize
     // the text per bit.
-    val sk = PipelineUtil.pin(
+    hammingBlockedPairs(
       spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
         .select(col("id"), th.as("th"))
-        .select(col("id"), simhashFromHashes(col("th")).as("sk")))
+        .select(col("id"), simhashFromHashes(col("th")).as("sk")),
+      maxHamming)
+  }
+
+  /** Blocked Hamming-ball self-join over 64-bit sketches `(id, sk)`: the
+    * 5-block pigeonhole — ≤3 differing bits touch ≤3 of the 5 disjoint
+    * 13/13/13/13/12-bit blocks, so at least one PAIR of blocks matches
+    * exactly; keying every row by all 10 block-pair values makes the join
+    * equality-only (bucket-local, never all-pairs), with exact Hamming as
+    * the verify. Shared by [[simhashPairs]] (text) and
+    * [[Multimodal.dHashPairs]] (perceptual image near-dup). Input is
+    * lazily pinned: both sides of the self-join share one sketch
+    * computation.
+    */
+  private[pipeline] def hammingBlockedPairs(skIn: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "5-block blocking guarantees completeness only for hamming <= 3")
+    val sk = PipelineUtil.pin(skIn)
     val widths = Seq(13, 13, 13, 13, 12)
     val offs = widths.scanLeft(0)(_ + _)
     def blockVal(j: Int): Column =

@@ -534,4 +534,200 @@ object Multimodal {
       col(s"$infoCol.pixel_sum").as("pixel_sum"),
       col(s"$infoCol.decoder").as("decoder"),
       col(s"$infoCol.embedding").as("embedding")))
+
+  // ================= perceptual image near-dup (dHash) =================
+
+  /** Mean Rec.601 luma over a `gw`×`gh` spatial grid — integer
+    * accumulation, bit-deterministic across JVMs (the [[decodeImageIO]]
+    * embedding grid, factored for the perceptual hash).
+    */
+  private def lumaGrid(img: BufferedImage, gw: Int, gh: Int): Array[Long] = {
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Long](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    val px = new Array[Int](bands)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * gh / h, gh - 1)
+      var x = 0
+      while (x < w) {
+        raster.getPixel(x, y, px)
+        val (r, g, b) =
+          if (bands >= 3) (px(0), px(1), px(2)) else (px(0), px(0), px(0))
+        val cell = cy * gw + math.min(x * gw / w, gw - 1)
+        sum(cell) += (r * 299 + g * 587 + b * 114) / 1000
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => if (cnt(i) > 0) sum(i) / cnt(i) else 0L)
+  }
+
+  /** 64-bit difference hash (dHash) of an image: mean luma over a 9-wide ×
+    * 8-tall grid, one bit per horizontally adjacent cell pair (set when
+    * the right cell is brighter). The standard perceptual-hash primitive
+    * for training-corpus image dedup: the grid means are area averages,
+    * so RESIZED and lossily RE-ENCODED copies keep (almost) the same
+    * gradient signs while byte-level hashing sees entirely different
+    * content. Returns null for undecodable bytes. Integer arithmetic
+    * throughout — deterministic across JVMs. (Public technique: the
+    * widely documented dHash / difference-hash construction.)
+    */
+  def dHash64(content: Array[Byte]): java.lang.Long = {
+    if (content == null) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val grid = lumaGrid(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(y * 9 + x + 1) > grid(y * 9 + x))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Append a `dhash` column (nullable long) — partition-local, batched
+    * like [[decodeImages]]; no shuffle.
+    */
+  def withDHash(df: DataFrame, contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("dhash", LongType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ dHash64(r.getAs[Array[Byte]](contentIdx)))
+      })
+    }(enc)
+  }
+
+  /** Perceptual near-dup image pairs: dHash sketches joined through the
+    * 5-block Hamming pigeonhole ([[Dedup.hammingBlockedPairs]] — the
+    * SimHash machinery, reused verbatim: candidates must share an exact
+    * block pair, so the join is bucket-local, never all-pairs; exact
+    * Hamming ≤ `maxHamming` verifies). Undecodable rows (null dhash) are
+    * excluded. Returns (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * Scale shape: one decode pass appends the 8-byte sketch, the join
+    * carries (id, sk) only — the image bytes never enter a shuffle.
+    */
+  def dHashPairs(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
+    Dedup.hammingBlockedPairs(
+      withDHash(df.select(col(idCol).as("id"), col(contentCol).as("c")),
+        "c", batchSize)
+        .filter(col("dhash").isNotNull)
+        .select(col("id"), col("dhash").as("sk")),
+      maxHamming)
+
+  /** Deterministic block-pattern PNG fixture for perceptual-hash tests: a
+    * 9×8 grid of solid cells whose gray levels are a seeded pseudo-random
+    * walk with ADJACENT CELLS ALWAYS ≥16 levels apart, so every dHash bit
+    * is decided by a margin that survives bilinear resampling and JPEG
+    * quantization — the hash of a resized/re-encoded copy is closed-form
+    * EQUAL to the original's, while distinct seeds give unrelated bit
+    * patterns.
+    */
+  def encodeBlockPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
+    def raw(bx: Int, by: Int): Int = {
+      var h = seed * 6364136223846793005L + (by * 9 + bx) * 1442695040888963407L
+      h ^= (h >>> 29); h *= -7723592293110705685L; h ^= (h >>> 32)
+      math.floorMod(h, 12).toInt
+    }
+    // grays resolved left-to-right so the >=16-level gap holds against the
+    // ADJUSTED left neighbor, not its raw value
+    def rowGrays(by: Int): Array[Int] = {
+      val g = new Array[Int](9)
+      var bx = 0
+      while (bx < 9) {
+        var v = raw(bx, by)
+        if (bx > 0 && 32 + 16 * v == g(bx - 1)) v = (v + 1) % 12
+        g(bx) = 32 + 16 * v
+        bx += 1
+      }
+      g
+    }
+    val g2 = img.createGraphics()
+    try {
+      var by = 0
+      while (by < 8) {
+        val grays = rowGrays(by)
+        var bx = 0
+        while (bx < 9) {
+          val gray = grays(bx)
+          g2.setColor(new java.awt.Color(gray, gray, gray))
+          g2.fillRect(bx * width / 9, by * height / 8,
+            (bx + 1) * width / 9 - bx * width / 9,
+            (by + 1) * height / 8 - by * height / 8)
+          bx += 1
+        }
+        by += 1
+      }
+    } finally g2.dispose()
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Render a `content` PNG column of block patterns from integer
+    * width/height and long seed columns — the [[encodeBlockPng]] fixture
+    * as a partition-local batched frame op (pairs with [[dHashPairs]] the
+    * way [[renderSolidPngs]] pairs with [[decodeImages]]).
+    */
+  def renderBlockPngs(df: DataFrame, wCol: String, hCol: String,
+      seedCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val (wi, hi, si) = (df.schema.fieldIndex(wCol),
+      df.schema.fieldIndex(hCol), df.schema.fieldIndex(seedCol))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = encodeBlockPng(r.getInt(wi), r.getInt(hi), r.getLong(si))
+        Row.fromSeq(r.toSeq :+ bytes)
+      })
+    }(enc)
+  }
+
+  /** Decode + re-encode an image in another format (`jpeg` | `png`) —
+    * the normalization/transcode op, and the fixture for "re-encoded
+    * twin" dedup tests. Undecodable bytes pass through unchanged.
+    */
+  def transcodeImages(df: DataFrame, contentCol: String, format: String,
+      batchSize: Int = 64): DataFrame = {
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try ImageIO.read(new ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (img == null) r
+        else {
+          // JPEG writers reject alpha; normalize onto an RGB canvas
+          val rgb = new BufferedImage(img.getWidth, img.getHeight,
+            BufferedImage.TYPE_3BYTE_BGR)
+          val g2 = rgb.createGraphics()
+          try g2.drawImage(img, 0, 0, null) finally g2.dispose()
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(rgb, format, out)
+          Row.fromSeq(r.toSeq.updated(contentIdx, out.toByteArray))
+        }
+      })
+    }(enc)
+  }
 }

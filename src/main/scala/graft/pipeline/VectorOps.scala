@@ -566,6 +566,82 @@ object VectorOps {
     drifted
   }
 
+  /** Upgrade an IVF index's LSH sidecar IN PLACE: pre-sidecar indexes
+    * (built before the per-row `lsh_buckets` column existed, marked by
+    * `ivf.lsh.tables = 0`) fall back to full-cell vs-corpus scoring — the
+    * exact cost the sidecar removes (measured 145 s → 11.4 s at the 100×
+    * probe). This rewrites each cell once with freshly computed buckets
+    * (family auto-sized to the CURRENT corpus) and then flips the family
+    * options, making the bucket-local path available without a rebuild.
+    * Also usable on sidecar-carrying indexes to RE-SIZE a family the
+    * corpus has outgrown.
+    *
+    * Crash-safe by ordering: the family options flip only AFTER every
+    * cell is rewritten. A crash mid-rewrite leaves `ivf.lsh.tables`
+    * unchanged, so queries keep their previous (correct) path — already
+    * rewritten cells carry an ignored extra column until the next run
+    * completes; per-cell overwrites are atomic exactly as in
+    * [[rebalanceIndex]]. Returns the (tables, planes) family installed.
+    */
+  def rebuildLshSidecar(index: graft.table.GraftTable): (Int, Int) = {
+    val (cents, _, storedVec) = ivfMeta(index)
+    val dim = cents.headOption.map(_.size).getOrElse(0)
+    val live = index.store.latestSnapshot
+      .map(s => index.store.liveFiles(s)).getOrElse(Nil)
+    val total = live.map(_.liveRowCount).sum
+    val (lshT, lshP) = autoFamilySize(total)
+    if (!index.schema.fields.exists(_.name == "lsh_buckets"))
+      index.addColumn("lsh_buckets",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))
+    val cells = live.map(_.partition.head.toInt).distinct.sorted
+    cells.foreach { cell =>
+      val cellDf = index.toDF.filter(col("ivf_cluster") === cell)
+        .withColumn("lsh_buckets",
+          lshBucketArray(col(storedVec).cast("array<double>"), lshT, lshP, dim))
+      index.overwrite(cellDf,
+        staticPartition = Map("ivf_cluster" -> cell.toString))
+    }
+    index.evolveBatch(Seq(
+      index.setOptionT("ivf.lsh.tables", lshT.toString),
+      index.setOptionT("ivf.lsh.planes", lshP.toString)))
+    (lshT, lshP)
+  }
+
+  /** Expire IVF-index rows whose id is NO LONGER in the corpus (the
+    * vector half of takedown/GDPR propagation — see
+    * [[Dedup.expireFromSigIndex]]). `liveIds` is the corpus id column.
+    * Shape: one anti-join finds expired (id, cell) pairs, then ONLY the
+    * touched cells are rewritten — a partition-pruned read of each cell
+    * minus its expired ids, committed as a static-partition overwrite
+    * (the [[rebalanceIndex]] per-cell pattern; atomic per cell, readers
+    * see old-or-new, both correct). Untouched cells cost nothing; all
+    * index columns (sidecar buckets, SQ8 codes) ride the rewrite
+    * unchanged. Returns the number of rows expired.
+    */
+  def expireFromIvfIndex(index: graft.table.GraftTable,
+      liveIds: DataFrame): Long = {
+    val (_, storedId, _) = ivfMeta(index)
+    val live = liveIds.select(col(liveIds.columns.head).as(storedId))
+    val expired = index.toDF.select(col(storedId), col("ivf_cluster"))
+      .join(live, Seq(storedId), "left_anti").persist()
+    try {
+      val n = expired.count()
+      if (n == 0) return 0L
+      // ≤ C cells — bounded driver collect, same as the rebalance path
+      val touched = expired.select("ivf_cluster").distinct()
+        .collect().map(_.getInt(0)).sorted
+      touched.foreach { cell =>
+        val gone = expired.filter(col("ivf_cluster") === cell).select(storedId)
+        val cellDf = index.toDF.filter(col("ivf_cluster") === cell)
+          .join(gone, Seq(storedId), "left_anti")
+        index.overwrite(cellDf,
+          staticPartition = Map("ivf_cluster" -> cell.toString))
+      }
+      n
+    } finally expired.unpersist()
+  }
+
   /** Top-k cosine query against a persisted IVF index: probes the nProbe
     * cells nearest the query via a partition-pruned scan.
     */
@@ -733,14 +809,17 @@ object VectorOps {
     val simStructs = transform(centroidsLit(normedCents(cents)),
       (c, i) => struct((-dot(col("qv"), c)).as("s"),
         i.cast("int").as("ivf_cluster")))
-    // pinned: the routing projection feeds BOTH the probed-cell collect
-    // below and the final join — without the pin it would run twice
+    // SLIM probe frame: (query_id, cell) only — the dim-sized query
+    // vector must NOT ride the probe fan-out, or it is duplicated
+    // nProbe× into the broadcast/exchange feeding the cell join
+    // (measured ~1.2 GB of redundant bytes at 50k queries × nProbe 4 ×
+    // 768 dims). Pinned: feeds both the probed-cell collect below and
+    // the cell join.
     val probes = PipelineUtil.pin(q
-      .select(col("query_id"), col("qv"), col("nq"),
+      .select(col("query_id"),
         explode(slice(array_sort(simStructs),
           lit(1), lit(math.min(nProbe, cents.size)))).as("p"))
-      .select(col("query_id"), col("qv"), col("nq"),
-        col("p.ivf_cluster").as("ivf_cluster")))
+      .select(col("query_id"), col("p.ivf_cluster").as("ivf_cluster")))
     // EXPLICIT partition pruning: the distinct probed-cell set is tiny
     // (≤ C values) and known before the corpus is touched, so collect it
     // and push a static IN filter into the scan — the scan then reads
@@ -758,7 +837,16 @@ object VectorOps {
       .select(col("ivf_cluster"), col(idCol),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("nv", norm(col("cv")))
+    // every probed-cell row is a candidate, so scoring must stay
+    // COLOCATED with the corpus scan (shipping pairs to the vectors
+    // would shuffle pairs × dim bytes): the query vectors broadcast
+    // ONCE — queries × dim bytes total, an nProbe× reduction over the
+    // old qv-carrying probe frame. Query sets too large to broadcast
+    // belong on the LSH [[knnJoin]] path, whose candidates are
+    // bucket-filtered before vectors rejoin.
     probes.join(corpus, "ivf_cluster")
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("nq"))),
+        "query_id")
       .select(col("query_id"), col(idCol).as("corpus_id"),
         round(cosinePrenormed(col("qv"), col("cv"),
           col("nq") * col("nv")), 6).as("cosine_sim"))
@@ -965,12 +1053,14 @@ object VectorOps {
     val simStructs = transform(centroidsLit(normedCents(cents)),
       (c, i) => struct((-dot(col("qv"), c)).as("s"),
         i.cast("int").as("ivf_cluster")))
+    // SLIM probe frame (see [[ivfCandidates]]): the dim-length scaled
+    // query (sqv) must not fan out nProbe× — it broadcasts ONCE with the
+    // per-query pieces after the cell join
     val probes = PipelineUtil.pin(q
-      .select(col("query_id"), col("nq"), col("b0"), col("sqv"),
+      .select(col("query_id"),
         explode(slice(array_sort(simStructs),
           lit(1), lit(math.min(nProbe, cents.size)))).as("p"))
-      .select(col("query_id"), col("nq"), col("b0"), col("sqv"),
-        col("p.ivf_cluster").as("ivf_cluster")))
+      .select(col("query_id"), col("p.ivf_cluster").as("ivf_cluster")))
     val probedCells: Seq[Int] = probes.select("ivf_cluster").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val codes = index.toDF
@@ -982,6 +1072,8 @@ object VectorOps {
       lit(0.0), (acc, x) => acc + x)
     val denom = col("nq") * col("sq_norm")
     val approx = probes.join(codes, "ivf_cluster")
+      .join(broadcast(q.select(col("query_id"), col("nq"), col("b0"),
+        col("sqv"))), "query_id")
       .select(col("query_id"), col("corpus_id"),
         when(denom === 0.0, 0.0).otherwise(approxDot / denom).as("approx_sim"))
     // raw row_number filtered pre-cast → InferWindowGroupLimit cuts to

@@ -371,6 +371,19 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         if (moved.isEmpty) "rebalance_index: all cells within plan"
         else "rebalanced cells " + moved
           .map { case (c, o, n) => s"$c($o->$n salts)" }.mkString(", ")
+      // CALL sys.rebuild_lsh_sidecar('db.ivf_index') — in-place sidecar
+      // upgrade of a pre-sidecar IVF index (or family re-size)
+      case "rebuild_lsh_sidecar" =>
+        val (t, p) = graft.pipeline.VectorOps.rebuildLshSidecar(table)
+        s"rebuilt lsh sidecar: $t tables x $p planes"
+      // CALL sys.expire_from_indexes('db.corpus', 'doc_id', 'db.sig_index'
+      // [, 'db.ivf_index']) — propagate corpus deletions (takedown/GDPR)
+      // into the dedup indexes
+      case "expire_from_indexes" =>
+        val (sigN, ivfN) = graft.streaming.StreamingDedup.expireFromIndexes(
+          table, args(1), resolveTable(spark, args(2)),
+          if (args.size > 3) Some(resolveTable(spark, args(3))) else None)
+        s"expired $sigN sig-index and $ivfN ivf-index entries"
       case "reset_consumer" =>
         val id = args(1)
         if (args.size > 2) {

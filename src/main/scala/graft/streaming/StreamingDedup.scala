@@ -135,10 +135,19 @@ object StreamingDedup {
     * must also carry `embed.vecCol` and the semantic stage runs between the
     * text checks and the commits.
     */
+  /** `trackCounts = false` is the production mode: the per-stage `count()`
+    * barriers (exact stage attribution + the `dropped*` fields) are
+    * SKIPPED, so the whole dedup pipeline stays lazy and fuses into one
+    * materialization of the admitted set right before the commits — a
+    * small batch runs ~3 Spark jobs instead of ~10. The admitted count
+    * still comes from that single barrier; `input` and the `dropped*`
+    * fields are reported as -1 (unknown). Table state is IDENTICAL in
+    * both modes — the counts only observe.
+    */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, corpus: GraftTable, index: GraftTable,
       threshold: Double = 0.7, commitUser: String = "streaming-dedup",
-      embed: Option[EmbedStage] = None)
+      embed: Option[EmbedStage] = None, trackCounts: Boolean = true)
       : BatchResult = {
     val in = batch.persist()
     val cached = scala.collection.mutable.ListBuffer[DataFrame](in)
@@ -148,8 +157,15 @@ object StreamingDedup {
       val t0 = System.nanoTime(); val out = f
       stageSecs(stage) = (System.nanoTime() - t0) / 1e9; out
     }
+    // in production mode the stage barriers vanish: counted(...) keeps the
+    // persist (real reuse — each stage feeds ≥2 consumers) but returns -1
+    // without running a job
+    def counted(stage: String)(df: => DataFrame): (DataFrame, Long) = {
+      val d = keep(df)
+      (d, if (trackCounts) timed(stage)(d.count()) else -1L)
+    }
     try {
-      val inputN = timed("input")(in.count())
+      val inputN = if (trackCounts) timed("input")(in.count()) else -1L
 
       // 1. exact intra-batch: one survivor per fingerprint, smallest id —
       // a min_by AGGREGATION (map-side partial, no per-group sort buffer).
@@ -158,12 +174,11 @@ object StreamingDedup {
       // group vanish into a null struct — the isNull prefix keeps the
       // ordering non-null (null-id rows sort last) while getField keeps
       // column names with dots resolvable.
-      val exact = keep(in
+      val (exact, exactN) = counted("exact")(in
         .groupBy(md5(col(textCol).cast("string")).as("__fp"))
         .agg(min_by(struct(in.columns.map(col): _*),
           struct(col(idCol).isNull.as("n"), col(idCol).as("i"))).as("__row"))
         .select(in.columns.map(c => col("__row").getField(c).as(c)): _*))
-      val exactN = timed("exact")(exact.count())
 
       // 1b. drop ids the corpus already serves (a re-crawl of a known id):
       // nearDupPairsAgainst excludes same-id pairs (a doc is not a dup of
@@ -175,24 +190,23 @@ object StreamingDedup {
       // hit set (≤ batch-sized) broadcasts back into the anti-join.
       val knownIds = keep(index.toDF.select(col("id").as(idCol))
         .join(broadcast(exact.select(col(idCol))), Seq(idCol), "left_semi"))
-      val fresh = keep(exact.join(broadcast(knownIds), Seq(idCol), "left_anti"))
-      val freshN = timed("reingest")(fresh.count())
+      val (fresh, freshN) = counted("reingest")(
+        exact.join(broadcast(knownIds), Seq(idCol), "left_anti"))
 
       // 2. near-dup intra-batch: larger id of every verified pair drops
       val intraPairs = Dedup.nearDupPairs(fresh, idCol, textCol, threshold)
-      val intraSurvivors = keep(fresh.join(
+      val (intraSurvivors, intraN) = counted("text_intra")(fresh.join(
         Dedup.dropIds(intraPairs).withColumnRenamed("drop_id", idCol),
         Seq(idCol), "left_anti"))
-      val intraN = timed("text_intra")(intraSurvivors.count())
 
       // 3. against the corpus: ANY verified pair drops the new doc (the
       // corpus copy wins — it is already served downstream)
       val corpusPairs = Dedup.nearDupPairsAgainst(intraSurvivors, idCol,
         textCol, index, corpus.toDF, threshold)
-      val textAdmitted = keep(intraSurvivors.join(
-        corpusPairs.select(col("new_id").as(idCol)).distinct(),
-        Seq(idCol), "left_anti"))
-      val textAdmittedN = timed("text_corpus")(textAdmitted.count())
+      val (textAdmitted, textAdmittedN) = counted("text_corpus")(
+        intraSurvivors.join(
+          corpusPairs.select(col("new_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti"))
 
       // 3b/3c. semantic stage: embedding near-dup within the batch, then
       // against the corpus's IVF index — catches rephrasings the shingle
@@ -205,16 +219,19 @@ object StreamingDedup {
           // authoritative record of what this corpus embeds as
           val embedPairs = VectorOps.nearDupPairs(textAdmitted, idCol,
             e.vecCol, e.threshold, dim = VectorOps.ivfIndexDim(e.ivfIndex))
-          val s1 = keep(textAdmitted.join(
+          val (s1, s1N) = counted("embed_intra")(textAdmitted.join(
             Dedup.dropIds(embedPairs).withColumnRenamed("drop_id", idCol),
             Seq(idCol), "left_anti"))
-          val s1N = timed("embed_intra")(s1.count())
           val vsCorpus = VectorOps.embedNearDupAgainst(
             s1, idCol, e.vecCol, e.ivfIndex, e.threshold, e.nProbe,
             view = preBatchView(e.ivfIndex, s"$commitUser-ivf", batchId))
           (keep(s1.join(vsCorpus.select(col("new_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")), s1N)
       }
+      // the one ALWAYS-ON barrier: materializes the whole (lazily fused,
+      // in production mode) dedup pipeline into the persisted admitted
+      // frame exactly once, BEFORE the commits traverse it — the commits
+      // (two of them concurrent) then read cache, never recompute
       val admittedN = timed("embed_corpus")(admitted.count())
 
       // 4. exactly-once writes: distinct commitUsers give the tables
@@ -222,31 +239,106 @@ object StreamingDedup {
       // MATTERS for crash convergence: the SIGNATURE index commits LAST
       // because the re-ingest check (1b) keys on it — a replay after a
       // crash anywhere earlier sees the sig index unchanged, recomputes
-      // the identical survivor set, and the already-committed tables
-      // filter their replays; once the sig commit lands, a replay of the
-      // whole batch drops everything at 1b, and every append is a no-op
-      // on content. Either way the three tables converge.
+      // the identical survivor set (the vs-index embedding check pins the
+      // pre-batch IVF state, see [[preBatchView]]), and already-committed
+      // tables filter their replays; once the sig commit lands, a replay
+      // of the whole batch drops everything at 1b, and every append is a
+      // no-op on content. Either way the three tables converge.
+      //
+      // The corpus and IVF commits are order-INDEPENDENT between
+      // themselves (convergence keys only on "sig last"), so they run
+      // CONCURRENTLY — at 100× batch scale the three sequential commits
+      // were the dominant stage (13.2 s of 63.3 s), and the corpus + IVF
+      // legs overlap their staging writes and manifest passes.
       val corpusCols = corpus.schema.fields.map(f => col(f.name))
       timed("commits") {
-        corpus.append(admitted.select(corpusCols: _*),
-          commitIdentifier = batchId, commitUser = s"$commitUser-corpus")
-        embed.foreach { e =>
-          VectorOps.appendToIvfIndex(e.ivfIndex,
-            admitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
-            commitIdentifier = batchId, commitUser = s"$commitUser-ivf")
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = commitEc
+        // pool threads carry no active-session thread-local — pin it, or
+        // SQLConf.get (and with it the staging write's session settings)
+        // silently falls back to defaults on the commit legs
+        val session = admitted.sparkSession
+        def leg[T](f: => T): Future[T] = Future {
+          org.apache.spark.sql.SparkSession.setActiveSession(session); f
         }
-        Dedup.appendToSigIndex(index, admitted, idCol, textCol,
-          commitIdentifier = batchId, commitUser = s"$commitUser-index")
+        // per-leg wall seconds ride stageSecs (commit_corpus/_ivf overlap,
+        // so they sum to MORE than the commits stage — that overhang is
+        // the concurrency win)
+        def timedLeg[T](name: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val out = f
+          stageSecs.synchronized {
+            stageSecs(name) = (System.nanoTime() - t0) / 1e9 }
+          out
+        }
+        val legs = Seq(
+          leg(timedLeg("commit_corpus")(
+            corpus.append(admitted.select(corpusCols: _*),
+              commitIdentifier = batchId, commitUser = s"$commitUser-corpus")))
+        ) ++ embed.map { e =>
+          leg(timedLeg("commit_ivf")(VectorOps.appendToIvfIndex(e.ivfIndex,
+            admitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
+            commitIdentifier = batchId, commitUser = s"$commitUser-ivf")))
+        }
+        // await ALL legs (even after one fails — a leg left running while
+        // the finally-unpersist fires would recompute its input) and
+        // surface the first failure; the sig commit runs only if both
+        // landed, preserving "sig last"
+        val outcomes = legs.map(l => scala.util.Try(Await.result(l, Duration.Inf)))
+        outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+        timedLeg("commit_sig")(
+          Dedup.appendToSigIndex(index, admitted, idCol, textCol,
+            commitIdentifier = batchId, commitUser = s"$commitUser-index"))
       }
 
-      BatchResult(batchId, inputN, admittedN,
-        droppedExact = inputN - exactN, droppedIntra = freshN - intraN,
-        droppedCorpus = intraN - textAdmittedN,
-        droppedReingest = exactN - freshN,
-        droppedEmbedIntra = textAdmittedN - embedIntraN,
-        droppedEmbedCorpus = embedIntraN - admittedN,
-        stageSecs = stageSecs.toMap)
+      if (trackCounts)
+        BatchResult(batchId, inputN, admittedN,
+          droppedExact = inputN - exactN, droppedIntra = freshN - intraN,
+          droppedCorpus = intraN - textAdmittedN,
+          droppedReingest = exactN - freshN,
+          droppedEmbedIntra = textAdmittedN - embedIntraN,
+          droppedEmbedCorpus = embedIntraN - admittedN,
+          stageSecs = stageSecs.toMap)
+      else // production mode: only the admitted count is observed
+        BatchResult(batchId, input = -1L, admitted = admittedN,
+          droppedExact = -1L, droppedIntra = -1L, droppedCorpus = -1L,
+          droppedReingest = -1L, droppedEmbedIntra = -1L,
+          droppedEmbedCorpus = -1L, stageSecs = stageSecs.toMap)
     } finally cached.foreach(_.unpersist()) // failed batches leak no blocks
+  }
+
+  /** Two-thread pool for the concurrent corpus/IVF commit legs of
+    * [[processBatch]] — sized to that exact fan-out; daemon threads so an
+    * abandoned batch never pins the JVM.
+    */
+  private lazy val commitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-commit-leg"); t.setDaemon(true); t
+        }))
+
+  /** Propagate corpus deletions into the dedup indexes (takedown/GDPR):
+    * sig-index and IVF-index rows whose doc was DELETED from the corpus
+    * are expired by distributed anti-joins against the corpus's live id
+    * set ([[Dedup.expireFromSigIndex]], [[VectorOps.expireFromIvfIndex]]).
+    * Run after row-level deletes on the corpus; without it a deleted id
+    * can never re-ingest (the re-ingest guard keys on the sig index) and
+    * ghost signatures/vectors keep matching against text that is gone.
+    * Returns (sigExpired, ivfExpired).
+    *
+    * Ordering note: expiring the SIG index releases the id for
+    * re-admission, so run this only after the corpus delete is final —
+    * the inverse of ingest, where the sig commit is last.
+    */
+  def expireFromIndexes(corpus: GraftTable, idCol: String,
+      sigIndex: GraftTable, ivfIndex: Option[GraftTable] = None)
+      : (Long, Long) = {
+    val liveIds = corpus.toDF.select(col(idCol))
+    val ivfN = ivfIndex.map(VectorOps.expireFromIvfIndex(_, liveIds))
+      .getOrElse(0L)
+    val sigN = Dedup.expireFromSigIndex(sigIndex, liveIds)
+    (sigN, ivfN)
   }
 
   /** Bootstrap / catch-up driver: run a LARGE historical frame through

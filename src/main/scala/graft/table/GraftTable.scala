@@ -1418,7 +1418,11 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       }
       b.result()
     }
-    val out = files.map { p =>
+    // footer opens are independent driver-side IO — read them CONCURRENTLY
+    // (a partitioned append stages one file per touched dir; an IVF-index
+    // batch touches ~C cells, and C serial opens were a measurable slice
+    // of its per-commit fixed cost)
+    def footerOf(p: Path): Option[StagedStats] = {
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         val blocks = reader.getFooter.getBlocks
@@ -1466,10 +1470,14 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
           }
           i += 1
         }
-        StagedStats(p.toString, rowCount, mins.toMap, maxs.toMap, nulls.toMap, Map.empty)
+        Some(StagedStats(p.toString, rowCount, mins.toMap, maxs.toMap,
+          nulls.toMap, Map.empty))
       } finally reader.close()
     }
-    Some(out)
+    // any single file's fallback (footerOf = None via its early returns)
+    // falls the whole batch back to the scan path, exactly as before
+    val out = GraftTable.concurrently(files)(footerOf)
+    if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
   }
 
   /** Metadata-only stats from ORC file footers — the ORC twin of
@@ -1497,7 +1505,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       java.lang.Long.valueOf(secs * 1000000L + t.getNanos / 1000)
     }
     val wanted = cols.map(f => f.name -> f).toMap
-    val out = files.map { p =>
+    def footerOf(p: Path): Option[StagedStats] = {
       val reader = OrcFile.createReader(p, OrcFile.readerOptions(conf))
       try {
         val rowCount = reader.getNumberOfRows
@@ -1557,10 +1565,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
           }
           i += 1
         }
-        StagedStats(p.toString, rowCount, mins.toMap, maxs.toMap, nulls.toMap, Map.empty)
+        Some(StagedStats(p.toString, rowCount, mins.toMap, maxs.toMap,
+          nulls.toMap, Map.empty))
       } finally reader.close()
     }
-    Some(out)
+    val out = GraftTable.concurrently(files)(footerOf)
+    if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
   }
 
   /** Map a parquet footer min/max to the external value [[StatsCodec.encode]]
@@ -1636,6 +1646,23 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 object GraftTable {
   /** Highest LSM level — fully-compacted files live here. */
   val MaxLevel = 5
+
+  private lazy val footerIoPool =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-footer-io"); t.setDaemon(true); t
+      })
+
+  /** Order-preserving bounded-concurrency map for driver-side metadata IO
+    * (parquet/ORC footer opens after a staged write — independent small
+    * reads whose serial latency was a measurable slice of per-commit
+    * fixed cost on C-directory partitioned appends).
+    */
+  private[table] def concurrently[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.sizeIs <= 1) xs.map(f)
+    else xs.map(x => footerIoPool.submit(
+        new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
+      .map(_.get())
 
   /** File-format instance by name. */
   def fileFormatFor(name: String): org.apache.spark.sql.execution.datasources.FileFormat =

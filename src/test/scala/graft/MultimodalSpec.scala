@@ -211,6 +211,54 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("decoder").collect().forall(_.getString(0) == "stub-slice"))
   }
 
+  test("dHash is closed-form on block fixtures and survives resize + jpeg") {
+    // independent re-derivation of the fixture's gray walk → expected bits
+    def expectedHash(seed: Long): Long = {
+      def raw(bx: Int, by: Int): Int = {
+        var h = seed * 6364136223846793005L + (by * 9 + bx) * 1442695040888963407L
+        h ^= (h >>> 29); h *= -7723592293110705685L; h ^= (h >>> 32)
+        math.floorMod(h, 12).toInt
+      }
+      var bits = 0L
+      for (by <- 0 until 8) {
+        val g = new Array[Int](9)
+        for (bx <- 0 until 9) {
+          var v = raw(bx, by)
+          if (bx > 0 && 32 + 16 * v == g(bx - 1)) v = (v + 1) % 12
+          g(bx) = 32 + 16 * v
+        }
+        for (bx <- 0 until 8)
+          if (g(bx + 1) > g(bx)) bits |= 1L << (by * 8 + bx)
+      }
+      bits
+    }
+    val orig = Multimodal.encodeBlockPng(90, 80, seed = 7L)
+    assert(Multimodal.dHash64(orig) == expectedHash(7L)) // closed-form oracle
+    assert(Multimodal.dHash64(Array[Byte](1, 2, 3)) == null) // undecodable
+
+    // twins: bilinear downscale and lossy jpeg re-encode of each pattern
+    val base = (1L to 5L).map(s => (s, 90, 80, s)).toDF("id", "w", "h", "seed")
+    val originals = Multimodal.renderBlockPngs(base, "w", "h", "seed")
+      .select("id", "content")
+    val resized = Multimodal.resizeImages(
+      originals.withColumn("id", col("id") + 100), "content", 45, 40)
+    val jpegs = Multimodal.transcodeImages(
+      originals.withColumn("id", col("id") + 200), "content", "jpeg")
+    val junk = Seq((999L, Array[Byte](9, 9, 9))).toDF("id", "content")
+    val all = originals.unionByName(resized).unionByName(jpegs).unionByName(junk)
+    val pairs = Multimodal.dHashPairs(all, "id", "content", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // every pattern groups exactly with its two twins — nothing across
+    // patterns, the junk row silently excluded
+    val want = (1L to 5L).flatMap(s =>
+      Seq((s, s + 100), (s, s + 200), (s + 100, s + 200))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == want,
+      s"got=${pairs.toSeq.sorted} want=${want.toSeq.sorted}")
+    // the fixture's >=16-level adjacent gaps make the hash EXACTLY stable
+    // under both transforms
+    assert(pairs.forall(_._3 == 0L), pairs.toString)
+  }
+
   test("sampleFrames routes MJPEG content to the REAL decode path") {
     val realJpegs = (0 until 3).map { i =>
       val img = new java.awt.image.BufferedImage(8 + i, 5,

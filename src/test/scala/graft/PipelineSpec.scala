@@ -427,6 +427,51 @@ class PipelineSpec extends SparkSpec {
     assert(got.filter(_._1 == 100L).map(_._2) == Set(101L, 102L, 103L, 104L), got.toString)
   }
 
+  test("rebuildLshSidecar upgrades a pre-sidecar index to the bucket-local path") {
+    val dim = 8
+    def vec(g: Int, j: Int): Seq[Double] =
+      (0 until dim).map(d =>
+        (if (d == g) 1.0 else 0.0) + 0.01 * math.sin(1.0 + g * 17 + j * 3 + d))
+    val corpusRows = for (g <- 0 until 4; j <- 0 until 5)
+      yield ((g * 100 + j).toLong, vec(g, j))
+    val path = tmpTable()
+    // old-format fixture: no sidecar column, tables=0 → full-cell scoring
+    val index = VectorOps.buildIvfIndex(corpusRows.toDF("vec_id", "v"),
+      "vec_id", "v", path, numCentroids = 4, lshSidecar = false)
+    assert(index.schema.option("ivf.lsh.tables", "-1") == "0")
+    assert(!index.schema.fields.exists(_.name == "lsh_buckets"))
+    val batch = Seq(
+      (900L, vec(2, 77)),
+      (901L, (0 until dim).map(d => if (d == 7) -1.0 else 0.0))).toDF("vec_id", "v")
+    def pairs() = VectorOps.embedNearDupAgainst(batch, "vec_id", "v", index,
+      threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs() // full-cell fallback path
+    assert(before.nonEmpty)
+
+    // the in-place upgrade, through the SQL procedure
+    val msg = spark.sql(s"CALL sys.rebuild_lsh_sidecar('$path')")
+      .collect()(0).getString(0)
+    assert(msg.contains("rebuilt lsh sidecar"), msg)
+    val upgraded = graft.table.GraftTable.load(spark, path)
+    assert(upgraded.schema.option("ivf.lsh.tables", "0").toInt > 0)
+    // every row carries a bucket array of the installed family size
+    val t = upgraded.schema.option("ivf.lsh.tables", "0").toInt
+    assert(upgraded.toDF.filter(size(col("lsh_buckets")) =!= t).count() == 0)
+    // bucket-local candidates give the SAME verified pairs (tight groups
+    // share every sign bucket; exact-cosine verify is unchanged)
+    val after = VectorOps.embedNearDupAgainst(batch, "vec_id", "v", upgraded,
+      threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, s"before=$before after=$after")
+
+    // appends after the upgrade band compatibly: a new colinear vector is
+    // caught through its sidecar buckets
+    VectorOps.appendToIvfIndex(upgraded, Seq((950L, vec(2, 33)))
+      .toDF("vec_id", "v"), "vec_id", "v")
+    val again = VectorOps.embedNearDupAgainst(batch, "vec_id", "v", upgraded,
+      threshold = 0.95).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again.contains((900L, 950L)), again.toString)
+  }
+
   test("knnJoinIvf clamps nProbe past the cell count (tiny index, default nProbe)") {
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
       (3L, Seq(0.9, 0.1))).toDF("vec_id", "v")

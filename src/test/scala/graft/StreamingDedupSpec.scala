@@ -4,6 +4,7 @@ import graft.pipeline.Dedup
 import graft.streaming.StreamingDedup
 import graft.table.GraftTable
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 class StreamingDedupSpec extends SparkSpec {
 
@@ -253,6 +254,44 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.toDF.count() == 5)
   }
 
+  test("production mode (trackCounts=false) commits the identical state") {
+    def run(trackCounts: Boolean): (Seq[Long], Long, Seq[Long], StreamingDedup.BatchResult) = {
+      val corpusDf = Seq(
+        (1L, text(1), vec(1)), (2L, text(2), vec(2))).toDF("doc_id", "body", "v")
+      val corpus = GraftTable.create(spark, tmpTable(),
+        corpusDf.select("doc_id", "body").schema)
+      corpus.append(corpusDf.select("doc_id", "body"))
+      val index = Dedup.buildSigIndex(corpusDf, "doc_id", "body", tmpTable())
+      val ivf = graft.pipeline.VectorOps.buildIvfIndex(
+        corpusDf.select("doc_id", "v"), "doc_id", "v", tmpTable(),
+        numCentroids = 2)
+      // every drop stage fires: 852 exact-dups 851, 853 near-dups corpus
+      // doc 1, 854/855 embedding-colinear (intra), 856 colinear with
+      // corpus doc 2 (vs index), 857 clean
+      val b = Seq(
+        (851L, text(85), vec(20)), (852L, text(85), vec(20)),
+        (853L, text(1, perturb = 6), vec(21)),
+        (854L, text(86), vec(22)), (855L, text(87), vec(22, scale = 1.01)),
+        (856L, text(88), vec(2, scale = 0.98)), (857L, text(89), vec(23)))
+        .toDF("doc_id", "body", "v")
+      val r = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+        corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)),
+        trackCounts = trackCounts)
+      (corpusIds(corpus), index.toDF.count(),
+        ivf.toDF.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq, r)
+    }
+    val (idsT, sigT, ivfT, rT) = run(trackCounts = true)
+    val (idsF, sigF, ivfF, rF) = run(trackCounts = false)
+    assert(idsT == idsF && sigT == sigF && ivfT == ivfF,
+      s"tracked=($idsT,$sigT,$ivfT) untracked=($idsF,$sigF,$ivfF)")
+    assert(rT.admitted == rF.admitted, s"${rT.admitted} vs ${rF.admitted}")
+    // tracked mode attributes every stage; production mode reports only
+    // the admitted count
+    assert(rT.droppedExact == 1 && rT.droppedCorpus == 1 &&
+      rT.droppedEmbedIntra == 1 && rT.droppedEmbedCorpus == 1, rT.toString)
+    assert(rF.input == -1L && rF.droppedExact == -1L, rF.toString)
+  }
+
   test("backfill: chunked bootstrap dedups across chunks and reruns converge") {
     val (corpus, index) = mkCorpusAndIndex()
     // 8 docs: 402 exact-dups 401, 403 near-dups 401, 404 near-dups corpus
@@ -294,6 +333,79 @@ class StreamingDedupSpec extends SparkSpec {
     // same modulus resumes fine (pure replay)
     StreamingDedup.backfill(docs, "doc_id", "body", corpus, index, batches = 2)
     assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 501L, 502L))
+  }
+
+  test("corpus deletion propagates to the indexes; the doc can re-ingest") {
+    val corpusDf = Seq(
+      (1L, text(1), vec(1)), (2L, text(2), vec(2)), (3L, text(3), vec(3)))
+      .toDF("doc_id", "body", "v")
+    val corpus = GraftTable.create(spark, tmpTable(),
+      corpusDf.select("doc_id", "body").schema)
+    corpus.append(corpusDf.select("doc_id", "body"))
+    val index = Dedup.buildSigIndex(corpusDf, "doc_id", "body", tmpTable())
+    val ivf = graft.pipeline.VectorOps.buildIvfIndex(
+      corpusDf.select("doc_id", "v"), "doc_id", "v", tmpTable(),
+      numCentroids = 2)
+
+    // takedown: doc 2 leaves the corpus
+    corpus.delete(col("doc_id") === 2L)
+    assert(corpusIds(corpus) == Seq(1L, 3L))
+
+    // the hazard: WITHOUT index expiry the stale signature blocks the
+    // same doc from EVER re-entering (re-ingest guard keys on index ids)
+    val back = Seq((2L, text(2), vec(2))).toDF("doc_id", "body", "v")
+    val r0 = StreamingDedup.processBatch(back, 0L, "doc_id", "body",
+      corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)))
+    assert(r0.droppedReingest == 1 && r0.admitted == 0, r0.toString)
+
+    // expire: exactly the deleted doc leaves both indexes
+    val (sigN, ivfN) = StreamingDedup.expireFromIndexes(
+      corpus, "doc_id", index, Some(ivf))
+    assert((sigN, ivfN) == ((1L, 1L)), s"($sigN,$ivfN)")
+    assert(index.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    assert(ivf.toDF.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+
+    // the SAME doc now re-ingests cleanly (fresh batchId), and all three
+    // tables carry it again
+    val r1 = StreamingDedup.processBatch(back, 1L, "doc_id", "body",
+      corpus, index, embed = Some(StreamingDedup.EmbedStage("v", ivf)))
+    assert(r1.admitted == 1, r1.toString)
+    assert(corpusIds(corpus) == Seq(1L, 2L, 3L))
+    assert(index.toDF.count() == 3 && ivf.toDF.count() == 3)
+
+    // idempotent: nothing left to expire
+    assert(StreamingDedup.expireFromIndexes(corpus, "doc_id", index,
+      Some(ivf)) == ((0L, 0L)))
+
+    // the SQL surface: CALL sys.expire_from_indexes after another takedown
+    corpus.delete(col("doc_id") === 3L)
+    val msg = spark.sql(
+      s"""CALL sys.expire_from_indexes('${corpus.location}', 'doc_id',
+         |'${index.location}', '${ivf.location}')""".stripMargin)
+      .collect()(0).getString(0)
+    assert(msg == "expired 1 sig-index and 1 ivf-index entries", msg)
+    assert(index.toDF.count() == 2 && ivf.toDF.count() == 2)
+  }
+
+  test("expireFromIvfIndex clears fully-expired cells") {
+    import spark.implicits._
+    val vecs = (1L to 20L).map(i => (i, vec(i.toInt))).toDF("doc_id", "v")
+    val ivf = graft.pipeline.VectorOps.buildIvfIndex(
+      vecs, "doc_id", "v", tmpTable(), numCentroids = 3)
+    // only ids 1..5 remain live: at least one of the 3 cells is very
+    // likely fully expired — and with an EMPTY live set below, all are
+    val n1 = graft.pipeline.VectorOps.expireFromIvfIndex(ivf,
+      Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id"))
+    assert(n1 == 15, n1.toString)
+    assert(ivf.toDF.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 5L))
+    // expire everything: fully-emptied cells must clear (the overwrite
+    // commits file deletions with zero adds)
+    val n2 = graft.pipeline.VectorOps.expireFromIvfIndex(ivf,
+      spark.emptyDataset[Long].toDF("doc_id"))
+    assert(n2 == 5 && ivf.toDF.count() == 0, s"$n2 ${ivf.toDF.count()}")
   }
 
   test("streaming wrapper dedups across micro-batches") {
