@@ -89,6 +89,28 @@ object ScaleStress {
       results += "knn_join" -> t
       println(f"""{"op":"knn_join","sec":$t%.3f,"rows":$rows,"docs":$n}""")
     }
+    // total bytes materialized by BroadcastExchange nodes of an executed
+    // plan (descending through AQE query stages) — the exchange-volume
+    // evidence for probe-frame shape claims
+    def broadcastBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      def walk(p: SparkPlan): Long = {
+        val self = p match {
+          case b: BroadcastExchangeExec =>
+            b.metrics.get("dataSize").map(_.value).getOrElse(0L)
+          case _ => 0L
+        }
+        val sub = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _ => 0L
+        }
+        self + sub + p.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
     if (ops("knnivf")) {
       // the same batch-query retrieval against a PERSISTED IVF index
       // (q119/q121 shape). The index build is outside the timed window —
@@ -96,7 +118,7 @@ object ScaleStress {
       // |queries| × probed-cell data, i.e. nProbe/C of the corpus, so
       // doubling C at 4× corpus holds per-query cost ~flat.
       import org.apache.spark.sql.functions._
-      val dim = 16
+      val dim = sys.env.getOrElse("SPARK_GRAFT_DIM", "16").toInt
       val vecs = docs.select(col("doc_id"),
         array((0 until dim).map(i =>
           (pmod(xxhash64(col("doc_id"), lit(i)), lit(2000)).cast("double") / 1000.0) - 1.0): _*)
@@ -108,10 +130,13 @@ object ScaleStress {
           numCentroids = c))
       val qs = vecs.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("qid"), col("v"))
-      val (t, rows) = time(graft.pipeline.VectorOps.knnJoinIvf(
-        qs, "qid", "v", idx, 10).count())
+      val joined = graft.pipeline.VectorOps.knnJoinIvf(qs, "qid", "v", idx, 10)
+      // drive THIS QueryExecution (count() would plan a separate one and
+      // leave joined's metrics — the broadcast sizes — at zero)
+      val (t, rows) = time(joined.queryExecution.toRdd.count())
       results += "knn_join_ivf" -> t
-      println(f"""{"op":"knn_join_ivf","sec":$t%.3f,"build_sec":$buildT%.3f,"rows":$rows,"centroids":$c,"docs":$n}""")
+      val bb = broadcastBytes(joined)
+      println(f"""{"op":"knn_join_ivf","sec":$t%.3f,"build_sec":$buildT%.3f,"rows":$rows,"centroids":$c,"docs":$n,"dim":$dim,"broadcast_bytes":$bb}""")
     }
     // the FULL text+embedding ingest batch (StreamingDedup + EmbedStage,
     // the q123 pipeline): corpus = 90% of docs with synthetic embeddings,

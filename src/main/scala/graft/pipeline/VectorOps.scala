@@ -254,9 +254,16 @@ object VectorOps {
       .orderBy("h").limit(numCentroids)
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
     (1 to iterations).foldLeft(seeds: Seq[Seq[Double]]) { (cents, _) =>
+      // the assignment MUST be its own projection below the explode:
+      // a generator and a non-generator expression in one select put the
+      // non-generator into the Project ABOVE the Generate, re-evaluating
+      // the C×dim assignment once per exploded ELEMENT — a dim× blowup
+      // of the dominant cost (measured 1356 s → ~7 s at dim=384, C=55,
+      // 50k rows). Exploding the attribute keeps it once per row.
       val means = df
         .select(ivfAssign(col(vecCol).cast("array<double>"), cents).as("c"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "x")))
+          col(vecCol).cast("array<double>").as("__v"))
+        .select(col("c"), posexplode(col("__v")).as(Seq("p", "x")))
         .groupBy("c", "p").agg(avg("x").as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       cents.zipWithIndex.map { case (old, ci) =>
