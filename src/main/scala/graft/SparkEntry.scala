@@ -553,6 +553,26 @@ object SparkEntry {
       Multimodal.dHashPairs(all, "doc_id", "content")
         .select(col("id_a"), col("id_b"))
     }),
+    "q131_audio_fp_dedup" -> ((s, d) => {
+      // perceptual audio near-dup: segment-pattern WAVs seeded doc_id %
+      // 40, one tier original, one half-volume, one quarter-volume — the
+      // energy-envelope fingerprint + Hamming pigeonhole pairs each
+      // pattern's byte-distinct copies, nothing across patterns
+      val base = Fixtures.src(s, d, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(40)).cast("long").as("seed"))
+      val wavs = Multimodal.renderSegmentWavs(base, "seed")
+        .select("doc_id", "content")
+      val all = wavs.filter(col("doc_id") < 40)
+        .unionByName(Multimodal.scaleWavVolume(
+          wavs.filter(col("doc_id") >= 40 && col("doc_id") < 80),
+          "content", 1, 2))
+        .unionByName(Multimodal.scaleWavVolume(
+          wavs.filter(col("doc_id") >= 80), "content", 1, 4))
+      Multimodal.audioFingerprintPairs(all, "doc_id", "content")
+        .select(col("id_a"), col("id_b"))
+    }),
     "q127_repetition_stats" -> ((s, d) =>
       // Gopher-style repetition quality filters (dup line/word fractions
       // per-row; n-gram fractions via map-side-combined gram counts)
@@ -1418,6 +1438,14 @@ object SparkEntry {
         |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |      / 4294967296.0
         |    < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 ELSE 0.1 END""".stripMargin,
+    // q131: like q130 — the energy fingerprint is exactly preserved under
+    // integer gain scaling (adjacent segment amplitudes >=1024 apart), so
+    // the pairs are exactly the within-pattern groups
+    "q131_audio_fp_dedup" ->
+      """WITH g AS (SELECT doc_id, doc_id % 40 AS s FROM documents
+        |           WHERE doc_id < 120)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id""".stripMargin,
     // q130: the dHash is exactly preserved by the fixture's construction
     // (adjacent grid cells >=16 gray levels apart survive bilinear
     // resampling and jpeg quantization), so the pairs are exactly the

@@ -357,6 +357,207 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------- audio perceptual fingerprint ----------------------
+
+  /** Mean |sample| per window over `gw` equal windows of a PCM16 stream
+    * (channels folded together; integer arithmetic, deterministic).
+    */
+  private def energyWindows(content: Array[Byte], gw: Int): Option[Array[Long]] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(content))
+      catch { case _: Exception => return None }
+    try {
+      if (in.getFormat.getSampleSizeInBits != 16) return None
+      val le = !in.getFormat.isBigEndian
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      if (n < gw) return None
+      val sum = new Array[Long](gw)
+      val cnt = new Array[Long](gw)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(2 * i) & 0xff
+        val hi = bytes(2 * i + 1) & 0xff
+        val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+        val w = math.min((i.toLong * gw / n).toInt, gw - 1)
+        sum(w) += math.abs(s)
+        cnt(w) += 1
+        i += 1
+      }
+      Some(Array.tabulate(gw)(w => if (cnt(w) > 0) sum(w) / cnt(w) else 0L))
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** 64-bit audio fingerprint: mean |sample| energy over 65 equal time
+    * windows, one bit per adjacent window pair (set when energy RISES) —
+    * the energy-envelope difference hash (the same family of public
+    * technique as image dHash, applied to the loudness contour). Uniform
+    * volume scaling multiplies every window equally, so the comparison
+    * signs — and the hash — survive gain changes and lossless re-encodes
+    * that byte hashing cannot. Null for undecodable or sub-65-sample
+    * content. Integer arithmetic throughout.
+    */
+  def audioFingerprint64(content: Array[Byte]): java.lang.Long = {
+    if (content == null) return null
+    energyWindows(content, 65) match {
+      case None => null
+      case Some(e) =>
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (e(i + 1) > e(i)) bits |= 1L << i
+          i += 1
+        }
+        bits
+    }
+  }
+
+  /** Append an `audio_fp` column (nullable long) — partition-local,
+    * batched; no shuffle.
+    */
+  def withAudioFingerprint(df: DataFrame, contentCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("audio_fp", LongType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ audioFingerprint64(r.getAs[Array[Byte]](contentIdx)))
+      })
+    }(enc)
+  }
+
+  /** Perceptual near-dup audio pairs: fingerprint sketches through the
+    * 5-block Hamming pigeonhole ([[Dedup.hammingBlockedPairs]] — shared
+    * with text SimHash and image dHash). Undecodable rows are excluded;
+    * audio bytes never enter a shuffle. Returns (id_a, id_b, hamming).
+    */
+  def audioFingerprintPairs(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
+    Dedup.hammingBlockedPairs(
+      withAudioFingerprint(
+        df.select(col(idCol).as("id"), col(contentCol).as("c")), "c", batchSize)
+        .filter(col("audio_fp").isNotNull)
+        .select(col("id"), col("audio_fp").as("sk")),
+      maxHamming)
+
+  /** Deterministic segment-pattern WAV fixture for fingerprint tests: 65
+    * equal square-wave segments whose amplitudes are a seeded walk with
+    * ADJACENT SEGMENTS ≥1024 apart, so every fingerprint bit is decided
+    * by a margin that survives integer volume scaling — the hash of a
+    * gain-scaled copy is closed-form EQUAL to the original's.
+    */
+  def encodeSegmentWav(sampleRate: Int, seed: Long,
+      segFrames: Int = 160): Array[Byte] = {
+    val amps = segmentAmps(seed)
+    val frames = 65 * segFrames
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val amp = amps(i / segFrames)
+      val s = (if ((i / 8) % 2 == 0) amp else -amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The 65 segment amplitudes of [[encodeSegmentWav]] — exposed so tests
+    * derive the expected fingerprint closed-form.
+    */
+  def segmentAmps(seed: Long): Array[Int] = {
+    def raw(s: Int): Int = {
+      var h = seed * 6364136223846793005L + s * 1442695040888963407L
+      h ^= (h >>> 29); h *= -7723592293110705685L; h ^= (h >>> 32)
+      math.floorMod(h, 12).toInt
+    }
+    val amps = new Array[Int](65)
+    var s = 0
+    while (s < 65) {
+      var v = raw(s)
+      if (s > 0 && 2048 + 1024 * v == amps(s - 1)) v = (v + 1) % 12
+      amps(s) = 2048 + 1024 * v
+      s += 1
+    }
+    amps
+  }
+
+  /** Render a `content` WAV column of segment patterns from a long seed
+    * column — the [[encodeSegmentWav]] fixture as a frame op.
+    */
+  def renderSegmentWavs(df: DataFrame, seedCol: String,
+      sampleRate: Int = 8000, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val si = df.schema.fieldIndex(seedCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ encodeSegmentWav(8000, r.getLong(si)))
+      })
+    }(enc)
+  }
+
+  /** Scale a PCM16 WAV's volume by `num`/`den` (integer per-sample
+    * multiply, re-encoded as WAV) — the gain-change/normalization op, and
+    * the "volume-scaled twin" fixture for fingerprint dedup tests.
+    * Undecodable bytes pass through unchanged.
+    */
+  def scaleWavVolume(df: DataFrame, contentCol: String, num: Int, den: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(den > 0 && num >= 0, s"bad gain $num/$den")
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        val in =
+          if (bytes == null) null
+          else
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+        if (in == null || in.getFormat.getSampleSizeInBits != 16) r
+        else try {
+          val fmt = in.getFormat
+          val le = !fmt.isBigEndian
+          val pcm = in.readAllBytes()
+          val n = pcm.length / 2
+          var i = 0
+          while (i < n) {
+            val lo = pcm(2 * i) & 0xff
+            val hi = pcm(2 * i + 1) & 0xff
+            val s0 = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+            val s = math.max(Short.MinValue,
+              math.min(Short.MaxValue, s0.toLong * num / den)).toInt
+            if (le) {
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            } else {
+              pcm(2 * i) = ((s >> 8) & 0xff).toByte
+              pcm(2 * i + 1) = (s & 0xff).toByte
+            }
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, n.toLong / fmt.getChannels)
+          val out = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          Row.fromSeq(r.toSeq.updated(contentIdx, out.toByteArray))
+        } finally in.close()
+      })
+    }(enc)
+  }
+
   // ---------------- video (MJPEG real; other containers stubbed) -------
 
   /** Encode one solid-gray JPEG frame (dims are exact post-encode; pixel

@@ -259,6 +259,39 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(_._3 == 0L), pairs.toString)
   }
 
+  test("audio fingerprint is closed-form on segment fixtures and survives gain") {
+    // expected bits derived independently from the segment amplitudes:
+    // segment s's mean |sample| IS its amplitude (square wave), windows
+    // align with segments, bit = rising energy
+    def expectedFp(seed: Long): Long = {
+      val amps = Multimodal.segmentAmps(seed)
+      (0 until 64).foldLeft(0L)((b, i) =>
+        if (amps(i + 1) > amps(i)) b | (1L << i) else b)
+    }
+    val wav = Multimodal.encodeSegmentWav(8000, seed = 11L)
+    assert(Multimodal.audioFingerprint64(wav) == expectedFp(11L))
+    assert(Multimodal.audioFingerprint64(Array[Byte](1, 2, 3)) == null)
+
+    // twins: half and quarter volume — byte-distinct, fingerprint-equal
+    val base = (1L to 5L).map(s => (s, s)).toDF("id", "seed")
+    val originals = Multimodal.renderSegmentWavs(base, "seed")
+      .select("id", "content")
+    val half = Multimodal.scaleWavVolume(
+      originals.withColumn("id", col("id") + 100), "content", 1, 2)
+    val quarter = Multimodal.scaleWavVolume(
+      originals.withColumn("id", col("id") + 200), "content", 1, 4)
+    val junk = Seq((999L, Array[Byte](7, 7, 7))).toDF("id", "content")
+    val all = originals.unionByName(half).unionByName(quarter).unionByName(junk)
+    val pairs = Multimodal.audioFingerprintPairs(all, "id", "content")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val want = (1L to 5L).flatMap(s =>
+      Seq((s, s + 100), (s, s + 200), (s + 100, s + 200))).toSet
+    assert(pairs.map(p => (p._1, p._2)) == want,
+      s"got=${pairs.toSeq.sorted} want=${want.toSeq.sorted}")
+    // >=1024-step adjacent gaps make the hash EXACTLY stable under gain
+    assert(pairs.forall(_._3 == 0L), pairs.toString)
+  }
+
   test("sampleFrames routes MJPEG content to the REAL decode path") {
     val realJpegs = (0 until 3).map { i =>
       val img = new java.awt.image.BufferedImage(8 + i, 5,
