@@ -260,6 +260,81 @@ object Fixtures {
       t
     }
 
+  /** Corpus frame for the PERCEPTUAL ingest (q132): held-in docs with a
+    * block-pattern PNG per doc (seed = doc_id, all patterns distinct) and
+    * SYNTHETIC per-doc texts (one shingle each, all distinct — the text
+    * stages drop nothing, so the query isolates the perceptual stage;
+    * natural testdata texts contain near-dup families that would also
+    * fire the text checks).
+    */
+  def perceptualCorpusDf(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.Multimodal.renderBlockPngs(
+      src(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("perceptual corpus doc "),
+            col("doc_id").cast("string")).as("text"),
+          lit(90).as("w"), lit(80).as("h"), col("doc_id").as("seed")),
+      "w", "h", "seed")
+      .select(col("doc_id"), col("text"), col("content").as("img"))
+
+  def perceptualCorpus(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "perceptual_corpus") { path =>
+      val corpus = perceptualCorpusDf(spark, sfDir).select("doc_id", "text")
+      val t = GraftTable.create(spark, path, corpus.schema)
+      t.append(corpus)
+      t
+    }
+
+  def perceptualSigIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "perceptual_sig_index") { path =>
+      graft.pipeline.Dedup.buildSigIndex(
+        perceptualCorpusDf(spark, sfDir), "doc_id", "text", path)
+    }
+
+  def perceptualFpIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "perceptual_fp_index") { path =>
+      graft.pipeline.Multimodal.buildFingerprintIndex(
+        perceptualCorpusDf(spark, sfDir), "doc_id", "img", path,
+        kind = "image")
+    }
+
+  /** Tonight's batch for the perceptual ingest: held-out docs with novel
+    * patterns, PLUS planted perceptual twins whose TEXTS are unique (the
+    * text stages cannot catch them) but whose images are re-renders of an
+    * existing pattern at a different size/encoding:
+    *  - corpus twins: base doc_id % 50 == 1 (all in the corpus), new id =
+    *    base + 2000, image = the base pattern rendered at HALF size
+    *    (45×40 — same dHash, different bytes) → dropped vs the fp index;
+    *  - intra twins: base doc_id % 100 == 0 (all in the batch), new id =
+    *    base + 6000, image = the base pattern JPEG-re-encoded → the
+    *    larger id of the pair drops intra-batch.
+    */
+  def perceptualBatch(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import graft.pipeline.Multimodal
+    def rendered(df: org.apache.spark.sql.DataFrame, w: Int, h: Int) =
+      Multimodal.renderBlockPngs(
+        df.select(col("doc_id"), col("text"),
+          lit(w).as("w"), lit(h).as("h"), col("seed")), "w", "h", "seed")
+        .select(col("doc_id"), col("text"), col("content").as("img"))
+    val base = src(spark, sfDir, "documents").filter(col("doc_id") < 300)
+    val natural = rendered(base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(lit("perceptual batch doc "),
+          col("doc_id").cast("string")).as("text"),
+        col("doc_id").as("seed")), 90, 80)
+    val corpusTwins = rendered(base.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(lit("imgtwin "), col("doc_id").cast("string")).as("text"),
+        col("doc_id").as("seed")), 45, 40)
+    val intraTwins = Multimodal.transcodeImages(
+      rendered(base.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 6000).as("doc_id"),
+          concat(lit("imgpair "), col("doc_id").cast("string")).as("text"),
+          col("doc_id").as("seed")), 90, 80), "img", "jpeg")
+    natural.unionByName(corpusTwins).unionByName(intraTwins)
+  }
+
   /** Per-LSM-level FILE FORMATS: avro L0 runs over a parquet compacted
     * base; the final state mixes both formats in one live set, so the
     * oracle row proves mixed-format merge reads. */

@@ -553,6 +553,23 @@ object SparkEntry {
       Multimodal.dHashPairs(all, "doc_id", "content")
         .select(col("id_a"), col("id_b"))
     }),
+    "q132_perceptual_ingest" -> ((s, d) => {
+      // the ingest pipeline WITH the perceptual stage: text checks as
+      // q120, then 64-bit image-dHash dedup within the batch (planted
+      // JPEG-re-encoded intra twins drop) and against the persisted
+      // fingerprint index (planted half-size corpus twins drop — their
+      // texts are unique, so only the perceptual stage can catch them).
+      // Survivors land in the corpus AND the fp index under one batch
+      // commit; the result joins the two id sets so divergence breaks it.
+      val corpus = Fixtures.perceptualCorpus(s, d)
+      val fpIdx = Fixtures.perceptualFpIndex(s, d)
+      graft.streaming.StreamingDedup.processBatch(
+        Fixtures.perceptualBatch(s, d), 0L, "doc_id", "text",
+        corpus, Fixtures.perceptualSigIndex(s, d),
+        fp = Some(graft.streaming.StreamingDedup.FingerprintStage("img", fpIdx)))
+      corpus.toDF.select("doc_id")
+        .join(fpIdx.toDF.select(col("id").as("doc_id")), Seq("doc_id"))
+    }),
     "q131_audio_fp_dedup" -> ((s, d) => {
       // perceptual audio near-dup: segment-pattern WAVs seeded doc_id %
       // 40, one tier original, one half-volume, one quarter-volume — the
@@ -1438,6 +1455,11 @@ object SparkEntry {
         |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |      / 4294967296.0
         |    < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 ELSE 0.1 END""".stripMargin,
+    // q132: every planted twin is dropped (unique texts, twin images), so
+    // the admitted set is exactly corpus ∪ held-out naturals = all
+    // doc_id < 300 (the intra pair keeps its smaller, natural id)
+    "q132_perceptual_ingest" ->
+      "SELECT doc_id FROM documents WHERE doc_id < 300",
     // q131: like q130 — the energy fingerprint is exactly preserved under
     // integer gain scaling (adjacent segment amplitudes >=1024 apart), so
     // the pairs are exactly the within-pattern groups

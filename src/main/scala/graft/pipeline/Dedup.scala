@@ -422,6 +422,37 @@ object Dedup {
       commitIdentifier = commitIdentifier, commitUser = commitUser)
   }
 
+  /** Blocked Hamming-ball join of NEW sketches against a CORPUS sketch
+    * frame (both two-column `(id, sk)`): the [[hammingBlockedPairs]]
+    * pigeonhole keying, joined new × corpus instead of self — the batch
+    * side is small and broadcasts; the corpus side is a column-pruned
+    * index scan, never shuffled by content. Same-id pairs are excluded
+    * (a re-ingest is itself, not a dup — the re-ingest guard owns that
+    * case). Returns (new_id, corpus_id, hamming).
+    */
+  private[pipeline] def hammingBlockedPairsAgainst(newSk: DataFrame,
+      corpusSk: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "5-block blocking guarantees completeness only for hamming <= 3")
+    val widths = Seq(13, 13, 13, 13, 12)
+    val offs = widths.scanLeft(0)(_ + _)
+    def blockVal(j: Int): Column =
+      shiftrightunsigned(col("sk"), offs(j)).bitwiseAND(lit((1L << widths(j)) - 1))
+    val combos = for { i <- 0 until 5; j <- i + 1 until 5 } yield
+      struct(lit(i * 5 + j).as("cb"), blockVal(i).as("v1"), blockVal(j).as("v2"))
+    def keyed(df: DataFrame): DataFrame =
+      df.select(col("id"), col("sk"), explode(array(combos: _*)).as("c"))
+        .select(col("id"), col("sk"), col("c.cb"), col("c.v1"), col("c.v2"))
+    keyed(PipelineUtil.pin(newSk)).as("a")
+      .join(keyed(corpusSk).as("b"),
+        col("a.cb") === col("b.cb") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"),
+        hamming(col("a.sk"), col("b.sk")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Expire signature-index entries whose id is NO LONGER in the corpus
     * (takedown/GDPR propagation — reference analog: `-D` rows flowing
     * through the deduplicate merge engine,

@@ -436,12 +436,7 @@ object Multimodal {
     */
   def audioFingerprintPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
-    Dedup.hammingBlockedPairs(
-      withAudioFingerprint(
-        df.select(col(idCol).as("id"), col(contentCol).as("c")), "c", batchSize)
-        .filter(col("audio_fp").isNotNull)
-        .select(col("id"), col("audio_fp").as("sk")),
-      maxHamming)
+    fingerprintPairs(df, idCol, contentCol, "audio", maxHamming)
 
   /** Deterministic segment-pattern WAV fixture for fingerprint tests: 65
     * equal square-wave segments whose amplitudes are a seeded walk with
@@ -557,6 +552,96 @@ object Multimodal {
       })
     }(enc)
   }
+
+  // ---------------- persisted fingerprint index -----------------------
+
+  /** The 64-bit perceptual kernel by name: `image` = [[dHash64]],
+    * `audio` = [[audioFingerprint64]].
+    */
+  private[pipeline] def fingerprintFn(kind: String): Array[Byte] => java.lang.Long =
+    kind match {
+      case "image" => dHash64
+      case "audio" => audioFingerprint64
+      case other => throw new IllegalArgumentException(
+        s"unknown fingerprint kind '$other' (expected image | audio)")
+    }
+
+  /** Append a `fp` column using the named kernel. */
+  private def withFingerprint(df: DataFrame, contentCol: String,
+      kind: String, batchSize: Int = 64): DataFrame = {
+    val f = fingerprintFn(kind)
+    val outSchema = StructType(df.schema.fields :+ StructField("fp", LongType))
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ f(r.getAs[Array[Byte]](contentIdx)))
+      })
+    }(enc)
+  }
+
+  /** The batch's (id, fp) sketch frame — undecodable rows excluded. */
+  private[pipeline] def fingerprintFrame(df: DataFrame, idCol: String,
+      contentCol: String, kind: String): DataFrame =
+    withFingerprint(
+      df.select(col(idCol).as("id"), col(contentCol).as("c")), "c", kind)
+      .filter(col("fp").isNotNull)
+      .select(col("id"), col("fp"))
+
+  /** Create a persisted perceptual-fingerprint index at `path`: a graft PK
+    * table (id → fp) bucketed by id, with the kernel kind pinned in the
+    * table options so future batches hash compatibly — the perceptual
+    * twin of [[Dedup.buildSigIndex]]. 8 bytes per item: a billion-item
+    * media corpus indexes in ~16 GB.
+    */
+  def buildFingerprintIndex(df: DataFrame, idCol: String, contentCol: String,
+      path: String, kind: String = "image", buckets: Int = 8)
+      : graft.table.GraftTable = {
+    fingerprintFn(kind) // validate the kind before creating anything
+    val fps = fingerprintFrame(df, idCol, contentCol, kind)
+    val t = graft.table.GraftTable.create(df.sparkSession, path, fps.schema,
+      primaryKeys = Seq("id"),
+      options = Map("bucket" -> buckets.toString, "dedup.fp.kind" -> kind))
+    t.upsert(fps)
+    t
+  }
+
+  /** The kernel kind a fingerprint index was built with — fails fast on a
+    * non-fingerprint table (hashing a batch with a DIFFERENT kernel would
+    * band incompatible sketches and silently miss every duplicate).
+    */
+  private[graft] def fpIndexKind(index: graft.table.GraftTable): String = {
+    val k = index.schema.option("dedup.fp.kind", "")
+    require(k.nonEmpty,
+      s"table at ${index.location} is not a fingerprint index: missing " +
+        "'dedup.fp.kind' table option (build one with buildFingerprintIndex)")
+    k
+  }
+
+  /** Fold a batch's fingerprints into the index (upsert — a re-ingested
+    * id replaces its fingerprint); exactly-once under commitIdentifier.
+    */
+  def appendToFingerprintIndex(index: graft.table.GraftTable, df: DataFrame,
+      idCol: String, contentCol: String, commitIdentifier: Long = -1L,
+      commitUser: String = ""): Unit =
+    index.upsert(fingerprintFrame(df, idCol, contentCol, fpIndexKind(index)),
+      commitIdentifier = commitIdentifier, commitUser = commitUser)
+
+  /** Perceptual near-dup pairs of `newDf` AGAINST the indexed corpus
+    * (the fingerprint analog of [[Dedup.nearDupPairsAgainst]]): the
+    * batch's sketches band against the index's (id, fp) scan through the
+    * 5-block Hamming pigeonhole — the media bytes of the corpus are
+    * NEVER read, only its 8-byte sketches. Same-id pairs excluded.
+    * Returns (new_id, corpus_id, hamming).
+    */
+  def fingerprintPairsAgainst(newDf: DataFrame, idCol: String,
+      contentCol: String, index: graft.table.GraftTable,
+      maxHamming: Int = 3, view: Option[DataFrame] = None): DataFrame =
+    Dedup.hammingBlockedPairsAgainst(
+      fingerprintFrame(newDf, idCol, contentCol, fpIndexKind(index))
+        .select(col("id"), col("fp").as("sk")),
+      view.getOrElse(index.toDF).select(col("id"), col("fp").as("sk")),
+      maxHamming)
 
   // ---------------- video (MJPEG real; other containers stubbed) -------
 
@@ -825,11 +910,18 @@ object Multimodal {
     */
   def dHashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
+    fingerprintPairs(df, idCol, contentCol, "image", maxHamming)
+
+  /** Intra-frame perceptual near-dup pairs for the named kernel — the
+    * generic core of [[dHashPairs]] / [[audioFingerprintPairs]], and the
+    * intra-batch check of [[graft.streaming.StreamingDedup]]'s
+    * FingerprintStage.
+    */
+  def fingerprintPairs(df: DataFrame, idCol: String, contentCol: String,
+      kind: String, maxHamming: Int = 3): DataFrame =
     Dedup.hammingBlockedPairs(
-      withDHash(df.select(col(idCol).as("id"), col(contentCol).as("c")),
-        "c", batchSize)
-        .filter(col("dhash").isNotNull)
-        .select(col("id"), col("dhash").as("sk")),
+      fingerprintFrame(df, idCol, contentCol, kind)
+        .select(col("id"), col("fp").as("sk")),
       maxHamming)
 
   /** Deterministic block-pattern PNG fixture for perceptual-hash tests: a

@@ -58,6 +58,7 @@ object StreamingDedup {
       droppedExact: Long, droppedIntra: Long, droppedCorpus: Long,
       droppedReingest: Long = 0L, droppedEmbedIntra: Long = 0L,
       droppedEmbedCorpus: Long = 0L,
+      droppedFpIntra: Long = 0L, droppedFpCorpus: Long = 0L,
       /** Wall seconds per stage (the stage counts are the barriers, so
         * attribution is exact) — the per-batch profile that says which
         * stage to scale next. Excluded from equality so exact-match test
@@ -67,15 +68,17 @@ object StreamingDedup {
     override def equals(o: Any): Boolean = o match {
       case b: BatchResult =>
         (batchId, input, admitted, droppedExact, droppedIntra, droppedCorpus,
-          droppedReingest, droppedEmbedIntra, droppedEmbedCorpus) ==
+          droppedReingest, droppedEmbedIntra, droppedEmbedCorpus,
+          droppedFpIntra, droppedFpCorpus) ==
         ((b.batchId, b.input, b.admitted, b.droppedExact, b.droppedIntra,
           b.droppedCorpus, b.droppedReingest, b.droppedEmbedIntra,
-          b.droppedEmbedCorpus))
+          b.droppedEmbedCorpus, b.droppedFpIntra, b.droppedFpCorpus))
       case _ => false
     }
     override def hashCode(): Int =
       (batchId, input, admitted, droppedExact, droppedIntra, droppedCorpus,
-        droppedReingest, droppedEmbedIntra, droppedEmbedCorpus).hashCode()
+        droppedReingest, droppedEmbedIntra, droppedEmbedCorpus,
+        droppedFpIntra, droppedFpCorpus).hashCode()
   }
 
   /** Optional SEMANTIC stage of the ingest pipeline: after the text checks,
@@ -90,6 +93,20 @@ object StreamingDedup {
     */
   case class EmbedStage(vecCol: String, ivfIndex: GraftTable,
       threshold: Double = 0.95, nProbe: Int = 4)
+
+  /** Optional PERCEPTUAL stage of the ingest pipeline: after the text
+    * checks, survivors' media bytes are fingerprinted (64-bit image dHash
+    * or audio energy hash, per the index's pinned kernel kind),
+    * near-dup-checked within the batch and against the persisted
+    * fingerprint index ([[graft.pipeline.Multimodal.fingerprintPairsAgainst]]
+    * — the corpus media is never re-read, only its 8-byte sketches), and
+    * admitted rows' fingerprints upsert into the index under the same
+    * exactly-once batch commit. Catches resized/re-encoded images and
+    * gain-scaled audio that byte-exact and text dedup cannot see.
+    * Undecodable rows pass through unfingerprinted (never dropped).
+    */
+  case class FingerprintStage(contentCol: String, fpIndex: GraftTable,
+      maxHamming: Int = 3)
 
   /** Replay-stable view of an index for this batch's vs-corpus checks: if
     * a PRIOR (crashed) run of this very batch already committed into the
@@ -147,7 +164,8 @@ object StreamingDedup {
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, corpus: GraftTable, index: GraftTable,
       threshold: Double = 0.7, commitUser: String = "streaming-dedup",
-      embed: Option[EmbedStage] = None, trackCounts: Boolean = true)
+      embed: Option[EmbedStage] = None, trackCounts: Boolean = true,
+      fp: Option[FingerprintStage] = None)
       : BatchResult = {
     val in = batch.persist()
     val cached = scala.collection.mutable.ListBuffer[DataFrame](in)
@@ -208,18 +226,44 @@ object StreamingDedup {
           corpusPairs.select(col("new_id").as(idCol)).distinct(),
           Seq(idCol), "left_anti"))
 
+      // 3a. perceptual stage: 64-bit media fingerprints (image dHash /
+      // audio energy hash per the index's pinned kernel) dedup within the
+      // batch, then against the persisted fingerprint index — catches
+      // resized/re-encoded/gain-scaled media twins text checks cannot
+      // see. The intra check is COMPLETE for hamming <= maxHamming
+      // (pigeonhole), so no cross-id batch pair can be newly caught
+      // through the index on replay — the pre-batch view is defense in
+      // depth here, not a correctness requirement as in the embed stage.
+      val (fpAdmitted, fpIntraN, fpAdmittedN) = fp match {
+        case None => (textAdmitted, textAdmittedN, textAdmittedN)
+        case Some(f) =>
+          val kind = graft.pipeline.Multimodal.fpIndexKind(f.fpIndex)
+          val intraFpPairs = graft.pipeline.Multimodal.fingerprintPairs(
+            textAdmitted, idCol, f.contentCol, kind, f.maxHamming)
+          val (s1, n1) = counted("fp_intra")(textAdmitted.join(
+            Dedup.dropIds(intraFpPairs).withColumnRenamed("drop_id", idCol),
+            Seq(idCol), "left_anti"))
+          val vsIdx = graft.pipeline.Multimodal.fingerprintPairsAgainst(
+            s1, idCol, f.contentCol, f.fpIndex, f.maxHamming,
+            view = preBatchView(f.fpIndex, s"$commitUser-fp", batchId))
+          val (s2, n2) = counted("fp_corpus")(s1.join(
+            vsIdx.select(col("new_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti"))
+          (s2, n1, n2)
+      }
+
       // 3b/3c. semantic stage: embedding near-dup within the batch, then
       // against the corpus's IVF index — catches rephrasings the shingle
       // LSH cannot (distinct token sets, same meaning)
       val (admitted, embedIntraN) = embed match {
-        case None => (textAdmitted, textAdmittedN)
+        case None => (fpAdmitted, fpAdmittedN)
         case Some(e) =>
           // the LSH plane family must match the batch's true dimensionality
           // — taken from the IVF index's stored centroids, the one
           // authoritative record of what this corpus embeds as
-          val embedPairs = VectorOps.nearDupPairs(textAdmitted, idCol,
+          val embedPairs = VectorOps.nearDupPairs(fpAdmitted, idCol,
             e.vecCol, e.threshold, dim = VectorOps.ivfIndexDim(e.ivfIndex))
-          val (s1, s1N) = counted("embed_intra")(textAdmitted.join(
+          val (s1, s1N) = counted("embed_intra")(fpAdmitted.join(
             Dedup.dropIds(embedPairs).withColumnRenamed("drop_id", idCol),
             Seq(idCol), "left_anti"))
           val vsCorpus = VectorOps.embedNearDupAgainst(
@@ -279,6 +323,12 @@ object StreamingDedup {
           leg(timedLeg("commit_ivf")(VectorOps.appendToIvfIndex(e.ivfIndex,
             admitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
             commitIdentifier = batchId, commitUser = s"$commitUser-ivf")))
+        } ++ fp.map { f =>
+          leg(timedLeg("commit_fp")(
+            graft.pipeline.Multimodal.appendToFingerprintIndex(f.fpIndex,
+              admitted.select(col(idCol), col(f.contentCol)), idCol,
+              f.contentCol, commitIdentifier = batchId,
+              commitUser = s"$commitUser-fp")))
         }
         // await ALL legs (even after one fails — a leg left running while
         // the finally-unpersist fires would recompute its input) and
@@ -296,24 +346,27 @@ object StreamingDedup {
           droppedExact = inputN - exactN, droppedIntra = freshN - intraN,
           droppedCorpus = intraN - textAdmittedN,
           droppedReingest = exactN - freshN,
-          droppedEmbedIntra = textAdmittedN - embedIntraN,
+          droppedEmbedIntra = fpAdmittedN - embedIntraN,
           droppedEmbedCorpus = embedIntraN - admittedN,
+          droppedFpIntra = textAdmittedN - fpIntraN,
+          droppedFpCorpus = fpIntraN - fpAdmittedN,
           stageSecs = stageSecs.toMap)
       else // production mode: only the admitted count is observed
         BatchResult(batchId, input = -1L, admitted = admittedN,
           droppedExact = -1L, droppedIntra = -1L, droppedCorpus = -1L,
           droppedReingest = -1L, droppedEmbedIntra = -1L,
-          droppedEmbedCorpus = -1L, stageSecs = stageSecs.toMap)
+          droppedEmbedCorpus = -1L, droppedFpIntra = -1L,
+          droppedFpCorpus = -1L, stageSecs = stageSecs.toMap)
     } finally cached.foreach(_.unpersist()) // failed batches leak no blocks
   }
 
-  /** Two-thread pool for the concurrent corpus/IVF commit legs of
+  /** Pool for the concurrent corpus/IVF/fingerprint commit legs of
     * [[processBatch]] — sized to that exact fan-out; daemon threads so an
     * abandoned batch never pins the JVM.
     */
   private lazy val commitEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(2,
+      java.util.concurrent.Executors.newFixedThreadPool(3,
         (r: Runnable) => {
           val t = new Thread(r, "graft-commit-leg"); t.setDaemon(true); t
         }))
@@ -332,13 +385,18 @@ object StreamingDedup {
     * the inverse of ingest, where the sig commit is last.
     */
   def expireFromIndexes(corpus: GraftTable, idCol: String,
-      sigIndex: GraftTable, ivfIndex: Option[GraftTable] = None)
-      : (Long, Long) = {
+      sigIndex: GraftTable, ivfIndex: Option[GraftTable] = None,
+      fpIndex: Option[GraftTable] = None)
+      : (Long, Long, Long) = {
     val liveIds = corpus.toDF.select(col(idCol))
     val ivfN = ivfIndex.map(VectorOps.expireFromIvfIndex(_, liveIds))
       .getOrElse(0L)
+    // the fingerprint index is an (id → fp) PK table — the sig-index
+    // expiry (an anti-join -D upsert on the PK) applies verbatim
+    val fpN = fpIndex.map(Dedup.expireFromSigIndex(_, liveIds))
+      .getOrElse(0L)
     val sigN = Dedup.expireFromSigIndex(sigIndex, liveIds)
-    (sigN, ivfN)
+    (sigN, ivfN, fpN)
   }
 
   /** Bootstrap / catch-up driver: run a LARGE historical frame through

@@ -335,6 +335,58 @@ class StreamingDedupSpec extends SparkSpec {
     assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 501L, 502L))
   }
 
+  test("perceptual stage: image fingerprints drop twins intra-batch and vs index") {
+    import graft.pipeline.Multimodal
+    def png(seed: Long) = Multimodal.encodeBlockPng(90, 80, seed)
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.select("content").collect()(0).getAs[Array[Byte]](0)
+    val resized2 = bytesOf(Multimodal.resizeImages(
+      Seq((1L, png(2))).toDF("id", "content"), "content", 45, 40))
+    val jpeg7 = bytesOf(Multimodal.transcodeImages(
+      Seq((1L, png(7))).toDF("id", "content"), "content", "jpeg"))
+
+    val corpusDf = Seq(
+      (1L, text(1), png(1)), (2L, text(2), png(2)), (3L, text(3), png(3)))
+      .toDF("doc_id", "body", "img")
+    val corpus = GraftTable.create(spark, tmpTable(),
+      corpusDf.select("doc_id", "body").schema)
+    corpus.append(corpusDf.select("doc_id", "body"))
+    val index = Dedup.buildSigIndex(corpusDf, "doc_id", "body", tmpTable())
+    val fpIdx = Multimodal.buildFingerprintIndex(
+      corpusDf, "doc_id", "img", tmpTable(), kind = "image")
+    assert(fpIdx.toDF.count() == 3)
+
+    // 901: unique text, image is a RESIZED copy of corpus pattern 2 (vs
+    // index drop); 902/903: unique texts, SAME new pattern (902 original,
+    // 903 jpeg re-encode — intra drop, larger id); 904 novel pattern;
+    // 905 undecodable bytes (passes through unfingerprinted)
+    val b = Seq(
+      (901L, text(90), resized2),
+      (902L, text(91), png(7)), (903L, text(92), jpeg7),
+      (904L, text(93), png(8)),
+      (905L, text(94), Array[Byte](1, 2, 3))).toDF("doc_id", "body", "img")
+    val r = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index, fp = Some(StreamingDedup.FingerprintStage("img", fpIdx)))
+    assert(r.droppedFpIntra == 1 && r.droppedFpCorpus == 1 &&
+      r.admitted == 3, r.toString)
+    assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 902L, 904L, 905L))
+    // fp index advanced with the admitted DECODABLE rows only
+    assert(fpIdx.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 902L, 904L))
+
+    // batch 2: a re-encode of 902's pattern — caught through the UPDATED
+    // index; full replay of batch 0 drops everything at the re-ingest
+    // guard, leaving state unchanged
+    val b2 = Seq((906L, text(95), jpeg7)).toDF("doc_id", "body", "img")
+    val r2 = StreamingDedup.processBatch(b2, 1L, "doc_id", "body",
+      corpus, index, fp = Some(StreamingDedup.FingerprintStage("img", fpIdx)))
+    assert(r2.droppedFpCorpus == 1 && r2.admitted == 0, r2.toString)
+    StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index, fp = Some(StreamingDedup.FingerprintStage("img", fpIdx)))
+    assert(corpusIds(corpus) == Seq(1L, 2L, 3L, 902L, 904L, 905L))
+    assert(fpIdx.toDF.count() == 5)
+  }
+
   test("corpus deletion propagates to the indexes; the doc can re-ingest") {
     val corpusDf = Seq(
       (1L, text(1), vec(1)), (2L, text(2), vec(2)), (3L, text(3), vec(3)))
@@ -359,7 +411,7 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r0.droppedReingest == 1 && r0.admitted == 0, r0.toString)
 
     // expire: exactly the deleted doc leaves both indexes
-    val (sigN, ivfN) = StreamingDedup.expireFromIndexes(
+    val (sigN, ivfN, _) = StreamingDedup.expireFromIndexes(
       corpus, "doc_id", index, Some(ivf))
     assert((sigN, ivfN) == ((1L, 1L)), s"($sigN,$ivfN)")
     assert(index.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
@@ -377,7 +429,7 @@ class StreamingDedupSpec extends SparkSpec {
 
     // idempotent: nothing left to expire
     assert(StreamingDedup.expireFromIndexes(corpus, "doc_id", index,
-      Some(ivf)) == ((0L, 0L)))
+      Some(ivf)) == ((0L, 0L, 0L)))
 
     // the SQL surface: CALL sys.expire_from_indexes after another takedown
     corpus.delete(col("doc_id") === 3L)
@@ -385,7 +437,7 @@ class StreamingDedupSpec extends SparkSpec {
       s"""CALL sys.expire_from_indexes('${corpus.location}', 'doc_id',
          |'${index.location}', '${ivf.location}')""".stripMargin)
       .collect()(0).getString(0)
-    assert(msg == "expired 1 sig-index and 1 ivf-index entries", msg)
+    assert(msg == "expired 1 sig-index, 1 ivf-index and 0 fp-index entries", msg)
     assert(index.toDF.count() == 2 && ivf.toDF.count() == 2)
   }
 
