@@ -553,6 +553,29 @@ object SparkEntry {
       Multimodal.dHashPairs(all, "doc_id", "content")
         .select(col("id_a"), col("id_b"))
     }),
+    "q133_video_dhash_dedup" -> ((s, d) => {
+      // video near-dup by frame-fingerprint voting: 3-frame block-pattern
+      // MJPEGs; tier 1 rescales ALL of tier 0's frames (full twin — 3
+      // matches), tier 2 shares exactly ONE frame (below minMatches=2 —
+      // must NOT pair)
+      val g = pmod(col("doc_id"), lit(30)).cast("long")
+      val base = Fixtures.src(s, d, "documents")
+        .select(col("doc_id")).filter(col("doc_id") < 90)
+        .select(col("doc_id"),
+          when(col("doc_id") < 60,
+            array(g * 10 + 1, g * 10 + 2, g * 10 + 3))
+            .otherwise(array(g * 10 + 3, g * 2 + 900, g * 2 + 901))
+            .as("seeds"),
+          when(col("doc_id").between(30, 59), lit(45)).otherwise(lit(90))
+            .cast("int").as("w"),
+          when(col("doc_id").between(30, 59), lit(40)).otherwise(lit(80))
+            .cast("int").as("h"))
+      Multimodal.videoDHashPairs(
+        Multimodal.renderBlockMjpegs(base, "seeds", "w", "h")
+          .select("doc_id", "content"),
+        "doc_id", "content", minMatches = 2)
+        .withColumn("matches", col("matches").cast("long"))
+    }),
     "q132_perceptual_ingest" -> ((s, d) => {
       // the ingest pipeline WITH the perceptual stage: text checks as
       // q120, then 64-bit image-dHash dedup within the batch (planted
@@ -1455,6 +1478,13 @@ object SparkEntry {
         |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |      / 4294967296.0
         |    < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 ELSE 0.1 END""".stripMargin,
+    // q133: only the full-twin tier reaches minMatches (3 of 3 frames);
+    // the one-shared-frame tier stays below the vote threshold
+    "q133_video_dhash_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(3 AS BIGINT) AS matches
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 30
+        |WHERE a.doc_id < 30""".stripMargin,
     // q132: every planted twin is dropped (unique texts, twin images), so
     // the admitted set is exactly corpus ∪ held-out naturals = all
     // doc_id < 300 (the intra pair keeps its smaller, natural id)

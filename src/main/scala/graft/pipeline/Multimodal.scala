@@ -553,6 +553,76 @@ object Multimodal {
     }(enc)
   }
 
+  /** Video near-dup pairs by FRAME-fingerprint voting: each video's
+    * sampled frames get an image dHash (8 B/frame — the video bytes never
+    * shuffle), frame sketches join ACROSS videos through the 5-block
+    * Hamming pigeonhole, and a video pair is reported when at least
+    * `minMatches` DISTINCT frames of the smaller-id video match a frame
+    * of the other at hamming ≤ `maxHamming` — the standard
+    * shot-fingerprint voting shape for re-encoded/rescaled video copies.
+    * MJPEG decodes in-engine ([[sampleMjpegFrames]] markers); other
+    * containers route through the [[sampleFrames]] stub seam, whose
+    * slices are not decodable images → excluded, never false-matched.
+    * Returns (id_a, id_b, matches) with id_a < id_b.
+    *
+    * Frame identities pack as vid·10⁶ + frame_index (fails loudly past
+    * either bound rather than aliasing).
+    */
+  def videoDHashPairs(df: DataFrame, idCol: String, contentCol: String,
+      minMatches: Int = 2, maxHamming: Int = 3,
+      everyNth: Int = 1): DataFrame = {
+    require(minMatches >= 1, s"minMatches must be positive: $minMatches")
+    val frames = sampleFrames(
+      df.select(col(idCol).as("__vid"), col(contentCol).as("__c")),
+      "__c", everyNth)
+    val guardedId =
+      when(col("__vid").between(0, 9223372036853L) &&
+          col("frame_index") < 1000000,
+        col("__vid") * 1000000L + col("frame_index"))
+      .otherwise(raise_error(lit(
+        "videoDHashPairs: vid/frame_index outside the packable range")))
+    val fps = withFingerprint(
+      frames.select(col("__vid"), col("frame_index"),
+        col("frame_bytes").as("__fb")), "__fb", "image")
+      .filter(col("fp").isNotNull)
+      .select(guardedId.as("id"), col("fp").as("sk"))
+    val framePairs = Dedup.hammingBlockedPairs(fps, maxHamming)
+      .select(expr("id_a div 1000000").as("va"), col("id_a"),
+        expr("id_b div 1000000").as("vb"), col("id_b"))
+      .filter(col("va") =!= col("vb"))
+    // normalize to (small vid, large vid); vote with the SMALL video's
+    // distinct matched frames so one hot frame cannot inflate the count
+    framePairs
+      .select(least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"),
+        when(col("va") < col("vb"), col("id_a")).otherwise(col("id_b"))
+          .as("__fa"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("__fa")).as("matches"))
+      .filter(col("matches") >= minMatches)
+  }
+
+  /** Render a `content` MJPEG column of block-pattern frames from an
+    * array-of-longs seed column and an integer frame-size column pair —
+    * the video fixture matching [[videoDHashPairs]] (same-seed frames at
+    * different sizes or re-encodes hash identically).
+    */
+  def renderBlockMjpegs(df: DataFrame, seedsCol: String, wCol: String,
+      hCol: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val (si, wi, hi) = (df.schema.fieldIndex(seedsCol),
+      df.schema.fieldIndex(wCol), df.schema.fieldIndex(hCol))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val out = new ByteArrayOutputStream()
+        r.getSeq[Long](si).foreach(seed =>
+          out.write(encodeBlockJpeg(r.getInt(wi), r.getInt(hi), seed)))
+        Row.fromSeq(r.toSeq :+ out.toByteArray)
+      })
+    }(enc)
+  }
+
   // ---------------- persisted fingerprint index -----------------------
 
   /** The 64-bit perceptual kernel by name: `image` = [[dHash64]],
@@ -932,7 +1002,7 @@ object Multimodal {
     * EQUAL to the original's, while distinct seeds give unrelated bit
     * patterns.
     */
-  def encodeBlockPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+  private def paintBlocks(width: Int, height: Int, seed: Long): BufferedImage = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_3BYTE_BGR)
     def raw(bx: Int, by: Int): Int = {
       var h = seed * 6364136223846793005L + (by * 9 + bx) * 1442695040888963407L
@@ -969,8 +1039,19 @@ object Multimodal {
         by += 1
       }
     } finally g2.dispose()
+    img
+  }
+
+  def encodeBlockPng(width: Int, height: Int, seed: Long): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    ImageIO.write(paintBlocks(width, height, seed), "png", out)
+    out.toByteArray
+  }
+
+  /** The block-pattern fixture as a JPEG frame — for MJPEG video tests. */
+  def encodeBlockJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(paintBlocks(width, height, seed), "jpg", out)
     out.toByteArray
   }
 

@@ -292,6 +292,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall(_._3 == 0L), pairs.toString)
   }
 
+  test("video near-dup: frame-dHash voting pairs rescaled copies, not partial overlaps") {
+    def seeds(g: Long): Seq[Long] = Seq(g * 10 + 1, g * 10 + 2, g * 10 + 3)
+    val vids = Seq(
+      (1L, seeds(1), 90, 80),             // original
+      (31L, seeds(1), 45, 40),            // rescaled FULL twin (all 3 frames)
+      (61L, Seq(13L, 901L, 902L), 90, 80), // shares ONE frame with video 1
+      (2L, seeds(2), 90, 80))             // unrelated
+      .toDF("id", "seeds", "w", "h")
+    val withJunk = Multimodal.renderBlockMjpegs(vids, "seeds", "w", "h")
+      .select("id", "content")
+      .unionByName(Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "content"))
+    val pairs = Multimodal.videoDHashPairs(withJunk, "id", "content",
+      minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 31L, 3L)), pairs.toString)
+    // at minMatches=1 the single-shared-frame overlaps surface too
+    val loose = Multimodal.videoDHashPairs(withJunk, "id", "content",
+      minMatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 31L), (1L, 61L), (31L, 61L)), loose.toString)
+  }
+
   test("sampleFrames routes MJPEG content to the REAL decode path") {
     val realJpegs = (0 until 3).map { i =>
       val img = new java.awt.image.BufferedImage(8 + i, 5,
