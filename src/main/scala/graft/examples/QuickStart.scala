@@ -144,6 +144,35 @@ object QuickStart {
       s"${sdRes.input} (exact=${sdRes.droppedExact} intra=${sdRes.droppedIntra} " +
       s"corpus=${sdRes.droppedCorpus}) corpus rows=${sdCorpus.toDF.count()}")
 
+    // ---- perceptual dedup: image dHash / audio energy / video voting ----
+    {
+      import graft.pipeline.Multimodal
+      import spark.implicits._
+      def png(seed: Long) = Multimodal.encodeBlockPng(90, 80, seed)
+      val resized = Multimodal.resizeImages(
+        Seq((0L, png(5))).toDF("id", "content"), "content", 45, 40)
+        .select("content").collect()(0).getAs[Array[Byte]](0)
+      val imgs = Seq((1L, png(5)), (2L, resized), (3L, png(6)))
+        .toDF("id", "content")
+      val imgPairs = Multimodal.dHashPairs(imgs, "id", "content").count()
+      val wavs = Seq((1L, Multimodal.encodeSegmentWav(8000, 3L)), (3L,
+        Multimodal.encodeSegmentWav(8000, 4L))).toDF("id", "content")
+      val halves = Multimodal.scaleWavVolume(
+        wavs.filter(col("id") === 1L).withColumn("id", lit(2L)),
+        "content", 1, 2)
+      val audPairs = Multimodal.audioFingerprintPairs(
+        wavs.unionByName(halves), "id", "content").count()
+      val vids = Seq(
+        (1L, Seq(11L, 12L, 13L), 90, 80), (2L, Seq(11L, 12L, 13L), 45, 40),
+        (3L, Seq(21L, 22L, 23L), 90, 80)).toDF("id", "seeds", "w", "h")
+      val vidPairs = Multimodal.videoDHashPairs(
+        Multimodal.renderBlockMjpegs(vids, "seeds", "w", "h")
+          .select("id", "content"), "id", "content").count()
+      println(s"[pipeline] perceptual dedup: image pairs=$imgPairs " +
+        s"audio pairs=$audPairs video pairs=$vidPairs " +
+        "(resized/gain-scaled/rescaled twins, byte-distinct)")
+    }
+
     // ---- deletion-vector mode: merge-free PK reads ----
     val ords = graft.Fixtures.src(spark, sfDir, "orders")
     val dvT = GraftTable.create(spark, s"$base/orders_dv", ords.schema,
