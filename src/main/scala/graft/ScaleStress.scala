@@ -173,6 +173,29 @@ object ScaleStress {
       val stages = res.stageSecs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
       println(f"""{"op":"$label","sec":$t%.3f,"admitted":${res.admitted},"input":${res.input},"centroids":$c,"docs":$n,"stages":{$stages}}""")
     }
+    if (ops("dhash")) {
+      // perceptual image dedup at corpus scale: one block-pattern PNG per
+      // doc (distinct seeds) plus a HALF-SIZE re-render of every 10th
+      // pattern (byte-distinct, hash-equal twins). Rendering is fixture
+      // work and sits OUTSIDE the timed window; the timed op is
+      // dHashPairs end-to-end: decode + 8-byte sketch + blocked Hamming
+      // join — the cost shape that must stay O(items) at 100 TB.
+      import org.apache.spark.sql.functions._
+      val base = docs.select(col("doc_id"),
+        lit(90).as("w"), lit(80).as("h"), col("doc_id").cast("long").as("seed"))
+      val twins = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"),
+          lit(45).as("w"), lit(40).as("h"), col("doc_id").cast("long").as("seed"))
+      val imgs = graft.pipeline.Multimodal.renderBlockPngs(
+        base.unionByName(twins), "w", "h", "seed")
+        .select("doc_id", "content").persist()
+      val nImgs = imgs.count()
+      val (t, pairs) = time(graft.pipeline.Multimodal.dHashPairs(
+        imgs, "doc_id", "content").count())
+      imgs.unpersist()
+      results += "dhash_pairs" -> t
+      println(f"""{"op":"dhash_pairs","sec":$t%.3f,"pairs":$pairs,"imgs":$nImgs}""")
+    }
     if (ops("semantic")) semanticRun("semantic_ingest", trackCounts = true)
     if (ops("semantic_prod"))
       semanticRun("semantic_ingest_prod", trackCounts = false)

@@ -430,7 +430,7 @@ object Dedup {
     * (a re-ingest is itself, not a dup — the re-ingest guard owns that
     * case). Returns (new_id, corpus_id, hamming).
     */
-  private[pipeline] def hammingBlockedPairsAgainst(newSk: DataFrame,
+  private[graft] def hammingBlockedPairsAgainst(newSk: DataFrame,
       corpusSk: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "5-block blocking guarantees completeness only for hamming <= 3")
@@ -562,7 +562,7 @@ object Dedup {
     * lazily pinned: both sides of the self-join share one sketch
     * computation.
     */
-  private[pipeline] def hammingBlockedPairs(skIn: DataFrame,
+  private[graft] def hammingBlockedPairs(skIn: DataFrame,
       maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "5-block blocking guarantees completeness only for hamming <= 3")
