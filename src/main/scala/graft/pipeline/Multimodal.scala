@@ -436,7 +436,7 @@ object Multimodal {
     */
   def audioFingerprintPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
-    fingerprintPairs(df, idCol, contentCol, "audio", maxHamming)
+    fingerprintPairs(df, idCol, contentCol, "audio", maxHamming, batchSize)
 
   /** Deterministic segment-pattern WAV fixture for fingerprint tests: 65
     * equal square-wave segments whose amplitudes are a seeded walk with
@@ -520,7 +520,8 @@ object Multimodal {
             try javax.sound.sampled.AudioSystem.getAudioInputStream(
               new ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
-        if (in == null || in.getFormat.getSampleSizeInBits != 16) r
+        if (in == null) r
+        else if (in.getFormat.getSampleSizeInBits != 16) { in.close(); r }
         else try {
           val fmt = in.getFormat
           val le = !fmt.isBigEndian
@@ -652,9 +653,10 @@ object Multimodal {
 
   /** The batch's (id, fp) sketch frame — undecodable rows excluded. */
   private[pipeline] def fingerprintFrame(df: DataFrame, idCol: String,
-      contentCol: String, kind: String): DataFrame =
+      contentCol: String, kind: String, batchSize: Int = 64): DataFrame =
     withFingerprint(
-      df.select(col(idCol).as("id"), col(contentCol).as("c")), "c", kind)
+      df.select(col(idCol).as("id"), col(contentCol).as("c")), "c", kind,
+      batchSize)
       .filter(col("fp").isNotNull)
       .select(col("id"), col("fp"))
 
@@ -980,7 +982,7 @@ object Multimodal {
     */
   def dHashPairs(df: DataFrame, idCol: String, contentCol: String,
       maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
-    fingerprintPairs(df, idCol, contentCol, "image", maxHamming)
+    fingerprintPairs(df, idCol, contentCol, "image", maxHamming, batchSize)
 
   /** Intra-frame perceptual near-dup pairs for the named kernel — the
     * generic core of [[dHashPairs]] / [[audioFingerprintPairs]], and the
@@ -988,9 +990,9 @@ object Multimodal {
     * FingerprintStage.
     */
   def fingerprintPairs(df: DataFrame, idCol: String, contentCol: String,
-      kind: String, maxHamming: Int = 3): DataFrame =
+      kind: String, maxHamming: Int = 3, batchSize: Int = 64): DataFrame =
     Dedup.hammingBlockedPairs(
-      fingerprintFrame(df, idCol, contentCol, kind)
+      fingerprintFrame(df, idCol, contentCol, kind, batchSize)
         .select(col("id"), col("fp").as("sk")),
       maxHamming)
 

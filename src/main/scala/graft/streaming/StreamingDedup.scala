@@ -122,25 +122,38 @@ object StreamingDedup {
     * run saw, so the survivor set is identical and every replayed commit
     * is a clean no-op.
     *
-    * Returns None (read latest) when the batch never committed — the
-    * common, non-replay case costs one snapshot-chain scan, no data read.
+    * Returns None (read latest) when the batch never committed. Batches
+    * commit in commitIdentifier order, so the newest-first scan stops at
+    * the first same-user snapshot with a SMALLER identifier — the common,
+    * non-replay case reads one snapshot JSON per concurrent writer's tail
+    * commit, not the whole chain, keeping per-batch driver metadata IO
+    * O(1) in table history.
     * If the predecessor snapshot has been EXPIRED (snapshot retention
-    * shorter than the replay window — an operational misconfiguration),
-    * the oldest retained pre-batch snapshot is used: an older view can
-    * only under-approximate the corpus, admitting a doc the corpus check
-    * would have dropped (bounded recall loss) — never dropping a
-    * committed survivor.
+    * shorter than the replay window — an operational misconfiguration,
+    * warned on), no pre-batch view survives and an EMPTY frame is
+    * returned: the vs-corpus check is skipped for that replay. An empty
+    * view can only under-approximate the corpus, admitting a doc the
+    * corpus check would have dropped (bounded recall loss) — never
+    * dropping a committed survivor.
     */
   private def preBatchView(index: GraftTable, user: String,
       batchId: Long): Option[DataFrame] = {
     val store = index.store
     val ids = store.snapshotIds
     ids.reverse.iterator.map(store.readSnapshot)
+      .takeWhile(s => !(s.commitUser == user && s.commitIdentifier < batchId))
       .find(s => s.commitUser == user && s.commitIdentifier == batchId)
       .map { s =>
         ids.filter(_ < s.id).maxOption match {
           case Some(prev) => index.toDF(prev)
-          case None => index.toDF(None) // batch commit was snapshot 1
+          case None =>
+            if (s.id != 1L)
+              System.err.println(
+                s"graft: pre-batch snapshot of ${index.location} for " +
+                  s"batch $batchId has been expired; vs-corpus check " +
+                  "skipped for this replay (configure snapshot retention " +
+                  "longer than the replay window)")
+            index.toDF(None) // expired predecessor (or commit was snapshot 1)
         }
       }
   }

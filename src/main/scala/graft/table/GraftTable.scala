@@ -1662,7 +1662,15 @@ object GraftTable {
     if (xs.sizeIs <= 1) xs.map(f)
     else xs.map(x => footerIoPool.submit(
         new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
-      .map(_.get())
+      .map { fut =>
+        // Unwrap so callers see the worker's own exception type (e.g.
+        // IOException from a footer read), as the serial path threw it.
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException
+              if e.getCause != null => throw e.getCause
+        }
+      }
 
   /** File-format instance by name. */
   def fileFormatFor(name: String): org.apache.spark.sql.execution.datasources.FileFormat =
