@@ -521,6 +521,23 @@ object SparkEntry {
       TextOps.stratifiedSample(Fixtures.src(s, d, "documents"),
         "doc_id", "lang", Map("en" -> 0.8, "de" -> 0.5), defaultRate = 0.1)
         .select("doc_id", "lang")),
+    "q134_span_dedup" -> ((s, d) =>
+      // span-level exact substring dedup (Lee et al. 2021): every
+      // duplicated 8-token span is cut from all but its canonical
+      // (min doc_id, start) occurrence
+      TextOps.removeRepeatedSpans(Fixtures.src(s, d, "documents"),
+        "doc_id", "text", n = 8)),
+    "q135_seq_packing" -> ((s, d) =>
+      // GPT-style packing placement: concat docs by id (1 separator
+      // token), cut into 256-token sequences — distributed prefix sum,
+      // never a single-partition window
+      TextOps.packSequences(Fixtures.src(s, d, "documents"),
+        "doc_id", "text", seqLen = 256)),
+    "q136_det_shuffle" -> ((s, d) =>
+      // seeded deterministic epoch shuffle: global 0-based rank under
+      // md5(seed:id), reproducible across engines and cluster sizes
+      TextOps.deterministicShuffle(
+        Fixtures.src(s, d, "documents").select("doc_id"), "doc_id", seed = 7L)),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1478,6 +1495,54 @@ object SparkEntry {
         |WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
         |      / 4294967296.0
         |    < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 ELSE 0.1 END""".stripMargin,
+    // q134: duplicated 8-token spans cut from every occurrence except the
+    // lexicographically smallest (doc_id, start); rebuild = kept tokens
+    // single-space-joined, untouched docs pass original text through
+    "q134_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, text,
+        |  STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents),
+        |w AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-8+1, 0)+1),
+        |  i -> {'start': i-1, 'win': ARRAY_TO_STRING(t[i:i+7], ' ')})) AS s FROM toks),
+        |flat AS (SELECT doc_id, s.start AS start, s.win AS win FROM w),
+        |marked AS (SELECT doc_id, start,
+        |  COUNT(*) OVER (PARTITION BY win) AS occ,
+        |  ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, start) AS rn FROM flat),
+        |cov AS (SELECT DISTINCT doc_id, UNNEST(RANGE(start, start+8)) AS pos
+        |        FROM marked WHERE occ >= 2 AND rn > 1),
+        |rb AS (SELECT DISTINCT doc_id FROM cov),
+        |posed AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)+1),
+        |  i -> {'pos': i-1, 'tok': t[i]})) AS s FROM toks
+        |  WHERE doc_id IN (SELECT doc_id FROM rb)),
+        |pflat AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM posed),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pflat p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = p.doc_id AND c.pos = p.pos)),
+        |reb AS (SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean,
+        |        COUNT(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN r.doc_id IS NOT NULL THEN COALESCE(b.clean, '')
+        |       ELSE d.text END AS text,
+        |  CASE WHEN r.doc_id IS NOT NULL
+        |       THEN LEN(STRING_SPLIT_REGEX(TRIM(d.text), '\s+')) - COALESCE(b.nk, 0)
+        |       ELSE 0 END AS removed_tokens
+        |FROM documents d LEFT JOIN rb r USING (doc_id)
+        |LEFT JOIN reb b USING (doc_id)""".stripMargin,
+    "q135_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 256 AS first_seq,
+        |  (start_offset + n_tokens - 1) // 256 AS last_seq FROM c""".stripMargin,
+    "q136_det_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY MD5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS shuffle_pos
+        |FROM documents""".stripMargin,
     // q133: only the full-twin tier reaches minMatches (3 of 3 frames);
     // the one-shared-frame tier stays below the vote threshold
     "q133_video_dhash_dedup" ->

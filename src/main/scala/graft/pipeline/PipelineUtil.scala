@@ -1,8 +1,47 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 private[pipeline] object PipelineUtil {
+
+  /** Exclusive distributed prefix sum: append `outCol` = Σ `weight` over
+    * all rows strictly BEFORE this one under the `order` columns (which
+    * must be a TOTAL order — include a tiebreaker id), without ever
+    * collapsing to one partition. A bare `Window.orderBy` with no
+    * partitionBy is the classic global-sequence trap: Spark plans it as a
+    * SINGLE task holding the whole dataset. Instead: range-repartition on
+    * the order keys (RangePartitioner assigns contiguous ascending ranges
+    * to ascending partition ids), take per-partition totals (≤
+    * shuffle-partition-count rows — a bounded driver collect), broadcast
+    * the running offsets back, and add a per-partition exclusive running
+    * sum. Scales to any row count at a cost of one range shuffle of the
+    * (slim) frame.
+    *
+    * The frame is pinned (lazy local checkpoint) between the totals
+    * collect and the final plan — correctness, not just perf: partition
+    * ids must be the SAME physical assignment in both passes.
+    */
+  def exclusivePrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
+      outCol: String): DataFrame = {
+    val ranged = pin(
+      df.withColumn("__w", weight.cast("long"))
+        .repartitionByRange(order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val totals = ranged.groupBy("__pid").agg(sum("__w").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefixDf = totals.map(_._1).zip(offsets).toSeq.toDF("__pid", "__pre")
+    val win = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(prefixDf), Seq("__pid"), "left")
+      .withColumn(outCol, coalesce(col("__pre"), lit(0L)) +
+        coalesce(sum(col("__w")).over(win), lit(0L)))
+      .drop("__pid", "__w", "__pre")
+  }
 
   /** Repartition a corpus when its lineage exposes far fewer partitions
     * than the cluster has cores — a corpus read from one file (or a

@@ -400,4 +400,116 @@ object TextOps {
     wins.join(counted, "win")
       .select(col("doc_id"), col("start"), col("occurrences"))
   }
+
+  /** Span-level exact substring dedup (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" transform, re-shaped for
+    * Spark): every whitespace-token span of length `n` that occurs at
+    * least `minOccurrences` times across the corpus (or within one doc) is
+    * removed from EVERY occurrence except one canonical keeper — the
+    * lexicographically smallest (doc_id, start). Where the paper builds a
+    * suffix array, the distributed shape here is window HASHING: per-token
+    * 64-bit hashes once per doc, window key = hash of the n-token-hash
+    * slice, so document text never enters the dedup shuffle — only (id,
+    * start, 8-byte key) rows, O(tokens) of them.
+    *
+    * Overlapping duplicated windows in one doc merge naturally: removal is
+    * by covered token POSITION (the distinct union of [start, start+n) of
+    * every non-canonical occurrence), so a long duplicated passage is cut
+    * once, not per-window. Docs with nothing to remove pass through with
+    * their original text byte-for-byte; rebuilt docs re-join kept tokens
+    * with single spaces. Returns (doc_id, text, removed_tokens).
+    *
+    * Scale: windows/covered-positions are slim long-rows; only docs that
+    * actually lose a span are re-exploded for rebuild. Reference analog:
+    * none (the reference dedups whole rows by key — paimon
+    * `deduplicate` merge engine); this is pipeline-level, beyond it.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    require(n > 0, s"span length must be positive: $n")
+    require(minOccurrences >= 2, s"minOccurrences must be >=2: $minOccurrences")
+    val len = org.apache.spark.sql.functions.size _
+    val src = PipelineUtil.pin(PipelineUtil.spread(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+    val toks = split(trim(col("text")), "\\s+")
+    // token hashes once per doc (one projection), THEN the window
+    // generator over them — keeping the expensive sibling out of the
+    // generate projection (generator extraction would re-evaluate it per
+    // exploded element)
+    val hashed = src.select(col("doc_id"), transform(toks, t => xxhash64(t)).as("__th"))
+    val starts = when(len(col("__th")) >= n, sequence(lit(0), len(col("__th")) - n))
+      .otherwise(array().cast("array<int>"))
+    val wins = hashed
+      .select(col("doc_id"), posexplode(
+        transform(starts, i => xxhash64(slice(col("__th"), i + 1, lit(n))))))
+      .toDF("doc_id", "start", "h")
+    val canon = wins.groupBy("h").agg(
+        count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("start"))).as("keep"))
+      .filter(col("occ") >= minOccurrences)
+    val covered = wins.join(canon, "h")
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("start") === col("keep.start")))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val rebuildIds = covered.select("doc_id").distinct()
+    val toksPos = src.join(rebuildIds, Seq("doc_id"))
+      .select(col("doc_id"), posexplode(toks))
+      .toDF("doc_id", "pos", "tok")
+    val rebuilt = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("__clean"),
+        count(lit(1)).as("__kept"))
+    src.join(rebuildIds.withColumn("__rb", lit(true)), Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__rb"), coalesce(col("__clean"), lit("")))
+          .otherwise(col("text")).as("text"),
+        when(col("__rb"), len(toks).cast("long") - coalesce(col("__kept"), lit(0L)))
+          .otherwise(lit(0L)).as("removed_tokens"))
+  }
+
+  /** GPT-style sequence packing: documents concatenate in ascending id
+    * order into one token stream (`sepTokens` separator tokens after each
+    * doc) and cut into fixed `seqLen`-token training sequences, docs
+    * spanning boundaries. Returns the per-doc placement a sequence
+    * builder needs — (doc_id, n_tokens, start_offset, first_seq,
+    * last_seq) — computed with a DISTRIBUTED exclusive prefix sum
+    * ([[PipelineUtil.exclusivePrefixSum]]): range shuffle + per-partition
+    * running sums + a broadcast of partition offsets, never a
+    * single-partition global window.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, sepTokens: Int = 1): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(sepTokens >= 0, s"sepTokens must be >=0: $sepTokens")
+    val base = df.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.functions.size(split(trim(col(textCol)), "\\s+"))
+        .cast("long").as("n_tokens"))
+    PipelineUtil.exclusivePrefixSum(base, Seq(col("doc_id")),
+        col("n_tokens") + lit(sepTokens.toLong), "start_offset")
+      .withColumn("first_seq", expr(s"start_offset div ${seqLen}L"))
+      .withColumn("last_seq",
+        expr(s"(start_offset + n_tokens - 1) div ${seqLen}L"))
+  }
+
+  /** Seeded deterministic global shuffle for epoch ordering: each row gets
+    * a stable 0-based `shuffle_pos` — its rank under
+    * md5(seed ":" id) — reproducible across runs and cluster sizes
+    * (md5 is exact, no float sort keys), different seeds give unrelated
+    * permutations. Rides the same distributed prefix sum as
+    * [[packSequences]] (weight 1 ⇒ exclusive count ⇒ rank); writers
+    * then range-write by `shuffle_pos` for a globally shuffled epoch
+    * without ever sorting in one task.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val key = md5(concat_ws(":", lit(seed).cast("string"),
+      col(idCol).cast("string")).cast("binary"))
+    PipelineUtil.exclusivePrefixSum(df.withColumn("__sk", key),
+        Seq(col("__sk"), col(idCol)), lit(1L), "shuffle_pos")
+      .drop("__sk")
+  }
 }

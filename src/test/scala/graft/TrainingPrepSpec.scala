@@ -1,0 +1,142 @@
+package graft
+
+import graft.pipeline.TextOps
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Round-15 training-prep ops: span-level exact substring dedup
+  * (Lee et al. 2021 shape), GPT-style sequence packing, and the seeded
+  * deterministic global shuffle — each checked against a local
+  * brute-force reference on randomized corpora.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- local brute-force reference for removeRepeatedSpans ----
+  private def bruteSpanDedup(docs: Seq[(Long, String)], n: Int,
+      minOcc: Int): Map[Long, (String, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val wins = for {
+      (id, ts) <- docs.map { case (id, _) => id -> toks(id) }
+      s <- 0 to ts.length - n
+      if ts.length >= n
+    } yield (ts.slice(s, s + n).mkString(" "), id, s)
+    val covered = scala.collection.mutable.Set[(Long, Int)]()
+    for ((_, occs) <- wins.groupBy(_._1) if occs.size >= minOcc) {
+      for ((_, id, s) <- occs.sortBy(o => (o._2, o._3)).drop(1); p <- s until s + n)
+        covered += ((id, p))
+    }
+    docs.map { case (id, t) =>
+      val ts = toks(id)
+      if (!covered.exists(_._1 == id)) id -> (t, 0L)
+      else {
+        val kept = ts.zipWithIndex.collect { case (w, p) if !covered((id, p)) => w }
+        id -> (kept.mkString(" "), (ts.length - kept.size).toLong)
+      }
+    }.toMap
+  }
+
+  private def runSpanDedup(docs: Seq[(Long, String)], n: Int,
+      minOcc: Int = 2): Map[Long, (String, Long)] =
+    TextOps.removeRepeatedSpans(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n, minOcc)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("span dedup removes a cross-doc span from all but the canonical doc") {
+    val span = "one two three four"
+    val docs = Seq(
+      1L -> s"alpha $span beta",
+      2L -> s"gamma  $span  delta", // double spaces: must survive pass-through? no — doc 2 loses the span, rebuilt
+      3L -> "nothing shared here at all")
+    val got = runSpanDedup(docs, n = 4)
+    // doc 1 is canonical (smallest doc_id): untouched, original spacing kept
+    assert(got(1L) == (s"alpha $span beta", 0L))
+    // doc 2 loses the 4 span tokens, kept tokens re-joined single-spaced
+    assert(got(2L) == ("gamma delta", 4L))
+    assert(got(3L) == ("nothing shared here at all", 0L))
+  }
+
+  test("span dedup: overlapping duplicated windows cut once, by position") {
+    // a 6-token passage duplicated -> three 4-token windows each repeated,
+    // but the union of covered positions removes exactly the 6 tokens
+    val passage = "p q r s t u"
+    val docs = Seq(10L -> s"x $passage y", 20L -> s"a b $passage c d")
+    val got = runSpanDedup(docs, n = 4)
+    assert(got(10L)._2 == 0L)
+    assert(got(20L) == ("a b c d", 6L))
+  }
+
+  test("span dedup removes in-document self-repetition") {
+    val docs = Seq(5L -> "m n o p Z m n o p")
+    val got = runSpanDedup(docs, n = 4)
+    // second occurrence (start 5) removed; first kept
+    assert(got(5L) == ("m n o p Z", 4L))
+  }
+
+  test("span dedup: doc fully made of a duplicated span empties out") {
+    val docs = Seq(1L -> "w x y z", 2L -> "w x y z")
+    val got = runSpanDedup(docs, n = 4)
+    assert(got(1L) == ("w x y z", 0L))
+    assert(got(2L) == ("", 4L))
+  }
+
+  test("span dedup matches brute force on random small-vocab corpora") {
+    val rnd = new Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 0 until 3) {
+      val docs = (0L until 40L).map { id =>
+        val len = 3 + rnd.nextInt(12)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val n = 3
+      val want = bruteSpanDedup(docs, n, 2)
+      val got = runSpanDedup(docs, n)
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
+
+  test("sequence packing matches a local cumulative sum; boundary spans") {
+    val rnd = new Random(7)
+    val docs = (0L until 100L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(30))("tok").mkString(" ")
+    }
+    val seqLen = 16
+    val sep = 1
+    val got = TextOps.packSequences(
+        docs.toDF("doc_id", "text").repartition(7), "doc_id", "text", seqLen, sep)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_offset"), r.getAs[Long]("first_seq"),
+        r.getAs[Long]("last_seq")))).toMap
+    var off = 0L
+    for ((id, t) <- docs) {
+      val n = t.trim.split("\\s+").length.toLong
+      val want = (n, off, off / seqLen, (off + n - 1) / seqLen)
+      assert(got(id) == want, s"doc $id")
+      off += n + sep
+    }
+    // at least one doc must actually span a sequence boundary
+    assert(got.values.exists(v => v._4 > v._3))
+  }
+
+  test("deterministic shuffle is a stable seeded permutation") {
+    val df = (0L until 500L).toDF("doc_id").repartition(5)
+    def posOf(seed: Long): Map[Long, Long] =
+      TextOps.deterministicShuffle(df, "doc_id", seed)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    val p1 = posOf(7L)
+    // a permutation of 0..n-1
+    assert(p1.values.toSeq.sorted == (0L until 500L))
+    // reproducible
+    assert(posOf(7L) == p1)
+    // a different seed gives a different order
+    assert(posOf(8L) != p1)
+    // matches the local md5 rank
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = (0L until 500L).map { id =>
+      id -> md.digest(s"7:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.sortBy { case (id, h) => (h, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(p1 == want)
+  }
+}
