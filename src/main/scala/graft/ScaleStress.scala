@@ -205,6 +205,36 @@ object ScaleStress {
       results += "dup_clusters" -> t
       println(f"""{"op":"dup_clusters","sec":$t%.3f,"clustered_ids":$clusters,"docs":$n}""")
     }
+    if (ops("spandedup")) {
+      // span-level exact substring dedup: the window/covered frames are
+      // slim long-rows (O(tokens) of them); wall should track corpus
+      // token count ~linearly. removed_sum is the invariant to eyeball
+      // across scales: under MakeScaledDocs replication every replica of
+      // a doc loses its spans to the 1x canonical, so removed ~ (mult-1)/
+      // mult of duplicated-span tokens.
+      import org.apache.spark.sql.functions.{col, sum}
+      val (t, removed) = time(
+        graft.pipeline.TextOps.removeRepeatedSpans(docs, "doc_id", "text", n = 8)
+          .agg(sum(col("removed_tokens"))).collect()(0).getLong(0))
+      results += "span_dedup" -> t
+      println(f"""{"op":"span_dedup","sec":$t%.3f,"removed_tokens":$removed,"docs":$n}""")
+    }
+    if (ops("packshuffle")) {
+      // the two prefix-sum riders: per-doc packing placement and the
+      // seeded epoch shuffle. Each is one slim range shuffle + a bounded
+      // (<= shuffle-partition-count) driver collect; wall should be
+      // ~linear in rows with a small constant.
+      val (tp, seqs) = time(
+        graft.pipeline.TextOps.packSequences(docs, "doc_id", "text", seqLen = 2048)
+          .agg(org.apache.spark.sql.functions.max("last_seq")).collect()(0).getLong(0) + 1)
+      results += "seq_packing" -> tp
+      println(f"""{"op":"seq_packing","sec":$tp%.3f,"sequences":$seqs,"docs":$n}""")
+      val (ts, maxPos) = time(
+        graft.pipeline.TextOps.deterministicShuffle(docs.select("doc_id"), "doc_id", 7L)
+          .agg(org.apache.spark.sql.functions.max("shuffle_pos")).collect()(0).getLong(0))
+      results += "det_shuffle" -> ts
+      println(f"""{"op":"det_shuffle","sec":$ts%.3f,"max_pos":$maxPos,"docs":$n}""")
+    }
     val kv = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
     println(s"""{"metric":"scale_stress","docs":$n,$kv,"path":"$docsPath"}""")
     spark.stop()
