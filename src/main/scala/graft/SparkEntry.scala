@@ -538,6 +538,12 @@ object SparkEntry {
       // md5(seed:id), reproducible across engines and cluster sizes
       TextOps.deterministicShuffle(
         Fixtures.src(s, d, "documents").select("doc_id"), "doc_id", seed = 7L)),
+    "q137_token_budget_sample" -> ((s, d) =>
+      // data-mixing by token BUDGET per language (budgets met, never
+      // undershot; md5-order deterministic; skew-proof prefix sum)
+      TextOps.tokenBudgetSample(Fixtures.src(s, d, "documents"),
+        "doc_id", "lang", "text",
+        Map("en" -> 3000L, "de" -> 1500L), defaultBudget = 500L)),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1543,6 +1549,18 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY MD5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    - 1 AS shuffle_pos
         |FROM documents""".stripMargin,
+    // q137: admit docs per stratum in md5 order while the EXCLUSIVE
+    // within-stratum token cumsum is under the budget (crossing doc kept)
+    "q137_token_budget_sample" ->
+      """WITH t AS (SELECT doc_id, lang AS stratum,
+        |  CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  MD5('0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |c AS (SELECT doc_id, stratum, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY stratum ORDER BY k, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t)
+        |SELECT doc_id, stratum, n_tokens FROM c
+        |WHERE cum < CASE stratum WHEN 'en' THEN 3000
+        |                         WHEN 'de' THEN 1500 ELSE 500 END""".stripMargin,
     // q133: only the full-twin tier reaches minMatches (3 of 3 frames);
     // the one-shared-frame tier stays below the vote threshold
     "q133_video_dhash_dedup" ->

@@ -496,6 +496,47 @@ object TextOps {
         expr(s"(start_offset + n_tokens - 1) div ${seqLen}L"))
   }
 
+  /** Deterministic token-BUDGET sampling for data mixing ("keep ~1M
+    * tokens of each language/domain"): within each stratum, docs are
+    * admitted in md5(seed ":" id) order until the stratum's cumulative
+    * token count reaches its budget — the doc that crosses the line is
+    * kept, so budgets are met, never undershot (a stratum smaller than
+    * its budget keeps everything). Unlike the RATE-based
+    * [[stratifiedSample]], a budget holds the output mix fixed as the
+    * corpus grows — the shape of "2B tokens of code, 1B of wiki"
+    * recipes. Reproducible across runs and engines (md5 order, no float
+    * keys) and monotone in the budget (raising one only ADDS docs).
+    *
+    * Skew-proof at scale: one global distributed prefix sum ordered by
+    * (stratum, key) ([[PipelineUtil.exclusivePrefixSum]] — range
+    * shuffle, never one task per stratum), then within-stratum
+    * cumulatives fall out by subtracting each stratum's first-row offset
+    * (a tiny groupBy-min broadcast join). Returns
+    * (doc_id, stratum, n_tokens).
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
+      textCol: String, budgets: Map[String, Long], defaultBudget: Long = 0L,
+      seed: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val key = md5(concat_ws(":", lit(seed).cast("string"),
+      col(idCol).cast("string")).cast("binary"))
+    val base = df.select(col(idCol).as("doc_id"),
+      col(strataCol).as("stratum"),
+      org.apache.spark.sql.functions.size(split(trim(col(textCol)), "\\s+"))
+        .cast("long").as("n_tokens"),
+      key.as("__k"))
+    val withOff = PipelineUtil.exclusivePrefixSum(base,
+      Seq(col("stratum"), col("__k"), col("doc_id")), col("n_tokens"), "__g")
+    val stratumBase = withOff.groupBy("stratum").agg(min(col("__g")).as("__b"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, b)) => when(col("stratum") === s, lit(b)).otherwise(acc)
+    }
+    withOff.join(broadcast(stratumBase), Seq("stratum"))
+      .filter(col("__g") - col("__b") < budget)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"))
+  }
+
   /** Seeded deterministic global shuffle for epoch ordering: each row gets
     * a stable 0-based `shuffle_pos` — its rank under
     * md5(seed ":" id) — reproducible across runs and cluster sizes

@@ -119,6 +119,51 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got.values.exists(v => v._4 > v._3))
   }
 
+  test("token-budget sample: budgets met not undershot, deterministic, monotone") {
+    val rnd = new Random(3)
+    val langs = Vector("en", "de", "fr")
+    val docs = (0L until 300L).map { id =>
+      (id, langs(rnd.nextInt(3)), Seq.fill(1 + rnd.nextInt(20))("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "lang", "text").repartition(7)
+    def run(budgets: Map[String, Long], default: Long): Map[Long, (String, Long)] =
+      TextOps.tokenBudgetSample(df, "doc_id", "lang", "text", budgets, default)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+    // local reference: md5 order within stratum, exclusive cumsum < budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash(id: Long) = md.digest(s"0:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(budgets: Map[String, Long], default: Long): Map[Long, (String, Long)] =
+      docs.groupBy(_._2).flatMap { case (lang, ds) =>
+        val b = budgets.getOrElse(lang, default)
+        var cum = 0L
+        ds.sortBy(d => (hash(d._1), d._1)).flatMap { case (id, l, t) =>
+          val n = t.trim.split("\\s+").length.toLong
+          val keep = cum < b
+          cum += n
+          if (keep) Some(id -> (l, n)) else None
+        }
+      }
+
+    val budgets = Map("en" -> 200L, "de" -> 100L)
+    val got = run(budgets, 30L)
+    assert(got == ref(budgets, 30L))
+    // budget met (>= budget) unless the whole stratum is smaller
+    for (lang <- langs) {
+      val kept = got.collect { case (_, (l, n)) if l == lang => n }.sum
+      val total = docs.filter(_._2 == lang).map(_._3.trim.split("\\s+").length.toLong).sum
+      val b = budgets.getOrElse(lang, 30L)
+      assert(kept >= math.min(b, total), s"$lang undershot: $kept < min($b, $total)")
+    }
+    // monotone: raising one budget only ADDS docs
+    val more = run(budgets.updated("de", 300L), 30L)
+    assert(got.keySet.subsetOf(more.keySet))
+    // zero budget keeps nothing in that stratum; full budget keeps all
+    assert(!run(Map("en" -> 0L), 30L).values.exists(_._1 == "en"))
+    val all = run(Map.empty, Long.MaxValue / 2)
+    assert(all.size == 300)
+  }
+
   test("deterministic shuffle is a stable seeded permutation") {
     val df = (0L until 500L).toDF("doc_id").repartition(5)
     def posOf(seed: Long): Map[Long, Long] =
