@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, VectorOps}
+import graft.pipeline.{Dedup, TextOps, VectorOps}
 import graft.table.GraftTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -140,6 +140,12 @@ object Bench {
       // 5. pipeline ops at scale
       results("minhash_dedup") = time {
         Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7).count()
+      }
+      // 5a2. span-level exact substring dedup (Lee et al. shape): window
+      // hashing + covered-position rebuild — tokens-linear by design
+      results("span_dedup") = time {
+        TextOps.removeRepeatedSpans(docs, "doc_id", "text", n = 8)
+          .agg(sum(col("removed_tokens"))).collect()
       }
       results("ann_topk") = time {
         VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 20).collect()
