@@ -234,6 +234,24 @@ object ScaleStress {
           .agg(org.apache.spark.sql.functions.max("shuffle_pos")).collect()(0).getLong(0))
       results += "det_shuffle" -> ts
       println(f"""{"op":"det_shuffle","sec":$ts%.3f,"max_pos":$maxPos,"docs":$n}""")
+      val (ta, nSeqs) = time(
+        graft.pipeline.TextOps.packedSequenceTexts(docs, "doc_id", "text", seqLen = 2048)
+          .count())
+      results += "packed_texts" -> ta
+      println(f"""{"op":"packed_texts","sec":$ta%.3f,"sequences":$nSeqs,"docs":$n}""")
+    }
+    if (ops("prefixsum_rows")) {
+      // the prefix-sum primitive alone at row scale (no text): a seeded
+      // shuffle over SPARK_GRAFT_ROWS synthetic ids — the probe that the
+      // range shuffle + bounded offset collect holds past document-corpus
+      // sizes (50M rows ~ a 1000-executor epoch-manifest per task group)
+      val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "50000000").toLong
+      val ids = spark.range(rows).withColumnRenamed("id", "doc_id")
+      val (t, maxPos) = time(
+        graft.pipeline.TextOps.deterministicShuffle(ids, "doc_id", 7L)
+          .agg(org.apache.spark.sql.functions.max("shuffle_pos")).collect()(0).getLong(0))
+      results += "prefixsum_rows" -> t
+      println(f"""{"op":"prefixsum_rows","sec":$t%.3f,"rows":$rows,"max_pos":$maxPos}""")
     }
     val kv = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
     println(s"""{"metric":"scale_stress","docs":$n,$kv,"path":"$docsPath"}""")

@@ -544,6 +544,12 @@ object SparkEntry {
       TextOps.tokenBudgetSample(Fixtures.src(s, d, "documents"),
         "doc_id", "lang", "text",
         Map("en" -> 3000L, "de" -> 1500L), defaultBudget = 500L)),
+    "q138_packed_sequences" -> ((s, d) =>
+      // the ASSEMBLED 256-token training sequences (docs + "</s>"
+      // separators, boundary-spanning); shuffle carries per-(doc, seq)
+      // SEGMENTS, never per-token rows
+      TextOps.packedSequenceTexts(Fixtures.src(s, d, "documents"),
+        "doc_id", "text", seqLen = 256)),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1549,6 +1555,23 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (ORDER BY MD5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
         |    - 1 AS shuffle_pos
         |FROM documents""".stripMargin,
+    // q138: token stream = per-doc tokens + '</s>', docs concatenated by
+    // id, cut at every 256 global positions; text = space-joined tokens
+    "q138_packed_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  LIST_APPEND(STRING_SPLIT_REGEX(TRIM(text), '\s+'), '</s>') AS toks
+        |  FROM documents),
+        |o AS (SELECT doc_id, toks,
+        |  COALESCE(SUM(CAST(LEN(toks) AS BIGINT)) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t),
+        |p AS (SELECT doc_id, start + s.i AS g, s.tok AS tok FROM o,
+        |  UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)+1),
+        |    i -> {'i': i-1, 'tok': toks[i]})) AS u(s))
+        |SELECT g // 256 AS seq_id,
+        |  STRING_AGG(tok, ' ' ORDER BY g) AS text,
+        |  COUNT(*) AS n_tokens
+        |FROM p GROUP BY 1""".stripMargin,
     // q137: admit docs per stratum in md5 order while the EXCLUSIVE
     // within-stratum token cumsum is under the budget (crossing doc kept)
     "q137_token_budget_sample" ->

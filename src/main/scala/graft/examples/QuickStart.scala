@@ -265,6 +265,19 @@ object QuickStart {
     // ---- repeated-span + PII scrub pipeline ops ----
     println(s"[pipeline] repeated 8-token spans: " +
       TextOps.repeatedWindows(docs, "doc_id", "text", n = 8).count())
+
+    // ---- round-15 training-prep: span removal, packing, epoch shuffle ----
+    val spanRemoved = TextOps.removeRepeatedSpans(docs, "doc_id", "text", n = 8)
+      .agg(sum(col("removed_tokens"))).collect()(0).getLong(0)
+    val packed = TextOps.packedSequenceTexts(docs, "doc_id", "text", seqLen = 256)
+    val nSeqs = packed.count()
+    val fullSeqs = packed.filter(col("n_tokens") === 256).count()
+    val shufHead = TextOps.deterministicShuffle(docs.select("doc_id"), "doc_id", 7L)
+      .filter(col("shuffle_pos") < 3).orderBy("shuffle_pos")
+      .collect().map(_.getLong(0)).mkString(",")
+    println(s"[pipeline] span dedup removed=$spanRemoved tokens; " +
+      s"packed 256-token sequences=$nSeqs (full=$fullSeqs); " +
+      s"epoch shuffle head=$shufHead")
     println(s"[pipeline] docs with PII-pattern hits: " +
       docs.filter(TextOps.piiCounts(col("text")).map(_._2).reduce(_ + _) > 0).count())
 

@@ -537,6 +537,50 @@ object TextOps {
       .select(col("doc_id"), col("stratum"), col("n_tokens"))
   }
 
+  /** ASSEMBLE the packed training sequences of [[packSequences]]: the
+    * concatenated token stream (each doc followed by `sepTok`,
+    * [[packSequences]]' sepTokens=1 shape) cut into `seqLen`-token
+    * sequences, each returned as (seq_id, text, n_tokens) with docs
+    * spanning boundaries. The final sequence is the remainder (shorter
+    * than seqLen).
+    *
+    * Scale shape: each doc SLICES itself into its per-sequence segments
+    * locally (a posexplode over the ≤ (n/seqLen)+2 sequences it touches),
+    * so the assembly shuffle carries one row per (doc, sequence) SEGMENT
+    * — O(docs + boundary crossings), never one row per token.
+    */
+  def packedSequenceTexts(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, sepTok: String = "</s>"): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    require(!sepTok.exists(_.isWhitespace), s"separator must be one token: '$sepTok'")
+    val placed = packSequences(df, idCol, textCol, seqLen, sepTokens = 1)
+      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("text")), Seq("doc_id"))
+    // doc stream = tokens ++ sep; it occupies global [start, start+n+1)
+    val full = concat(split(trim(col("text")), "\\s+"), array(lit(sepTok)))
+    val lastSeq = expr(s"(start_offset + n_tokens) div ${seqLen}L") // last incl. sep
+    val segs = placed
+      // tokenize in its OWN projection: a sibling EXPRESSION in the
+      // explode select would hoist above the Generate and re-split per
+      // sequence element (the generator-extraction trap)
+      .select(col("start_offset").as("start"), (col("n_tokens") + 1L).as("len"),
+        full.as("__f"), col("first_seq"), lastSeq.as("__last"))
+      .select(col("start"), col("len"), col("__f"),
+        explode(sequence(col("first_seq"), col("__last"))).as("seq_id"))
+      .select(col("seq_id"),
+        greatest(col("seq_id") * seqLen - col("start"), lit(0L)).as("lo"),
+        least(col("len"), (col("seq_id") + 1L) * seqLen - col("start")).as("hi"),
+        greatest(col("start") - col("seq_id") * seqLen, lit(0L)).as("off"),
+        col("__f"))
+      .select(col("seq_id"), col("off"),
+        slice(col("__f"), (col("lo") + 1L).cast("int"),
+          (col("hi") - col("lo")).cast("int")).as("seg"))
+    segs.groupBy("seq_id").agg(
+      concat_ws(" ", flatten(transform(
+        array_sort(collect_list(struct(col("off"), col("seg")))),
+        x => x.getField("seg")))).as("text"),
+      sum(org.apache.spark.sql.functions.size(col("seg")).cast("long")).as("n_tokens"))
+  }
+
   /** Seeded deterministic global shuffle for epoch ordering: each row gets
     * a stable 0-based `shuffle_pos` — its rank under
     * md5(seed ":" id) — reproducible across runs and cluster sizes

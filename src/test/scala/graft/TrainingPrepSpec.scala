@@ -119,6 +119,29 @@ class TrainingPrepSpec extends SparkSpec {
     assert(got.values.exists(v => v._4 > v._3))
   }
 
+  test("packed sequence assembly matches the local concat-and-chunk reference") {
+    val rnd = new Random(11)
+    val docs = (0L until 80L).map { id =>
+      id -> (0 until (1 + rnd.nextInt(25))).map(i => s"d${id}w$i").mkString(" ")
+    }
+    val seqLen = 32
+    val got = TextOps.packedSequenceTexts(
+        docs.toDF("doc_id", "text").repartition(9), "doc_id", "text", seqLen)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val stream = docs.flatMap { case (_, t) => t.trim.split("\\s+").toSeq :+ "</s>" }
+    val want = stream.grouped(seqLen).zipWithIndex
+      .map { case (chunk, i) => i.toLong -> (chunk.mkString(" "), chunk.size.toLong) }
+      .toMap
+    assert(got == want)
+    // every sequence but the last is exactly seqLen tokens; the stream
+    // reconstructs the docs (round trip through the separators)
+    val last = got.keys.max
+    assert(got.filter(_._1 != last).values.forall(_._2 == seqLen))
+    val rejoined = (0L to last).map(got(_)._1).mkString(" ")
+    assert(rejoined.split(" </s>").map(_.trim).filter(_.nonEmpty).toSeq ==
+      docs.map(_._2))
+  }
+
   test("token-budget sample: budgets met not undershot, deterministic, monotone") {
     val rnd = new Random(3)
     val langs = Vector("en", "de", "fr")
