@@ -68,6 +68,24 @@ object SparkEntry {
       | CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
       | o_orderdate, o_orderpriority FROM orders""".stripMargin
 
+  /** 4 axis-block centroids over the 64-dim embeddings (dims
+    * [16j, 16j+16) = 1.0): FIXED, so q139/q140's nearest-centroid argmax
+    * is reproducible in the SQL oracle (normalized value 1/4 exactly).
+    */
+  private val blockCentroids: Seq[Seq[Double]] =
+    (0 until 4).map(j =>
+      (0 until 64).map(i => if (i / 16 == j) 1.0 else 0.0).toSeq)
+
+  /** The DuckDB form of dot(embedding, blockCentroids(j)/|c|): the same
+    * ascending left-associated fold of per-element double products that
+    * [[VectorOps.dot]] codegens (zero terms add exactly, so only the
+    * block's 16 terms appear).
+    */
+  private def blockDotSql(j: Int): String =
+    (0 until 16).map(i =>
+      s"CAST(embedding[${j * 16 + i + 1}] AS DOUBLE) * 0.25::DOUBLE")
+      .mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- append tables: scan, pushdown, pruning, clustering ----
     "q01_append_scan" -> ((s, d) => Fixtures.lineitemAppend(s, d).toDF),
@@ -550,6 +568,20 @@ object SparkEntry {
       // SEGMENTS, never per-token rows
       TextOps.packedSequenceTexts(Fixtures.src(s, d, "documents"),
         "doc_id", "text", seqLen = 256)),
+    "q139_cluster_assign" -> ((s, d) =>
+      // semantic cluster assignment against FIXED centroids (so the
+      // argmax is oracle-checkable in SQL); one codegen'd projection
+      VectorOps.clusterAssign(Fixtures.src(s, d, "embeddings"),
+        "vec_id", "embedding", blockCentroids)),
+    "q140_cluster_balanced_sample" -> ((s, d) => {
+      // cluster-balanced data mixing: per-semantic-cluster COUNT caps
+      // (weight 1) in md5 order — clusterAssign ∘ budgetSample
+      val assigned = VectorOps.clusterAssign(Fixtures.src(s, d, "embeddings"),
+        "vec_id", "embedding", blockCentroids)
+      TextOps.budgetSample(assigned, "vec_id", "cluster", lit(1L),
+        Map("0" -> 30L, "1" -> 25L), defaultBudget = 20L)
+        .select(col("vec_id"), col("stratum").cast("int").as("cluster"))
+    }),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1572,6 +1604,30 @@ object SparkEntry {
         |  STRING_AGG(tok, ' ' ORDER BY g) AS text,
         |  COUNT(*) AS n_tokens
         |FROM p GROUP BY 1""".stripMargin,
+    // q139: first-max tie-break mirrors Spark's array_position-first
+    "q139_cluster_assign" ->
+      s"""WITH s AS (SELECT vec_id, ${blockDotSql(0)} AS d0,
+         |  ${blockDotSql(1)} AS d1, ${blockDotSql(2)} AS d2,
+         |  ${blockDotSql(3)} AS d3 FROM embeddings)
+         |SELECT vec_id,
+         |  CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0
+         |       WHEN d1 >= d2 AND d1 >= d3 THEN 1
+         |       WHEN d2 >= d3 THEN 2 ELSE 3 END AS cluster
+         |FROM s""".stripMargin,
+    // q140: weight-1 budget ⇒ exclusive cumsum = row_number - 1
+    "q140_cluster_balanced_sample" ->
+      s"""WITH s AS (SELECT vec_id, ${blockDotSql(0)} AS d0,
+         |  ${blockDotSql(1)} AS d1, ${blockDotSql(2)} AS d2,
+         |  ${blockDotSql(3)} AS d3 FROM embeddings),
+         |a AS (SELECT vec_id,
+         |  CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0
+         |       WHEN d1 >= d2 AND d1 >= d3 THEN 1
+         |       WHEN d2 >= d3 THEN 2 ELSE 3 END AS cluster FROM s),
+         |r AS (SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster
+         |  ORDER BY MD5('0:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM a)
+         |SELECT vec_id, cluster FROM r
+         |WHERE rn - 1 < CASE cluster WHEN 0 THEN 30 WHEN 1 THEN 25
+         |                            ELSE 20 END""".stripMargin,
     // q137: admit docs per stratum in md5 order while the EXCLUSIVE
     // within-stratum token cumsum is under the budget (crossing doc kept)
     "q137_token_budget_sample" ->

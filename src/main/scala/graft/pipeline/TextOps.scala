@@ -516,25 +516,42 @@ object TextOps {
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
       textCol: String, budgets: Map[String, Long], defaultBudget: Long = 0L,
+      seed: Long = 0L): DataFrame =
+    budgetSample(
+        df.withColumn("__tw",
+          org.apache.spark.sql.functions.size(split(trim(col(textCol)), "\\s+"))
+            .cast("long")),
+        idCol, strataCol, col("__tw"), budgets, defaultBudget, seed)
+      .select(col(idCol).as("doc_id"), col("stratum"),
+        col("w").as("n_tokens"))
+
+  /** The general weighted-budget core of [[tokenBudgetSample]]: admit rows
+    * per stratum in md5(seed ":" id) order while the stratum's EXCLUSIVE
+    * cumulative `weight` is under its budget (crossing row kept — budgets
+    * met, never undershot; monotone in the budget). `strataCol` may be any
+    * expression-backed column — a language, a domain, a semantic cluster
+    * from [[VectorOps.clusterAssign]]. Weight `lit(1)` makes it a
+    * per-stratum COUNT cap. Returns (idCol, stratum, w).
+    */
+  def budgetSample(df: DataFrame, idCol: String, strataCol: String,
+      weight: Column, budgets: Map[String, Long], defaultBudget: Long = 0L,
       seed: Long = 0L): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "budgets must be non-negative")
     val key = md5(concat_ws(":", lit(seed).cast("string"),
       col(idCol).cast("string")).cast("binary"))
-    val base = df.select(col(idCol).as("doc_id"),
-      col(strataCol).as("stratum"),
-      org.apache.spark.sql.functions.size(split(trim(col(textCol)), "\\s+"))
-        .cast("long").as("n_tokens"),
-      key.as("__k"))
+    val base = df.select(col(idCol),
+      col(strataCol).cast("string").as("stratum"),
+      weight.cast("long").as("w"), key.as("__k"))
     val withOff = PipelineUtil.exclusivePrefixSum(base,
-      Seq(col("stratum"), col("__k"), col("doc_id")), col("n_tokens"), "__g")
+      Seq(col("stratum"), col("__k"), col(idCol)), col("w"), "__g")
     val stratumBase = withOff.groupBy("stratum").agg(min(col("__g")).as("__b"))
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (s, b)) => when(col("stratum") === s, lit(b)).otherwise(acc)
     }
     withOff.join(broadcast(stratumBase), Seq("stratum"))
       .filter(col("__g") - col("__b") < budget)
-      .select(col("doc_id"), col("stratum"), col("n_tokens"))
+      .select(col(idCol), col("stratum"), col("w"))
   }
 
   /** ASSEMBLE the packed training sequences of [[packSequences]]: the

@@ -210,6 +210,18 @@ object VectorOps {
       if (n == 0) c else c.map(_ / n)
     }
 
+  /** Semantic cluster assignment as a frame op: (id, cluster) by
+    * nearest-centroid cosine ([[ivfAssign]]) against EXPLICIT centroids —
+    * the building block of cluster-aware data curation (SemDeDup-style
+    * pruning, cluster-balanced mixing via
+    * [[TextOps.budgetSample]]). Centroids come from [[ivfCentroids]]
+    * (trained) or any fixed set; the whole op is one codegen'd
+    * projection, no shuffle.
+    */
+  def clusterAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]]): DataFrame =
+    df.select(col(idCol), ivfAssign(col(vecCol), centroids).as("cluster"))
+
   /** Nearest-centroid assignment by cosine: index of the max similarity in
     * the per-centroid similarity array (`array_position` returns the FIRST
     * occurrence, so ties break to the smaller index, deterministically).

@@ -187,6 +187,34 @@ class TrainingPrepSpec extends SparkSpec {
     assert(all.size == 300)
   }
 
+  test("cluster assignment + cluster-balanced count caps") {
+    import graft.pipeline.VectorOps
+    val rnd = new Random(5)
+    // points tightly around 3 well-separated unit centroids
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val pts = (0L until 120L).map { id =>
+      val c = cents((id % 3).toInt)
+      (id, c.map(x => x + (rnd.nextDouble() - 0.5) * 0.2))
+    }
+    val df = pts.toDF("vec_id", "v")
+    val got = VectorOps.clusterAssign(df, "vec_id", "v", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == pts.map { case (id, _) => id -> (id % 3).toInt }.toMap)
+    // count caps: at most N per cluster, exact admission by md5 order
+    val sampled = TextOps.budgetSample(
+        VectorOps.clusterAssign(df, "vec_id", "v", cents),
+        "vec_id", "cluster", lit(1L), Map("0" -> 5L), defaultBudget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val byCluster = sampled.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCluster == Map("0" -> 5, "1" -> 10, "2" -> 10))
+    // monotone: raising the cap only adds
+    val more = TextOps.budgetSample(
+        VectorOps.clusterAssign(df, "vec_id", "v", cents),
+        "vec_id", "cluster", lit(1L), Map("0" -> 9L), defaultBudget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sampled.toSet.subsetOf(more))
+  }
+
   test("deterministic shuffle is a stable seeded permutation") {
     val df = (0L until 500L).toDF("doc_id").repartition(5)
     def posOf(seed: Long): Map[Long, Long] =
