@@ -143,6 +143,16 @@ object Fixtures {
       graft.pipeline.Dedup.buildSigIndex(corpus, "doc_id", "text", path)
     }
 
+  /** Window-hash span index over the corpus split of documents
+    * (doc_id % 10 != 0) — the persisted half of the incremental
+    * cross-corpus SPAN dedup ([[graft.pipeline.TextOps.buildSpanIndex]]).
+    */
+  def docSpanIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "doc_span_index") { path =>
+      val corpus = src(spark, sfDir, "documents").filter(col("doc_id") % 10 =!= 0)
+      graft.pipeline.TextOps.buildSpanIndex(corpus, "doc_id", "text", path, n = 8)
+    }
+
   /** Corpus table + signature index DEDICATED to the streaming dedup
     * ingest query (q120 appends to both — keep them off the shared doc
     * fixtures). Corpus = documents with doc_id % 10 != 0.

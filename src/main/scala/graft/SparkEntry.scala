@@ -582,6 +582,13 @@ object SparkEntry {
         Map("0" -> 30L, "1" -> 25L), defaultBudget = 20L)
         .select(col("vec_id"), col("stratum").cast("int").as("cluster"))
     }),
+    "q141_corpus_span_dedup" -> ((s, d) =>
+      // incremental span dedup: every 8-token span the CORPUS (doc_id%10
+      // != 0, via its persisted window-hash index) already has is cut
+      // from the batch (doc_id%10 == 0); corpus text never re-read
+      TextOps.removeCorpusSpans(
+        Fixtures.src(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", Fixtures.docSpanIndex(s, d))),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1628,6 +1635,41 @@ object SparkEntry {
          |SELECT vec_id, cluster FROM r
          |WHERE rn - 1 < CASE cluster WHEN 0 THEN 30 WHEN 1 THEN 25
          |                            ELSE 20 END""".stripMargin,
+    // q141: batch (doc_id%10=0) windows matching ANY corpus (doc_id%10<>0)
+    // 8-token window are cut by covered position (no canonical keeper on
+    // the batch side — the corpus has it)
+    "q141_corpus_span_dedup" ->
+      """WITH ct AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |cwu AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-8+1, 0)+1),
+        |  i -> {'win': ARRAY_TO_STRING(t[i:i+7], ' ')})) AS s FROM ct),
+        |cw AS (SELECT DISTINCT s.win AS win FROM cwu),
+        |bt AS (SELECT doc_id, text, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |bwu AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-8+1, 0)+1),
+        |  i -> {'start': i-1, 'win': ARRAY_TO_STRING(t[i:i+7], ' ')})) AS s FROM bt),
+        |bw AS (SELECT doc_id, s.start AS start, s.win AS win FROM bwu),
+        |cov AS (SELECT DISTINCT doc_id, UNNEST(RANGE(start, start+8)) AS pos
+        |        FROM bw WHERE win IN (SELECT win FROM cw)),
+        |rb AS (SELECT DISTINCT doc_id FROM cov),
+        |posed AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)+1),
+        |  i -> {'pos': i-1, 'tok': t[i]})) AS s FROM bt
+        |  WHERE doc_id IN (SELECT doc_id FROM rb)),
+        |pflat AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM posed),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pflat p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = p.doc_id AND c.pos = p.pos)),
+        |reb AS (SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean,
+        |        COUNT(*) AS nk FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN r.doc_id IS NOT NULL THEN COALESCE(b.clean, '')
+        |       ELSE d.text END AS text,
+        |  CASE WHEN r.doc_id IS NOT NULL
+        |       THEN LEN(STRING_SPLIT_REGEX(TRIM(d.text), '\s+')) - COALESCE(b.nk, 0)
+        |       ELSE 0 END AS removed_tokens
+        |FROM documents d LEFT JOIN rb r USING (doc_id)
+        |LEFT JOIN reb b USING (doc_id)
+        |WHERE d.doc_id % 10 = 0""".stripMargin,
     // q137: admit docs per stratum in md5 order while the EXCLUSIVE
     // within-stratum token cumsum is under the budget (crossing doc kept)
     "q137_token_budget_sample" ->

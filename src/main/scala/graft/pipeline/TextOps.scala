@@ -428,21 +428,9 @@ object TextOps {
       n: Int = 8, minOccurrences: Int = 2): DataFrame = {
     require(n > 0, s"span length must be positive: $n")
     require(minOccurrences >= 2, s"minOccurrences must be >=2: $minOccurrences")
-    val len = org.apache.spark.sql.functions.size _
     val src = PipelineUtil.pin(PipelineUtil.spread(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
-    val toks = split(trim(col("text")), "\\s+")
-    // token hashes once per doc (one projection), THEN the window
-    // generator over them — keeping the expensive sibling out of the
-    // generate projection (generator extraction would re-evaluate it per
-    // exploded element)
-    val hashed = src.select(col("doc_id"), transform(toks, t => xxhash64(t)).as("__th"))
-    val starts = when(len(col("__th")) >= n, sequence(lit(0), len(col("__th")) - n))
-      .otherwise(array().cast("array<int>"))
-    val wins = hashed
-      .select(col("doc_id"), posexplode(
-        transform(starts, i => xxhash64(slice(col("__th"), i + 1, lit(n))))))
-      .toDF("doc_id", "start", "h")
+    val wins = windowFrame(src, "doc_id", "text", n)
     val canon = wins.groupBy("h").agg(
         count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("start"))).as("keep"))
@@ -453,11 +441,23 @@ object TextOps {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
       .distinct()
+    cutCovered(src, covered)
+  }
+
+  /** Cut the (doc_id, pos) `covered` token positions out of `src`
+    * (doc_id, text): only affected docs re-explode and rebuild
+    * (single-space re-join of kept tokens); untouched docs pass their
+    * original text through byte-identical. The shared tail of
+    * [[removeRepeatedSpans]] / [[removeCorpusSpans]].
+    */
+  private def cutCovered(src: DataFrame, covered: DataFrame): DataFrame = {
+    val len = org.apache.spark.sql.functions.size _
+    val toks = split(trim(col("text")), "\\s+")
     val rebuildIds = covered.select("doc_id").distinct()
-    val toksPos = src.join(rebuildIds, Seq("doc_id"))
+    val rebuilt = src.join(rebuildIds, Seq("doc_id"))
       .select(col("doc_id"), posexplode(toks))
       .toDF("doc_id", "pos", "tok")
-    val rebuilt = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id").agg(
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
@@ -470,6 +470,101 @@ object TextOps {
           .otherwise(col("text")).as("text"),
         when(col("__rb"), len(toks).cast("long") - coalesce(col("__kept"), lit(0L)))
           .otherwise(lit(0L)).as("removed_tokens"))
+  }
+
+  // ---- incremental (cross-corpus) span dedup: the persisted-index
+  // production shape of removeRepeatedSpans, mirroring
+  // Dedup.buildSigIndex / nearDupPairsAgainst ----
+
+  /** The (doc_id, start, h) window-hash frame of [[removeRepeatedSpans]]:
+    * h = xxhash64 of the n-token-hash slice at each `stride`-th start.
+    */
+  private def windowFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int, stride: Int = 1): DataFrame = {
+    val len = org.apache.spark.sql.functions.size _
+    val toks = split(trim(col(textCol)), "\\s+")
+    val hashed = df.select(col(idCol).as("doc_id"),
+      transform(toks, t => xxhash64(t)).as("__th"))
+    val nStarts = ((len(col("__th")) - n) / stride).cast("int") // floor: both >= 0
+    val starts = when(len(col("__th")) >= n,
+        transform(sequence(lit(0), nStarts), i => i * stride))
+      .otherwise(array().cast("array<int>"))
+    hashed.select(col("doc_id"), posexplode(
+        transform(starts, i => xxhash64(slice(col("__th"), i + 1, lit(n)))))
+        .as(Seq("__i", "h")))
+      .select(col("doc_id"),
+        (col("__i") * stride).cast("int").as("start"), col("h"))
+  }
+
+  /** Create a persisted span index at `path`: a graft PK table
+    * (h → doc_id, start of the FIRST occurrence — `first-row` merge
+    * engine) of the corpus's n-token window hashes, bucketed by h, with
+    * n/stride pinned in the table options so batches hash compatibly.
+    * 20 B/window; `stride` > 1 trades index size for detection
+    * granularity: a duplicated span of ≥ n + stride − 1 tokens still
+    * guarantees one stored window inside it.
+    */
+  def buildSpanIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, n: Int = 8, stride: Int = 1, buckets: Int = 8)
+      : graft.table.GraftTable = {
+    require(n > 0 && stride > 0, s"bad n=$n stride=$stride")
+    val wins = windowFrame(df, idCol, textCol, n, stride)
+    val t = graft.table.GraftTable.create(df.sparkSession, path, wins.schema,
+      primaryKeys = Seq("h"),
+      options = Map("bucket" -> buckets.toString,
+        "merge-engine" -> "first-row",
+        "dedup.span.n" -> n.toString, "dedup.span.stride" -> stride.toString))
+    t.upsert(wins)
+    t
+  }
+
+  /** The (n, stride) a span index was built with — fails fast on a
+    * non-span-index table (hashing with different window length would
+    * silently miss every duplicated span).
+    */
+  private def spanMeta(index: graft.table.GraftTable): (Int, Int) = {
+    val n = index.schema.option("dedup.span.n", "")
+    require(n.nonEmpty,
+      s"table at ${index.location} is not a span index: missing " +
+        "'dedup.span.n' table option (build one with TextOps.buildSpanIndex)")
+    (n.toInt, index.schema.option("dedup.span.stride", "1").toInt)
+  }
+
+  /** Fold an admitted batch's windows into the span index (first-row
+    * merge: the corpus's first occurrence stays canonical); exactly-once
+    * under commitIdentifier.
+    */
+  def appendToSpanIndex(index: graft.table.GraftTable, df: DataFrame,
+      idCol: String, textCol: String, commitIdentifier: Long = -1L,
+      commitUser: String = ""): Unit = {
+    val (n, stride) = spanMeta(index)
+    index.upsert(windowFrame(df, idCol, textCol, n, stride),
+      commitIdentifier = commitIdentifier, commitUser = commitUser)
+  }
+
+  /** Remove every batch span the CORPUS already has ("tonight's crawl
+    * must not re-train yesterday's text"): batch windows semi-join the
+    * span index on h (the corpus text is never re-read — only its 20-byte
+    * window rows), matched windows' token positions are cut and only
+    * affected docs rebuild, exactly like [[removeRepeatedSpans]]. Spans
+    * duplicated WITHIN the batch are out of scope — compose with
+    * [[removeRepeatedSpans]] for the intra pass. Returns
+    * (doc_id, text, removed_tokens).
+    */
+  def removeCorpusSpans(batch: DataFrame, idCol: String, textCol: String,
+      index: graft.table.GraftTable): DataFrame = {
+    val (n, _) = spanMeta(index)
+    val src = PipelineUtil.pin(PipelineUtil.spread(
+      batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+    // batch side hashes EVERY start (stride 1): only the INDEX strides —
+    // a corpus span re-appears in the batch at arbitrary alignment, and
+    // content-equal windows match regardless of position
+    val covered = windowFrame(src, "doc_id", "text", n)
+      .join(index.toDF.select(col("h")), Seq("h"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    cutCovered(src, covered)
   }
 
   /** GPT-style sequence packing: documents concatenate in ascending id

@@ -187,6 +187,54 @@ class TrainingPrepSpec extends SparkSpec {
     assert(all.size == 300)
   }
 
+  test("incremental span dedup: corpus spans cut from batches via the index") {
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "completely different corpus content sits right here now ok")
+    val batch = Seq(
+      100L -> "intro words the quick brown fox jumps over the lazy dog tonight outro",
+      101L -> "no overlap with anything stored in that span index at all")
+    val idx = graft.pipeline.TextOps.buildSpanIndex(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", tmpTable(), n = 8)
+    val got = graft.pipeline.TextOps.removeCorpusSpans(
+        batch.toDF("doc_id", "text"), "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 100: all 10 corpus-span tokens cut (3 overlapping windows merge)
+    assert(got(100L) == ("intro words outro", 10L))
+    assert(got(101L) == (batch.toMap.apply(101L), 0L))
+
+    // append the admitted batch; a re-crawl of doc 100's text now dedups
+    graft.pipeline.TextOps.appendToSpanIndex(idx,
+      Seq(200L -> "fresh tail alpha beta gamma delta epsilon zeta eta theta")
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val re = graft.pipeline.TextOps.removeCorpusSpans(
+        Seq(300L -> "alpha beta gamma delta epsilon zeta eta theta").toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(re(300L) == ("", 8L))
+  }
+
+  test("strided span index still catches spans >= n + stride - 1 tokens") {
+    // stride 3, n 4: a duplicated span of >= 6 tokens guarantees one
+    // stored window inside it at any batch alignment
+    val corpus = Seq(1L -> "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12")
+    val idx = graft.pipeline.TextOps.buildSpanIndex(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", tmpTable(),
+      n = 4, stride = 3)
+    // shift the copied span to every alignment 0..4 via junk prefixes
+    for (shift <- 0 until 5) {
+      val prefix = (0 until shift).map(i => s"x$i").mkString(" ")
+      val doc = (prefix + " a4 a5 a6 a7 a8 a9 tail").trim
+      val got = graft.pipeline.TextOps.removeCorpusSpans(
+          Seq(9L -> doc).toDF("doc_id", "text"), "doc_id", "text", idx)
+        .collect()(0)
+      // at least one strided corpus window (a4..a7 or a7..a10 start grid:
+      // starts 0,3,6,9 → windows a1-a4, a4-a7, a7-a10 — a4a5a6a7 stored)
+      assert(got.getLong(2) >= 4L, s"shift $shift: nothing removed")
+      assert(got.getString(1).endsWith("tail"))
+    }
+  }
+
   test("cluster assignment + cluster-balanced count caps") {
     import graft.pipeline.VectorOps
     val rnd = new Random(5)
