@@ -219,6 +219,23 @@ object ScaleStress {
       results += "span_dedup" -> t
       println(f"""{"op":"span_dedup","sec":$t%.3f,"removed_tokens":$removed,"docs":$n}""")
     }
+    if (ops("incrspan")) {
+      // incremental span dedup: corpus = 90% of docs (window-hash index
+      // built OUTSIDE the timed window — it is the persisted artifact),
+      // batch = 10%. Timed work = batch windowing + the h semi-join +
+      // covered-position rebuild; should scale with batch + index size.
+      import org.apache.spark.sql.functions.{col, sum}
+      val idx = graft.pipeline.TextOps.buildSpanIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft-scale-spanidx").toString + "/t",
+        n = 8)
+      val (t, removed) = time(
+        graft.pipeline.TextOps.removeCorpusSpans(
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx)
+          .agg(sum(col("removed_tokens"))).collect()(0).getLong(0))
+      results += "incr_span_dedup" -> t
+      println(f"""{"op":"incr_span_dedup","sec":$t%.3f,"removed_tokens":$removed,"docs":$n}""")
+    }
     if (ops("packshuffle")) {
       // the two prefix-sum riders: per-doc packing placement and the
       // seeded epoch shuffle. Each is one slim range shuffle + a bounded
