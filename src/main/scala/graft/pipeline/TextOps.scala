@@ -552,7 +552,8 @@ object TextOps {
     * (doc_id, text, removed_tokens).
     */
   def removeCorpusSpans(batch: DataFrame, idCol: String, textCol: String,
-      index: graft.table.GraftTable): DataFrame = {
+      index: graft.table.GraftTable,
+      view: Option[DataFrame] = None): DataFrame = {
     val (n, _) = spanMeta(index)
     val src = PipelineUtil.pin(PipelineUtil.spread(
       batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
@@ -560,11 +561,29 @@ object TextOps {
     // a corpus span re-appears in the batch at arbitrary alignment, and
     // content-equal windows match regardless of position
     val covered = windowFrame(src, "doc_id", "text", n)
-      .join(index.toDF.select(col("h")), Seq("h"), "left_semi")
+      .join(view.getOrElse(index.toDF).select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
       .distinct()
     cutCovered(src, covered)
+  }
+
+  /** Propagate corpus deletions into a span index (takedown/GDPR): every
+    * window row whose canonical doc_id is no longer live gets a `-D`
+    * upsert — the [[Dedup.expireFromSigIndex]] anti-join shape on the h
+    * PK. Releasing the hashes re-admits that text on future ingests,
+    * which is exactly what a takedown wants. Returns the number expired.
+    */
+  def expireFromSpanIndex(index: graft.table.GraftTable,
+      liveIds: DataFrame): Long = {
+    val live = liveIds.select(col(liveIds.columns.head).as("doc_id"))
+    val expired = index.toDF.join(live, Seq("doc_id"), "left_anti").persist()
+    try {
+      val n = expired.count()
+      if (n > 0) index.upsert(expired,
+        kinds = Some(lit(graft.GraftMeta.KindDelete)))
+      n
+    } finally expired.unpersist()
   }
 
   /** GPT-style sequence packing: documents concatenate in ascending id

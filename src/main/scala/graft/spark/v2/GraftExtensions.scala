@@ -377,15 +377,17 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         val (t, p) = graft.pipeline.VectorOps.rebuildLshSidecar(table)
         s"rebuilt lsh sidecar: $t tables x $p planes"
       // CALL sys.expire_from_indexes('db.corpus', 'doc_id', 'db.sig_index'
-      // [, 'db.ivf_index' [, 'db.fp_index']]) — propagate corpus
-      // deletions (takedown/GDPR) into the dedup indexes
+      // [, 'db.ivf_index' [, 'db.fp_index' [, 'db.span_index']]]) —
+      // propagate corpus deletions (takedown/GDPR) into the dedup indexes
       case "expire_from_indexes" =>
-        val (sigN, ivfN, fpN) =
+        val (sigN, ivfN, fpN, spanN) =
           graft.streaming.StreamingDedup.expireFromIndexes(
             table, args(1), resolveTable(spark, args(2)),
             if (args.size > 3) Some(resolveTable(spark, args(3))) else None,
-            if (args.size > 4) Some(resolveTable(spark, args(4))) else None)
-        s"expired $sigN sig-index, $ivfN ivf-index and $fpN fp-index entries"
+            if (args.size > 4) Some(resolveTable(spark, args(4))) else None,
+            if (args.size > 5) Some(resolveTable(spark, args(5))) else None)
+        s"expired $sigN sig-index, $ivfN ivf-index, $fpN fp-index and " +
+          s"$spanN span-index entries"
       case "reset_consumer" =>
         val id = args(1)
         if (args.size > 2) {

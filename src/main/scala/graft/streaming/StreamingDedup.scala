@@ -59,6 +59,11 @@ object StreamingDedup {
       droppedReingest: Long = 0L, droppedEmbedIntra: Long = 0L,
       droppedEmbedCorpus: Long = 0L,
       droppedFpIntra: Long = 0L, droppedFpCorpus: Long = 0L,
+      /** Tokens the span stage cut from admitted docs (-1 when the stage
+        * is off or counts are untracked). Excluded from equality like
+        * stageSecs — it measures text surgery, not the admitted set.
+        */
+      spanTokensCut: Long = -1L,
       /** Wall seconds per stage (the stage counts are the barriers, so
         * attribution is exact) — the per-batch profile that says which
         * stage to scale next. Excluded from equality so exact-match test
@@ -93,6 +98,22 @@ object StreamingDedup {
     */
   case class EmbedStage(vecCol: String, ivfIndex: GraftTable,
       threshold: Double = 0.95, nProbe: Int = 4)
+
+  /** Optional SPAN stage: after every admission check, survivors' TEXT is
+    * REWRITTEN — each n-token span the corpus already contains is cut
+    * ([[graft.pipeline.TextOps.removeCorpusSpans]] against the persisted
+    * window-hash span index), and the admitted docs' post-cut window
+    * hashes fold into that index under the same exactly-once batch
+    * commit. Unlike every other stage this one modifies committed text
+    * instead of dropping documents — the Lee et al. 2021 "never re-train
+    * on yesterday's text" transform as an ingest stage. The cut is a
+    * deterministic function of (batch, span-index pre-batch state): a
+    * replay after a partial commit bands against the pre-batch view
+    * ([[preBatchView]]), so the committed text is identical. Downstream
+    * tables (corpus, signature index) see the CUT text — what the corpus
+    * serves is what gets signed.
+    */
+  case class SpanStage(spanIndex: GraftTable)
 
   /** Optional PERCEPTUAL stage of the ingest pipeline: after the text
     * checks, survivors' media bytes are fingerprinted (64-bit image dHash
@@ -178,7 +199,8 @@ object StreamingDedup {
       textCol: String, corpus: GraftTable, index: GraftTable,
       threshold: Double = 0.7, commitUser: String = "streaming-dedup",
       embed: Option[EmbedStage] = None, trackCounts: Boolean = true,
-      fp: Option[FingerprintStage] = None)
+      fp: Option[FingerprintStage] = None,
+      span: Option[SpanStage] = None)
       : BatchResult = {
     val in = batch.persist()
     val cached = scala.collection.mutable.ListBuffer[DataFrame](in)
@@ -285,11 +307,31 @@ object StreamingDedup {
           (keep(s1.join(vsCorpus.select(col("new_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")), s1N)
       }
+      // 3d. span stage: survivors' TEXT is rewritten — every n-token span
+      // the corpus already has is cut against the span index's pre-batch
+      // view (replay-stable), and downstream commits (corpus text, sig
+      // signatures) see the CUT text
+      val (finalAdmitted, spanCutN) = span match {
+        case None => (admitted, -1L)
+        case Some(sp) =>
+          val cut = keep(graft.pipeline.TextOps.removeCorpusSpans(
+            admitted, idCol, textCol, sp.spanIndex,
+            view = preBatchView(sp.spanIndex, s"$commitUser-span", batchId)))
+          val joined = keep(admitted.drop(textCol).join(
+            cut.select(col("doc_id").as(idCol), col("text").as(textCol)),
+            Seq(idCol)))
+          val n = if (trackCounts)
+            timed("span_cut")(
+              cut.agg(coalesce(sum(col("removed_tokens")), lit(0L)))
+                .collect()(0).getLong(0))
+          else -1L
+          (joined, n)
+      }
       // the one ALWAYS-ON barrier: materializes the whole (lazily fused,
       // in production mode) dedup pipeline into the persisted admitted
       // frame exactly once, BEFORE the commits traverse it — the commits
       // (two of them concurrent) then read cache, never recompute
-      val admittedN = timed("embed_corpus")(admitted.count())
+      val admittedN = timed("embed_corpus")(finalAdmitted.count())
 
       // 4. exactly-once writes: distinct commitUsers give the tables
       // independent replay filters keyed by the same batchId. ORDER
@@ -330,18 +372,26 @@ object StreamingDedup {
         }
         val legs = Seq(
           leg(timedLeg("commit_corpus")(
-            corpus.append(admitted.select(corpusCols: _*),
+            corpus.append(finalAdmitted.select(corpusCols: _*),
               commitIdentifier = batchId, commitUser = s"$commitUser-corpus")))
         ) ++ embed.map { e =>
           leg(timedLeg("commit_ivf")(VectorOps.appendToIvfIndex(e.ivfIndex,
-            admitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
+            finalAdmitted.select(col(idCol), col(e.vecCol)), idCol, e.vecCol,
             commitIdentifier = batchId, commitUser = s"$commitUser-ivf")))
         } ++ fp.map { f =>
           leg(timedLeg("commit_fp")(
             graft.pipeline.Multimodal.appendToFingerprintIndex(f.fpIndex,
-              admitted.select(col(idCol), col(f.contentCol)), idCol,
+              finalAdmitted.select(col(idCol), col(f.contentCol)), idCol,
               f.contentCol, commitIdentifier = batchId,
               commitUser = s"$commitUser-fp")))
+        } ++ span.map { sp =>
+          // the admitted docs' POST-CUT windows become corpus spans —
+          // order-independent vs corpus/ivf/fp (convergence keys only on
+          // "sig last"; the cut itself pins the pre-batch view)
+          leg(timedLeg("commit_span")(
+            graft.pipeline.TextOps.appendToSpanIndex(sp.spanIndex,
+              finalAdmitted.select(col(idCol), col(textCol)), idCol, textCol,
+              commitIdentifier = batchId, commitUser = s"$commitUser-span")))
         }
         // await ALL legs (even after one fails — a leg left running while
         // the finally-unpersist fires would recompute its input) and
@@ -350,7 +400,7 @@ object StreamingDedup {
         val outcomes = legs.map(l => scala.util.Try(Await.result(l, Duration.Inf)))
         outcomes.collectFirst { case scala.util.Failure(e) => throw e }
         timedLeg("commit_sig")(
-          Dedup.appendToSigIndex(index, admitted, idCol, textCol,
+          Dedup.appendToSigIndex(index, finalAdmitted, idCol, textCol,
             commitIdentifier = batchId, commitUser = s"$commitUser-index"))
       }
 
@@ -363,7 +413,7 @@ object StreamingDedup {
           droppedEmbedCorpus = embedIntraN - admittedN,
           droppedFpIntra = textAdmittedN - fpIntraN,
           droppedFpCorpus = fpIntraN - fpAdmittedN,
-          stageSecs = stageSecs.toMap)
+          spanTokensCut = spanCutN, stageSecs = stageSecs.toMap)
       else // production mode: only the admitted count is observed
         BatchResult(batchId, input = -1L, admitted = admittedN,
           droppedExact = -1L, droppedIntra = -1L, droppedCorpus = -1L,
@@ -379,7 +429,7 @@ object StreamingDedup {
     */
   private lazy val commitEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(3,
+      java.util.concurrent.Executors.newFixedThreadPool(4,
         (r: Runnable) => {
           val t = new Thread(r, "graft-commit-leg"); t.setDaemon(true); t
         }))
@@ -399,8 +449,9 @@ object StreamingDedup {
     */
   def expireFromIndexes(corpus: GraftTable, idCol: String,
       sigIndex: GraftTable, ivfIndex: Option[GraftTable] = None,
-      fpIndex: Option[GraftTable] = None)
-      : (Long, Long, Long) = {
+      fpIndex: Option[GraftTable] = None,
+      spanIndex: Option[GraftTable] = None)
+      : (Long, Long, Long, Long) = {
     val liveIds = corpus.toDF.select(col(idCol))
     val ivfN = ivfIndex.map(VectorOps.expireFromIvfIndex(_, liveIds))
       .getOrElse(0L)
@@ -408,8 +459,11 @@ object StreamingDedup {
     // expiry (an anti-join -D upsert on the PK) applies verbatim
     val fpN = fpIndex.map(Dedup.expireFromSigIndex(_, liveIds))
       .getOrElse(0L)
+    val spanN = spanIndex
+      .map(graft.pipeline.TextOps.expireFromSpanIndex(_, liveIds))
+      .getOrElse(0L)
     val sigN = Dedup.expireFromSigIndex(sigIndex, liveIds)
-    (sigN, ivfN, fpN)
+    (sigN, ivfN, fpN, spanN)
   }
 
   /** Bootstrap / catch-up driver: run a LARGE historical frame through

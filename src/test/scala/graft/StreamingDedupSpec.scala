@@ -157,6 +157,61 @@ class StreamingDedupSpec extends SparkSpec {
     assert(index.toDF.count() == 2)
   }
 
+  test("span stage: corpus spans cut from admitted text; replay-stable") {
+    val (corpus, index) = mkCorpusAndIndex()
+    val spanIdx = graft.pipeline.TextOps.buildSpanIndex(
+      corpus.toDF.toDF("doc_id", "body"), "doc_id", "body", tmpTable(), n = 8)
+
+    // 501 is unique text that EMBEDS doc 1's first 8 tokens mid-document
+    val spanOf1 = text(1).split(" ").take(8).mkString(" ")
+    val novel = (0 until 20).map(w => s"n501x$w").mkString(" ")
+    val tail = (0 until 12).map(w => s"t501x$w").mkString(" ")
+    val b = Seq((501L, s"$novel $spanOf1 $tail")).toDF("doc_id", "body")
+    val r = StreamingDedup.processBatch(b, 0L, "doc_id", "body",
+      corpus, index, span = Some(StreamingDedup.SpanStage(spanIdx)))
+    assert(r.admitted == 1 && r.spanTokensCut == 8L, r.toString)
+    val committed = corpus.toDF.filter(col("doc_id") === 501L)
+      .collect()(0).getString(1)
+    assert(committed == s"$novel $tail") // corpus serves the CUT text
+
+    // the span index absorbed 501's POST-CUT windows: a later doc that
+    // re-uses the novel passage (plus enough fresh text to stay under the
+    // near-dup threshold) loses exactly the novel tokens to the index
+    val fresh2 = (0 until 20).map(w => s"f502x$w").mkString(" ")
+    val b2 = Seq((502L, s"$novel $fresh2")).toDF("doc_id", "body")
+    val r2 = StreamingDedup.processBatch(b2, 1L, "doc_id", "body",
+      corpus, index, span = Some(StreamingDedup.SpanStage(spanIdx)))
+    assert(r2.admitted == 1 && r2.spanTokensCut == 20L, r2.toString)
+    assert(corpus.toDF.filter(col("doc_id") === 502L)
+      .collect()(0).getString(1) == fresh2)
+
+    // partial-commit crash: corpus + span landed, sig did not → the
+    // replay must commit the IDENTICAL cut text (pre-batch span view),
+    // not an empty doc (which banding against its own windows would give)
+    val novel3 = (0 until 24).map(w => s"m503x$w").mkString(" ")
+    val b3 = Seq((503L, s"$novel3 $spanOf1")).toDF("doc_id", "body")
+    val cut3 = graft.pipeline.TextOps.removeCorpusSpans(
+      b3, "doc_id", "body", spanIdx).collect()(0).getString(1)
+    assert(cut3 == novel3)
+    corpus.append(Seq((503L, cut3)).toDF("doc_id", "body"),
+      commitIdentifier = 2L, commitUser = "streaming-dedup-corpus")
+    graft.pipeline.TextOps.appendToSpanIndex(spanIdx,
+      Seq((503L, cut3)).toDF("doc_id", "body"), "doc_id", "body",
+      commitIdentifier = 2L, commitUser = "streaming-dedup-span")
+    val r3 = StreamingDedup.processBatch(b3, 2L, "doc_id", "body",
+      corpus, index, span = Some(StreamingDedup.SpanStage(spanIdx)))
+    assert(r3.admitted == 1 && r3.spanTokensCut == 8L, r3.toString)
+    // exactly one corpus row for 503, carrying the same cut text
+    val rows503 = corpus.toDF.filter(col("doc_id") === 503L).collect()
+    assert(rows503.length == 1 && rows503(0).getString(1) == novel3)
+
+    // takedown: deleting 501 releases its windows for re-admission
+    corpus.delete(col("doc_id") === 501L)
+    val (_, _, _, spanN) = StreamingDedup.expireFromIndexes(
+      corpus, "doc_id", index, spanIndex = Some(spanIdx))
+    assert(spanN > 0)
+  }
+
   /** Two 64-dim vectors at cosine exactly `cos`: u, and cos·u + sin·w for
     * a w orthonormal to u — seeded, deterministic.
     */
@@ -411,7 +466,7 @@ class StreamingDedupSpec extends SparkSpec {
     assert(r0.droppedReingest == 1 && r0.admitted == 0, r0.toString)
 
     // expire: exactly the deleted doc leaves both indexes
-    val (sigN, ivfN, _) = StreamingDedup.expireFromIndexes(
+    val (sigN, ivfN, _, _) = StreamingDedup.expireFromIndexes(
       corpus, "doc_id", index, Some(ivf))
     assert((sigN, ivfN) == ((1L, 1L)), s"($sigN,$ivfN)")
     assert(index.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq
@@ -429,7 +484,7 @@ class StreamingDedupSpec extends SparkSpec {
 
     // idempotent: nothing left to expire
     assert(StreamingDedup.expireFromIndexes(corpus, "doc_id", index,
-      Some(ivf)) == ((0L, 0L, 0L)))
+      Some(ivf)) == ((0L, 0L, 0L, 0L)))
 
     // the SQL surface: CALL sys.expire_from_indexes after another takedown
     corpus.delete(col("doc_id") === 3L)
@@ -437,7 +492,9 @@ class StreamingDedupSpec extends SparkSpec {
       s"""CALL sys.expire_from_indexes('${corpus.location}', 'doc_id',
          |'${index.location}', '${ivf.location}')""".stripMargin)
       .collect()(0).getString(0)
-    assert(msg == "expired 1 sig-index, 1 ivf-index and 0 fp-index entries", msg)
+    assert(msg ==
+      "expired 1 sig-index, 1 ivf-index, 0 fp-index and 0 span-index entries",
+      msg)
     assert(index.toDF.count() == 2 && ivf.toDF.count() == 2)
   }
 
