@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-private[pipeline] object PipelineUtil {
+private[graft] object PipelineUtil {
 
   /** Exclusive distributed prefix sum: append `outCol` = Σ `weight` over
     * all rows strictly BEFORE this one under the `order` columns (which

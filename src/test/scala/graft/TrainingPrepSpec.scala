@@ -263,6 +263,24 @@ class TrainingPrepSpec extends SparkSpec {
     assert(sampled.toSet.subsetOf(more))
   }
 
+  test("exclusivePrefixSum matches a local scan for any input partitioning") {
+    val rnd = new Random(13)
+    val rows = (0L until 700L).map(id => (id, rnd.nextInt(50).toLong))
+    val want = {
+      var acc = 0L
+      rows.sortBy(_._1).map { case (id, w) =>
+        val o = id -> acc; acc += w; o
+      }.toMap
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.toDF("doc_id", "w").repartition(parts)
+      val got = graft.pipeline.PipelineUtil.exclusivePrefixSum(
+          df, Seq(col("doc_id")), col("w"), "off")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("off")).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("deterministic shuffle is a stable seeded permutation") {
     val df = (0L until 500L).toDF("doc_id").repartition(5)
     def posOf(seed: Long): Map[Long, Long] =
