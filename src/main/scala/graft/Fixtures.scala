@@ -173,6 +173,32 @@ object Fixtures {
       graft.pipeline.Dedup.buildSigIndex(corpus, "doc_id", "text", path)
     }
 
+  // ---- span-stage ingest (q142): own tables — processBatch mutates all
+  // three (corpus append, sig upsert, span-index append) ----
+
+  def spanIngestCorpus(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "span_ingest_corpus") { path =>
+      val corpus = src(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val t = GraftTable.create(spark, path, corpus.schema)
+      t.append(corpus)
+      t
+    }
+
+  def spanIngestSigIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "span_ingest_sig_index") { path =>
+      graft.pipeline.Dedup.buildSigIndex(
+        src(spark, sfDir, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", path)
+    }
+
+  def spanIngestSpanIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "span_ingest_span_index") { path =>
+      graft.pipeline.TextOps.buildSpanIndex(
+        src(spark, sfDir, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", path, n = 8)
+    }
+
   // ---- text+embedding ingest (q123): own tables — processBatch mutates them
 
   /** Corpus docs (doc_id % 10 != 0) with their embeddings as

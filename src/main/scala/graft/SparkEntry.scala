@@ -589,6 +589,20 @@ object SparkEntry {
       TextOps.removeCorpusSpans(
         Fixtures.src(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", Fixtures.docSpanIndex(s, d))),
+    "q142_span_ingest" -> ((s, d) => {
+      // the ingest pipeline WITH the text-rewriting span stage: q120's
+      // admission checks, then admitted docs lose every span the corpus
+      // already has (pre-batch span-index view) and the CUT text commits.
+      // Result = the corpus table after the batch, text included.
+      val corpus = Fixtures.spanIngestCorpus(s, d)
+      graft.streaming.StreamingDedup.processBatch(
+        Fixtures.src(s, d, "documents").filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "text"),
+        0L, "doc_id", "text", corpus, Fixtures.spanIngestSigIndex(s, d),
+        span = Some(graft.streaming.StreamingDedup.SpanStage(
+          Fixtures.spanIngestSpanIndex(s, d))))
+      corpus.toDF.select("doc_id", "text")
+    }),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1635,6 +1649,59 @@ object SparkEntry {
          |SELECT vec_id, cluster FROM r
          |WHERE rn - 1 < CASE cluster WHEN 0 THEN 30 WHEN 1 THEN 25
          |                            ELSE 20 END""".stripMargin,
+    // q142: q120's admitted set (exact → intra-jaccard → vs-corpus), then
+    // the q141 span cut of admitted docs vs corpus windows; final corpus
+    // = original rows ∪ admitted rows with CUT text
+    "q142_span_ingest" ->
+      """WITH ntoks AS (SELECT doc_id,
+        |  STRING_SPLIT_REGEX(TRIM(REGEXP_REPLACE(LOWER(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-2, 1)+1),
+        |  i -> ARRAY_TO_STRING(t[i:i+2], ' '))) AS s FROM ntoks),
+        |exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id % 10 = 0 GROUP BY text),
+        |ip AS (SELECT b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM exact_keep)
+        |    AND b.doc_id IN (SELECT doc_id FROM exact_keep)
+        |    AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+        |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7),
+        |intra_keep AS (SELECT doc_id FROM exact_keep
+        |  WHERE doc_id NOT IN (SELECT id_b FROM ip)),
+        |cp AS (SELECT a.doc_id AS new_id FROM sh a JOIN sh b ON b.doc_id % 10 <> 0
+        |  WHERE a.doc_id IN (SELECT doc_id FROM intra_keep)
+        |    AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+        |        / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.7),
+        |adm AS (SELECT doc_id FROM intra_keep
+        |  WHERE doc_id NOT IN (SELECT new_id FROM cp)),
+        |ct AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |cwu AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-8+1, 0)+1),
+        |  i -> {'win': ARRAY_TO_STRING(t[i:i+7], ' ')})) AS s FROM ct),
+        |cw AS (SELECT DISTINCT s.win AS win FROM cwu),
+        |bt AS (SELECT doc_id, text, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM adm)),
+        |bwu AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(t)-8+1, 0)+1),
+        |  i -> {'start': i-1, 'win': ARRAY_TO_STRING(t[i:i+7], ' ')})) AS s FROM bt),
+        |bw AS (SELECT doc_id, s.start AS start, s.win AS win FROM bwu),
+        |cov AS (SELECT DISTINCT doc_id, UNNEST(RANGE(start, start+8)) AS pos
+        |        FROM bw WHERE win IN (SELECT win FROM cw)),
+        |rb AS (SELECT DISTINCT doc_id FROM cov),
+        |posed AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)+1),
+        |  i -> {'pos': i-1, 'tok': t[i]})) AS s FROM bt
+        |  WHERE doc_id IN (SELECT doc_id FROM rb)),
+        |pflat AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM posed),
+        |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pflat p
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = p.doc_id AND c.pos = p.pos)),
+        |reb AS (SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        |UNION ALL
+        |SELECT b.doc_id,
+        |  CASE WHEN r.doc_id IS NOT NULL THEN COALESCE(e.clean, '')
+        |       ELSE b.text END AS text
+        |FROM bt b LEFT JOIN rb r USING (doc_id)
+        |LEFT JOIN reb e USING (doc_id)""".stripMargin,
     // q141: batch (doc_id%10=0) windows matching ANY corpus (doc_id%10<>0)
     // 8-token window are cut by covered position (no canonical keeper on
     // the batch side — the corpus has it)
