@@ -430,6 +430,12 @@ object TextOps {
     require(minOccurrences >= 2, s"minOccurrences must be >=2: $minOccurrences")
     val src = PipelineUtil.pin(PipelineUtil.spread(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+    // NOT pinned: consumed by both the canon groupBy and the join back,
+    // but the frame is O(corpus tokens) of 20-byte rows — storing it
+    // costs more than the one extra codegen'd tokenize+hash pass
+    // (A/B-measured a wash at 100×; recompute keeps executor storage
+    // free at corpus scale). The small downstream frames ARE pinned
+    // (cutCovered).
     val wins = windowFrame(src, "doc_id", "text", n)
     val canon = wins.groupBy("h").agg(
         count(lit(1)).as("occ"),
@@ -450,10 +456,14 @@ object TextOps {
     * original text through byte-identical. The shared tail of
     * [[removeRepeatedSpans]] / [[removeCorpusSpans]].
     */
-  private def cutCovered(src: DataFrame, covered: DataFrame): DataFrame = {
+  private def cutCovered(src: DataFrame, coveredIn: DataFrame): DataFrame = {
     val len = org.apache.spark.sql.functions.size _
     val toks = split(trim(col("text")), "\\s+")
-    val rebuildIds = covered.select("doc_id").distinct()
+    // both pinned: covered feeds the rebuild-id distinct AND the anti
+    // join; rebuildIds feeds the rebuild join AND the final pass-through
+    // flag — unpinned, each consumer re-runs the whole window pipeline
+    val covered = PipelineUtil.pin(coveredIn)
+    val rebuildIds = PipelineUtil.pin(covered.select("doc_id").distinct())
     val rebuilt = src.join(rebuildIds, Seq("doc_id"))
       .select(col("doc_id"), posexplode(toks))
       .toDF("doc_id", "pos", "tok")
