@@ -1597,12 +1597,14 @@ object SparkEntry {
         |  CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT doc_id, n_tokens,
-        |  COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        |  CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
-        |  start_offset // 256 AS first_seq,
-        |  (start_offset + n_tokens - 1) // 256 AS last_seq FROM c""".stripMargin,
+        |  CAST(start_offset // 256 AS BIGINT) AS first_seq,
+        |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_seq
+        |FROM c""".stripMargin,
     "q136_det_shuffle" ->
       """SELECT doc_id,
         |  ROW_NUMBER() OVER (ORDER BY MD5('7:' || CAST(doc_id AS VARCHAR)), doc_id)
@@ -1615,13 +1617,13 @@ object SparkEntry {
         |  LIST_APPEND(STRING_SPLIT_REGEX(TRIM(text), '\s+'), '</s>') AS toks
         |  FROM documents),
         |o AS (SELECT doc_id, toks,
-        |  COALESCE(SUM(CAST(LEN(toks) AS BIGINT)) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  CAST(COALESCE(SUM(CAST(LEN(toks) AS BIGINT)) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
         |  FROM t),
         |p AS (SELECT doc_id, start + s.i AS g, s.tok AS tok FROM o,
         |  UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)+1),
         |    i -> {'i': i-1, 'tok': toks[i]})) AS u(s))
-        |SELECT g // 256 AS seq_id,
+        |SELECT CAST(g // 256 AS BIGINT) AS seq_id,
         |  STRING_AGG(tok, ' ' ORDER BY g) AS text,
         |  COUNT(*) AS n_tokens
         |FROM p GROUP BY 1""".stripMargin,

@@ -25,12 +25,22 @@ private[graft] object PipelineUtil {
     */
   def exclusivePrefixSum(df: DataFrame, order: Seq[Column], weight: Column,
       outCol: String): DataFrame = {
+    // null weights (e.g. size(split(null)) = -1/null upstream) would make
+    // a partition total null and corrupt every downstream offset — treat
+    // null as 0 and fail loud on negatives rather than emit bad offsets
+    val w = coalesce(weight.cast("long"), lit(0L))
     val ranged = pin(
-      df.withColumn("__w", weight.cast("long"))
+      df.withColumn("__w", w)
         .repartitionByRange(order: _*)
         .withColumn("__pid", spark_partition_id()))
-    val totals = ranged.groupBy("__pid").agg(sum("__w").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val totals = ranged.groupBy("__pid")
+      .agg(sum("__w").as("__t"), min("__w").as("__m"))
+      .collect().map { r =>
+        require(r.getLong(2) >= 0L,
+          s"exclusivePrefixSum: negative weight ${r.getLong(2)} — " +
+            "upstream null text tokenized under legacy sizeOfNull=-1?")
+        r.getInt(0) -> r.getLong(1)
+      }.sortBy(_._1)
     val offsets = totals.scanLeft(0L)(_ + _._2).init
     val spark = df.sparkSession
     import spark.implicits._

@@ -423,6 +423,14 @@ object TextOps {
     * actually lose a span are re-exploded for rebuild. Reference analog:
     * none (the reference dedups whole rows by key — paimon
     * `deduplicate` merge engine); this is pipeline-level, beyond it.
+    *
+    * Collision tradeoff (vs the paper's EXACT suffix array): the window
+    * key is a 64-bit hash, so two DISTINCT n-token windows collide with
+    * birthday probability ≈ W²/2⁶⁵ over W distinct windows — at 100 TB
+    * (~10¹³ windows) a few million positions corpus-wide would be cut as
+    * false duplicates: one-in-a-million tokens of benign loss for a
+    * training-data pipeline, but NOT exact. Widen to a pair of
+    * independently-seeded hashes (2⁻¹²⁸) if exactness matters.
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minOccurrences: Int = 2): DataFrame = {
@@ -441,13 +449,40 @@ object TextOps {
         count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("start"))).as("keep"))
       .filter(col("occ") >= minOccurrences)
-    val covered = wins.join(canon, "h")
+    val hits = wins.join(canon, "h")
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("start") === col("keep.start")))
+      .select(col("doc_id"), col("start"))
+    cutCovered(src, coveredPositions(hits, n))
+  }
+
+  /** Distinct covered token positions of the (doc_id, start) window
+    * `hits`: each doc's starts merge into maximal [lo, hi) intervals
+    * FIRST (two starts chain iff they are ≤ n apart), then only the
+    * merged ranges explode — one output row per covered TOKEN. The
+    * pre-r16 shape exploded every window to n position rows and
+    * `distinct()`'d the overlap away: an ~n× covered shuffle plus a
+    * dedup exchange, the 1000× saturated-duplicate probe's spill.
+    * Boundary detection is a shifted-array compare on the sorted start
+    * set, O(windows) per doc, no accumulator recursion: a start OPENS an
+    * interval iff its predecessor is more than n back, CLOSES one (at
+    * start+n) iff its successor is more than n ahead; openers and
+    * closers are equal-length and aligned by construction.
+    */
+  private def coveredPositions(hits: DataFrame, n: Int): DataFrame = {
+    val ss = array_sort(collect_set(col("start")))
+    val prevOf = (a: Column) => concat(
+      array(lit(-n - 1)), slice(a, lit(1), greatest(size(a) - 1, lit(0))))
+    val nextOf = (a: Column) => concat(
+      slice(a, lit(2), greatest(size(a) - 1, lit(0))), array(lit(Int.MaxValue)))
+    val ivs = (a: Column) => zip_with(
+      filter(zip_with(a, prevOf(a), (s, p) => when(s > p + n, s)), _.isNotNull),
+      filter(zip_with(a, nextOf(a), (s, x) => when(x > s + n, s + n)), _.isNotNull),
+      (lo, hi) => struct(lo.as("lo"), hi.as("hi")))
+    hits.groupBy("doc_id").agg(ss.as("__ss"))
+      .select(col("doc_id"), explode(ivs(col("__ss"))).as("__iv"))
       .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
-      .distinct()
-    cutCovered(src, covered)
+        explode(sequence(col("__iv.lo"), col("__iv.hi") - 1)).as("pos"))
   }
 
   /** Cut the (doc_id, pos) `covered` token positions out of `src`
@@ -512,7 +547,9 @@ object TextOps {
     * n/stride pinned in the table options so batches hash compatibly.
     * 20 B/window; `stride` > 1 trades index size for detection
     * granularity: a duplicated span of ≥ n + stride − 1 tokens still
-    * guarantees one stored window inside it.
+    * guarantees one stored window inside it. Keys are 64-bit hashes —
+    * see [[removeRepeatedSpans]] for the (tiny, corpus-scale) false-cut
+    * collision tradeoff a persisted index inherits.
     */
   def buildSpanIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, n: Int = 8, stride: Int = 1, buckets: Int = 8)
@@ -570,12 +607,10 @@ object TextOps {
     // batch side hashes EVERY start (stride 1): only the INDEX strides —
     // a corpus span re-appears in the batch at arbitrary alignment, and
     // content-equal windows match regardless of position
-    val covered = windowFrame(src, "doc_id", "text", n)
+    val hits = windowFrame(src, "doc_id", "text", n)
       .join(view.getOrElse(index.toDF).select(col("h")), Seq("h"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
-      .distinct()
-    cutCovered(src, covered)
+      .select(col("doc_id"), col("start"))
+    cutCovered(src, coveredPositions(hits, n))
   }
 
   /** Propagate corpus deletions into a span index (takedown/GDPR): every
@@ -583,6 +618,15 @@ object TextOps {
     * upsert — the [[Dedup.expireFromSigIndex]] anti-join shape on the h
     * PK. Releasing the hashes re-admits that text on future ingests,
     * which is exactly what a takedown wants. Returns the number expired.
+    *
+    * TAKEDOWN semantics only — not a GC: first-row merge stored only the
+    * FIRST occurrence of each span, so expiring a canonical doc releases
+    * spans that may still exist verbatim in other live corpus docs, and
+    * future batches re-admit them (eroding cross-corpus recall). For
+    * routine retention GC, rebuild instead: [[buildSpanIndex]] over the
+    * live corpus at a fresh path (or upsert
+    * `windowFrame(liveCorpus)` into a truncated index) — O(live tokens),
+    * the same cost as the original build.
     */
   def expireFromSpanIndex(index: graft.table.GraftTable,
       liveIds: DataFrame): Long = {

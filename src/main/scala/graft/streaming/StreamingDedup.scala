@@ -330,8 +330,11 @@ object StreamingDedup {
       // the one ALWAYS-ON barrier: materializes the whole (lazily fused,
       // in production mode) dedup pipeline into the persisted admitted
       // frame exactly once, BEFORE the commits traverse it — the commits
-      // (two of them concurrent) then read cache, never recompute
-      val admittedN = timed("embed_corpus")(finalAdmitted.count())
+      // (two of them concurrent) then read cache, never recompute. Timed
+      // under its own label: with SpanStage on, this barrier also runs
+      // the span-cut pipeline, and charging it to 'embed_corpus' would
+      // misattribute span cost to the embedding stage
+      val admittedN = timed("materialize")(finalAdmitted.count())
 
       // 4. exactly-once writes: distinct commitUsers give the tables
       // independent replay filters keyed by the same batchId. ORDER

@@ -50,6 +50,20 @@ for name in sorted(glob.glob(f"{out_dir}/*/")):
         print(f"X {qname}: ROWS ours={len(a)} oracle={len(b)}")
         fail += 1
         continue
+    # Driver's hash is representation-sensitive: int64 1024 vs float64
+    # 1024.0 mismatch even when values are equal (shipped red in r15 via
+    # q135/q138 HUGEINT->float oracle columns). Fail on int-vs-float kind.
+    kind_bad = [
+        c for c in a.columns
+        if {a[c].dtype.kind, b[c].dtype.kind} == {"i", "f"}
+        or {a[c].dtype.kind, b[c].dtype.kind} == {"u", "f"}
+    ]
+    if kind_bad:
+        print(f"X {qname}: DTYPE int-vs-float (driver hash mismatch): " +
+              ", ".join(f"{c} ours={a[c].dtype} oracle={b[c].dtype}"
+                        for c in kind_bad))
+        fail += 1
+        continue
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
         print(f"  {qname}: OK ({len(a)} rows)")
