@@ -603,6 +603,21 @@ object SparkEntry {
           Fixtures.spanIngestSpanIndex(s, d))))
       corpus.toDF.select("doc_id", "text")
     }),
+    "q143_seq_packing_bpe" -> ((s, d) =>
+      // packing placement budgeted in BPE-ISH tokens (word pieces /
+      // single symbols), not whitespace words — the pluggable nTokens
+      // Column seam of packSequences; same distributed prefix sum
+      TextOps.packSequences(Fixtures.src(s, d, "documents"),
+        "doc_id", TextOps.tokenCount(col("text")), 256, 1)),
+    "q144_packed_bpe_texts" -> ((s, d) =>
+      // assembled sequences over a caller-supplied token ARRAY (the
+      // BPE-ish regex split) — the toks Column seam of
+      // packedSequenceTexts; per-(doc, seq) segment shuffle unchanged
+      TextOps.packedSequenceTexts(Fixtures.src(s, d, "documents"),
+        "doc_id",
+        regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)),
+        256, "</s>")),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1615,6 +1630,39 @@ object SparkEntry {
     "q138_packed_sequences" ->
       """WITH t AS (SELECT doc_id,
         |  LIST_APPEND(STRING_SPLIT_REGEX(TRIM(text), '\s+'), '</s>') AS toks
+        |  FROM documents),
+        |o AS (SELECT doc_id, toks,
+        |  CAST(COALESCE(SUM(CAST(LEN(toks) AS BIGINT)) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM t),
+        |p AS (SELECT doc_id, start + s.i AS g, s.tok AS tok FROM o,
+        |  UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)+1),
+        |    i -> {'i': i-1, 'tok': toks[i]})) AS u(s))
+        |SELECT CAST(g // 256 AS BIGINT) AS seq_id,
+        |  STRING_AGG(tok, ' ' ORDER BY g) AS text,
+        |  COUNT(*) AS n_tokens
+        |FROM p GROUP BY 1""".stripMargin,
+    // q143: q135's placement with BPE-ish counts (word pieces / single
+    // non-space symbols) instead of whitespace words
+    "q143_seq_packing_bpe" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  CAST(start_offset // 256 AS BIGINT) AS first_seq,
+        |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_seq
+        |FROM c""".stripMargin,
+    // q144: q138's assembly over the BPE-ish token array
+    "q144_packed_bpe_texts" ->
+      """WITH t AS (SELECT doc_id,
+        |  LIST_APPEND(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+        |    '</s>') AS toks
         |  FROM documents),
         |o AS (SELECT doc_id, toks,
         |  CAST(COALESCE(SUM(CAST(LEN(toks) AS BIGINT)) OVER (ORDER BY doc_id

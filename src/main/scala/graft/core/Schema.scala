@@ -18,10 +18,29 @@ case class Field(id: Int, name: String, dataType: String,
     */
   def sparkType: DataType =
     if (nested.nonEmpty) StructType(nested.map(_.toStructField))
+    else if (charVarcharSpec.isDefined) StringType // §1.2: length at write
     else DataType.fromDDL(dataType)
+
+  /** Declared CHAR/VARCHAR constraint, if any: (isChar, length). The
+    * SURVEY §1.2 mapping stores these as StringType + write-time length
+    * semantics (reference: paimon-common schema/SchemaValidation.java
+    * validates declared lengths); the declared form survives in
+    * `dataType` and is enforced by the write path's align.
+    */
+  def charVarcharSpec: Option[(Boolean, Int)] = dataType match {
+    case Field.CharVarcharRe(kind, len) =>
+      Some((kind.equalsIgnoreCase("char"), len.toInt))
+    case _ => None
+  }
+
   def toStructField: StructField = {
-    val f = StructField(name, sparkType, nullable,
-      new MetadataBuilder().putLong(Field.FieldIdKey, id.toLong).build())
+    val mb = new MetadataBuilder().putLong(Field.FieldIdKey, id.toLong)
+    // Spark's raw-type metadata key: DESCRIBE shows the declared type and
+    // Spark's own char/varchar rules (write-side length check, read-side
+    // literal padding in comparisons) see it on catalog tables
+    if (charVarcharSpec.isDefined)
+      mb.putString(Field.CharVarcharKey, dataType.toLowerCase)
+    val f = StructField(name, sparkType, nullable, mb.build())
     comment.map(f.withComment).getOrElse(f)
   }
   /** This field + all nested descendants (id-uniqueness domain). */
@@ -30,6 +49,11 @@ case class Field(id: Int, name: String, dataType: String,
 
 object Field {
   val FieldIdKey = "graft.field.id"
+  /** Spark's CharVarcharUtils raw-type metadata key (the form catalog
+    * schemas carry after Spark replaces char/varchar with string). */
+  val CharVarcharKey = "__CHAR_VARCHAR_TYPE_STRING"
+  private[core] val CharVarcharRe =
+    "(?i)^\\s*(char|varchar)\\s*\\(\\s*(\\d+)\\s*\\)\\s*$".r
 }
 
 /** Versioned table schema (reference: paimon-core
@@ -460,16 +484,27 @@ object TableSchema {
       primaryKeys: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): TableSchema = {
     var nextId = st.fields.length
+    // the DECLARED type: CHAR/VARCHAR survive either as the type itself
+    // (spark.sql.preserveCharVarcharTypeInfo=true) or as Spark's raw-type
+    // metadata after the string replacement — keep the declared form so
+    // the write path can enforce the length (SURVEY §1.2 mapping)
+    def declaredType(f: StructField): String = f.dataType match {
+      case t @ (_: CharType | _: VarcharType) => t.sql
+      case t =>
+        if (f.metadata.contains(Field.CharVarcharKey))
+          f.metadata.getString(Field.CharVarcharKey)
+        else t.sql
+    }
     def childFields(t: DataType): Seq[Field] = t match {
       case s: StructType => s.fields.toSeq.map { c =>
         val cid = nextId
         nextId += 1
-        Field(cid, c.name, c.dataType.sql, c.nullable, childFields(c.dataType))
+        Field(cid, c.name, declaredType(c), c.nullable, childFields(c.dataType))
       }
       case _ => Nil
     }
     val fields = st.fields.zipWithIndex.map { case (f, i) =>
-      Field(i, f.name, f.dataType.sql, f.nullable, childFields(f.dataType),
+      Field(i, f.name, declaredType(f), f.nullable, childFields(f.dataType),
         f.getComment())
     }.toSeq
     val unknown = (partitionKeys ++ primaryKeys).filterNot(st.fieldNames.contains)

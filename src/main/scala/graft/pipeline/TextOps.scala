@@ -651,12 +651,24 @@ object TextOps {
     * single-partition global window.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      seqLen: Int, sepTokens: Int = 1): DataFrame = {
+      seqLen: Int, sepTokens: Int = 1): DataFrame =
+    packSequences(df, idCol,
+      org.apache.spark.sql.functions.size(split(trim(col(textCol)), "\\s+"))
+        .cast("long"),
+      seqLen, sepTokens)
+
+  /** [[packSequences]] with a CALLER-SUPPLIED per-doc token count — real
+    * pipelines budget in BPE tokens, not whitespace words. `nTokens` may
+    * be any expression over `df`'s columns: a precomputed tokenizer-output
+    * count column, [[tokenCount]] (the BPE-ish regex), or
+    * `size(toksArray)`. The String overload is the whitespace default.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+      seqLen: Int, sepTokens: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     require(sepTokens >= 0, s"sepTokens must be >=0: $sepTokens")
     val base = df.select(col(idCol).as("doc_id"),
-      org.apache.spark.sql.functions.size(split(trim(col(textCol)), "\\s+"))
-        .cast("long").as("n_tokens"))
+      nTokens.cast("long").as("n_tokens"))
     PipelineUtil.exclusivePrefixSum(base, Seq(col("doc_id")),
         col("n_tokens") + lit(sepTokens.toLong), "start_offset")
       .withColumn("first_seq", expr(s"start_offset div ${seqLen}L"))
@@ -735,13 +747,28 @@ object TextOps {
     * — O(docs + boundary crossings), never one row per token.
     */
   def packedSequenceTexts(df: DataFrame, idCol: String, textCol: String,
-      seqLen: Int, sepTok: String = "</s>"): DataFrame = {
+      seqLen: Int, sepTok: String = "</s>"): DataFrame =
+    packedSequenceTexts(df, idCol, split(trim(col(textCol)), "\\s+"),
+      seqLen, sepTok)
+
+  /** [[packedSequenceTexts]] over a CALLER-SUPPLIED token array — the BPE
+    * seam: `toks` may be any `array<string>` expression over `df`'s
+    * columns (a tokenizer's output column, a `regexp_extract_all`
+    * word-piece split). Placement, slicing, and assembly shapes are
+    * identical; only the tokenization differs. The String overload is the
+    * whitespace default.
+    */
+  def packedSequenceTexts(df: DataFrame, idCol: String, toks: Column,
+      seqLen: Int, sepTok: String): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     require(!sepTok.exists(_.isWhitespace), s"separator must be one token: '$sepTok'")
-    val placed = packSequences(df, idCol, textCol, seqLen, sepTokens = 1)
-      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("text")), Seq("doc_id"))
+    val counted = df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+    val placed = packSequences(counted, "doc_id",
+        org.apache.spark.sql.functions.size(col("__toks")).cast("long"),
+        seqLen, sepTokens = 1)
+      .join(counted, Seq("doc_id"))
     // doc stream = tokens ++ sep; it occupies global [start, start+n+1)
-    val full = concat(split(trim(col("text")), "\\s+"), array(lit(sepTok)))
+    val full = concat(col("__toks"), array(lit(sepTok)))
     val lastSeq = expr(s"(start_offset + n_tokens) div ${seqLen}L") // last incl. sep
     val segs = placed
       // tokenize in its OWN projection: a sibling EXPRESSION in the

@@ -265,7 +265,18 @@ object VectorOps {
         md5(col(idCol).cast("string")).as("h"))
       .orderBy("h").limit(numCentroids)
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    (1 to iterations).foldLeft(seeds: Seq[Seq[Double]]) { (cents, _) =>
+    lloydSteps(df, vecCol, seeds, iterations)
+  }
+
+  /** `iterations` Lloyd steps from the given seed centroids — the shared
+    * training core of [[ivfCentroids]] (md5-order seeds) and
+    * [[retrainIvfIndex]] (seeded from the index's STORED centroids, so
+    * retraining refines the existing partition instead of re-rolling it).
+    * Empty cells keep their seed.
+    */
+  private def lloydSteps(df: DataFrame, vecCol: String,
+      seeds: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] =
+    (1 to iterations).foldLeft(seeds) { (cents, _) =>
       // the assignment MUST be its own projection below the explode:
       // a generator and a non-generator expression in one select put the
       // non-generator into the Project ABOVE the Generate, re-evaluating
@@ -282,7 +293,6 @@ object VectorOps {
         if (means.contains((ci, 0))) old.indices.map(p => means((ci, p))) else old
       }
     }
-  }
 
   /** Approximate top-k via an IVF (inverted-file) index: vectors are
     * coarse-quantized to their nearest centroid and only the `nProbe`
@@ -411,8 +421,7 @@ object VectorOps {
       val assigned = clustered
         .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(idCol), salts))
         .repartition(col("ivf_cluster"), col("ivf_salt"))
-      val serialized = cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
-        .mkString(";")
+      val serialized = serializeCentroids(cents)
       val t = graft.table.GraftTable.create(
         clustered.sparkSession, path, assigned.schema,
         partitionKeys = Seq("ivf_cluster", "ivf_salt"),
@@ -465,6 +474,13 @@ object VectorOps {
     if (salts.isEmpty) lit(0)
     else pmod(hash(id), coalesce(element_at(typedLit(salts), cluster), lit(1)))
 
+  private def serializeCentroids(cents: Seq[Seq[Double]]): String =
+    cents.map(_.map(d => java.lang.Double.toString(d)).mkString(","))
+      .mkString(";")
+
+  private def parseCentroids(raw: String): Seq[Seq[Double]] =
+    raw.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
+
   private def serializeSalts(salts: Map[Int, Int]): String =
     salts.toSeq.sorted.map { case (c, n) => s"$c:$n" }.mkString(";")
 
@@ -485,7 +501,7 @@ object VectorOps {
     require(raw.nonEmpty,
       s"table at ${index.location} is not an IVF index: missing 'ivf.centroids' " +
         "table option (build one with VectorOps.buildIvfIndex)")
-    (raw.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble)),
+    (parseCentroids(raw),
      index.schema.option("ivf.id-col", "id"),
      index.schema.option("ivf.vec-col", "vec"))
   }
@@ -583,6 +599,84 @@ object VectorOps {
       index.evolveBatch(Seq(
         index.setOptionT("ivf.salts", serializeSalts(desired))))
     drifted
+  }
+
+  /** Re-train a persisted IVF index's centroids against its CURRENT
+    * content — the drift repair [[rebalanceIndex]] deliberately does not
+    * do. Appends route by the STORED centroids forever
+    * ([[appendToIvfIndex]]), so as the embedding distribution drifts the
+    * stored Voronoi cells stop matching the data: new-regime vectors pile
+    * into whichever old cell is least-wrong, nearest-centroid probes stop
+    * agreeing with true cosine neighborhoods, and recall decays at fixed
+    * nProbe. This runs `iterations` Lloyd steps SEEDED FROM the stored
+    * centroids (refining the existing partition, not re-rolling it) over
+    * a deterministic sample of the index, then rewrites the whole index —
+    * reassignment + a fresh salt plan; vector-derived columns (LSH
+    * sidecar buckets, SQ8 codes) ride unchanged — in ONE atomic
+    * whole-table OVERWRITE commit, and flips the centroid/salt options
+    * last.
+    *
+    * Crash-safety (the [[rebuildLshSidecar]] options-flip-last ordering,
+    * adapted to a moving-rows rewrite): the trained centroids are stamped
+    * to `ivf.retrain.pending` BEFORE any data moves; the data commit is
+    * atomic (readers see the old or the new assignment in full, never a
+    * mix — each row exists exactly once at every point); the option flip
+    * clears the stamp. A crash between data commit and flip leaves
+    * queries probing by the old centroids (bounded recall loss, never
+    * duplicates or data loss) — re-running resumes from the PENDING
+    * centroids, re-applies the (idempotent) rewrite, and completes the
+    * flip. Returns (centroid count, rows rewritten).
+    */
+  def retrainIvfIndex(index: graft.table.GraftTable, iterations: Int = 2,
+      sampleFraction: Double = 1.0, seed: Long = 0L,
+      maxCellRows: Long = 0L, reseed: Boolean = false): (Int, Long) = {
+    require(iterations >= 1, s"iterations must be >=1: $iterations")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0,1]: $sampleFraction")
+    val (oldCents, storedId, storedVec) = ivfMeta(index)
+    val full = index.toDF
+    val pending = index.schema.option("ivf.retrain.pending", "")
+    val cents =
+      if (pending.nonEmpty) parseCentroids(pending) // resume a crashed run
+      else {
+        val sample =
+          if (sampleFraction >= 1.0) full
+          else full.sample(withReplacement = false, sampleFraction, seed)
+        // GENTLE drift: refine from the stored centroids. HEAVY drift
+        // (new-regime data near-orthogonal to every stored centroid) can
+        // strand Lloyd in the old local minimum — `reseed` re-draws
+        // md5-order seeds from the CURRENT content instead, giving
+        // fresh-build-quality centroids without a rebuild.
+        if (reseed) ivfCentroids(sample, storedId, storedVec,
+          oldCents.size, iterations)
+        else lloydSteps(sample, storedVec, oldCents, iterations)
+      }
+    if (pending.isEmpty)
+      index.evolveBatch(Seq(index.setOptionT("ivf.retrain.pending",
+        serializeCentroids(cents))))
+    val v = col(storedVec).cast("array<double>")
+    // reassigned frame feeds the per-cell count AND the write — persist so
+    // the C×dim assignment computes once per row
+    val reassigned = full.drop("ivf_cluster", "ivf_salt")
+      .withColumn("ivf_cluster", ivfAssign(v, cents)).persist()
+    try {
+      val counts = reassigned.groupBy("ivf_cluster").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val explicitMax = if (maxCellRows > 0) maxCellRows
+        else index.schema.option("ivf.max-cell-rows", "0").toLong
+      val threshold =
+        cellThreshold(explicitMax, counts.values.sum, cents.size max 1)
+      val salts = saltPlan(counts, threshold)
+      val assigned = reassigned
+        .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(storedId), salts))
+        .repartition(col("ivf_cluster"), col("ivf_salt"))
+      index.overwrite(assigned) // whole table, one atomic commit
+      index.evolveBatch(Seq(
+        index.setOptionT("ivf.centroids", serializeCentroids(cents)),
+        index.setOptionT("ivf.salts", serializeSalts(salts)),
+        index.setOptionT("ivf.retrain.pending", "")))
+      (cents.size, counts.values.sum)
+    } finally reassigned.unpersist()
   }
 
   /** Upgrade an IVF index's LSH sidecar IN PLACE: pre-sidecar indexes

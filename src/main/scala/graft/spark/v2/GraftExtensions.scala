@@ -371,6 +371,21 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         if (moved.isEmpty) "rebalance_index: all cells within plan"
         else "rebalanced cells " + moved
           .map { case (c, o, n) => s"$c($o->$n salts)" }.mkString(", ")
+      // CALL sys.retrain_ivf('db.ivf_index' [, iterations [, sampleFraction
+      // [, reseed [, maxCellRows]]]]) — centroid-drift repair: Lloyd steps
+      // seeded from the stored centroids (or reseeded from current content
+      // for heavy drift) over a sample of the index, one atomic whole-table
+      // reassignment rewrite, options flip last (crash-safe; re-running
+      // resumes from the pending centroids)
+      case "retrain_ivf" =>
+        val iters = if (args.size > 1) args(1).toInt else 2
+        val frac = if (args.size > 2) args(2).toDouble else 1.0
+        val reseed = args.size > 3 && args(3).toBoolean
+        val maxRows = if (args.size > 4) args(4).toLong else 0L
+        val (c, n) = graft.pipeline.VectorOps.retrainIvfIndex(
+          table, iterations = iters, sampleFraction = frac,
+          maxCellRows = maxRows, reseed = reseed)
+        s"retrained $c centroids, rewrote $n rows"
       // CALL sys.rebuild_lsh_sidecar('db.ivf_index') — in-place sidecar
       // upgrade of a pre-sidecar IVF index (or family re-size)
       case "rebuild_lsh_sidecar" =>

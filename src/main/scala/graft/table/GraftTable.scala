@@ -479,7 +479,13 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
 
   /** Reorder/cast an input frame to the table schema. */
   private def align(df: DataFrame): DataFrame =
-    df.select(schema.fields.map(f => col(f.name).cast(f.sparkType).as(f.name)): _*)
+    df.select(schema.fields.map { f =>
+      f.charVarcharSpec match {
+        case Some((isChar, n)) => GraftTable.charVarcharWriteSide(
+          col(f.name).cast(StringType), f.name, isChar, n).as(f.name)
+        case None => col(f.name).cast(f.sparkType).as(f.name)
+      }
+    }: _*)
 
   /** Append or upsert depending on table kind. */
   def write(df: DataFrame): Snapshot =
@@ -1745,6 +1751,28 @@ object GraftTable {
 
   def exists(spark: SparkSession, path: String): Boolean =
     new FileStore(path, spark.sessionState.newHadoopConf()).schemaExists
+
+  /** Write-side CHAR/VARCHAR length semantics (ANSI, matching Spark's own
+    * charVarcharTypeWriteSideCheck and the reference's declared-length
+    * validation — reference: paimon-common schema/SchemaValidation.java):
+    * values within the declared length pass; excess TRAILING SPACES trim
+    * to fit; anything still longer fails the write with a per-column
+    * error. CHAR additionally right-pads to the declared length, so
+    * stored values are fixed-width. Codegen-friendly: pure builtin
+    * when/length/substring/rpad, applied only to declared char/varchar
+    * columns.
+    */
+  private[table] def charVarcharWriteSide(c: Column, name: String,
+      isChar: Boolean, n: Int): Column = {
+    val kind = if (isChar) "char" else "varchar"
+    val fit = when(c.isNull, c)
+      .when(length(c) <= n, c)
+      .when(length(rtrim(c)) <= n, substring(c, 1, n))
+      .otherwise(raise_error(concat(
+        lit(s"input exceeds $kind($n) type length limitation for column '$name': length "),
+        length(c).cast("string"))))
+    if (isChar) rpad(fit, n, " ") else fit
+  }
 
   /** Table-relative path of `_metadata.file_path` ("data/<dirs>/<file>").
     * Spark writes one identically-named part file per output directory in a

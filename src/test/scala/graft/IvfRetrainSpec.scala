@@ -1,0 +1,144 @@
+package graft
+
+import graft.pipeline.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Centroid drift and its repair ([[VectorOps.retrainIvfIndex]] /
+  * `CALL sys.retrain_ivf`): appends route by the STORED centroids forever,
+  * so when the embedding distribution drifts (here: a new regime of
+  * clusters orthogonal to every training-time direction) new-regime
+  * vectors spray across the old Voronoi cells and nearest-centroid probes
+  * lose recall at fixed nProbe. Retraining must restore recall, keep the
+  * index content intact, and leave appends routing by the NEW stored
+  * centroids.
+  */
+class IvfRetrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** A tight cluster of `n` vectors around axis `axis` (unit direction +
+    * small seeded noise), ids starting at `base`.
+    */
+  private def cluster(axis: Int, n: Int, base: Long, seed: Int): Seq[(Long, Array[Double])] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      (base + i, Array.tabulate(dim)(d =>
+        (if (d == axis) 1.0 else 0.0) + 0.05 * rnd.nextGaussian()))
+    }
+  }
+
+  /** Regime A: clusters on axes 0..3. Regime B (the drift): axes 4..7 —
+    * near-orthogonal to every regime-A direction.
+    */
+  private def regimeA: Seq[(Long, Array[Double])] =
+    (0 until 4).flatMap(a => cluster(a, 60, 1000L * a, seed = a))
+  private def regimeB: Seq[(Long, Array[Double])] =
+    (4 until 8).flatMap(a => cluster(a, 60, 1000L * a, seed = 100 + a))
+
+  private def df(rows: Seq[(Long, Array[Double])]): DataFrame =
+    rows.toDF("vec_id", "v").repartition(5)
+
+  /** recall@k of knnJoinIvf against brute-force cosine over the corpus. */
+  private def recallAtK(index: graft.table.GraftTable,
+      corpus: Seq[(Long, Array[Double])],
+      queries: Seq[(Long, Array[Double])], k: Int, nProbe: Int): Double = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = queries.map { case (qid, qv) =>
+      qid -> corpus.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val got = VectorOps.knnJoinIvf(df(queries).toDF("qid", "v"), "qid", "v",
+        index, k = k, nProbe = nProbe)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    queries.map { case (qid, _) =>
+      val t = truth(qid)
+      got.getOrElse(qid, Set.empty[Long]).count(t).toDouble / t.size
+    }.sum / queries.size
+  }
+
+  test("drift drops recall; retrain_ivf restores it; appends route by the new centroids") {
+    val index = VectorOps.buildIvfIndex(df(regimeA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 3)
+    // regime B arrives through the normal incremental-append path
+    VectorOps.appendToIvfIndex(index, df(regimeB), "vec_id", "v")
+    val corpus = regimeA ++ regimeB
+    val queries = (4 until 8).map(a => (9000L + a,
+      Array.tabulate(dim)(d => if (d == a) 1.0 else 0.01 * (d - 3))))
+
+    // regime-A queries are still served well by the regime-A centroids
+    val qA = (0 until 4).map(a => (8000L + a,
+      Array.tabulate(dim)(d => if (d == a) 1.0 else 0.0)))
+    assert(recallAtK(index, corpus, qA, k = 10, nProbe = 1) >= 0.9)
+
+    // regime-B queries: every stored centroid lives in the A subspace, so
+    // B vectors sprayed across cells by noise — single-probe recall decays
+    val before = recallAtK(index, corpus, queries, k = 10, nProbe = 1)
+    assert(before < 0.8, s"expected drifted recall to drop, got $before")
+
+    val oldCents = index.schema.option("ivf.centroids", "")
+    val (nc, rewritten) = VectorOps.retrainIvfIndex(index,
+      iterations = 3, reseed = true)
+    assert(nc === 4)
+    assert(rewritten === corpus.size.toLong)
+    // options flipped, stamp cleared, content intact
+    assert(index.schema.option("ivf.retrain.pending", "") === "")
+    assert(index.schema.option("ivf.centroids", "") !== oldCents)
+    assert(index.toDF.count() === corpus.size.toLong)
+    assert(index.toDF.select("vec_id").distinct().count() === corpus.size.toLong)
+
+    val after = recallAtK(index, corpus, queries, k = 10, nProbe = 1)
+    assert(after >= 0.9, s"expected retrain to restore recall, got $after")
+    assert(after > before)
+    // the old regime keeps working too (reseed saw both regimes)
+    assert(recallAtK(index, corpus, qA, k = 10, nProbe = 1) >= 0.9)
+
+    // incremental appends after the retrain route by the NEW stored
+    // centroids: read the appended rows' cells back and recompute locally
+    val fresh = cluster(axis = 5, n = 10, base = 50000L, seed = 999)
+    VectorOps.appendToIvfIndex(index, df(fresh), "vec_id", "v")
+    val newCents = index.schema.option("ivf.centroids", "")
+      .split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
+    def norm(v: Seq[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val stored = index.toDF.filter(col("vec_id") >= 50000L)
+      .select("vec_id", "ivf_cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored.size === 10)
+    fresh.foreach { case (id, v) =>
+      val want = newCents.zipWithIndex.maxBy { case (c, ci) =>
+        (c.zip(v).map { case (x, y) => x * y }.sum / (norm(c) * norm(v.toSeq)),
+          -ci)
+      }._2
+      assert(stored(id) === want, s"append routing for $id")
+    }
+  }
+
+  test("a crashed retrain resumes from the pending centroids, not a fresh sample") {
+    val index = VectorOps.buildIvfIndex(df(regimeA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 2)
+    // simulate the crash window: pending stamped, data/options untouched
+    val pinned = (0 until 4).map(a =>
+      Array.tabulate(dim)(d => if (d == a + 4) 1.0 else 0.0)
+        .map(java.lang.Double.toString).mkString(",")).mkString(";")
+    index.evolveBatch(Seq(index.setOptionT("ivf.retrain.pending", pinned)))
+    val (nc, _) = VectorOps.retrainIvfIndex(index, iterations = 5)
+    assert(nc === 4)
+    // the resumed run must install EXACTLY the pending centroids (no
+    // retraining) and clear the stamp
+    assert(index.schema.option("ivf.centroids", "") === pinned)
+    assert(index.schema.option("ivf.retrain.pending", "") === "")
+    // rows were reassigned by the pinned centroids
+    val cells = index.toDF.select("ivf_cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val local = regimeA.map { case (_, v) =>
+      (0 until 4).maxBy(c => v(c + 4)) // cosine vs one-hot pinned centroids
+    }.toSet
+    assert(cells === local)
+  }
+}

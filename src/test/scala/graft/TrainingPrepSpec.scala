@@ -142,6 +142,49 @@ class TrainingPrepSpec extends SparkSpec {
       docs.map(_._2))
   }
 
+  test("packing by a caller-supplied token count / token array (the BPE seam)") {
+    val rnd = new Random(23)
+    // docs with punctuation so BPE-ish counts differ from whitespace words
+    val docs = (0L until 60L).map { id =>
+      id -> (0 until (1 + rnd.nextInt(12)))
+        .map(i => if (i % 3 == 0) s"w$id-$i!" else s"w$id$i").mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text").repartition(5)
+    val seqLen = 16
+    val bpe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+    // (a) placement by TextOps.tokenCount matches a local prefix sum of
+    //     the same regex counts
+    val got = TextOps.packSequences(df, "doc_id",
+        TextOps.tokenCount(col("text")), seqLen, 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("start_offset"))).toMap
+    var off = 0L
+    for ((id, t) <- docs) {
+      val n = bpe.r.findAllIn(t).length.toLong
+      assert(got(id) == (n, off), s"doc $id")
+      off += n + 1
+    }
+    // (b) assembly over the regex token array matches the local
+    //     concat-and-chunk reference on the same tokens
+    val gotTexts = TextOps.packedSequenceTexts(df, "doc_id",
+        regexp_extract_all(col("text"), lit(bpe), lit(0)), seqLen, "</s>")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val stream = docs.flatMap { case (_, t) => bpe.r.findAllIn(t).toSeq :+ "</s>" }
+    val want = stream.grouped(seqLen).zipWithIndex
+      .map { case (c, i) => i.toLong -> (c.mkString(" "), c.size.toLong) }.toMap
+    assert(gotTexts == want)
+    // (c) the Column overloads with the whitespace split ARE the String
+    //     overloads, byte for byte
+    assert(TextOps.packSequences(df, "doc_id",
+        size(split(trim(col("text")), "\\s+")).cast("long"), seqLen, 1)
+      .collect().toSet ==
+      TextOps.packSequences(df, "doc_id", "text", seqLen).collect().toSet)
+    assert(TextOps.packedSequenceTexts(df, "doc_id",
+        split(trim(col("text")), "\\s+"), seqLen, "</s>")
+      .collect().toSet ==
+      TextOps.packedSequenceTexts(df, "doc_id", "text", seqLen).collect().toSet)
+  }
+
   test("token-budget sample: budgets met not undershot, deterministic, monotone") {
     val rnd = new Random(3)
     val langs = Vector("en", "de", "fr")

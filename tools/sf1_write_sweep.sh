@@ -15,8 +15,12 @@ if [ ! -d "$SF" ]; then
   echo "[sweep] generating $SF (10x key-shifted scale-up of sf0.1)"
   python3 tools/make_scaled_sf.py /root/testdata/sf0.1 "$SF" 10
 fi
+# q135-q138: the distributed-prefix-sum packing/budget/shuffle shapes —
+# exactly the partitioning-sensitive ops the sweep exists to catch
 QUERIES="q38_cross_partition q100_cross_partition_lookup_changelog \
-q101_cross_partition_point_lookup q10_pk_upsert q120_stream_dedup_ingest"
+q101_cross_partition_point_lookup q10_pk_upsert q120_stream_dedup_ingest \
+q135_seq_packing q136_det_shuffle q137_token_budget_sample \
+q138_packed_sequences"
 rm -rf "$OUT"
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   sbt -batch "runMain graft.Verify $SF $OUT $QUERIES"
