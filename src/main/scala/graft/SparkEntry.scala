@@ -62,6 +62,37 @@ object SparkEntry {
        |SELECT doc_id, ROUND($score, 6) AS bm25 FROM per, st""".stripMargin
   }
 
+  /** Shared CTE chain of the q145/q146 DSIR oracles, ending in
+    * sc(doc_id, s): per-doc sum of Laplace-smoothed ln(p_target/p_raw)
+    * over md5-hashed unigram+bigram buckets (B=4096, a=1; target = the
+    * doc_id%10==0 slice). Mirrors TextOps.dsirWeights exactly: same
+    * lowercased whitespace tokens, same q62 bucket hash.
+    */
+  private val dsirScoreCte: String = {
+    def feats(src: String, alias: String) =
+      s"""${alias}l AS (SELECT doc_id,
+         |  LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+         |    t -> LEN(t) > 0) AS l
+         |  FROM $src),
+         |$alias AS (SELECT doc_id,
+         |  ('0x' || SUBSTR(MD5(f), 1, 8))::BIGINT % 4096 AS b
+         |  FROM (SELECT doc_id, UNNEST(LIST_CONCAT(l,
+         |    LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+         |  FROM ${alias}l))""".stripMargin
+    s"""${feats("documents", "rf")},
+       |${feats("(SELECT * FROM documents WHERE doc_id % 10 = 0)", "tf")},
+       |rc AS (SELECT b, COUNT(*) AS rc FROM rf GROUP BY 1),
+       |tc AS (SELECT b, COUNT(*) AS tc FROM tf GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM rf) AS rt,
+       |  (SELECT COUNT(*) FROM tf) AS tt),
+       |lr AS (SELECT COALESCE(rc.b, tc.b) AS b,
+       |  LN((COALESCE(tc, 0) + 1.0) / (tt + 4096.0)) -
+       |  LN((COALESCE(rc, 0) + 1.0) / (rt + 4096.0)) AS lr
+       |  FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, tot),
+       |sc AS (SELECT rf.doc_id, SUM(lr.lr) AS s
+       |  FROM rf JOIN lr ON rf.b = lr.b GROUP BY 1)""".stripMargin
+  }
+
   // SQL fragment: the merged orders state after the two canonical upserts
   private val mergedOrders =
     """SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -618,6 +649,27 @@ object SparkEntry {
         regexp_extract_all(col("text"),
           lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)),
         256, "</s>")),
+    "q145_dsir_weights" -> ((s, d) => {
+      // DSIR data selection: per-doc log-likelihood ratio of target-vs-raw
+      // hashed n-gram bucket distributions; target = the doc_id%10==0
+      // slice (stand-in for a quality reference set)
+      val docs = Fixtures.src(s, d, "documents")
+      TextOps.dsirWeights(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", numBuckets = 4096)
+        .select(col("doc_id"), round(col("dsir_score"), 6).as("dsir_score"))
+    }),
+    "q146_dsir_sample" -> ((s, d) => {
+      // DSIR's resampling step: Gumbel top-k over the q145 scores —
+      // deterministic md5-uniform noise, so both engines select the
+      // identical k docs
+      val docs = Fixtures.src(s, d, "documents")
+      val scored = TextOps.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text", numBuckets = 4096)
+      TextOps.dsirSample(scored, "doc_id", "dsir_score",
+          k = 100, temperature = 1.0, seed = 42L)
+        .select(col("doc_id"), round(col("dsir_score"), 6).as("dsir_score"),
+          round(col("sample_key"), 6).as("sample_key"))
+    }),
     "q129_keep_best_per_cluster" -> ((s, d) => {
       // curation keep-one: of each near-dup cluster, keep the HIGHEST
       // quality-scored copy (ties break to the smaller id); singletons
@@ -1675,6 +1727,20 @@ object SparkEntry {
         |  STRING_AGG(tok, ' ' ORDER BY g) AS text,
         |  COUNT(*) AS n_tokens
         |FROM p GROUP BY 1""".stripMargin,
+    // q145/q146: DSIR — hashed unigram+bigram buckets (the q62 md5-bucket
+    // hash), Laplace-smoothed target-vs-raw log-likelihood ratios
+    "q145_dsir_weights" -> (s"WITH $dsirScoreCte\n" +
+      """SELECT d.doc_id, ROUND(COALESCE(sc.s, 0.0), 6) AS dsir_score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin),
+    "q146_dsir_sample" -> (s"WITH $dsirScoreCte,\n" +
+      """k AS (SELECT d.doc_id, COALESCE(sc.s, 0.0) AS score,
+        |  COALESCE(sc.s, 0.0) / 1.0 - LN(-LN(
+        |    (('0x' || SUBSTR(MD5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      + 0.5) / 4294967296.0)) AS key
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+        |SELECT doc_id, ROUND(score, 6) AS dsir_score,
+        |  ROUND(key, 6) AS sample_key
+        |FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin),
     // q139: first-max tie-break mirrors Spark's array_position-first
     "q139_cluster_assign" ->
       s"""WITH s AS (SELECT vec_id, ${blockDotSql(0)} AS d0,

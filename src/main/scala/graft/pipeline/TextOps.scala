@@ -809,4 +809,100 @@ object TextOps {
         Seq(col("__sk"), col(idCol)), lit(1L), "shuffle_pos")
       .drop("__sk")
   }
+
+  // ---- data selection: hashed n-gram importance weights (DSIR, Xie et
+  // al. 2023 "Data Selection for Language Models via Importance
+  // Resampling") ----
+
+  /** Hashed n-gram feature buckets of each doc: lowercased whitespace
+    * unigrams + adjacent bigrams, md5-bucketed into [0, numBuckets) (the
+    * engine-independent [[splitBucket]] hash, so scores reproduce across
+    * engines). One row per feature OCCURRENCE — DSIR weights by count.
+    */
+  private def dsirFeatures(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val len = org.apache.spark.sql.functions.size _
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(len(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(len(toks) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    df.select(col(idCol).as("doc_id"),
+        explode(concat(toks, bigrams)).as("__f"))
+      .select(col("doc_id"), splitBucket(col("__f"), numBuckets).as("bucket"))
+  }
+
+  /** DSIR importance weights: per-doc log-likelihood ratio of TARGET vs
+    * RAW hashed n-gram bucket distributions —
+    * score(d) = Σ_{features f ∈ d} ln p̂_target(b(f)) − ln p̂_raw(b(f)),
+    * Laplace-smoothed. Docs scoring high look like the target domain;
+    * feed the scores to [[dsirSample]] (Gumbel top-k) for the resampling
+    * step. Returns (doc_id, dsir_score); featureless docs score 0.
+    *
+    * Scale shape: two O(tokens) explode→map-side-combined bucket counts
+    * (≤ numBuckets rows each), two scalar totals, and ONE broadcast join
+    * of the ≤numBuckets-row log-ratio table back onto the raw feature
+    * stream — the raw corpus shuffles only (doc_id, bucket) longs, text
+    * never moves, and nothing is ever all-pairs. The target corpus is
+    * typically small (a quality reference set) but may be any size.
+    * Reference analog: none (pipeline-level, beyond the reference).
+    */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      numBuckets: Int = 4096, smoothing: Double = 1.0): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(smoothing > 0, s"smoothing must be positive: $smoothing")
+    val rawFeats = dsirFeatures(raw, idCol, textCol, numBuckets)
+    val tgtCounts = dsirFeatures(
+        target.select(monotonically_increasing_id().as("__tid"),
+          col(targetTextCol)), "__tid", targetTextCol, numBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("__tc"))
+    val rawCounts = rawFeats.groupBy("bucket").agg(count(lit(1)).as("__rc"))
+    // totals: one scalar row each (bounded driver collect)
+    val rawTotal = rawCounts.agg(sum("__rc")).collect()(0).getLong(0)
+    val tgtTotal = tgtCounts.agg(coalesce(sum("__tc"), lit(0L)))
+      .collect()(0).getLong(0)
+    require(tgtTotal > 0, "dsirWeights: target corpus has no features")
+    val a = smoothing
+    val ratios = rawCounts.join(tgtCounts, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (log((coalesce(col("__tc"), lit(0L)) + a) /
+            (tgtTotal + a * numBuckets)) -
+          log((coalesce(col("__rc"), lit(0L)) + a) /
+            (rawTotal + a * numBuckets))).as("__lr"))
+    val scores = rawFeats.join(broadcast(ratios), Seq("bucket"))
+      .groupBy("doc_id").agg(sum("__lr").as("dsir_score"))
+    raw.select(col(idCol).as("doc_id")).join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+  }
+
+  /** DSIR's resampling step: keep the k docs with the highest
+    * score/temperature + Gumbel(md5(seed ":" id)) key — i.e. sample k
+    * WITHOUT replacement with probability ∝ exp(score/T) (the
+    * Gumbel-top-k trick), but fully deterministic and engine-independent
+    * (the noise is an md5-uniform, not an RNG): the same k docs come
+    * back on every run, engine, and cluster size. T → 0 approaches pure
+    * top-k by score; larger T flattens toward uniform. Returns the
+    * selected (doc_id, dsir_score, sample_key) rows; top-k is a
+    * TakeOrdered (per-partition heads + driver merge), never a global
+    * single-task sort.
+    */
+  def dsirSample(scored: DataFrame, idCol: String, scoreCol: String,
+      k: Int, temperature: Double = 1.0, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    // md5-derived uniform in (0, 1): 8 hex chars = 32 bits, +0.5 keeps
+    // u strictly inside the interval so ln(-ln(u)) is finite
+    val u = (conv(substring(md5(concat_ws(":", lit(seed).cast("string"),
+        col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    scored.select(col(idCol).as("doc_id"),
+        col(scoreCol).cast("double").as("dsir_score"),
+        (col(scoreCol).cast("double") / temperature - log(-log(u)))
+          .as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+  }
 }
