@@ -69,6 +69,10 @@ object Bench {
       emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       s"$tmp/ivf_index", numCentroids = 16)
     // and its scalar-quantized twin (8-bit codes + exact rerank)
+    // and the product-quantized twin (m-byte codes + ADC + exact rerank)
+    val ivfPqIndex = VectorOps.buildIvfPqIndex(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      s"$tmp/ivf_pq_index", numCentroids = 16, m = 8, codes = 64)
     val ivfSqIndex = VectorOps.buildIvfSqIndex(
       emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
       s"$tmp/ivf_sq_index", numCentroids = 16)
@@ -182,6 +186,14 @@ object Bench {
         VectorOps.knnJoinIvfSq(
           emb.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
           "qid", "embedding", ivfSqIndex,
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 10).count()
+      }
+      // 5d''. and against the PQ index: m table lookups per candidate
+      // instead of dim FMAs; probed cells read at ~m bytes/vector
+      results("knn_join_ivf_pq") = time {
+        VectorOps.knnJoinIvfPq(
+          emb.filter(col("vec_id") < 50).select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", ivfPqIndex,
           emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding", 10).count()
       }
 

@@ -1145,6 +1145,23 @@ object Fixtures {
       t
     }
 
+  /** The KNN recall corpus as a PRODUCT-QUANTIZED (PQ) IVF index, built on
+    * 2/3 of the corpus with the rest appended through the stored codebooks
+    * (q147 — ADC retrieval + exact rerank must return the brute-force
+    * ranking on the separable fixture, and incremental PQ appends must not
+    * change it).
+    */
+  def knnIvfPqIndex(spark: SparkSession, sfDir: String): GraftTable =
+    build(spark, sfDir, "knn_ivf_pq_index") { path =>
+      val (_, corpus) = knnRecallCorpus(spark, sfDir)
+      val t = graft.pipeline.VectorOps.buildIvfPqIndex(
+        corpus.filter(col("vec_id") % 3 =!= 0), "vec_id", "v", path,
+        numCentroids = 16, m = 8, codes = 64)
+      graft.pipeline.VectorOps.appendToIvfPqIndex(
+        t, corpus.filter(col("vec_id") % 3 === 0), "vec_id", "v")
+      t
+    }
+
   /** The recall corpus persisted as a partition-per-cluster IVF index. */
   def annIvfIndex(spark: SparkSession, sfDir: String): GraftTable =
     build(spark, sfDir, "ann_ivf_index") { path =>

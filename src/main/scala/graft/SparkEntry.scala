@@ -949,6 +949,17 @@ object SparkEntry {
         Fixtures.knnIvfSqIndex(s, d), corpus, "vec_id", "v", 20)
         .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
     }),
+    "q147_knn_join_ivf_pq" -> ((s, d) => {
+      // same retrieval as q119/q124 against the PRODUCT-QUANTIZED index
+      // (m-byte codes, ADC table-lookup scoring, top rerank·k reranked
+      // exactly — FAISS IVFPQ + refine). The separable fixture's margins
+      // (0.999 vs 0.44) dwarf even PQ's reconstruction error, so the
+      // exact brute-force oracle is full-recall here too.
+      val (qs, corpus) = Fixtures.knnRecallCorpus(s, d)
+      VectorOps.knnJoinIvfPq(qs, "query_id", "qv",
+        Fixtures.knnIvfPqIndex(s, d), corpus, "vec_id", "v", 20)
+        .select("query_id", "corpus_id", "cosine_sim", "knn_rank")
+    }),
     "q122_embed_neardup_vs_index" -> ((s, d) => {
       // semantic dedup of a new batch against the PERSISTED corpus index:
       // probe nProbe cells per vector, exact-cosine verify, threshold cut.
@@ -1993,6 +2004,7 @@ object SparkEntry {
     "q119_knn_join_ivf" -> knnJoinOracle,
     "q121_knn_join_ivf_append" -> knnJoinOracle,
     "q124_knn_join_ivf_sq" -> knnJoinOracle,
+    "q147_knn_join_ivf_pq" -> knnJoinOracle,
     "q122_embed_neardup_vs_index" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5),

@@ -1212,4 +1212,217 @@ object VectorOps {
       .filter(col("knn_rank") <= k)
       .withColumn("knn_rank", col("knn_rank").cast("long"))
   }
+
+  // ---- IVF-PQ: product quantization + exact rerank (the FAISS
+  // IVFPQ/refine analog; Jégou et al. 2011 "Product Quantization for
+  // Nearest Neighbor Search"). SQ8 stores 1 byte per DIMENSION; PQ stores
+  // 1 byte per SUBSPACE (m bytes/vector, dim/m dims each) — at dim=384,
+  // m=16 that is 16 B/vector vs 384 B SQ8 vs 3 KB float64, the next
+  // compression tier when probe-scan bytes ARE the retrieval cost. ----
+
+  /** L2 code assignment within one subspace: index of the codebook entry
+    * minimizing ||sv − c||² — PQ trains/encodes in L2 (reconstruction
+    * error), unlike the COSINE cell routing ([[ivfAssign]]): a
+    * low-magnitude subvector must map to a low-magnitude code, which
+    * cosine ignores. One fused fold per codebook entry; ties → lowest
+    * index (array_min on (dist, i) structs).
+    */
+  private def pqAssign(sv: Column, codebook: Seq[Seq[Double]]): Column =
+    array_min(transform(centroidsLit(codebook), (c, i) =>
+      struct(aggregate(zip_with(sv, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("s"),
+        i.cast("int").as("i")))).getField("i")
+
+  /** L2 Lloyd steps over ONE subspace slice (md5-order seeds, the
+    * [[ivfCentroids]] convention): the cosine [[lloydSteps]] twin with
+    * [[pqAssign]] as the assignment. Same generator-extraction shape —
+    * the assignment stays its own projection below the explode. Empty
+    * cells keep their seed.
+    */
+  private def pqLloyd(df: DataFrame, idCol: String, sv: Column,
+      codes: Int, iterations: Int): Seq[Seq[Double]] = {
+    val sub = df.select(col(idCol).as("__id"), sv.as("__sv"))
+    val seeds = sub.select(col("__sv"), md5(col("__id").cast("string")).as("h"))
+      .orderBy("h").limit(codes)
+      .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    (1 to iterations).foldLeft(seeds: Seq[Seq[Double]]) { (cents, _) =>
+      val means = sub
+        .select(pqAssign(col("__sv"), cents).as("c"), col("__sv"))
+        .select(col("c"), posexplode(col("__sv")).as(Seq("p", "x")))
+        .groupBy("c", "p").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents.zipWithIndex.map { case (old, ci) =>
+        if (means.contains((ci, 0))) old.indices.map(p => means((ci, p))) else old
+      }
+    }
+  }
+
+  /** Codegen'd PQ encoder: the m-length code array, one L2 argmin per
+    * subspace slice. Build/append-time only — retrieval never decodes.
+    */
+  private def pqEncode(v: Column, books: Seq[Seq[Seq[Double]]],
+      sub: Int): Column =
+    array(books.zipWithIndex.map { case (bk, j) =>
+      pqAssign(slice(v, j * sub + 1, sub), bk).cast("smallint")
+    }: _*)
+
+  private def serializeBooks(books: Seq[Seq[Seq[Double]]]): String =
+    books.map(serializeCentroids).mkString("|")
+
+  /** The PQ codebooks pinned in a quantized index's table options:
+    * (m, codes, sub, books). */
+  private def pqMeta(index: graft.table.GraftTable)
+      : (Int, Int, Int, Seq[Seq[Seq[Double]]]) = {
+    val raw = index.schema.option("ivf.pq.books", "")
+    require(raw.nonEmpty,
+      s"table at ${index.location} is not a PQ IVF index: missing " +
+        "'ivf.pq.books' table option (build one with VectorOps.buildIvfPqIndex)")
+    val books = raw.split('|').toSeq.map(parseCentroids)
+    (books.size, books.head.size, books.head.head.size, books)
+  }
+
+  /** Build a PRODUCT-QUANTIZED IVF index: the cell layout (and hot-cell
+    * salting) of [[buildIvfIndex]], but rows store an m-byte PQ code
+    * (`array<smallint>` of sub-space codebook indices; parquet
+    * dictionary+bit-packing stores the ≤`codes`-valued entries at ~1 B
+    * each on disk) plus the EXACT row norm. `dim` must divide evenly
+    * into `m` subspaces; each subspace trains its own `codes`-entry L2
+    * codebook over the corpus (md5-order seeds — deterministic).
+    * Retrieval ([[knnJoinIvfPq]]) scores by ADC table lookups and
+    * reranks exactly. Codebook storage is dim·codes doubles in the table
+    * options (~100 KB at dim=64, codes=256) — metadata-sized, read once
+    * per query batch.
+    */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 16, iterations: Int = 1,
+      m: Int = 8, codes: Int = 256, maxCellRows: Long = 0L)
+      : graft.table.GraftTable = {
+    require(m > 0 && codes > 1 && codes <= 256,
+      s"bad PQ params m=$m codes=$codes")
+    val spreadDf = PipelineUtil.spread(df)
+    val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
+    val dim = cents.headOption.map(_.size).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val books = (0 until m).map(j =>
+      pqLloyd(spreadDf, idCol, slice(v, j * sub + 1, sub), codes, iterations))
+    val clustered = spreadDf.select(col(idCol),
+      pqEncode(v, books, sub).as("pq_code"),
+      norm(v).as("pq_norm"),
+      ivfAssign(v, cents).as("ivf_cluster"))
+    commitIvfTable(clustered, idCol, cents, path, maxCellRows,
+      Map("ivf.pq.books" -> serializeBooks(books)))
+  }
+
+  /** Fold a new batch into a persisted PQ index: encode with the STORED
+    * codebooks, route by the STORED centroids — one partitioned append,
+    * the PQ twin of [[appendToIvfSqIndex]]. */
+  def appendToIvfPqIndex(index: graft.table.GraftTable, df: DataFrame,
+      idCol: String, vecCol: String, commitIdentifier: Long = -1L,
+      commitUser: String = ""): Unit = {
+    val (cents, storedId, _) = ivfMeta(index)
+    val (_, _, sub, books) = pqMeta(index)
+    val salts = ivfSalts(index)
+    val v = col(vecCol).cast("array<double>")
+    val assigned = PipelineUtil.spread(df)
+      .select(col(idCol).as(storedId),
+        pqEncode(v, books, sub).as("pq_code"),
+        norm(v).as("pq_norm"),
+        ivfAssign(v, cents).as("ivf_cluster"))
+      .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(storedId), salts))
+      .repartition(col("ivf_cluster"), col("ivf_salt"))
+    index.append(assigned, commitIdentifier = commitIdentifier,
+      commitUser = commitUser)
+  }
+
+  /** KNN JOIN against a persisted PQ IVF index, with exact rerank —
+    * [[knnJoinIvfSq]]'s shape at the next compression tier:
+    *
+    *  1. route each query to its `nProbe` cells and prune the index scan
+    *     to them with a static partition IN-filter (identical routing);
+    *  2. score APPROXIMATE cosine by ASYMMETRIC DISTANCE COMPUTATION:
+    *     per query, ONE m·codes-length table of subspace dots
+    *     T[j·codes + c] = dot(q_subj, book_j[c]) is computed as a
+    *     projection over literal codebook datums and broadcast with the
+    *     query; per candidate the approximate dot is m table LOOKUPS
+    *     (`transform` with the position index + element_at — no
+    *     per-candidate multiply at all), divided by the stored exact row
+    *     norm;
+    *  3. keep the top `rerank × k` per query map-side
+    *     (InferWindowGroupLimit), rerank ONLY those exactly against the
+    *     caller's full-precision corpus.
+    *
+    * Scale shape: probed cells are read at ~m bytes/vector; per-candidate
+    * work is m lookups instead of dim FMAs; full-precision vectors are
+    * read for Q·rerank·k rows only. Output matches [[knnJoinIvf]]:
+    * (query_id, corpus_id, cosine_sim, knn_rank).
+    */
+  def knnJoinIvfPq(queries: DataFrame, qIdCol: String, qVecCol: String,
+      index: graft.table.GraftTable, corpus: DataFrame, cIdCol: String,
+      cVecCol: String, k: Int, nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(rerank > 0, s"rerank must be positive: $rerank")
+    val (cents, idCol, _) = ivfMeta(index)
+    val (_, codes, sub, books) = pqMeta(index)
+    val dim = cents.headOption.map(_.size).getOrElse(0)
+    // the per-query ADC table: subspace-j dots against every codebook
+    // entry, flattened to one m·codes array — a single projection over
+    // literal datums, the PQ analog of SQ8's (b0, sqv) pieces
+    val adcTable = flatten(array(books.zipWithIndex.map { case (bk, j) =>
+      transform(centroidsLit(bk),
+        c => dot(slice(col("qv"), j * sub + 1, sub), c))
+    }: _*))
+    val q = PipelineUtil.pin(PipelineUtil.spread(
+      queries.select(col(qIdCol).as("query_id"),
+        checkedVec(col(qVecCol), dim).cast("array<double>").as("qv")))
+      .withColumn("nq", norm(col("qv")))
+      .withColumn("adc", adcTable))
+    val simStructs = transform(centroidsLit(normedCents(cents)),
+      (c, i) => struct((-dot(col("qv"), c)).as("s"),
+        i.cast("int").as("ivf_cluster")))
+    // SLIM probe frame (see [[ivfCandidates]]): the m·codes ADC table
+    // must not fan out nProbe× — it broadcasts ONCE after the cell join
+    val probes = PipelineUtil.pin(q
+      .select(col("query_id"),
+        explode(slice(array_sort(simStructs),
+          lit(1), lit(math.min(nProbe, cents.size)))).as("p"))
+      .select(col("query_id"), col("p.ivf_cluster").as("ivf_cluster")))
+    val probedCells: Seq[Int] = probes.select("ivf_cluster").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val codesDf = index.toDF
+      .filter(col("ivf_cluster").isin(probedCells.map(c => c: Any): _*))
+      .select(col("ivf_cluster"), col(idCol).as("corpus_id"),
+        col("pq_code"), col("pq_norm"))
+    val approxDot = aggregate(
+      transform(col("pq_code"),
+        (c, j) => element_at(col("adc"), (j * codes + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val denom = col("nq") * col("pq_norm")
+    val approx = probes.join(codesDf, "ivf_cluster")
+      .join(broadcast(q.select(col("query_id"), col("nq"), col("adc"))),
+        "query_id")
+      .select(col("query_id"), col("corpus_id"),
+        when(denom === 0.0, 0.0).otherwise(approxDot / denom).as("approx_sim"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("approx_sim").desc, col("corpus_id"))
+    val cands = approx.withColumn("r", row_number().over(wa))
+      .filter(col("r") <= rerank * k)
+      .select("query_id", "corpus_id")
+    val c = PipelineUtil.pin(PipelineUtil.spread(
+      corpus.select(col(cIdCol).as("corpus_id"),
+        col(cVecCol).cast("array<double>").as("cv")))
+      .withColumn("nv", norm(col("cv"))))
+    val exact = cands
+      .join(q.select(col("query_id"), col("qv"), col("nq")), "query_id")
+      .join(c, "corpus_id")
+      .select(col("query_id"), col("corpus_id"),
+        round(cosinePrenormed(col("qv"), col("cv"),
+          col("nq") * col("nv")), 6).as("cosine_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine_sim").desc, col("corpus_id"))
+    exact.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .withColumn("knn_rank", col("knn_rank").cast("long"))
+  }
 }
