@@ -257,6 +257,22 @@ object ScaleStress {
       results += "packed_texts" -> ta
       println(f"""{"op":"packed_texts","sec":$ta%.3f,"sequences":$nSeqs,"docs":$n}""")
     }
+    if (ops("dsir")) {
+      // DSIR selection at corpus scale: weights = two O(tokens)
+      // map-side-combined bucket counts + one broadcast ratio join back
+      // onto the raw feature stream; sample = TakeOrdered. Wall should be
+      // ~linear in tokens; the target (10% slice) rides the same corpus.
+      import org.apache.spark.sql.functions.col
+      val target = docs.filter(col("doc_id") % 10 === 0)
+      val (t, kept) = time(
+        graft.pipeline.TextOps.dsirSample(
+          graft.pipeline.TextOps.dsirWeights(docs, "doc_id", "text",
+            target, "text"),
+          "doc_id", "dsir_score", k = math.max(1, (n / 100).toInt),
+          seed = 7L).count())
+      results += "dsir_select" -> t
+      println(f"""{"op":"dsir_select","sec":$t%.3f,"kept":$kept,"docs":$n}""")
+    }
     if (ops("prefixsum_rows")) {
       // the prefix-sum primitive alone at row scale (no text): a seeded
       // shuffle over SPARK_GRAFT_ROWS synthetic ids — the probe that the

@@ -131,6 +131,35 @@ object QuickStart {
     println(s"[pipeline] sq8 index retrieval parity=${sqIds == fullIds} " +
       s"(${sqIds.size} pairs, quantized probe + exact rerank)")
 
+    // product-quantized (PQ) index: m-byte codes + ADC table-lookup
+    // scoring + exact rerank — the compression tier past SQ8. An 8-byte
+    // sketch of a 64-dim NATURAL embedding cannot rank razor-thin
+    // margins (that is what rerank depth buys back, see IvfPqSpec), so
+    // the parity drive uses the planted-neighbor corpus whose margins
+    // (0.999 vs 0.44) are the honest PQ use case — same fixture as q147
+    val (pqQs, pqCorpus) = graft.Fixtures.knnRecallCorpus(spark, sfDir)
+    val pq = VectorOps.buildIvfPqIndex(pqCorpus, "vec_id", "v",
+      s"$base/ivf_pq_index", numCentroids = 8, m = 8, codes = 64)
+    val pqFull = VectorOps.buildIvfIndex(pqCorpus, "vec_id", "v",
+      s"$base/ivf_pq_full", numCentroids = 8)
+    val pqIds = VectorOps.knnJoinIvfPq(pqQs, "query_id", "qv", pq,
+        pqCorpus, "vec_id", "v", 20)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqWant = VectorOps.knnJoinIvf(pqQs, "query_id", "qv", pqFull, 20)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[pipeline] pq index retrieval parity=${pqIds == pqWant} " +
+      s"(${pqIds.size} pairs, ADC probe + exact rerank)")
+
+    // DSIR data selection: weight every doc by target-vs-raw hashed
+    // n-gram log-likelihood ratio, then deterministic Gumbel top-k
+    val dsirTarget = docs.filter(col("doc_id") % 10 === 0)
+    val dsirKept = graft.pipeline.TextOps.dsirSample(
+      graft.pipeline.TextOps.dsirWeights(docs, "doc_id", "text",
+        dsirTarget, "text", numBuckets = 1024),
+      "doc_id", "dsir_score", k = 50, seed = 7L).count()
+    println(s"[pipeline] dsir selection kept=$dsirKept of ${docs.count()} " +
+      "(LLR weights + gumbel top-k)")
+
     // streaming dedup-on-ingest, one batch: corpus + sig index maintained
     // exactly-once under commitIdentifier = batchId
     val sdCorpusDf = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")

@@ -635,6 +635,11 @@ object VectorOps {
       s"sampleFraction must be in (0,1]: $sampleFraction")
     val (oldCents, storedId, storedVec) = ivfMeta(index)
     val full = index.toDF
+    require(full.columns.contains(storedVec),
+      s"retrain_ivf needs the full-precision vector column '$storedVec', " +
+        s"which ${index.location} does not store — quantized (SQ8/PQ) " +
+        "indexes keep only codes; rebuild them from the source corpus " +
+        "instead (buildIvfSqIndex / buildIvfPqIndex)")
     val pending = index.schema.option("ivf.retrain.pending", "")
     val cents =
       if (pending.nonEmpty) parseCentroids(pending) // resume a crashed run
