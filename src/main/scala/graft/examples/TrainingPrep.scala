@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *
   *   raw docs → exact dedup → near-dup keep-best → span-level substring
   *   dedup → quality/language filter + PII scrub → benchmark
-  *   decontamination → token-budget mixing → deterministic epoch shuffle →
-  *   packed training sequences → graft table
+  *   decontamination → DSIR importance selection → token-budget mixing →
+  *   deterministic epoch shuffle → packed training sequences → graft table
   *
   * {{{ sbt "runMain graft.examples.TrainingPrep [sfDir]" }}}
   */
@@ -72,19 +72,32 @@ object TrainingPrep {
     val decon = stat("decontaminated",
       clean.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti"))
 
-    // 6. data mixing: per-language token budgets (met, never undershot)
-    val mixed = stat("token_budgets", TextOps.tokenBudgetSample(
-        decon, "doc_id", "lang", "text",
-        budgets = Map("en" -> 4000L, "de" -> 2000L), defaultBudget = 1000L)
+    // 6. DSIR data selection: weight every doc by how target-like its
+    // hashed n-gram distribution is (target here: the highest-quality
+    // decile as a stand-in for a curated reference set), keep the
+    // Gumbel top-80% — importance resampling before mixing
+    val scored = TextOps.dsirWeights(decon, "doc_id", "text",
+      decon.orderBy(TextOps.qualityScore(col("text")).desc)
+        .limit((decon.count() / 10).toInt.max(1)), "text",
+      numBuckets = 1024)
+    val selected = stat("dsir_selected", TextOps.dsirSample(
+        scored, "doc_id", "dsir_score",
+        k = (decon.count() * 8 / 10).toInt.max(1), seed = 11L)
       .select("doc_id").join(decon, Seq("doc_id")))
 
-    // 7. deterministic epoch shuffle → packed fixed-length sequences
+    // 7. data mixing: per-language token budgets (met, never undershot)
+    val mixed = stat("token_budgets", TextOps.tokenBudgetSample(
+        selected, "doc_id", "lang", "text",
+        budgets = Map("en" -> 4000L, "de" -> 2000L), defaultBudget = 1000L)
+      .select("doc_id").join(selected, Seq("doc_id")))
+
+    // 8. deterministic epoch shuffle → packed fixed-length sequences
     val shuffled = TextOps.deterministicShuffle(mixed, "doc_id", seed = 7L)
       .withColumn("doc_id", col("shuffle_pos")).drop("shuffle_pos")
     val packed = TextOps.packedSequenceTexts(
       shuffled, "doc_id", "text", seqLen = 256)
 
-    // 8. the training corpus lands as a graft table
+    // 9. the training corpus lands as a graft table
     val out = GraftTable.create(spark, s"$base/packed", packed.schema)
     out.append(packed)
     val full = out.toDF.filter(col("n_tokens") === 256).count()
