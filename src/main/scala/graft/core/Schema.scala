@@ -19,7 +19,11 @@ case class Field(id: Int, name: String, dataType: String,
   def sparkType: DataType =
     if (nested.nonEmpty) StructType(nested.map(_.toStructField))
     else if (charVarcharSpec.isDefined) StringType // §1.2: length at write
-    else DataType.fromDDL(dataType)
+    // defense in depth: a persisted DDL string carrying NESTED
+    // char/varchar (pre-fix tables) must still yield a runtime schema
+    // Spark accepts — Column.cast rejects char/varchar-bearing types
+    else org.apache.spark.sql.catalyst.util.CharVarcharUtils
+      .replaceCharVarcharWithString(DataType.fromDDL(dataType))
 
   /** Declared CHAR/VARCHAR constraint, if any: (isChar, length). The
     * SURVEY §1.2 mapping stores these as StringType + write-time length
@@ -484,16 +488,25 @@ object TableSchema {
       primaryKeys: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): TableSchema = {
     var nextId = st.fields.length
-    // the DECLARED type: CHAR/VARCHAR survive either as the type itself
-    // (spark.sql.preserveCharVarcharTypeInfo=true) or as Spark's raw-type
-    // metadata after the string replacement — keep the declared form so
-    // the write path can enforce the length (SURVEY §1.2 mapping)
+    // the DECLARED type: a TOP-LEVEL CHAR/VARCHAR survives either as the
+    // type itself (spark.sql.preserveCharVarcharTypeInfo=true) or as
+    // Spark's raw-type metadata after the string replacement — keep the
+    // declared form so the write path can enforce the length (SURVEY §1.2
+    // mapping). Char/varchar NESTED inside array/map/struct is stripped to
+    // string (lengths there are not enforced): adopting the raw nested
+    // form would resurrect Char/VarcharType via fromDDL on read and break
+    // every write (Column.cast rejects char/varchar-bearing types).
     def declaredType(f: StructField): String = f.dataType match {
       case t @ (_: CharType | _: VarcharType) => t.sql
       case t =>
-        if (f.metadata.contains(Field.CharVarcharKey))
-          f.metadata.getString(Field.CharVarcharKey)
-        else t.sql
+        val raw = if (f.metadata.contains(Field.CharVarcharKey))
+          Some(f.metadata.getString(Field.CharVarcharKey)) else None
+        raw match {
+          case Some(Field.CharVarcharRe(_, _)) => raw.get // bare top-level
+          case _ =>
+            org.apache.spark.sql.catalyst.util.CharVarcharUtils
+              .replaceCharVarcharWithString(t).sql
+        }
     }
     def childFields(t: DataType): Seq[Field] = t match {
       case s: StructType => s.fields.toSeq.map { c =>

@@ -76,13 +76,17 @@ object TrainingPrep {
     // hashed n-gram distribution is (target here: the highest-quality
     // decile as a stand-in for a curated reference set), keep the
     // Gumbel top-80% — importance resampling before mixing
+    val deconN = decon.count() // decon is a lazy frame over every prior stage
+    // doc_id tiebreak: qualityScore has few distinct values, so the decile
+    // cut lands inside a tie class — without it the target set (and every
+    // downstream artifact) would vary with shuffle arrival order
     val scored = TextOps.dsirWeights(decon, "doc_id", "text",
-      decon.orderBy(TextOps.qualityScore(col("text")).desc)
-        .limit((decon.count() / 10).toInt.max(1)), "text",
+      decon.orderBy(TextOps.qualityScore(col("text")).desc, col("doc_id"))
+        .limit((deconN / 10).toInt.max(1)), "text",
       numBuckets = 1024)
     val selected = stat("dsir_selected", TextOps.dsirSample(
         scored, "doc_id", "dsir_score",
-        k = (decon.count() * 8 / 10).toInt.max(1), seed = 11L)
+        k = (deconN * 8 / 10).toInt.max(1), seed = 11L)
       .select("doc_id").join(decon, Seq("doc_id")))
 
     // 7. data mixing: per-language token budgets (met, never undershot)

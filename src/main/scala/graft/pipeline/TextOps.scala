@@ -468,6 +468,13 @@ object TextOps {
     * interval iff its predecessor is more than n back, CLOSES one (at
     * start+n) iff its successor is more than n ahead; openers and
     * closers are equal-length and aligned by construction.
+    *
+    * Memory bound: the per-doc collect_set holds one int per window hit,
+    * so a SINGLE doc's hits must fit one aggregation buffer row — fine
+    * for real documents (≤ millions of tokens ⇒ ≤ MBs), but a
+    * pathological 10⁸-token saturated doc would need ~400 MB in one row
+    * where the old explode+distinct streamed. Chunk such docs upstream
+    * (contextChunk) before span dedup.
     */
   private def coveredPositions(hits: DataFrame, n: Int): DataFrame = {
     val ss = array_sort(collect_set(col("start")))
@@ -854,13 +861,19 @@ object TextOps {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
     require(smoothing > 0, s"smoothing must be positive: $smoothing")
     val rawFeats = dsirFeatures(raw, idCol, textCol, numBuckets)
-    val tgtCounts = dsirFeatures(
+    // both count frames are ≤ numBuckets rows but derive from full corpus
+    // scans — pin them so the totals collect, the ratio join, and the
+    // score join never replay the tokenize+hash pipeline
+    val tgtCounts = PipelineUtil.pin(dsirFeatures(
         target.select(monotonically_increasing_id().as("__tid"),
           col(targetTextCol)), "__tid", targetTextCol, numBuckets)
-      .groupBy("bucket").agg(count(lit(1)).as("__tc"))
-    val rawCounts = rawFeats.groupBy("bucket").agg(count(lit(1)).as("__rc"))
-    // totals: one scalar row each (bounded driver collect)
-    val rawTotal = rawCounts.agg(sum("__rc")).collect()(0).getLong(0)
+      .groupBy("bucket").agg(count(lit(1)).as("__tc")))
+    val rawCounts = PipelineUtil.pin(
+      rawFeats.groupBy("bucket").agg(count(lit(1)).as("__rc")))
+    // totals: one scalar row each (bounded driver collect); coalesce —
+    // an empty/whitespace-only corpus sums to null
+    val rawTotal = rawCounts.agg(coalesce(sum("__rc"), lit(0L)))
+      .collect()(0).getLong(0)
     val tgtTotal = tgtCounts.agg(coalesce(sum("__tc"), lit(0L)))
       .collect()(0).getLong(0)
     require(tgtTotal > 0, "dsirWeights: target corpus has no features")

@@ -276,6 +276,18 @@ object VectorOps {
     */
   private def lloydSteps(df: DataFrame, vecCol: String,
       seeds: Seq[Seq[Double]], iterations: Int): Seq[Seq[Double]] =
+    lloydLoop(df.select(col(vecCol).cast("array<double>").as("__lv")),
+      seeds, iterations, cents => ivfAssign(col("__lv"), cents))
+
+  /** The shared Lloyd mean-update loop: `frame` carries one `__lv`
+    * array<double> column; `assign` maps the current centroid set to the
+    * per-row assignment expression (cosine cells for [[lloydSteps]], L2
+    * codes for [[pqLloyd]] — the ONLY difference between the two
+    * trainings, so it is the one parameter). Empty cells keep their seed.
+    */
+  private def lloydLoop(frame: DataFrame, seeds: Seq[Seq[Double]],
+      iterations: Int,
+      assign: Seq[Seq[Double]] => Column): Seq[Seq[Double]] =
     (1 to iterations).foldLeft(seeds) { (cents, _) =>
       // the assignment MUST be its own projection below the explode:
       // a generator and a non-generator expression in one select put the
@@ -283,10 +295,9 @@ object VectorOps {
       // the C×dim assignment once per exploded ELEMENT — a dim× blowup
       // of the dominant cost (measured 1356 s → ~7 s at dim=384, C=55,
       // 50k rows). Exploding the attribute keeps it once per row.
-      val means = df
-        .select(ivfAssign(col(vecCol).cast("array<double>"), cents).as("c"),
-          col(vecCol).cast("array<double>").as("__v"))
-        .select(col("c"), posexplode(col("__v")).as(Seq("p", "x")))
+      val means = frame
+        .select(assign(cents).as("c"), col("__lv"))
+        .select(col("c"), posexplode(col("__lv")).as(Seq("p", "x")))
         .groupBy("c", "p").agg(avg("x").as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       cents.zipWithIndex.map { case (old, ci) =>
@@ -1246,20 +1257,12 @@ object VectorOps {
     */
   private def pqLloyd(df: DataFrame, idCol: String, sv: Column,
       codes: Int, iterations: Int): Seq[Seq[Double]] = {
-    val sub = df.select(col(idCol).as("__id"), sv.as("__sv"))
-    val seeds = sub.select(col("__sv"), md5(col("__id").cast("string")).as("h"))
+    val sub = df.select(col(idCol).as("__id"), sv.as("__lv"))
+    val seeds = sub.select(col("__lv"), md5(col("__id").cast("string")).as("h"))
       .orderBy("h").limit(codes)
       .collect().map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    (1 to iterations).foldLeft(seeds: Seq[Seq[Double]]) { (cents, _) =>
-      val means = sub
-        .select(pqAssign(col("__sv"), cents).as("c"), col("__sv"))
-        .select(col("c"), posexplode(col("__sv")).as(Seq("p", "x")))
-        .groupBy("c", "p").agg(avg("x").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-      cents.zipWithIndex.map { case (old, ci) =>
-        if (means.contains((ci, 0))) old.indices.map(p => means((ci, p))) else old
-      }
-    }
+    lloydLoop(sub.select(col("__lv")), seeds, iterations,
+      cents => pqAssign(col("__lv"), cents))
   }
 
   /** Codegen'd PQ encoder: the m-length code array, one L2 argmin per
@@ -1304,20 +1307,25 @@ object VectorOps {
       : graft.table.GraftTable = {
     require(m > 0 && codes > 1 && codes <= 256,
       s"bad PQ params m=$m codes=$codes")
-    val spreadDf = PipelineUtil.spread(df)
-    val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
-    val dim = cents.headOption.map(_.size).getOrElse(0)
-    require(dim > 0 && dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
-    val sub = dim / m
-    val v = col(vecCol).cast("array<double>")
-    val books = (0 until m).map(j =>
-      pqLloyd(spreadDf, idCol, slice(v, j * sub + 1, sub), codes, iterations))
-    val clustered = spreadDf.select(col(idCol),
-      pqEncode(v, books, sub).as("pq_code"),
-      norm(v).as("pq_norm"),
-      ivfAssign(v, cents).as("ivf_cluster"))
-    commitIvfTable(clustered, idCol, cents, path, maxCellRows,
-      Map("ivf.pq.books" -> serializeBooks(books)))
+    // centroid training + m codebook trainings each re-scan the corpus
+    // (m·(iterations+1) passes) — persist the source for the training
+    // phase; commitIvfTable persists the ENCODED frame separately
+    val spreadDf = PipelineUtil.spread(df).persist()
+    try {
+      val cents = ivfCentroids(spreadDf, idCol, vecCol, numCentroids, iterations)
+      val dim = cents.headOption.map(_.size).getOrElse(0)
+      require(dim > 0 && dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
+      val sub = dim / m
+      val v = col(vecCol).cast("array<double>")
+      val books = (0 until m).map(j =>
+        pqLloyd(spreadDf, idCol, slice(v, j * sub + 1, sub), codes, iterations))
+      val clustered = spreadDf.select(col(idCol),
+        pqEncode(v, books, sub).as("pq_code"),
+        norm(v).as("pq_norm"),
+        ivfAssign(v, cents).as("ivf_cluster"))
+      commitIvfTable(clustered, idCol, cents, path, maxCellRows,
+        Map("ivf.pq.books" -> serializeBooks(books)))
+    } finally spreadDf.unpersist()
   }
 
   /** Fold a new batch into a persisted PQ index: encode with the STORED

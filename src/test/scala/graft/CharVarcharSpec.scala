@@ -63,6 +63,25 @@ class CharVarcharSpec extends SparkSpec {
     assert(t.toDF.count() === 4)
   }
 
+  test("nested char/varchar strips to string and writes work (no cast rejection)") {
+    // ARRAY<VARCHAR(5)>: Spark stamps the raw type string on the replaced
+    // field; the declared form must NOT resurrect VarcharType at runtime
+    // (Column.cast rejects it) — nested lengths are simply not enforced
+    val md = new MetadataBuilder()
+      .putString(graft.core.Field.CharVarcharKey, "array<varchar(5)>").build()
+    val t = GraftTable.create(spark, tmpTable(), StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("a", ArrayType(StringType), metadata = md))))
+    assert(t.schema.fields.find(_.name == "a").get.sparkType ===
+      ArrayType(StringType))
+    t.write(Seq((1, Seq("way-too-long-for-five", "ok"))).toDF("k", "a"))
+    val r = t.toDF.collect()(0)
+    assert(r.getSeq[String](1) === Seq("way-too-long-for-five", "ok"))
+    // a PERSISTED pre-fix field carrying the nested raw string still reads
+    assert(graft.core.Field(9, "x", "array<varchar(5)>").sparkType ===
+      ArrayType(StringType))
+  }
+
   test("SQL path: CREATE TABLE with char/varchar enforces on INSERT") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.spark.v2.GraftCatalog].getName)
