@@ -260,18 +260,30 @@ object ScaleStress {
     if (ops("dsir")) {
       // DSIR selection at corpus scale: weights = two O(tokens)
       // map-side-combined bucket counts + one broadcast ratio join back
-      // onto the raw feature stream; sample = TakeOrdered. Wall should be
-      // ~linear in tokens; the target (10% slice) rides the same corpus.
+      // onto the raw feature stream; sample at small k = TakeOrdered, at
+      // production k (> driverTopKMax) = distributed prefix-sum rank +
+      // filter. Wall should be ~linear in tokens; the target (10% slice)
+      // rides the same corpus. `dsir_select_halfk` is the production-k
+      // probe (k = docs/2, forced onto the distributed path): its wall
+      // must NOT grow with k the way a driver-merged TakeOrdered does.
       import org.apache.spark.sql.functions.col
       val target = docs.filter(col("doc_id") % 10 === 0)
+      val scored = graft.pipeline.TextOps.dsirWeights(docs, "doc_id", "text",
+        target, "text").persist()
       val (t, kept) = time(
-        graft.pipeline.TextOps.dsirSample(
-          graft.pipeline.TextOps.dsirWeights(docs, "doc_id", "text",
-            target, "text"),
+        graft.pipeline.TextOps.dsirSample(scored,
           "doc_id", "dsir_score", k = math.max(1, (n / 100).toInt),
           seed = 7L).count())
       results += "dsir_select" -> t
       println(f"""{"op":"dsir_select","sec":$t%.3f,"kept":$kept,"docs":$n}""")
+      val halfK = math.max(1, (n / 2).toInt)
+      val (th, keptH) = time(
+        graft.pipeline.TextOps.dsirSample(scored,
+          "doc_id", "dsir_score", k = halfK, seed = 7L,
+          driverTopKMax = 0).count())
+      scored.unpersist()
+      results += "dsir_select_halfk" -> th
+      println(f"""{"op":"dsir_select_halfk","sec":$th%.3f,"kept":$keptH,"k":$halfK,"docs":$n}""")
     }
     if (ops("prefixsum_rows")) {
       // the prefix-sum primitive alone at row scale (no text): a seeded

@@ -419,8 +419,10 @@ object TextOps {
     * their original text byte-for-byte; rebuilt docs re-join kept tokens
     * with single spaces. Returns (doc_id, text, removed_tokens).
     *
-    * Scale: windows/covered-positions are slim long-rows; only docs that
-    * actually lose a span are re-exploded for rebuild. Reference analog:
+    * Scale: window hits are slim long-rows; hit starts merge into
+    * maximal intervals via spillable window functions, and only docs
+    * that actually lose a span rebuild — by pure projection, never
+    * per-token rows ([[cutSpans]]). Reference analog:
     * none (the reference dedups whole rows by key — paimon
     * `deduplicate` merge engine); this is pipeline-level, beyond it.
     *
@@ -443,7 +445,7 @@ object TextOps {
     // costs more than the one extra codegen'd tokenize+hash pass
     // (A/B-measured a wash at 100×; recompute keeps executor storage
     // free at corpus scale). The small downstream frames ARE pinned
-    // (cutCovered).
+    // (cutSpans).
     val wins = windowFrame(src, "doc_id", "text", n)
     val canon = wins.groupBy("h").agg(
         count(lit(1)).as("occ"),
@@ -453,75 +455,67 @@ object TextOps {
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("start") === col("keep.start")))
       .select(col("doc_id"), col("start"))
-    cutCovered(src, coveredPositions(hits, n))
+    cutSpans(src, hits, n)
   }
 
-  /** Distinct covered token positions of the (doc_id, start) window
-    * `hits`: each doc's starts merge into maximal [lo, hi) intervals
-    * FIRST (two starts chain iff they are ≤ n apart), then only the
-    * merged ranges explode — one output row per covered TOKEN. The
-    * pre-r16 shape exploded every window to n position rows and
-    * `distinct()`'d the overlap away: an ~n× covered shuffle plus a
-    * dedup exchange, the 1000× saturated-duplicate probe's spill.
-    * Boundary detection is a shifted-array compare on the sorted start
-    * set, O(windows) per doc, no accumulator recursion: a start OPENS an
-    * interval iff its predecessor is more than n back, CLOSES one (at
-    * start+n) iff its successor is more than n ahead; openers and
-    * closers are equal-length and aligned by construction.
+  /** Cut the n-token windows at the (doc_id, start) `hits` out of `src`
+    * (doc_id, text) — the shared tail of [[removeRepeatedSpans]] /
+    * [[removeCorpusSpans]]. Per-token rows NEVER exist on this path:
     *
-    * Memory bound: the per-doc collect_set holds one int per window hit,
-    * so a SINGLE doc's hits must fit one aggregation buffer row — fine
-    * for real documents (≤ millions of tokens ⇒ ≤ MBs), but a
-    * pathological 10⁸-token saturated doc would need ~400 MB in one row
-    * where the old explode+distinct streamed. Chunk such docs upstream
-    * (contextChunk) before span dedup.
+    *  1. Interval derivation: within each doc, a start OPENS a maximal
+    *     covered [lo, hi) interval iff its predecessor (lag over a
+    *     doc-partitioned start-ordered window) is more than n back; a
+    *     running sum of the open flags numbers the intervals, and a
+    *     constant-buffer groupBy takes (min start, max start + n).
+    *     WindowExec's partition buffer SPILLS (unlike the pre-r17
+    *     `collect_set` aggregation-buffer row, which bounded a single
+    *     saturated doc at executor memory), and the groupBy on
+    *     (doc_id, grp) reuses the window's hash-partitioning on doc_id —
+    *     one shuffle of the slim hit rows total.
+    *  2. Rebuild: each affected doc joins its (small) sorted interval
+    *     array and re-emits text as a PURE PROJECTION — the complement
+    *     gaps [0,lo₁), [hi₁,lo₂), …, [hiₘ,L) slice the token array and
+    *     re-join with single spaces. The pre-r17 shape posexploded every
+    *     affected doc to (pos, tok) rows, anti-joined the covered
+    *     positions and re-assembled via sort+collect_list: an O(affected
+    *     tokens) shuffle ×2 that was the last spill leg of the 1000×
+    *     saturated-duplicate probe. Untouched docs pass their original
+    *     text through byte-identical.
+    *
+    * Memory bound: one doc's MERGED intervals must fit a collect_list
+    * row — ≤ tokens/(n+1) entries of 8 B even for adversarial
+    * alternating hits (~80 MB for a pathological 10⁸-token doc;
+    * saturated duplication merges to a handful), vs the pre-r17 bound of
+    * one int per covered TOKEN.
     */
-  private def coveredPositions(hits: DataFrame, n: Int): DataFrame = {
-    val ss = array_sort(collect_set(col("start")))
-    val prevOf = (a: Column) => concat(
-      array(lit(-n - 1)), slice(a, lit(1), greatest(size(a) - 1, lit(0))))
-    val nextOf = (a: Column) => concat(
-      slice(a, lit(2), greatest(size(a) - 1, lit(0))), array(lit(Int.MaxValue)))
-    val ivs = (a: Column) => zip_with(
-      filter(zip_with(a, prevOf(a), (s, p) => when(s > p + n, s)), _.isNotNull),
-      filter(zip_with(a, nextOf(a), (s, x) => when(x > s + n, s + n)), _.isNotNull),
-      (lo, hi) => struct(lo.as("lo"), hi.as("hi")))
-    hits.groupBy("doc_id").agg(ss.as("__ss"))
-      .select(col("doc_id"), explode(ivs(col("__ss"))).as("__iv"))
-      .select(col("doc_id"),
-        explode(sequence(col("__iv.lo"), col("__iv.hi") - 1)).as("pos"))
-  }
-
-  /** Cut the (doc_id, pos) `covered` token positions out of `src`
-    * (doc_id, text): only affected docs re-explode and rebuild
-    * (single-space re-join of kept tokens); untouched docs pass their
-    * original text through byte-identical. The shared tail of
-    * [[removeRepeatedSpans]] / [[removeCorpusSpans]].
-    */
-  private def cutCovered(src: DataFrame, coveredIn: DataFrame): DataFrame = {
-    val len = org.apache.spark.sql.functions.size _
+  private def cutSpans(src: DataFrame, hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val running = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = hits.withColumn("__open",
+      when(col("start") > lag(col("start"), 1, -n - 1).over(byDoc) + n, 1L)
+        .otherwise(0L))
+    val merged = flagged
+      .withColumn("__grp", sum(col("__open")).over(running))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("start")).as("lo"), (max(col("start")) + n).as("hi"))
+    // pinned: feeds the rebuild join AND (via the left join's null side)
+    // the pass-through flag — unpinned, each consumer re-runs the whole
+    // window pipeline
+    val perDoc = PipelineUtil.pin(merged.groupBy("doc_id").agg(
+      array_sort(collect_list(struct(col("lo"), col("hi")))).as("__ivs"),
+      sum(col("hi") - col("lo")).cast("long").as("__removed")))
     val toks = split(trim(col("text")), "\\s+")
-    // both pinned: covered feeds the rebuild-id distinct AND the anti
-    // join; rebuildIds feeds the rebuild join AND the final pass-through
-    // flag — unpinned, each consumer re-runs the whole window pipeline
-    val covered = PipelineUtil.pin(coveredIn)
-    val rebuildIds = PipelineUtil.pin(covered.select("doc_id").distinct())
-    val rebuilt = src.join(rebuildIds, Seq("doc_id"))
-      .select(col("doc_id"), posexplode(toks))
-      .toDF("doc_id", "pos", "tok")
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id").agg(
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok"))).as("__clean"),
-        count(lit(1)).as("__kept"))
-    src.join(rebuildIds.withColumn("__rb", lit(true)), Seq("doc_id"), "left")
-      .join(rebuilt, Seq("doc_id"), "left")
+    val gapLo = concat(array(lit(0)),
+      transform(col("__ivs"), iv => iv.getField("hi")))
+    val gapHi = concat(transform(col("__ivs"), iv => iv.getField("lo")),
+      array(org.apache.spark.sql.functions.size(toks)))
+    val clean = concat_ws(" ", flatten(
+      zip_with(gapLo, gapHi, (glo, ghi) => slice(toks, glo + 1, ghi - glo))))
+    src.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("__rb"), coalesce(col("__clean"), lit("")))
-          .otherwise(col("text")).as("text"),
-        when(col("__rb"), len(toks).cast("long") - coalesce(col("__kept"), lit(0L)))
-          .otherwise(lit(0L)).as("removed_tokens"))
+        when(col("__ivs").isNotNull, clean).otherwise(col("text")).as("text"),
+        coalesce(col("__removed"), lit(0L)).as("removed_tokens"))
   }
 
   // ---- incremental (cross-corpus) span dedup: the persisted-index
@@ -617,7 +611,7 @@ object TextOps {
     val hits = windowFrame(src, "doc_id", "text", n)
       .join(view.getOrElse(index.toDF).select(col("h")), Seq("h"), "left_semi")
       .select(col("doc_id"), col("start"))
-    cutCovered(src, coveredPositions(hits, n))
+    cutSpans(src, hits, n)
   }
 
   /** Propagate corpus deletions into a span index (takedown/GDPR): every
@@ -898,12 +892,23 @@ object TextOps {
     * (the noise is an md5-uniform, not an RNG): the same k docs come
     * back on every run, engine, and cluster size. T → 0 approaches pure
     * top-k by score; larger T flattens toward uniform. Returns the
-    * selected (doc_id, dsir_score, sample_key) rows; top-k is a
-    * TakeOrdered (per-partition heads + driver merge), never a global
-    * single-task sort.
+    * selected (doc_id, dsir_score, sample_key) rows.
+    *
+    * Scale: DSIR's production shape is "select the best 100M docs from
+    * 10B" — a driver-merged TakeOrdered at that k is a scale-killer (k
+    * rows × partitions heaped through one machine). For k >
+    * `driverTopKMax` the selection runs fully DISTRIBUTED instead: a
+    * [[PipelineUtil.exclusivePrefixSum]] rank under the total order
+    * (sample_key desc, doc_id) — one range shuffle of the slim
+    * (id, score, key) rows, a ≤shuffle-partitions driver collect of
+    * partition totals — then `filter(rank < k)`. Both paths select the
+    * IDENTICAL row set (the rank filter is exact, and the order is
+    * total because doc_id ties break deterministically); small k keeps
+    * the cheaper per-partition-heads TakeOrdered.
     */
   def dsirSample(scored: DataFrame, idCol: String, scoreCol: String,
-      k: Int, temperature: Double = 1.0, seed: Long = 0L): DataFrame = {
+      k: Int, temperature: Double = 1.0, seed: Long = 0L,
+      driverTopKMax: Int = 100000): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(temperature > 0, s"temperature must be positive: $temperature")
     // md5-derived uniform in (0, 1): 8 hex chars = 32 bits, +0.5 keeps
@@ -911,11 +916,16 @@ object TextOps {
     val u = (conv(substring(md5(concat_ws(":", lit(seed).cast("string"),
         col(idCol).cast("string"))), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    scored.select(col(idCol).as("doc_id"),
-        col(scoreCol).cast("double").as("dsir_score"),
-        (col(scoreCol).cast("double") / temperature - log(-log(u)))
-          .as("sample_key"))
-      .orderBy(col("sample_key").desc, col("doc_id"))
-      .limit(k)
+    val keyed = scored.select(col(idCol).as("doc_id"),
+      col(scoreCol).cast("double").as("dsir_score"),
+      (col(scoreCol).cast("double") / temperature - log(-log(u)))
+        .as("sample_key"))
+    if (k <= driverTopKMax)
+      keyed.orderBy(col("sample_key").desc, col("doc_id")).limit(k)
+    else
+      PipelineUtil.exclusivePrefixSum(keyed,
+          Seq(col("sample_key").desc, col("doc_id")), lit(1L), "__rank")
+        .filter(col("__rank") < k)
+        .drop("__rank")
   }
 }

@@ -1277,6 +1277,20 @@ object VectorOps {
   private def serializeBooks(books: Seq[Seq[Seq[Double]]]): String =
     books.map(serializeCentroids).mkString("|")
 
+  /** v − centroid(cell), the FAISS-style IVFPQ residual: a literal-datum
+    * centroid lookup + one zip_with — a pure codegen projection. Residual
+    * codebooks only need to span WITHIN-cell variance, so the same m
+    * bytes reconstruct materially tighter than raw-vector codebooks
+    * whenever the corpus actually clusters.
+    */
+  private def residualExpr(v: Column, cluster: Column,
+      cents: Seq[Seq[Double]]): Column =
+    zip_with(v, element_at(centroidsLit(cents), cluster + 1), (a, b) => a - b)
+
+  /** Whether a PQ index stores residual codes (`ivf.pq.residual`). */
+  private def pqResidual(index: graft.table.GraftTable): Boolean =
+    index.schema.option("ivf.pq.residual", "false").toBoolean
+
   /** The PQ codebooks pinned in a quantized index's table options:
     * (m, codes, sub, books). */
   private def pqMeta(index: graft.table.GraftTable)
@@ -1300,11 +1314,18 @@ object VectorOps {
     * reranks exactly. Codebook storage is dim·codes doubles in the table
     * options (~100 KB at dim=64, codes=256) — metadata-sized, read once
     * per query batch.
+    *
+    * `residual = true` is the FAISS IVFPQ encoding: codebooks train on
+    * and codes store (v − centroid(cell)) instead of v — the same m
+    * bytes buy materially better recall on clustered corpora because
+    * each codebook only spans within-cell variance. Retrieval shifts the
+    * ADC sum by dot(q, centroid(cell)) per (query, probed cell) —
+    * still a literal-datum projection over ≤ nProbe cells per query.
     */
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String, numCentroids: Int = 16, iterations: Int = 1,
-      m: Int = 8, codes: Int = 256, maxCellRows: Long = 0L)
-      : graft.table.GraftTable = {
+      m: Int = 8, codes: Int = 256, maxCellRows: Long = 0L,
+      residual: Boolean = false): graft.table.GraftTable = {
     require(m > 0 && codes > 1 && codes <= 256,
       s"bad PQ params m=$m codes=$codes")
     // centroid training + m codebook trainings each re-scan the corpus
@@ -1317,14 +1338,25 @@ object VectorOps {
       require(dim > 0 && dim % m == 0, s"dim=$dim not divisible into m=$m subspaces")
       val sub = dim / m
       val v = col(vecCol).cast("array<double>")
-      val books = (0 until m).map(j =>
-        pqLloyd(spreadDf, idCol, slice(v, j * sub + 1, sub), codes, iterations))
-      val clustered = spreadDf.select(col(idCol),
-        pqEncode(v, books, sub).as("pq_code"),
-        norm(v).as("pq_norm"),
-        ivfAssign(v, cents).as("ivf_cluster"))
-      commitIvfTable(clustered, idCol, cents, path, maxCellRows,
-        Map("ivf.pq.books" -> serializeBooks(books)))
+      // cells are assigned BEFORE codebook training: residual mode trains
+      // on (v − centroid(cell)), and raw mode rides the same persisted
+      // frame so the m trainings never recompute the C×dim assignment
+      val assigned = spreadDf.select(col(idCol), v.as("__v"),
+        ivfAssign(v, cents).as("ivf_cluster")).persist()
+      try {
+        val ev = if (residual)
+          residualExpr(col("__v"), col("ivf_cluster"), cents)
+        else col("__v")
+        val books = (0 until m).map(j =>
+          pqLloyd(assigned, idCol, slice(ev, j * sub + 1, sub), codes, iterations))
+        val clustered = assigned.select(col(idCol),
+          pqEncode(ev, books, sub).as("pq_code"),
+          norm(col("__v")).as("pq_norm"),
+          col("ivf_cluster"))
+        commitIvfTable(clustered, idCol, cents, path, maxCellRows,
+          Map("ivf.pq.books" -> serializeBooks(books)) ++
+            (if (residual) Map("ivf.pq.residual" -> "true") else Map.empty))
+      } finally assigned.unpersist()
     } finally spreadDf.unpersist()
   }
 
@@ -1338,11 +1370,16 @@ object VectorOps {
     val (_, _, sub, books) = pqMeta(index)
     val salts = ivfSalts(index)
     val v = col(vecCol).cast("array<double>")
-    val assigned = PipelineUtil.spread(df)
-      .select(col(idCol).as(storedId),
-        pqEncode(v, books, sub).as("pq_code"),
-        norm(v).as("pq_norm"),
-        ivfAssign(v, cents).as("ivf_cluster"))
+    val base = PipelineUtil.spread(df).select(col(idCol).as(storedId),
+      v.as("__v"), ivfAssign(v, cents).as("ivf_cluster"))
+    val ev = if (pqResidual(index))
+      residualExpr(col("__v"), col("ivf_cluster"), cents)
+    else col("__v")
+    val assigned = base
+      .select(col(storedId),
+        pqEncode(ev, books, sub).as("pq_code"),
+        norm(col("__v")).as("pq_norm"),
+        col("ivf_cluster"))
       .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(storedId), salts))
       .repartition(col("ivf_cluster"), col("ivf_salt"))
     index.append(assigned, commitIdentifier = commitIdentifier,
@@ -1361,7 +1398,8 @@ object VectorOps {
     *     query; per candidate the approximate dot is m table LOOKUPS
     *     (`transform` with the position index + element_at — no
     *     per-candidate multiply at all), divided by the stored exact row
-    *     norm;
+    *     norm; residual indexes add a per-(query, probed cell)
+    *     dot(q, centroid) shift carried on the slim probe frame;
     *  3. keep the top `rerank × k` per query map-side
     *     (InferWindowGroupLimit), rerank ONLY those exactly against the
     *     caller's full-precision corpus.
@@ -1395,12 +1433,21 @@ object VectorOps {
       (c, i) => struct((-dot(col("qv"), c)).as("s"),
         i.cast("int").as("ivf_cluster")))
     // SLIM probe frame (see [[ivfCandidates]]): the m·codes ADC table
-    // must not fan out nProbe× — it broadcasts ONCE after the cell join
+    // must not fan out nProbe× — it broadcasts ONCE after the cell join.
+    // Residual indexes score dot(q, v−c(cell)) through the ADC table; the
+    // missing dot(q, c(cell)) term is a per-(query, probed-cell) SHIFT
+    // computed here, where the probe row still carries qv — one
+    // literal-datum dot per probe row, the frame grows by one double.
+    val residual = pqResidual(index)
     val probes = PipelineUtil.pin(q
-      .select(col("query_id"),
+      .select(col("query_id"), col("qv"),
         explode(slice(array_sort(simStructs),
           lit(1), lit(math.min(nProbe, cents.size)))).as("p"))
-      .select(col("query_id"), col("p.ivf_cluster").as("ivf_cluster")))
+      .select(col("query_id"), col("p.ivf_cluster").as("ivf_cluster"),
+        (if (residual)
+          dot(col("qv"),
+            element_at(centroidsLit(cents), col("p.ivf_cluster") + 1))
+        else lit(0.0)).as("adc_shift")))
     val probedCells: Seq[Int] = probes.select("ivf_cluster").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val codesDf = index.toDF
@@ -1416,7 +1463,8 @@ object VectorOps {
       .join(broadcast(q.select(col("query_id"), col("nq"), col("adc"))),
         "query_id")
       .select(col("query_id"), col("corpus_id"),
-        when(denom === 0.0, 0.0).otherwise(approxDot / denom).as("approx_sim"))
+        when(denom === 0.0, 0.0)
+          .otherwise((col("adc_shift") + approxDot) / denom).as("approx_sim"))
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("approx_sim").desc, col("corpus_id"))
     val cands = approx.withColumn("r", row_number().over(wa))

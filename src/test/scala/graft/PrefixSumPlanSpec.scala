@@ -65,4 +65,46 @@ class PrefixSumPlanSpec extends SparkSpec {
       n.contains("BroadcastNestedLoop")),
       s"non-equi join found:\n${names.mkString("\n")}")
   }
+
+  test("span-dedup rebuild is a pure projection: no anti join, no per-token shuffle") {
+    // repeated 4-token span across docs forces the rebuild leg to run
+    val docs = (0L until 50L).map(i => (i, s"p q r s t u v w x$i y$i"))
+      .toDF("doc_id", "text")
+    val out = TextOps.removeRepeatedSpans(docs, "doc_id", "text", 4)
+    val names = planOf(out)
+    // pre-r17 rebuild: posexplode(toks) -> LeftAnti on (doc_id, pos) ->
+    // sort+collect_list; the r17 slice-of-gaps rebuild must plan NONE of
+    // these. The only Generates allowed are windowFrame's hash explode.
+    assert(!names.exists(_.contains("LeftAnti")) &&
+      !planStrings(out).exists(_.contains("LeftAnti")),
+      s"anti join found in rebuild:\n${names.mkString("\n")}")
+    val gens = planStrings(out).filter(_.startsWith("Generate"))
+    assert(gens.forall(_.contains("xxhash64")),
+      s"non-windowFrame explode found (per-token rebuild?):\n${gens.mkString("\n")}")
+    // the removed text is really gone
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2))).toMap
+    assert(rows.count(_._2._2 > 0) == 49, "all but the canonical doc cut")
+    assert(rows.values.count(_._1.startsWith("p q r s")) == 1,
+      "exactly one doc keeps the canonical span")
+  }
+
+  test("dsirSample above the driver-top-k cutoff plans no TakeOrdered and matches the driver path") {
+    val scored = (0L until 3000L).map(i => (i, (i % 97).toDouble / 7.0))
+      .toDF("doc_id", "dsir_score").repartition(8)
+    val viaDriver = TextOps.dsirSample(scored, "doc_id", "dsir_score",
+      k = 500, temperature = 0.7, seed = 11L)
+    val distributed = TextOps.dsirSample(scored, "doc_id", "dsir_score",
+      k = 500, temperature = 0.7, seed = 11L, driverTopKMax = 0)
+    val a = viaDriver.select("doc_id").as[Long].collect().toSet
+    val b = distributed.select("doc_id").as[Long].collect().toSet
+    assert(a == b, s"path disagreement: driver-only=${(a -- b).take(5)} " +
+      s"distributed-only=${(b -- a).take(5)}")
+    assert(a.size == 500)
+    val nodes = planOf(distributed)
+    assert(!nodes.exists(_.contains("TakeOrdered")),
+      s"driver-merged top-k on the large-k path:\n${nodes.mkString("\n")}")
+    assert(!planStrings(distributed).exists(_.contains("SinglePartition")),
+      "single-partition stage found")
+  }
 }
