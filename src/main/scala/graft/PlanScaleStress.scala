@@ -1,0 +1,138 @@
+package graft
+
+import graft.core.{ColStats, DataFileMeta, ManifestEntry}
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver PLANNING-scale probe (BASELINE.md §scaling): how do commit +
+  * scan planning — the driver-side manifest fold, shard skipping, and
+  * split binning behind `planInputPartitions` — behave at 10⁴…10⁶
+  * committed files? At 100 TB with ~128 MB files the driver plans over
+  * ~10⁶ manifest entries, and after the executor-side paths were
+  * shape-verified (ScaleStress/WriteScaleStress) this driver fold is
+  * the next single-machine bottleneck; BASELINE.md had write/scan/
+  * pipeline scale curves but none for planning.
+  *
+  * Files are FABRICATED manifest entries (plausible 128 MB sizes, real
+  * per-column stats, no bytes on disk): planning never opens data
+  * files, so the measured wall/heap IS the production planning cost
+  * while the fixture stays seconds-cheap at any file count. Entries
+  * land in 2000-file commits, so manifest compaction (C8: fold into
+  * ≤4096-entry ADD-only shards with partition-range metadata) triggers
+  * naturally every `manifestMergeThreshold` commits along the way —
+  * the probe measures planning AS MAINTAINED, not on one giant
+  * manifest.
+  *
+  * Reported per run (one JSON line):
+  *  - `commit_total_sec` / `commit_last_sec`: total and final-commit
+  *    wall — the final commit shows the amortized fold cost at size;
+  *  - `plan_full_sec`: wall of `planInputPartitions` for an unfiltered
+  *    scan (toRdd.getNumPartitions — plans splits, executes nothing);
+  *  - `plan_pruned_sec`: the same with a single-partition filter —
+  *    shard skipping must make this near-flat in total file count;
+  *  - `plan_heap_mb`: driver-heap delta across the full planning call;
+  *  - `shards` / `shard_entries_max`: manifest-compaction output shape.
+  *
+  * Drive at 1×/10×/100× (e.g. 10k/100k/1M) and compare slopes:
+  *   runMain graft.PlanScaleStress 10000
+  *   runMain graft.PlanScaleStress 100000
+  *   runMain graft.PlanScaleStress 1000000
+  */
+object PlanScaleStress {
+  def main(args: Array[String]): Unit = {
+    val totalFiles = if (args.length > 0) args(0).toInt else 100000
+    val partitions = if (args.length > 1) args(1).toInt else 100
+    // optional third arg: a REUSABLE table dir — when the table already
+    // exists there, fabrication is skipped and only planning re-measures
+    // (iterate on planning without paying the commit phase each run)
+    val keepPath = if (args.length > 2) Some(args(2)) else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = keepPath.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-planscale").toString)
+    val schema = StructType(Seq(
+      StructField("p", StringType),
+      StructField("k", LongType),
+      StructField("v", DoubleType)))
+    val preBuilt = GraftTable.exists(spark, s"$base/t")
+    val t = if (preBuilt) GraftTable.load(spark, s"$base/t")
+      else GraftTable.create(spark, s"$base/t", schema,
+        partitionKeys = Seq("p"))
+    val store = t.store
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime(); val out = f
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    def heapUsed(): Long = {
+      System.gc(); System.gc()
+      Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+    }
+
+    // ---- fabricate + commit: 2000-file APPEND commits, bucket-less
+    // append layout, contiguous key ranges per file so stats-based
+    // skipping has real structure ----
+    val perCommit = 2000
+    var made = if (preBuilt) totalFiles else 0
+    var commitTotal = 0.0
+    var commitLast = 0.0
+    while (made < totalFiles) {
+      val n = math.min(perCommit, totalFiles - made)
+      val entries = (made until made + n).map { g =>
+        val part = f"p${g % partitions}%04d"
+        val lo = g.toLong * 1000000L
+        ManifestEntry(ManifestEntry.ADD, DataFileMeta(
+          path = f"data/p=$part/f-$g%07d.parquet",
+          size = 128L << 20, rowCount = 1000000L,
+          partition = Seq(part), bucket = 0, level = 0,
+          minSeq = 0L, maxSeq = 0L, schemaId = t.schema.id,
+          stats = Map(
+            "k" -> ColStats(Some(lo.toString), Some((lo + 999999L).toString), 0L),
+            "v" -> ColStats(Some("0.0"), Some("1.0"), 0L))))
+      }
+      val (sec, _) = time(store.commit(entries, "APPEND"))
+      commitTotal += sec
+      commitLast = sec
+      made += n
+    }
+
+    val snap = store.latestSnapshot.get
+    val shards = snap.manifestMeta.size
+    val shardEntriesMax =
+      if (snap.manifestMeta.isEmpty) 0L else snap.manifestMeta.map(_.entries).max
+    val (liveSec, liveN) = time(store.liveFiles(snap).size)
+
+    // ---- planning walls: construct the scan RDD (planInputPartitions
+    // runs on the driver), never execute a task ----
+    val h0 = heapUsed()
+    def planFull() = time(t.toDF.queryExecution.toRdd.getNumPartitions)
+    def planPruned() = time(
+      t.toDF.filter(col("p") === "p0000")
+        .queryExecution.toRdd.getNumPartitions)
+    // stats skipping rides the same planning fold: a key-range filter
+    // that only the last ~perCommit files can satisfy
+    val hiKey = (totalFiles.toLong - perCommit) * 1000000L
+    def planStats() = time(
+      t.toDF.filter(col("k") >= hiKey)
+        .queryExecution.toRdd.getNumPartitions)
+    val (fullSec, fullParts) = planFull()
+    val planHeapMb = math.max(0L, heapUsed() - h0) / (1 << 20)
+    val (prunedSec, prunedParts) = planPruned()
+    val (statsSec, statsParts) = planStats()
+    // second samples: separates one-time warm-up (codegen, manifest
+    // parse) from the steady-state per-plan cost
+    val (fullSec2, _) = planFull()
+    val (prunedSec2, _) = planPruned()
+    val (statsSec2, _) = planStats()
+
+    println(f"""{"metric":"plan_scale","files":$totalFiles,"partitions":$partitions,"commit_total_sec":$commitTotal%.3f,"commit_last_sec":$commitLast%.3f,"live_fold_sec":$liveSec%.3f,"live_files":$liveN,"shards":$shards,"shard_entries_max":$shardEntriesMax,"plan_full_sec":$fullSec%.3f,"plan_full_sec2":$fullSec2%.3f,"plan_full_splits":$fullParts,"plan_pruned_sec":$prunedSec%.3f,"plan_pruned_sec2":$prunedSec2%.3f,"plan_pruned_splits":$prunedParts,"plan_stats_sec":$statsSec%.3f,"plan_stats_sec2":$statsSec2%.3f,"plan_stats_splits":$statsParts,"plan_heap_mb":$planHeapMb}""")
+    spark.stop()
+  }
+}

@@ -974,8 +974,33 @@ object SparkEntry {
       // (LSH-independent), so every qualifying pair must be recalled
       val (corpus, _) = annRecallCorpus(s, d)
       VectorOps.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)
+    }),
+    "q148_wordpiece_tokens" -> ((s, d) => {
+      // vocab-driven WordPiece tokenization (greedy longest-match,
+      // "##" continuations, whole-word [UNK] on a dead end) as a pure
+      // codegen'd expression over the committed literal vocab; the
+      // oracle replays the identical greedy walk as a recursive CTE
+      Fixtures.src(s, d, "documents").select(col("doc_id"),
+        TextOps.wordpieceCount(col("text"), WordpieceVocab).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", TextOps.wordpieceTokens(col("text"), WordpieceVocab))
+          .as("tokens"))
     })
   )
+
+  /** The committed q148 WordPiece vocab: a handful of full words and
+    * multi-char pieces over the fixture's vocabulary, plus every
+    * lowercase letter and digit in BOTH initial and continuation form —
+    * ASCII-word totality (no [UNK] on the fixture), with real
+    * longest-match structure. Both engines consume THIS list.
+    */
+  val WordpieceVocab: Seq[String] = {
+    val chars = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+    (Seq("the", "table", "value", "scan", "data",
+      "ta", "sc", "val", "wind", "qu") ++ chars ++
+      Seq("##ble", "##an", "##ue", "##ow", "##er", "##ta", "##ata", "##s") ++
+      chars.map("##" + _)).distinct
+  }
 
   /** Shared q49/q50/q56/q60 fixture — see [[Fixtures.annRecallCorpus]]. */
   private def annRecallCorpus(s: SparkSession, d: String): (DataFrame, Seq[Double]) =
@@ -1681,7 +1706,8 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
         |  CAST(start_offset // 256 AS BIGINT) AS first_seq,
-        |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_seq
+        |  GREATEST(CAST(start_offset // 256 AS BIGINT),
+        |    CAST((start_offset + n_tokens - 1) // 256 AS BIGINT)) AS last_seq
         |FROM c""".stripMargin,
     "q136_det_shuffle" ->
       """SELECT doc_id,
@@ -1719,7 +1745,8 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, start_offset,
         |  CAST(start_offset // 256 AS BIGINT) AS first_seq,
-        |  CAST((start_offset + n_tokens - 1) // 256 AS BIGINT) AS last_seq
+        |  GREATEST(CAST(start_offset // 256 AS BIGINT),
+        |    CAST((start_offset + n_tokens - 1) // 256 AS BIGINT)) AS last_seq
         |FROM c""".stripMargin,
     // q144: q138's assembly over the BPE-ish token array
     "q144_packed_bpe_texts" ->
@@ -2018,6 +2045,56 @@ object SparkEntry {
         |WHERE q.query_id <> c.vec_id
         |  AND ROUND(LIST_COSINE_SIMILARITY(q.qv, c.v), 6) >= 0.95""".stripMargin,
     "q60_ann_ivf_index" -> annLshOracle,
-    "q50_embed_sim_pairs" -> embedPairsOracle
+    "q50_embed_sim_pairs" -> embedPairsOracle,
+    "q148_wordpiece_tokens" -> wordpieceOracle
   )
+
+  /** q148 oracle: the IDENTICAL greedy longest-match walk as a recursive
+    * CTE — per word, the step at `pos` takes the longest vocab body
+    * matching (continuations iff pos > 1); a word whose recursion stops
+    * before pos = len+1 had a dead end and becomes one [UNK]. Vocab is
+    * interpolated from [[WordpieceVocab]] so the engines can never skew.
+    */
+  private def wordpieceOracle: String = {
+    val vals = WordpieceVocab.map(p => s"('$p')").mkString(", ")
+    s"""WITH RECURSIVE vocab(piece) AS (VALUES $vals),
+       |vb AS (SELECT piece,
+       |  CASE WHEN piece LIKE '##%' THEN SUBSTR(piece, 3) ELSE piece END AS body,
+       |  (piece LIKE '##%') AS is_cont FROM vocab),
+       |words AS (
+       |  SELECT doc_id, s.i AS wi, s.w AS word FROM (
+       |    SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+       |    FROM documents),
+       |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)+1),
+       |      i -> {'i': i, 'w': toks[i]})) AS u(s)
+       |  WHERE LEN(s.w) > 0),
+       |steps AS (
+       |  SELECT doc_id, wi, word, 1 AS pos, CAST(NULL AS VARCHAR) AS piece,
+       |    0 AS step
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi, word, pos + blen,
+       |    CASE WHEN pos = 1 THEN '' ELSE '##' END || SUBSTR(word, pos, blen),
+       |    step + 1
+       |  FROM (
+       |    SELECT s.*, (SELECT MAX(LEN(v.body)) FROM vb v
+       |      WHERE v.is_cont = (s.pos > 1)
+       |        AND SUBSTR(s.word, s.pos, LEN(v.body)) = v.body) AS blen
+       |    FROM steps s WHERE s.pos <= LEN(s.word))
+       |  WHERE blen IS NOT NULL),
+       |done AS (SELECT doc_id, wi, MAX(pos) AS maxpos,
+       |  ANY_VALUE(LEN(word)) AS wl FROM steps GROUP BY 1, 2),
+       |pieces AS (
+       |  SELECT p.doc_id, p.wi, p.step, p.piece FROM steps p
+       |  JOIN done d ON p.doc_id = d.doc_id AND p.wi = d.wi
+       |    AND d.maxpos = d.wl + 1
+       |  WHERE p.piece IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, wi, 1 AS step, '[UNK]' AS piece FROM done
+       |  WHERE maxpos <= wl)
+       |SELECT d.doc_id, CAST(COUNT(p.piece) AS BIGINT) AS n_tokens,
+       |  COALESCE(STRING_AGG(p.piece, ' ' ORDER BY p.wi, p.step), '') AS tokens
+       |FROM documents d LEFT JOIN pieces p ON d.doc_id = p.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+  }
 }

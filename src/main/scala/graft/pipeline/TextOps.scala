@@ -21,6 +21,73 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Vocabulary-driven WordPiece tokenization as a pure codegen'd
+    * expression — greedy longest-match against a LITERAL vocab, the
+    * standard subword scheme (public: Wu et al. 2016; BERT's tokenizer):
+    * each whitespace word is consumed left-to-right, at every position
+    * taking the LONGEST vocab piece that matches (continuation pieces
+    * are prefixed "##"); a word with an unmatchable position becomes one
+    * `unk` token. Returns `array<string>` of pieces.
+    *
+    * Engine shape: the vocab ships as a literal map datum inside the
+    * expression (fine to ~100k pieces — metadata-sized, shipped once per
+    * task with the plan), and both loops are runtime `aggregate` folds
+    * over `sequence` arrays — plan size is CONSTANT in text length and
+    * vocab size, no UDF, no shuffle, whole-stage-codegen eligible. Cost
+    * per word is O(chars · maxPieceLen) map probes.
+    *
+    * This makes token budgets REAL: [[packSequences]] /
+    * [[tokenBudgetSample]] accept any count Column, and
+    * `size(wordpieceTokens(...))` ([[wordpieceCount]]) budgets in actual
+    * subword tokens instead of the whitespace/regex approximations.
+    */
+  def wordpieceTokens(text: Column, vocab: Seq[String],
+      unk: String = "[UNK]"): Column = {
+    require(vocab.nonEmpty, "wordpieceTokens: empty vocab")
+    require(vocab.forall(p => p != "" && p != "##"),
+      s"wordpieceTokens: empty piece in vocab")
+    require(vocab.distinct.size == vocab.size,
+      "wordpieceTokens: duplicate pieces in vocab")
+    val maxLen = vocab.map(p =>
+      if (p.startsWith("##")) p.length - 2 else p.length).max
+    val inVocab = typedLit(vocab.map(_ -> true).toMap)
+    val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    def pieceAt(w: Column, pos: Column, l: Column): Column =
+      concat(when(pos === 1, lit("")).otherwise(lit("##")),
+        substr(w, pos, l))
+    def wordPieces(w: Column): Column =
+      aggregate(
+        sequence(lit(1), length(w)), // ≥ piece count: ≥1 char each
+        struct(lit(1).as("pos"),
+          array().cast("array<string>").as("out"), lit(false).as("bad")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          val best = aggregate(
+            sequence(least(lit(maxLen), length(w) - pos + 1),
+              lit(1), lit(-1)),
+            lit(0),
+            (acc, l) => when(acc > 0, acc).otherwise(
+              when(element_at(inVocab, pieceAt(w, pos, l)).isNotNull, l)
+                .otherwise(lit(0))))
+          when(st.getField("bad") || pos > length(w), st)
+            .when(best === 0, struct((length(w) + 1).as("pos"),
+              array(lit(unk)).as("out"), lit(true).as("bad")))
+            .otherwise(struct((pos + best).as("pos"),
+              concat(st.getField("out"),
+                array(pieceAt(w, pos, best))).as("out"),
+              lit(false).as("bad")))
+        },
+        st => st.getField("out"))
+    flatten(transform(words, w => wordPieces(w)))
+  }
+
+  /** Number of [[wordpieceTokens]] subword tokens — the real-token count
+    * Column for [[packSequences]]/[[tokenBudgetSample]] budgets.
+    */
+  def wordpieceCount(text: Column, vocab: Seq[String],
+      unk: String = "[UNK]"): Column =
+    size(wordpieceTokens(text, vocab, unk))
+
   /** Occurrences of a literal marker (no regex), vectorized. */
   def occurrences(text: Column, marker: String): Column =
     ((length(text) - length(replace(text, lit(marker), lit("")))) / marker.length)
@@ -673,8 +740,14 @@ object TextOps {
     PipelineUtil.exclusivePrefixSum(base, Seq(col("doc_id")),
         col("n_tokens") + lit(sepTokens.toLong), "start_offset")
       .withColumn("first_seq", expr(s"start_offset div ${seqLen}L"))
-      .withColumn("last_seq",
-        expr(s"(start_offset + n_tokens - 1) div ${seqLen}L"))
+      // clamp: a ZERO-token doc (possible with caller-supplied counts,
+      // e.g. tokenCount of whitespace-only text) occupies no positions —
+      // define its placement as last_seq = first_seq on every engine.
+      // Unclamped, (start_offset - 1) div seqLen diverges between
+      // truncating (Spark div) and flooring (SQL //) division at
+      // start_offset 0, and yields last_seq < first_seq everywhere else.
+      .withColumn("last_seq", greatest(col("first_seq"),
+        expr(s"(start_offset + n_tokens - 1) div ${seqLen}L")))
   }
 
   /** Deterministic token-BUDGET sampling for data mixing ("keep ~1M

@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Sequential-fold dot product in double precision. */
+  private val retrainLog =
+    org.slf4j.LoggerFactory.getLogger("graft.VectorOps")
+
+  /** Test seam for the [[retrainIvfIndex]] single-writer guard: runs
+    * between the initial read and the whole-table rewrite — the window a
+    * concurrent writer would race. Production no-op.
+    */
+  private[graft] var retrainMidpointHook: () => Unit = () => ()
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -637,21 +646,47 @@ object VectorOps {
     * duplicates or data loss) — re-running resumes from the PENDING
     * centroids, re-applies the (idempotent) rewrite, and completes the
     * flip. Returns (centroid count, rows rewritten).
+    *
+    * SINGLE-WRITER CONTRACT (like the reference's dedicated-compaction
+    * requirement): the whole-table OVERWRITE rewrites the rows READ at
+    * the start of the retrain, so a concurrent append committed
+    * mid-retrain would be silently dropped by the commit. The guard
+    * below fails the retrain if the index's snapshot advanced between
+    * the initial read and the rewrite — pause ingest (or route appends
+    * through a retrain-aware coordinator) and rerun.
+    *
+    * A non-empty `ivf.retrain.pending` stamp means a previous run
+    * crashed mid-rewrite: by default this call RESUMES those pending
+    * centroids (logged; the current iterations/sampleFraction/reseed
+    * arguments are ignored in favor of completing the stamped plan).
+    * Pass `discardPending = true` to drop the stale stamp — e.g. after
+    * killing a run whose parameters were wrong — and retrain fresh with
+    * this call's arguments.
     */
   def retrainIvfIndex(index: graft.table.GraftTable, iterations: Int = 2,
       sampleFraction: Double = 1.0, seed: Long = 0L,
-      maxCellRows: Long = 0L, reseed: Boolean = false): (Int, Long) = {
+      maxCellRows: Long = 0L, reseed: Boolean = false,
+      discardPending: Boolean = false): (Int, Long) = {
     require(iterations >= 1, s"iterations must be >=1: $iterations")
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0,1]: $sampleFraction")
     val (oldCents, storedId, storedVec) = ivfMeta(index)
+    val baseSnapshot = index.store.latestSnapshotId
     val full = index.toDF
     require(full.columns.contains(storedVec),
       s"retrain_ivf needs the full-precision vector column '$storedVec', " +
         s"which ${index.location} does not store — quantized (SQ8/PQ) " +
         "indexes keep only codes; rebuild them from the source corpus " +
         "instead (buildIvfSqIndex / buildIvfPqIndex)")
+    if (discardPending &&
+        index.schema.option("ivf.retrain.pending", "").nonEmpty)
+      index.evolveBatch(Seq(index.setOptionT("ivf.retrain.pending", "")))
     val pending = index.schema.option("ivf.retrain.pending", "")
+    if (pending.nonEmpty)
+      retrainLog.warn(s"retrainIvfIndex(${index.location}): resuming a " +
+        "crashed run's pending centroids; this call's iterations/" +
+        "sampleFraction/reseed arguments are ignored (pass " +
+        "discardPending = true to drop the stamp and retrain fresh)")
     val cents =
       if (pending.nonEmpty) parseCentroids(pending) // resume a crashed run
       else {
@@ -670,6 +705,7 @@ object VectorOps {
     if (pending.isEmpty)
       index.evolveBatch(Seq(index.setOptionT("ivf.retrain.pending",
         serializeCentroids(cents))))
+    retrainMidpointHook()
     val v = col(storedVec).cast("array<double>")
     // reassigned frame feeds the per-cell count AND the write — persist so
     // the C×dim assignment computes once per row
@@ -686,6 +722,17 @@ object VectorOps {
       val assigned = reassigned
         .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(storedId), salts))
         .repartition(col("ivf_cluster"), col("ivf_salt"))
+      // single-writer guard (see the contract above): a commit that
+      // advanced the snapshot since the initial read holds rows the
+      // rewrite never saw — overwriting now would delete them
+      val nowSnapshot = index.store.latestSnapshotId
+      require(nowSnapshot == baseSnapshot,
+        s"retrainIvfIndex(${index.location}): index advanced from " +
+          s"snapshot $baseSnapshot to $nowSnapshot during retrain — a " +
+          "concurrent commit's rows are not in the rewritten frame and " +
+          "the whole-table OVERWRITE would drop them. Retrain requires " +
+          "exclusive write access; pause ingest and rerun (the pending " +
+          "stamp makes the rerun resume deterministically).")
       index.overwrite(assigned) // whole table, one atomic commit
       index.evolveBatch(Seq(
         index.setOptionT("ivf.centroids", serializeCentroids(cents)),

@@ -372,19 +372,22 @@ case class CallProcedureCommand(catalog: Option[String], proc: String,
         else "rebalanced cells " + moved
           .map { case (c, o, n) => s"$c($o->$n salts)" }.mkString(", ")
       // CALL sys.retrain_ivf('db.ivf_index' [, iterations [, sampleFraction
-      // [, reseed [, maxCellRows]]]]) — centroid-drift repair: Lloyd steps
-      // seeded from the stored centroids (or reseeded from current content
-      // for heavy drift) over a sample of the index, one atomic whole-table
-      // reassignment rewrite, options flip last (crash-safe; re-running
-      // resumes from the pending centroids)
+      // [, reseed [, maxCellRows [, discardPending]]]]]) — centroid-drift
+      // repair: Lloyd steps seeded from the stored centroids (or reseeded
+      // from current content for heavy drift) over a sample of the index,
+      // one atomic whole-table reassignment rewrite, options flip last
+      // (crash-safe; re-running resumes from the pending centroids;
+      // discardPending=true drops a stale pending stamp instead).
+      // Single-writer: fails if the index commits mid-retrain.
       case "retrain_ivf" =>
         val iters = if (args.size > 1) args(1).toInt else 2
         val frac = if (args.size > 2) args(2).toDouble else 1.0
         val reseed = args.size > 3 && args(3).toBoolean
         val maxRows = if (args.size > 4) args(4).toLong else 0L
+        val discard = args.size > 5 && args(5).toBoolean
         val (c, n) = graft.pipeline.VectorOps.retrainIvfIndex(
           table, iterations = iters, sampleFraction = frac,
-          maxCellRows = maxRows, reseed = reseed)
+          maxCellRows = maxRows, reseed = reseed, discardPending = discard)
         s"retrained $c centroids, rewrote $n rows"
       // CALL sys.rebuild_lsh_sidecar('db.ivf_index') — in-place sidecar
       // upgrade of a pre-sidecar IVF index (or family re-size)

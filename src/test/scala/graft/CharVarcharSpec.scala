@@ -82,6 +82,27 @@ class CharVarcharSpec extends SparkSpec {
       ArrayType(StringType))
   }
 
+  test("CHAR partition keys are rejected at create; VARCHAR partition keys pass") {
+    // CHAR right-pads before partitioning, which would bake trailing
+    // spaces into partition directory names — create must fail loud
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpTable(), StructType(Seq(
+        StructField("k", IntegerType, nullable = false),
+        StructField("r", CharType(3)))), partitionKeys = Seq("r"))
+    }
+    assert(e.getMessage.contains("char(3)") &&
+      e.getMessage.contains("partition"), e.getMessage)
+    // varchar doesn't pad — fine as a partition key, and values
+    // round-trip through partition paths unchanged
+    val t = GraftTable.create(spark, tmpTable(), StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("r", VarcharType(3)))), partitionKeys = Seq("r"))
+    t.write(Seq((1, "ab"), (2, "xyz")).toDF("k", "r"))
+    assert(t.toDF.orderBy("k").collect().map(_.getString(1)).toSeq ===
+      Seq("ab", "xyz"))
+    assert(t.toDF.filter($"r" === "ab").count() === 1)
+  }
+
   test("SQL path: CREATE TABLE with char/varchar enforces on INSERT") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.spark.v2.GraftCatalog].getName)

@@ -87,6 +87,41 @@ class HiveCatalogSpec extends SparkSpec {
       .contains("hdb"))
   }
 
+  test("char/varchar (incl. nested) round-trip through the HMS registry") {
+    // HMS informational columns are a SEPARATE serialization of the
+    // schema (FieldSchema type strings) from the graft schema file — the
+    // r16 nested ARRAY<VARCHAR(n)> regression class. Declared lengths
+    // must enforce on INSERT, nested arrays read back as plain strings,
+    // and a fresh catalog instance over the metastore sees the same.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gh.hdbcv")
+    spark.sql(
+      """CREATE TABLE gh.hdbcv.cv (k INT, c CHAR(4), v VARCHAR(6),
+        |a ARRAY<VARCHAR(5)>) USING graft""".stripMargin)
+    spark.sql(
+      "INSERT INTO gh.hdbcv.cv VALUES (1, 'ab', 'hello', array('way-too-long', 'ok'))")
+    val r = spark.sql("SELECT c, v, a FROM gh.hdbcv.cv").collect()(0)
+    assert(r.getString(0) == "ab  " && r.getString(1) == "hello")
+    assert(r.getSeq[String](2) == Seq("way-too-long", "ok"))
+    val e = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO gh.hdbcv.cv VALUES (2, 'ab', 'toolong7', array())")
+    }
+    assert(e.getMessage.toLowerCase.contains("length"), e.getMessage)
+    // fresh catalog instance: the schema read back through HMS must keep
+    // working (no VarcharType resurrection at runtime)
+    spark.conf.set("spark.sql.catalog.ghcv",
+      classOf[graft.spark.v2.GraftHiveCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ghcv.warehouse", s"$base/warehouse")
+    spark.conf.set("spark.sql.catalog.ghcv.metastore-db", msDb)
+    val r2 = spark.sql("SELECT c, a FROM ghcv.hdbcv.cv").collect()(0)
+    assert(r2.getString(0) == "ab  " && r2.getSeq[String](1).size == 2)
+    spark.sql(
+      "INSERT INTO ghcv.hdbcv.cv VALUES (3, 'cd', 'six', array('x'))")
+    assert(spark.sql("SELECT count(*) FROM ghcv.hdbcv.cv")
+      .collect()(0).getLong(0) == 2)
+    spark.sql("DROP TABLE gh.hdbcv.cv")
+  }
+
   test("a second catalog instance over the same metastore sees the same tables") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gh.hdb2")
     spark.sql("CREATE TABLE gh.hdb2.s (id INT) USING graft")

@@ -141,4 +141,48 @@ class IvfRetrainSpec extends SparkSpec {
     }.toSet
     assert(cells === local)
   }
+
+  test("discardPending drops a stale stamp and retrains with THIS call's args") {
+    val index = VectorOps.buildIvfIndex(df(regimeA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 2)
+    val before = index.schema.option("ivf.centroids", "")
+    // a stale stamp from an abandoned run with bad parameters
+    val stale = (0 until 4).map(a =>
+      Array.tabulate(dim)(d => if (d == a + 4) 1.0 else 0.0)
+        .map(java.lang.Double.toString).mkString(",")).mkString(";")
+    index.evolveBatch(Seq(index.setOptionT("ivf.retrain.pending", stale)))
+    val (nc, _) = VectorOps.retrainIvfIndex(index, iterations = 3,
+      discardPending = true)
+    assert(nc === 4)
+    val installed = index.schema.option("ivf.centroids", "")
+    assert(installed !== stale, "stale pending centroids were resumed")
+    assert(installed !== before, "no retrain happened")
+    assert(index.schema.option("ivf.retrain.pending", "") === "")
+  }
+
+  test("retrain fails loud if the index commits mid-retrain (single-writer contract)") {
+    val index = VectorOps.buildIvfIndex(df(regimeA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 2)
+    // inject "another writer" into the guarded window via the test seam:
+    // an append lands between the retrain's initial read and its
+    // whole-table rewrite — exactly the race the OVERWRITE would
+    // otherwise silently lose
+    VectorOps.retrainMidpointHook = () =>
+      VectorOps.appendToIvfIndex(index,
+        df(cluster(axis = 1, n = 5, base = 7000L, seed = 5)), "vec_id", "v")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        VectorOps.retrainIvfIndex(index, iterations = 2)
+      }
+      assert(e.getMessage.contains("exclusive write access"), e.getMessage)
+    } finally VectorOps.retrainMidpointHook = () => ()
+    // the concurrent append's rows were NOT dropped (no overwrite ran),
+    // and the pending stamp makes a quiet rerun resume and complete
+    assert(index.toDF.count() === (regimeA.size + 5).toLong)
+    assert(index.schema.option("ivf.retrain.pending", "") !== "")
+    val (nc, rewritten) = VectorOps.retrainIvfIndex(index)
+    assert(nc === 4)
+    assert(rewritten === (regimeA.size + 5).toLong)
+    assert(index.schema.option("ivf.retrain.pending", "") === "")
+  }
 }

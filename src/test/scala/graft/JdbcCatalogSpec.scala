@@ -58,6 +58,41 @@ class JdbcCatalogSpec extends SparkSpec {
       == Seq("default"))
   }
 
+  test("char/varchar (incl. nested) round-trip through the JDBC registry") {
+    // the r16 FS-catalog regression was a nested ARRAY<VARCHAR(n)> raw
+    // type resurrecting VarcharType at runtime — the JDBC registry path
+    // serializes schemas separately, so it gets the same round-trip
+    // asserts: declared lengths enforce on INSERT, nested arrays read
+    // back as plain strings, and a reopened catalog sees the same types
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gj.dbcv")
+    spark.sql(
+      """CREATE TABLE gj.dbcv.cv (k INT, c CHAR(4), v VARCHAR(6),
+        |a ARRAY<VARCHAR(5)>) USING graft""".stripMargin)
+    spark.sql(
+      "INSERT INTO gj.dbcv.cv VALUES (1, 'ab', 'hello', array('way-too-long', 'ok'))")
+    val r = spark.sql("SELECT c, v, a FROM gj.dbcv.cv").collect()(0)
+    assert(r.getString(0) == "ab  " && r.getString(1) == "hello")
+    assert(r.getSeq[String](2) == Seq("way-too-long", "ok"))
+    val e = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO gj.dbcv.cv VALUES (2, 'ab', 'toolong7', array())")
+    }
+    assert(e.getMessage.toLowerCase.contains("length"), e.getMessage)
+    // a FRESH catalog instance over the same registry re-reads the
+    // serialized schema: types and enforcement must survive
+    spark.conf.set("spark.sql.catalog.gjcv",
+      classOf[graft.spark.v2.GraftJdbcCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gjcv.warehouse", s"$base/warehouse")
+    spark.conf.set("spark.sql.catalog.gjcv.uri", uri)
+    val r2 = spark.sql("SELECT c, a FROM gjcv.dbcv.cv").collect()(0)
+    assert(r2.getString(0) == "ab  " && r2.getSeq[String](1).size == 2)
+    spark.sql(
+      "INSERT INTO gjcv.dbcv.cv VALUES (3, 'cd', 'six', array('x'))")
+    assert(spark.sql("SELECT count(*) FROM gjcv.dbcv.cv")
+      .collect()(0).getLong(0) == 2)
+    spark.sql("DROP TABLE gj.dbcv.cv")
+  }
+
   test("a second catalog instance over the same registry sees the same tables") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gj.db2")
     spark.sql("CREATE TABLE gj.db2.s (id INT) USING graft")

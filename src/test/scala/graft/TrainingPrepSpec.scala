@@ -324,6 +324,67 @@ class TrainingPrepSpec extends SparkSpec {
     }
   }
 
+  // ---- vocab-driven WordPiece tokenizer (q148) ----
+
+  /** The exact greedy longest-match reference, locally. */
+  private def wpLocal(text: String, vocab: Seq[String],
+      unk: String = "[UNK]"): Seq[String] = {
+    val vset = vocab.toSet
+    val maxLen = vocab.map(p =>
+      if (p.startsWith("##")) p.length - 2 else p.length).max
+    def word(w: String): Seq[String] = {
+      var pos = 0
+      val out = Seq.newBuilder[String]
+      while (pos < w.length) {
+        val best = (math.min(maxLen, w.length - pos) to 1 by -1).find { l =>
+          vset((if (pos > 0) "##" else "") + w.substring(pos, pos + l))
+        }.getOrElse(0)
+        if (best == 0) return Seq(unk)
+        out += (if (pos > 0) "##" else "") + w.substring(pos, pos + best)
+        pos += best
+      }
+      out.result()
+    }
+    text.trim.split("\\s+").filter(_.nonEmpty).toSeq.flatMap(word)
+  }
+
+  test("wordpieceTokens matches the local greedy reference, incl. UNK and continuations") {
+    val vocab = Seq("the", "un", "break", "##able", "##break", "able",
+      "a", "b", "c", "##a", "##b", "##c")
+    val texts = Seq(
+      "the unbreakable cab",   // unbreakable: un ##break ##able; but 'k'∉vocab? -> check
+      "abc cba aabbcc",
+      "breakable able unable",
+      "xyz abc",               // xyz has no vocab chars -> [UNK]
+      "  the   the  ",         // repeated + padding whitespace
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.pipeline.TextOps.wordpieceTokens(col("text"), vocab).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == wpLocal(t, vocab), s"text '$t'")
+    }
+    // longest-match is really longest: "unbreakable" -> un ##break ##able
+    // (not u-n-b-...), and a mid-word dead end UNKs the WHOLE word
+    assert(got(0L) == Seq("the", "un", "##break", "##able", "c", "##a", "##b"))
+    assert(got(3L) == Seq("[UNK]", "a", "##b", "##c"))
+    // count column agrees
+    val counts = df.select(col("doc_id"), graft.pipeline.TextOps
+        .wordpieceCount(col("text"), vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(counts(i.toLong) == wpLocal(t, vocab).size) }
+    // the committed q148 vocab tokenizes the fixture with zero UNKs
+    // (ASCII totality: every letter/digit in both forms)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val unks = docs.select(explode(graft.pipeline.TextOps.wordpieceTokens(
+        col("text"), SparkEntry.WordpieceVocab)).as("t"))
+      .filter(col("t") === "[UNK]").count()
+    assert(unks === 0L)
+  }
+
   test("deterministic shuffle is a stable seeded permutation") {
     val df = (0L until 500L).toDF("doc_id").repartition(5)
     def posOf(seed: Long): Map[Long, Long] =
