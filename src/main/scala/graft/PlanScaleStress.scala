@@ -66,6 +66,7 @@ object PlanScaleStress {
       else GraftTable.create(spark, s"$base/t", schema,
         partitionKeys = Seq("p"))
     val store = t.store
+    val decompose = sys.env.contains("PLAN_DECOMPOSE")
 
     def time[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val out = f
@@ -122,6 +123,36 @@ object PlanScaleStress {
     def planStats() = time(
       t.toDF.filter(col("k") >= hiKey)
         .queryExecution.toRdd.getNumPartitions)
+    // PLAN_DECOMPOSE=1: time each planning layer in isolation against the
+    // prebuilt table — separates the store-level manifest fold from the
+    // index-level predicate evaluation from Spark's physical planning
+    if (decompose) {
+      import graft.core.Pruning
+      def stage(name: String)(f: => Any): Unit = {
+        val (s1, r1) = time(f); val (s2, _) = time(f)
+        println(f"[decompose] $name%-28s first=$s1%7.3f warm=$s2%7.3f  ($r1)")
+      }
+      val sn = store.latestSnapshot.get
+      stage("fold_all")(store.liveFiles(sn).size)
+      val keep = (m: graft.core.ManifestMeta) => (m.ptMin, m.ptMax) match {
+        case (Some(lo), Some(hi)) =>
+          Pruning.shardMightMatch(
+            org.apache.spark.sql.sources.EqualTo("p", "p0000"),
+            Seq("p"), lo, hi)
+        case _ => true
+      }
+      stage("fold_shard_skipped")(store.liveFiles(sn, keep).size)
+      val nSkip = sn.manifestMeta.count(m => m.addOnly && !keep(m))
+      println(s"[decompose] shards=${sn.manifestMeta.size} skipped=$nSkip")
+      stage("df_analyze")(t.toDF.filter(col("p") === "p0000")
+        .queryExecution.optimizedPlan.toString.length)
+      stage("plan_full")(t.toDF.queryExecution.toRdd.getNumPartitions)
+      stage("plan_pruned")(t.toDF.filter(col("p") === "p0000")
+        .queryExecution.toRdd.getNumPartitions)
+      stage("plan_stats")(t.toDF.filter(col("k") >= hiKey)
+        .queryExecution.toRdd.getNumPartitions)
+      spark.stop(); return
+    }
     val (fullSec, fullParts) = planFull()
     val planHeapMb = math.max(0L, heapUsed() - h0) / (1 << 20)
     val (prunedSec, prunedParts) = planPruned()

@@ -141,8 +141,9 @@ object GraftAggPushdown {
     val snap = snapshot.orElse(table.store.latestSnapshot)
     val files: Seq[DataFileMeta] = snap match {
       case None => Nil
-      case Some(s) => table.store.liveFiles(s).filter(f =>
-        filters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)))
+      case Some(s) =>
+        val keep = Pruning.partitionKeep(filters, partKeys, typeOf)
+        table.store.liveFiles(s).filter(f => keep(f.partition))
     }
 
     // per-file feasibility for the requested aggregates

@@ -210,9 +210,8 @@ class GraftScan(
     val applicable = runtimeFilters.filter(f =>
       f.references.nonEmpty && f.references.forall(partKeys.contains))
     if (applicable.nonEmpty) {
-      runtimeSelected = Some(prunedFiles.filter(f =>
-        applicable.forall(p =>
-          Pruning.partitionMatches(p, partKeys, typeOf, f.partition))))
+      val keep = Pruning.partitionKeep(applicable.toSeq, partKeys, typeOf)
+      runtimeSelected = Some(prunedFiles.filter(f => keep(f.partition)))
     }
   }
 
@@ -364,7 +363,7 @@ class GraftScan(
       case None => Nil
       case Some(s) =>
         val typeOf: String => Option[DataType] =
-          n => schema.fields.find(_.name == n).map(_.sparkType)
+          schema.fields.map(f => f.name -> f.sparkType).toMap.get
         val partKeys = schema.partitionKeys
         // pre-merge file pruning on a PK table may only use KEY-determined
         // columns — a value-column predicate could drop the file holding a
@@ -411,10 +410,19 @@ class GraftScan(
           if (s.manifestMeta.nonEmpty && s.manifestMeta.forall(_.addOnly))
             s.manifestMeta.map(_.entries).sum
           else candidates.size
+        // compiled/memoized predicate evaluation (see GraftFileIndex
+        // .listFiles): partition predicates once per distinct tuple,
+        // stats predicates with types + literals pre-resolved
+        val partKeep = Pruning.partitionKeep(partFilters, partKeys, typeOf)
+        val statsKeep: DataFileMeta => Boolean =
+          if (pruningFilters.isEmpty) _ => true
+          else {
+            val compiled = pruningFilters.map(p => Pruning.compileMight(p, typeOf))
+            f => compiled.forall(_(f.stats, f.rowCount))
+          }
         val selected = candidates.filter { f =>
-          partFilters.forall(p => Pruning.partitionMatches(p, partKeys, typeOf, f.partition)) &&
-          bucketKeep(f) && dynKeep(f) && xpKeep(f) &&
-          pruningFilters.forall(p => Pruning.mightMatch(p, typeOf, f.stats, f.rowCount)) &&
+          partKeep(f.partition) &&
+          bucketKeep(f) && dynKeep(f) && xpKeep(f) && statsKeep(f) &&
           GraftFileIndex.bloomMightMatch(table.store, schema, f, pruningFilters)
         }
         limit match {

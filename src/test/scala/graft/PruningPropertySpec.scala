@@ -139,6 +139,22 @@ class PruningPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("compiled stats predicate is exactly the interpreted mightMatch") {
+    // compileMight pre-resolves types + literals once per plan; any
+    // divergence from the interpreter is a correctness bug (a stricter
+    // compiled form would silently drop files)
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(genRow), genFilter(3)) { (rows, filter) =>
+      val st = statsOf(rows)
+      val interpreted = Pruning.mightMatch(filter, types.get, st, rows.size.toLong)
+      val compiled = Pruning.compileMight(filter, types.get)(st, rows.size.toLong)
+      interpreted == compiled
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pruning has teeth: clearly-disjoint ranges are actually skipped") {
     val rows = (1 to 10).map(i => Map[String, Any]("a" -> i.toLong, "d" -> i.toDouble, "s" -> "m"))
     val st = statsOf(rows)
