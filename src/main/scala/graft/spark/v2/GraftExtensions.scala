@@ -151,6 +151,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.pipeline.TextOps.chunkArray(as.head, intLit(as(1)),
         if (as.size > 2) intLit(as(2)) else 0)
     }
+    // the vocab must be a LITERAL array (it is baked into the expression
+    // tree as a map datum, exactly like the Scala API's Seq parameter)
+    def strArrayLit(e: org.apache.spark.sql.Column): Seq[String] = {
+      val expr = org.apache.spark.sql.graft.SparkShims.realExpr(e)
+      require(expr.foldable && expr.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType],
+        s"parameter must be an array<string> literal, got: ${expr.sql}")
+      expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(v => require(v != null, "vocab pieces must not be null") -> v)
+        .map(_._2.toString).toSeq
+    }
+    injectColumnFn("graft_wordpiece",
+      "graft_wordpiece(text, vocab_array[, unk]): greedy longest-match " +
+        "WordPiece pieces (\"##\" continuations, whole-word unk on a dead " +
+        "end) over a LITERAL vocab array", 2, 3) { as =>
+      graft.pipeline.TextOps.wordpieceTokens(as.head, strArrayLit(as(1)),
+        if (as.size > 2) {
+          val u = org.apache.spark.sql.graft.SparkShims.realExpr(as(2))
+          require(u.foldable && u.dataType ==
+              org.apache.spark.sql.types.StringType,
+            s"unk must be a string literal, got: ${u.sql}")
+          u.eval(null).toString
+        } else "[UNK]")
+    }
   }
 }
 

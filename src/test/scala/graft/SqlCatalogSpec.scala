@@ -322,6 +322,29 @@ class SqlCatalogSpec extends SparkSpec {
         "(SELECT 'a b' AS text, 4 AS n_ish)").collect()
     }
     assert(e.getMessage.contains("integer literal"), e.getMessage)
+
+    // WordPiece over a literal vocab: SQL fn equals the Scala API,
+    // including the whole-word UNK on a dead end and a custom unk token
+    val vocab = Seq("the", "qu", "fox", "dog", "##ick", "##s", "a", "b", "##c")
+    val vocabSql = vocab.map(p => s"'$p'").mkString("ARRAY(", ", ", ")")
+    val wpSql = spark.sql(
+      s"""SELECT doc_id, graft_wordpiece(text, $vocabSql) AS toks
+         |FROM fn_docs""".stripMargin)
+    val wpApi = spark.table("fn_docs").select(col("doc_id"),
+      graft.pipeline.TextOps.wordpieceTokens(col("text"), vocab).as("toks"))
+    assert(wpSql.exceptAll(wpApi).count() == 0 &&
+      wpApi.exceptAll(wpSql).count() == 0)
+    // "theicks" = the + ##ick + ##s (greedy continuations); "thequick"
+    // dead-ends after "the" ("qu" is initial-only) -> whole-word unk
+    val wpUnk = spark.sql(
+      s"SELECT graft_wordpiece('theicks thequick', $vocabSql, '<unk>') AS t")
+      .collect()(0).getSeq[String](0)
+    assert(wpUnk == Seq("the", "##ick", "##s", "<unk>"), wpUnk.toString)
+    val ev = intercept[Exception] {
+      spark.sql("SELECT graft_wordpiece(text, ARRAY(text)) FROM fn_docs")
+        .collect()
+    }
+    assert(ev.getMessage.contains("literal"), ev.getMessage)
   }
 
   test("metadata columns: __file_path on raw scans, __bucket on merged reads") {
