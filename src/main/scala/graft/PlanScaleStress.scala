@@ -81,7 +81,16 @@ object PlanScaleStress {
     // append layout, contiguous key ranges per file so stats-based
     // skipping has real structure ----
     val perCommit = 2000
-    var made = if (preBuilt) totalFiles else 0
+    // a prebuilt table supplies its ACTUAL file count — a rerun with a
+    // different <files> argument must not silently report numbers for
+    // the old size under the new label (hiKey/plan_stats would also
+    // prune to zero); fabrication tops the table up to totalFiles
+    var made = if (preBuilt)
+      store.latestSnapshot.map(s => store.liveFiles(s).size).getOrElse(0)
+    else 0
+    require(made <= totalFiles,
+      s"prebuilt table at $base/t already has $made files > requested " +
+        s"$totalFiles — point the probe at a fresh dir or raise <files>")
     var commitTotal = 0.0
     var commitLast = 0.0
     while (made < totalFiles) {

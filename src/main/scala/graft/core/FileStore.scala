@@ -329,58 +329,72 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       var meta = manifests.map(m =>
         baseMeta.getOrElse(m, if (m == deltaName) manifestMetaOf(m, delta)
           else manifestMetaOf(m, readManifest(m))))
-      // Manifest compaction: when the chain grows past the threshold, fold
-      // it into bounded-size ADD-only shards packed by partition, each with
-      // partition-range metadata for planning-time shard skipping. The delta
-      // manifest file itself survives for incremental reads.
+      // Manifest compaction, INCREMENTAL (reference: ManifestFileMeta
+      // .merge:148 leaves full manifests untouched). The longest PREFIX of
+      // full ADD-only shards is kept verbatim — never read, never
+      // rewritten — and only the SUFFIX (the tail: deltas, undersized or
+      // partial shards, residual-delete manifests) folds, replaced in its
+      // own chain position by its exact net effect:
+      //   • the tail's last-wins live files, as partition-sorted ADD-only
+      //     shards (narrow partition ranges → planning-time shard skip);
+      //   • the tail's DELETEs of paths it did not itself re-add last, as
+      //     ONE residual DELETE manifest placed after the shards — those
+      //     can only target prefix entries (or be no-ops).
+      // Because kept manifests keep their chain positions and the
+      // replacement preserves the suffix's net (adds, foreign-deletes)
+      // effect on ANY prior state, last-wins equivalence is structural:
+      // no reordering hazard, no demotion scans, and a fold costs
+      // O(tail) manifest IO even in a cold process. (The pre-r17 full
+      // rewrite made a 10⁵-file chain pay O(N²/threshold) total commit
+      // wall — measured 46× at 10× files in PlanScaleStress.)
       //
-      // INCREMENTAL (reference: ManifestFileMeta.merge:148 leaves full
-      // manifests untouched): a FULL ADD-only shard whose paths the rest
-      // of the chain never references survives AS-IS — no re-serialization,
-      // no IO — and only the tail (deltas, undersized shards, and any full
-      // shard the tail's ADD/DELETE paths hit, which is demoted back into
-      // the fold) rewrites. Folding cost is O(tail) instead of O(live
-      // files), so commit wall stays amortized O(1) per file; the pre-r17
-      // full rewrite made a 10⁵-file chain pay O(N²/threshold) total
-      // (measured 46× commit wall at 10× files in PlanScaleStress).
+      // The trigger counts the TAIL, not the chain: kept shards
+      // accumulate without bound as the table grows, and a chain-length
+      // trigger would fold on every commit, packing each commit into one
+      // whole-partition-range shard that skipping can never drop
+      // (measured: 12 of 245 shards skippable at 1M files).
       //
-      // Equivalence: liveFiles folds manifests in order with last-wins
-      // per path. Kept shards' paths are untouched by the tail (demotion
-      // guarantees it), so fold(chain) = kept-entries ∪ fold(tail) — and
-      // tail DELETEs of tail-foreign paths were no-ops in the old full
-      // fold too (conflict-checked at commit time).
-      // trigger on the TAIL length (manifests that are not full kept
-      // shards), not the chain length: kept shards accumulate without
-      // bound as the table grows, so a chain-length trigger would fold on
-      // EVERY commit past the threshold — each fold then packs just one
-      // commit's files into a single shard spanning the whole partition
-      // range (measured: only 12 of 245 shards skippable on a 1M-file
-      // partition-pruned plan). Tail-triggered folds batch ~threshold
-      // commits per stratum, whose partition sort yields multiple
-      // narrow-range shards that planning-time shard skipping can drop.
+      // Residual deletes re-merge each fold and only shrink when a FULL
+      // fold (read everything in chain order, emit pure ADD-only shards)
+      // clears them — triggered once they pile past a shard's worth, so
+      // the full-fold cost is amortized O(1) per deleted file.
       val metaByName = manifests.zip(meta).toMap
-      val fullShard = manifests.filter(m => metaByName.get(m).exists(mm =>
-        mm.addOnly && mm.entries == maxManifestEntries)).toSet
-      if (manifests.size - fullShard.size > manifestMergeThreshold) {
-        val tail0 = manifests.filterNot(fullShard)
-        val touched = tail0.iterator.flatMap(m => readManifest(m))
-          .map(_.file.path).toSet
-        val kept = manifests.filter(m => fullShard(m) &&
-          !readManifest(m).exists(e => touched(e.file.path)))
-        val keptSet = kept.toSet
+      def fullAddShard(m: String): Boolean = metaByName.get(m).exists(mm =>
+        mm.addOnly && mm.entries == maxManifestEntries)
+      val keptN = manifests.segmentLength(fullAddShard, 0)
+      if (manifests.size - keptN > manifestMergeThreshold) {
+        val tail0 = manifests.drop(keptN)
         val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
-        manifests.filterNot(keptSet).foreach(m => readManifest(m).foreach { e =>
+        val deleted = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+        tail0.foreach(m => readManifest(m).foreach { e =>
           if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
-          else live.remove(e.file.path)
+          else { live.remove(e.file.path); deleted.put(e.file.path, e.file) }
         })
-        val sorted = live.values.toVector.sortBy(_.partition)(PartTupleOrdering)
+        val residual = deleted.filter { case (p, _) => !live.contains(p) }
+        val (kept, foldLive) =
+          if (residual.size <= maxManifestEntries)
+            (manifests.take(keptN), live)
+          else {
+            // FULL fold: residual deletes piled up — re-read the whole
+            // chain in order so stale prefix entries (the deletes'
+            // targets) drop out and the residual manifest clears
+            val all = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+            manifests.foreach(m => readManifest(m).foreach { e =>
+              if (e.kind == ManifestEntry.ADD) all.put(e.file.path, e.file)
+              else all.remove(e.file.path)
+            })
+            residual.clear()
+            (Vector.empty[String], all)
+          }
+        val sorted = foldLive.values.toVector.sortBy(_.partition)(PartTupleOrdering)
         val shards = sorted.grouped(maxManifestEntries).toVector
         val names = shards.map(fs =>
-          writeManifest(fs.map(f => ManifestEntry(ManifestEntry.ADD, f))))
+          writeManifest(fs.map(f => ManifestEntry(ManifestEntry.ADD, f)))) ++
+          (if (residual.isEmpty) Nil else Seq(writeManifest(
+            residual.values.map(f => ManifestEntry(ManifestEntry.DELETE, f)).toVector)))
         manifests = kept ++ names
-        meta = kept.map(metaByName) ++ names.zip(shards).map { case (n, fs) =>
-          manifestMetaOf(n, fs.map(f => ManifestEntry(ManifestEntry.ADD, f)))
-        }
+        meta = kept.map(metaByName) ++ names.map(n =>
+          manifestMetaOf(n, readManifest(n)))
       }
 
       val snap = Snapshot(

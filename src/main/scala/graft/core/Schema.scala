@@ -252,6 +252,31 @@ case class TableSchema(
     options.contains("changelog.num-retained.max") ||
       options.contains("changelog.time-retained")
 
+  /** CREATE-ONLY checks, on top of [[validate]] — rejections that must not
+    * re-run on evolved schemas (validate() runs on every schema version,
+    * and partition keys can never change, so re-rejecting one here would
+    * leave a pre-existing table permanently un-alterable).
+    */
+  def validateCreate(): Unit = {
+    validate()
+    // CHAR partition keys: the write side right-pads CHAR values to fixed
+    // width (charVarcharWriteSide), so a CHAR partition key would bake
+    // trailing spaces into partition directory names and static-partition
+    // specs — fragile on path round-trips and surprising in overwrite
+    // specs (reference: SchemaValidation-style create-time rejects).
+    // VARCHAR doesn't pad and is fine.
+    partitionKeys.foreach { k =>
+      fields.find(_.name == k).foreach { f =>
+        f.charVarcharSpec.foreach { case (isChar, n) =>
+          require(!isChar,
+            s"partition key '$k' has type char($n): CHAR right-pads " +
+              "values to the declared width, so partition paths would " +
+              "carry trailing spaces; use varchar or string partition keys")
+        }
+      }
+    }
+  }
+
   /** Create-time option validation (reference: schema/SchemaValidation.java
     * :174-530 — the combinations the reference rejects outright).
     */
@@ -267,22 +292,6 @@ case class TableSchema(
       require(l >= 0, s"file.format.per.level level must be >= 0, got $l")
       require(f == "parquet" || f == "orc" || f == "avro",
         s"unsupported file.format.per.level format: $f (expected parquet, orc or avro)")
-    }
-    // CHAR partition keys are rejected at create time: the write side
-    // right-pads CHAR values to fixed width (charVarcharWriteSide), so a
-    // CHAR partition key would bake trailing spaces into partition
-    // directory names and static-partition specs — fragile on path
-    // round-trips and surprising in overwrite specs (reference:
-    // SchemaValidation-style create-time rejects). VARCHAR is fine.
-    partitionKeys.foreach { k =>
-      fields.find(_.name == k).foreach { f =>
-        f.charVarcharSpec.foreach { case (isChar, n) =>
-          require(!isChar,
-            s"partition key '$k' has type char($n): CHAR right-pads " +
-              "values to the declared width, so partition paths would " +
-              "carry trailing spaces; use varchar or string partition keys")
-        }
-      }
     }
     // eager stats-mode parse: a typo must fail DDL, not the first write
     options.get("metadata.stats-mode").foreach(TableSchema.parseStatsMode)

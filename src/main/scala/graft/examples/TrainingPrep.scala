@@ -108,10 +108,13 @@ object TrainingPrep {
     val placed = TextOps.packSequences(shuffled, "doc_id",
       TextOps.wordpieceCount(col("text"), graft.SparkEntry.WordpieceVocab),
       seqLen = 256, sepTokens = 1)
-    val wpSeqs = placed.agg(max("last_seq")).collect()(0).getLong(0) + 1
-    val wpTokens = placed.agg(sum("n_tokens")).collect()(0).getLong(0)
-    println(s"[prep] wordpiece_pack    sequences=$wpSeqs " +
-      s"(subword tokens=$wpTokens)")
+    // one combined agg = one job over the packed frame; coalesce covers
+    // an empty corpus (max/sum are NULL then)
+    val wpRow = placed.agg(
+      coalesce(max("last_seq"), lit(-1L)).as("m"),
+      coalesce(sum("n_tokens"), lit(0L)).as("s")).collect()(0)
+    println(s"[prep] wordpiece_pack    sequences=${wpRow.getLong(0) + 1} " +
+      s"(subword tokens=${wpRow.getLong(1)})")
 
     // 9. the training corpus lands as a graft table
     val out = GraftTable.create(spark, s"$base/packed", packed.schema)

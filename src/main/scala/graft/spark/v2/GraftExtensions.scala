@@ -155,13 +155,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tree as a map datum, exactly like the Scala API's Seq parameter)
     def strArrayLit(e: org.apache.spark.sql.Column): Seq[String] = {
       val expr = org.apache.spark.sql.graft.SparkShims.realExpr(e)
-      require(expr.foldable && expr.dataType.isInstanceOf[
-          org.apache.spark.sql.types.ArrayType],
+      val strArray = expr.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => true
+        case _ => false
+      }
+      require(expr.foldable && strArray,
         s"parameter must be an array<string> literal, got: ${expr.sql}")
-      expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val datum = expr.eval(null)
+      require(datum != null, "vocab array literal must not be NULL")
+      datum.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toObjectArray(org.apache.spark.sql.types.StringType)
-        .map(v => require(v != null, "vocab pieces must not be null") -> v)
-        .map(_._2.toString).toSeq
+        .map { v =>
+          require(v != null, "vocab pieces must not be null")
+          v.toString
+        }.toSeq
     }
     injectColumnFn("graft_wordpiece",
       "graft_wordpiece(text, vocab_array[, unk]): greedy longest-match " +

@@ -1738,7 +1738,7 @@ object GraftTable {
     val store = new FileStore(path, spark.sessionState.newHadoopConf())
     require(!store.schemaExists, s"table already exists at $path")
     val ts = TableSchema.create(schema, partitionKeys, primaryKeys, options)
-    ts.validate()
+    ts.validateCreate()
     store.commitSchema(ts)
     new GraftTable(spark, store)
   }

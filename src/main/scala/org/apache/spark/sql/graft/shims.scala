@@ -29,6 +29,16 @@ object SparkShims {
   def realExpr(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Drop all cached DSv2 catalog instances so the next use re-reads
+    * `spark.sql.catalog.<name>.*` — CatalogManager caches instances per
+    * session and never invalidates on conf change, so re-pointing a
+    * catalog name at a different warehouse (tests; notebook sessions)
+    * silently keeps the old instance without this.
+    */
+  def resetCatalogCache(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.reset()
+
   /** DataFrame over an analyzed/resolvable logical plan. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -103,11 +103,31 @@ class CharVarcharSpec extends SparkSpec {
     assert(t.toDF.filter($"r" === "ab").count() === 1)
   }
 
+  test("pre-existing CHAR partition keys do not block schema evolution") {
+    // the CHAR-partition reject is CREATE-only (schema id 0): a table
+    // created before the reject existed must stay alterable — partition
+    // keys can never change, so re-rejecting on every evolved schema
+    // would leave such a table permanently frozen
+    val dir = tmpTable()
+    val store = new graft.core.FileStore(dir,
+      spark.sessionState.newHadoopConf())
+    store.commitSchema(graft.core.TableSchema.create(StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("r", CharType(3)))), partitionKeys = Seq("r")))
+    val t = GraftTable.load(spark, dir)
+    t.evolveBatch(Seq(t.setOptionT("scan.plan-sort-partition", "true")))
+    assert(t.schema.option("scan.plan-sort-partition", "") == "true")
+    assert(t.schema.id == 1L)
+  }
+
   test("SQL path: CREATE TABLE with char/varchar enforces on INSERT") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.spark.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.warehouse",
       java.nio.file.Files.createTempDirectory("graft-wh-cv").toString)
+    // shared session: re-pointing 'graft' at this suite's warehouse only
+    // takes effect if the cached catalog instance is dropped
+    org.apache.spark.sql.graft.SparkShims.resetCatalogCache(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
     spark.sql(
       "CREATE TABLE graft.db.cv (k INT, c CHAR(4), v VARCHAR(6)) USING graft")

@@ -1,0 +1,99 @@
+package graft
+
+import graft.core.{ColStats, DataFileMeta, FileStore, ManifestEntry, Pruning}
+import graft.table.GraftTable
+import org.apache.spark.sql.types._
+
+/** Property test for the INCREMENTAL manifest fold (FileStore.commit):
+  * random interleaved ADD/DELETE commit sequences, driven with tiny
+  * thresholds so incremental folds, residual-DELETE manifests, and the
+  * residual-clearing FULL fold all trigger many times. The oracle is a
+  * live-set map maintained by the test — after every commit,
+  * `liveFiles` must equal it exactly (path AND metadata), and a
+  * shard-filtered fold must equal the oracle restricted to matching
+  * partitions. A wrong fold here silently loses or resurrects data
+  * files — the worst failure mode a table format can have.
+  */
+class ManifestFoldPropertySpec extends SparkSpec {
+
+  private def newStore(dir: String): FileStore =
+    new FileStore(dir, spark.sessionState.newHadoopConf()) {
+      override val manifestMergeThreshold = 3
+      override val maxManifestEntries = 8
+    }
+
+  private def fileOf(id: Int, part: String, schemaId: Long): DataFileMeta =
+    DataFileMeta(
+      path = f"data/p=$part/f-$id%06d.parquet",
+      size = 1L << 20, rowCount = 100L,
+      partition = Seq(part), bucket = 0, level = 0,
+      minSeq = 0L, maxSeq = 0L, schemaId = schemaId,
+      stats = Map("k" -> ColStats(Some(id.toString), Some(id.toString), 0L)))
+
+  test("random ADD/DELETE commit sequences: fold preserves the exact live set") {
+    val dir = tmpTable()
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("p", StringType), StructField("k", LongType))),
+      partitionKeys = Seq("p"))
+    val store = newStore(dir)
+    val rnd = new scala.util.Random(42)
+    val expected = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+    var nextId = 0
+    var sawResidual = false
+    var sawPrefixReuse = false
+    var prevFullShards = Set.empty[String]
+
+    (0 until 120).foreach { round =>
+      val adds = (0 until (1 + rnd.nextInt(5))).map { _ =>
+        val f = fileOf(nextId, s"p${rnd.nextInt(4)}", t.schema.id)
+        nextId += 1
+        f
+      }
+      // delete-heavy bursts push residuals past maxManifestEntries (8)
+      // so the full-fold clearing branch runs too
+      val delCount =
+        if (round % 17 == 16) math.min(12, expected.size)
+        else rnd.nextInt(math.min(4, expected.size + 1))
+      val dels = rnd.shuffle(expected.keys.toVector).take(delCount)
+        .map(expected(_))
+      val delta = adds.map(f => ManifestEntry(ManifestEntry.ADD, f)) ++
+        dels.map(f => ManifestEntry(ManifestEntry.DELETE, f))
+      store.commit(delta, "APPEND")
+      adds.foreach(f => expected.put(f.path, f))
+      dels.foreach(f => expected.remove(f.path))
+
+      val snap = store.latestSnapshot.get
+      val live = store.liveFiles(snap)
+      assert(live.size == live.map(_.path).distinct.size,
+        s"round $round: duplicate paths in liveFiles")
+      assert(live.map(f => f.path -> f).toMap == expected.toMap,
+        s"round $round: fold diverged from the oracle " +
+          s"(live=${live.size}, expected=${expected.size})")
+
+      // shard-filtered fold == oracle restricted to the partition
+      val metaByName = snap.manifestMeta.map(m => m.name -> m).toMap
+      val only = store.liveFiles(snap, m => (m.ptMin, m.ptMax) match {
+        case (Some(lo), Some(hi)) => Pruning.shardMightMatch(
+          org.apache.spark.sql.sources.EqualTo("p", "p1"), Seq("p"), lo, hi)
+        case _ => true
+      })
+      assert(only.filter(_.partition == Seq("p1")).map(_.path).toSet ==
+        expected.values.filter(_.partition == Seq("p1")).map(_.path).toSet,
+        s"round $round: shard-filtered fold diverged")
+
+      val fullShards = snap.manifests.filter(m => metaByName.get(m).exists(
+        mm => mm.addOnly && mm.entries == 8L)).toSet
+      if (snap.manifestMeta.exists(m => !m.addOnly &&
+          snap.deltaManifests.forall(_ != m.name))) sawResidual = true
+      if ((fullShards & prevFullShards).nonEmpty &&
+          snap.manifests.size != prevFullShards.size) sawPrefixReuse = true
+      prevFullShards = fullShards
+    }
+    assert(expected.nonEmpty)
+    assert(sawResidual,
+      "no residual DELETE manifest ever appeared — the delete-preserving " +
+        "incremental fold path was never exercised")
+    assert(sawPrefixReuse,
+      "no kept-prefix shard survived across folds — incrementality broken")
+  }
+}

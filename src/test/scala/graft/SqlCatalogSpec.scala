@@ -13,6 +13,11 @@ class SqlCatalogSpec extends SparkSpec {
     super.beforeAll()
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.spark.v2.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    // the session is shared across suites and CatalogManager caches
+    // catalog instances by name — drop any 'graft' instance another
+    // suite pinned to ITS warehouse, or this suite's path asserts
+    // silently inspect the wrong directory (order-dependent flake)
+    org.apache.spark.sql.graft.SparkShims.resetCatalogCache(spark)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
   }
 
