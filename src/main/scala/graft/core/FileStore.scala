@@ -170,19 +170,50 @@ class FileStore(val root: String, val hadoopConf: Configuration,
   // ---------------- manifests ----------------
 
   // Manifest files are immutable → safe to cache across reads (reference:
-  // paimon-core org/apache/paimon/utils/ObjectsCache.java:39).
-  private val manifestCache = TrieMap.empty[String, Seq[ManifestEntry]]
+  // paimon-core org/apache/paimon/utils/ObjectsCache.java:39 — also a
+  // BOUNDED cache there). Bounded LRU by total cached ENTRY count, not
+  // manifest count: an unbounded map pins ~500 B × live files of driver
+  // heap forever (≈5 GB at 10⁷ files / ~1 PB) — eviction is always safe
+  // (immutable files re-read on miss), and the planning working set
+  // (the current snapshot's shards) stays resident under any sane bound.
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Seq[ManifestEntry]](256, 0.75f, true) {
+      private var cachedEntries = 0L
+      override def put(k: String, v: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+        val prev = super.put(k, v)
+        cachedEntries += v.size - (if (prev == null) 0 else prev.size)
+        val it = entrySet().iterator()
+        while (cachedEntries > manifestCacheMaxEntries && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) { cachedEntries -= e.getValue.size; it.remove() }
+          else return prev // never evict what was just inserted
+        }
+        prev
+      }
+    }
+
+  /** Cached-manifest budget in ENTRIES (~500 B each → default ≈ 2 GB). */
+  val manifestCacheMaxEntries: Long = 4000000L
 
   def writeManifest(entries: Seq[ManifestEntry]): String = {
     val name = s"manifest-${UUID.randomUUID()}.json"
     writeString(new Path(manifestDir, name), ManifestCodec.entriesToJson(entries))
-    manifestCache.put(name, entries.toVector)
+    manifestCache.synchronized { manifestCache.put(name, entries.toVector) }
     name
   }
 
-  def readManifest(name: String): Seq[ManifestEntry] =
-    manifestCache.getOrElseUpdate(name,
-      ManifestCodec.entriesFromJson(readString(new Path(manifestDir, name))).toVector)
+  def readManifest(name: String): Seq[ManifestEntry] = {
+    val hit = manifestCache.synchronized { manifestCache.get(name) }
+    if (hit != null) hit
+    else {
+      // parse OUTSIDE the lock — concurrent planners must not serialize
+      // on each other's IO; a racing double-read just caches last-wins
+      val parsed =
+        ManifestCodec.entriesFromJson(readString(new Path(manifestDir, name))).toVector
+      manifestCache.synchronized { manifestCache.put(name, parsed) }
+      parsed
+    }
+  }
 
   /** Live data files of a snapshot: fold ADD/DELETE entries in manifest order. */
   def liveFiles(s: Snapshot): Seq[DataFileMeta] = liveFiles(s, _ => true)

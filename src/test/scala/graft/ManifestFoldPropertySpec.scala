@@ -20,6 +20,9 @@ class ManifestFoldPropertySpec extends SparkSpec {
     new FileStore(dir, spark.sessionState.newHadoopConf()) {
       override val manifestMergeThreshold = 3
       override val maxManifestEntries = 8
+      // thrash the bounded manifest LRU (each shard has up to 8 entries)
+      // so every fold and liveFiles call exercises read-after-evict
+      override val manifestCacheMaxEntries = 10L
     }
 
   private def fileOf(id: Int, part: String, schemaId: Long): DataFileMeta =
