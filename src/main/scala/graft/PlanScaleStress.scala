@@ -155,6 +155,13 @@ object PlanScaleStress {
       println(s"[decompose] shards=${sn.manifestMeta.size} skipped=$nSkip")
       stage("df_analyze")(t.toDF.filter(col("p") === "p0000")
         .queryExecution.optimizedPlan.toString.length)
+      // index-side cost in isolation (fold + per-file filter + FileStatus
+      // + PartitionDirectory grouping), fresh index per call — what the
+      // full plan pays before Spark's FilePartition binning
+      stage("listfiles_full")(
+        new graft.spark.GraftFileIndex(spark, store, t.schema, Left(sn),
+            StructType(Seq(StructField("p", StringType))))
+          .listFiles(Nil, Nil).iterator.map(_.files.length).sum)
       stage("plan_full")(t.toDF.queryExecution.toRdd.getNumPartitions)
       stage("plan_pruned")(t.toDF.filter(col("p") === "p0000")
         .queryExecution.toRdd.getNumPartitions)
