@@ -202,7 +202,14 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     name
   }
 
-  def readManifest(name: String): Seq[ManifestEntry] = {
+  def readManifest(name: String): Seq[ManifestEntry] = readManifest(name, true)
+
+  /** `cacheOnMiss = false` keeps a bulk sequential pass (a full-chain fold
+    * whose entry span exceeds the cache budget) from cycling the LRU to a
+    * guaranteed 0% hit rate — the scan streams past, the cache keeps the
+    * working set pruned plans actually revisit.
+    */
+  def readManifest(name: String, cacheOnMiss: Boolean): Seq[ManifestEntry] = {
     val hit = manifestCache.synchronized { manifestCache.get(name) }
     if (hit != null) hit
     else {
@@ -210,9 +217,23 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       // on each other's IO; a racing double-read just caches last-wins
       val parsed =
         ManifestCodec.entriesFromJson(readString(new Path(manifestDir, name))).toVector
-      manifestCache.synchronized { manifestCache.put(name, parsed) }
+      if (cacheOnMiss)
+        manifestCache.synchronized { manifestCache.put(name, parsed) }
       parsed
     }
+  }
+
+  /** Last-wins ADD/DELETE fold of manifests in chain order — THE fold
+    * semantic every reader and compaction shares.
+    */
+  private def foldEntries(ms: Iterable[String], cacheOnMiss: Boolean)
+      : scala.collection.mutable.LinkedHashMap[String, DataFileMeta] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+    ms.foreach(m => readManifest(m, cacheOnMiss).foreach { e =>
+      if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
+      else live.remove(e.file.path)
+    })
+    live
   }
 
   /** Live data files of a snapshot: fold ADD/DELETE entries in manifest order. */
@@ -227,15 +248,14 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     */
   def liveFiles(s: Snapshot, keepShard: ManifestMeta => Boolean): Seq[DataFileMeta] = {
     val metaByName = s.manifestMeta.map(m => m.name -> m).toMap
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
-    s.manifests.foreach { m =>
-      val skip = metaByName.get(m).exists(meta => meta.addOnly && !keepShard(meta))
-      if (!skip) readManifest(m).foreach { e =>
-        if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
-        else live.remove(e.file.path)
-      }
-    }
-    live.values.toVector
+    val read = s.manifests.filterNot(m =>
+      metaByName.get(m).exists(meta => meta.addOnly && !keepShard(meta)))
+    // scan resistance: a fold whose entry span exceeds the cache budget
+    // would cycle the LRU to a 0% hit rate — stream it uncached instead
+    val span = read.iterator.map(m =>
+      metaByName.get(m).map(_.entries).getOrElse(0L)).sum
+    foldEntries(read, cacheOnMiss = span <= manifestCacheMaxEntries)
+      .values.toVector
   }
 
   /** Summarize a manifest's entries for the snapshot-level shard index. */
@@ -385,14 +405,18 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       // whole-partition-range shard that skipping can never drop
       // (measured: 12 of 245 shards skippable at 1M files).
       //
-      // Residual deletes re-merge each fold and only shrink when a FULL
-      // fold (read everything in chain order, emit pure ADD-only shards)
-      // clears them — triggered once they pile past a shard's worth, so
-      // the full-fold cost is amortized O(1) per deleted file.
+      // Residual deletes and re-add shadows re-merge each fold and only
+      // shrink when a FULL fold (read everything in chain order, emit
+      // pure ADD-only shards) clears them — triggered PROPORTIONALLY
+      // (dead metadata > 1/8 of the chain), so the O(chain) full fold is
+      // amortized O(1) per deleted/re-added file and chain metadata stays
+      // within a constant factor of the live file count even under
+      // sustained DV-mask churn or whole-table rewrites.
       val metaByName = manifests.zip(meta).toMap
       def fullAddShard(m: String): Boolean = metaByName.get(m).exists(mm =>
         mm.addOnly && mm.entries == maxManifestEntries)
       val keptN = manifests.segmentLength(fullAddShard, 0)
+      var staleEntries = latest.map(_.staleFileEntries).getOrElse(0L)
       if (manifests.size - keptN > manifestMergeThreshold) {
         val tail0 = manifests.drop(keptN)
         val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
@@ -402,30 +426,39 @@ class FileStore(val root: String, val hadoopConf: Configuration,
           else { live.remove(e.file.path); deleted.put(e.file.path, e.file) }
         })
         val residual = deleted.filter { case (p, _) => !live.contains(p) }
-        val (kept, foldLive) =
-          if (residual.size <= maxManifestEntries)
-            (manifests.take(keptN), live)
+        // a path both DELETEd and re-ADDed in the tail (a DV mask update)
+        // leaves its stale copy in the untouched prefix — count it as
+        // dead chain metadata (may overcount tail-local churn: harmless,
+        // full folds just come a touch earlier)
+        staleEntries += deleted.keysIterator.count(live.contains)
+        val chainEntries = meta.map(_.entries).sum
+        val deadBudget = math.max(maxManifestEntries.toLong, chainEntries / 8)
+        val (kept, foldLive, residualOut) =
+          if (residual.size + staleEntries <= deadBudget)
+            (manifests.take(keptN), live, residual)
           else {
-            // FULL fold: residual deletes piled up — re-read the whole
-            // chain in order so stale prefix entries (the deletes'
-            // targets) drop out and the residual manifest clears
-            val all = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
-            manifests.foreach(m => readManifest(m).foreach { e =>
-              if (e.kind == ManifestEntry.ADD) all.put(e.file.path, e.file)
-              else all.remove(e.file.path)
-            })
-            residual.clear()
-            (Vector.empty[String], all)
+            // FULL fold: dead metadata (residual deletes + re-add
+            // shadows) piled past the budget — re-read the whole chain
+            // in order so stale entries drop out and the residual clears
+            staleEntries = 0L
+            (Vector.empty[String],
+              foldEntries(manifests, cacheOnMiss =
+                chainEntries <= manifestCacheMaxEntries),
+              residual.take(0))
           }
         val sorted = foldLive.values.toVector.sortBy(_.partition)(PartTupleOrdering)
-        val shards = sorted.grouped(maxManifestEntries).toVector
-        val names = shards.map(fs =>
-          writeManifest(fs.map(f => ManifestEntry(ManifestEntry.ADD, f)))) ++
-          (if (residual.isEmpty) Nil else Seq(writeManifest(
-            residual.values.map(f => ManifestEntry(ManifestEntry.DELETE, f)).toVector)))
+        val newEntries: Vector[Seq[ManifestEntry]] =
+          sorted.grouped(maxManifestEntries)
+            .map(fs => fs.map(f => ManifestEntry(ManifestEntry.ADD, f))).toVector ++
+          (if (residualOut.isEmpty) Nil else Seq(
+            residualOut.values.map(f => ManifestEntry(ManifestEntry.DELETE, f)).toVector))
+        val names = newEntries.map(writeManifest)
         manifests = kept ++ names
-        meta = kept.map(metaByName) ++ names.map(n =>
-          manifestMetaOf(n, readManifest(n)))
+        // meta from the in-memory entries — a fold larger than the cache
+        // budget must not re-read its own just-written (evicted) output
+        meta = kept.map(metaByName) ++ names.zip(newEntries).map {
+          case (n, es) => manifestMetaOf(n, es)
+        }
       }
 
       val snap = Snapshot(
@@ -457,7 +490,8 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         // (between the fold's read and this commit) survive in the list,
         // so the consolidation race cannot silently lose index entries
         indexFiles = latest.map(_.indexFiles).getOrElse(Nil)
-          .filterNot(consumedIndexFiles.toSet) ++ newIndexFiles)
+          .filterNot(consumedIndexFiles.toSet) ++ newIndexFiles,
+        staleFileEntries = staleEntries)
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
         return CommitResult(snap, committed = true)
       }

@@ -116,7 +116,15 @@ case class Snapshot(
       * authoritative pk-hash → bucket map (reference: Snapshot.indexManifest
       * + index/HashIndexFile).
       */
-    indexFiles: Seq[String] = Nil) {
+    indexFiles: Seq[String] = Nil,
+    /** Upper bound on DEAD (shadowed) ADD entries sitting in kept manifest
+      * shards — accumulated at incremental manifest folds (same-path
+      * DELETE+re-ADD churn, e.g. deletion-vector mask updates, leaves the
+      * stale copy in the untouched prefix), reset by a full fold. Drives
+      * the proportional full-fold trigger so chain metadata stays within
+      * a constant factor of the live file count.
+      */
+    staleFileEntries: Long = 0L) {
 
   def toJson: String = {
     val n = Json.obj()
@@ -140,6 +148,7 @@ case class Snapshot(
     if (indexFiles.nonEmpty) {
       val ix = n.putArray("indexFiles"); indexFiles.foreach(ix.add)
     }
+    if (staleFileEntries > 0L) n.put("staleFileEntries", staleFileEntries)
     if (manifestMeta.nonEmpty) {
       val mm = n.putArray("manifestMeta")
       manifestMeta.foreach { m =>
@@ -191,7 +200,8 @@ object Snapshot {
       Option(n.get("changelogManifests"))
         .map(a => Json.elems(a).map(_.asText())).getOrElse(Nil),
       Option(n.get("indexFiles"))
-        .map(a => Json.elems(a).map(_.asText())).getOrElse(Nil))
+        .map(a => Json.elems(a).map(_.asText())).getOrElse(Nil),
+      Json.optLong(n, "staleFileEntries").getOrElse(0L))
   }
 }
 

@@ -158,6 +158,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val strArray = expr.dataType match {
         case org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType, _) => true
+        // SQL `array()` types as ARRAY<VOID> — let it through as the
+        // empty vocab so the callee's "empty vocab" require speaks,
+        // instead of a misleading type error here
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.NullType, _) => true
         case _ => false
       }
       require(expr.foldable && strArray,

@@ -29,11 +29,15 @@ object SparkShims {
   def realExpr(c: org.apache.spark.sql.Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 
-  /** Drop all cached DSv2 catalog instances so the next use re-reads
+  /** Drop ALL cached DSv2 catalog instances so the next use re-reads
     * `spark.sql.catalog.<name>.*` — CatalogManager caches instances per
     * session and never invalidates on conf change, so re-pointing a
-    * catalog name at a different warehouse (tests; notebook sessions)
-    * silently keeps the old instance without this.
+    * catalog name at a different warehouse silently keeps the old
+    * instance without this. SIDE EFFECTS (it is CatalogManager.reset):
+    * besides dropping every cached catalog (and any in-memory state they
+    * held), the session's current catalog/namespace revert to the
+    * defaults — a prior `USE mycat.ns` is forgotten. Intended for suite
+    * setup / session re-initialization, BEFORE any USE statements.
     */
   def resetCatalogCache(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -59,11 +59,24 @@ class ManifestFoldPropertySpec extends SparkSpec {
         else rnd.nextInt(math.min(4, expected.size + 1))
       val dels = rnd.shuffle(expected.keys.toVector).take(delCount)
         .map(expected(_))
+      // DV-mask-style churn: DELETE + re-ADD of the SAME live path with
+      // updated metadata — the stale copy stays in the kept prefix until
+      // the proportional full fold reclaims it (the r17 review's blind
+      // spot: pure re-add churn must not grow chain metadata unboundedly)
+      // dvPath + dvCount move together (the codec serializes them as a
+      // pair, like the real DV write path produces them)
+      val readds = rnd.shuffle((expected.keys.toSet -- dels.map(_.path)).toVector)
+        .take(rnd.nextInt(3)).map(p => expected(p).copy(
+          dvPath = Some(s"dv/r$round-${expected(p).dvCount + 1}.bin"),
+          dvCount = expected(p).dvCount + 1))
       val delta = adds.map(f => ManifestEntry(ManifestEntry.ADD, f)) ++
-        dels.map(f => ManifestEntry(ManifestEntry.DELETE, f))
+        dels.map(f => ManifestEntry(ManifestEntry.DELETE, f)) ++
+        readds.flatMap(f => Seq(ManifestEntry(ManifestEntry.DELETE, f),
+          ManifestEntry(ManifestEntry.ADD, f)))
       store.commit(delta, "APPEND")
       adds.foreach(f => expected.put(f.path, f))
       dels.foreach(f => expected.remove(f.path))
+      readds.foreach(f => expected.put(f.path, f))
 
       val snap = store.latestSnapshot.get
       val live = store.liveFiles(snap)
@@ -98,5 +111,47 @@ class ManifestFoldPropertySpec extends SparkSpec {
         "incremental fold path was never exercised")
     assert(sawPrefixReuse,
       "no kept-prefix shard survived across folds — incrementality broken")
+    // chain metadata stays within a constant factor of the live set
+    val totalEntries = store.latestSnapshot.get.manifestMeta.map(_.entries).sum
+    assert(totalEntries <= 2L * expected.size + 64,
+      s"chain entries $totalEntries vs live ${expected.size} — dead " +
+        "metadata is not being reclaimed")
+  }
+
+  test("pure DV-style re-add churn: stale prefix entries are reclaimed proportionally") {
+    // NO foreign deletes at all — every commit DELETE+re-ADDs live paths,
+    // so the residual stays empty and only the re-add shadow accounting
+    // can ever trigger the clearing full fold. Without it, chain entries
+    // grow by ~1 per re-add forever while the live set never changes.
+    val dir = tmpTable()
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("p", StringType), StructField("k", LongType))),
+      partitionKeys = Seq("p"))
+    val store = newStore(dir)
+    val rnd = new scala.util.Random(7)
+    val expected = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+    (0 until 24).foreach { i =>
+      val f = fileOf(i, s"p${i % 4}", t.schema.id)
+      expected.put(f.path, f)
+    }
+    store.commit(expected.values.toVector
+      .map(f => ManifestEntry(ManifestEntry.ADD, f)), "APPEND")
+    (0 until 80).foreach { round =>
+      val picks = rnd.shuffle(expected.keys.toVector).take(2)
+        .map(p => expected(p).copy(
+          dvPath = Some(s"dv/r$round-${expected(p).dvCount + 1}.bin"),
+          dvCount = expected(p).dvCount + 1))
+      store.commit(picks.flatMap(f => Seq(
+        ManifestEntry(ManifestEntry.DELETE, f),
+        ManifestEntry(ManifestEntry.ADD, f))), "APPEND")
+      picks.foreach(f => expected.put(f.path, f))
+      val live = store.liveFiles(store.latestSnapshot.get)
+      assert(live.map(f => f.path -> f).toMap == expected.toMap,
+        s"round $round: fold diverged under re-add churn")
+    }
+    val totalEntries = store.latestSnapshot.get.manifestMeta.map(_.entries).sum
+    assert(totalEntries <= 2L * expected.size + 64,
+      s"chain entries $totalEntries vs live ${expected.size} (=24) — " +
+        "re-add shadows in kept shards are never reclaimed")
   }
 }
