@@ -117,7 +117,24 @@ object PlanScaleStress {
     val shards = snap.manifestMeta.size
     val shardEntriesMax =
       if (snap.manifestMeta.isEmpty) 0L else snap.manifestMeta.map(_.entries).max
-    val (liveSec, liveN) = time(store.liveFiles(snap).size)
+    val (liveSec, liveList) = time(store.liveFiles(snap))
+    val liveN = liveList.size
+
+    // ---- delete-commit probe: a DELETE+re-ADD of 100 single-partition
+    // files (the shape of a DV-mask epoch or bucket compaction). The
+    // conflict check must fold only shards overlapping the touched
+    // partition — pre-scoping it folded the ENTIRE live set per delete
+    // commit, the last O(live-files) driver cost on the commit path ----
+    val delFiles = liveList.filter(_.partition == Seq("p0000")).take(100)
+    val (delSec, _) = time(store.commit(
+      delFiles.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
+        delFiles.map(ManifestEntry(ManifestEntry.ADD, _)), "APPEND"))
+
+    // ---- latest-snapshot resolution: the LATEST hint (one GET + a
+    // forward probe) vs the full snapshot-dir listing it replaces at
+    // every plan/commit/micro-batch poll ----
+    val (latestHintSec, _) = time(store.latestSnapshotId)
+    val (latestListSec, _) = time(store.snapshotIds.maxOption)
 
     // ---- planning walls: construct the scan RDD (planInputPartitions
     // runs on the driver), never execute a task ----
@@ -179,7 +196,7 @@ object PlanScaleStress {
     val (prunedSec2, _) = planPruned()
     val (statsSec2, _) = planStats()
 
-    println(f"""{"metric":"plan_scale","files":$totalFiles,"partitions":$partitions,"commit_total_sec":$commitTotal%.3f,"commit_last_sec":$commitLast%.3f,"live_fold_sec":$liveSec%.3f,"live_files":$liveN,"shards":$shards,"shard_entries_max":$shardEntriesMax,"plan_full_sec":$fullSec%.3f,"plan_full_sec2":$fullSec2%.3f,"plan_full_splits":$fullParts,"plan_pruned_sec":$prunedSec%.3f,"plan_pruned_sec2":$prunedSec2%.3f,"plan_pruned_splits":$prunedParts,"plan_stats_sec":$statsSec%.3f,"plan_stats_sec2":$statsSec2%.3f,"plan_stats_splits":$statsParts,"plan_heap_mb":$planHeapMb}""")
+    println(f"""{"metric":"plan_scale","files":$totalFiles,"partitions":$partitions,"commit_total_sec":$commitTotal%.3f,"commit_last_sec":$commitLast%.3f,"commit_delete_sec":$delSec%.3f,"latest_hint_sec":$latestHintSec%.4f,"latest_list_sec":$latestListSec%.4f,"live_fold_sec":$liveSec%.3f,"live_files":$liveN,"shards":$shards,"shard_entries_max":$shardEntriesMax,"plan_full_sec":$fullSec%.3f,"plan_full_sec2":$fullSec2%.3f,"plan_full_splits":$fullParts,"plan_pruned_sec":$prunedSec%.3f,"plan_pruned_sec2":$prunedSec2%.3f,"plan_pruned_splits":$prunedParts,"plan_stats_sec":$statsSec%.3f,"plan_stats_sec2":$statsSec2%.3f,"plan_stats_splits":$statsParts,"plan_heap_mb":$planHeapMb}""")
     spark.stop()
   }
 }

@@ -61,6 +61,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     require(!fs.exists(b.snapshotDir), s"branch $name already exists")
     require(b.writeAtomic(b.snapshotPath(snapshotId), readString(snapshotPath(snapshotId))),
       s"failed to fork branch $name")
+    b.writeLatestHint(snapshotId)
   }
 
   def deleteBranch(name: String): Unit =
@@ -134,7 +135,36 @@ class FileStore(val root: String, val hadoopConf: Configuration,
 
   def snapshotIds: Seq[Long] = listNumbered(snapshotDir, "snapshot-").sorted
 
-  def latestSnapshotId: Option[Long] = snapshotIds.maxOption
+  // Best-effort LATEST pointer (reference: paimon-core
+  // utils/SnapshotManager.java:614,669 readHint/commitLatestHint): one GET
+  // + a forward existence probe replaces a paginated snapshot-dir LIST at
+  // every latestSnapshotId call site (every plan, every commit attempt,
+  // every micro-batch poll — a time-travel-heavy table retaining 10⁴+
+  // snapshots pays that LIST otherwise). The hint is a plain overwrite,
+  // NOT atomic: a stale, torn, or corrupt hint self-heals — the reader
+  // validates the pointed-at snapshot exists, probes FORWARD past racing
+  // commits, and falls back to the full listing on any miss.
+  private def latestHintPath = new Path(snapshotDir, "LATEST")
+
+  private def writeLatestHint(id: Long): Unit =
+    try writeString(latestHintPath, id.toString)
+    catch { case _: java.io.IOException => () } // advisory only
+
+  private def readLatestHint(): Option[Long] =
+    try readString(latestHintPath).trim.toLongOption
+      .filter(id => id > 0 && fs.exists(snapshotPath(id)))
+    catch { case _: java.io.IOException => None }
+
+  def latestSnapshotId: Option[Long] = readLatestHint() match {
+    case Some(hint) =>
+      // the hint may trail commits that raced it: ids grow contiguously
+      // (commit allocates latest+1; expiry trims only the OLD end), so
+      // probe forward to the first gap
+      var cur = hint
+      while (fs.exists(snapshotPath(cur + 1))) cur += 1
+      Some(cur)
+    case None => snapshotIds.maxOption
+  }
 
   def readSnapshot(id: Long): Snapshot = Snapshot.fromJson(readString(snapshotPath(id)))
 
@@ -185,15 +215,23 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         val it = entrySet().iterator()
         while (cachedEntries > manifestCacheMaxEntries && it.hasNext) {
           val e = it.next()
-          if (e.getKey != k) { cachedEntries -= e.getValue.size; it.remove() }
-          else return prev // never evict what was just inserted
+          // the just-inserted entry is most-recent (last in access order):
+          // reaching it means everything else is already evicted and it
+          // ALONE exceeds the budget — drop it too, or one oversized
+          // manifest (a huge overwrite delta) stays pinned in driver heap
+          cachedEntries -= e.getValue.size; it.remove()
         }
         prev
       }
     }
 
-  /** Cached-manifest budget in ENTRIES (~500 B each → default ≈ 2 GB). */
-  val manifestCacheMaxEntries: Long = 4000000L
+  /** Cached-manifest budget in ENTRIES (~500 B each → default ≈ 2 GB).
+    * Tunable per-table via the Hadoop conf (a 10⁷-file driver on a small
+    * heap shrinks it; a big driver grows it) — overridable by subclasses
+    * for tests.
+    */
+  val manifestCacheMaxEntries: Long =
+    hadoopConf.getLong("graft.manifest-cache.max-entries", 4000000L)
 
   def writeManifest(entries: Seq[ManifestEntry]): String = {
     val name = s"manifest-${UUID.randomUUID()}.json"
@@ -251,9 +289,15 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     val read = s.manifests.filterNot(m =>
       metaByName.get(m).exists(meta => meta.addOnly && !keepShard(meta)))
     // scan resistance: a fold whose entry span exceeds the cache budget
-    // would cycle the LRU to a 0% hit rate — stream it uncached instead
+    // would cycle the LRU to a 0% hit rate — stream it uncached instead.
+    // Manifests without per-manifest meta (legacy chains) count as their
+    // cached size if resident, else PESSIMISTICALLY as a full shard — an
+    // unknown-size chain must not default into the cache-cycling path.
     val span = read.iterator.map(m =>
-      metaByName.get(m).map(_.entries).getOrElse(0L)).sum
+      metaByName.get(m).map(_.entries).getOrElse {
+        val hit = manifestCache.synchronized { manifestCache.get(m) }
+        if (hit != null) hit.size.toLong else maxManifestEntries.toLong
+      }).sum
     foldEntries(read, cacheOnMiss = span <= manifestCacheMaxEntries)
       .values.toVector
   }
@@ -316,6 +360,12 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     * @param commitIdentifier streaming exactly-once key; commits whose
     *   identifier already exists in the snapshot chain are skipped
     *   (reference: FileStoreCommitImpl.filterCommitted:202-207).
+    * @param expectedLatest verify-and-commit CAS: fail (never retry) if
+    *   the latest snapshot id at commit time differs — the atomic form of
+    *   a read-verify-overwrite protocol (e.g. an index retrain whose
+    *   rewritten frame must contain every committed row); a plain
+    *   check-then-act leaves a window where a racing commit's rows are
+    *   silently dropped by the overwrite.
     */
   def commit(
       delta: Seq[ManifestEntry],
@@ -326,10 +376,18 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       newIndexFiles: Seq[String] = Nil,
       consumedIndexFiles: Seq[String] = Nil,
       maxRetries: Int = 20,
-      commitUser: String = ""): CommitResult = {
+      commitUser: String = "",
+      expectedLatest: Option[Long] = None): CommitResult = {
     var attempt = 0
     while (true) {
       val latest = latestSnapshot
+      expectedLatest.foreach { e =>
+        val cur = latest.map(_.id).getOrElse(0L)
+        require(cur == e,
+          s"commit conflict: expected base snapshot $e but table is at " +
+            s"$cur — a concurrent commit landed; rows it added are not " +
+            "in this rewrite")
+      }
       // exactly-once replay check, scoped PER COMMIT USER (reference:
       // FileStoreCommitImpl.filterCommitted:202-207 keyed by commitUser):
       // independent streaming writers have independent epoch sequences.
@@ -359,10 +417,39 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       }
       val nextId = latest.map(_.id + 1).getOrElse(1L)
       // Conflict check: every file this commit deletes must still be live
-      // (reference: FileStoreCommitImpl.noConflictsOrFail:273-306).
-      val deletes = delta.filter(_.kind == ManifestEntry.DELETE).map(_.file.path)
-      if (deletes.nonEmpty) {
-        val live = latest.map(s => liveFiles(s).map(_.path).toSet).getOrElse(Set.empty)
+      // (reference: FileStoreCommitImpl.noConflictsOrFail:273-306 — scoped
+      // to touched entries there; scoped to touched PARTITIONS here). The
+      // liveness fold is restricted to manifest shards whose partition
+      // range can hold a deleted file's partition: a deleted path's ADD
+      // entry always sits in a shard whose [ptMin, ptMax] contains its
+      // partition (ranges are computed from actual adds), and DELETE
+      // entries live in non-addOnly tail manifests which are never
+      // skipped — so the restricted fold's verdict on each deleted path
+      // equals the full fold's, at O(touched-partition shards) driver
+      // cost instead of O(live files) per DV-mask / compaction / row-level
+      // delete commit.
+      val deleteEntries = delta.filter(_.kind == ManifestEntry.DELETE)
+      if (deleteEntries.nonEmpty) {
+        val deletes = deleteEntries.map(_.file.path)
+        val delParts = deleteEntries.map(_.file.partition).distinct
+          .sorted(PartTupleOrdering)
+        // sorted-overlap test: some deleted partition lies in [lo, hi] ⟺
+        // the first deleted partition ≥ lo is ≤ hi
+        def overlaps(lo: Seq[String], hi: Seq[String]): Boolean = {
+          var l = 0; var r = delParts.size
+          while (l < r) { // lower bound of lo
+            val mid = (l + r) >>> 1
+            if (PartTupleOrdering.compare(delParts(mid), lo) < 0) l = mid + 1
+            else r = mid
+          }
+          l < delParts.size && PartTupleOrdering.compare(delParts(l), hi) <= 0
+        }
+        val keep: ManifestMeta => Boolean = mm => (mm.ptMin, mm.ptMax) match {
+          case (Some(lo), Some(hi)) => overlaps(lo, hi)
+          case _ => true // no range metadata → cannot skip
+        }
+        val live = latest.map(s => liveFiles(s, keep).map(_.path).toSet)
+          .getOrElse(Set.empty)
         val gone = deletes.filterNot(live.contains)
         require(gone.isEmpty,
           s"commit conflict: files deleted concurrently: ${gone.take(3).mkString(",")}")
@@ -419,9 +506,15 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       var staleEntries = latest.map(_.staleFileEntries).getOrElse(0L)
       if (manifests.size - keptN > manifestMergeThreshold) {
         val tail0 = manifests.drop(keptN)
+        // same scan resistance as liveFiles: a tail whose entry span
+        // exceeds the cache budget (e.g. one giant overwrite delta)
+        // streams past instead of cycling the LRU
+        val tailSpan = tail0.iterator
+          .map(m => metaByName.get(m).map(_.entries).getOrElse(0L)).sum
+        val tailCache = tailSpan <= manifestCacheMaxEntries
         val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
         val deleted = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
-        tail0.foreach(m => readManifest(m).foreach { e =>
+        tail0.foreach(m => readManifest(m, tailCache).foreach { e =>
           if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
           else { live.remove(e.file.path); deleted.put(e.file.path, e.file) }
         })
@@ -493,6 +586,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
           .filterNot(consumedIndexFiles.toSet) ++ newIndexFiles,
         staleFileEntries = staleEntries)
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
+        writeLatestHint(nextId)
         return CommitResult(snap, committed = true)
       }
       attempt += 1

@@ -228,12 +228,19 @@ object Dedup {
     * the join condition.
     *
     * Scale shape: candidates are prefix-token-local (one shuffle on the
-    * token), never all-pairs; the set frame is pinned to a single plan
-    * node so its shuffle is shared by the prefix explode and both verify
-    * lookups.
+    * token), never all-pairs — but a REPLICATED corpus (many documents
+    * sharing whole shingle sets) degenerates to quadratic candidate
+    * volume that no prefix filter can cut, so the join guards itself: a
+    * cheap per-token frequency aggregate upper-bounds the candidate
+    * pairs (Σ over prefix tokens of c·(c−1)/2) and the launch fails
+    * fast past `maxCandidatePairs` with a pointer to [[nearDupPairs]]
+    * (the LSH path, whose banding keeps replicated corpora linear in
+    * emitted DUPLICATES rather than candidate pairs). Set
+    * `maxCandidatePairs = 0` to disable the guard when the quadratic
+    * cost is a conscious choice.
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxCandidatePairs: Long = 100000000L): DataFrame = {
     val sets = PipelineUtil.pin(
       spread(df.select(col(idCol).as("id"), col(textCol).as("text")))
         .select(col("id"), array_sort(shingleHashes(col("text"))).as("hs"))
@@ -242,6 +249,23 @@ object Dedup {
       (col("n").cast("double") - ceil(col("n") * threshold) + 1).cast("int"), lit(1))
     val prefix = sets.select(col("id"), col("n"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
+    if (maxCandidatePairs > 0) {
+      // one agg job over the slim (id, n, tok) frame — an upper bound
+      // because the length filter and distinct only shrink the set
+      val est = prefix.groupBy("tok").count()
+        .select(sum((col("count") * (col("count") - 1) / 2).cast("long"))
+          .as("pairs"))
+        .collect()(0)
+      val pairs = if (est.isNullAt(0)) 0L else est.getLong(0)
+      require(pairs <= maxCandidatePairs,
+        s"jaccardJoin: estimated candidate-pair volume $pairs exceeds " +
+          s"maxCandidatePairs=$maxCandidatePairs — the corpus shares " +
+          "prefix shingles too heavily for exact PPJoin (replicated " +
+          "documents make it quadratic). Use nearDupPairs (MinHash LSH) " +
+          "for guaranteed-linear near-dup detection, or raise " +
+          "maxCandidatePairs (0 disables) to pay the quadratic cost " +
+          "knowingly.")
+    }
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("a.n") * threshold <= col("b.n") &&

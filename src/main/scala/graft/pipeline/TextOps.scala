@@ -51,7 +51,11 @@ object TextOps {
     val maxLen = vocab.map(p =>
       if (p.startsWith("##")) p.length - 2 else p.length).max
     val inVocab = typedLit(vocab.map(_ -> true).toMap)
-    val words = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    // NULL text tokenizes as empty (count 0), not NULL-propagated: a
+    // NULL count would coalesce to 0 inside packSequences without signal
+    // and diverge from the q148 oracle's LEFT-JOIN 0/'' rows
+    val words = filter(split(trim(coalesce(text, lit(""))), "\\s+"),
+      w => length(w) > 0)
     def pieceAt(w: Column, pos: Column, l: Column): Column =
       concat(when(pos === 1, lit("")).otherwise(lit("##")),
         substr(w, pos, l))

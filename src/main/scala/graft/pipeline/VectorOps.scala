@@ -636,6 +636,14 @@ object VectorOps {
     * whole-table OVERWRITE commit, and flips the centroid/salt options
     * last.
     *
+    * QUANTIZED indexes retrain too: SQ8 and raw-PQ rows are re-clustered
+    * from their approximate DECODES (reconstruction error = quantization
+    * error, so the decodes carry the index's own geometry); codes are
+    * cell-independent in those layouts and ride unchanged. Residual-PQ
+    * indexes route to [[retrainPqResidual]], which also re-trains the
+    * codebooks and re-encodes every code under a stamped-plan crash
+    * protocol.
+    *
     * Crash-safety (the [[rebuildLshSidecar]] options-flip-last ordering,
     * adapted to a moving-rows rewrite): the trained centroids are stamped
     * to `ivf.retrain.pending` BEFORE any data moves; the data commit is
@@ -671,13 +679,39 @@ object VectorOps {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0,1]: $sampleFraction")
     val (oldCents, storedId, storedVec) = ivfMeta(index)
+    val isSq = index.schema.option("ivf.sq.vmin", "").nonEmpty
+    val isPq = index.schema.option("ivf.pq.books", "").nonEmpty
+    // residual PQ is the one layout where codes MEAN something relative
+    // to their cell — moving rows re-encodes them, which needs the
+    // stronger stamped-plan crash protocol (below)
+    if (isPq && pqResidual(index))
+      return retrainPqResidual(index, iterations, sampleFraction, seed,
+        maxCellRows, reseed, discardPending)
     val baseSnapshot = index.store.latestSnapshotId
-    val full = index.toDF
-    require(full.columns.contains(storedVec),
-      s"retrain_ivf needs the full-precision vector column '$storedVec', " +
-        s"which ${index.location} does not store — quantized (SQ8/PQ) " +
-        "indexes keep only codes; rebuild them from the source corpus " +
-        "instead (buildIvfSqIndex / buildIvfPqIndex)")
+    val raw = index.toDF
+    // vector source: the stored full-precision column, or an approximate
+    // decode for quantized layouts. SQ8 and raw-PQ codes are
+    // CELL-INDEPENDENT, so a retrain only moves rows between cells —
+    // codes ride unchanged, their meaning never shifts, and the
+    // pending-centroids resume protocol stays valid at every crash point
+    // (the decode of a half-retrained table is identical to the decode
+    // of the original). Codebooks/affine params are NOT retrained here:
+    // decodes carry no information the books don't already have; rebuild
+    // from the source corpus when the quantization grid itself drifted.
+    val (full, vecName) =
+      if (raw.columns.contains(storedVec)) (raw, storedVec)
+      else if (isSq) {
+        val (vmin, vdiff) = sqMeta(index)
+        (raw.withColumn("__rv",
+          sqDecode(col("sq_code").cast("array<double>"), vmin, vdiff)), "__rv")
+      } else if (isPq) {
+        val (_, _, _, books) = pqMeta(index)
+        (raw.withColumn("__rv", pqDecode(col("pq_code"), col("ivf_cluster"),
+          books, residual = false, oldCents)), "__rv")
+      } else throw new IllegalArgumentException(
+        s"retrain_ivf: table at ${index.location} stores neither the " +
+          s"vector column '$storedVec' nor a recognized quantized code " +
+          "layout (sq_code / pq_code)")
     if (discardPending &&
         index.schema.option("ivf.retrain.pending", "").nonEmpty)
       index.evolveBatch(Seq(index.setOptionT("ivf.retrain.pending", "")))
@@ -698,15 +732,15 @@ object VectorOps {
         // strand Lloyd in the old local minimum — `reseed` re-draws
         // md5-order seeds from the CURRENT content instead, giving
         // fresh-build-quality centroids without a rebuild.
-        if (reseed) ivfCentroids(sample, storedId, storedVec,
+        if (reseed) ivfCentroids(sample, storedId, vecName,
           oldCents.size, iterations)
-        else lloydSteps(sample, storedVec, oldCents, iterations)
+        else lloydSteps(sample, vecName, oldCents, iterations)
       }
     if (pending.isEmpty)
       index.evolveBatch(Seq(index.setOptionT("ivf.retrain.pending",
         serializeCentroids(cents))))
     retrainMidpointHook()
-    val v = col(storedVec).cast("array<double>")
+    val v = col(vecName).cast("array<double>")
     // reassigned frame feeds the per-cell count AND the write — persist so
     // the C×dim assignment computes once per row
     val reassigned = full.drop("ivf_cluster", "ivf_salt")
@@ -721,10 +755,15 @@ object VectorOps {
       val salts = saltPlan(counts, threshold)
       val assigned = reassigned
         .withColumn("ivf_salt", saltExpr(col("ivf_cluster"), col(storedId), salts))
+        .drop("__rv") // synthesized decode column, never persisted
         .repartition(col("ivf_cluster"), col("ivf_salt"))
       // single-writer guard (see the contract above): a commit that
       // advanced the snapshot since the initial read holds rows the
-      // rewrite never saw — overwriting now would delete them
+      // rewrite never saw — overwriting now would delete them. The early
+      // check gives the friendly diagnosis; the OVERWRITE itself carries
+      // the expected base id so the verify happens INSIDE the commit's
+      // CAS loop (a commit landing between this check and the overwrite
+      // fails the commit instead of being silently dropped).
       val nowSnapshot = index.store.latestSnapshotId
       require(nowSnapshot == baseSnapshot,
         s"retrainIvfIndex(${index.location}): index advanced from " +
@@ -733,13 +772,150 @@ object VectorOps {
           "the whole-table OVERWRITE would drop them. Retrain requires " +
           "exclusive write access; pause ingest and rerun (the pending " +
           "stamp makes the rerun resume deterministically).")
-      index.overwrite(assigned) // whole table, one atomic commit
+      index.overwrite(assigned, // whole table, one atomic commit
+        expectedLatest = Some(baseSnapshot.getOrElse(0L)))
       index.evolveBatch(Seq(
         index.setOptionT("ivf.centroids", serializeCentroids(cents)),
         index.setOptionT("ivf.salts", serializeSalts(salts)),
         index.setOptionT("ivf.retrain.pending", "")))
       (cents.size, counts.values.sum)
     } finally reassigned.unpersist()
+  }
+
+  /** [[retrainIvfIndex]] for RESIDUAL PQ indexes — the layout where a
+    * code's meaning depends on its cell. A retrain moves rows between
+    * cells, so every code must be RE-ENCODED and the codebooks re-trained
+    * on the new residuals. Because the rewrite changes what stored codes
+    * MEAN, the pending stamp carries the COMPLETE new plan, all computed
+    * BEFORE any write:
+    *
+    *  1. decode v̂ = book(code) + centroid(old cell) from the stored meta;
+    *  2. train new centroids on v̂, assign new cells, train new books on
+    *     (v̂ − centroid(new cell)), derive the salt plan;
+    *  3. stamp `ivf.retrain.pending.q` = (base snapshot id, centroids,
+    *     books, salts);
+    *  4. re-encode + whole-table OVERWRITE with `expectedLatest = base`
+    *     (the commit-level CAS: a racing commit FAILS the rewrite inside
+    *     the commit loop instead of being silently dropped);
+    *  5. flip the live options, clear the stamp.
+    *
+    * Crash/resume: stamp present + latest == base ⇒ the rewrite never
+    * landed, codes still decode with the CURRENT options, so the resume
+    * re-encodes deterministically from the stamped plan and retries 4-5.
+    * latest == base+1 with an OVERWRITE head ⇒ the rewrite landed, only
+    * the flip remains. Anything else ⇒ the single-writer contract was
+    * violated mid-protocol: fail loud with a rebuild pointer. The window
+    * between 4 and 5 serves approximate scores from new codes under old
+    * books — bounded recall degradation (exact rerank per candidate is
+    * unaffected), healed by the flip; never data loss or duplicates.
+    */
+  private def retrainPqResidual(index: graft.table.GraftTable,
+      iterations: Int, sampleFraction: Double, seed: Long,
+      maxCellRows: Long, reseed: Boolean,
+      discardPending: Boolean): (Int, Long) = {
+    val PendKey = "ivf.retrain.pending.q"
+    if (discardPending && index.schema.option(PendKey, "").nonEmpty)
+      index.evolveBatch(Seq(index.setOptionT(PendKey, "")))
+    val pending = index.schema.option(PendKey, "")
+    val (oldCents, storedId, _) = ivfMeta(index)
+    val (m, codes, sub, oldBooks) = pqMeta(index)
+
+    def flip(cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+        salts: Map[Int, Int]): Unit =
+      index.evolveBatch(Seq(
+        index.setOptionT("ivf.centroids", serializeCentroids(cents)),
+        index.setOptionT("ivf.pq.books", serializeBooks(books)),
+        index.setOptionT("ivf.salts", serializeSalts(salts)),
+        index.setOptionT(PendKey, "")))
+
+    // re-encode + CAS overwrite + flip from a stamped plan — valid ONLY
+    // while the stored meta still describes the stored codes (i.e. the
+    // overwrite has not landed yet: latest == base)
+    def rewrite(base: Long, cents: Seq[Seq[Double]],
+        books: Seq[Seq[Seq[Double]]], salts: Map[Int, Int]): Unit = {
+      val frame = index.toDF
+        .withColumn("__rv", pqDecode(col("pq_code"), col("ivf_cluster"),
+          oldBooks, residual = true, oldCents))
+        .drop("ivf_cluster", "ivf_salt")
+        .withColumn("ivf_cluster", ivfAssign(col("__rv"), cents))
+      val rv = residualExpr(col("__rv"), col("ivf_cluster"), cents)
+      val out = frame
+        .withColumn("pq_code", pqEncode(rv, books, sub))
+        .withColumn("ivf_salt",
+          saltExpr(col("ivf_cluster"), col(storedId), salts))
+        .drop("__rv")
+        .repartition(col("ivf_cluster"), col("ivf_salt"))
+      val nowSnapshot = index.store.latestSnapshotId.getOrElse(0L)
+      require(nowSnapshot == base,
+        s"retrainIvfIndex(${index.location}): index advanced from " +
+          s"snapshot $base to $nowSnapshot during retrain — a concurrent " +
+          "commit's rows are not in the rewritten frame. Retrain requires " +
+          "exclusive write access; pause ingest and rerun (the pending " +
+          "stamp makes the rerun resume deterministically).")
+      index.overwrite(out, expectedLatest = Some(base))
+      flip(cents, books, salts)
+    }
+
+    if (pending.nonEmpty) {
+      retrainLog.warn(s"retrainIvfIndex(${index.location}): resuming a " +
+        "crashed quantized retrain's stamped plan; this call's " +
+        "iterations/sampleFraction/reseed arguments are ignored (pass " +
+        "discardPending = true ONLY if the rewrite never landed)")
+      val parts = pending.split("#", -1)
+      require(parts.length == 4, s"corrupt $PendKey stamp: $pending")
+      val pbase = parts(0).toLong
+      val cents = parseCentroids(parts(1))
+      val books = parseBooks(parts(2))
+      val salts = parseSalts(parts(3))
+      val cur = index.store.latestSnapshotId.getOrElse(0L)
+      if (cur == pbase) rewrite(pbase, cents, books, salts)
+      else if (cur == pbase + 1 &&
+          index.store.readSnapshot(cur).commitKind ==
+            graft.core.CommitKind.OVERWRITE)
+        flip(cents, books, salts) // rewrite landed; only the flip remains
+      else throw new IllegalStateException(
+        s"retrainIvfIndex(${index.location}): crashed quantized retrain " +
+          s"stamped at base snapshot $pbase but the index is at $cur — " +
+          "commits landed outside the retrain protocol and the stored " +
+          "codes can no longer be attributed to either codebook " +
+          "generation; rebuild from the source corpus (buildIvfPqIndex)")
+      return (cents.size, index.toDF.count())
+    }
+
+    val base = index.store.latestSnapshotId.getOrElse(0L)
+    val dfv = index.toDF
+      .withColumn("__rv", pqDecode(col("pq_code"), col("ivf_cluster"),
+        oldBooks, residual = true, oldCents)).persist()
+    try {
+      val sample =
+        if (sampleFraction >= 1.0) dfv
+        else dfv.sample(withReplacement = false, sampleFraction, seed)
+      val cents =
+        if (reseed) ivfCentroids(sample, storedId, "__rv",
+          oldCents.size, iterations)
+        else lloydSteps(sample, "__rv", oldCents, iterations)
+      val assigned = dfv.drop("ivf_cluster", "ivf_salt")
+        .withColumn("ivf_cluster", ivfAssign(col("__rv"), cents)).persist()
+      try {
+        val rv = residualExpr(col("__rv"), col("ivf_cluster"), cents)
+        val books = (0 until m).map(j =>
+          pqLloyd(assigned, storedId, slice(rv, j * sub + 1, sub),
+            codes, iterations))
+        val counts = assigned.groupBy("ivf_cluster").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val explicitMax = if (maxCellRows > 0) maxCellRows
+          else index.schema.option("ivf.max-cell-rows", "0").toLong
+        val threshold =
+          cellThreshold(explicitMax, counts.values.sum, cents.size max 1)
+        val salts = saltPlan(counts, threshold)
+        index.evolveBatch(Seq(index.setOptionT(PendKey,
+          s"$base#${serializeCentroids(cents)}#${serializeBooks(books)}#" +
+            serializeSalts(salts))))
+        retrainMidpointHook()
+        rewrite(base, cents, books, salts)
+        (cents.size, counts.values.sum)
+      } finally assigned.unpersist()
+    } finally dfv.unpersist()
   }
 
   /** Upgrade an IVF index's LSH sidecar IN PLACE: pre-sidecar indexes
@@ -1324,6 +1500,34 @@ object VectorOps {
   private def serializeBooks(books: Seq[Seq[Seq[Double]]]): String =
     books.map(serializeCentroids).mkString("|")
 
+  private def parseBooks(raw: String): Seq[Seq[Seq[Double]]] =
+    raw.split('|').toSeq.map(parseCentroids)
+
+  /** Approximate decode of an SQ8 code back to a vector (per-dim affine
+    * inverse) — retrain's vector source when the original was never
+    * stored: reconstruction error is exactly the quantization error, so
+    * clustering the decodes is clustering the index's own geometry.
+    */
+  private def sqDecode(code: Column, vmin: Seq[Double],
+      vdiff: Seq[Double]): Column =
+    zip_with(zip_with(code, typedlit(vdiff), (c, dv) => c * dv),
+      typedlit(vmin), (x, mn) => x + mn)
+
+  /** Approximate decode of a PQ code: per-subspace codebook
+    * reconstruction, plus the row's OLD cell centroid for residual codes.
+    */
+  private def pqDecode(code: Column, cluster: Column,
+      books: Seq[Seq[Seq[Double]]], residual: Boolean,
+      cents: Seq[Seq[Double]]): Column = {
+    val recon = flatten(array(books.zipWithIndex.map { case (bk, j) =>
+      element_at(centroidsLit(bk), element_at(code, j + 1).cast("int") + 1)
+    }: _*))
+    if (residual)
+      zip_with(recon, element_at(centroidsLit(cents), cluster + 1),
+        (a, b) => a + b)
+    else recon
+  }
+
   /** v − centroid(cell), the FAISS-style IVFPQ residual: a literal-datum
     * centroid lookup + one zip_with — a pure codegen projection. Residual
     * codebooks only need to span WITHIN-cell variance, so the same m
@@ -1362,17 +1566,19 @@ object VectorOps {
     * options (~100 KB at dim=64, codes=256) — metadata-sized, read once
     * per query batch.
     *
-    * `residual = true` is the FAISS IVFPQ encoding: codebooks train on
-    * and codes store (v − centroid(cell)) instead of v — the same m
-    * bytes buy materially better recall on clustered corpora because
-    * each codebook only spans within-cell variance. Retrieval shifts the
-    * ADC sum by dot(q, centroid(cell)) per (query, probed cell) —
-    * still a literal-datum projection over ≤ nProbe cells per query.
+    * `residual = true` (the DEFAULT, matching FAISS IVFPQ): codebooks
+    * train on and codes store (v − centroid(cell)) instead of v — the
+    * same m bytes buy materially better recall on clustered corpora
+    * because each codebook only spans within-cell variance. Retrieval
+    * shifts the ADC sum by dot(q, centroid(cell)) per (query, probed
+    * cell) — still a literal-datum projection over ≤ nProbe cells per
+    * query. Pass `residual = false` for the raw-vector encoding;
+    * existing indexes keep their stored flag (appends route by it).
     */
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String, numCentroids: Int = 16, iterations: Int = 1,
       m: Int = 8, codes: Int = 256, maxCellRows: Long = 0L,
-      residual: Boolean = false): graft.table.GraftTable = {
+      residual: Boolean = true): graft.table.GraftTable = {
     require(m > 0 && codes > 1 && codes <= 256,
       s"bad PQ params m=$m codes=$codes")
     // centroid training + m codebook trainings each re-scan the corpus

@@ -186,7 +186,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(u.foldable && u.dataType ==
               org.apache.spark.sql.types.StringType,
             s"unk must be a string literal, got: ${u.sql}")
-          u.eval(null).toString
+          val uv = u.eval(null)
+          require(uv != null, "unk must not be NULL")
+          uv.toString
         } else "[UNK]")
     }
   }

@@ -1011,7 +1011,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * PaimonDynamicPartitionOverwriteCommand.scala).
     */
   def overwrite(df: DataFrame, staticPartition: Map[String, String] = Map.empty,
-      dynamic: Boolean = false): Snapshot = {
+      dynamic: Boolean = false, expectedLatest: Option[Long] = None): Snapshot = {
     val seq = nextSeq
     // PK tables route through the bucketed write path (kind +I; the
     // OVERWRITE commit replaces the old file set, so no merge history or
@@ -1039,7 +1039,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     commitFiles(
       deleted.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         files.map(ManifestEntry(ManifestEntry.ADD, _)),
-      CommitKind.OVERWRITE, indexFiles = globalIndexDelta(files))
+      CommitKind.OVERWRITE, indexFiles = globalIndexDelta(files),
+      expectedLatest = expectedLatest)
   }
 
   /** TRUNCATE: new snapshot removing all files (reference:
@@ -1054,11 +1055,12 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       commitUser: String = "",
       changelog: Seq[ManifestEntry] = Nil,
       indexFiles: Seq[String] = Nil,
-      consumedIndexFiles: Seq[String] = Nil): Snapshot = {
+      consumedIndexFiles: Seq[String] = Nil,
+      expectedLatest: Option[Long] = None): Snapshot = {
     val s = store.commit(entries, kind, commitIdentifier, watermarkOf(entries),
       changelog = changelog, newIndexFiles = indexFiles,
       consumedIndexFiles = consumedIndexFiles,
-      commitUser = commitUser).snapshot
+      commitUser = commitUser, expectedLatest = expectedLatest).snapshot
     autoCreateTag(s)
     notifyCommitCallbacks(s, entries)
     s

@@ -119,6 +119,123 @@ class IvfRetrainSpec extends SparkSpec {
     }
   }
 
+  // ---- quantized retrains. Fixture with a WIDE build-time residual span
+  // (LOOSE regime-A clusters, σ=0.5) so drifted regime-B rows encode
+  // in-span and decode faithfully — the regime where retraining a
+  // quantized index is meaningful. Out-of-span drift (values beyond the
+  // trained affine range / codebook span) clamps at encode time and needs
+  // a rebuild from the source corpus, as the scaladoc documents. ----
+
+  private def looseA: Seq[(Long, Array[Double])] =
+    (0 until 4).flatMap { a =>
+      val rnd = new Random(a)
+      (0 until 60).map(i => (1000L * a + i, Array.tabulate(dim)(d =>
+        (if (d == a) 1.0 else 0.0) + 0.5 * rnd.nextGaussian())))
+    }
+
+  // σ=0.25: per-row assignment noise (±0.25 against the stored centroids)
+  // dominates the centroids' small fixed components on B dims (±0.07), so
+  // each B family SPRAYS across the old cells — the drift that costs
+  // recall at fixed nProbe — while staying tight enough (90° between
+  // family axes) that a retrained cell holds each family whole
+  private def tightB: Seq[(Long, Array[Double])] =
+    (4 until 8).flatMap { a =>
+      val rnd = new Random(100 + a)
+      (0 until 60).map(i => (1000L * a + i, Array.tabulate(dim)(d =>
+        (if (d == a) 1.0 else 0.0) + 0.25 * rnd.nextGaussian())))
+    }
+
+  private def qB: Seq[(Long, Array[Double])] =
+    (4 until 8).map(a => (9000L + a,
+      Array.tabulate(dim)(d => if (d == a) 1.0 else 0.0)))
+
+  /** recall@k of the quantized knn joins against brute-force cosine. */
+  private def recallQuant(index: graft.table.GraftTable,
+      corpus: Seq[(Long, Array[Double])],
+      queries: Seq[(Long, Array[Double])], k: Int, nProbe: Int,
+      pq: Boolean): Double = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = queries.map { case (qid, qv) =>
+      qid -> corpus.map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }.toMap
+    val cdf = df(corpus).toDF("vec_id", "v")
+    val qdf = df(queries).toDF("qid", "v")
+    val res =
+      if (pq) VectorOps.knnJoinIvfPq(qdf, "qid", "v", index, cdf,
+        "vec_id", "v", k, nProbe)
+      else VectorOps.knnJoinIvfSq(qdf, "qid", "v", index, cdf,
+        "vec_id", "v", k, nProbe)
+    val got = res.select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    queries.map { case (qid, _) =>
+      val t = truth(qid)
+      got.getOrElse(qid, Set.empty[Long]).count(t).toDouble / t.size
+    }.sum / queries.size
+  }
+
+  test("SQ8 retrain: re-clusters from decodes, codes ride unchanged, recall restored") {
+    val index = VectorOps.buildIvfSqIndex(df(looseA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 3)
+    VectorOps.appendToIvfSqIndex(index, df(tightB), "vec_id", "v")
+    val corpus = looseA ++ tightB
+    val before = recallQuant(index, corpus, qB, k = 10, nProbe = 1, pq = false)
+    assert(before < 0.7, s"expected drifted SQ recall to drop, got $before")
+    def codeOf(id: Long): Seq[Short] = index.toDF
+      .filter(col("vec_id") === id).select("sq_code")
+      .collect()(0).getSeq[Short](0)
+    val c0 = codeOf(4003L)
+    val (nc, n) = VectorOps.retrainIvfIndex(index, iterations = 3, reseed = true)
+    assert(nc === 4)
+    assert(n === corpus.size.toLong)
+    assert(index.schema.option("ivf.retrain.pending", "") === "")
+    assert(index.toDF.count() === corpus.size.toLong)
+    // SQ codes are cell-independent: the retrain moved the row, not its code
+    assert(codeOf(4003L) === c0, "SQ codes must ride unchanged")
+    val after = recallQuant(index, corpus, qB, k = 10, nProbe = 1, pq = false)
+    assert(after > before, s"SQ retrain did not improve recall: $before -> $after")
+    assert(after >= 0.8, s"SQ retrain recall too low: $after")
+  }
+
+  test("residual-PQ retrain: stamped plan, crash resume, books re-trained, recall restored") {
+    val index = VectorOps.buildIvfPqIndex(df(looseA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 3, m = 8, codes = 32)
+    assert(index.schema.option("ivf.pq.residual", "false") === "true",
+      "new PQ indexes must default to residual encoding")
+    VectorOps.appendToIvfPqIndex(index, df(tightB), "vec_id", "v")
+    val corpus = looseA ++ tightB
+    val before = recallQuant(index, corpus, qB, k = 10, nProbe = 1, pq = true)
+    assert(before < 0.7, s"expected drifted PQ recall to drop, got $before")
+    val oldBooks = index.schema.option("ivf.pq.books", "")
+    val oldCents = index.schema.option("ivf.centroids", "")
+    // crash exactly after the plan is stamped: the rewrite never runs, so
+    // codes still decode with the live options
+    VectorOps.retrainMidpointHook = () => throw new RuntimeException("simulated crash")
+    try intercept[RuntimeException] {
+      VectorOps.retrainIvfIndex(index, iterations = 3, reseed = true)
+    } finally VectorOps.retrainMidpointHook = () => ()
+    assert(index.schema.option("ivf.retrain.pending.q", "").nonEmpty,
+      "crash left no stamped plan")
+    assert(index.schema.option("ivf.pq.books", "") === oldBooks,
+      "crash must not flip live options")
+    // resume completes the stamped plan: re-encode + CAS overwrite + flip
+    val (nc, n) = VectorOps.retrainIvfIndex(index)
+    assert(nc === 4)
+    assert(n === corpus.size.toLong)
+    assert(index.schema.option("ivf.retrain.pending.q", "") === "")
+    assert(index.schema.option("ivf.pq.books", "") !== oldBooks,
+      "books were not re-trained")
+    assert(index.schema.option("ivf.centroids", "") !== oldCents)
+    assert(index.toDF.count() === corpus.size.toLong)
+    assert(index.toDF.select("vec_id").distinct().count() === corpus.size.toLong)
+    val after = recallQuant(index, corpus, qB, k = 10, nProbe = 1, pq = true)
+    assert(after > before, s"PQ retrain did not improve recall: $before -> $after")
+    assert(after >= 0.8, s"PQ retrain recall too low: $after")
+  }
+
   test("a crashed retrain resumes from the pending centroids, not a fresh sample") {
     val index = VectorOps.buildIvfIndex(df(regimeA), "vec_id", "v",
       tmpTable(), numCentroids = 4, iterations = 2)

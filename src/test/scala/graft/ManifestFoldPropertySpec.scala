@@ -154,4 +154,91 @@ class ManifestFoldPropertySpec extends SparkSpec {
       s"chain entries $totalEntries vs live ${expected.size} (=24) — " +
         "re-add shadows in kept shards are never reclaimed")
   }
+
+  test("delete-commit conflict check: partition-scoped fold, exact verdicts") {
+    // The conflict check must (a) accept every delete of a live file,
+    // (b) reject every delete of a dead/unknown file — while folding only
+    // the manifest shards whose partition range overlaps the deleted
+    // files' partitions, not the whole live set.
+    val dir = tmpTable()
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("p", StringType), StructField("k", LongType))),
+      partitionKeys = Seq("p"))
+    var manifestReads = 0
+    val store = new FileStore(dir, spark.sessionState.newHadoopConf()) {
+      override val manifestMergeThreshold = 3
+      override val maxManifestEntries = 8
+      override def readManifest(name: String, cacheOnMiss: Boolean)
+          : Seq[ManifestEntry] = {
+        manifestReads += 1
+        super.readManifest(name, cacheOnMiss)
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val expected = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+    val dead = scala.collection.mutable.ArrayBuffer.empty[DataFileMeta]
+    var nextId = 0
+    (0 until 40).foreach { round =>
+      val adds = (0 until (3 + rnd.nextInt(5))).map { _ =>
+        val f = fileOf(nextId, s"p${rnd.nextInt(8)}", t.schema.id)
+        nextId += 1
+        f
+      }
+      // randomly interleave valid deletes with conflict attempts
+      if (round % 5 == 4 && (dead.nonEmpty || true)) {
+        val bogus = dead.lastOption.getOrElse(
+          fileOf(999000 + round, "p0", t.schema.id)) // never committed
+        val ex = intercept[IllegalArgumentException] {
+          store.commit(
+            Seq(ManifestEntry(ManifestEntry.DELETE, bogus)) ++
+              adds.map(f => ManifestEntry(ManifestEntry.ADD, f)), "APPEND")
+        }
+        assert(ex.getMessage.contains("commit conflict"))
+        // the failed commit must not have changed the table
+        val after = store.latestSnapshot.map(s =>
+          store.liveFiles(s).map(f => f.path -> f).toMap).getOrElse(Map.empty)
+        assert(after == expected.toMap, s"round $round: failed commit leaked")
+      }
+      val dels = rnd.shuffle(expected.keys.toVector)
+        .take(rnd.nextInt(math.min(3, expected.size + 1))).map(expected(_))
+      store.commit(adds.map(f => ManifestEntry(ManifestEntry.ADD, f)) ++
+        dels.map(f => ManifestEntry(ManifestEntry.DELETE, f)), "APPEND")
+      adds.foreach(f => expected.put(f.path, f))
+      dels.foreach { f => expected.remove(f.path); dead += f }
+      val live = store.liveFiles(store.latestSnapshot.get)
+      assert(live.map(f => f.path -> f).toMap == expected.toMap,
+        s"round $round: fold diverged with conflict checking on")
+    }
+
+    // scoping: with the chain folded into partition-sorted full shards, a
+    // single-partition delete commit must SKIP shards of other partitions.
+    // Settle the chain first: churn until a clearing FULL fold lands
+    // (pure ADD-only shards, stale counter 0) so the probe commit itself
+    // cannot trigger a fold and the only manifest reads are the conflict
+    // check's.
+    def settled(): Boolean = store.latestSnapshot.exists(s =>
+      s.staleFileEntries == 0 && s.manifestMeta.forall(_.addOnly))
+    var churn = 0
+    while (!settled() && churn < 200) {
+      val p = expected.values.head
+      store.commit(Seq(ManifestEntry(ManifestEntry.DELETE, p),
+        ManifestEntry(ManifestEntry.ADD, p)), "APPEND")
+      churn += 1
+    }
+    assert(settled(), s"no clearing full fold after $churn churn commits")
+    val snap0 = store.latestSnapshot.get
+    val totalManifests = snap0.manifests.size
+    assert(totalManifests > 6, "fixture too small to demonstrate skipping")
+    val victim = expected.values.find(_.partition == Seq("p3")).get
+    manifestReads = 0
+    store.commit(Seq(ManifestEntry(ManifestEntry.DELETE, victim),
+      ManifestEntry(ManifestEntry.ADD, victim)), "APPEND")
+    assert(manifestReads < totalManifests / 2,
+      s"conflict fold read $manifestReads manifests of a $totalManifests-" +
+        "manifest chain for a single-partition delete — shard scoping " +
+        "is not happening")
+    expected.put(victim.path, victim)
+    assert(store.liveFiles(store.latestSnapshot.get)
+      .map(f => f.path -> f).toMap == expected.toMap)
+  }
 }
