@@ -285,6 +285,29 @@ object ScaleStress {
       results += "dsir_select_halfk" -> th
       println(f"""{"op":"dsir_select_halfk","sec":$th%.3f,"kept":$keptH,"k":$halfK,"docs":$n}""")
     }
+    if (ops("wordpiece")) {
+      // realistic-vocab WordPiece (q148's op at BERT scale): ~30k pieces
+      // (SPARK_GRAFT_VOCAB to override) shipped as ONE literal map datum.
+      // Measures the three claims the toy-vocab oracle can't: plan BUILD
+      // wall with the big datum, serialized-plan footprint (must be
+      // ~vocab-sized and CONSTANT in corpus size — no per-row inlining),
+      // and the per-row O(chars·maxPieceLen) probe walk at corpus scale.
+      import org.apache.spark.sql.functions._
+      val vsize = sys.env.getOrElse("SPARK_GRAFT_VOCAB", "30000").toInt
+      val vocab = graft.pipeline.TextOps.syntheticVocab(vsize)
+      // spread: a small parquet is one split; the walk is per-row CPU and
+      // must use every core (at 100 TB the splits provide the parallelism)
+      val counted = graft.pipeline.PipelineUtil.spread(docs)
+        .select(col("doc_id"),
+        graft.pipeline.TextOps.wordpieceCount(lower(col("text")), vocab)
+          .cast("long").as("n"))
+      val (planT, planChars) = time(
+        counted.queryExecution.executedPlan.toString.length)
+      val (t, toks) = time(
+        counted.agg(sum("n")).collect()(0).getLong(0))
+      results += "wordpiece_30k" -> t
+      println(f"""{"op":"wordpiece_30k","sec":$t%.3f,"plan_build_sec":$planT%.3f,"plan_chars":$planChars,"vocab":${vocab.size},"tokens":$toks,"docs":$n}""")
+    }
     if (ops("prefixsum_rows")) {
       // the prefix-sum primitive alone at row scale (no text): a seeded
       // shuffle over SPARK_GRAFT_ROWS synthetic ids — the probe that the

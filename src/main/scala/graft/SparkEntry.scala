@@ -985,6 +985,17 @@ object SparkEntry {
           .as("n_tokens"),
         concat_ws(" ", TextOps.wordpieceTokens(col("text"), WordpieceVocab))
           .as("tokens"))
+    }),
+    "q149_bpe_tokens" -> ((s, d) => {
+      // merges-list BPE (GPT-style: lowest-rank adjacent pair fuses, all
+      // occurrences left-to-right before re-ranking) over the committed
+      // literal merges table; the oracle replays the identical pinned
+      // walk as a recursive CTE over token LISTS
+      Fixtures.src(s, d, "documents").select(col("doc_id"),
+        TextOps.bpeCount(col("text"), BpeMerges).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", TextOps.bpeTokens(col("text"), BpeMerges))
+          .as("tokens"))
     })
   )
 
@@ -1001,6 +1012,24 @@ object SparkEntry {
       Seq("##ble", "##an", "##ue", "##ow", "##er", "##ta", "##ata", "##s") ++
       chars.map("##" + _)).distinct
   }
+
+  /** The committed q149 BPE merges table, in PRIORITY ORDER (rank =
+    * position): common English bigram fusions, multi-step chains with
+    * real precedence structure (t+a → ta+ble, v+al → val+u → valu+e),
+    * digit merges, and self-pairs (a+a, aa+aa — the overlapping-run case
+    * where left-to-right non-overlap semantics matter). Both engines
+    * consume THIS list.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("en", "t"),
+    ("o", "r"), ("ti", "on"), ("t", "i"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("l", "e"), ("o", "f"), ("in", "g"), ("a", "l"),
+    ("b", "le"), ("t", "a"), ("ta", "ble"), ("v", "al"), ("val", "u"),
+    ("valu", "e"), ("s", "c"), ("sc", "an"), ("d", "at"), ("dat", "a"),
+    ("c", "o"), ("co", "m"), ("q", "u"), ("e", "s"), ("w", "h"),
+    ("wh", "i"), ("whi", "le"), ("1", "0"), ("10", "0"),
+    ("a", "a"), ("aa", "aa"))
 
   /** Shared q49/q50/q56/q60 fixture — see [[Fixtures.annRecallCorpus]]. */
   private def annRecallCorpus(s: SparkSession, d: String): (DataFrame, Seq[Double]) =
@@ -2046,7 +2075,8 @@ object SparkEntry {
         |  AND ROUND(LIST_COSINE_SIMILARITY(q.qv, c.v), 6) >= 0.95""".stripMargin,
     "q60_ann_ivf_index" -> annLshOracle,
     "q50_embed_sim_pairs" -> embedPairsOracle,
-    "q148_wordpiece_tokens" -> wordpieceOracle
+    "q148_wordpiece_tokens" -> wordpieceOracle,
+    "q149_bpe_tokens" -> bpeOracle
   )
 
   /** q148 oracle: the IDENTICAL greedy longest-match walk as a recursive
@@ -2094,6 +2124,68 @@ object SparkEntry {
        |  WHERE maxpos <= wl)
        |SELECT d.doc_id, CAST(COUNT(p.piece) AS BIGINT) AS n_tokens,
        |  COALESCE(STRING_AGG(p.piece, ' ' ORDER BY p.wi, p.step), '') AS tokens
+       |FROM documents d LEFT JOIN pieces p ON d.doc_id = p.doc_id
+       |GROUP BY d.doc_id""".stripMargin
+  }
+
+  /** q149 oracle: the IDENTICAL pinned BPE walk as a recursive CTE over
+    * token LISTS — per word, each step fuses the leftmost occurrence of
+    * the PINNED current pair, re-ranking (lowest merge rank, leftmost on
+    * ties) only when the pin is exhausted; recursion stops when no listed
+    * pair remains. The merges table (key = a || CHR(1) || b → rank) is
+    * interpolated from [[BpeMerges]] so the engines can never skew.
+    * Pair-rank lookups go through COALESCE(map[k][1], BIG) — DuckDB map
+    * extraction yields a LIST, and an unlisted pair must rank as
+    * unmergeable, not as an empty list that sorts below every rank.
+    */
+  private def bpeOracle: String = {
+    val keys = BpeMerges.map { case (a, b) => s"'$a' || CHR(1) || '$b'" }
+      .mkString(", ")
+    val vals = BpeMerges.indices.mkString(", ")
+    val rmap = s"MAP([$keys], [$vals])"
+    val big = BpeMerges.size
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, s.i AS wi, s.w AS word FROM (
+       |    SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]') AS ws
+       |    FROM documents),
+       |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(ws)+1), i -> {'i': i, 'w': ws[i]})) AS u(s)),
+       |steps AS (
+       |  SELECT doc_id, wi,
+       |    LIST_TRANSFORM(RANGE(1, LEN(word)+1), i -> word[i]) AS toks,
+       |    CAST(NULL AS VARCHAR) AS cur, 0 AS step
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi,
+       |    toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:],
+       |    nxt, step + 1
+       |  FROM (
+       |    SELECT doc_id, wi, toks, step, nxt,
+       |      CASE WHEN pc > 0 THEN pc ELSE LIST_POSITION(rk, LIST_MIN(rk)) END AS p
+       |    FROM (
+       |      SELECT doc_id, wi, toks, step, pairs, rk, pc,
+       |        CASE WHEN pc > 0 THEN cur
+       |             WHEN LIST_MIN(rk) < $big THEN pairs[LIST_POSITION(rk, LIST_MIN(rk))]
+       |             ELSE NULL END AS nxt
+       |      FROM (
+       |        SELECT doc_id, wi, toks, cur, step, pairs,
+       |          LIST_TRANSFORM(pairs, k -> COALESCE($rmap[k][1], $big)) AS rk,
+       |          COALESCE(LIST_POSITION(pairs, cur), 0) AS pc
+       |        FROM (
+       |          SELECT doc_id, wi, toks, cur, step,
+       |            LIST_TRANSFORM(RANGE(1, LEN(toks)),
+       |              i -> toks[i] || CHR(1) || toks[i+1]) AS pairs
+       |          FROM steps WHERE LEN(toks) > 1)))
+       |    WHERE nxt IS NOT NULL)),
+       |final AS (
+       |  SELECT s.doc_id, s.wi, s.toks FROM steps s
+       |  JOIN (SELECT doc_id, wi, MAX(step) AS ms FROM steps GROUP BY 1,2) m
+       |    ON s.doc_id = m.doc_id AND s.wi = m.wi AND s.step = m.ms),
+       |pieces AS (
+       |  SELECT f.doc_id, f.wi, u.o AS ord, u.t AS piece
+       |  FROM final f, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(f.toks)+1),
+       |    i -> {'o': i, 't': f.toks[i]})) AS u2(u))
+       |SELECT d.doc_id, CAST(COUNT(p.piece) AS BIGINT) AS n_tokens,
+       |  COALESCE(STRING_AGG(p.piece, ' ' ORDER BY p.wi, p.ord), '') AS tokens
        |FROM documents d LEFT JOIN pieces p ON d.doc_id = p.doc_id
        |GROUP BY d.doc_id""".stripMargin
   }

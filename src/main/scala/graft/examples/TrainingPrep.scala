@@ -116,6 +116,17 @@ object TrainingPrep {
     println(s"[prep] wordpiece_pack    sequences=${wpRow.getLong(0) + 1} " +
       s"(subword tokens=${wpRow.getLong(1)})")
 
+    // 8c. GPT-style budgeting: the same packing with the merges-list BPE
+    // tokenizer (lowest-rank pair fusion over the committed merges, q149)
+    val bpePlaced = TextOps.packSequences(shuffled, "doc_id",
+      TextOps.bpeCount(col("text"), graft.SparkEntry.BpeMerges),
+      seqLen = 256, sepTokens = 1)
+    val bpeRow = bpePlaced.agg(
+      coalesce(max("last_seq"), lit(-1L)).as("m"),
+      coalesce(sum("n_tokens"), lit(0L)).as("s")).collect()(0)
+    println(s"[prep] bpe_pack          sequences=${bpeRow.getLong(0) + 1} " +
+      s"(bpe tokens=${bpeRow.getLong(1)})")
+
     // 9. the training corpus lands as a graft table
     val out = GraftTable.create(spark, s"$base/packed", packed.schema)
     out.append(packed)

@@ -29,12 +29,20 @@ object TextOps {
     * are prefixed "##"); a word with an unmatchable position becomes one
     * `unk` token. Returns `array<string>` of pieces.
     *
-    * Engine shape: the vocab ships as a literal map datum inside the
-    * expression (fine to ~100k pieces — metadata-sized, shipped once per
-    * task with the plan), and both loops are runtime `aggregate` folds
-    * over `sequence` arrays — plan size is CONSTANT in text length and
-    * vocab size, no UDF, no shuffle, whole-stage-codegen eligible. Cost
-    * per word is O(chars · maxPieceLen) map probes.
+    * Engine shape: one native [[graft.functions.WordpieceTokens]]
+    * expression — the vocab ships ONCE with the plan (metadata-sized;
+    * per-JVM hash sets, O(1) probes), the walk is two tight JIT'd loops,
+    * plan size is CONSTANT in text length, no UDF, no shuffle. Cost per
+    * word is O(chars · maxPieceLen) hash probes. History, preserved as a
+    * scale lesson: this began as composed `aggregate`/`sequence` folds
+    * probing `element_at` on a map LITERAL — correct, and green on the
+    * toy q148 vocab, but Catalyst's GetMapValue linear-scans the keys, so
+    * a 30k-piece BERT-scale vocab turned every probe into 30k string
+    * compares (~10⁵× slow-down, found by the ScaleStress `wordpiece`
+    * probe); hashed-lookup folds fixed the scan but still paid
+    * interpreted higher-order-function dispatch per step (~3 ms/doc).
+    * NULL text tokenizes as empty (count 0), matching the q148 oracle's
+    * LEFT-JOIN 0/'' rows.
     *
     * This makes token budgets REAL: [[packSequences]] /
     * [[tokenBudgetSample]] accept any count Column, and
@@ -48,41 +56,9 @@ object TextOps {
       s"wordpieceTokens: empty piece in vocab")
     require(vocab.distinct.size == vocab.size,
       "wordpieceTokens: duplicate pieces in vocab")
-    val maxLen = vocab.map(p =>
-      if (p.startsWith("##")) p.length - 2 else p.length).max
-    val inVocab = typedLit(vocab.map(_ -> true).toMap)
-    // NULL text tokenizes as empty (count 0), not NULL-propagated: a
-    // NULL count would coalesce to 0 inside packSequences without signal
-    // and diverge from the q148 oracle's LEFT-JOIN 0/'' rows
-    val words = filter(split(trim(coalesce(text, lit(""))), "\\s+"),
-      w => length(w) > 0)
-    def pieceAt(w: Column, pos: Column, l: Column): Column =
-      concat(when(pos === 1, lit("")).otherwise(lit("##")),
-        substr(w, pos, l))
-    def wordPieces(w: Column): Column =
-      aggregate(
-        sequence(lit(1), length(w)), // ≥ piece count: ≥1 char each
-        struct(lit(1).as("pos"),
-          array().cast("array<string>").as("out"), lit(false).as("bad")),
-        (st, _) => {
-          val pos = st.getField("pos")
-          val best = aggregate(
-            sequence(least(lit(maxLen), length(w) - pos + 1),
-              lit(1), lit(-1)),
-            lit(0),
-            (acc, l) => when(acc > 0, acc).otherwise(
-              when(element_at(inVocab, pieceAt(w, pos, l)).isNotNull, l)
-                .otherwise(lit(0))))
-          when(st.getField("bad") || pos > length(w), st)
-            .when(best === 0, struct((length(w) + 1).as("pos"),
-              array(lit(unk)).as("out"), lit(true).as("bad")))
-            .otherwise(struct((pos + best).as("pos"),
-              concat(st.getField("out"),
-                array(pieceAt(w, pos, best))).as("out"),
-              lit(false).as("bad")))
-        },
-        st => st.getField("out"))
-    flatten(transform(words, w => wordPieces(w)))
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.WordpieceTokens(
+        org.apache.spark.sql.graft.SparkShims.expr(text), vocab, unk))
   }
 
   /** Number of [[wordpieceTokens]] subword tokens — the real-token count
@@ -91,6 +67,74 @@ object TextOps {
   def wordpieceCount(text: Column, vocab: Seq[String],
       unk: String = "[UNK]"): Column =
     size(wordpieceTokens(text, vocab, unk))
+
+  /** Deterministic synthetic WordPiece vocab of `n` pieces — the
+    * benchmark/scale-probe fixture for [[wordpieceTokens]] at REALISTIC
+    * vocab size (BERT-base ships ~30k pieces). All 1-, 2-, 3-char
+    * lowercase+digit strings in lexicographic order plus a 9-char tail
+    * (tripled 3-char combos, so maxPieceLen is realistic, not 3), each in
+    * both initial and continuation form, truncated to `n`. Measures the
+    * shape that matters — piece count, max piece length, literal
+    * map-datum size — without shipping a real vocab file.
+    */
+  def syntheticVocab(n: Int): Seq[String] = {
+    require(n >= 80 && n % 2 == 0, s"syntheticVocab: need even n >= 80: $n")
+    val alpha = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+    val short = alpha ++
+      (for (a <- alpha; b <- alpha) yield a + b) ++
+      (for (a <- alpha; b <- alpha; c <- alpha) yield a + b + c)
+    val long = (for (a <- alpha; b <- alpha; c <- alpha)
+      yield (a + b + c) * 3).take(n / 20)
+    val base = (short.take(n / 2 - long.size) ++ long).distinct
+    base ++ base.map("##" + _)
+  }
+
+  /** Merges-list BPE tokenization as a pure codegen'd expression — the
+    * GPT-style tokenizer family (public: Sennrich et al. 2016; the GPT-2
+    * encoder): each pre-token (regex word: alnum run or single symbol,
+    * the [[tokenCount]] pre-tokenizer) starts as its characters, then
+    * merge rules apply in PRIORITY ORDER — repeatedly take the
+    * present adjacent pair with the lowest merge rank and fuse all its
+    * occurrences left-to-right before re-ranking, until no listed pair
+    * remains. Character-level base alphabet (for ASCII corpora identical
+    * to byte-level GPT-2 after its byte↔unicode mapping; a byte encoder
+    * would bolt on at the `words` stage). NULL text tokenizes as empty.
+    *
+    * Engine shape mirrors [[wordpieceTokens]]: one native
+    * [[graft.functions.BpeTokens]] expression — the merges table ships
+    * ONCE with the plan (pair key → rank; fine to GPT-scale ~50k entries
+    * — metadata-sized, O(1) hashed probes per adjacent pair), and the
+    * walk is a tight JIT'd loop: per step one O(len) scan finds the
+    * leftmost occurrence of the PINNED current pair (so all occurrences
+    * of a chosen pair fuse before a newly-formed lower-rank pair can
+    * preempt — the GPT-2 pass order), re-ranking only when the pin is
+    * exhausted. ≤ len−1 merge steps per word ⇒ O(len²) per word,
+    * constant plan size in text and merges.
+    *
+    * Like [[wordpieceCount]], `size(bpeTokens(...))` ([[bpeCount]])
+    * makes [[packSequences]]/[[tokenBudgetSample]] budgets real
+    * GPT-style token counts.
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "bpeTokens: empty merges list")
+    val Sep = "\u0001"
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty, s"bpeTokens: empty merge side ('$a','$b')")
+      require(!(a + b).exists(_.isWhitespace) && !(a + b).contains(Sep),
+        s"bpeTokens: merge tokens must be non-whitespace: ('$a','$b')")
+    }
+    require(merges.distinct.size == merges.size,
+      "bpeTokens: duplicate merge pairs")
+    org.apache.spark.sql.graft.SparkShims.column(
+      graft.functions.BpeTokens(
+        org.apache.spark.sql.graft.SparkShims.expr(text), merges))
+  }
+
+  /** Number of [[bpeTokens]] subword tokens — the GPT-style token-count
+    * Column for [[packSequences]]/[[tokenBudgetSample]] budgets.
+    */
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(text, merges))
 
   /** Occurrences of a literal marker (no regex), vectorized. */
   def occurrences(text: Column, marker: String): Column =

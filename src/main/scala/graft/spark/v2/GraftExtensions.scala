@@ -176,6 +176,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           v.toString
         }.toSeq
     }
+    injectColumnFn("graft_bpe",
+      "graft_bpe(text, merges_array): merges-list BPE tokens (GPT-style " +
+        "lowest-rank pair fusion) over a LITERAL merges array of " +
+        "'left right' pairs in priority order", 2, 2) { as =>
+      val merges = strArrayLit(as(1)).map { m =>
+        val parts = m.split(' ')
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"each merge must be 'left right' (one space): '$m'")
+        (parts(0), parts(1))
+      }
+      graft.pipeline.TextOps.bpeTokens(as.head, merges)
+    }
     injectColumnFn("graft_wordpiece",
       "graft_wordpiece(text, vocab_array[, unk]): greedy longest-match " +
         "WordPiece pieces (\"##\" continuations, whole-word unk on a dead " +

@@ -129,6 +129,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("jaccardJoin guardrail: replicated corpus fails fast, clean corpus stays silent") {
+    // 300 copies of ONE document: every prefix token has frequency 300, so
+    // the candidate estimate is prefix·C(300,2) ≈ quadratic — the guard
+    // must fire BEFORE the join launches, pointing at nearDupPairs
+    val replicated = (0L until 300L)
+      .map(i => (i, "the same document body repeated verbatim many times"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardJoin(replicated, "doc_id", "text",
+        maxCandidatePairs = 10000L)
+    }
+    assert(e.getMessage.contains("nearDupPairs"), e.getMessage)
+    // a clean sliding-window corpus stays well under the default bound
+    val words = (0 until 40).map(i => s"w$i")
+    val clean = (0 until 25).map(i =>
+      (i.toLong, words.slice(i, i + 12).mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.jaccardJoin(clean, "doc_id", "text").count() >= 0)
+    // maxCandidatePairs = 0 disables the guard: the quadratic run is a
+    // conscious choice and still returns correct pairs
+    assert(Dedup.jaccardJoin(replicated.limit(20), "doc_id", "text",
+      maxCandidatePairs = 0L).count() == 190L) // C(20,2) identical pairs
+  }
+
   test("incremental cross-corpus dedup: batch vs persisted signature index") {
     // corpus: 20 docs on a sliding-window spectrum; new batch: near-copies
     // of corpus docs 3 and 11 (one word changed), one exact copy of 7, and

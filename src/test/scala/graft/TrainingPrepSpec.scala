@@ -385,6 +385,37 @@ class TrainingPrepSpec extends SparkSpec {
     assert(unks === 0L)
   }
 
+  test("30k-piece synthetic vocab: walk matches the reference, plan constant in corpus size") {
+    // the realistic-scale claim q148's toy vocab never exercised: a
+    // BERT-sized LITERAL vocab (30k pieces, max piece length 9) through
+    // the same greedy walk — correctness vs the local reference, and the
+    // plan footprint must not depend on corpus size (the vocab ships
+    // once as a map datum, never per row)
+    val vocab = graft.pipeline.TextOps.syntheticVocab(30000)
+    assert(vocab.size === 30000)
+    assert(vocab.distinct.size === 30000)
+    assert(vocab.exists(p => p.length == 9), "no long pieces in fixture")
+    val texts = Seq(
+      "abcabcabc aba997 zzz9 q",    // 9-char piece hit + 1/2/3-char walks
+      "aaaaaaaaaaab 0123456789",    // long runs, digit pieces
+      "zq9zq9zq9zq9 xx yy z")       // tripled piece + boundary tails
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.pipeline.TextOps.wordpieceTokens(col("text"), vocab).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == wpLocal(t, vocab), s"text '$t'") }
+    def planChars(rows: Long): Int =
+      spark.range(rows).select(lit("abc abcabcabc xyz").as("text"))
+        .select(graft.pipeline.TextOps.wordpieceCount(col("text"), vocab).as("n"))
+        .queryExecution.executedPlan.toString.length
+    val (small, large) = (planChars(10L), planChars(10000000L))
+    // identical plans modulo the printed range bound's digits
+    assert(math.abs(small - large) < 64,
+      s"plan footprint varies with corpus size: $small vs $large")
+  }
+
   test("deterministic shuffle is a stable seeded permutation") {
     val df = (0L until 500L).toDF("doc_id").repartition(5)
     def posOf(seed: Long): Map[Long, Long] =
