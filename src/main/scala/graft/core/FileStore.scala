@@ -82,16 +82,22 @@ class FileStore(val root: String, val hadoopConf: Configuration,
 
   // ---------------- raw IO ----------------
 
-  def readString(p: Path): String = {
+  def readBytes(p: Path): Array[Byte] = {
     val in = fs.open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    try in.readAllBytes() finally in.close()
   }
 
-  def writeString(p: Path, s: String): Unit = {
+  def readString(p: Path): String =
+    new String(readBytes(p), StandardCharsets.UTF_8)
+
+  def writeBytes(p: Path, b: Array[Byte]): Unit = {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
-    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(b) finally out.close()
   }
+
+  def writeString(p: Path, s: String): Unit =
+    writeBytes(p, s.getBytes(StandardCharsets.UTF_8))
 
   /** The commit-atomicity seam (SURVEY §7.5 risk #1): every exactly-once
     * publish — snapshots, schemas, tags, branch forks — funnels through
@@ -234,8 +240,11 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     hadoopConf.getLong("graft.manifest-cache.max-entries", 4000000L)
 
   def writeManifest(entries: Seq[ManifestEntry]): String = {
+    // v2 binary (the ".json" suffix is historical — readers dispatch on
+    // the magic, and existing chains mix formats freely); JSON manifests
+    // measured parse-bound at 10⁷ entries (126 s cold fold)
     val name = s"manifest-${UUID.randomUUID()}.json"
-    writeString(new Path(manifestDir, name), ManifestCodec.entriesToJson(entries))
+    writeBytes(new Path(manifestDir, name), ManifestCodec.entriesToBytes(entries))
     manifestCache.synchronized { manifestCache.put(name, entries.toVector) }
     name
   }
@@ -254,7 +263,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       // parse OUTSIDE the lock — concurrent planners must not serialize
       // on each other's IO; a racing double-read just caches last-wins
       val parsed =
-        ManifestCodec.entriesFromJson(readString(new Path(manifestDir, name))).toVector
+        ManifestCodec.entriesFromAny(readBytes(new Path(manifestDir, name))).toVector
       if (cacheOnMiss)
         manifestCache.synchronized { manifestCache.put(name, parsed) }
       parsed
@@ -302,6 +311,10 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       .values.toVector
   }
 
+  @transient private lazy val schemaCache = TrieMap.empty[Long, TableSchema]
+  private def cachedSchema(id: Long): TableSchema =
+    schemaCache.getOrElseUpdate(id, readSchema(id))
+
   /** Summarize a manifest's entries for the snapshot-level shard index. */
   def manifestMetaOf(name: String, entries: Seq[ManifestEntry]): ManifestMeta = {
     val adds = entries.filter(_.kind == ManifestEntry.ADD)
@@ -314,7 +327,56 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       schemaIds = entries.map(_.file.schemaId).distinct.sorted,
       ptMin = if (parts.isEmpty || parts.head.isEmpty) None else Some(parts.min(PartTupleOrdering)),
       ptMax = if (parts.isEmpty || parts.head.isEmpty) None else Some(parts.max(PartTupleOrdering)),
-      dvCount = adds.map(_.file.dvCount).sum)
+      dvCount = adds.map(_.file.dvCount).sum,
+      colStats = foldColStats(adds),
+      rowCount = adds.map(_.file.rowCount).sum)
+  }
+
+  /** Shard-level column ranges: the typed fold of the ADD entries' file
+    * stats (see [[ManifestMeta.colStats]]). A column participates only if
+    * (a) every contributing schema defines it with the SAME type — stats
+    * strings are encoded under the writing schema, and min-of-mins across
+    * encodings of different types is not ordered — and (b) every entry
+    * carries stats for it with both bounds known; otherwise the column is
+    * omitted and the shard is always kept for it (safe). Null counts and
+    * row counts sum, so IsNull/IsNotNull shard tests stay conservative.
+    */
+  private def foldColStats(adds: Seq[ManifestEntry]): Map[String, ColStats] = {
+    if (adds.isEmpty) return Map.empty
+    val schemas =
+      try adds.map(_.file.schemaId).distinct.map(cachedSchema)
+      catch { case _: Exception => return Map.empty } // fabricated/legacy
+    // candidate columns: consistent type across contributing schemas
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      schemas.head.fields.flatMap { f =>
+        val dt = f.sparkType
+        if (schemas.forall(_.fields.exists(g =>
+            g.name == f.name && g.sparkType == dt))) Some(f.name -> dt)
+        else None
+      }.toMap
+    types.flatMap { case (col, dt) =>
+      var mn: Comparable[Any] = null; var mnS: String = null
+      var mx: Comparable[Any] = null; var mxS: String = null
+      var nulls = 0L
+      var ok = true
+      val it = adds.iterator
+      while (ok && it.hasNext) {
+        it.next().file.stats.get(col) match {
+          case Some(cs) if cs.min.isDefined && cs.max.isDefined =>
+            nulls += cs.nullCount
+            (StatsCodec.toComparable(dt, cs.min.get),
+             StatsCodec.toComparable(dt, cs.max.get)) match {
+              case (Some(lo), Some(hi)) =>
+                if (mn == null || lo.compareTo(mn) < 0) { mn = lo; mnS = cs.min.get }
+                if (mx == null || hi.compareTo(mx) > 0) { mx = hi; mxS = cs.max.get }
+              case _ => ok = false
+            }
+          case _ => ok = false
+        }
+      }
+      if (ok && mn != null) Some(col -> ColStats(Some(mnS), Some(mxS), nulls))
+      else None
+    }
   }
 
   /** Lexicographic-by-component ordering of partition value tuples; the

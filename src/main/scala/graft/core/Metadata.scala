@@ -70,7 +70,21 @@ case class ManifestMeta(
     ptMax: Option[Seq[String]],
     /** Total deletion-vector cardinality of ADD entries — lets planning
       * know DV-free snapshots without reading manifests. */
-    dvCount: Long = 0L)
+    dvCount: Long = 0L,
+    /** Shard-level column ranges: per column, the typed fold of the ADD
+      * entries' file stats (min of mins / max of maxes / summed null
+      * count) — lets a stats-filtered plan SKIP whole shards exactly like
+      * `ptMin`/`ptMax` does for partition filters (a 10⁷-file fixture
+      * measured plan_stats at 60+ s reading every shard without this; the
+      * reference's manifest-list entries carry the analogous stats).
+      * A column appears only when every contributing schema agrees on its
+      * type and every entry carries its stats — absent columns keep the
+      * shard (safe). Empty on pre-colStats snapshots (no skip, correct).
+      */
+    colStats: Map[String, ColStats] = Map.empty,
+    /** Total (raw) row count of ADD entries — the [[colStats]] null-count
+      * companion for IsNotNull shard tests. */
+    rowCount: Long = 0L)
 
 /** A committed table version (reference: paimon-core
   * org/apache/paimon/Snapshot.java:68). `manifests` is the full ordered list
@@ -159,6 +173,16 @@ case class Snapshot(
         val sids = e.putArray("schemaIds"); m.schemaIds.foreach(sids.add)
         m.ptMin.foreach { vs => val a = e.putArray("ptMin"); vs.foreach(a.add) }
         m.ptMax.foreach { vs => val a = e.putArray("ptMax"); vs.foreach(a.add) }
+        if (m.colStats.nonEmpty) {
+          e.put("rowCount", m.rowCount)
+          val cs = e.putObject("colStats")
+          m.colStats.toSeq.sortBy(_._1).foreach { case (col, c) =>
+            val cn = cs.putObject(col)
+            c.min.foreach(v => cn.put("min", v))
+            c.max.foreach(v => cn.put("max", v))
+            cn.put("nullCount", c.nullCount)
+          }
+        }
       }
     }
     Json.write(n)
@@ -178,7 +202,14 @@ object Snapshot {
           Json.elems(e.get("schemaIds")).map(_.asLong()),
           Option(e.get("ptMin")).map(a => Json.elems(a).map(_.asText())),
           Option(e.get("ptMax")).map(a => Json.elems(a).map(_.asText())),
-          Json.optLong(e, "dvCount").getOrElse(0L))
+          Json.optLong(e, "dvCount").getOrElse(0L),
+          Option(e.get("colStats")).map { cs =>
+            Json.fields(cs).map { case (col, c) =>
+              col -> ColStats(Json.optStr(c, "min"), Json.optStr(c, "max"),
+                Json.optLong(c, "nullCount").getOrElse(0L))
+            }.toMap
+          }.getOrElse(Map.empty),
+          Json.optLong(e, "rowCount").getOrElse(0L))
       }
     }.getOrElse(Nil)
     Snapshot(
@@ -266,6 +297,90 @@ object ManifestCodec {
             .getOrElse(Map.empty)))
     }
   }
+
+  // ---- v2 BINARY manifest format (reference: paimon's Avro manifests —
+  // compact rows, no per-field name lookups). The JSON codec above is
+  // parse-bound at scale: a cold 10⁷-entry fold measured 126 s (≈5 GB of
+  // Jackson DOM), and a fold whose span exceeds the entry cache re-pays
+  // it on EVERY unpruned plan. The binary layout cuts bytes ~3× and
+  // parses ~10× faster. Writers emit v2; readers dispatch on the magic,
+  // so pre-v2 JSON manifests in existing chains keep reading. ----
+
+  /** "GM2\n" — first byte can never be '{' (JSON) so dispatch is safe. */
+  private val BinaryMagic: Array[Byte] = Array('G', 'M', '2', '\n').map(_.toByte)
+
+  private def writeOptStr(o: java.io.DataOutputStream, v: Option[String]): Unit = {
+    o.writeBoolean(v.isDefined); v.foreach(o.writeUTF)
+  }
+  private def readOptStr(i: java.io.DataInputStream): Option[String] =
+    if (i.readBoolean()) Some(i.readUTF()) else None
+
+  def entriesToBytes(entries: Seq[ManifestEntry]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(entries.size * 160 + 16)
+    val o = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(bos, 1 << 16))
+    o.write(BinaryMagic)
+    o.writeInt(entries.size)
+    entries.foreach { e =>
+      o.writeByte(e.kind)
+      val f = e.file
+      o.writeUTF(f.path); o.writeLong(f.size); o.writeLong(f.rowCount)
+      o.writeShort(f.partition.size); f.partition.foreach(o.writeUTF)
+      o.writeInt(f.bucket); o.writeInt(f.level)
+      o.writeLong(f.minSeq); o.writeLong(f.maxSeq); o.writeLong(f.schemaId)
+      writeOptStr(o, f.dvPath); o.writeLong(f.dvCount)
+      o.writeShort(f.blooms.size)
+      f.blooms.toSeq.sortBy(_._1).foreach { case (c, p) =>
+        o.writeUTF(c); o.writeUTF(p)
+      }
+      o.writeShort(f.stats.size)
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        o.writeUTF(c); writeOptStr(o, cs.min); writeOptStr(o, cs.max)
+        o.writeLong(cs.nullCount)
+      }
+    }
+    o.flush()
+    bos.toByteArray
+  }
+
+  def entriesFromBytes(bytes: Array[Byte]): Seq[ManifestEntry] = {
+    val i = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes, BinaryMagic.length,
+        bytes.length - BinaryMagic.length))
+    val n = i.readInt()
+    val out = new scala.collection.immutable.VectorBuilder[ManifestEntry]
+    var k = 0
+    while (k < n) {
+      val kind = i.readByte().toInt
+      val path = i.readUTF(); val size = i.readLong(); val rows = i.readLong()
+      val np = i.readShort().toInt
+      val part = if (np == 0) Nil else Seq.fill(np)(i.readUTF())
+      val bucket = i.readInt(); val level = i.readInt()
+      val minSeq = i.readLong(); val maxSeq = i.readLong()
+      val schemaId = i.readLong()
+      val dvPath = readOptStr(i); val dvCount = i.readLong()
+      val nb = i.readShort().toInt
+      val blooms = if (nb == 0) Map.empty[String, String]
+        else (0 until nb).map(_ => i.readUTF() -> i.readUTF()).toMap
+      val ns = i.readShort().toInt
+      val stats = if (ns == 0) Map.empty[String, ColStats]
+        else (0 until ns).map(_ => i.readUTF() ->
+          ColStats(readOptStr(i), readOptStr(i), i.readLong())).toMap
+      out += ManifestEntry(kind, DataFileMeta(path, size, rows, part,
+        bucket, level, minSeq, maxSeq, schemaId, stats, dvPath, dvCount,
+        blooms))
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Read either format: v2 binary by magic, else legacy JSON. */
+  def entriesFromAny(bytes: Array[Byte]): Seq[ManifestEntry] =
+    if (bytes.length >= BinaryMagic.length &&
+        java.util.Arrays.equals(bytes, 0, BinaryMagic.length,
+          BinaryMagic, 0, BinaryMagic.length))
+      entriesFromBytes(bytes)
+    else entriesFromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
 }
 
 /** One column's ANALYZE statistics (reference: paimon-core

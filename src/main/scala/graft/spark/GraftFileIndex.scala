@@ -90,14 +90,23 @@ class GraftFileIndex(
       case _ => _ => true
     }
 
-    // manifest-shard skipping: with a partition predicate, folded shards
-    // whose recorded partition range can't match are never parsed
+    // manifest-shard skipping: folded shards whose recorded partition
+    // range OR column-stat ranges can't match are never parsed. Stats
+    // shard tests reuse the compiled per-file evaluator over the shard's
+    // folded ColStats (min of mins / max of maxes / summed nulls) — a
+    // key-range plan at 10⁷ files read every shard (60+ s of manifest
+    // parse) before shard-level colStats existed.
     val candidates = source match {
-      case Left(snap) if partPreds.nonEmpty =>
-        store.liveFiles(snap, meta => (meta.ptMin, meta.ptMax) match {
-          case (Some(lo), Some(hi)) =>
-            partPreds.forall(p => Pruning.shardMightMatch(p, schema.partitionKeys, lo, hi))
-          case _ => true
+      case Left(snap) if partPreds.nonEmpty || dataPreds.nonEmpty =>
+        val shardStats = dataPreds.map(p => Pruning.compileMight(p, typeOf))
+        store.liveFiles(snap, meta => {
+          val partOk = (meta.ptMin, meta.ptMax) match {
+            case (Some(lo), Some(hi)) =>
+              partPreds.forall(p => Pruning.shardMightMatch(p, schema.partitionKeys, lo, hi))
+            case _ => true
+          }
+          partOk && (meta.colStats.isEmpty ||
+            shardStats.forall(_(meta.colStats, meta.rowCount)))
         })
       case _ => allFiles
     }

@@ -151,10 +151,8 @@ trait SystemTables { self: GraftTable =>
         val p = new org.apache.hadoop.fs.Path(mDir, name)
         val fs = p.getFileSystem(serConf.value)
         val in = fs.open(p)
-        val content =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        graft.core.ManifestCodec.entriesFromJson(content).map { e =>
+        val content = try in.readAllBytes() finally in.close()
+        graft.core.ManifestCodec.entriesFromAny(content).map { e =>
           val f = e.file
           (name, ord, e.kind, f.path, f.partition.mkString("/"), f.bucket, f.level,
             f.rowCount, f.size, f.minSeq, f.maxSeq, f.schemaId,
@@ -253,10 +251,8 @@ trait SystemTables { self: GraftTable =>
         val p = new org.apache.hadoop.fs.Path(mDir, name)
         val fs = p.getFileSystem(serConf.value)
         val in = fs.open(p)
-        val content =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        graft.core.ManifestCodec.entriesFromJson(content).map { e =>
+        val content = try in.readAllBytes() finally in.close()
+        graft.core.ManifestCodec.entriesFromAny(content).map { e =>
           (sid, e.kind, e.file.partition.mkString("/"), e.file.bucket, e.file.path)
         }
       }

@@ -97,6 +97,23 @@ class ManifestFoldPropertySpec extends SparkSpec {
         expected.values.filter(_.partition == Seq("p1")).map(_.path).toSet,
         s"round $round: shard-filtered fold diverged")
 
+      // STATS-restricted fold (shard colStats ranges): never loses a file
+      // whose own stats could match, never returns a non-live file
+      val thresh = (rnd.nextInt(nextId + 1)).toLong
+      val statsKeep = Pruning.compileMight(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k", thresh),
+        c => if (c == "k") Some(org.apache.spark.sql.types.LongType) else None)
+      val statsOnly = store.liveFiles(snap,
+        m => m.colStats.isEmpty || statsKeep(m.colStats, m.rowCount))
+      val statsSet = statsOnly.map(_.path).toSet
+      val mustHave = expected.values.filter(f =>
+        f.stats("k").min.exists(_.toLong >= thresh)).map(_.path).toSet
+      assert(mustHave.subsetOf(statsSet),
+        s"round $round: stats shard skip LOST matching files " +
+          s"(${(mustHave -- statsSet).take(3)})")
+      assert(statsSet.subsetOf(expected.keySet),
+        s"round $round: stats shard skip resurrected dead files")
+
       val fullShards = snap.manifests.filter(m => metaByName.get(m).exists(
         mm => mm.addOnly && mm.entries == 8L)).toSet
       if (snap.manifestMeta.exists(m => !m.addOnly &&

@@ -12,8 +12,18 @@ class TableSpec extends SparkSpec {
     assert(TableSchema.fromJson(s.toJson) == s)
     val f = DataFileMeta("data/x.parquet", 10, 5, Seq("F"), 0, 0, 1, 1, 0,
       Map("a" -> ColStats(Some("1"), Some("9"), 2)))
-    val entries = Seq(ManifestEntry(0, f), ManifestEntry(1, f))
+    val entries = Seq(ManifestEntry(0, f), ManifestEntry(1, f),
+      ManifestEntry(0, f.copy(partition = Nil,
+        stats = Map("a" -> ColStats(None, Some("x"), 0)),
+        dvPath = Some("dv/d.bin"), dvCount = 3,
+        blooms = Map("a" -> "idx/b.bin"))))
     assert(ManifestCodec.entriesFromJson(ManifestCodec.entriesToJson(entries)) == entries)
+    // v2 binary: round-trips, and the dispatching reader accepts BOTH
+    // formats (pre-v2 JSON manifests keep reading in mixed chains)
+    assert(ManifestCodec.entriesFromAny(
+      ManifestCodec.entriesToBytes(entries)) == entries)
+    assert(ManifestCodec.entriesFromAny(ManifestCodec.entriesToJson(entries)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)) == entries)
     val mm = ManifestMeta("m1", 4, 99, addOnly = true, Seq(0L),
       Some(Seq("A")), Some(Seq("R")))
     val sn = Snapshot(3, 0, Seq("m1", "m2"), Seq("m2"), "APPEND", 7,
