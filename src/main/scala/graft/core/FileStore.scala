@@ -530,11 +530,11 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         baseMeta.getOrElse(m, if (m == deltaName) manifestMetaOf(m, delta)
           else manifestMetaOf(m, readManifest(m))))
       // Manifest compaction, INCREMENTAL (reference: ManifestFileMeta
-      // .merge:148 leaves full manifests untouched). The longest PREFIX of
-      // full ADD-only shards is kept verbatim — never read, never
-      // rewritten — and only the SUFFIX (the tail: deltas, undersized or
-      // partial shards, residual-delete manifests) folds, replaced in its
-      // own chain position by its exact net effect:
+      // .merge:148 leaves full manifests untouched). The PREFIX of
+      // fold-produced run shards is kept verbatim — never read, never
+      // rewritten (except by the tiered run merge below) — and only the
+      // SUFFIX (the tail: deltas, residual-delete manifests) folds,
+      // replaced in its own chain position by its exact net effect:
       //   • the tail's last-wins live files, as partition-sorted ADD-only
       //     shards (narrow partition ranges → planning-time shard skip);
       //   • the tail's DELETEs of paths it did not itself re-add last, as
@@ -562,9 +562,11 @@ class FileStore(val root: String, val hadoopConf: Configuration,
       // within a constant factor of the live file count even under
       // sustained DV-mask churn or whole-table rewrites.
       val metaByName = manifests.zip(meta).toMap
-      def fullAddShard(m: String): Boolean = metaByName.get(m).exists(mm =>
-        mm.addOnly && mm.entries == maxManifestEntries)
-      val keptN = manifests.segmentLength(fullAddShard, 0)
+      // kept prefix = fold-produced RUN shards (run > 0, ADD-only by
+      // construction, partial last shard allowed); deltas and residual
+      // manifests carry run 0 and form the tail. Pre-run chains (all
+      // run 0) re-fold once into run 1 — the documented migration fold.
+      val keptN = meta.segmentLength(_.run > 0L, 0)
       var staleEntries = latest.map(_.staleFileEntries).getOrElse(0L)
       if (manifests.size - keptN > manifestMergeThreshold) {
         val tail0 = manifests.drop(keptN)
@@ -602,6 +604,8 @@ class FileStore(val root: String, val hadoopConf: Configuration,
               residual.take(0))
           }
         val sorted = foldLive.values.toVector.sortBy(_.partition)(PartTupleOrdering)
+        val keptMeta = kept.map(metaByName)
+        val newRunId = keptMeta.map(_.run).maxOption.getOrElse(0L) + 1L
         val newEntries: Vector[Seq[ManifestEntry]] =
           sorted.grouped(maxManifestEntries)
             .map(fs => fs.map(f => ManifestEntry(ManifestEntry.ADD, f))).toVector ++
@@ -610,9 +614,68 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         val names = newEntries.map(writeManifest)
         manifests = kept ++ names
         // meta from the in-memory entries — a fold larger than the cache
-        // budget must not re-read its own just-written (evicted) output
-        meta = kept.map(metaByName) ++ names.zip(newEntries).map {
-          case (n, es) => manifestMetaOf(n, es)
+        // budget must not re-read its own just-written (evicted) output.
+        // ADD-only outputs are the new run; the residual stays run 0.
+        meta = keptMeta ++ names.zip(newEntries).map { case (n, es) =>
+          val m = manifestMetaOf(n, es)
+          if (m.addOnly) m.copy(run = newRunId) else m
+        }
+
+        // ---- TIERED run merging (log-structured): without it, every
+        // fold generation leaves its own partition-sorted stripe, so one
+        // partition's files spread over ~1 shard PER GENERATION and any
+        // partition-scoped read (pruned plan, delete-conflict fold) pays
+        // O(generations) shards — measured 312 of 2446 shards overlapping
+        // a single partition at 10⁷ files. Maintain the invariant that
+        // adjacent runs differ ≥4× in size by fusing the LAST two runs
+        // (last-wins in chain order, re-sorted, re-sharded) while the
+        // older is < 4× the newer; cascades re-check up the stack. Each
+        // entry is rewritten O(log₄ live) times total, and a partition
+        // overlaps O(log₄ live) runs — the LSM shape, applied to the
+        // manifest chain itself (reference analog: ManifestFileMeta.merge
+        // size-tiered suggestion + full-compaction threshold). ----
+        var runPrefix = meta.segmentLength(_.run > 0L, 0)
+        var runs: Vector[Vector[(String, ManifestMeta)]] = {
+          val pref = manifests.take(runPrefix).zip(meta.take(runPrefix))
+          val out = Vector.newBuilder[Vector[(String, ManifestMeta)]]
+          var cur = Vector.empty[(String, ManifestMeta)]
+          pref.foreach { p =>
+            if (cur.nonEmpty && cur.head._2.run != p._2.run) {
+              out += cur; cur = Vector.empty
+            }
+            cur :+= p
+          }
+          if (cur.nonEmpty) out += cur
+          out.result()
+        }
+        var mergedRuns = false
+        def runEntries(r: Vector[(String, ManifestMeta)]): Long =
+          r.map(_._2.entries).sum
+        while (runs.size >= 2 &&
+            runEntries(runs(runs.size - 2)) < 4L * runEntries(runs.last)) {
+          val a = runs(runs.size - 2); val b = runs.last
+          val span = runEntries(a) + runEntries(b)
+          val fused = foldEntries((a ++ b).map(_._1),
+            cacheOnMiss = span <= manifestCacheMaxEntries)
+          // cross-run duplicates (re-added paths) fall out here — they
+          // were counted as stale when the newer run folded
+          staleEntries = math.max(0L, staleEntries - (span - fused.size))
+          val runSorted = fused.values.toVector.sortBy(_.partition)(PartTupleOrdering)
+          val runId = a.head._2.run // earlier id keeps ids increasing
+          val shards = runSorted.grouped(maxManifestEntries)
+            .map(fs => fs.map(f => ManifestEntry(ManifestEntry.ADD, f)): Seq[ManifestEntry])
+            .toVector
+          val nms = shards.map(writeManifest)
+          val nmt = nms.zip(shards).map { case (n, es) =>
+            manifestMetaOf(n, es).copy(run = runId)
+          }
+          runs = runs.dropRight(2) :+ nms.zip(nmt)
+          mergedRuns = true
+        }
+        if (mergedRuns) {
+          val flat = runs.flatten
+          manifests = flat.map(_._1) ++ manifests.drop(runPrefix)
+          meta = flat.map(_._2) ++ meta.drop(runPrefix)
         }
       }
 

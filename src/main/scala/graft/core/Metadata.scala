@@ -84,7 +84,16 @@ case class ManifestMeta(
     colStats: Map[String, ColStats] = Map.empty,
     /** Total (raw) row count of ADD entries — the [[colStats]] null-count
       * companion for IsNotNull shard tests. */
-    rowCount: Long = 0L)
+    rowCount: Long = 0L,
+    /** Fold-run id (> 0 on fold-produced ADD-only shards; 0 on deltas and
+      * residual manifests). Consecutive shards with the same id form one
+      * partition-sorted RUN; the commit fold merges runs TIERED (adjacent
+      * runs within 4× in size fuse, last-wins), so a partition's files
+      * overlap O(log live) runs instead of one shard per fold generation —
+      * the 10⁷-file fixture measured ~312 of 2446 shards overlapping a
+      * single partition without this. 0 on pre-run snapshots: those
+      * shards re-fold once (documented migration fold). */
+    run: Long = 0L)
 
 /** A committed table version (reference: paimon-core
   * org/apache/paimon/Snapshot.java:68). `manifests` is the full ordered list
@@ -170,6 +179,7 @@ case class Snapshot(
         e.put("name", m.name); e.put("entries", m.entries)
         e.put("dataSize", m.dataSize); e.put("addOnly", m.addOnly)
         e.put("dvCount", m.dvCount)
+        if (m.run > 0L) e.put("run", m.run)
         val sids = e.putArray("schemaIds"); m.schemaIds.foreach(sids.add)
         m.ptMin.foreach { vs => val a = e.putArray("ptMin"); vs.foreach(a.add) }
         m.ptMax.foreach { vs => val a = e.putArray("ptMax"); vs.foreach(a.add) }
@@ -209,7 +219,8 @@ object Snapshot {
                 Json.optLong(c, "nullCount").getOrElse(0L))
             }.toMap
           }.getOrElse(Map.empty),
-          Json.optLong(e, "rowCount").getOrElse(0L))
+          Json.optLong(e, "rowCount").getOrElse(0L),
+          Json.optLong(e, "run").getOrElse(0L))
       }
     }.getOrElse(Nil)
     Snapshot(

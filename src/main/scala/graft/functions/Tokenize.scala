@@ -166,8 +166,15 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     if (w.length == 1) { out += UTF8String.fromString(w); return }
     val big = merges.size
     val toks = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    // split by CODE POINT, not UTF-16 unit — charAt would halve surrogate
+    // pairs into broken tokens and diverge from the oracle's per-character
+    // walk on astral-plane text
     var ci = 0
-    while (ci < w.length) { toks += String.valueOf(w.charAt(ci)); ci += 1 }
+    while (ci < w.length) {
+      val n = Character.charCount(w.codePointAt(ci))
+      toks += w.substring(ci, ci + n)
+      ci += n
+    }
     var cur: String = null
     var more = true
     while (more && toks.length > 1) {

@@ -61,6 +61,14 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("left right"), e.getMessage)
   }
 
+  test("astral-plane symbols stay whole code points, not broken surrogates") {
+    // U+1D538 (a surrogate PAIR in UTF-16) pre-tokenizes as one symbol
+    // word; a UTF-16-unit split would emit two broken half-surrogate
+    // tokens and diverge from the oracle's per-character walk
+    val got = tok("ab 𝔸 ba", Seq(("a", "b")))
+    assert(got == Seq("ab", "𝔸", "b", "a"))
+  }
+
   test("argument guards: empty, duplicate, whitespace merges fail fast") {
     intercept[IllegalArgumentException](tok("x", Nil))
     intercept[IllegalArgumentException](tok("x", Seq(("a", "b"), ("a", "b"))))

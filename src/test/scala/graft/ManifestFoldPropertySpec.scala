@@ -133,6 +133,25 @@ class ManifestFoldPropertySpec extends SparkSpec {
     assert(totalEntries <= 2L * expected.size + 64,
       s"chain entries $totalEntries vs live ${expected.size} — dead " +
         "metadata is not being reclaimed")
+    // tiered run merging: adjacent runs differ ≥4× in size, so the run
+    // count (= the per-partition shard-overlap factor) stays LOGARITHMIC
+    // in the live set instead of one stripe per fold generation
+    val endMeta = store.latestSnapshot.get.manifestMeta
+    val runCount = endMeta.filter(_.run > 0).map(_.run).distinct.size
+    val logBound = 2 + math.ceil(
+      math.log(math.max(totalEntries, 2).toDouble) / math.log(4)).toInt
+    assert(runCount <= logBound,
+      s"$runCount runs over $totalEntries entries (bound $logBound) — " +
+        "tier merging is not bounding fold-generation striping")
+    // and the ≥4× size invariant holds between adjacent runs
+    val runSizes = endMeta.filter(_.run > 0).groupBy(_.run).toSeq
+      .sortBy(_._1).map(_._2.map(_.entries).sum)
+    runSizes.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= 4 * b,
+        s"adjacent run sizes $a, $b violate the 4x tier invariant " +
+          s"(all: $runSizes)")
+      case _ =>
+    }
   }
 
   test("pure DV-style re-add churn: stale prefix entries are reclaimed proportionally") {
