@@ -308,6 +308,21 @@ object ScaleStress {
       results += "wordpiece_30k" -> t
       println(f"""{"op":"wordpiece_30k","sec":$t%.3f,"plan_build_sec":$planT%.3f,"plan_chars":$planChars,"vocab":${vocab.size},"tokens":$toks,"docs":$n}""")
     }
+    if (ops("bpe")) {
+      // merges-list BPE (q149's op) at corpus scale: the committed
+      // fixture merges through bpeCount — per-word O(len²) fuse walk,
+      // merges table shipped once (native BpeTokens expression)
+      import org.apache.spark.sql.functions._
+      val counted = graft.pipeline.PipelineUtil.spread(docs)
+        .select(col("doc_id"),
+          graft.pipeline.TextOps.bpeCount(lower(col("text")),
+            graft.SparkEntry.BpeMerges).cast("long").as("n"))
+      val (planT, planChars) = time(
+        counted.queryExecution.executedPlan.toString.length)
+      val (t, toks) = time(counted.agg(sum("n")).collect()(0).getLong(0))
+      results += "bpe_tokens" -> t
+      println(f"""{"op":"bpe_tokens","sec":$t%.3f,"plan_build_sec":$planT%.3f,"plan_chars":$planChars,"merges":${graft.SparkEntry.BpeMerges.size},"tokens":$toks,"docs":$n}""")
+    }
     if (ops("prefixsum_rows")) {
       // the prefix-sum primitive alone at row scale (no text): a seeded
       // shuffle over SPARK_GRAFT_ROWS synthetic ids — the probe that the
