@@ -868,17 +868,31 @@ object VectorOps {
       val books = parseBooks(parts(2))
       val salts = parseSalts(parts(3))
       val cur = index.store.latestSnapshotId.getOrElse(0L)
+      // what landed since the stamp decides what remains: the stamped
+      // rewrite commits as ONE OVERWRITE with expectedLatest = pbase (the
+      // commit-level CAS), so an OVERWRITE in (pbase, cur] can ONLY be
+      // ours and ONLY at pbase + 1
+      val kinds = ((pbase + 1) to cur)
+        .map(id => index.store.readSnapshot(id).commitKind)
       if (cur == pbase) rewrite(pbase, cents, books, salts)
-      else if (cur == pbase + 1 &&
-          index.store.readSnapshot(cur).commitKind ==
-            graft.core.CommitKind.OVERWRITE)
+      else if (kinds.head == graft.core.CommitKind.OVERWRITE &&
+          kinds.size == 1)
         flip(cents, books, salts) // rewrite landed; only the flip remains
+      else if (!kinds.contains(graft.core.CommitKind.OVERWRITE))
+        // only appends landed and the rewrite never did: the stored meta
+        // still describes every code (appends encode with the STORED
+        // options), so re-encoding EVERYTHING at the current base with
+        // the stamped plan is still exact — the appended rows simply
+        // weren't in the salt-plan counts (bounded cell imbalance until
+        // the next retrain, never wrong results)
+        rewrite(cur, cents, books, salts)
       else throw new IllegalStateException(
         s"retrainIvfIndex(${index.location}): crashed quantized retrain " +
-          s"stamped at base snapshot $pbase but the index is at $cur — " +
-          "commits landed outside the retrain protocol and the stored " +
-          "codes can no longer be attributed to either codebook " +
-          "generation; rebuild from the source corpus (buildIvfPqIndex)")
+          s"stamped at base snapshot $pbase, index at $cur with commits " +
+          s"AFTER the rewrite landed but before the option flip " +
+          s"(kinds=${kinds.mkString(",")}) — those rows encoded with the " +
+          "previous codebooks against rewritten neighbors; rebuild from " +
+          "the source corpus (buildIvfPqIndex)")
       return (cents.size, index.toDF.count())
     }
 

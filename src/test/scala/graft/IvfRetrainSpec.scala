@@ -236,6 +236,41 @@ class IvfRetrainSpec extends SparkSpec {
     assert(after >= 0.8, s"PQ retrain recall too low: $after")
   }
 
+  test("quantized retrain resume survives pre-rewrite concurrent appends") {
+    // crash after the plan is stamped, then a writer appends (encoding
+    // with the STORED meta — still the live options). The resume must
+    // detect that no OVERWRITE landed, re-encode EVERYTHING at the new
+    // base with the stamped plan, and lose nothing.
+    val index = VectorOps.buildIvfPqIndex(df(looseA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 2, m = 8, codes = 32)
+    VectorOps.retrainMidpointHook = () => throw new RuntimeException("crash")
+    try intercept[RuntimeException] {
+      VectorOps.retrainIvfIndex(index, iterations = 2, reseed = true)
+    } finally VectorOps.retrainMidpointHook = () => ()
+    assert(index.schema.option("ivf.retrain.pending.q", "").nonEmpty)
+    val late = cluster(axis = 2, n = 15, base = 70000L, seed = 77)
+    VectorOps.appendToIvfPqIndex(index, df(late), "vec_id", "v")
+    val (nc, n) = VectorOps.retrainIvfIndex(index)
+    assert(nc === 4)
+    assert(n === (looseA.size + late.size).toLong)
+    assert(index.schema.option("ivf.retrain.pending.q", "") === "")
+    assert(index.toDF.count() === (looseA.size + late.size).toLong)
+    assert(index.toDF.select("vec_id").distinct().count() ===
+      (looseA.size + late.size).toLong)
+    // the resumed index still retrieves: every late query's top-1 comes
+    // from its own (tight) cluster — near-identical vectors share a PQ
+    // code, so exact self-retrieval at k=1 is not a quantized guarantee,
+    // cluster membership is
+    val lateIds = late.map(_._1).toSet
+    val res = VectorOps.knnJoinIvfPq(df(late).toDF("qid", "v"), "qid", "v",
+        index, df(looseA ++ late).toDF("vec_id", "v"), "vec_id", "v",
+        k = 1, nProbe = 2)
+      .select("query_id", "corpus_id").collect()
+    assert(res.length === late.size)
+    assert(res.forall(r => lateIds.contains(r.getLong(1))),
+      s"top-1 outside the query's cluster after resume")
+  }
+
   test("a crashed retrain resumes from the pending centroids, not a fresh sample") {
     val index = VectorOps.buildIvfIndex(df(regimeA), "vec_id", "v",
       tmpTable(), numCentroids = 4, iterations = 2)
