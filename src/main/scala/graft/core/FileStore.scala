@@ -62,6 +62,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     require(b.writeAtomic(b.snapshotPath(snapshotId), readString(snapshotPath(snapshotId))),
       s"failed to fork branch $name")
     b.writeLatestHint(snapshotId)
+    b.writeEarliestHint(snapshotId)
   }
 
   def deleteBranch(name: String): Unit =
@@ -151,26 +152,88 @@ class FileStore(val root: String, val hadoopConf: Configuration,
   // validates the pointed-at snapshot exists, probes FORWARD past racing
   // commits, and falls back to the full listing on any miss.
   private def latestHintPath = new Path(snapshotDir, "LATEST")
+  private def earliestHintPath = new Path(snapshotDir, "EARLIEST")
 
+  // Hints are advisory-only by design and are written AFTER the commit /
+  // expiry already published: NO failure here may propagate (a commit that
+  // landed must not look failed to a retrying caller — it would re-write
+  // its data), hence NonFatal, not just IOException (Hadoop FileSystems
+  // surface unchecked exceptions too).
   private def writeLatestHint(id: Long): Unit =
     try writeString(latestHintPath, id.toString)
-    catch { case _: java.io.IOException => () } // advisory only
+    catch { case scala.util.control.NonFatal(_) => () }
 
-  private def readLatestHint(): Option[Long] =
-    try readString(latestHintPath).trim.toLongOption
+  /** Advisory floor pointer, written by snapshot expiry (reference:
+    * SnapshotManager.java:61,631 EARLIEST hint). Same self-heal contract
+    * as LATEST: validated + probed on read, full LIST on any miss.
+    */
+  def writeEarliestHint(id: Long): Unit =
+    try writeString(earliestHintPath, id.toString)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readHint(p: Path): Option[Long] =
+    try readString(p).trim.toLongOption
       .filter(id => id > 0 && fs.exists(snapshotPath(id)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
-  def latestSnapshotId: Option[Long] = readLatestHint() match {
-    case Some(hint) =>
-      // the hint may trail commits that raced it: ids grow contiguously
-      // (commit allocates latest+1; expiry trims only the OLD end), so
-      // probe forward to the first gap
-      var cur = hint
-      while (fs.exists(snapshotPath(cur + 1))) cur += 1
-      Some(cur)
+  /** Last id of the contiguous run starting at `from` (exists(from) holds):
+    * exponential gallop + binary search — a hint stale by k commits costs
+    * O(log k) existence probes, not k (ids grow contiguously: commit
+    * allocates latest+1, expiry trims only the OLD end). The probe is a
+    * parameter so the bound is spec-testable.
+    */
+  private[graft] def gallopLast(from: Long, exists: Long => Boolean): Long = {
+    var lo = from
+    var step = 1L
+    while (exists(lo + step)) { lo += step; step <<= 1 }
+    // invariant: exists(lo), !exists(lo + step) — bisect the boundary
+    var hi = lo + step
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (exists(mid)) lo = mid else hi = mid
+    }
+    lo
+  }
+
+  private def gallopLast(from: Long): Long =
+    gallopLast(from, id => fs.exists(snapshotPath(id)))
+
+  def latestSnapshotId: Option[Long] = readHint(latestHintPath) match {
+    case Some(hint) => Some(gallopLast(hint)) // probe FORWARD past racing commits
     case None => snapshotIds.maxOption
   }
+
+  /** Earliest live snapshot id. The hint may be stale-HIGH only briefly
+    * (a racing reader between expiry's deletes and its hint write sees the
+    * old hint, which then fails the exists check → LIST fallback) or
+    * stale-LOW never for long (hint rewritten by every expiry); a hint
+    * that validates but trails reality (e.g. copied by a branch fork)
+    * self-heals by probing BACKWARD to the contiguous run's start.
+    */
+  def earliestSnapshotId: Option[Long] = readHint(earliestHintPath) match {
+    case Some(hint) =>
+      var cur = hint
+      while (cur > 1 && fs.exists(snapshotPath(cur - 1))) cur -= 1
+      Some(cur)
+    case None => snapshotIds.minOption
+  }
+
+  /** Sorted live snapshot ids via the hint pair when both validate — ids
+    * are contiguous (commit allocates latest+1, expiry trims only the OLD
+    * end, rollback is an inverse COMMIT, never a truncation), so
+    * [earliest, latest] IS the listing; falls back to one LIST when either
+    * hint is absent/stale. For the hot chain-walking callers (expiry,
+    * micro-batch polls) where the dir LIST dominates at 10⁴+ retained
+    * snapshots.
+    */
+  def snapshotIdsHinted: Seq[Long] =
+    (readHint(earliestHintPath), readHint(latestHintPath)) match {
+      case (Some(eh), Some(lh)) =>
+        var lo = eh
+        while (lo > 1 && fs.exists(snapshotPath(lo - 1))) lo -= 1
+        lo to gallopLast(math.max(lh, eh))
+      case _ => snapshotIds
+    }
 
   def readSnapshot(id: Long): Snapshot = Snapshot.fromJson(readString(snapshotPath(id)))
 
@@ -270,13 +333,62 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     }
   }
 
+  /** Shard-decode parallelism for cold folds / unpruned plans (reference:
+    * paimon `scan.manifest.parallelism` CoreOptions.java:623 +
+    * ScanParallelExecutor.parallelismBatchIterable at
+    * AbstractFileStoreScan.java:377). Manifest shards decode independently;
+    * only the FOLD order matters — so reads prefetch on a shared pool and
+    * are consumed strictly in chain order, making the fold's output
+    * byte-identical at any parallelism.
+    */
+  val manifestParallelism: Int =
+    hadoopConf.getInt("graft.manifest.parallelism",
+      math.min(16, Runtime.getRuntime.availableProcessors()))
+
+  /** Decode manifests with bounded look-ahead, yielding results IN ORDER.
+    * In-flight work is capped at the parallelism (≤ par × maxManifestEntries
+    * entries resident beyond the cache, ~32 MB at defaults). Sequential
+    * below 4 shards — pool latency would dominate.
+    */
+  private def readManifestsOrdered(names: Seq[String], cacheOnMiss: Boolean)
+      : Iterator[Seq[ManifestEntry]] = {
+    val par = math.min(manifestParallelism, names.size)
+    if (par <= 1 || names.size < 4) names.iterator.map(readManifest(_, cacheOnMiss))
+    else new Iterator[Seq[ManifestEntry]] {
+      private val it = names.iterator
+      private val inFlight =
+        new java.util.ArrayDeque[java.util.concurrent.Future[Seq[ManifestEntry]]](par)
+      private def fill(): Unit =
+        while (inFlight.size < par && it.hasNext) {
+          val n = it.next()
+          inFlight.addLast(FileStore.decodePool.submit(
+            () => readManifest(n, cacheOnMiss)))
+        }
+      fill()
+      def hasNext: Boolean = !inFlight.isEmpty
+      def next(): Seq[ManifestEntry] = {
+        val r =
+          try inFlight.pollFirst().get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              inFlight.forEach(_.cancel(true))
+              throw e.getCause
+          }
+        fill()
+        r
+      }
+    }
+  }
+
   /** Last-wins ADD/DELETE fold of manifests in chain order — THE fold
-    * semantic every reader and compaction shares.
+    * semantic every reader and compaction shares. Shard decode is
+    * parallel; the fold itself consumes shards strictly in order, so the
+    * result is independent of [[manifestParallelism]].
     */
   private def foldEntries(ms: Iterable[String], cacheOnMiss: Boolean)
       : scala.collection.mutable.LinkedHashMap[String, DataFileMeta] = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
-    ms.foreach(m => readManifest(m, cacheOnMiss).foreach { e =>
+    readManifestsOrdered(ms.toVector, cacheOnMiss).foreach(_.foreach { e =>
       if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
       else live.remove(e.file.path)
     })
@@ -414,6 +526,15 @@ class FileStore(val root: String, val hadoopConf: Configuration,
     * manifests in ManifestFileMeta.merge:148).
     */
   val maxManifestEntries = 4096
+
+  /** Tiered run merging on/off (default on) — the conf knob behind the
+    * r19 A/B that attributes commit-path cost to the cascade fusion.
+    * Off: folds still produce runs but adjacent runs are never fused, so
+    * commits are cheaper and partition-scoped reads pay O(generations)
+    * shard overlap instead of O(log₄ live).
+    */
+  val tieredMergeEnabled: Boolean =
+    hadoopConf.getBoolean("graft.manifest.tiered-merge", true)
 
   case class CommitResult(snapshot: Snapshot, committed: Boolean)
 
@@ -578,7 +699,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         val tailCache = tailSpan <= manifestCacheMaxEntries
         val live = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
         val deleted = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
-        tail0.foreach(m => readManifest(m, tailCache).foreach { e =>
+        readManifestsOrdered(tail0, tailCache).foreach(_.foreach { e =>
           if (e.kind == ManifestEntry.ADD) live.put(e.file.path, e.file)
           else { live.remove(e.file.path); deleted.put(e.file.path, e.file) }
         })
@@ -633,7 +754,10 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         // entry is rewritten O(log₄ live) times total, and a partition
         // overlaps O(log₄ live) runs — the LSM shape, applied to the
         // manifest chain itself (reference analog: ManifestFileMeta.merge
-        // size-tiered suggestion + full-compaction threshold). ----
+        // size-tiered suggestion + full-compaction threshold). The conf
+        // switch exists for A/B attribution and for tables that prefer
+        // commit-path latency over pruned-plan shard count. ----
+        if (tieredMergeEnabled) {
         var runPrefix = meta.segmentLength(_.run > 0L, 0)
         var runs: Vector[Vector[(String, ManifestMeta)]] = {
           val pref = manifests.take(runPrefix).zip(meta.take(runPrefix))
@@ -677,6 +801,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
           manifests = flat.map(_._1) ++ manifests.drop(runPrefix)
           meta = flat.map(_._2) ++ meta.drop(runPrefix)
         }
+        }
       }
 
       val snap = Snapshot(
@@ -712,6 +837,7 @@ class FileStore(val root: String, val hadoopConf: Configuration,
         staleFileEntries = staleEntries)
       if (writeAtomic(snapshotPath(nextId), snap.toJson)) {
         writeLatestHint(nextId)
+        if (nextId == 1L) writeEarliestHint(1L) // seed the floor pointer
         return CommitResult(snap, committed = true)
       }
       attempt += 1
@@ -858,6 +984,20 @@ class FileStore(val root: String, val hadoopConf: Configuration,
   * committer).
   */
 object FileStore {
+  /** Shared daemon pool for manifest shard decode — process-wide (stores
+    * are constructed per table per plan; per-instance pools would leak
+    * threads). Decode tasks never submit back into the pool, so a fixed
+    * size cannot deadlock; concurrent planners simply share the cores.
+    */
+  private[core] lazy val decodePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors()),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-manifest-decode")
+        t.setDaemon(true)
+        t
+      })
+
   def writeDvAt(root: String, conf: Configuration,
       bitmap: org.roaringbitmap.RoaringBitmap): String = {
     bitmap.runOptimize()

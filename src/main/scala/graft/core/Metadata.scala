@@ -317,36 +317,45 @@ object ManifestCodec {
   // parses ~10× faster. Writers emit v2; readers dispatch on the magic,
   // so pre-v2 JSON manifests in existing chains keep reading. ----
 
-  /** "GM2\n" — first byte can never be '{' (JSON) so dispatch is safe. */
+  /** "GM2\n" — first byte can never be '{' (JSON) so dispatch is safe.
+    * v2 strings are `writeUTF` (2-byte length ⇒ hard 65535-byte cap):
+    * read-only legacy — a table in `metadata.stats-mode=full` carries
+    * UNTRUNCATED min/max, and one >64 KB text bound made every v2 commit
+    * throw `UTFDataFormatException`. v3 ("GM3\n") writes every string
+    * length-prefixed (varint-free `writeInt` + raw UTF-8), no cap.
+    */
   private val BinaryMagic: Array[Byte] = Array('G', 'M', '2', '\n').map(_.toByte)
+  private val BinaryMagicV3: Array[Byte] = Array('G', 'M', '3', '\n').map(_.toByte)
 
-  private def writeOptStr(o: java.io.DataOutputStream, v: Option[String]): Unit = {
-    o.writeBoolean(v.isDefined); v.foreach(o.writeUTF)
+  private def writeStr(o: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    o.writeInt(b.length); o.write(b)
   }
-  private def readOptStr(i: java.io.DataInputStream): Option[String] =
-    if (i.readBoolean()) Some(i.readUTF()) else None
+  private def writeOptStr(o: java.io.DataOutputStream, v: Option[String]): Unit = {
+    o.writeBoolean(v.isDefined); v.foreach(writeStr(o, _))
+  }
 
   def entriesToBytes(entries: Seq[ManifestEntry]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(entries.size * 160 + 16)
     val o = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(bos, 1 << 16))
-    o.write(BinaryMagic)
+    o.write(BinaryMagicV3)
     o.writeInt(entries.size)
     entries.foreach { e =>
       o.writeByte(e.kind)
       val f = e.file
-      o.writeUTF(f.path); o.writeLong(f.size); o.writeLong(f.rowCount)
-      o.writeShort(f.partition.size); f.partition.foreach(o.writeUTF)
+      writeStr(o, f.path); o.writeLong(f.size); o.writeLong(f.rowCount)
+      o.writeShort(f.partition.size); f.partition.foreach(writeStr(o, _))
       o.writeInt(f.bucket); o.writeInt(f.level)
       o.writeLong(f.minSeq); o.writeLong(f.maxSeq); o.writeLong(f.schemaId)
       writeOptStr(o, f.dvPath); o.writeLong(f.dvCount)
       o.writeShort(f.blooms.size)
       f.blooms.toSeq.sortBy(_._1).foreach { case (c, p) =>
-        o.writeUTF(c); o.writeUTF(p)
+        writeStr(o, c); writeStr(o, p)
       }
       o.writeShort(f.stats.size)
       f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
-        o.writeUTF(c); writeOptStr(o, cs.min); writeOptStr(o, cs.max)
+        writeStr(o, c); writeOptStr(o, cs.min); writeOptStr(o, cs.max)
         o.writeLong(cs.nullCount)
       }
     }
@@ -354,29 +363,41 @@ object ManifestCodec {
     bos.toByteArray
   }
 
-  def entriesFromBytes(bytes: Array[Byte]): Seq[ManifestEntry] = {
+  /** Decode a binary manifest body; v2 and v3 share the field layout and
+    * differ only in string encoding, so one reader parameterized on the
+    * string decoder covers both.
+    */
+  private def entriesFromBinary(bytes: Array[Byte], v3: Boolean): Seq[ManifestEntry] = {
     val i = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes, BinaryMagic.length,
         bytes.length - BinaryMagic.length))
+    def str(): String =
+      if (!v3) i.readUTF()
+      else {
+        val n = i.readInt()
+        val b = new Array[Byte](n); i.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    def optStr(): Option[String] = if (i.readBoolean()) Some(str()) else None
     val n = i.readInt()
     val out = new scala.collection.immutable.VectorBuilder[ManifestEntry]
     var k = 0
     while (k < n) {
       val kind = i.readByte().toInt
-      val path = i.readUTF(); val size = i.readLong(); val rows = i.readLong()
+      val path = str(); val size = i.readLong(); val rows = i.readLong()
       val np = i.readShort().toInt
-      val part = if (np == 0) Nil else Seq.fill(np)(i.readUTF())
+      val part = if (np == 0) Nil else Seq.fill(np)(str())
       val bucket = i.readInt(); val level = i.readInt()
       val minSeq = i.readLong(); val maxSeq = i.readLong()
       val schemaId = i.readLong()
-      val dvPath = readOptStr(i); val dvCount = i.readLong()
+      val dvPath = optStr(); val dvCount = i.readLong()
       val nb = i.readShort().toInt
       val blooms = if (nb == 0) Map.empty[String, String]
-        else (0 until nb).map(_ => i.readUTF() -> i.readUTF()).toMap
+        else (0 until nb).map(_ => str() -> str()).toMap
       val ns = i.readShort().toInt
       val stats = if (ns == 0) Map.empty[String, ColStats]
-        else (0 until ns).map(_ => i.readUTF() ->
-          ColStats(readOptStr(i), readOptStr(i), i.readLong())).toMap
+        else (0 until ns).map(_ => str() ->
+          ColStats(optStr(), optStr(), i.readLong())).toMap
       out += ManifestEntry(kind, DataFileMeta(path, size, rows, part,
         bucket, level, minSeq, maxSeq, schemaId, stats, dvPath, dvCount,
         blooms))
@@ -385,12 +406,14 @@ object ManifestCodec {
     out.result()
   }
 
-  /** Read either format: v2 binary by magic, else legacy JSON. */
+  private def hasMagic(bytes: Array[Byte], magic: Array[Byte]): Boolean =
+    bytes.length >= magic.length &&
+      java.util.Arrays.equals(bytes, 0, magic.length, magic, 0, magic.length)
+
+  /** Read any format: v3/v2 binary by magic, else legacy JSON. */
   def entriesFromAny(bytes: Array[Byte]): Seq[ManifestEntry] =
-    if (bytes.length >= BinaryMagic.length &&
-        java.util.Arrays.equals(bytes, 0, BinaryMagic.length,
-          BinaryMagic, 0, BinaryMagic.length))
-      entriesFromBytes(bytes)
+    if (hasMagic(bytes, BinaryMagicV3)) entriesFromBinary(bytes, v3 = true)
+    else if (hasMagic(bytes, BinaryMagic)) entriesFromBinary(bytes, v3 = false)
     else entriesFromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
 }
 

@@ -238,6 +238,14 @@ object Dedup {
     * emitted DUPLICATES rather than candidate pairs). Set
     * `maxCandidatePairs = 0` to disable the guard when the quadratic
     * cost is a conscious choice.
+    *
+    * NOTE — this call is EAGER while the guard is on: the estimate runs
+    * one aggregation job at call time, before the returned frame is ever
+    * acted on (deliberately — the guard must fire BEFORE a caller's
+    * action launches the quadratic join, and the job it runs warms the
+    * same pinned shingle frame the verify join reuses). Callers composing
+    * lazily into a larger plan who cannot tolerate the eager job should
+    * pass `maxCandidatePairs = 0` and enforce their own budget.
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, maxCandidatePairs: Long = 100000000L): DataFrame = {

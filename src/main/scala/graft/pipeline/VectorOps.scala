@@ -830,9 +830,15 @@ object VectorOps {
 
     // re-encode + CAS overwrite + flip from a stamped plan — valid ONLY
     // while the stored meta still describes the stored codes (i.e. the
-    // overwrite has not landed yet: latest == base)
+    // overwrite has not landed yet: latest == base). The overwrite is
+    // SIGNED with the stamp's token as its commitUser so a crashed run's
+    // resume can verify the landed OVERWRITE is its own (a foreign
+    // overwrite at base+1 — a rollback, a contract-violating writer — is
+    // otherwise indistinguishable and the flip would install options
+    // onto codes that were never re-encoded).
     def rewrite(base: Long, cents: Seq[Seq[Double]],
-        books: Seq[Seq[Seq[Double]]], salts: Map[Int, Int]): Unit = {
+        books: Seq[Seq[Seq[Double]]], salts: Map[Int, Int],
+        token: String): Unit = {
       val frame = index.toDF
         .withColumn("__rv", pqDecode(col("pq_code"), col("ivf_cluster"),
           oldBooks, residual = true, oldCents))
@@ -852,7 +858,8 @@ object VectorOps {
           "commit's rows are not in the rewritten frame. Retrain requires " +
           "exclusive write access; pause ingest and rerun (the pending " +
           "stamp makes the rerun resume deterministically).")
-      index.overwrite(out, expectedLatest = Some(base))
+      index.overwrite(out, expectedLatest = Some(base),
+        commitUser = if (token.isEmpty) "" else s"ivf-retrain-$token")
       flip(cents, books, salts)
     }
 
@@ -862,37 +869,55 @@ object VectorOps {
         "iterations/sampleFraction/reseed arguments are ignored (pass " +
         "discardPending = true ONLY if the rewrite never landed)")
       val parts = pending.split("#", -1)
-      require(parts.length == 4, s"corrupt $PendKey stamp: $pending")
+      // 5-part stamps carry the rewrite-signing token; 4-part stamps are
+      // pre-token (r18) and resume with the weaker kind-only heuristic
+      require(parts.length == 4 || parts.length == 5,
+        s"corrupt $PendKey stamp: $pending")
       val pbase = parts(0).toLong
       val cents = parseCentroids(parts(1))
       val books = parseBooks(parts(2))
       val salts = parseSalts(parts(3))
+      val token = if (parts.length == 5) parts(4) else ""
       val cur = index.store.latestSnapshotId.getOrElse(0L)
+      def rebuildError(why: String): Nothing = throw new IllegalStateException(
+        s"retrainIvfIndex(${index.location}): crashed quantized retrain " +
+          s"stamped at base snapshot $pbase, index at $cur — $why; " +
+          "rebuild from the source corpus (buildIvfPqIndex)")
+      // a table rolled back BELOW the stamped base (or with the base's
+      // snapshots expired out from under the stamp) has codes the stamp
+      // says nothing about — fail loud, never kinds.head on an empty seq
+      if (cur < pbase) rebuildError(
+        "the table was rolled back / truncated below the stamped base, " +
+          "so the stamped plan no longer describes the stored codes")
       // what landed since the stamp decides what remains: the stamped
       // rewrite commits as ONE OVERWRITE with expectedLatest = pbase (the
-      // commit-level CAS), so an OVERWRITE in (pbase, cur] can ONLY be
-      // ours and ONLY at pbase + 1
+      // commit-level CAS), so an OVERWRITE in (pbase, cur] at pbase + 1
+      // is ours iff its commitUser carries the stamp's token
       val kinds = ((pbase + 1) to cur)
         .map(id => index.store.readSnapshot(id).commitKind)
-      if (cur == pbase) rewrite(pbase, cents, books, salts)
+      def overwriteIsOurs: Boolean = token.isEmpty || // legacy stamp
+        index.store.readSnapshot(pbase + 1).commitUser == s"ivf-retrain-$token"
+      if (cur == pbase) rewrite(pbase, cents, books, salts, token)
       else if (kinds.head == graft.core.CommitKind.OVERWRITE &&
-          kinds.size == 1)
+          kinds.size == 1) {
+        if (!overwriteIsOurs) rebuildError(
+          "the OVERWRITE at the stamped base + 1 was not this retrain's " +
+            "signed rewrite (a foreign overwrite violated the " +
+            "single-writer contract); flipping options onto codes that " +
+            "were never re-encoded would silently corrupt the index")
         flip(cents, books, salts) // rewrite landed; only the flip remains
-      else if (!kinds.contains(graft.core.CommitKind.OVERWRITE))
+      } else if (!kinds.contains(graft.core.CommitKind.OVERWRITE))
         // only appends landed and the rewrite never did: the stored meta
         // still describes every code (appends encode with the STORED
         // options), so re-encoding EVERYTHING at the current base with
         // the stamped plan is still exact — the appended rows simply
         // weren't in the salt-plan counts (bounded cell imbalance until
         // the next retrain, never wrong results)
-        rewrite(cur, cents, books, salts)
-      else throw new IllegalStateException(
-        s"retrainIvfIndex(${index.location}): crashed quantized retrain " +
-          s"stamped at base snapshot $pbase, index at $cur with commits " +
-          s"AFTER the rewrite landed but before the option flip " +
+        rewrite(cur, cents, books, salts, token)
+      else rebuildError(
+        s"commits landed AFTER the rewrite but before the option flip " +
           s"(kinds=${kinds.mkString(",")}) — those rows encoded with the " +
-          "previous codebooks against rewritten neighbors; rebuild from " +
-          "the source corpus (buildIvfPqIndex)")
+          "previous codebooks against rewritten neighbors")
       return (cents.size, index.toDF.count())
     }
 
@@ -922,11 +947,14 @@ object VectorOps {
         val threshold =
           cellThreshold(explicitMax, counts.values.sum, cents.size max 1)
         val salts = saltPlan(counts, threshold)
+        // the token signs the rewrite commit (commitUser) so a resume can
+        // prove the landed OVERWRITE is this plan's own
+        val token = java.util.UUID.randomUUID().toString
         index.evolveBatch(Seq(index.setOptionT(PendKey,
           s"$base#${serializeCentroids(cents)}#${serializeBooks(books)}#" +
-            serializeSalts(salts))))
+            s"${serializeSalts(salts)}#$token")))
         retrainMidpointHook()
-        rewrite(base, cents, books, salts)
+        rewrite(base, cents, books, salts, token)
         (cents.size, counts.values.sum)
       } finally assigned.unpersist()
     } finally dfv.unpersist()

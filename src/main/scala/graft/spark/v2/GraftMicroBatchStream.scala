@@ -98,7 +98,7 @@ class GraftMicroBatchStream(
       .orElse(table.schema.options.get("scan.bounded.watermark")).map(_.toLong)
 
   private def boundedCap: Option[Long] = boundedWatermark.map { w =>
-    store.snapshotIds
+    store.snapshotIdsHinted
       .find(id => store.readSnapshot(id).watermark.exists(_ > w))
       .map(_ - 1).getOrElse(store.latestSnapshotId.getOrElse(0L))
   }
@@ -160,7 +160,7 @@ class GraftMicroBatchStream(
     * (decoupled retention) — a lagging stream replays through both.
     */
   private def liveAndPreservedIds: Seq[Long] =
-    (store.snapshotIds ++ store.changelogIds).distinct.sorted
+    (store.snapshotIdsHinted ++ store.changelogIds).distinct.sorted
 
   private def deltaFiles(id: Long): Seq[DataFileMeta] = {
     val s = store.snapshotOrChangelog(id)

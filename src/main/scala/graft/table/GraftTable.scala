@@ -1011,7 +1011,8 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
     * PaimonDynamicPartitionOverwriteCommand.scala).
     */
   def overwrite(df: DataFrame, staticPartition: Map[String, String] = Map.empty,
-      dynamic: Boolean = false, expectedLatest: Option[Long] = None): Snapshot = {
+      dynamic: Boolean = false, expectedLatest: Option[Long] = None,
+      commitUser: String = ""): Snapshot = {
     val seq = nextSeq
     // PK tables route through the bucketed write path (kind +I; the
     // OVERWRITE commit replaces the old file set, so no merge history or
@@ -1040,7 +1041,7 @@ class GraftTable(val spark: SparkSession, val store: FileStore)
       deleted.map(ManifestEntry(ManifestEntry.DELETE, _)) ++
         files.map(ManifestEntry(ManifestEntry.ADD, _)),
       CommitKind.OVERWRITE, indexFiles = globalIndexDelta(files),
-      expectedLatest = expectedLatest)
+      expectedLatest = expectedLatest, commitUser = commitUser)
   }
 
   /** TRUNCATE: new snapshot removing all files (reference:

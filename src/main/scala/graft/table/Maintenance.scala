@@ -704,7 +704,10 @@ trait MaintenanceOps { self: GraftTable =>
     */
   def expireSnapshots(retainLast: Int): Seq[Long] = {
     require(retainLast >= 1)
-    val ids = store.snapshotIds
+    // hint-backed range: contiguous ids make [EARLIEST, LATEST] the
+    // listing, so a retention pass on a 10⁴-snapshot chain skips the
+    // paginated dir LIST (falls back to one LIST if either hint is stale)
+    val ids = store.snapshotIdsHinted
     // consumers pin snapshots: a registered reader's nextSnapshot (and
     // everything after it) must survive so its stream can resume
     // (reference: consumer/ConsumerManager.java:40 + minNextSnapshot).
@@ -816,6 +819,10 @@ trait MaintenanceOps { self: GraftTable =>
     expireFiles.foreach(p => fs.delete(new Path(store.rootPath, p), false))
     expireManifests.foreach(m => fs.delete(new Path(store.manifestDir, m), false))
     expire.foreach(id => fs.delete(store.snapshotPath(id), false))
+    // floor pointer AFTER the deletes (reference: SnapshotManager
+    // commitEarliestHint) — a crash in between leaves a stale-low hint
+    // that fails its exists check and self-heals via the LIST fallback
+    retain.headOption.foreach(store.writeEarliestHint)
     // lineage records follow the retention horizon (each source job keeps
     // its latest registration; see Lineage.prune)
     retain.headOption.foreach(earliest =>
@@ -988,7 +995,7 @@ trait MaintenanceOps { self: GraftTable =>
     * applies both bounds together).
     */
   def expireSnapshotsOlderThan(olderThanMs: Long, retainMin: Int = 1): Seq[Long] = {
-    val ids = store.snapshotIds
+    val ids = store.snapshotIdsHinted
     val cutoff = System.currentTimeMillis() - olderThanMs
     val expirable = ids.dropRight(math.max(retainMin, 1))
       .takeWhile(id => store.readSnapshot(id).timestampMs < cutoff)

@@ -69,6 +69,39 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq("ab", "𝔸", "b", "a"))
   }
 
+  test("100 KB unbroken alnum blob tokenizes in bounded time (run cap)") {
+    // real web crawls carry base64/hex/DNA blobs: the regex pre-tokenizer
+    // puts an entire alnum run in ONE fuse call, and an uncapped fuse is
+    // O(len²) — ~10¹⁰ operations for 100 KB, stalling the task. The cap
+    // splits runs at 1024 code points, so cost is linear in blob length.
+    val blob = {
+      val r = new scala.util.Random(5)
+      val cs = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+      (0 until 100000).map(_ => cs(r.nextInt(cs.length))).mkString
+    }
+    val t0 = System.nanoTime()
+    val got = tok(blob, SparkEntry.BpeMerges)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(got.nonEmpty && got.map(_.length).sum == blob.length,
+      "capped fuse must still cover every character exactly once")
+    assert(ms < 3000, f"100 KB blob took $ms%.0f ms — run cap not effective")
+  }
+
+  test("run cap boundary semantics: merges never cross a 1024-cp boundary") {
+    // 'a'*2053 with merge (a,a): each 1024-chunk fuses independently to
+    // 512 "aa"; the 5-char tail gives aa aa a. A word AT the cap is
+    // untouched by chunking.
+    val m = Seq(("a", "a"))
+    val atCap = "a" * 1024
+    assert(tok(atCap, m) == Seq.fill(512)("aa"))
+    val over = "a" * 2053
+    assert(tok(over, m) ==
+      (Seq.fill(512)("aa") ++ Seq.fill(512)("aa") ++ Seq("aa", "aa", "a")))
+    // (astral text can't straddle a chunk boundary by construction: the
+    // pre-tokenizer's alnum runs are ASCII-only and symbols pre-tokenize
+    // as single code points — the code-point chunk walk is defensive)
+  }
+
   test("argument guards: empty, duplicate, whitespace merges fail fast") {
     intercept[IllegalArgumentException](tok("x", Nil))
     intercept[IllegalArgumentException](tok("x", Seq(("a", "b"), ("a", "b"))))

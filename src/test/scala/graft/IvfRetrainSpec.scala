@@ -271,6 +271,52 @@ class IvfRetrainSpec extends SparkSpec {
       s"top-1 outside the query's cluster after resume")
   }
 
+  test("quantized resume fails loud when the table was rolled back below the stamped base") {
+    // a stamp whose base snapshot no longer exists describes codes the
+    // table no longer stores — the resume must throw the explicit
+    // rebuild-pointer error, never a bare NoSuchElementException from an
+    // empty commit-kind walk
+    val index = VectorOps.buildIvfPqIndex(df(looseA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 2, m = 8, codes = 32)
+    VectorOps.retrainMidpointHook = () => throw new RuntimeException("crash")
+    try intercept[RuntimeException] {
+      VectorOps.retrainIvfIndex(index, iterations = 2, reseed = true)
+    } finally VectorOps.retrainMidpointHook = () => ()
+    assert(index.schema.option("ivf.retrain.pending.q", "").nonEmpty)
+    // simulate a restore/truncation below the stamped base: delete the
+    // top snapshot out from under the stamp
+    val store = index.store
+    val top = store.latestSnapshotId.get
+    store.fs.delete(store.snapshotPath(top), false)
+    val ex = intercept[IllegalStateException] {
+      VectorOps.retrainIvfIndex(index)
+    }
+    assert(ex.getMessage.contains("rolled back"), ex.getMessage)
+    assert(ex.getMessage.contains("buildIvfPqIndex"), ex.getMessage)
+  }
+
+  test("quantized resume detects a FOREIGN overwrite at base+1 and refuses the flip") {
+    // an unsigned whole-table OVERWRITE (contract-violating writer,
+    // rollback commit) is indistinguishable from the retrain's own
+    // rewrite by kind alone — the signed-commitUser check must fail the
+    // resume loudly instead of flipping options onto never-re-encoded
+    // codes
+    val index = VectorOps.buildIvfPqIndex(df(looseA), "vec_id", "v",
+      tmpTable(), numCentroids = 4, iterations = 2, m = 8, codes = 32)
+    VectorOps.retrainMidpointHook = () => throw new RuntimeException("crash")
+    try intercept[RuntimeException] {
+      VectorOps.retrainIvfIndex(index, iterations = 2, reseed = true)
+    } finally VectorOps.retrainMidpointHook = () => ()
+    assert(index.schema.option("ivf.retrain.pending.q", "").nonEmpty)
+    index.overwrite(index.toDF) // foreign: default commitUser, OVERWRITE kind
+    val ex = intercept[IllegalStateException] {
+      VectorOps.retrainIvfIndex(index)
+    }
+    assert(ex.getMessage.contains("signed rewrite"), ex.getMessage)
+    // the live options were never flipped — codes still decode correctly
+    assert(index.schema.option("ivf.retrain.pending.q", "").nonEmpty)
+  }
+
   test("a crashed retrain resumes from the pending centroids, not a fresh sample") {
     val index = VectorOps.buildIvfIndex(df(regimeA), "vec_id", "v",
       tmpTable(), numCentroids = 4, iterations = 2)

@@ -191,6 +191,49 @@ class ManifestFoldPropertySpec extends SparkSpec {
         "re-add shadows in kept shards are never reclaimed")
   }
 
+  test("fold output is byte-identical at any manifest decode parallelism") {
+    // the decode pool prefetches shards but the fold consumes them
+    // strictly in chain order — result (content AND order) must not
+    // depend on graft.manifest.parallelism
+    val dir = tmpTable()
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("p", StringType), StructField("k", LongType))),
+      partitionKeys = Seq("p"))
+    val writer = newStore(dir)
+    val rnd = new scala.util.Random(23)
+    val expected = scala.collection.mutable.LinkedHashMap.empty[String, DataFileMeta]
+    var nextId = 0
+    (0 until 40).foreach { _ =>
+      val adds = (0 until (2 + rnd.nextInt(4))).map { _ =>
+        val f = fileOf(nextId, s"p${rnd.nextInt(4)}", t.schema.id)
+        nextId += 1; f
+      }
+      val dels = rnd.shuffle(expected.keys.toVector)
+        .take(rnd.nextInt(math.min(3, expected.size + 1))).map(expected(_))
+      writer.commit(adds.map(f => ManifestEntry(ManifestEntry.ADD, f)) ++
+        dels.map(f => ManifestEntry(ManifestEntry.DELETE, f)), "APPEND")
+      adds.foreach(f => expected.put(f.path, f))
+      dels.foreach(f => expected.remove(f.path))
+    }
+    def storeWithPar(par: Int): FileStore = {
+      val conf = spark.sessionState.newHadoopConf()
+      conf.setInt("graft.manifest.parallelism", par)
+      new FileStore(dir, conf) {
+        override val manifestMergeThreshold = 3
+        override val maxManifestEntries = 8
+        override val manifestCacheMaxEntries = 10L
+      }
+    }
+    val snapSeq = storeWithPar(1).latestSnapshot.get
+    assert(snapSeq.manifests.size >= 4,
+      "fixture too small — the parallel decode path needs ≥4 shards")
+    val seq = storeWithPar(1).liveFiles(snapSeq)
+    val par8 = storeWithPar(8).liveFiles(snapSeq)
+    assert(storeWithPar(8).manifestParallelism == 8)
+    assert(seq == par8, "fold order/content diverged under parallel decode")
+    assert(seq.map(f => f.path -> f).toMap == expected.toMap)
+  }
+
   test("delete-commit conflict check: partition-scoped fold, exact verdicts") {
     // The conflict check must (a) accept every delete of a live file,
     // (b) reject every delete of a dead/unknown file — while folding only

@@ -73,6 +73,61 @@ class SnapshotHintSpec extends SparkSpec {
     assert(store.snapshotIds.min > 1L)
   }
 
+  test("a 1000-commit-stale hint resolves in O(log k) probes (gallop)") {
+    val (store, _) = setup()
+    var probes = 0
+    val latest = 1000L
+    val got = store.gallopLast(1L, id => { probes += 1; id <= latest })
+    assert(got == latest)
+    // gallop ≈ log₂k doubling steps + log₂k bisection steps (+1 overshoot)
+    assert(probes <= 25, s"gallop used $probes probes for a 999-stale hint")
+    // degenerate cases stay cheap and exact
+    probes = 0
+    assert(store.gallopLast(1000L, id => { probes += 1; id <= latest }) == latest)
+    assert(probes == 1, "fresh hint must cost exactly one probe")
+  }
+
+  test("expiry writes EARLIEST; earliestSnapshotId resolves through it") {
+    val (store, _) = setup()
+    // first commit seeded the floor pointer
+    val hint = new Path(store.snapshotDir, "EARLIEST")
+    assert(store.fs.exists(hint), "first commit did not seed snapshot/EARLIEST")
+    assert(store.readString(hint).trim == "1")
+    assert(store.earliestSnapshotId.contains(1L))
+    val t = GraftTable.load(spark, store.root)
+    t.expireSnapshots(retainLast = 2)
+    val floor = store.snapshotIds.min
+    assert(floor > 1L)
+    assert(store.readString(hint).trim == floor.toString,
+      "expiry must rewrite the EARLIEST hint past the trimmed ids")
+    assert(store.earliestSnapshotId.contains(floor))
+  }
+
+  test("EARLIEST self-heals: stale-high probes backward, dangling LISTs") {
+    val (store, _) = setup()
+    val hint = new Path(store.snapshotDir, "EARLIEST")
+    store.writeString(hint, "4") // stale-high (e.g. copied pointer)
+    assert(store.earliestSnapshotId.contains(1L),
+      "a validating-but-high hint must probe backward to the run start")
+    store.writeString(hint, "99") // dangling → exists check fails → LIST
+    assert(store.earliestSnapshotId.contains(1L))
+    store.writeString(hint, "garbage")
+    assert(store.earliestSnapshotId.contains(1L))
+    store.fs.delete(hint, false)
+    assert(store.earliestSnapshotId.contains(1L))
+  }
+
+  test("snapshotIdsHinted equals the listing, hinted or not") {
+    val (store, _) = setup()
+    assert(store.snapshotIdsHinted == store.snapshotIds)
+    val t = GraftTable.load(spark, store.root)
+    t.expireSnapshots(retainLast = 3)
+    assert(store.snapshotIdsHinted == store.snapshotIds)
+    // break one hint → still equal via the LIST fallback
+    store.fs.delete(new Path(store.snapshotDir, "EARLIEST"), false)
+    assert(store.snapshotIdsHinted == store.snapshotIds)
+  }
+
   test("branch fork seeds the branch's own hint") {
     val (store, _) = setup()
     store.createBranch("b1", 3L)

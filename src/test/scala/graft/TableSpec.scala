@@ -33,6 +33,45 @@ class TableSpec extends SparkSpec {
     assert(Snapshot.fromJson(sn.toJson) == sn)
   }
 
+  test("binary manifest codec carries >64KB stats strings (stats-mode=full)") {
+    import graft.core._
+    // metadata.stats-mode=full keeps UNTRUNCATED min/max — a long text
+    // bound must round-trip (the v2 writeUTF encoding threw
+    // UTFDataFormatException past 65535 modified-UTF-8 bytes)
+    val big = "ü" * 40000 // 80 KB as UTF-8, > 64 KB
+    val f = DataFileMeta("data/big.parquet", 10, 5, Seq("P"), 0, 0, 1, 1, 0,
+      Map("t" -> ColStats(Some(big), Some(big + "z"), 1)))
+    val entries = Seq(ManifestEntry(0, f))
+    assert(ManifestCodec.entriesFromAny(
+      ManifestCodec.entriesToBytes(entries)) == entries)
+  }
+
+  test("reader still accepts legacy v2 (GM2) binary manifests") {
+    import graft.core._
+    // hand-written GM2 bytes (the exact pre-r19 writer layout, writeUTF
+    // strings) — existing chains mix formats and must keep reading
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    o.write(Array('G', 'M', '2', '\n').map(_.toByte))
+    o.writeInt(1)
+    o.writeByte(0) // ADD
+    o.writeUTF("data/y.parquet"); o.writeLong(7L); o.writeLong(3L)
+    o.writeShort(1); o.writeUTF("A")
+    o.writeInt(2); o.writeInt(1)
+    o.writeLong(5L); o.writeLong(6L); o.writeLong(0L)
+    o.writeBoolean(true); o.writeUTF("dv/d.bin"); o.writeLong(2L)
+    o.writeShort(1); o.writeUTF("a"); o.writeUTF("idx/b.bin")
+    o.writeShort(1); o.writeUTF("a")
+    o.writeBoolean(true); o.writeUTF("1"); o.writeBoolean(false)
+    o.writeLong(4L)
+    o.flush()
+    val expect = Seq(ManifestEntry(0, DataFileMeta(
+      "data/y.parquet", 7L, 3L, Seq("A"), 2, 1, 5L, 6L, 0L,
+      Map("a" -> ColStats(Some("1"), None, 4L)), Some("dv/d.bin"), 2L,
+      Map("a" -> "idx/b.bin"))))
+    assert(ManifestCodec.entriesFromAny(bos.toByteArray) == expect)
+  }
+
   test("manifest fold shards by partition; shard skipping preserves answers") {
     val li = sf("lineitem").limit(2000).cache()
     val t = GraftTable.create(spark, tmpTable(), li.schema,

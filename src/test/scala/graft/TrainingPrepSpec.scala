@@ -357,6 +357,9 @@ class TrainingPrepSpec extends SparkSpec {
       "breakable able unable",
       "xyz abc",               // xyz has no vocab chars -> [UNK]
       "  the   the  ",         // repeated + padding whitespace
+      "\u0001the a\u0002",   // control-char padding: String.trim drops
+                               // chars <= 0x20 at the ENDS only
+      "the\u0001a b",         // interior control stays inside its word
       "")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
