@@ -19,6 +19,8 @@ object MakeScaledDocs {
     val (in, out, mult) = (args(0), args(1), args(2).toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -50,6 +50,8 @@ object PlanScaleStress {
     val keepPath = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

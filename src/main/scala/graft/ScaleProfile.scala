@@ -14,6 +14,8 @@ object ScaleProfile {
     val docsPath = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -8,6 +8,8 @@ object Verify {
     val (Array(sfDir, outDir), only) = (args.take(2), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -21,6 +21,8 @@ object WriteScaleStress {
     val mult = if (args.length > 1) args(1).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

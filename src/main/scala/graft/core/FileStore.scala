@@ -26,6 +26,14 @@ import scala.collection.concurrent.TrieMap
   */
 class FileStore(val root: String, val hadoopConf: Configuration,
     val branch: Option[String] = None) {
+  // local-FS fast path for engine metadata IO (many small writes): no
+  // fork+exec chmod per create, no .crc twins — see NioLocalFileSystem.
+  // setIfUnset: a caller-configured file: impl always wins. NOTE Hadoop's
+  // FileSystem cache keys on (scheme, authority) only, so the first file:
+  // resolution in the JVM wins; the in-repo session builders set the same
+  // value via spark.hadoop.* so every path agrees.
+  hadoopConf.setIfUnset(graft.spark.NioLocalFileSystem.ConfKey,
+    graft.spark.NioLocalFileSystem.ConfValue)
   val rootPath = new Path(root)
   def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
 

@@ -23,6 +23,8 @@ object QuickStart {
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master("local[8]")
       .appName("graft-quickstart")
       .config("spark.sql.shuffle.partitions", "8")

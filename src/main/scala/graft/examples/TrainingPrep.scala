@@ -20,6 +20,8 @@ object TrainingPrep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master("local[8]")
       .appName("graft-training-prep")
       .config("spark.sql.extensions", "graft.spark.v2.GraftExtensions")

@@ -140,9 +140,16 @@ object Dedup {
     * sides of the prefilter share one computation).
     */
   private def digestFrame(sigs: DataFrame): DataFrame =
-    PipelineUtil.pin(sigs.select(col("id"),
+    PipelineUtil.pin(digestFrameUnpinned(sigs))
+
+  /** Unpinned digest projection — for single-consumer sites (the
+    * cross-corpus prefilter uses each side's digest exactly once, so a pin
+    * there buys no reuse and costs a planning pass).
+    */
+  private def digestFrameUnpinned(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"),
       org.apache.spark.sql.graft.SparkShims.column(graft.functions.MinHashSigBytes(
-        org.apache.spark.sql.graft.SparkShims.expr(col("sig")))).as("sb")))
+        org.apache.spark.sql.graft.SparkShims.expr(col("sig")))).as("sb"))
 
   /** Two-sided prefilter core: join candidate pairs (keyed by `leftCol`,
     * `rightCol`) to per-side digest frames and keep pairs whose byte
@@ -194,9 +201,19 @@ object Dedup {
     * them for the (small) candidate subset is the cheaper trade at scale.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val sigs = sigFrame(df, idCol, textCol, numHashes)
+    // precomputedSigs: a pinned (id, sig) frame signed at `numHashes` for a
+    // SUPERSET of df's rows whose extra ids do not occur in df (see
+    // [[sigFrameFor]]). No restriction join is needed: a phantom id can
+    // ride the candidate prefilter but can never reach the output —
+    // verification recomputes shingle sets from df ITSELF and inner-joins
+    // them by id, so pairs touching an id absent from df vanish there.
+    // Signatures are a pure per-row function, so output is identical; the
+    // caller saves a full re-shingle + re-sign pass per reuse (ingest
+    // pipelines sign the same batch up to three times otherwise).
+    val sigs = precomputedSigs.getOrElse(sigFrame(df, idCol, textCol, numHashes))
     val cutoff = estCutoff(threshold, numHashes)
     // lazy pins: cands feeds both the id-set derivation and the final
     // verify join, sets feeds both sides of it — pin each so it computes
@@ -448,10 +465,33 @@ object Dedup {
     */
   def appendToSigIndex(index: graft.table.GraftTable, df: DataFrame,
       idCol: String, textCol: String, commitIdentifier: Long = -1L,
-      commitUser: String = ""): Unit = {
+      commitUser: String = "",
+      precomputedSigs: Option[DataFrame] = None): Unit = {
     val (numHashes, _) = sigMeta(index)
-    index.upsert(sigFrame(df, idCol, textCol, numHashes),
+    // precomputedSigs: ONLY valid when df's text is byte-identical to the
+    // text the signatures were computed from (ingest pipelines that rewrite
+    // text — e.g. a span-cut stage — must re-sign)
+    val sigs = precomputedSigs match {
+      case Some(s) => s.join(df.select(col(idCol).as("id")), "id")
+        .select(col("id"), col("sig"))
+      case None => sigFrame(df, idCol, textCol, numHashes)
+    }
+    index.upsert(sigs,
       commitIdentifier = commitIdentifier, commitUser = commitUser)
+  }
+
+  /** The per-document signature frame for `df` at `index`'s configured
+    * numHashes — computed ONCE and shareable across [[nearDupPairs]],
+    * [[nearDupPairsAgainst]] and [[appendToSigIndex]] via their
+    * `precomputedSigs` parameter (each restricts it to its own input's
+    * ids). Returns the frame plus the numHashes it was signed at, so a
+    * caller can refuse the reuse when a consumer needs a different family
+    * (signatures at different numHashes are incompatible).
+    */
+  def sigFrameFor(index: graft.table.GraftTable, df: DataFrame,
+      idCol: String, textCol: String): (DataFrame, Int) = {
+    val (numHashes, _) = sigMeta(index)
+    (sigFrame(df, idCol, textCol, numHashes), numHashes)
   }
 
   /** Blocked Hamming-ball join of NEW sketches against a CORPUS sketch
@@ -520,9 +560,15 @@ object Dedup {
     */
   def nearDupPairsAgainst(newDf: DataFrame, idCol: String, textCol: String,
       index: graft.table.GraftTable, corpus: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val (numHashes, bands) = sigMeta(index)
-    val newSigs = sigFrame(newDf, idCol, textCol, numHashes) // already pinned
+    // precomputedSigs must be signed at THIS index's numHashes (see
+    // [[sigFrameFor]]) for a superset of newDf whose extra ids do not
+    // occur in newDf — phantom ids die at the verify join exactly as in
+    // [[nearDupPairs]] (candSets reads text from newDf itself)
+    val newSigs = precomputedSigs.getOrElse(
+      sigFrame(newDf, idCol, textCol, numHashes)) // already pinned
     val corpusSigs = PipelineUtil.pin(index.toDF.select(col("id"), col("sig")))
     // band-bucket join, new × corpus: the new side is the small one — AQE
     // broadcast-converts it, so the corpus index scan is never shuffled.
@@ -537,7 +583,7 @@ object Dedup {
     // self-join path via estFiltered2; digests derive from stored sigs —
     // no text touched)
     val filtered = PipelineUtil.pin(estFiltered2(cands, "new_id", "corpus_id",
-      digestFrame(newSigs), digestFrame(corpusSigs),
+      digestFrameUnpinned(newSigs), digestFrameUnpinned(corpusSigs),
       numHashes, estCutoff(threshold, numHashes)))
     // exact verify: shingle sets for CANDIDATE docs only, per side
     def candSets(src: DataFrame, ids: DataFrame) =

@@ -246,16 +246,36 @@ object StreamingDedup {
       val (fresh, freshN) = counted("reingest")(
         exact.join(broadcast(knownIds), Seq(idCol), "left_anti"))
 
+      // ONE signature pass for the whole batch: the intra check, the
+      // vs-corpus check and the sig-index commit all sign (subsets of)
+      // `fresh` — sign it once at the index's numHashes and let each
+      // consumer restrict to its own id set (Dedup's precomputedSigs).
+      // Signatures are a pure per-row function of the text, so results
+      // are identical; the batch is shingled+signed once instead of up to
+      // three times. Two gates: the intra check's default family is 64
+      // hashes (reuse only when the index agrees — its output would
+      // differ otherwise), and a span stage REWRITES committed text, so
+      // the sig commit must re-sign the cut text (see appendToSigIndex).
+      // (sigFrameFor pins the frame — the pin IS the share point; a
+      // second persist on top would just duplicate the cache)
+      val (freshSigs0, sigNumHashes) =
+        Dedup.sigFrameFor(index, fresh, idCol, textCol)
+      val freshSigs = Some(freshSigs0)
+
       // 2. near-dup intra-batch: larger id of every verified pair drops
-      val intraPairs = Dedup.nearDupPairs(fresh, idCol, textCol, threshold)
+      val intraPairs = timed("build_text_intra")(
+        Dedup.nearDupPairs(fresh, idCol, textCol, threshold,
+          precomputedSigs = if (sigNumHashes == 64) freshSigs else None))
       val (intraSurvivors, intraN) = counted("text_intra")(fresh.join(
         Dedup.dropIds(intraPairs).withColumnRenamed("drop_id", idCol),
         Seq(idCol), "left_anti"))
 
       // 3. against the corpus: ANY verified pair drops the new doc (the
       // corpus copy wins — it is already served downstream)
-      val corpusPairs = Dedup.nearDupPairsAgainst(intraSurvivors, idCol,
-        textCol, index, corpus.toDF, threshold)
+      val corpusPairs = timed("build_text_corpus")(
+        Dedup.nearDupPairsAgainst(intraSurvivors, idCol,
+          textCol, index, corpus.toDF, threshold,
+          precomputedSigs = freshSigs))
       val (textAdmitted, textAdmittedN) = counted("text_corpus")(
         intraSurvivors.join(
           corpusPairs.select(col("new_id").as(idCol)).distinct(),
@@ -296,14 +316,16 @@ object StreamingDedup {
           // the LSH plane family must match the batch's true dimensionality
           // — taken from the IVF index's stored centroids, the one
           // authoritative record of what this corpus embeds as
-          val embedPairs = VectorOps.nearDupPairs(fpAdmitted, idCol,
-            e.vecCol, e.threshold, dim = VectorOps.ivfIndexDim(e.ivfIndex))
+          val embedPairs = timed("build_embed_intra")(
+            VectorOps.nearDupPairs(fpAdmitted, idCol,
+              e.vecCol, e.threshold, dim = VectorOps.ivfIndexDim(e.ivfIndex)))
           val (s1, s1N) = counted("embed_intra")(fpAdmitted.join(
             Dedup.dropIds(embedPairs).withColumnRenamed("drop_id", idCol),
             Seq(idCol), "left_anti"))
-          val vsCorpus = VectorOps.embedNearDupAgainst(
-            s1, idCol, e.vecCol, e.ivfIndex, e.threshold, e.nProbe,
-            view = preBatchView(e.ivfIndex, s"$commitUser-ivf", batchId))
+          val vsCorpus = timed("build_embed_corpus")(
+            VectorOps.embedNearDupAgainst(
+              s1, idCol, e.vecCol, e.ivfIndex, e.threshold, e.nProbe,
+              view = preBatchView(e.ivfIndex, s"$commitUser-ivf", batchId)))
           (keep(s1.join(vsCorpus.select(col("new_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti")), s1N)
       }
@@ -404,7 +426,10 @@ object StreamingDedup {
         outcomes.collectFirst { case scala.util.Failure(e) => throw e }
         timedLeg("commit_sig")(
           Dedup.appendToSigIndex(index, finalAdmitted, idCol, textCol,
-            commitIdentifier = batchId, commitUser = s"$commitUser-index"))
+            commitIdentifier = batchId, commitUser = s"$commitUser-index",
+            // a span stage rewrote the committed text — must re-sign it;
+            // otherwise finalAdmitted ⊆ fresh with identical text
+            precomputedSigs = if (span.isEmpty) freshSigs else None))
       }
 
       if (trackCounts)

@@ -16,6 +16,8 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      .config("spark.hadoop." + graft.spark.NioLocalFileSystem.ConfKey,
+        graft.spark.NioLocalFileSystem.ConfValue)
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.spark.v2.GraftExtensions")
