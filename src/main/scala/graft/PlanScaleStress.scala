@@ -95,6 +95,10 @@ object PlanScaleStress {
         s"$totalFiles — point the probe at a fresh dir or raise <files>")
     var commitTotal = 0.0
     var commitLast = 0.0
+    // hoisted: GraftTable.schema re-reads (dir list + JSON parse) the
+    // latest schema per call — per-ENTRY it throttled fixture fabrication
+    // to ~1/8th speed at 10⁷ (untimed, but it is pure probe wall-clock)
+    val schemaId = t.schema.id
     while (made < totalFiles) {
       val n = math.min(perCommit, totalFiles - made)
       val entries = (made until made + n).map { g =>
@@ -104,7 +108,7 @@ object PlanScaleStress {
           path = f"data/p=$part/f-$g%07d.parquet",
           size = 128L << 20, rowCount = 1000000L,
           partition = Seq(part), bucket = 0, level = 0,
-          minSeq = 0L, maxSeq = 0L, schemaId = t.schema.id,
+          minSeq = 0L, maxSeq = 0L, schemaId = schemaId,
           stats = Map(
             "k" -> ColStats(Some(lo.toString), Some((lo + 999999L).toString), 0L),
             "v" -> ColStats(Some("0.0"), Some("1.0"), 0L))))
