@@ -140,15 +140,20 @@ object Bench {
       // 4b. remote KV lookup service (paimon-service analog): a cold
       // server over the compacted PK table answers a 2000-key probe set
       // in 4 batches — times the batched bucket-pruned miss path + HTTP
-      // round trips; repeat probes would be cache-speed (LookupServiceSpec)
+      // round trips; repeat probes would be cache-speed (LookupServiceSpec).
+      // r20: the 4 independent batches are IN FLIGHT CONCURRENTLY
+      // (LookupClient.lookupBatches — the many-stream-partitions
+      // production shape; guide §2.6 overlapping independent jobs). Same
+      // probe set, same 4 batches, same cold server; wall is max(batch)
+      // instead of sum — r19 sequential medians: 0.705/1.208 s.
       results("remote_lookup") = time {
         val srv = new graft.service.LookupServer(pk).start()
         try {
-          (0 until 4).foreach { b =>
-            val keys = (0 until 500).map(i =>
+          val batches = (0 until 4).map { b =>
+            (0 until 500).map(i =>
               Map[String, Any]("o_orderkey" -> (b * 500L + i + 1)))
-            graft.service.LookupClient.lookupBatch(srv.endpoint, keys)
           }
+          graft.service.LookupClient.lookupBatches(srv.endpoint, batches)
         } finally srv.stop()
       }
 

@@ -167,6 +167,73 @@ object OptProbe {
         precomputedSigs = Some(shared)))
     }
 
+    if (mode == "plansr20") {
+      // r20 plan artifacts: the vector/LSH paths touched by the
+      // literal-family change (judge checks plan claims against these)
+      val outDir = args.lift(1).getOrElse("plans/r20")
+      new java.io.File(outDir).mkdirs()
+      val suffix = args.lift(2).getOrElse("after")
+      def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+        println(s"[plans] wrote $outDir/${name}_$suffix.txt")
+      }
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      dump("knn_join", VectorOps.knnJoin(
+        qs, "qid", "embedding", emb, "vec_id", "embedding", 10))
+      dump("embed_intra_neardup", VectorOps.nearDupPairs(
+        embDocs.filter(col("doc_id") % 10 === 0), "doc_id", "v",
+        threshold = 0.95))
+      val semCorpusDf = embDocs.filter(col("doc_id") % 10 =!= 0)
+      val ivf = VectorOps.buildIvfIndex(semCorpusDf.select(col("doc_id"), col("v")),
+        "doc_id", "v", s"$tmp/ivfp", numCentroids = 16)
+      dump("embed_corpus_neardup", VectorOps.embedNearDupAgainst(
+        embDocs.filter(col("doc_id") % 10 === 0), "doc_id", "v", ivf, 0.95))
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect()(0).getSeq[Double](0)
+      dump("ann_lsh_topk", VectorOps.cosineTopKLsh(
+        corpus, "vec_id", "embedding", q0, 20))
+      val sigT = Dedup.buildSigIndex(semCorpusDf, "doc_id", "text", s"$tmp/sigp")
+      dump("incr_dedup", Dedup.nearDupPairsAgainst(
+        embDocs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        sigT, semCorpusDf.select("doc_id", "text"), 0.7))
+    }
+
+    if (mode == "buildcost") {
+      // CONSTRUCTION cost (never executes) of the vector-path plans the
+      // literal-family change targets — the driver-side analogue of
+      // plancost for knnJoin / embed intra / embed vs-corpus
+      val corpus = emb.select(col("vec_id"), col("embedding")).persist()
+      corpus.count()
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding")).persist()
+      qs.count()
+      val batch = embDocs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"), col("v")).persist()
+      batch.count()
+      val semCorpusDf = embDocs.filter(col("doc_id") % 10 =!= 0)
+      val ivf = VectorOps.buildIvfIndex(semCorpusDf.select(col("doc_id"), col("v")),
+        "doc_id", "v", s"$tmp/ivfb", numCentroids = 16)
+      (0 until args.lift(1).map(_.toInt).getOrElse(6)).foreach { i =>
+        var t0 = System.nanoTime()
+        VectorOps.knnJoin(qs, "qid", "embedding", corpus, "vec_id", "embedding", 10)
+        val tKnn = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        VectorOps.nearDupPairs(batch, "doc_id", "v", threshold = 0.95)
+        val tIntra = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        VectorOps.embedNearDupAgainst(batch, "doc_id", "v", ivf, 0.95)
+        val tCorpus = (System.nanoTime() - t0) / 1e9
+        println(f"[buildcost pass=$i] knnJoin=$tKnn%.3f " +
+          f"embedIntra=$tIntra%.3f embedCorpus=$tCorpus%.3f")
+      }
+    }
+
     if (mode == "commitcost") {
       // what does ONE small-batch commit leg cost, and where? Times the
       // ivf-append leg and a plain corpus append of the same 500-row batch
@@ -214,7 +281,14 @@ object OptProbe {
       lineitem.count()
       val orders = Fixtures.src(spark, sfDir, "orders").cache()
       orders.count()
-      val key = "spark.hadoop.graft.manifest.tiered-merge"
+      // UNPREFIXED key: SessionState.newHadoopConf() copies session confs
+      // into the hadoop conf VERBATIM (never prefix-stripped), and
+      // FileStore reads the unprefixed 'graft.manifest.tiered-merge'. The
+      // previous 'spark.hadoop.'-prefixed runtime set never reached the
+      // store — both arms of the r19 A/B ran tiered ON (caught by the r19
+      // advisor); the per-pass assertion below makes that class of no-op
+      // flip impossible to re-introduce.
+      val key = "graft.manifest.tiered-merge"
       val passes = args.lift(1).map(_.toInt).getOrElse(4)
       val results = scala.collection.mutable.Map
         .empty[(String, Boolean), List[Double]].withDefaultValue(Nil)
@@ -230,6 +304,10 @@ object OptProbe {
         }
         val liTable = GraftTable.create(spark, s"$dir/li", lineitem.schema,
           partitionKeys = Seq("l_returnflag"))
+        require(liTable.store.tieredMergeEnabled == tiered,
+          s"tierab: arm intended tiered=$tiered but the created table's " +
+            s"store reads tieredMergeEnabled=${liTable.store.tieredMergeEnabled}" +
+            " — the conf flip did not propagate; A/B would be invalid")
         rec("append_write") { liTable.append(lineitem) }
         val pk = GraftTable.create(spark, s"$dir/orders_pk", orders.schema,
           primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "16"))

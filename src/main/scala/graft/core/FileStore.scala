@@ -26,14 +26,15 @@ import scala.collection.concurrent.TrieMap
   */
 class FileStore(val root: String, val hadoopConf: Configuration,
     val branch: Option[String] = None) {
-  // local-FS fast path for engine metadata IO (many small writes): no
-  // fork+exec chmod per create, no .crc twins — see NioLocalFileSystem.
-  // setIfUnset: a caller-configured file: impl always wins. NOTE Hadoop's
-  // FileSystem cache keys on (scheme, authority) only, so the first file:
-  // resolution in the JVM wins; the in-repo session builders set the same
-  // value via spark.hadoop.* so every path agrees.
-  hadoopConf.setIfUnset(graft.spark.NioLocalFileSystem.ConfKey,
-    graft.spark.NioLocalFileSystem.ConfValue)
+  // Local-FS fast path (NioLocalFileSystem: no fork+exec chmod per create,
+  // no .crc twins) comes ONLY from the explicit `spark.hadoop.fs.file.impl`
+  // session setting — every in-repo session builder sets it. The store
+  // must NOT setIfUnset it here: callers pass the application-global
+  // Configuration (sparkContext.hadoopConfiguration), and mutating it —
+  // or resolving `file:` first and landing the instance in Hadoop's
+  // JVM-wide (scheme, authority)-keyed FileSystem cache — would swap the
+  // no-CRC filesystem under user IO unrelated to graft, with behavior
+  // dependent on which component resolved `file:` first.
   val rootPath = new Path(root)
   def fs: FileSystem = rootPath.getFileSystem(hadoopConf)
 
@@ -996,10 +997,14 @@ object FileStore {
     * are constructed per table per plan; per-instance pools would leak
     * threads). Decode tasks never submit back into the pool, so a fixed
     * size cannot deadlock; concurrent planners simply share the cores.
+    * Capped at 16 — the `graft.manifest.parallelism` default — so a cold
+    * plan's decode burst cannot oversubscribe a local[32+] driver against
+    * its own executor threads (on a real driver node executors are
+    * remote and the cap is simply the per-fold parallelism ceiling).
     */
   private[core] lazy val decodePool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(2, Runtime.getRuntime.availableProcessors()),
+      math.max(2, math.min(16, Runtime.getRuntime.availableProcessors())),
       (r: Runnable) => {
         val t = new Thread(r, "graft-manifest-decode")
         t.setDaemon(true)

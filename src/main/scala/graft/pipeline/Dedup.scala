@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The default MinHash family size. Referenced by [[nearDupPairs]]'s
+    * default AND by ingest pipelines' shared-signature reuse gates
+    * ([[graft.streaming.StreamingDedup]] only reuses a precomputed frame
+    * when the index's family equals this), so the pairing is visible at
+    * both sites and cannot silently drift apart.
+    */
+  val DefaultNumHashes = 64
+
   /** Word n-gram shingles of normalized text (distinct, order-free). */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
@@ -201,7 +209,8 @@ object Dedup {
     * them for the (small) candidate subset is the cheaper trade at scale.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, numHashes: Int = DefaultNumHashes,
+      bands: Int = 16,
       precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val src = df.select(col(idCol).as("id"), col(textCol).as("text"))
     // precomputedSigs: a pinned (id, sig) frame signed at `numHashes` for a
@@ -466,14 +475,24 @@ object Dedup {
   def appendToSigIndex(index: graft.table.GraftTable, df: DataFrame,
       idCol: String, textCol: String, commitIdentifier: Long = -1L,
       commitUser: String = "",
-      precomputedSigs: Option[DataFrame] = None): Unit = {
+      precomputedSigs: Option[DataFrame] = None,
+      precomputedSigsNumHashes: Int = -1): Unit = {
     val (numHashes, _) = sigMeta(index)
     // precomputedSigs: ONLY valid when df's text is byte-identical to the
     // text the signatures were computed from (ingest pipelines that rewrite
-    // text — e.g. a span-cut stage — must re-sign)
+    // text — e.g. a span-cut stage — must re-sign), AND when the frame was
+    // signed at THIS index's family — callers must pass the numHashes
+    // [[sigFrameFor]] returned so a drifted family fails loud here instead
+    // of silently committing incompatible signatures.
     val sigs = precomputedSigs match {
-      case Some(s) => s.join(df.select(col(idCol).as("id")), "id")
-        .select(col("id"), col("sig"))
+      case Some(s) =>
+        require(precomputedSigsNumHashes == numHashes,
+          s"appendToSigIndex: precomputed signatures were signed at " +
+            s"numHashes=$precomputedSigsNumHashes but the index at " +
+            s"${index.location} uses numHashes=$numHashes — pass the " +
+            "numHashes returned by sigFrameFor, or drop precomputedSigs")
+        s.join(df.select(col(idCol).as("id")), "id")
+          .select(col("id"), col("sig"))
       case None => sigFrame(df, idCol, textCol, numHashes)
     }
     index.upsert(sigs,
@@ -515,7 +534,9 @@ object Dedup {
     def keyed(df: DataFrame): DataFrame =
       df.select(col("id"), col("sk"), explode(array(combos: _*)).as("c"))
         .select(col("id"), col("sk"), col("c.cb"), col("c.v1"), col("c.v2"))
-    keyed(PipelineUtil.pin(newSk)).as("a")
+    // newSk is consumed exactly once (this join's build side) — no pin;
+    // see candSets above for the single-consumer-pin rationale
+    keyed(newSk).as("a")
       .join(keyed(corpusSk).as("b"),
         col("a.cb") === col("b.cb") && col("a.v1") === col("b.v1") &&
           col("a.v2") === col("b.v2") && col("a.id") =!= col("b.id"))
@@ -585,12 +606,14 @@ object Dedup {
     val filtered = PipelineUtil.pin(estFiltered2(cands, "new_id", "corpus_id",
       digestFrameUnpinned(newSigs), digestFrameUnpinned(corpusSigs),
       numHashes, estCutoff(threshold, numHashes)))
-    // exact verify: shingle sets for CANDIDATE docs only, per side
+    // exact verify: shingle sets for CANDIDATE docs only, per side. NOT
+    // pinned: each side's set frame feeds exactly one verify join, so a
+    // pin buys no reuse and costs a full planning pass (the r19
+    // digestFrameUnpinned recipe)
     def candSets(src: DataFrame, ids: DataFrame) =
-      PipelineUtil.pin(
-        spread(src.select(col(idCol).as("id"), col(textCol).as("text")))
-          .join(ids, "id")
-          .select(col("id"), shingleHashes(col("text")).as("hs")))
+      spread(src.select(col(idCol).as("id"), col(textCol).as("text")))
+        .join(ids, "id")
+        .select(col("id"), shingleHashes(col("text")).as("hs"))
     val newSets = candSets(newDf,
       filtered.select(col("new_id").as("id")).distinct())
     val corpusSets = candSets(corpus,

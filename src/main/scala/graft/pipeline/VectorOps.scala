@@ -101,6 +101,37 @@ object VectorOps {
   def tableFamily(numTables: Int, planesPerTable: Int, dim: Int): Seq[Seq[Seq[Double]]] =
     planeComponents(numTables * planesPerTable, dim).grouped(planesPerTable).toSeq
 
+  /** The whole hyperplane family as ONE literal datum
+    * (array<array<array<double>>>, [table][plane][dim]) — the
+    * [[centroidsLit]] principle applied to the LSH planes: unrolling one
+    * expression subtree per (table, plane) puts tables × planes × dim
+    * literal nodes into the plan (~4,500 nodes for the default 8×8×64
+    * family), and every Catalyst analysis/optimization pass re-walks them —
+    * measured as the dominant driver-side CONSTRUCTION cost of the embed
+    * dedup/knn stages. A single literal plus `transform` loops keeps the
+    * tree O(1) in family size with bit-identical arithmetic ([[bucketOf]]).
+    */
+  private def familyLit(numTables: Int, planesPerTable: Int, dim: Int): Column =
+    typedlit(tableFamily(numTables, planesPerTable, dim))
+
+  /** [[lshBucket]] with the plane set as a COLUMN (an element of
+    * [[familyLit]]): per plane the same sequential zip_with/aggregate dot
+    * fold, the same ascending-bit OR packing — bit-identical buckets in an
+    * expression tree that is O(1) in planes × dim.
+    */
+  private def bucketOf(vec: Column, planes: Column): Column =
+    aggregate(
+      transform(planes, (pl, p) => {
+        val proj = aggregate(
+          zip_with(vec, pl, (x, c) => x.cast("double") * c),
+          lit(0.0), (a, v) => a + v)
+        when(proj >= 0.0, org.apache.spark.sql.graft.SparkShims.column(
+          org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+            org.apache.spark.sql.graft.SparkShims.expr(lit(1L)),
+            org.apache.spark.sql.graft.SparkShims.expr(p)))).otherwise(lit(0L))
+      }),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+
   /** Approximate top-k via BANDED MULTI-TABLE sign-random-projection LSH:
     * `numTables` independent tables of `planesPerTable` planes each; a
     * vector is a candidate if it shares the query's bucket in ANY table
@@ -125,9 +156,13 @@ object VectorOps {
       }.reduce(_ | _)
     }
     val v = checkedVec(col(vecCol), dim)
-    val anyTableMatch = tables.zip(qBuckets)
-      .map { case (pls, qb) => lshBucket(v, pls) === qb }
-      .reduce(_ || _)
+    // literal family + loops (see [[familyLit]]): same per-table bucket
+    // values, same any-table OR — tiny expression tree
+    val anyTableMatch = exists(
+      zip_with(transform(familyLit(numTables, planesPerTable, dim),
+          pls => bucketOf(v, pls)),
+        typedlit(qBuckets), (b, qb) => b === qb),
+      m => m)
     PipelineUtil.spread(df).filter(anyTableMatch)
       .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col(idCol))
@@ -157,7 +192,7 @@ object VectorOps {
   def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, cIdCol: String, cVecCol: String, k: Int,
       numTables: Int = 8, planesPerTable: Int = 8, dim: Int = 64): DataFrame = {
-    val tables = tableFamily(numTables, planesPerTable, dim)
+    val fam = familyLit(numTables, planesPerTable, dim)
     // norms ride the pinned frames — computed once per ROW here; the
     // verify join below then does one dot per candidate PAIR instead of
     // re-folding both norms per pair (a corpus row averages many pairs)
@@ -171,11 +206,11 @@ object VectorOps {
       .withColumn("nv", norm(col("cv"))))
     def keys(idName: String, vecName: String, df: DataFrame) = {
       val v = checkedVec(col(vecName), dim)
-      val ks = tables.zipWithIndex.map { case (pls, t) =>
-        struct(lit(t).as("t"), lshBucket(v, pls).as("bucket"))
-      }
-      df.select(col(idName), explode(array(ks: _*)).as("tb"))
-        .select(col(idName), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      // posexplode over the literal family: the position IS the table id,
+      // so rows are identical to the per-table struct unrolling
+      df.select(col(idName),
+        posexplode(transform(fam, pls => bucketOf(v, pls)))
+          .as(Seq("t", "bucket")))
     }
     val cands = keys("query_id", "qv", q).as("a")
       .join(keys("corpus_id", "cv", c).as("b"),
@@ -372,7 +407,7 @@ object VectorOps {
     */
   private def lshBucketArray(v: Column, tables: Int, planes: Int,
       dim: Int): Column =
-    array(tableFamily(tables, planes, dim).map(pls => lshBucket(v, pls)): _*)
+    transform(familyLit(tables, planes, dim), pls => bucketOf(v, pls))
 
   /** `lshSidecar = false` builds the pre-sidecar index layout (no
     * `lsh_buckets` column, `ivf.lsh.tables = 0`) — kept for migration
@@ -1135,12 +1170,12 @@ object VectorOps {
     require(nProbe > 0, s"nProbe must be positive: $nProbe")
     val (cents, idCol, vecCol) = ivfMeta(index)
     val dim = cents.headOption.map(_.size).getOrElse(0)
-    val family = tableFamily(lshTables, lshPlanes, dim)
     val q = PipelineUtil.pin(PipelineUtil.spread(
       newDf.select(col(qIdCol).as("query_id"),
         checkedVec(col(qVecCol), dim).cast("array<double>").as("qv")))
       .withColumn("nq", norm(col("qv")))
-      .withColumn("qb", array(family.map(pls => lshBucket(col("qv"), pls)): _*)))
+      .withColumn("qb", transform(familyLit(lshTables, lshPlanes, dim),
+        pls => bucketOf(col("qv"), pls))))
     val simStructs = transform(centroidsLit(normedCents(cents)),
       (c, i) => struct((-dot(col("qv"), c)).as("s"),
         i.cast("int").as("ivf_cluster")))
@@ -1281,17 +1316,16 @@ object VectorOps {
           math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt))
       }
     val nTables = if (numTables > 0) numTables else math.max(8, planes)
-    val tables = tableFamily(nTables, planes, dim)
     val src = PipelineUtil.spread(src0)
     val v = checkedVec(col("v"), dim)
-    val keys = tables.zipWithIndex.map { case (pls, t) =>
-      struct(lit(t).as("t"), lshBucket(v, pls).as("bucket"))
-    }
     // lazy pins (PipelineUtil.pin): each frame below feeds two consumers;
-    // pinning avoids recomputation WITHOUT eager job barriers
+    // pinning avoids recomputation WITHOUT eager job barriers. Keys come
+    // from the literal family + posexplode (position = table id) — rows
+    // identical to the per-table struct unrolling, tiny expression tree.
     val keyed = PipelineUtil.pin(
-      src.select(col("id"), explode(array(keys: _*)).as("k"))
-        .select(col("id"), col("k.t").as("t"), col("k.bucket").as("bucket")))
+      src.select(col("id"),
+        posexplode(transform(familyLit(nTables, planes, dim),
+          pls => bucketOf(v, pls))).as(Seq("t", "bucket"))))
     val cands = PipelineUtil.pin(keyed.as("a").join(keyed.as("x"),
         col("a.t") === col("x.t") && col("a.bucket") === col("x.bucket") &&
           col("a.id") < col("x.id"))

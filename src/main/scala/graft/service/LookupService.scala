@@ -229,7 +229,8 @@ class LookupServer(table: GraftTable, host: String = "127.0.0.1",
 object LookupClient {
   private lazy val http = java.net.http.HttpClient.newHttpClient()
 
-  def lookupBatch(endpoint: String, keys: Seq[Map[String, Any]]): Seq[String] = {
+  private def requestFor(endpoint: String,
+      keys: Seq[Map[String, Any]]): java.net.http.HttpRequest = {
     val arr = graft.core.Json.arr()
     keys.foreach { k =>
       val o = arr.addObject()
@@ -240,15 +241,36 @@ object LookupClient {
         case (n, v) => o.put(n, String.valueOf(v))
       }
     }
-    val req = java.net.http.HttpRequest.newBuilder()
+    java.net.http.HttpRequest.newBuilder()
       .uri(java.net.URI.create(s"$endpoint/lookup"))
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
         graft.core.Json.write(arr)))
       .build()
-    val resp = http.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def parseResponse(resp: java.net.http.HttpResponse[String]): Seq[String] = {
     require(resp.statusCode() == 200, s"lookup failed: ${resp.body()}")
     graft.core.Json.elems(graft.core.Json.parse(resp.body()))
       .map(graft.core.Json.write)
+  }
+
+  def lookupBatch(endpoint: String, keys: Seq[Map[String, Any]]): Seq[String] =
+    parseResponse(http.send(requestFor(endpoint, keys),
+      java.net.http.HttpResponse.BodyHandlers.ofString()))
+
+  /** Several independent probe batches IN FLIGHT AT ONCE (async HTTP):
+    * the production shape of a streaming lookup join, where many stream
+    * partitions probe concurrently — the server's handler pool turns each
+    * batch's misses into its own Spark job and the scheduler overlaps
+    * them, so wall time is max(batch) instead of sum(batch). Results are
+    * returned per batch, in request order — element i is exactly what
+    * `lookupBatch(endpoint, batches(i))` returns.
+    */
+  def lookupBatches(endpoint: String,
+      batches: Seq[Seq[Map[String, Any]]]): Seq[Seq[String]] = {
+    val inFlight = batches.map(b => http.sendAsync(requestFor(endpoint, b),
+      java.net.http.HttpResponse.BodyHandlers.ofString()))
+    inFlight.map(f => parseResponse(f.join()))
   }
 
   def lookup(endpoint: String, key: Map[String, Any]): Option[String] =

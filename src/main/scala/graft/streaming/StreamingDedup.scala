@@ -265,7 +265,8 @@ object StreamingDedup {
       // 2. near-dup intra-batch: larger id of every verified pair drops
       val intraPairs = timed("build_text_intra")(
         Dedup.nearDupPairs(fresh, idCol, textCol, threshold,
-          precomputedSigs = if (sigNumHashes == 64) freshSigs else None))
+          precomputedSigs =
+            if (sigNumHashes == Dedup.DefaultNumHashes) freshSigs else None))
       val (intraSurvivors, intraN) = counted("text_intra")(fresh.join(
         Dedup.dropIds(intraPairs).withColumnRenamed("drop_id", idCol),
         Seq(idCol), "left_anti"))
@@ -429,7 +430,8 @@ object StreamingDedup {
             commitIdentifier = batchId, commitUser = s"$commitUser-index",
             // a span stage rewrote the committed text — must re-sign it;
             // otherwise finalAdmitted ⊆ fresh with identical text
-            precomputedSigs = if (span.isEmpty) freshSigs else None))
+            precomputedSigs = if (span.isEmpty) freshSigs else None,
+            precomputedSigsNumHashes = sigNumHashes))
       }
 
       if (trackCounts)
